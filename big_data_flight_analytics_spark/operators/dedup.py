@@ -1,0 +1,230 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Scale design:
+- exact dedup = hash-groupBy on a content fingerprint, canonical row =
+  min(id) — deterministic, one shuffle on the fingerprint;
+- n-gram Jaccard = inverted-index join (explode shingles, equi-join on
+  shingle, count shared) — never an O(n^2) cross join; the shingle join
+  key distributes well because shingles are high-cardinality;
+- MinHash-LSH = signature -> bands -> bucket equi-join -> exact verify.
+  Candidate generation cost scales with bucket collisions, not n^2;
+- SimHash = per-doc 64-bit signature; near-dup candidates via
+  chunk-match (pigeonhole) equi-joins, verified by hamming distance.
+
+All signatures are built from Spark's xxhash64 (deterministic across
+runs/partitions). xxhash64 has no DuckDB equivalent, so MinHash/SimHash
+queries are registered without oracles (rows-only driver check); the
+Jaccard path IS oracle-checkable and doubles as their ground truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from big_data_flight_analytics_spark.functions.text import rolling_fingerprint
+from big_data_flight_analytics_spark.operators.text import word_shingles
+
+MERSENNE_P = (1 << 61) - 1
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Group by content fingerprint; keep canonical min(id) + dup count."""
+    return (
+        df.select(rolling_fingerprint(F.col(text_col)).alias("fingerprint"), id_col)
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(F.col(id_col), word_shingles(text_col, n).alias("shingles"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """All doc pairs (a < b) with n-gram-shingle Jaccard >= threshold.
+
+    Inverted-index join: docs sharing zero shingles never meet, so the
+    candidate set is sparse. Output: doc_a, doc_b, jaccard (4dp).
+    """
+    sh = _shingled(df, id_col, text_col, n)
+    sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"))
+    posting = sh.select(F.col(id_col), F.explode("shingles").alias("sh"))
+
+    a = posting.select(F.col(id_col).alias("doc_a"), "sh")
+    b = posting.select(F.col(id_col).alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _minhash_signature(shingles: Column, num_perm: int) -> Column:
+    """array<long> of ``num_perm`` min-hashes over the shingle set.
+
+    Permutation j hashes each shingle with xxhash64(shingle, j) folded
+    into [0, 2^61-1). Empty shingle sets get MERSENNE_P sentinels (never
+    collide with real hashes in a band).
+    """
+    sigs = [
+        F.coalesce(
+            F.array_min(
+                F.transform(
+                    shingles,
+                    lambda s, j=j: F.pmod(F.xxhash64(s, F.lit(j)), F.lit(MERSENNE_P)),
+                )
+            ),
+            F.lit(MERSENNE_P),
+        )
+        for j in range(num_perm)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding, verified with exact Jaccard.
+
+    bands x rows layout (rows = num_perm / bands): docs agreeing on ALL
+    rows of any band become candidates (equi-join on the band hash —
+    never a cross join); candidates are then verified against the exact
+    n-gram Jaccard so output precision is 100%.
+    """
+    assert num_perm % bands == 0
+    rows = num_perm // bands
+    sh = _shingled(df, id_col, text_col, n)
+    sig = sh.select(
+        F.col(id_col), _minhash_signature(F.col("shingles"), num_perm).alias("sig")
+    )
+    band_rows = []
+    for bi in range(bands):
+        band_key = F.hash(
+            F.lit(bi), *[F.element_at("sig", bi * rows + r + 1) for r in range(rows)]
+        )
+        band_rows.append(sig.select(F.col(id_col), band_key.alias("band_key")))
+    posting = band_rows[0]
+    for extra in band_rows[1:]:
+        posting = posting.unionAll(extra)
+
+    a = posting.select(F.col(id_col).alias("doc_a"), "band_key")
+    b = posting.select(F.col(id_col).alias("doc_b"), "band_key")
+    candidates = (
+        a.join(b, "band_key").filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold=0.0)
+    return (
+        candidates.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_signature(text_col: str = "text", bits: int = 32) -> Column:
+    """SimHash: sign-sum of per-token hash bits -> integer signature.
+
+    For each bit k, sum +1/-1 over tokens according to bit k of
+    xxhash64(token); signature bit k = 1 iff the sum is positive.
+    One aggregate pass per bit over the token-hash array (shift amounts
+    must be Python ints for shiftright), all JVM-side expressions.
+    """
+    from big_data_flight_analytics_spark.operators.text import tokens
+
+    hashes = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+
+    def bit_merge(k: int):
+        # binary lambda factory: pyspark counts lambda params, so the
+        # shift amount must be closed over, not a default arg
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    sig = F.lit(0).cast("long")
+    for k in range(bits):
+        bit_sum = F.aggregate(hashes, F.lit(0), bit_merge(k))
+        sig = sig + F.when(bit_sum > 0, F.lit(1 << k).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole: with ``chunks`` signature chunks and max_hamming <
+    chunks, any qualifying pair agrees exactly on >= 1 chunk -> candidate
+    generation is ``chunks`` equi-joins on chunk value, then an exact
+    hamming verify via bit_count(xor).
+    """
+    assert max_hamming < chunks
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    sig = df.select(
+        F.col(id_col), simhash_signature(text_col, bits).alias("sim")
+    )
+    postings = []
+    for ci in range(chunks):
+        chunk_val = F.shiftright(F.col("sim"), ci * chunk_bits).bitwiseAND(F.lit(mask))
+        postings.append(
+            sig.select(
+                F.col(id_col),
+                "sim",
+                F.lit(ci).alias("ck"),
+                chunk_val.alias("cv"),
+            )
+        )
+    posting = postings[0]
+    for extra in postings[1:]:
+        posting = posting.unionAll(extra)
+    a = posting.select(
+        F.col(id_col).alias("doc_a"), F.col("sim").alias("sim_a"), "ck", "cv"
+    )
+    b = posting.select(
+        F.col(id_col).alias("doc_b"), F.col("sim").alias("sim_b"), "ck", "cv"
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(b, ["ck", "cv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

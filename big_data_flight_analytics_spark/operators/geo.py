@@ -1,0 +1,91 @@
+"""Geospatial radius join (SURVEY §2.3 J7).
+
+The reference's speed layer nested-loop-scans a global airport store per
+message and emits (airport, aircraft) pairs within 50 km
+(reference: AirportAircraftCountStream.java:201-237, haversine 79-88,
+radius 39). Spark-first mapping:
+
+- small right side (e.g. top-10 airports): broadcast cross join +
+  haversine filter — the broadcast nested-loop join IS the right plan;
+- large right side: latitude-band pre-join. Both sides get an integer
+  band key ``floor(lat / band_deg)``; points can only match airports in
+  their own or adjacent band, so the cross join shrinks to an equi-join
+  on band (plus the exact haversine filter). Longitude is deliberately
+  not banded in v1 (cos(lat) distortion near poles makes fixed lon cells
+  incorrect without extra care); the lat band alone cuts candidates by
+  ~180/band_deg x.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from big_data_flight_analytics_spark.constants import AIRPORT_RADIUS_KM
+from big_data_flight_analytics_spark.functions.scalar import haversine_km
+
+# 1 degree of latitude ~= 111.32 km everywhere on the globe.
+KM_PER_DEG_LAT = 111.32
+
+
+def radius_join(
+    points: DataFrame,
+    sites: DataFrame,
+    radius_km: float = AIRPORT_RADIUS_KM,
+    point_lat: str = "latitude",
+    point_lon: str = "longitude",
+    site_lat: str = "site_latitude",
+    site_lon: str = "site_longitude",
+    distance_col: str = "distance_km",
+    use_banding: bool | None = None,
+    band_threshold: int = 1000,
+) -> DataFrame:
+    """All (point, site) pairs within ``radius_km`` (haversine), one row each.
+
+    One point may match many sites — reference semantics
+    (AirportAircraftCountStream.java:224-235). Null point coordinates are
+    dropped first (reference: :59).
+
+    ``use_banding=None`` auto-picks: broadcast cross join below
+    ``band_threshold`` sites (plan: BroadcastNestedLoopJoin over a
+    ~KB-scale side), latitude-banded equi-join above it.
+    """
+    pts = points.filter(F.col(point_lat).isNotNull() & F.col(point_lon).isNotNull())
+    dist = haversine_km(
+        F.col(point_lat), F.col(point_lon), F.col(site_lat), F.col(site_lon)
+    )
+
+    if use_banding is None:
+        # cheap driver-side count of the small side is acceptable: sites
+        # tables are dimension-scale; at true scale pass use_banding=True.
+        use_banding = sites.count() > band_threshold
+
+    if not use_banding:
+        joined = pts.crossJoin(F.broadcast(sites))
+        return joined.withColumn(distance_col, dist).filter(
+            F.col(distance_col) <= radius_km
+        )
+
+    band_deg = max(radius_km / KM_PER_DEG_LAT, 1e-6)
+    p_band = F.floor(F.col(point_lat) / band_deg)
+    s_band = F.floor(F.col(site_lat) / band_deg)
+    # A point's radius can only reach sites in its own band or the two
+    # adjacent ones: replicate each site into 3 band keys (site side is
+    # the smaller one), then equi-join on band — a hash join, not a
+    # nested loop.
+    sites3 = sites.withColumn(
+        "__band", F.explode(F.array(s_band - 1, s_band, s_band + 1))
+    )
+    joined = pts.withColumn("__band", p_band).join(sites3, "__band")
+    return (
+        joined.withColumn(distance_col, dist)
+        .filter(F.col(distance_col) <= radius_km)
+        .drop("__band")
+    )
+
+
+def within_radius_pred(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column, radius_km: float
+) -> Column:
+    """Reusable predicate form for ad-hoc theta joins."""
+    return haversine_km(lat1, lon1, lat2, lon2) <= radius_km

@@ -1,0 +1,110 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — broadcast the (small) query set
+against the corpus, rank per query. Fully partition-parallel: each corpus
+partition scores its rows; TakeOrdered/window reduces to k.
+
+Scale path: sign-LSH bucketing (axis-aligned random hyperplanes): corpus
+and queries get a b-bit sign signature; candidates come from an
+equi-join on the bucket id, so the per-query candidate set shrinks
+~2^b x (at recall cost). Deterministic — oracle-expressible in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from big_data_flight_analytics_spark.functions.vector import cosine_similarity
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dp: int = 4,
+) -> DataFrame:
+    """Top-k cosine neighbors per query (query_id, neighbor_id, sim).
+
+    Ranking uses the ROUNDED similarity with neighbor-id tie-break so
+    results are stable across engines/precision. Self-matches excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("__qvec"), F.col("__cvec"), dp=dp).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim")
+    )
+
+
+def sign_bucket(vec_col: str = "embedding", bits: int = 4):
+    """Axis-aligned sign-LSH bucket id from the first ``bits`` components."""
+    v = F.col(vec_col)
+    bucket = F.lit(0)
+    for i in range(bits):
+        bit = F.when(F.element_at(v, i + 1) > 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket * 2 + bit
+    return bucket
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 4,
+    dp: int = 4,
+) -> DataFrame:
+    """Approximate top-k: rank only within the query's sign-LSH bucket.
+
+    The bucket equi-join replaces the cross join — at 100 TB the corpus
+    shuffles once on bucket id (or is bucketed at rest) and each query
+    touches ~corpus/2^bits candidates.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        sign_bucket(vec_col, bits).alias("__bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        sign_bucket(vec_col, bits).alias("__bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "__bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("__qvec"), F.col("__cvec"), dp=dp).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim")
+    )

@@ -1,0 +1,291 @@
+"""LLM-data-pipeline extension queries over documents/embeddings.
+
+Dedup, similarity search, text analysis, multimodal plumbing — the
+operators a 100 TB training-data pipeline needs beyond the reference's
+surface. Oracle-checkable wherever the computation avoids
+engine-specific hashing (xxhash64-based MinHash/SimHash are registered
+without oracles -> driver rows-only check; their ground truth is the
+oracle-checked exact Jaccard query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_flight_analytics_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from big_data_flight_analytics_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_features,
+)
+from big_data_flight_analytics_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+from big_data_flight_analytics_spark.operators.text import text_stats
+from big_data_flight_analytics_spark.plans.tables import load
+
+JACCARD_THRESHOLD = 0.05
+N_QUERY_VECS = 5
+TOPK = 3
+
+
+# ---------------------------------------------------------------------------
+# T1 — text analysis suite (language id, quality, token counts,
+# fingerprint) — one map-only pass over documents.
+# ---------------------------------------------------------------------------
+
+def t1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return text_stats(docs).select(
+        "doc_id",
+        "n_chars_calc",
+        "n_tokens",
+        "n_bpe_tokens",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality",
+        "lang_pred",
+        "fingerprint",
+    )
+
+
+# Mirrors functions/text.py exactly: same regexes (common Java/RE2
+# subset), same rounding, same stopword list, same marker CASE order.
+T1_SQL = r"""
+WITH base AS (
+    SELECT doc_id,
+           text,
+           length(text) AS n_chars_calc,
+           CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe,
+           len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+           len(regexp_extract_all(lower(text),
+               '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS n_stop
+    FROM documents
+), ratios AS (
+    SELECT *,
+           CASE WHEN n_chars_calc IS NULL OR n_chars_calc = 0 THEN 0.0
+                ELSE ROUND(n_punct * 1.0 / n_chars_calc, 6) END AS punct_ratio,
+           CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE ROUND(n_stop * 1.0 / n_tokens, 6) END AS stopword_ratio
+    FROM base
+)
+SELECT doc_id,
+       CAST(n_chars_calc AS INTEGER) AS n_chars_calc,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(n_bpe AS INTEGER) AS n_bpe_tokens,
+       punct_ratio,
+       stopword_ratio,
+       ROUND(0.4 * LEAST(length(COALESCE(text, '')) / 500.0, 1.0)
+             + 0.3 * (1.0 - punct_ratio)
+             + 0.3 * LEAST(stopword_ratio / 0.1, 1.0), 6) AS quality,
+       CASE
+         WHEN len(regexp_extract_all(lower(text),
+              '\b(der|die|das|und|nicht|ist)\b')) > 0 THEN 'de'
+         WHEN len(regexp_extract_all(lower(text),
+              '\b(le|la|les|et|est|pas)\b')) > 0 THEN 'fr'
+         WHEN len(regexp_extract_all(lower(text),
+              '\b(el|los|las|y|es|no)\b')) > 0 THEN 'es'
+         WHEN len(regexp_extract_all(lower(text), '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+         ELSE 'en'
+       END AS lang_pred,
+       md5(trim(regexp_replace(lower(COALESCE(text, '')), '\s+', ' ', 'g')))
+           AS fingerprint
+FROM ratios
+"""
+
+
+# ---------------------------------------------------------------------------
+# D1 — exact dedup via content fingerprint (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load(spark, sf_dir, "documents"))
+
+
+D1_SQL = r"""
+SELECT md5(trim(regexp_replace(lower(COALESCE(text, '')), '\s+', ' ', 'g')))
+           AS fingerprint,
+       MIN(doc_id) AS canonical_doc_id,
+       COUNT(*) AS dup_count
+FROM documents
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# D2 — n-gram Jaccard near-dup pairs (inverted-index join)
+# ---------------------------------------------------------------------------
+
+def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
+
+
+D2_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS t
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 3 THEN
+               list_distinct(list_transform(range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
+           ELSE [] END AS shingles
+    FROM toks
+), sizes AS (
+    SELECT doc_id, len(shingles) AS n_sh FROM sh
+), posting AS (
+    SELECT doc_id, unnest(shingles) AS s FROM sh
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+    FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# D3 / D4 — MinHash-LSH and SimHash near-dup (no oracle: xxhash64-based;
+# ground truth = D2)
+# ---------------------------------------------------------------------------
+
+def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=JACCARD_THRESHOLD)
+
+
+def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return simhash_pairs(docs, bits=32, max_hamming=3, chunks=4)
+
+
+# ---------------------------------------------------------------------------
+# V1 — brute-force cosine top-k (baseline ANN)
+# ---------------------------------------------------------------------------
+
+def v1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return brute_force_topk(emb, queries, k=TOPK)
+
+
+V1_SQL = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+    WHERE vec_id < {N_QUERY_VECS}
+), scored AS (
+    SELECT q.query_id,
+           e.vec_id AS neighbor_id,
+           ROUND(
+             list_dot_product(q.qv, e.embedding) /
+             (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(e.embedding, e.embedding))), 4) AS sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id ASC) AS rn
+    FROM scored
+)
+SELECT query_id, neighbor_id, sim FROM ranked WHERE rn <= {TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# V2 — sign-LSH bucketed approximate top-k (scale path; deterministic,
+# so oracle-checkable)
+# ---------------------------------------------------------------------------
+
+LSH_BITS = 4
+
+
+def v2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return lsh_bucketed_topk(emb, queries, k=TOPK, bits=LSH_BITS)
+
+
+V2_SQL = f"""
+WITH sig AS (
+    SELECT vec_id, embedding,
+           (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END +
+            CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END +
+            CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END +
+            CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bucket
+    FROM embeddings
+), q AS (
+    SELECT vec_id AS query_id, embedding AS qv, bucket FROM sig
+    WHERE vec_id < {N_QUERY_VECS}
+), scored AS (
+    SELECT q.query_id,
+           e.vec_id AS neighbor_id,
+           ROUND(
+             list_dot_product(q.qv, e.embedding) /
+             (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(e.embedding, e.embedding))), 4) AS sim
+    FROM sig e JOIN q ON e.bucket = q.bucket
+    WHERE e.vec_id <> q.query_id
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id ASC) AS rn
+    FROM scored
+)
+SELECT query_id, neighbor_id, sim FROM ranked WHERE rn <= {TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# M1 — multimodal binary plumbing: payload + mapInPandas feature stub.
+# Oracle checks the Arrow plumbing end-to-end because the stub decode is
+# a deterministic function of the payload bytes.
+# ---------------------------------------------------------------------------
+
+def m1_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return extract_features(attach_binary_payload(docs))
+
+
+M1_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 AS INTEGER) AS fake_width,
+       CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS fake_height
+FROM documents
+"""
+
+
+EXTENSION_QUERIES = {
+    "t1_text_stats": t1_text_stats,
+    "d1_exact_dedup": d1_exact_dedup,
+    "d2_ngram_jaccard": d2_ngram_jaccard,
+    "d3_minhash_lsh": d3_minhash_lsh,
+    "d4_simhash": d4_simhash,
+    "v1_cosine_topk": v1_cosine_topk,
+    "v2_lsh_topk": v2_lsh_topk,
+    "m1_multimodal_features": m1_multimodal_features,
+}
+
+EXTENSION_ORACLES = {
+    "t1_text_stats": T1_SQL,
+    "d1_exact_dedup": D1_SQL,
+    "d2_ngram_jaccard": D2_SQL,
+    # d3/d4: xxhash64-based, no SQL equivalent -> rows-only check
+    "v1_cosine_topk": V1_SQL,
+    "v2_lsh_topk": V2_SQL,
+    "m1_multimodal_features": M1_SQL,
+}

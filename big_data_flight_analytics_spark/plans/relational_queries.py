@@ -1,0 +1,766 @@
+"""SURVEY §2 operator inventory as named queries over the driver testdata.
+
+Each query exercises one or more operators from the reference's surface
+(IDs cited per query), adapted to the TPC-H-ish tables per FIXTURES.md §7
+(flights -> orders/lineitem, dims -> customer/nation/supplier,
+opensky stream -> events). Every query has a matching DuckDB oracle in
+ORACLES with *identical output column names* — the driver sorts columns
+by name before value-hashing.
+
+Float-parity rules used throughout (so Spark and DuckDB hash-match):
+- ratios of integer counts are exact IEEE divisions — safe unrounded,
+  rounded for presentation;
+- averages/sums of doubles accumulate in engine-specific order — always
+  rounded (2dp for price-scale magnitudes, 4dp for [0,1] ratios);
+- DuckDB SUM/COUNT over integers yields HUGEINT/BIGINT — oracle SQL
+  casts to match Spark's long/int output schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_flight_analytics_spark.functions.scalar import (
+    haversine_km,
+    hhmm_to_str,
+    minmax_normalize_expr,
+)
+from big_data_flight_analytics_spark.operators.core import (
+    add_global_stats,
+    bucketize,
+    count_if,
+    group_count,
+    having,
+    mode_per_group,
+    top_k,
+    unpivot,
+)
+from big_data_flight_analytics_spark.operators.geo import radius_join
+from big_data_flight_analytics_spark.operators.joins import dedup_dim_join, enrich_left
+from big_data_flight_analytics_spark.plans.tables import load
+
+# HAVING floor for per-customer order counts (median is 10 at every sf —
+# keeps ~half the groups, drops ~half, exercising both sides; the
+# reference's analogous MIN_FLIGHTS_THRESHOLD is shared.py:13).
+MIN_ORDERS = 10
+HIGH_VALUE = 300_000.0
+
+
+# ---------------------------------------------------------------------------
+# Q1 — multi-measure hash agg + conditional count (A1, A2)
+# reference: batch_process.py:14-20
+# ---------------------------------------------------------------------------
+
+def q1_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            count_if(F.col("l_discount") > 0.05, "high_discount_items"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "avg_revenue"
+            ),
+        )
+        .filter(F.col("n_items") > 50)
+    )
+
+
+Q1_SQL = f"""
+SELECT l_suppkey AS suppkey,
+       COUNT(*) AS n_items,
+       COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS high_discount_items,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice * (1 - l_discount)), 2) AS avg_revenue
+FROM lineitem
+GROUP BY l_suppkey
+HAVING COUNT(*) > 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q2 — group-count + count-if + HAVING on two keys (A1, A2, P8)
+# reference: batch_process.py:37-44 (delayed share per route)
+# ---------------------------------------------------------------------------
+
+def q2_status_priority_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    agg = orders.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        count_if(F.col("o_totalprice") > HIGH_VALUE, "high_value_orders"),
+    )
+    return having(agg, F.col("n_orders") > 1000).withColumn(
+        "high_value_rate", F.round(F.col("high_value_orders") / F.col("n_orders"), 4)
+    )
+
+
+Q2_SQL = f"""
+SELECT o_orderstatus AS status,
+       o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       COUNT(CASE WHEN o_totalprice > {HIGH_VALUE} THEN 1 END) AS high_value_orders,
+       ROUND(COUNT(CASE WHEN o_totalprice > {HIGH_VALUE} THEN 1 END) * 1.0
+             / COUNT(*), 4) AS high_value_rate
+FROM orders
+GROUP BY 1, 2
+HAVING COUNT(*) > 1000
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q3 — FLAGSHIP: group-count -> HAVING -> global stats -> scores -> dim
+# join -> top-k (A1, P8, W1-as-crossjoin, J1, O1, O3)
+# reference: batch_process.py:53-93 (top-10 busiest airports with
+# busyness/share scores). Scale note: the reference computes min/max/sum
+# with an unpartitioned window (batch_process.py:65-69); here the stats
+# come from a 1-row aggregate broadcast back — no single-partition funnel.
+# ---------------------------------------------------------------------------
+
+def q3_busiest_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+
+    counts = group_count(orders, ["o_custkey"], alias="n_orders")
+    counts = having(counts, F.col("n_orders") > MIN_ORDERS)
+    counts = add_global_stats(
+        counts,
+        {
+            "__mn": F.min("n_orders"),
+            "__mx": F.max("n_orders"),
+            "__tot": F.sum("n_orders"),
+        },
+    )
+    span = F.when(F.col("__mx") > F.col("__mn"), F.col("__mx") - F.col("__mn")).otherwise(
+        F.lit(1)
+    )
+    scored = counts.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("n_orders"),
+        F.round((F.col("n_orders") - F.col("__mn")) * 100.0 / span, 2).alias(
+            "busyness_score"
+        ),
+        F.round(F.col("n_orders") * 100.0 / F.col("__tot").cast("double"), 4).alias(
+            "share_pct"
+        ),
+    )
+    enriched = enrich_left(
+        scored,
+        customer,
+        "custkey",
+        "c_custkey",
+        select={"c_name": "customer_name", "c_mktsegment": "segment"},
+    )
+    return top_k(enriched, [F.col("n_orders").desc(), F.col("custkey").asc()], 10)
+
+
+Q3_SQL = f"""
+WITH counts AS (
+    SELECT o_custkey AS custkey, COUNT(*) AS n_orders
+    FROM orders GROUP BY 1 HAVING COUNT(*) > {MIN_ORDERS}
+), stats AS (
+    SELECT MIN(n_orders) AS mn, MAX(n_orders) AS mx,
+           CAST(SUM(n_orders) AS DOUBLE) AS tot
+    FROM counts
+)
+SELECT c.custkey, c.n_orders,
+       ROUND((c.n_orders - s.mn) * 100.0 /
+             (CASE WHEN s.mx > s.mn THEN s.mx - s.mn ELSE 1 END), 2)
+           AS busyness_score,
+       ROUND(c.n_orders * 100.0 / s.tot, 4) AS share_pct,
+       cu.c_name AS customer_name,
+       cu.c_mktsegment AS segment
+FROM counts c
+CROSS JOIN stats s
+LEFT JOIN customer cu ON cu.c_custkey = c.custkey
+ORDER BY c.n_orders DESC, c.custkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q4 — calendar grouping (F: weekofyear; A1, A2)
+# reference: batch_process.py:97-111 (weekly flight counts)
+# ---------------------------------------------------------------------------
+
+def q4_weekly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.weekofyear("o_orderdate").alias("week"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        count_if(F.col("o_orderstatus") == "F", "fulfilled"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+    )
+
+
+Q4_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(weekofyear(o_orderdate) AS INTEGER) AS week,
+       COUNT(*) AS n_orders,
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS fulfilled,
+       ROUND(SUM(o_totalprice), 2) AS total_value
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q5 — global aggregate + stack-unpivot of k measures (A3, R1)
+# reference: batch_process.py:119-135 (avg delay by reason, unpivoted)
+# ---------------------------------------------------------------------------
+
+def q5_measure_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.round(F.avg("l_quantity"), 4).alias("quantity"),
+        F.round(F.avg("l_extendedprice"), 2).alias("extendedprice"),
+        F.round(F.avg("l_discount"), 4).alias("discount"),
+        F.round(F.avg("l_tax"), 4).alias("tax"),
+        F.round(F.avg(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )
+    return unpivot(
+        agg,
+        id_cols=[],
+        value_cols=["quantity", "extendedprice", "discount", "tax", "revenue"],
+        var_name="measure",
+        value_name="avg_value",
+    )
+
+
+Q5_SQL = """
+SELECT 'quantity' AS measure, ROUND(AVG(l_quantity), 4) AS avg_value FROM lineitem
+UNION ALL
+SELECT 'extendedprice', ROUND(AVG(l_extendedprice), 2) FROM lineitem
+UNION ALL
+SELECT 'discount', ROUND(AVG(l_discount), 4) FROM lineitem
+UNION ALL
+SELECT 'tax', ROUND(AVG(l_tax), 4) FROM lineitem
+UNION ALL
+SELECT 'revenue', ROUND(AVG(l_extendedprice * (1 - l_discount)), 2) FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q6 — day-of-week conditional counts (A2; F: dayofweek)
+# reference: batch_process.py:141-152 (cancellations per day-of-week).
+# Spark dayofweek: 1 = Sunday; DuckDB dayofweek: 0 = Sunday -> oracle +1.
+# ---------------------------------------------------------------------------
+
+def q6_dow_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.dayofweek("ts").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            count_if(F.col("event_type") == "click", "clicks"),
+        )
+        .withColumn("click_rate", F.round(F.col("clicks") / F.col("n_events"), 4))
+    )
+
+
+Q6_SQL = """
+SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+       COUNT(*) AS n_events,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+       ROUND(COUNT(CASE WHEN event_type = 'click' THEN 1 END) * 1.0
+             / COUNT(*), 4) AS click_rate
+FROM events
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q7 — right-exclusive bucketize -> labeled categories (R3)
+# reference: batch_process.py:160-170 (Distance buckets, Bucketizer
+# semantics: [lo, hi), last bucket open-ended)
+# ---------------------------------------------------------------------------
+
+PRICE_EDGES = [0.0, 100_000.0, 200_000.0, 300_000.0, 400_000.0, float("inf")]
+PRICE_LABELS = ["0-100k", "100k-200k", "200k-300k", "300k-400k", "400k+"]
+
+
+def q7_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    bucketed = bucketize(orders, "o_totalprice", PRICE_EDGES, PRICE_LABELS, out="price_bucket")
+    return bucketed.groupBy("price_bucket").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+
+
+Q7_SQL = """
+SELECT CASE
+         WHEN o_totalprice >= 0 AND o_totalprice < 100000 THEN '0-100k'
+         WHEN o_totalprice >= 100000 AND o_totalprice < 200000 THEN '100k-200k'
+         WHEN o_totalprice >= 200000 AND o_totalprice < 300000 THEN '200k-300k'
+         WHEN o_totalprice >= 300000 AND o_totalprice < 400000 THEN '300k-400k'
+         WHEN o_totalprice >= 400000 THEN '400k+'
+       END AS price_bucket,
+       COUNT(*) AS n_orders,
+       ROUND(AVG(o_totalprice), 2) AS avg_price
+FROM orders
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q8 — per-group rate vs global rate, in-plan scalar (A4 as crossJoin)
+# reference: batch_process.py:186-207 (problematic routes: route delay
+# rate >= 1.2x global; the reference collect()s the global scalar — here
+# it stays in-plan as a broadcast cross join so the query is one plan)
+# ---------------------------------------------------------------------------
+
+def q8_problematic_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    joined = enrich_left(orders, customer, "o_custkey", "c_custkey",
+                         select={"c_mktsegment": "segment"})
+    seg = joined.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        count_if(F.col("o_totalprice") > HIGH_VALUE, "high_value_orders"),
+    )
+    glob = orders.agg(
+        (
+            count_if(F.col("o_totalprice") > HIGH_VALUE) / F.count(F.lit(1))
+        ).alias("__grate")
+    )
+    rate = F.col("high_value_orders") / F.col("n_orders")
+    return (
+        seg.crossJoin(F.broadcast(glob))
+        .select(
+            "segment",
+            "n_orders",
+            F.round(rate, 4).alias("high_value_rate"),
+            F.round(rate / F.col("__grate"), 4).alias("problem_score"),
+        )
+        .filter(F.col("problem_score") >= 1.0)
+    )
+
+
+Q8_SQL = f"""
+WITH seg AS (
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           COUNT(CASE WHEN o.o_totalprice > {HIGH_VALUE} THEN 1 END) AS hv
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+), overall AS (
+    SELECT COUNT(CASE WHEN o_totalprice > {HIGH_VALUE} THEN 1 END) * 1.0
+           / COUNT(*) AS grate
+    FROM orders
+)
+SELECT segment, n_orders,
+       ROUND(hv * 1.0 / n_orders, 4) AS high_value_rate,
+       ROUND((hv * 1.0 / n_orders) / grate, 4) AS problem_score
+FROM seg CROSS JOIN overall
+WHERE ROUND((hv * 1.0 / n_orders) / grate, 4) >= 1.0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q9 — unpivot k string columns -> trim-empty filter -> count (R2, P7)
+# reference: batch_process.py:216-232 (Div1..Div5 diversion airports)
+# ---------------------------------------------------------------------------
+
+def q9_part_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    long = unpivot(
+        part,
+        id_cols=["p_partkey"],
+        value_cols=["p_brand", "p_type"],
+        var_name="attr",
+        value_name="val",
+    )
+    cleaned = long.filter(F.trim(F.coalesce(F.col("val"), F.lit(""))) != "")
+    return having(
+        cleaned.groupBy("attr", "val").agg(F.count(F.lit(1)).alias("n_parts")),
+        F.col("n_parts") > 5,
+    )
+
+
+Q9_SQL = """
+WITH long AS (
+    SELECT p_partkey, 'p_brand' AS attr, p_brand AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_type', p_type FROM part
+)
+SELECT attr, val, COUNT(*) AS n_parts
+FROM long
+WHERE TRIM(COALESCE(val, '')) <> ''
+GROUP BY 1, 2
+HAVING COUNT(*) > 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# L1 — min-max normalization with span guard (A8) + rounding parity
+# reference: aircrafts_lookup_to_kafka.py:47-59
+# ---------------------------------------------------------------------------
+
+def l1_customer_balance_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    base = customer.select(
+        F.col("c_custkey").alias("custkey"),
+        F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+        F.col("c_acctbal").alias("__raw"),
+    )
+    stats = add_global_stats(base, {"__mn": F.min("__raw"), "__mx": F.max("__raw")})
+    return stats.select(
+        "custkey",
+        "acctbal",
+        minmax_normalize_expr(
+            F.col("__raw"), F.col("__mn"), F.col("__mx"), dp=4
+        ).alias("balance_score"),
+    )
+
+
+L1_SQL = """
+WITH s AS (SELECT MIN(c_acctbal) AS mn, MAX(c_acctbal) AS mx FROM customer)
+SELECT c_custkey AS custkey,
+       ROUND(c_acctbal, 2) AS acctbal,
+       ROUND((COALESCE(c_acctbal, 0) - s.mn) /
+             (CASE WHEN s.mx > s.mn THEN s.mx - s.mn ELSE 1.0 END), 4)
+           AS balance_score
+FROM customer CROSS JOIN s
+"""
+
+
+# ---------------------------------------------------------------------------
+# L2 — per-group mode with deterministic tie-break (A9, W2)
+# reference: flights_lookup_to_kafka.py:30-46
+# ---------------------------------------------------------------------------
+
+def l2_user_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    m = mode_per_group(events, ["user_id"], "event_type")
+    return m.select("user_id", F.col("event_type").alias("top_event_type"))
+
+
+L2_SQL = """
+WITH counted AS (
+    SELECT user_id, event_type, COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+), ranked AS (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY cnt DESC, event_type ASC) AS rn
+    FROM counted
+)
+SELECT user_id, event_type AS top_event_type FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# F1 — HHMM time codec (F: hhmm_to_str via format_string)
+# reference: flights_lookup_to_kafka.py:15-16
+# ---------------------------------------------------------------------------
+
+def f1_hhmm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    hhmm = F.hour("ts") * 100 + F.minute("ts")
+    return (
+        events.select(hhmm_to_str(hhmm).alias("hhmm"))
+        .groupBy("hhmm")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+F1_SQL = """
+SELECT printf('%02d:%02d',
+              CAST(FLOOR((hour(ts) * 100 + minute(ts)) / 100.0) AS INTEGER),
+              (hour(ts) * 100 + minute(ts)) % 100) AS hhmm,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# J1 — left broadcast dim-join chain (J1, J2)
+# reference: shared.py:28-39 (airline + airport enrichment)
+# ---------------------------------------------------------------------------
+
+def j1_enrich_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    step1 = enrich_left(
+        orders, customer, "o_custkey", "c_custkey",
+        select={"c_name": "customer_name", "c_nationkey": "__nk"},
+    )
+    step2 = enrich_left(step1, nation, "__nk", "n_nationkey",
+                        select={"n_name": "nation_name"})
+    return step2.select(
+        F.col("o_orderkey").alias("orderkey"),
+        "customer_name",
+        "nation_name",
+        F.col("o_totalprice").alias("totalprice"),
+    )
+
+
+J1_SQL = """
+SELECT o_orderkey AS orderkey,
+       c.c_name AS customer_name,
+       n.n_name AS nation_name,
+       o_totalprice AS totalprice
+FROM orders o
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# J3 — dedup-dim-then-join (A7, J3)
+# reference: aircrafts_lookup_to_kafka.py:35-42. The dup-keyed dim is
+# synthesized by doubling supplier; rows with equal keys are identical so
+# dropDuplicates is deterministic here.
+# ---------------------------------------------------------------------------
+
+def j3_dedup_supplier_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").withColumnRenamed("l_suppkey", "s_suppkey")
+    supplier = load(spark, sf_dir, "supplier")
+    dup_dim = supplier.unionAll(supplier)
+    joined = dedup_dim_join(li, dup_dim, "s_suppkey", how="inner")
+    return joined.groupBy(F.col("s_name").alias("supplier_name")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+
+
+J3_SQL = """
+WITH dim AS (
+    SELECT DISTINCT * FROM (
+        SELECT * FROM supplier UNION ALL SELECT * FROM supplier
+    )
+)
+SELECT s.s_name AS supplier_name,
+       COUNT(*) AS n_items,
+       ROUND(SUM(l.l_quantity), 2) AS total_qty
+FROM lineitem l JOIN dim s ON l.l_suppkey = s.s_suppkey
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# J7 — haversine radius join (geo theta join)
+# reference: AirportAircraftCountStream.java:79-88,201-237 (50 km match);
+# coordinates synthesized deterministically from keys. The broadcast
+# nested-loop path is exercised here; the latitude-banded equi-join path
+# is unit-tested for result equivalence in tests/test_geo.py.
+# ---------------------------------------------------------------------------
+
+GEO_RADIUS_KM = 3000.0
+
+
+def j7_geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    points = customer.select(
+        F.col("c_custkey").alias("custkey"),
+        (((F.col("c_custkey") * 7) % 141) - 70.0).alias("latitude"),
+        (((F.col("c_custkey") * 13) % 361) - 180.0).alias("longitude"),
+    )
+    sites = supplier.select(
+        F.col("s_suppkey").alias("suppkey"),
+        (((F.col("s_suppkey") * 37) % 141) - 70.0).alias("site_latitude"),
+        (((F.col("s_suppkey") * 91) % 361) - 180.0).alias("site_longitude"),
+    )
+    pairs = radius_join(points, sites, radius_km=GEO_RADIUS_KM, use_banding=False)
+    return pairs.select(
+        "custkey", "suppkey", F.round(F.col("distance_km"), 3).alias("dist_km")
+    )
+
+
+J7_SQL = f"""
+WITH points AS (
+    SELECT c_custkey AS custkey,
+           ((c_custkey * 7) % 141) - 70.0 AS plat,
+           ((c_custkey * 13) % 361) - 180.0 AS plon
+    FROM customer
+), sites AS (
+    SELECT s_suppkey AS suppkey,
+           ((s_suppkey * 37) % 141) - 70.0 AS slat,
+           ((s_suppkey * 91) % 361) - 180.0 AS slon
+    FROM supplier
+), pairs AS (
+    SELECT custkey, suppkey,
+           2 * 6371.0 * atan2(
+               sqrt(
+                   sin(radians(slat - plat) / 2) * sin(radians(slat - plat) / 2)
+                   + cos(radians(plat)) * cos(radians(slat))
+                     * sin(radians(slon - plon) / 2) * sin(radians(slon - plon) / 2)
+               ),
+               sqrt(greatest(1 - (
+                   sin(radians(slat - plat) / 2) * sin(radians(slat - plat) / 2)
+                   + cos(radians(plat)) * cos(radians(slat))
+                     * sin(radians(slon - plon) / 2) * sin(radians(slon - plon) / 2)
+               ), 0))
+           ) AS d
+    FROM points CROSS JOIN sites
+)
+SELECT custkey, suppkey, ROUND(d, 3) AS dist_km
+FROM pairs WHERE d <= {GEO_RADIUS_KM}
+"""
+
+
+# ---------------------------------------------------------------------------
+# O3 — top-k via TakeOrderedAndProject (O1, O3)
+# reference: batch_process.py:85
+# ---------------------------------------------------------------------------
+
+def o3_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return top_k(
+        orders.select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+        ),
+        [F.col("totalprice").desc(), F.col("orderkey").asc()],
+        10,
+    )
+
+
+O3_SQL = """
+SELECT o_orderkey AS orderkey, o_totalprice AS totalprice
+FROM orders
+ORDER BY totalprice DESC, orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# A6 — distinct (A6)
+# reference: transform.py:58
+# ---------------------------------------------------------------------------
+
+def a6_distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events").select("event_type").distinct()
+
+
+A6_SQL = "SELECT DISTINCT event_type FROM events"
+
+
+# ---------------------------------------------------------------------------
+# W2 — ranked top-n per partition (W2)
+# reference: flights_lookup_to_kafka.py:37-46
+# ---------------------------------------------------------------------------
+
+def w2_top3_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
+W2_SQL = """
+SELECT o_orderpriority AS priority,
+       o_orderkey AS orderkey,
+       o_totalprice AS totalprice,
+       CAST(rn AS INTEGER) AS rn
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+    FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# S2 — tumbling-window distinct count, batch-expressible form (S2, S4, A10)
+# reference: AirlineAircraftCountStream.java:29-51 (1-min tumbling
+# windows, exact distinct aircraft per key). The streaming form (watermark
+# + append) lives in streaming/windowed_counts.py and is asserted
+# equivalent to this batch form in tests/test_streaming.py. Window starts
+# are emitted as epoch seconds so timestamp precision never enters the
+# hash comparison.
+# ---------------------------------------------------------------------------
+
+def s2_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(
+            F.count_distinct(F.col("user_id")).alias("uniq_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "uniq_users",
+            "n_events",
+        )
+    )
+
+
+S2_SQL = """
+SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS window_start_epoch,
+       event_type,
+       COUNT(DISTINCT user_id) AS uniq_users,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
+RELATIONAL_QUERIES = {
+    "q1_supplier_stats": q1_supplier_stats,
+    "q2_status_priority_delays": q2_status_priority_delays,
+    "q3_busiest_customers": q3_busiest_customers,
+    "q4_weekly_orders": q4_weekly_orders,
+    "q5_measure_averages": q5_measure_averages,
+    "q6_dow_events": q6_dow_events,
+    "q7_price_buckets": q7_price_buckets,
+    "q8_problematic_segments": q8_problematic_segments,
+    "q9_part_attributes": q9_part_attributes,
+    "l1_customer_balance_norm": l1_customer_balance_norm,
+    "l2_user_top_event": l2_user_top_event,
+    "f1_hhmm_histogram": f1_hhmm_histogram,
+    "j1_enrich_orders": j1_enrich_orders,
+    "j3_dedup_supplier_join": j3_dedup_supplier_join,
+    "j7_geo_radius": j7_geo_radius,
+    "o3_topk_orders": o3_topk_orders,
+    "a6_distinct_event_types": a6_distinct_event_types,
+    "w2_top3_per_priority": w2_top3_per_priority,
+    "s2_windowed_distinct_users": s2_windowed_distinct_users,
+}
+
+RELATIONAL_ORACLES = {
+    "q1_supplier_stats": Q1_SQL,
+    "q2_status_priority_delays": Q2_SQL,
+    "q3_busiest_customers": Q3_SQL,
+    "q4_weekly_orders": Q4_SQL,
+    "q5_measure_averages": Q5_SQL,
+    "q6_dow_events": Q6_SQL,
+    "q7_price_buckets": Q7_SQL,
+    "q8_problematic_segments": Q8_SQL,
+    "q9_part_attributes": Q9_SQL,
+    "l1_customer_balance_norm": L1_SQL,
+    "l2_user_top_event": L2_SQL,
+    "f1_hhmm_histogram": F1_SQL,
+    "j1_enrich_orders": J1_SQL,
+    "j3_dedup_supplier_join": J3_SQL,
+    "j7_geo_radius": J7_SQL,
+    "o3_topk_orders": O3_SQL,
+    "a6_distinct_event_types": A6_SQL,
+    "w2_top3_per_priority": W2_SQL,
+    "s2_windowed_distinct_users": S2_SQL,
+}

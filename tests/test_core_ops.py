@@ -1,0 +1,139 @@
+"""Operator-semantics unit tests (SURVEY §5.3): edge cases the oracle
+differential can't isolate — null handling, tie-breaks, bucket
+boundaries, window-vs-crossjoin equivalence."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from big_data_flight_analytics_spark.operators.core import (
+    add_global_stats,
+    bucketize,
+    count_if,
+    having,
+    minmax_normalize,
+    mode_per_group,
+    top_k,
+    unpivot,
+)
+from big_data_flight_analytics_spark.operators.geo import radius_join
+from big_data_flight_analytics_spark.operators.joins import dedup_dim_join
+
+
+class TestCountIf:
+    def test_null_predicate_not_counted(self, spark):
+        # A2 semantics: count(when(pred,1)) skips rows where pred is
+        # null (batch_process.py:19 — null delays are not "delayed")
+        df = spark.createDataFrame(
+            [Row(x=20.0), Row(x=10.0), Row(x=None), Row(x=16.0)], "x double"
+        )
+        out = df.agg(count_if(F.col("x") > 15.0, "n")).collect()[0]["n"]
+        assert out == 2
+
+
+class TestModeTieBreak:
+    def test_deterministic_tie(self, spark):
+        # A9: equal counts -> smallest value wins (flights_lookup_to_kafka.py:37-46
+        # orders desc(cnt) then asc(time))
+        df = spark.createDataFrame(
+            [Row(k="a", v="x"), Row(k="a", v="y"), Row(k="a", v="x"), Row(k="a", v="y"),
+             Row(k="b", v="z")]
+        )
+        out = {r["k"]: r["v"] for r in mode_per_group(df, ["k"], "v").collect()}
+        assert out == {"a": "x", "b": "z"}
+
+    def test_custom_tie_break(self, spark):
+        df = spark.createDataFrame([Row(k="a", v="x"), Row(k="a", v="y")])
+        out = mode_per_group(
+            df, ["k"], "v", tie_break=[F.col("v").desc()]
+        ).collect()
+        assert out[0]["v"] == "y"
+
+
+class TestBucketize:
+    def test_right_exclusive_boundaries(self, spark):
+        # R3: Bucketizer semantics — edge value belongs to the RIGHT
+        # bucket (batch_process.py:160-166)
+        df = spark.createDataFrame(
+            [Row(d=0.0), Row(d=249.9), Row(d=250.0), Row(d=2500.0), Row(d=9000.0)]
+        )
+        out = bucketize(
+            df, "d", [0.0, 250.0, 2500.0, float("inf")], ["low", "mid", "2500+"]
+        ).collect()
+        got = [r["bucket"] for r in out]
+        assert got == ["low", "low", "mid", "2500+", "2500+"]
+
+
+class TestGlobalStats:
+    def test_crossjoin_equals_window(self, spark):
+        # W1 scale rewrite: broadcast-crossjoin stats must equal the
+        # reference's unpartitioned window (batch_process.py:65-69)
+        df = spark.createDataFrame([Row(x=i * 1.0) for i in range(1, 8)])
+        stats = {"mn": F.min("x"), "mx": F.max("x"), "tot": F.sum("x")}
+        a = add_global_stats(df, stats, use_window=False).orderBy("x").collect()
+        b = add_global_stats(df, stats, use_window=True).orderBy("x").collect()
+        assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+class TestMinMaxNormalizeOp:
+    def test_constant_column_span_guard(self, spark):
+        df = spark.createDataFrame([Row(x=3.0), Row(x=3.0)])
+        out = minmax_normalize(df, "x", "score").collect()
+        assert all(r["score"] == 0.0 for r in out)
+
+
+class TestUnpivot:
+    def test_stack_shape(self, spark):
+        df = spark.createDataFrame([Row(id=1, a=10.0, b=20.0)])
+        out = unpivot(df, ["id"], ["a", "b"], "m", "v",
+                      labels={"a": "alpha"}).collect()
+        assert {(r["m"], r["v"]) for r in out} == {("alpha", 10.0), ("b", 20.0)}
+
+
+class TestHavingTopK:
+    def test_having_then_topk(self, spark):
+        df = spark.createDataFrame([Row(k=i, n=i * 10) for i in range(10)])
+        out = top_k(having(df, F.col("n") > 30), [F.col("n").desc()], 2).collect()
+        assert [r["k"] for r in out] == [9, 8]
+
+
+class TestDedupDimJoin:
+    def test_no_row_explosion(self, spark):
+        # J3: duplicate dim keys must not multiply fact rows
+        # (aircrafts_lookup_to_kafka.py:35-42)
+        fact = spark.createDataFrame([Row(k=1, v="f1"), Row(k=2, v="f2")])
+        dim = spark.createDataFrame(
+            [Row(k=1, name="a"), Row(k=1, name="a"), Row(k=2, name="b")]
+        )
+        out = dedup_dim_join(fact, dim, "k")
+        assert out.count() == 2
+
+
+class TestRadiusJoinBanding:
+    def test_banded_equals_broadcast(self, spark):
+        # the latitude-banded equi-join path must return exactly the
+        # broadcast nested-loop pairs
+        pts = spark.createDataFrame(
+            [Row(pid=i, latitude=float(i * 3 - 60), longitude=float(i * 7 - 100))
+             for i in range(40)]
+        )
+        sites = spark.createDataFrame(
+            [Row(sid=j, site_latitude=float(j * 11 - 50), site_longitude=float(j * 17 - 80))
+             for j in range(10)]
+        )
+        a = radius_join(pts, sites, radius_km=1500.0, use_banding=False)
+        b = radius_join(pts, sites, radius_km=1500.0, use_banding=True)
+        pa = {(r["pid"], r["sid"]) for r in a.collect()}
+        pb = {(r["pid"], r["sid"]) for r in b.collect()}
+        assert pa == pb and len(pa) > 0
+
+    def test_null_coords_dropped(self, spark):
+        pts = spark.createDataFrame(
+            [Row(pid=1, latitude=None, longitude=10.0),
+             Row(pid=2, latitude=10.0, longitude=10.0)],
+            "pid int, latitude double, longitude double",
+        )
+        sites = spark.createDataFrame([Row(sid=1, site_latitude=10.0, site_longitude=10.0)])
+        out = radius_join(pts, sites, radius_km=50.0, use_banding=False).collect()
+        assert [r["pid"] for r in out] == [2]

@@ -1,0 +1,106 @@
+"""Dedup + similarity operator tests on hand-built corpora."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from big_data_flight_analytics_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from big_data_flight_analytics_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+
+
+def corpus(spark):
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy cat"),
+        Row(doc_id=3, text="The  Quick  Brown Fox jumps over the lazy dog"),  # ws/case dup of 1
+        Row(doc_id=4, text="completely different words entirely unrelated content here now"),
+        Row(doc_id=5, text="the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows)
+
+
+class TestExactDedup:
+    def test_canonical_min_id_and_counts(self, spark):
+        out = {r["canonical_doc_id"]: r["dup_count"]
+               for r in exact_dedup(corpus(spark)).collect()}
+        # 1, 3 (normalized), 5 share a fingerprint -> canonical 1, count 3
+        assert out[1] == 3
+        assert out[2] == 1
+        assert out[4] == 1
+
+
+class TestNgramJaccard:
+    def test_near_dup_found_far_pair_not(self, spark):
+        pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+                 for r in ngram_jaccard_pairs(corpus(spark), threshold=0.3).collect()}
+        assert (1, 5) in pairs and pairs[(1, 5)] == 1.0  # identical
+        assert (1, 2) in pairs and 0.5 < pairs[(1, 2)] < 1.0  # one word differs
+        assert all(4 not in p for p in pairs)  # unrelated doc never pairs
+
+    def test_short_doc_no_shingles(self, spark):
+        df = spark.createDataFrame([Row(doc_id=1, text="two words"),
+                                    Row(doc_id=2, text="two words")])
+        assert ngram_jaccard_pairs(df, threshold=0.0).count() == 0
+
+
+class TestMinHashLSH:
+    def test_finds_identical_and_near_pairs(self, spark):
+        pairs = {(r["doc_a"], r["doc_b"]) for r in
+                 minhash_lsh_pairs(corpus(spark), threshold=0.3).collect()}
+        assert (1, 5) in pairs  # identical docs always collide in every band
+        assert all(4 not in p for p in pairs)
+
+    def test_verification_bounds_precision(self, spark):
+        # every emitted pair must truly meet the threshold (exact verify)
+        out = minhash_lsh_pairs(corpus(spark), threshold=0.3).collect()
+        assert all(r["jaccard"] >= 0.3 for r in out)
+
+
+class TestSimHash:
+    def test_identical_docs_distance_zero(self, spark):
+        out = {(r["doc_a"], r["doc_b"]): r["hamming"]
+               for r in simhash_pairs(corpus(spark), max_hamming=3).collect()}
+        assert out.get((1, 5)) == 0
+        assert out.get((1, 3)) == 0  # same tokens after lowercasing
+
+
+def embeddings(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.5, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.5, 0.1, 0.0]),    # very close to 0
+        Row(vec_id=2, embedding=[-0.1, 1.0, 0.0, 0.0]),   # far from 0
+        Row(vec_id=3, embedding=[-1.0, -0.5, 0.0, 0.0]),  # opposite of 0
+        Row(vec_id=4, embedding=[0.9, 0.2, 0.0, 0.0]),    # close to 0
+    ]
+    return spark.createDataFrame(rows)
+
+
+class TestBruteForceTopK:
+    def test_ranking(self, spark):
+        emb = embeddings(spark)
+        out = brute_force_topk(emb, emb.filter("vec_id = 0"), k=2).collect()
+        assert [r["neighbor_id"] for r in out] == [1, 4]
+        assert out[0]["sim"] > out[1]["sim"] > 0.9
+
+    def test_self_excluded(self, spark):
+        emb = embeddings(spark)
+        out = brute_force_topk(emb, emb, k=4).collect()
+        assert all(r["query_id"] != r["neighbor_id"] for r in out)
+
+
+class TestLshTopK:
+    def test_bucket_restricts_candidates(self, spark):
+        emb = embeddings(spark)
+        out = lsh_bucketed_topk(emb, emb.filter("vec_id = 0"), k=4, bits=2).collect()
+        ids = [r["neighbor_id"] for r in out]
+        # vec 3 ([-1,0,...]) and 2 ([0,1,...]) land in different sign buckets
+        assert 1 in ids and 4 in ids
+        assert 3 not in ids

@@ -1,0 +1,120 @@
+"""Local replica of the driver's oracle-differential gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` on DuckDB over the same parquet tables, then compares
+row count, column names, and order-insensitive values (doubles rounded
+to 9 significant-ish decimals before comparison to absorb engine ulp
+noise — stricter than any sane driver hash).
+
+Usage: python tools/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from big_data_flight_analytics_spark.plans.tables import TABLES  # noqa: E402
+from big_data_flight_analytics_spark.session import get_session  # noqa: E402
+
+
+def normalize(rows, cols):
+    """Sort columns by name, canonicalize values, sort rows."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, bool):
+                v = ("b", v)
+            elif isinstance(v, float):
+                if math.isnan(v):
+                    v = ("f", "nan")
+                else:
+                    v = ("f", f"{v:.9g}")
+            elif isinstance(v, int):
+                v = ("i", v)
+            elif v is None:
+                v = ("n",)
+            else:
+                v = ("s", str(v))
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort()
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_session(app_name="selfcheck")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok    {name}: rows-only ({len(srows)} rows, "
+                  f"{time.time()-t0:.1f}s) [no oracle]")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            dcols = rel.columns
+            drows = rel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        problems = []
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"columns differ: spark={sorted(scols)} duck={sorted(dcols)}")
+        if len(srows) != len(drows):
+            problems.append(f"rowcount differs: spark={len(srows)} duck={len(drows)}")
+        if not problems:
+            ns, nd = normalize(srows, scols), normalize(drows, dcols)
+            if ns != nd:
+                diff = [
+                    (a, b) for a, b in zip(ns, nd) if a != b
+                ][:3]
+                problems.append(f"values differ, first diffs: {diff}")
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems))
+            failures.append(name)
+        else:
+            print(f"ok    {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
+
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES: {failures}")
+        return 1
+    print("all checks passed")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
