@@ -1,0 +1,132 @@
+"""S2-S5: windowed distinct-aircraft counts.
+
+Reference semantics (AirlineAircraftCountStream.java:34-53,
+AirportAircraftCountStream.java:45-77): per key, 1-minute aligned
+tumbling windows with NO grace — late records dropped at window close —
+accumulating an exact HashSet of icao24, emitting exactly once per
+(key, window) after the window closes.
+
+Spark mapping: ``withWatermark(event_time, "0 seconds")`` + ``F.window``
++ append output mode. Append mode IS emit-on-close; watermark 0 IS
+no-grace. Exact distinct = size(collect_set); the HLL scale path
+(``exact=False``) swaps in approx_count_distinct — bounded state at
+100 TB-scale cardinality where a per-window set would not fit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from big_data_flight_analytics_spark.constants import (
+    AIRPORT_RADIUS_KM,
+    STREAM_WATERMARK,
+    STREAM_WINDOW,
+)
+from big_data_flight_analytics_spark.functions.scalar import (
+    airline_code_from_callsign,
+    haversine_km,
+)
+
+
+def _distinct_count(exact: bool):
+    return (
+        F.size(F.collect_set("icao24")) if exact
+        else F.approx_count_distinct("icao24")
+    )
+
+
+def airline_aircraft_counts(
+    stream: DataFrame,
+    exact: bool = True,
+    window: str = STREAM_WINDOW,
+    watermark: str = STREAM_WATERMARK,
+) -> DataFrame:
+    """Distinct aircraft per airline code per window.
+
+    Key rules (AirlineAircraftCountStream.java:74-101): messages whose
+    callsign field is missing/null are DROPPED (extractAirlineCodeFromValue
+    returns null -> filter); blank-but-present callsigns map to UNKNOWN;
+    'N...' to PRIVATE; short to themselves; else first-3 uppercased.
+    Output shape mirrors airlineCountToKeyValue (:103-116).
+    """
+    # watermark attaches BEFORE the key filter: in the reference, stream
+    # time advances on every record, including ones the topology drops
+    keyed = (
+        stream.withWatermark("event_time", watermark)
+        .filter(F.col("callsign").isNotNull())
+        .withColumn("airline", airline_code_from_callsign(F.col("callsign")))
+    )
+    agg = keyed.groupBy(
+        F.window("event_time", window).alias("w"), "airline"
+    ).agg(_distinct_count(exact).alias("aircraft_count"))
+    return agg.select(
+        F.col("airline").alias("_id"),
+        "airline",
+        F.col("aircraft_count").cast("int").alias("aircraft_count"),
+        F.unix_millis(F.col("w.end")).alias("window_end_ms"),
+    )
+
+
+def airport_aircraft_counts(
+    stream: DataFrame,
+    airports_lookup: DataFrame,
+    radius_km: float = AIRPORT_RADIUS_KM,
+    exact: bool = True,
+    window: str = STREAM_WINDOW,
+    watermark: str = STREAM_WATERMARK,
+) -> DataFrame:
+    """Distinct aircraft within ``radius_km`` of each airport per window.
+
+    Reference (AirportAircraftCountStream.java): per-record scan of the
+    global airports store emitting (airport, icao24) within 50 km
+    (:201-237), windowed distinct count (:62-75), then re-enrichment
+    with airport metadata from the same store (:239-286). Spark shape:
+    broadcast cross join + haversine filter (the idiomatic plan for a
+    dimension-scale airport table — BroadcastNestedLoopJoin), windowed
+    agg, broadcast metadata join after the agg. One record can match
+    many airports, matching reference multi-emit.
+    """
+    # Watermark attached before the position filter. Caveat vs the
+    # reference: KStreams stream time advances on EVERY record, but
+    # Catalyst pushes this deterministic filter below the
+    # EventTimeWatermark node, so position-less records do not advance
+    # Spark's watermark — a stall risk if positions vanish entirely,
+    # not a correctness difference in emitted window contents.
+    pos = stream.withWatermark("event_time", watermark).filter(
+        F.col("latitude").isNotNull() & F.col("longitude").isNotNull()
+    )
+    sites = F.broadcast(
+        airports_lookup.select(
+            F.col("AirportCode"),
+            F.col("latitude").alias("__site_lat"),
+            F.col("longitude").alias("__site_lon"),
+        )
+    )
+    matched = (
+        pos.crossJoin(sites)
+        .withColumn(
+            "__dist",
+            haversine_km(
+                F.col("latitude"), F.col("longitude"),
+                F.col("__site_lat"), F.col("__site_lon"),
+            ),
+        )
+        .filter(F.col("__dist") <= radius_km)
+        .select("AirportCode", "icao24", "event_time")
+    )
+    agg = matched.groupBy(
+        F.window("event_time", window).alias("w"), "AirportCode"
+    ).agg(_distinct_count(exact).alias("aircraft_count"))
+    meta = F.broadcast(
+        airports_lookup.select("AirportCode", "AirportName", "CityName", "StateName")
+    )
+    return (
+        agg.select(
+            F.col("AirportCode").alias("_id"),
+            "AirportCode",
+            F.col("aircraft_count").cast("int").alias("aircraft_count"),
+            F.unix_millis(F.col("w.end")).alias("window_end_ms"),
+        )
+        .join(meta, "AirportCode", "left")
+    )

@@ -1,0 +1,336 @@
+"""Structured Streaming tests (SURVEY §5.4): file-source replays of
+OpenSky-shaped fixtures with crafted event times.
+
+Asserted on FINAL SINK CONTENTS, not emission timing (SURVEY §7 watch
+list): exact window membership, late-record drops at watermark 0,
+emit-final (one row per key per closed window), stream-batch
+equivalence, keyed upsert latest-wins.
+
+File-source mechanics: ``maxFilesPerTrigger=1`` + ``availableNow`` gives
+one micro-batch per file in mtime order; the watermark advances between
+batches, so windows emit in the batch after their data's file. A far-
+future sentinel event in the last file flushes all real windows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from big_data_flight_analytics_spark.streaming.enrichment import (
+    enrich_stream,
+    parse_opensky,
+    transformed_stream,
+)
+from big_data_flight_analytics_spark.streaming.sinks import ParquetUpsertSink
+from big_data_flight_analytics_spark.streaming.windowed_counts import (
+    airline_aircraft_counts,
+    airport_aircraft_counts,
+)
+
+BASE = 1_700_000_040  # aligned to an epoch minute boundary (divisible by 60)
+
+
+def sv(ts, icao, callsign=None, lat=None, lon=None, **kw):
+    """OpenSky state-vector JSON record."""
+    rec = {
+        "timestamp": ts, "icao24": icao, "callsign": callsign,
+        "origin_country": "USA", "longitude": lon, "latitude": lat,
+        "geo_altitude": 1000.0, "velocity": 200.0, "true_track": 90.0,
+        "vertical_rate": 0.0, "on_ground": False, "baro_altitude": 990.0,
+    }
+    rec.update(kw)
+    return rec
+
+
+def write_file(dirpath, name, records, mtime):
+    path = os.path.join(dirpath, name)
+    with open(path, "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+    os.utime(path, (mtime, mtime))
+    return path
+
+
+def run_stream(spark, src_dir, build, sink_fn=None, query_name="q"):
+    """availableNow one-file-per-batch run; returns collected rows."""
+    raw = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", 1)
+        .text(src_dir)
+    )
+    out = build(raw)
+    if sink_fn is None:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.sql(f"select * from {query_name}").collect()
+    q = (
+        out.writeStream.foreachBatch(sink_fn)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return None
+
+
+# Flush sentinel: far-future event that survives every pre-agg filter
+# (valid callsign AND valid-but-remote coordinates). Catalyst pushes
+# deterministic filters below the EventTimeWatermark node, so a record
+# that a pre-agg filter drops never advances the watermark.
+SENTINEL = [sv(BASE + 7200, "zz9999", callsign="ZZZ999", lat=-89.0, lon=0.0)]
+
+
+class TestEnrichment:
+    def test_stream_static_joins(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        write_file(src, "f1.json", [
+            sv(BASE + 1, "  AB12CD ", callsign="DAL123 "),
+            sv(BASE + 2, "ef56gh", callsign=None),
+            sv(BASE + 3, "", callsign="X"),          # blank key -> dropped
+            sv(BASE + 4, None, callsign="Y"),        # null key -> dropped
+        ], BASE)
+        aircrafts_lk = spark.createDataFrame([
+            Row(icao24="ab12cd", AvgCarrierDelayMinutes=12.5,
+                FlightCount=42, DelayScore01=0.7),
+        ])
+        flights_lk = spark.createDataFrame([
+            Row(callsign="DAL123", AirlineName="Delta Air Lines",
+                CRSArrTime="13:45", CRSDepTime="08:30"),
+        ])
+
+        rows = run_stream(
+            spark, src,
+            lambda raw: enrich_stream(
+                transformed_stream(parse_opensky(raw)), aircrafts_lk, flights_lk
+            ),
+            query_name="enriched",
+        )
+        by_id = {r["icao24"]: r for r in rows}
+        # blank/null keys dropped (StreamProcessor.java:40)
+        assert set(by_id) == {"ab12cd", "ef56gh"}
+        hit = by_id["ab12cd"]
+        assert hit["_id"] == "ab12cd"  # lowercased + trimmed re-key
+        assert hit["avg_carrier_delay_minutes"] == 12.5
+        assert hit["lookup_flight_count"] == 42
+        assert hit["AirlineName"] == "Delta Air Lines"  # trimmed callsign join
+        assert hit["CRSArrTime"] == "13:45"
+        miss = by_id["ef56gh"]  # left-join miss keeps row, null fields
+        assert miss["avg_carrier_delay_minutes"] is None
+        assert miss["AirlineName"] is None
+
+
+class TestAirlineCounts:
+    def build(self, raw, **kw):
+        return airline_aircraft_counts(
+            transformed_stream(parse_opensky(raw)), **kw
+        )
+
+    def test_window_membership_and_rules(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        w1, w2 = BASE, BASE + 60
+        write_file(src, "f1.json", [
+            sv(w1 + 1, "aaa111", callsign="DAL123"),
+            sv(w1 + 2, "aaa111", callsign="DAL456"),   # same aircraft, same window -> 1
+            sv(w1 + 3, "bbb222", callsign="DAL789"),   # second DAL aircraft
+            sv(w1 + 4, "ccc333", callsign="N555X"),    # PRIVATE
+            sv(w1 + 5, "ddd444", callsign=""),         # blank -> UNKNOWN
+            sv(w1 + 6, "eee555", callsign=None),       # null callsign -> dropped
+            sv(w2 + 1, "aaa111", callsign="DAL123"),   # next window
+        ], BASE)
+        write_file(src, "f2.json", SENTINEL, BASE + 10)
+
+        rows = run_stream(spark, src, self.build, query_name="airline_counts")
+        got = {(r["airline"], r["window_end_ms"] // 1000): r["aircraft_count"]
+               for r in rows}
+        assert got[("DAL", w1 + 60)] == 2      # set-dedup of aaa111
+        assert got[("PRIVATE", w1 + 60)] == 1
+        assert got[("UNKNOWN", w1 + 60)] == 1
+        assert got[("DAL", w2 + 60)] == 1
+        # null-callsign aircraft appears nowhere
+        assert all(r["aircraft_count"] <= 2 for r in rows)
+        # emit-final: exactly one row per (key, window)
+        keys = [(r["airline"], r["window_end_ms"]) for r in rows]
+        assert len(keys) == len(set(keys))
+        assert all(r["_id"] == r["airline"] for r in rows)
+
+    def test_late_record_dropped_at_watermark_zero(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        w1 = BASE
+        write_file(src, "f1.json", [
+            sv(w1 + 5, "aaa111", callsign="UAL100"),
+            sv(w1 + 70, "fff000", callsign="SWA200"),  # advances watermark past w1
+        ], BASE)
+        # Spark applies the advanced watermark to input filtering one
+        # batch later; an intermediate batch makes the drop observable
+        write_file(src, "f2.json", [sv(w1 + 80, "ggg111", callsign="SWA201")],
+                   BASE + 10)
+        # arrives after watermark passed w1's end -> must be dropped
+        write_file(src, "f3.json", [
+            sv(w1 + 6, "bbb222", callsign="UAL100"),
+            *SENTINEL,
+        ], BASE + 20)
+
+        rows = run_stream(spark, src, self.build, query_name="late_drop")
+        got = {(r["airline"], r["window_end_ms"] // 1000): r["aircraft_count"]
+               for r in rows}
+        # late bbb222 NOT counted (no-grace tumbling window)
+        assert got[("UAL", w1 + 60)] == 1
+        # and the closed window emitted exactly once (no late re-emit)
+        ual_rows = [r for r in rows
+                    if r["airline"] == "UAL" and r["window_end_ms"] // 1000 == w1 + 60]
+        assert len(ual_rows) == 1
+
+    def test_streaming_matches_batch(self, spark, tmp_path):
+        """The streaming aggregation must equal the same batch plan."""
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        recs = [
+            sv(BASE + i * 7, f"ac{i % 5:04d}", callsign=f"DAL{i % 3}")
+            for i in range(40)
+        ]
+        write_file(src, "f1.json", recs, BASE)
+        write_file(src, "f2.json", SENTINEL, BASE + 10)
+
+        rows = run_stream(spark, src, self.build, query_name="sbe")
+        stream_got = {
+            (r["airline"], r["window_end_ms"]): r["aircraft_count"] for r in rows
+        }
+
+        # identical pipeline in batch mode, reading the same file
+        batch = transformed_stream(
+            parse_opensky(spark.read.text(os.path.join(src, "f1.json")))
+        )
+        from big_data_flight_analytics_spark.functions.scalar import (
+            airline_code_from_callsign,
+        )
+        bagg = (
+            batch.filter(F.col("callsign").isNotNull())
+            .withColumn("airline", airline_code_from_callsign(F.col("callsign")))
+            .groupBy(F.window("event_time", "1 minute").alias("w"), "airline")
+            .agg(F.size(F.collect_set("icao24")).alias("aircraft_count"))
+            .select("airline", F.unix_millis(F.col("w.end")).alias("wem"),
+                    "aircraft_count")
+        )
+        batch_got = {
+            (r["airline"], r["wem"]): r["aircraft_count"] for r in bagg.collect()
+        }
+        assert stream_got == batch_got
+
+    def test_approx_variant_runs(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        write_file(src, "f1.json", [
+            sv(BASE + 1, "aaa111", callsign="DAL123"),
+            sv(BASE + 2, "bbb222", callsign="DAL456"),
+        ], BASE)
+        write_file(src, "f2.json", SENTINEL, BASE + 10)
+        rows = run_stream(
+            spark, src, lambda raw: self.build(raw, exact=False),
+            query_name="approx_counts",
+        )
+        got = {r["airline"]: r["aircraft_count"] for r in rows
+               if r["window_end_ms"] // 1000 == BASE + 60}
+        assert got["DAL"] == 2  # HLL exact at tiny cardinality
+
+
+class TestAirportCounts:
+    def test_geo_match_and_metadata(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        # JFK 40.6413,-73.7781; LGA ~17 km away; LAX far
+        write_file(src, "f1.json", [
+            sv(BASE + 1, "aaa111", callsign="DAL1", lat=40.70, lon=-73.80),  # near JFK+LGA
+            sv(BASE + 2, "bbb222", callsign="DAL2", lat=40.6414, lon=-73.7782),  # at JFK
+            sv(BASE + 3, "ccc333", callsign="UAL3", lat=33.94, lon=-118.41),  # at LAX
+            sv(BASE + 4, "ddd444", callsign="UAL4", lat=0.0, lon=0.0),        # nowhere
+            sv(BASE + 5, "eee555", callsign="UAL5", lat=None, lon=None),      # dropped
+        ], BASE)
+        write_file(src, "f2.json", SENTINEL, BASE + 10)
+
+        airports_lk = spark.createDataFrame([
+            Row(AirportCode="JFK", latitude=40.6413, longitude=-73.7781,
+                AirportName="John F Kennedy", CityName="New York",
+                StateName="NY", FlightCount=1000),
+            Row(AirportCode="LGA", latitude=40.7769, longitude=-73.8740,
+                AirportName="LaGuardia", CityName="New York",
+                StateName="NY", FlightCount=900),
+            Row(AirportCode="LAX", latitude=33.9425, longitude=-118.4081,
+                AirportName="Los Angeles Intl", CityName="LA",
+                StateName="CA", FlightCount=950),
+        ])
+
+        rows = run_stream(
+            spark, src,
+            lambda raw: airport_aircraft_counts(
+                transformed_stream(parse_opensky(raw)), airports_lk
+            ),
+            query_name="airport_counts",
+        )
+        got = {r["AirportCode"]: r for r in rows
+               if r["window_end_ms"] // 1000 == BASE + 60}
+        # one aircraft matched TWO airports (multi-emit, java :224-235)
+        assert got["JFK"]["aircraft_count"] == 2   # aaa111 + bbb222
+        # JFK and LGA are ~17 km apart: both aircraft within 50 km of both
+        assert got["LGA"]["aircraft_count"] == 2
+        assert got["LAX"]["aircraft_count"] == 1
+        assert got["JFK"]["AirportName"] == "John F Kennedy"
+        assert got["JFK"]["_id"] == "JFK"
+        assert "ddd444" not in {r["_id"] for r in rows}
+
+
+class TestUpsertSink:
+    def test_latest_wins_merge(self, spark, tmp_path):
+        path = str(tmp_path / "state")
+        sink = ParquetUpsertSink(path, key_col="_id", version_col="window_end_ms")
+        b1 = spark.createDataFrame([
+            Row(_id="DAL", airline="DAL", aircraft_count=2, window_end_ms=1000),
+            Row(_id="UAL", airline="UAL", aircraft_count=1, window_end_ms=1000),
+        ])
+        b2 = spark.createDataFrame([
+            Row(_id="DAL", airline="DAL", aircraft_count=5, window_end_ms=2000),
+        ])
+        sink.merge(b1, 0)
+        sink.merge(b2, 1)
+        state = {r["_id"]: r for r in sink.read(spark).collect()}
+        assert state["DAL"]["aircraft_count"] == 5  # replaced
+        assert state["UAL"]["aircraft_count"] == 1  # retained
+
+    def test_streaming_foreach_batch_upsert(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        w1, w2 = BASE, BASE + 60
+        write_file(src, "f1.json", [
+            sv(w1 + 1, "aaa111", callsign="DAL123"),
+            sv(w1 + 2, "bbb222", callsign="DAL456"),
+        ], BASE)
+        write_file(src, "f2.json", [sv(w2 + 1, "aaa111", callsign="DAL123")], BASE + 10)
+        write_file(src, "f3.json", SENTINEL, BASE + 20)
+
+        path = str(tmp_path / "serving")
+        sink = ParquetUpsertSink(path, key_col="_id", version_col="window_end_ms")
+        run_stream(
+            spark, src,
+            lambda raw: airline_aircraft_counts(
+                transformed_stream(parse_opensky(raw))
+            ),
+            sink_fn=sink,
+        )
+        state = {r["_id"]: r for r in sink.read(spark).collect()}
+        # serving store holds the LATEST window per airline (upsert)
+        assert state["DAL"]["window_end_ms"] == (w2 + 60) * 1000
+        assert state["DAL"]["aircraft_count"] == 1
