@@ -43,7 +43,14 @@ def exact_dedup(
 
 
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return df.select(F.col(id_col), word_shingles(text_col, n).alias("shingles"))
+    # two-step: materialize the token array, THEN build shingles from the
+    # column reference (inline split would re-tokenize per element_at)
+    from big_data_flight_analytics_spark.operators.text import shingle_expr, tokens
+
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    return toked.select(
+        F.col(id_col), shingle_expr(F.col("__toks"), n).alias("shingles")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -143,9 +150,20 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold=0.0)
+    # verify ONLY the candidates: join their shingle arrays and compute
+    # exact Jaccard via array_intersect — candidate-count work, not the
+    # full inverted-index pair join
+    sh_a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("__sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("__sh_b"))
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    union = F.size("__sh_a") + F.size("__sh_b") - inter
     return (
-        candidates.join(exact, ["doc_a", "doc_b"])
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 4),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -179,6 +197,38 @@ def simhash_signature(text_col: str = "text", bits: int = 32) -> Column:
     return sig
 
 
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """(id, sim) signatures via explode + hash-aggregate — single pass.
+
+    Equivalent to ``simhash_signature`` but token hashes are computed
+    once (explode) and the per-bit sign-sums run as one vectorized
+    hash aggregation instead of ``bits`` array-fold passes; one shuffle
+    on the doc id. Duplicate tokens weigh by multiplicity, matching the
+    per-token fold of the column-expression form.
+    """
+    from big_data_flight_analytics_spark.operators.text import tokens
+
+    toked = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+    hashed = toked.select(F.col(id_col), F.xxhash64("__t").alias("__h"))
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("__h"), k).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"__b{k}")
+        for k in range(bits)
+    ]
+    agg = hashed.groupBy(id_col).agg(*bit_sums)
+    sig = F.lit(0).cast("long")
+    for k in range(bits):
+        sig = sig + F.when(
+            F.col(f"__b{k}") > 0, F.lit(1 << k).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select(F.col(id_col), sig.alias("sim"))
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -197,9 +247,7 @@ def simhash_pairs(
     assert max_hamming < chunks
     chunk_bits = bits // chunks
     mask = (1 << chunk_bits) - 1
-    sig = df.select(
-        F.col(id_col), simhash_signature(text_col, bits).alias("sim")
-    )
+    sig = simhash_signatures(df, id_col, text_col, bits)
     postings = []
     for ci in range(chunks):
         chunk_val = F.shiftright(F.col("sim"), ci * chunk_bits).bitwiseAND(F.lit(mask))

@@ -45,21 +45,30 @@ def tokens(text_col: str = "text"):
     return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
 
 
-def word_shingles(text_col: str = "text", n: int = 3):
-    """Distinct n-gram word shingles as array<string> (empty if < n tokens).
+def shingle_expr(toks: "Column", n: int = 3) -> "Column":  # noqa: F821
+    """Distinct n-gram shingles from a token-array column, O(len) per row.
 
-    Built with sequence/transform higher-order functions — JVM-side,
-    no UDF. Shingle i joins tokens [i, i+n).
+    Built as arrays_zip of n shifted slices + one transform — each
+    input sub-expression is evaluated a constant number of times. (A
+    per-index ``element_at(toks, i+j)`` formulation embeds a copy of the
+    token expression per access, and Catalyst's projection collapsing
+    can inline a ``split`` there, re-tokenizing the text O(shingles*n)
+    times per row — measured ~10x slower on the shingle-join pipeline.)
     """
-    toks = tokens(text_col)
     size = F.size(toks)
-    idx = F.sequence(F.lit(0), size - n)  # inclusive; valid when size >= n
+    width = F.greatest(size - n + 1, F.lit(0))
+    slices = [F.slice(toks, j + 1, width) for j in range(n)]
     grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
+        F.arrays_zip(*slices),
+        lambda x: F.concat_ws(" ", *[x[str(j)] for j in range(n)]),
     )
     return F.when(size >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_shingles(text_col: str = "text", n: int = 3):
+    """Shingles straight from a text column (inline; prefer the two-step
+    ``df.select(tokens(...))`` + ``shingle_expr`` in hot paths — see
+    ``shingle_expr`` docstring)."""
+    return shingle_expr(tokens(text_col), n)
