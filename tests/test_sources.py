@@ -1,0 +1,64 @@
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Row
+
+from big_data_flight_analytics_spark.schemas import AIRLINES_SCHEMA
+from big_data_flight_analytics_spark.sources.readers import read_csv
+from big_data_flight_analytics_spark.sources.writers import (
+    kafka_message_frame,
+    write_parquet,
+)
+
+
+class TestReadCsv:
+    def test_explicit_schema_and_header_strip(self, spark, tmp_path):
+        p = tmp_path / "Airlines.csv"
+        # header with stray whitespace (reference strips: transform.py:53-54)
+        p.write_text("IATA , ICAO,Name\nAA,AAL,American\nDL,DAL,Delta\n")
+        df = read_csv(spark, str(p), schema=AIRLINES_SCHEMA)
+        assert df.columns == ["IATA", "ICAO", "Name"]
+        assert df.count() == 2
+        assert df.schema == AIRLINES_SCHEMA
+
+    def test_infer_escape_hatch(self, spark, tmp_path):
+        p = tmp_path / "nums.csv"
+        p.write_text("a,b\n1,2.5\n3,4.5\n")
+        df = read_csv(spark, str(p), infer=True)
+        assert dict(df.dtypes) == {"a": "int", "b": "double"}
+
+
+class TestKafkaMessageFrame:
+    def test_distributed_keyed_json(self, spark):
+        df = spark.createDataFrame(
+            [Row(callsign="DAL123", AirlineName="Delta", n=7)]
+        )
+        out = kafka_message_frame(df, "callsign").collect()
+        assert out[0]["key"] == "DAL123"
+        payload = json.loads(out[0]["value"])
+        assert payload == {"callsign": "DAL123", "AirlineName": "Delta", "n": 7}
+
+    def test_schema_is_kafka_shaped(self, spark):
+        df = spark.createDataFrame([Row(k=1, v="x")])
+        frame = kafka_message_frame(df, "k")
+        assert frame.columns == ["key", "value"]
+        assert dict(frame.dtypes) == {"key": "string", "value": "string"}
+
+
+class TestWriteParquet:
+    def test_partitioned_default(self, spark, tmp_path):
+        df = spark.createDataFrame([Row(y=2022, x=1), Row(y=2023, x=2)])
+        out = str(tmp_path / "o")
+        write_parquet(df, out, partition_by=["y"])
+        import os
+        assert sorted(
+            d for d in os.listdir(out) if d.startswith("y=")
+        ) == ["y=2022", "y=2023"]
+
+    def test_single_file_mode(self, spark, tmp_path):
+        df = spark.createDataFrame([Row(x=i) for i in range(100)]).repartition(8)
+        out = str(tmp_path / "s")
+        write_parquet(df, out, single_file=True)
+        import glob
+        assert len(glob.glob(out + "/part-*")) == 1
