@@ -65,3 +65,31 @@ def self_join_on(
     AQE plans the exchange reuse.
     """
     return left.join(right, on)
+
+
+def semi_join(
+    fact: DataFrame, other: DataFrame, fact_key: str, other_key: str,
+    broadcast_other: bool = True,
+) -> DataFrame:
+    """Rows of ``fact`` with >= 1 match in ``other`` (EXISTS).
+
+    Not in the reference's surface (SURVEY §2.3 note) but exposed as a
+    library primitive: MIN_FLIGHTS-style qualification patterns express
+    naturally as a semi join against the qualifying key set, and the
+    left_semi plan never duplicates fact rows or carries other's columns.
+    """
+    right = other.select(F.col(other_key).alias(fact_key))
+    if broadcast_other:
+        right = F.broadcast(right)
+    return fact.join(right, fact_key, "left_semi")
+
+
+def anti_join(
+    fact: DataFrame, other: DataFrame, fact_key: str, other_key: str,
+    broadcast_other: bool = True,
+) -> DataFrame:
+    """Rows of ``fact`` with NO match in ``other`` (NOT EXISTS)."""
+    right = other.select(F.col(other_key).alias(fact_key))
+    if broadcast_other:
+        right = F.broadcast(right)
+    return fact.join(right, fact_key, "left_anti")

@@ -66,6 +66,46 @@ def sign_bucket(vec_col: str = "embedding", bits: int = 4):
     return bucket
 
 
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 4,
+    dp: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, sim >= threshold).
+
+    Candidate generation via the sign-LSH bucket equi-join (same-bucket
+    pairs only), exact cosine verify. At 100 TB the bucket join replaces
+    the O(n^2) cross join; recall is bounded by the bucket scheme (pairs
+    straddling a sign boundary on the first ``bits`` dims are missed) —
+    raise ``bits`` fan-out or union multiple rotated bucketings for
+    higher recall.
+    """
+    sig = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        sign_bucket(vec_col, bits).alias("__bucket"),
+    )
+    a = sig.select(
+        F.col(id_col).alias("vec_a"), F.col("__v").alias("__va"), "__bucket"
+    )
+    b = sig.select(
+        F.col(id_col).alias("vec_b"), F.col("__v").alias("__vb"), "__bucket"
+    )
+    return (
+        a.join(b, "__bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine_similarity(F.col("__va"), F.col("__vb"), dp=dp).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

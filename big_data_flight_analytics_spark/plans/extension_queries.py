@@ -25,6 +25,7 @@ from big_data_flight_analytics_spark.operators.multimodal import (
 )
 from big_data_flight_analytics_spark.operators.similarity import (
     brute_force_topk,
+    embedding_neardup_pairs,
     lsh_bucketed_topk,
 )
 from big_data_flight_analytics_spark.operators.text import text_stats
@@ -250,6 +251,41 @@ SELECT query_id, neighbor_id, sim FROM ranked WHERE rn <= {TOPK}
 
 
 # ---------------------------------------------------------------------------
+# D5 — embedding-cosine near-dup pairs (sign-bucket candidates + exact
+# verify; deterministic -> oracle-checkable)
+# ---------------------------------------------------------------------------
+
+NEARDUP_SIM = 0.4
+
+
+def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=NEARDUP_SIM, bits=LSH_BITS)
+
+
+D5_SQL = f"""
+WITH sig AS (
+    SELECT vec_id, embedding,
+           (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END +
+            CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END +
+            CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END +
+            CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bucket
+    FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(
+         list_dot_product(a.embedding, b.embedding) /
+         (sqrt(list_dot_product(a.embedding, a.embedding))
+          * sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS sim
+FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND(
+         list_dot_product(a.embedding, b.embedding) /
+         (sqrt(list_dot_product(a.embedding, a.embedding))
+          * sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= {NEARDUP_SIM}
+"""
+
+
+# ---------------------------------------------------------------------------
 # M1 — multimodal binary plumbing: payload + mapInPandas feature stub.
 # Oracle checks the Arrow plumbing end-to-end because the stub decode is
 # a deterministic function of the payload bytes.
@@ -277,6 +313,7 @@ EXTENSION_QUERIES = {
     "d4_simhash": d4_simhash,
     "v1_cosine_topk": v1_cosine_topk,
     "v2_lsh_topk": v2_lsh_topk,
+    "d5_embedding_neardup": d5_embedding_neardup,
     "m1_multimodal_features": m1_multimodal_features,
 }
 
@@ -287,5 +324,6 @@ EXTENSION_ORACLES = {
     # d3/d4: xxhash64-based, no SQL equivalent -> rows-only check
     "v1_cosine_topk": V1_SQL,
     "v2_lsh_topk": V2_SQL,
+    "d5_embedding_neardup": D5_SQL,
     "m1_multimodal_features": M1_SQL,
 }

@@ -612,6 +612,87 @@ FROM pairs WHERE d <= {GEO_RADIUS_KM}
 
 
 # ---------------------------------------------------------------------------
+# J8 — semi/anti join primitives (library extension, SURVEY §2.3 note:
+# not in the reference's surface, exposed because MIN_FLIGHTS-style
+# qualification patterns benefit). Customers WITH vs WITHOUT a
+# high-value urgent order, tagged and unioned.
+# ---------------------------------------------------------------------------
+
+URGENT_VALUE = 400_000.0
+
+
+def j8_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.joins import anti_join, semi_join
+
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    qualifying = orders.filter(
+        (F.col("o_totalprice") > URGENT_VALUE)
+        & (F.col("o_orderpriority") == "1-URGENT")
+    )
+    base = customer.select(F.col("c_custkey").alias("custkey"))
+    with_q = semi_join(base, qualifying, "custkey", "o_custkey").withColumn(
+        "bucket", F.lit("has_urgent_high_value")
+    )
+    without_q = anti_join(base, qualifying, "custkey", "o_custkey").withColumn(
+        "bucket", F.lit("no_urgent_high_value")
+    )
+    return with_q.unionAll(without_q)
+
+
+J8_SQL = f"""
+SELECT c_custkey AS custkey, 'has_urgent_high_value' AS bucket
+FROM customer
+WHERE EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      AND o_totalprice > {URGENT_VALUE} AND o_orderpriority = '1-URGENT'
+)
+UNION ALL
+SELECT c_custkey, 'no_urgent_high_value'
+FROM customer
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      AND o_totalprice > {URGENT_VALUE} AND o_orderpriority = '1-URGENT'
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# K1 — salted two-stage aggregation (skew mitigation; results must equal
+# a plain GROUP BY, which is exactly what the oracle runs)
+# ---------------------------------------------------------------------------
+
+def k1_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.skew import salted_group_agg
+
+    orders = load(spark, sf_dir, "orders")
+    out = salted_group_agg(
+        orders,
+        ["o_custkey"],
+        partial_aggs={
+            "__n": F.count(F.lit(1)),
+            "__sum": F.sum("o_totalprice"),
+        },
+        combine_aggs={
+            "n_orders": F.sum("__n"),
+            "total_value": F.round(F.sum("__sum"), 2),
+        },
+    )
+    return out.select(
+        F.col("o_custkey").alias("custkey"), "n_orders", "total_value"
+    )
+
+
+K1_SQL = """
+SELECT o_custkey AS custkey,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_value
+FROM orders
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # O3 — top-k via TakeOrderedAndProject (O1, O3)
 # reference: batch_process.py:85
 # ---------------------------------------------------------------------------
@@ -737,6 +818,8 @@ RELATIONAL_QUERIES = {
     "j1_enrich_orders": j1_enrich_orders,
     "j3_dedup_supplier_join": j3_dedup_supplier_join,
     "j7_geo_radius": j7_geo_radius,
+    "j8_semi_anti_customers": j8_semi_anti_customers,
+    "k1_salted_counts": k1_salted_counts,
     "o3_topk_orders": o3_topk_orders,
     "a6_distinct_event_types": a6_distinct_event_types,
     "w2_top3_per_priority": w2_top3_per_priority,
@@ -759,6 +842,8 @@ RELATIONAL_ORACLES = {
     "j1_enrich_orders": J1_SQL,
     "j3_dedup_supplier_join": J3_SQL,
     "j7_geo_radius": J7_SQL,
+    "j8_semi_anti_customers": J8_SQL,
+    "k1_salted_counts": K1_SQL,
     "o3_topk_orders": O3_SQL,
     "a6_distinct_event_types": A6_SQL,
     "w2_top3_per_priority": W2_SQL,
