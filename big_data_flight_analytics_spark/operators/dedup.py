@@ -23,7 +23,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from big_data_flight_analytics_spark.functions.text import rolling_fingerprint
-from big_data_flight_analytics_spark.operators.text import word_shingles
 
 MERSENNE_P = (1 << 61) - 1
 

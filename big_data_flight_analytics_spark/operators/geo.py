@@ -54,6 +54,15 @@ def radius_join(
     dist = haversine_km(
         F.col(point_lat), F.col(point_lon), F.col(site_lat), F.col(site_lon)
     )
+    # cheap bounding-box prefilter before the trig: a pair can only be
+    # within R km if its latitude delta is <= R/111.32 deg. Pure
+    # comparison, cuts haversine evaluations ~(180*band)/R-fold; the box
+    # is a strict superset of the circle so results are unchanged.
+    # (Longitude is not boxed: degrees shrink by cos(lat) and a correct
+    # guard costs nearly what it saves at dimension-scale site counts.)
+    lat_box = (
+        F.abs(F.col(point_lat) - F.col(site_lat)) <= radius_km / KM_PER_DEG_LAT
+    )
 
     if use_banding is None:
         # cheap driver-side count of the small side is acceptable: sites
@@ -61,7 +70,7 @@ def radius_join(
         use_banding = sites.count() > band_threshold
 
     if not use_banding:
-        joined = pts.crossJoin(F.broadcast(sites))
+        joined = pts.crossJoin(F.broadcast(sites)).filter(lat_box)
         return joined.withColumn(distance_col, dist).filter(
             F.col(distance_col) <= radius_km
         )

@@ -12,7 +12,6 @@ from pyspark.sql import functions as F
 
 from big_data_flight_analytics_spark.functions.text import (
     lang_id_expr,
-    normalize_text,
     punct_ratio,
     quality_score,
     rolling_fingerprint,

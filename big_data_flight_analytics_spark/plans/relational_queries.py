@@ -22,7 +22,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_flight_analytics_spark.functions.scalar import (
-    haversine_km,
     hhmm_to_str,
     minmax_normalize_expr,
 )
