@@ -33,6 +33,13 @@ def main() -> None:
     spark = get_session(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # JVM/codegen warmup outside the timed region so per-query numbers
+    # measure the engine, not session startup
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    next(iter(QUERIES.values()))(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
         t0 = time.time()

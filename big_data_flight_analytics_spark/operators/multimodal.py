@@ -70,13 +70,18 @@ def extract_features(
         import pandas as pd
 
         for pdf in it:
-            feats = pdf[payload_col].map(_decode_stub)
+            # one Python call per payload (a real decoder is per-item
+            # anyway), one unzip — no repeated Series.map passes
+            feats = [_decode_stub(p) for p in pdf[payload_col]]
+            n_bytes, widths, heights = (
+                zip(*feats) if feats else ((), (), ())
+            )
             yield pd.DataFrame(
                 {
-                    id_col: pdf[id_col],
-                    "n_bytes": feats.map(lambda t: t[0]).astype("int32"),
-                    "fake_width": feats.map(lambda t: t[1]).astype("int32"),
-                    "fake_height": feats.map(lambda t: t[2]).astype("int32"),
+                    id_col: pdf[id_col].to_numpy(),
+                    "n_bytes": pd.array(n_bytes, dtype="int32"),
+                    "fake_width": pd.array(widths, dtype="int32"),
+                    "fake_height": pd.array(heights, dtype="int32"),
                 }
             )
 

@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis) — batch-evaluated: each property
+generates a whole column of cases and runs ONE Spark job, so Spark
+round-trip cost is paid once per property, not per example."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from big_data_flight_analytics_spark.functions.scalar import (
+    haversine_km,
+    hhmm_to_str,
+    minmax_normalize_expr,
+)
+from big_data_flight_analytics_spark.operators.core import bucketize
+
+_spark = None
+
+
+def _get_spark():
+    # reuse the session created by conftest's fixture chain
+    from pyspark.sql import SparkSession
+
+    return SparkSession.getActiveSession() or SparkSession.builder.master(
+        "local[4]"
+    ).getOrCreate()
+
+
+class TestHaversineProperties:
+    def test_symmetry_identity_bounds(self, spark):
+        rng = random.Random(11)
+        rows = [
+            Row(lat1=rng.uniform(-90, 90), lon1=rng.uniform(-180, 180),
+                lat2=rng.uniform(-90, 90), lon2=rng.uniform(-180, 180))
+            for _ in range(300)
+        ]
+        df = spark.createDataFrame(rows)
+        out = df.select(
+            haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")).alias("d_ab"),
+            haversine_km(F.col("lat2"), F.col("lon2"), F.col("lat1"), F.col("lon1")).alias("d_ba"),
+            haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat1"), F.col("lon1")).alias("d_self"),
+        ).collect()
+        half_circumference = math.pi * 6371.0
+        for r in out:
+            assert r["d_self"] == 0.0
+            assert abs(r["d_ab"] - r["d_ba"]) < 1e-9  # symmetry
+            assert 0.0 <= r["d_ab"] <= half_circumference + 1e-6  # bounded
+            assert not math.isnan(r["d_ab"])  # clamp guard holds everywhere
+
+
+class TestHHMMProperties:
+    def test_roundtrip_all_valid_times(self, spark):
+        # exhaustive, not sampled: all 1440 valid HHMM encodings
+        rows = [Row(hhmm=h * 100 + m) for h in range(24) for m in range(60)]
+        out = spark.createDataFrame(rows).select(
+            "hhmm", hhmm_to_str(F.col("hhmm")).alias("s")
+        ).collect()
+        for r in out:
+            hh, mm = r["s"].split(":")
+            assert int(hh) * 100 + int(mm) == r["hhmm"]
+            assert len(r["s"]) == 5
+
+
+class TestMinMaxProperties:
+    @settings(max_examples=20, deadline=None)
+    @given(
+        vals=st.lists(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+            min_size=1, max_size=30,
+        )
+    )
+    def test_output_in_unit_interval(self, vals):
+        spark = _get_spark()
+        mn, mx = min(vals), max(vals)
+        df = spark.createDataFrame([Row(x=float(v)) for v in vals])
+        out = df.select(
+            minmax_normalize_expr(F.col("x"), F.lit(mn), F.lit(mx)).alias("s")
+        ).collect()
+        for r in out:
+            # span guard keeps constant columns at 0; otherwise [0, 1]
+            assert -1e-9 <= r["s"] <= 1.0 + 1e-9 or mx <= mn
+
+
+class TestBucketizeProperties:
+    def test_total_and_exclusive(self, spark):
+        # every value lands in exactly one bucket; lower edge inclusive
+        rng = random.Random(5)
+        edges = [0.0, 100.0, 200.0, 500.0, float("inf")]
+        labels = ["a", "b", "c", "d"]
+        vals = [rng.uniform(0, 1000) for _ in range(500)] + [0.0, 100.0, 200.0, 500.0]
+        df = spark.createDataFrame([Row(x=v) for v in vals])
+        out = bucketize(df, "x", edges, labels, out="bk").collect()
+        for r in out:
+            assert r["bk"] is not None
+            i = labels.index(r["bk"])
+            assert r["x"] >= edges[i]
+            if edges[i + 1] != float("inf"):
+                assert r["x"] < edges[i + 1]

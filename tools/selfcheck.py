@@ -2,9 +2,10 @@
 
 Runs every ``__spark_entry__.queries()`` entry on Spark and its
 ``oracle_sql()`` on DuckDB over the same parquet tables, then compares
-row count, column names, and order-insensitive values (doubles rounded
-to 9 significant-ish decimals before comparison to absorb engine ulp
-noise — stricter than any sane driver hash).
+row count, column names, and order-insensitive values. Floats compare
+BIT-EXACT (all catalog queries are engineered to produce identical
+doubles in both engines — integer-count ratios and identical IEEE
+operation order; verified 2026-08-13 across all 28 oracle queries).
 
 Usage: python tools/selfcheck.py [sf_dir] [query ...]
 """
@@ -39,7 +40,7 @@ def normalize(rows, cols):
                 if math.isnan(v):
                     v = ("f", "nan")
                 else:
-                    v = ("f", f"{v:.9g}")
+                    v = ("f", v.hex())  # bit-exact
             elif isinstance(v, int):
                 v = ("i", v)
             elif v is None:
