@@ -101,7 +101,10 @@ def build_flights(spark: SparkSession, n: int = 2400, seed: int = 42):
         dep_choices = [800 + 10 * (flight_no % 2), 1215]
         crs_arr = rng.choice(arr_choices)
         crs_dep = rng.choice(dep_choices)
-        carrier_delay = round(rng.uniform(0, 60), 1) if rng.random() < 0.3 else None
+        # continuous (unquantized): quantized values make rounded-avg
+        # results land exactly on .005 boundaries where engine summation
+        # order flips round(), breaking oracle differentials
+        carrier_delay = rng.uniform(0, 60) if rng.random() < 0.3 else None
         weather_delay = round(rng.uniform(0, 40), 1) if rng.random() < 0.1 else None
         nas_delay = round(rng.uniform(0, 30), 1) if rng.random() < 0.2 else None
         sec_delay = round(rng.uniform(0, 20), 1) if rng.random() < 0.02 else None
