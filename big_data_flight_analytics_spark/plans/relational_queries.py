@@ -801,6 +801,68 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# A7 — exact percentiles (library extension: distribution stats the
+# reference lacks; Spark exact `percentile` matches DuckDB quantile_cont
+# bit-for-bit — linear interpolation both)
+# ---------------------------------------------------------------------------
+
+def a7_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.percentile("o_totalprice", 0.5).alias("p50"),
+        F.percentile("o_totalprice", 0.9).alias("p90"),
+        F.percentile("o_totalprice", 0.99).alias("p99"),
+    )
+
+
+A7_SQL = """
+SELECT o_orderpriority AS priority,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       quantile_cont(o_totalprice, 0.99) AS p99
+FROM orders
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# S3 — sliding-window distinct counts (extension beyond the reference's
+# tumbling-only surface; batch-expressible form — every event belongs to
+# duration/slide = 2 epoch-aligned windows)
+# ---------------------------------------------------------------------------
+
+def s3_sliding_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "2 minutes", "1 minute").alias("w"), "event_type"
+        )
+        .agg(F.count_distinct(F.col("user_id")).alias("uniq_users"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "uniq_users",
+        )
+    )
+
+
+S3_SQL = """
+WITH starts AS (
+    SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS s0, user_id, event_type
+    FROM events
+), assigned AS (
+    SELECT s0 AS window_start_epoch, user_id, event_type FROM starts
+    UNION ALL
+    SELECT s0 - 60, user_id, event_type FROM starts
+)
+SELECT window_start_epoch, event_type,
+       COUNT(DISTINCT user_id) AS uniq_users
+FROM assigned
+GROUP BY 1, 2
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_supplier_stats": q1_supplier_stats,
     "q2_status_priority_delays": q2_status_priority_delays,
@@ -823,6 +885,8 @@ RELATIONAL_QUERIES = {
     "a6_distinct_event_types": a6_distinct_event_types,
     "w2_top3_per_priority": w2_top3_per_priority,
     "s2_windowed_distinct_users": s2_windowed_distinct_users,
+    "a7_price_percentiles": a7_price_percentiles,
+    "s3_sliding_window_users": s3_sliding_window_users,
 }
 
 RELATIONAL_ORACLES = {
@@ -847,4 +911,6 @@ RELATIONAL_ORACLES = {
     "a6_distinct_event_types": A6_SQL,
     "w2_top3_per_priority": W2_SQL,
     "s2_windowed_distinct_users": S2_SQL,
+    "a7_price_percentiles": A7_SQL,
+    "s3_sliding_window_users": S3_SQL,
 }
