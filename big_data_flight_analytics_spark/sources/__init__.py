@@ -4,6 +4,7 @@ from big_data_flight_analytics_spark.sources.readers import (
     read_csv,
     read_parquet,
 )
+from big_data_flight_analytics_spark.sources.replay import FileReplay
 from big_data_flight_analytics_spark.sources.writers import (
     kafka_message_frame,
     upsert_foreach_batch,
@@ -11,6 +12,7 @@ from big_data_flight_analytics_spark.sources.writers import (
 )
 
 __all__ = [
+    "FileReplay",
     "kafka_message_frame",
     "read_csv",
     "read_parquet",

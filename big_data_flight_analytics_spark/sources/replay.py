@@ -26,22 +26,41 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class FileReplay:
-    """Writes replay batches; builds the matching readStream."""
+    """Writes replay batches; builds the matching readStream.
+
+    Batches appear in the watched directory ATOMICALLY (temp file
+    outside the directory, utime, then rename) so a live stream never
+    reads a half-written file or registers a wrong mtime. Reusing a
+    directory that already holds batches continues the numbering
+    instead of overwriting (FileStreamSource dedupes by path and would
+    silently drop rewritten files).
+    """
 
     def __init__(self, directory: str) -> None:
         self.directory = directory
         os.makedirs(directory, exist_ok=True)
-        self._batch_no = 0
+        existing = [
+            int(f[len("batch-"):-len(".json")])
+            for f in os.listdir(directory)
+            if f.startswith("batch-") and f.endswith(".json")
+        ]
+        self._batch_no = max(existing) + 1 if existing else 0
         self._base_mtime = 1_000_000_000
 
     def write_batch(self, records: Iterable[Mapping]) -> str:
         """One NDJSON file per batch; mtime encodes replay order."""
-        path = os.path.join(self.directory, f"batch-{self._batch_no:06d}.json")
-        with open(path, "w") as f:
+        name = f"batch-{self._batch_no:06d}.json"
+        path = os.path.join(self.directory, name)
+        tmp = os.path.join(
+            os.path.dirname(self.directory.rstrip(os.sep)) or ".",
+            f".{name}.tmp-{os.getpid()}",
+        )
+        with open(tmp, "w") as f:
             for rec in records:
                 f.write(json.dumps(rec) + "\n")
         mtime = self._base_mtime + self._batch_no
-        os.utime(path, (mtime, mtime))
+        os.utime(tmp, (mtime, mtime))
+        os.rename(tmp, path)
         self._batch_no += 1
         return path
 

@@ -14,11 +14,8 @@ future sentinel event in the last file flushes all real windows.
 
 from __future__ import annotations
 
-import json
 import os
-import time
 
-import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -48,22 +45,26 @@ def sv(ts, icao, callsign=None, lat=None, lon=None, **kw):
     return rec
 
 
+_replays: dict[str, "FileReplay"] = {}
+
+
 def write_file(dirpath, name, records, mtime):
-    path = os.path.join(dirpath, name)
-    with open(path, "w") as f:
-        for r in records:
-            f.write(json.dumps(r) + "\n")
-    os.utime(path, (mtime, mtime))
-    return path
+    """Delegates to sources.replay.FileReplay — batch order is call
+    order (the name/mtime args are legacy signature, ordering is what
+    matters and every call site writes in replay order)."""
+    from big_data_flight_analytics_spark.sources.replay import FileReplay
+
+    rp = _replays.get(dirpath)
+    if rp is None:
+        rp = _replays[dirpath] = FileReplay(dirpath)
+    return rp.write_batch(records)
 
 
 def run_stream(spark, src_dir, build, sink_fn=None, query_name="q"):
     """availableNow one-file-per-batch run; returns collected rows."""
-    raw = (
-        spark.readStream.schema("value string")
-        .option("maxFilesPerTrigger", 1)
-        .text(src_dir)
-    )
+    from big_data_flight_analytics_spark.sources.replay import FileReplay
+
+    raw = _replays.get(src_dir, FileReplay(src_dir)).stream(spark)
     out = build(raw)
     if sink_fn is None:
         q = (
@@ -213,7 +214,7 @@ class TestAirlineCounts:
 
         # identical pipeline in batch mode, reading the same file
         batch = transformed_stream(
-            parse_opensky(spark.read.text(os.path.join(src, "f1.json")))
+            parse_opensky(spark.read.text(os.path.join(src, "batch-000000.json")))
         )
         from big_data_flight_analytics_spark.functions.scalar import (
             airline_code_from_callsign,
