@@ -71,8 +71,9 @@ def embedding_neardup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bits: int = 4,
+    bits: int | None = 4,
     dp: int = 4,
+    target_bucket_size: int = 256,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, sim >= threshold).
 
@@ -82,7 +83,19 @@ def embedding_neardup_pairs(
     straddling a sign boundary on the first ``bits`` dims are missed) —
     raise ``bits`` fan-out or union multiple rotated bucketings for
     higher recall.
+
+    Scale lever: within-bucket work is quadratic in bucket population
+    (measured 23x runtime at 10x corpus with fixed bits=4), so ``bits``
+    must grow ~log2(n) with the corpus. ``bits=None`` derives it from a
+    corpus count targeting ``target_bucket_size`` rows per bucket (one
+    cheap count job; pass explicit bits to stay fully lazy — required
+    when the result must be oracle-reproducible).
     """
+    if bits is None:
+        import math
+
+        n = corpus.count()
+        bits = max(1, math.ceil(math.log2(max(n / target_bucket_size, 2))))
     sig = corpus.select(
         F.col(id_col),
         F.col(vec_col).alias("__v"),

@@ -125,9 +125,14 @@ GROUP BY 1
 # D2 — n-gram Jaccard near-dup pairs (inverted-index join)
 # ---------------------------------------------------------------------------
 
+MAX_SHINGLE_DF = 20  # inactive at sf0.01 (max df 7); bounds sf>=0.1 blowup
+
+
 def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
+    return ngram_jaccard_pairs(
+        docs, threshold=JACCARD_THRESHOLD, max_df=MAX_SHINGLE_DF
+    )
 
 
 D2_SQL = rf"""
@@ -142,21 +147,26 @@ WITH toks AS (
                    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
            ELSE [] END AS shingles
     FROM toks
-), sizes AS (
-    SELECT doc_id, len(shingles) AS n_sh FROM sh
 ), posting AS (
     SELECT doc_id, unnest(shingles) AS s FROM sh
-), inter AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-    FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
+), rare AS (
+    SELECT s FROM posting GROUP BY s HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+), capped AS (
+    SELECT doc_id, s FROM posting JOIN rare USING (s)
+), candidates AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+), verified AS (
+    SELECT doc_a, doc_b,
+           ROUND(
+               len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+               (len(sa.shingles) + len(sb.shingles)
+                - len(list_intersect(sa.shingles, sb.shingles))), 4) AS jaccard
+    FROM candidates
+    JOIN sh sa ON sa.doc_id = doc_a
+    JOIN sh sb ON sb.doc_id = doc_b
 )
-SELECT doc_a, doc_b,
-       ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) >= {JACCARD_THRESHOLD}
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
