@@ -98,13 +98,22 @@ def ngram_jaccard_pairs(
             .select("doc_a", "doc_b", "jaccard")
         )
 
+    # all joins/shuffles run over 8-byte xxhash64 shingle ids instead of
+    # ~20-byte strings (intersection COUNTS are identical — an in-pair
+    # collision needs two distinct shingles at the same 64-bit value,
+    # p ~ 80^2/2^64 — so Jaccard values and oracle parity are unchanged)
+    hsh = sh.select(
+        F.col(id_col),
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles"),
+    )
+    posting_h = hsh.select(F.col(id_col), F.explode("shingles").alias("sh"))
     rare = (
-        posting.groupBy("sh")
+        posting_h.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") <= max_df)
         .select("sh")
     )
-    capped = posting.join(rare, "sh")
+    capped = posting_h.join(rare, "sh")
     a = capped.select(F.col(id_col).alias("doc_a"), "sh")
     b = capped.select(F.col(id_col).alias("doc_b"), "sh")
     candidates = (
@@ -113,13 +122,17 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _verify_jaccard(candidates, sh, id_col, threshold)
+    return _verify_jaccard(candidates, hsh, id_col, threshold)
 
 
 def _verify_jaccard(
     candidates: DataFrame, sh: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
-    """Exact Jaccard over full shingle arrays for candidate pairs."""
+    """Exact Jaccard over full shingle arrays for candidate pairs.
+
+    ``sh`` may carry raw shingle strings or hashed shingle ids — only
+    intersection/union counts enter the result.
+    """
     sh_a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("__sh_a"))
     sh_b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("__sh_b"))
     inter = F.size(F.array_intersect("__sh_a", "__sh_b"))

@@ -125,7 +125,10 @@ GROUP BY 1
 # D2 — n-gram Jaccard near-dup pairs (inverted-index join)
 # ---------------------------------------------------------------------------
 
-MAX_SHINGLE_DF = 20  # inactive at sf0.01 (max df 7); bounds sf>=0.1 blowup
+# Hot-shingle candidate cap: inactive at sf0.01 (max observed df is 7,
+# keeping oracle parity exact); at sf0.1 prunes 1.27M -> ~460k candidate
+# pairs and caps the quadratic growth beyond.
+MAX_SHINGLE_DF = 10
 
 
 def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
