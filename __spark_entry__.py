@@ -2,8 +2,9 @@
 
 entry(spark)  -> flagship query DataFrame at sf0.001 (smoke check)
 queries()     -> name -> (spark, sf_dir) -> DataFrame, one per operator
-oracle_sql()  -> name -> DuckDB SQL equivalent (omitted for the
-                 xxhash64-based MinHash/SimHash ops -> rows-only check)
+oracle_sql()  -> name -> DuckDB SQL equivalent (every catalog query has
+                 one — MinHash/SimHash run on md5, which both engines
+                 compute bit-identically)
 """
 
 from __future__ import annotations

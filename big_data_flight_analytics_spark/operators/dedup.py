@@ -8,13 +8,28 @@ Scale design:
   key distributes well because shingles are high-cardinality;
 - MinHash-LSH = signature -> bands -> bucket equi-join -> exact verify.
   Candidate generation cost scales with bucket collisions, not n^2;
-- SimHash = per-doc 64-bit signature; near-dup candidates via
+- SimHash = per-doc 32-bit signature; near-dup candidates via
   chunk-match (pigeonhole) equi-joins, verified by hamming distance.
 
-All signatures are built from Spark's xxhash64 (deterministic across
-runs/partitions). xxhash64 has no DuckDB equivalent, so MinHash/SimHash
-queries are registered without oracles (rows-only driver check); the
-Jaccard path IS oracle-checkable and doubles as their ground truth.
+All signatures are built from md5, which exists bit-identically in both
+Spark and DuckDB, so MinHash/SimHash are fully oracle-checkable:
+- MinHash permutation j of a shingle = md5(j || '|' || shingle); the
+  per-permutation min is taken over the 32-char lowercase hex strings —
+  lexicographic order on fixed-width lowercase hex equals numeric order
+  on the 128-bit digests, so this is a valid min-wise hash family.
+- SimHash token bits come from the md5 hex digits via ascii arithmetic
+  (both engines: value = ascii < 58 ? ascii-48 : ascii-87), bit k of the
+  hash = bit (k mod 4) of hex digit (k div 4).
+
+Skew safety at 100-TB scale (both are recall trades, mirrored exactly in
+the oracle SQL so parity is preserved):
+- empty-shingle docs are dropped BEFORE MinHash banding (they can never
+  pass the Jaccard verify, and a shared sentinel bucket would otherwise
+  generate d*(d-1)/2 candidates over all short docs);
+- ``max_band_df`` / ``max_chunk_df`` caps drop LSH buckets whose
+  population exceeds the cap before the pair join, bounding per-bucket
+  candidate work exactly like ``max_df`` does for the shingle posting
+  join in ``ngram_jaccard_pairs``.
 """
 
 from __future__ import annotations
@@ -23,8 +38,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from big_data_flight_analytics_spark.functions.text import rolling_fingerprint
-
-MERSENNE_P = (1 << 61) - 1
 
 
 def exact_dedup(
@@ -150,21 +163,22 @@ def _verify_jaccard(
 
 
 def _minhash_signature(shingles: Column, num_perm: int) -> Column:
-    """array<long> of ``num_perm`` min-hashes over the shingle set.
+    """array<string> of ``num_perm`` min-hashes over the shingle set.
 
-    Permutation j hashes each shingle with xxhash64(shingle, j) folded
-    into [0, 2^61-1). Empty shingle sets get MERSENNE_P sentinels (never
-    collide with real hashes in a band).
+    Permutation j hashes each shingle with md5(j || '|' || shingle); the
+    min is the lexicographic min of the 32-char lowercase hex digests,
+    which equals the numeric min of the 128-bit values — a valid
+    min-wise hash family that DuckDB reproduces bit-identically
+    (list_min(list_transform(shingles, s -> md5(j || '|' || s)))).
+    Callers must filter out empty shingle sets first (array_min of an
+    empty array is NULL).
     """
     sigs = [
-        F.coalesce(
-            F.array_min(
-                F.transform(
-                    shingles,
-                    lambda s, j=j: F.pmod(F.xxhash64(s, F.lit(j)), F.lit(MERSENNE_P)),
-                )
-            ),
-            F.lit(MERSENNE_P),
+        F.array_min(
+            F.transform(
+                shingles,
+                lambda s, j=j: F.md5(F.concat(F.lit(f"{j}|"), s)),
+            )
         )
         for j in range(num_perm)
     ]
@@ -179,6 +193,7 @@ def minhash_lsh_pairs(
     num_perm: int = 16,
     bands: int = 4,
     threshold: float = 0.2,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
@@ -186,22 +201,43 @@ def minhash_lsh_pairs(
     rows of any band become candidates (equi-join on the band hash —
     never a cross join); candidates are then verified against the exact
     n-gram Jaccard so output precision is 100%.
+
+    Skew safety: docs with zero shingles (< n tokens) are dropped before
+    banding — they cannot pass the verify, and a shared empty-signature
+    bucket would otherwise pair every short doc with every other.
+    ``max_band_df`` additionally drops band buckets holding more than
+    that many docs (a bucket of d docs costs d*(d-1)/2 candidate pairs;
+    boilerplate-heavy corpora concentrate there) — a recall-only trade,
+    emitted pairs stay exact.
     """
     assert num_perm % bands == 0
     rows = num_perm // bands
-    sh = _shingled(df, id_col, text_col, n)
+    sh = _shingled(df, id_col, text_col, n).filter(F.size("shingles") > 0)
     sig = sh.select(
         F.col(id_col), _minhash_signature(F.col("shingles"), num_perm).alias("sig")
     )
     band_rows = []
     for bi in range(bands):
-        band_key = F.hash(
-            F.lit(bi), *[F.element_at("sig", bi * rows + r + 1) for r in range(rows)]
+        band_key = F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(bi)),
+                *[F.element_at("sig", bi * rows + r + 1) for r in range(rows)],
+            )
         )
         band_rows.append(sig.select(F.col(id_col), band_key.alias("band_key")))
     posting = band_rows[0]
     for extra in band_rows[1:]:
         posting = posting.unionAll(extra)
+
+    if max_band_df is not None:
+        small = (
+            posting.groupBy("band_key")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_band_df)
+            .select("band_key")
+        )
+        posting = posting.join(small, "band_key")
 
     a = posting.select(F.col(id_col).alias("doc_a"), "band_key")
     b = posting.select(F.col(id_col).alias("doc_b"), "band_key")
@@ -215,24 +251,39 @@ def minhash_lsh_pairs(
     return _verify_jaccard(candidates, sh, id_col, threshold)
 
 
+def _hex_digit(h: Column, i: int) -> Column:
+    """Value 0-15 of the (1-based) i-th char of a lowercase hex string.
+
+    ascii arithmetic — '0'-'9' are 48-57, 'a'-'f' are 97-102 — so both
+    Spark and DuckDB compute the identical integer without any
+    engine-specific hex parser.
+    """
+    a = F.ascii(F.substring(h, i, 1))
+    return F.when(a < 58, a - 48).otherwise(a - 87)
+
+
 def simhash_signature(text_col: str = "text", bits: int = 32) -> Column:
     """SimHash: sign-sum of per-token hash bits -> integer signature.
 
-    For each bit k, sum +1/-1 over tokens according to bit k of
-    xxhash64(token); signature bit k = 1 iff the sum is positive.
-    One aggregate pass per bit over the token-hash array (shift amounts
-    must be Python ints for shiftright), all JVM-side expressions.
+    Token hash = md5(token); bit k of the hash is bit (k mod 4) of hex
+    digit (k div 4) — cross-engine (see module docstring). For each bit
+    k, sum +1/-1 over tokens; signature bit k = 1 iff the sum is
+    positive. One aggregate pass per bit over the token-hash array
+    (shift amounts must be Python ints for shiftright), all JVM-side.
     """
     from big_data_flight_analytics_spark.operators.text import tokens
 
-    hashes = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+    assert bits <= 128
+    hashes = F.transform(tokens(text_col), lambda t: F.md5(t))
 
     def bit_merge(k: int):
         # binary lambda factory: pyspark counts lambda params, so the
-        # shift amount must be closed over, not a default arg
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
+        # bit index must be closed over, not a default arg
+        def merge(acc: Column, h: Column) -> Column:
+            bit = F.shiftright(_hex_digit(h, k // 4 + 1), k % 4).bitwiseAND(F.lit(1))
+            return acc + F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
+
+        return merge
 
     sig = F.lit(0).cast("long")
     for k in range(bits):
@@ -249,24 +300,31 @@ def simhash_signatures(
     """(id, sim) signatures via explode + hash-aggregate — single pass.
 
     Equivalent to ``simhash_signature`` but token hashes are computed
-    once (explode) and the per-bit sign-sums run as one vectorized
-    hash aggregation instead of ``bits`` array-fold passes; one shuffle
-    on the doc id. Duplicate tokens weigh by multiplicity, matching the
-    per-token fold of the column-expression form.
+    once (explode), the hex digits of each md5 are decoded once into
+    ``bits/4`` small ints, and the per-bit sign-sums run as one
+    vectorized hash aggregation instead of ``bits`` array-fold passes;
+    one shuffle on the doc id. Duplicate tokens weigh by multiplicity,
+    matching the per-token fold of the column-expression form.
     """
     from big_data_flight_analytics_spark.operators.text import tokens
 
+    assert bits % 4 == 0 and bits <= 128
+    n_digits = bits // 4
     toked = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
-    hashed = toked.select(F.col(id_col), F.xxhash64("__t").alias("__h"))
+    hashed = toked.select(F.col(id_col), F.md5("__t").alias("__h"))
+    digits = hashed.select(
+        F.col(id_col),
+        *[_hex_digit(F.col("__h"), i + 1).alias(f"__d{i}") for i in range(n_digits)],
+    )
     bit_sums = [
         F.sum(
             F.when(
-                F.shiftright(F.col("__h"), k).bitwiseAND(F.lit(1)) == 1, 1
+                F.shiftright(F.col(f"__d{k // 4}"), k % 4).bitwiseAND(F.lit(1)) == 1, 1
             ).otherwise(-1)
         ).alias(f"__b{k}")
         for k in range(bits)
     ]
-    agg = hashed.groupBy(id_col).agg(*bit_sums)
+    agg = digits.groupBy(id_col).agg(*bit_sums)
     sig = F.lit(0).cast("long")
     for k in range(bits):
         sig = sig + F.when(
@@ -282,6 +340,7 @@ def simhash_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     chunks: int = 4,
+    max_chunk_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
@@ -289,6 +348,12 @@ def simhash_pairs(
     chunks, any qualifying pair agrees exactly on >= 1 chunk -> candidate
     generation is ``chunks`` equi-joins on chunk value, then an exact
     hamming verify via bit_count(xor).
+
+    ``max_chunk_df`` (skew cap): near-zero signatures from short docs
+    concentrate in few (chunk, value) buckets, and a bucket of d docs
+    costs d*(d-1)/2 join pairs; buckets holding more than the cap are
+    dropped before the pair join. Recall-only trade — a qualifying pair
+    is missed only if EVERY chunk it agrees on is hot.
     """
     assert max_hamming < chunks
     chunk_bits = bits // chunks
@@ -308,6 +373,16 @@ def simhash_pairs(
     posting = postings[0]
     for extra in postings[1:]:
         posting = posting.unionAll(extra)
+
+    if max_chunk_df is not None:
+        small = (
+            posting.groupBy("ck", "cv")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_chunk_df)
+            .select("ck", "cv")
+        )
+        posting = posting.join(small, ["ck", "cv"])
+
     a = posting.select(
         F.col(id_col).alias("doc_a"), F.col("sim").alias("sim_a"), "ck", "cv"
     )

@@ -2,10 +2,10 @@
 
 Dedup, similarity search, text analysis, multimodal plumbing — the
 operators a 100 TB training-data pipeline needs beyond the reference's
-surface. Oracle-checkable wherever the computation avoids
-engine-specific hashing (xxhash64-based MinHash/SimHash are registered
-without oracles -> driver rows-only check; their ground truth is the
-oracle-checked exact Jaccard query).
+surface. Every entry is oracle-checkable: MinHash/SimHash signatures
+are built on md5 (bit-identical in Spark and DuckDB — see
+operators/dedup.py), so even the LSH paths run under the full
+rows/schema/value-hash gate.
 """
 
 from __future__ import annotations
@@ -174,18 +174,138 @@ SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
 
 
 # ---------------------------------------------------------------------------
-# D3 / D4 — MinHash-LSH and SimHash near-dup (no oracle: xxhash64-based;
-# ground truth = D2)
+# D3 / D4 — MinHash-LSH and SimHash near-dup. md5-based signatures (see
+# operators/dedup.py module docstring) make both fully oracle-checkable;
+# the skew caps are mirrored in the SQL so parity holds at any value.
 # ---------------------------------------------------------------------------
+
+# Band buckets holding more docs than this are dropped before the pair
+# join (inactive at sf<=0.1 — max observed band population is 4 — but at
+# 100 TB boilerplate corpora concentrate quadratic candidate work there).
+MAX_BAND_DF = 50
+
+# SimHash chunk buckets ARE hot at test scale (near-zero signatures from
+# short docs: max bucket 128 docs at sf0.01, 1338 at sf0.1 — superlinear)
+# so this cap is active protection, not just insurance.
+MAX_CHUNK_DF = 100
+
 
 def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, threshold=JACCARD_THRESHOLD)
+    return minhash_lsh_pairs(
+        docs, threshold=JACCARD_THRESHOLD, max_band_df=MAX_BAND_DF
+    )
 
 
 def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return simhash_pairs(docs, bits=32, max_hamming=3, chunks=4)
+    return simhash_pairs(
+        docs, bits=32, max_hamming=3, chunks=4, max_chunk_df=MAX_CHUNK_DF
+    )
+
+
+D3_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS t
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 3 THEN
+               list_distinct(list_transform(range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
+           ELSE [] END AS shingles
+    FROM toks
+), ne AS (
+    SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0
+), sig AS (
+    SELECT doc_id,
+           list_transform(range(0, 16), j ->
+               list_min(list_transform(shingles, s -> md5(j || '|' || s)))) AS sig
+    FROM ne
+), bands AS (
+    SELECT doc_id,
+           md5(concat_ws('|', b.b,
+               sig[b.b * 4 + 1], sig[b.b * 4 + 2],
+               sig[b.b * 4 + 3], sig[b.b * 4 + 4])) AS band_key
+    FROM sig, range(0, 4) b(b)
+), small AS (
+    SELECT band_key FROM bands GROUP BY band_key HAVING COUNT(*) <= {MAX_BAND_DF}
+), capped AS (
+    SELECT doc_id, band_key FROM bands JOIN small USING (band_key)
+), candidates AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM capped a JOIN capped b
+      ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+), verified AS (
+    SELECT doc_a, doc_b,
+           ROUND(
+               len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+               (len(sa.shingles) + len(sb.shingles)
+                - len(list_intersect(sa.shingles, sb.shingles))), 4) AS jaccard
+    FROM candidates
+    JOIN ne sa ON sa.doc_id = doc_a
+    JOIN ne sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+def _d4_sql() -> str:
+    """SimHash oracle: md5 hex digits -> per-bit sign sums -> signature,
+    pigeonhole chunk joins with the hot-bucket cap, hamming verify —
+    the literal SQL restatement of operators/dedup.simhash_pairs."""
+    digit = (
+        "CASE WHEN ascii(substr(h, {i}, 1)) < 58"
+        " THEN ascii(substr(h, {i}, 1)) - 48"
+        " ELSE ascii(substr(h, {i}, 1)) - 87 END AS d{d}"
+    )
+    digits = ",\n           ".join(digit.format(i=i + 1, d=i) for i in range(8))
+    bitsums = ",\n           ".join(
+        f"SUM(CASE WHEN (d{k // 4} >> {k % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b{k}"
+        for k in range(32)
+    )
+    sigterms = "\n             + ".join(
+        f"CASE WHEN b{k} > 0 THEN {1 << k}::BIGINT ELSE 0::BIGINT END"
+        for k in range(32)
+    )
+    return rf"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+    FROM documents
+), hashed AS (
+    SELECT doc_id, md5(t) AS h FROM toks
+), digits AS (
+    SELECT doc_id,
+           {digits}
+    FROM hashed
+), sums AS (
+    SELECT doc_id,
+           {bitsums}
+    FROM digits GROUP BY doc_id
+), sig AS (
+    SELECT doc_id,
+           {sigterms} AS sim
+    FROM sums
+), posting AS (
+    SELECT doc_id, sim, c.ck AS ck, (sim >> (c.ck * 8)) & 255 AS cv
+    FROM sig, range(0, 4) c(ck)
+), small AS (
+    SELECT ck, cv FROM posting GROUP BY ck, cv HAVING COUNT(*) <= {MAX_CHUNK_DF}
+), capped AS (
+    SELECT doc_id, sim, ck, cv FROM posting JOIN small USING (ck, cv)
+), pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+    FROM capped a JOIN capped b
+      ON a.ck = b.ck AND a.cv = b.cv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+"""
+
+
+D4_SQL = _d4_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -334,7 +454,8 @@ EXTENSION_ORACLES = {
     "t1_text_stats": T1_SQL,
     "d1_exact_dedup": D1_SQL,
     "d2_ngram_jaccard": D2_SQL,
-    # d3/d4: xxhash64-based, no SQL equivalent -> rows-only check
+    "d3_minhash_lsh": D3_SQL,
+    "d4_simhash": D4_SQL,
     "v1_cosine_topk": V1_SQL,
     "v2_lsh_topk": V2_SQL,
     "d5_embedding_neardup": D5_SQL,

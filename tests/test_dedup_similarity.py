@@ -72,6 +72,49 @@ class TestSimHash:
         assert out.get((1, 3)) == 0  # same tokens after lowercasing
 
 
+class TestLshSkewCaps:
+    """The 100-TB skew levers: empty-doc filter + hot-bucket caps."""
+
+    def many_short_docs(self, spark):
+        # 40 docs with < 3 tokens (zero shingles) + 2 genuine near-dups.
+        rows = [Row(doc_id=i, text="hi") for i in range(100, 140)]
+        rows += [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy dog"),
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_minhash_empty_shingle_docs_never_pair(self, spark):
+        # Without the filter, all 40 shingle-less docs would share one
+        # sentinel band bucket -> 780 quadratic candidates. With it, the
+        # only emitted pair is the genuine duplicate.
+        out = minhash_lsh_pairs(self.many_short_docs(spark), threshold=0.3).collect()
+        assert {(r["doc_a"], r["doc_b"]) for r in out} == {(1, 2)}
+
+    def test_minhash_band_cap_drops_hot_bucket(self, spark):
+        # 12 identical docs share every band bucket (population 12).
+        dup = [Row(doc_id=i, text="a b c d e f g h i j") for i in range(12)]
+        df = spark.createDataFrame(dup)
+        assert minhash_lsh_pairs(df, threshold=0.3, max_band_df=10).count() == 0
+        assert minhash_lsh_pairs(df, threshold=0.3).count() == 66  # 12*11/2
+
+    def test_simhash_chunk_cap_drops_hot_bucket(self, spark):
+        # 12 identical docs -> identical signatures -> every (chunk,
+        # value) bucket holds 12 docs; the cap removes all of them.
+        dup = [Row(doc_id=i, text="a b c d e f g h i j") for i in range(12)]
+        df = spark.createDataFrame(dup)
+        assert simhash_pairs(df, max_chunk_df=10).count() == 0
+        assert simhash_pairs(df).count() == 66
+
+    def test_simhash_cap_is_recall_only(self, spark):
+        # A pair agreeing on a non-hot chunk survives even when one of
+        # its chunks is capped away: caps never create false pairs, and
+        # every emitted pair still meets the hamming bound.
+        out = simhash_pairs(corpus(spark), max_hamming=3, max_chunk_df=100).collect()
+        assert all(r["hamming"] <= 3 for r in out)
+        assert {(r["doc_a"], r["doc_b"]) for r in out} >= {(1, 3), (1, 5), (3, 5)}
+
+
 def embeddings(spark):
     rows = [
         Row(vec_id=0, embedding=[1.0, 0.5, 0.0, 0.0]),
