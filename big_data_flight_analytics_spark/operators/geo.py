@@ -39,6 +39,7 @@ def radius_join(
     distance_col: str = "distance_km",
     use_banding: bool | None = None,
     band_threshold: int = 1000,
+    site_count: int | None = None,
 ) -> DataFrame:
     """All (point, site) pairs within ``radius_km`` (haversine), one row each.
 
@@ -48,7 +49,9 @@ def radius_join(
 
     ``use_banding=None`` auto-picks: broadcast cross join below
     ``band_threshold`` sites (plan: BroadcastNestedLoopJoin over a
-    ~KB-scale side), latitude-banded equi-join above it.
+    ~KB-scale side), latitude-banded equi-join above it. Pass
+    ``site_count`` (from table/catalog statistics) to make that decision
+    without the extra count job, keeping the plan fully lazy.
     """
     pts = points.filter(F.col(point_lat).isNotNull() & F.col(point_lon).isNotNull())
     dist = haversine_km(
@@ -65,9 +68,13 @@ def radius_join(
     )
 
     if use_banding is None:
-        # cheap driver-side count of the small side is acceptable: sites
-        # tables are dimension-scale; at true scale pass use_banding=True.
-        use_banding = sites.count() > band_threshold
+        # decide from caller-provided statistics when available; the
+        # fallback count of the small side is acceptable only because
+        # sites tables are dimension-scale — at true scale pass
+        # site_count or use_banding=True.
+        if site_count is None:
+            site_count = sites.count()
+        use_banding = site_count > band_threshold
 
     if not use_banding:
         joined = pts.crossJoin(F.broadcast(sites)).filter(lat_box)

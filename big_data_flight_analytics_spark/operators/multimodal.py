@@ -15,7 +15,7 @@ bounded by batch size, not partition size; no shuffle is introduced.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -34,32 +34,64 @@ FEATURE_SCHEMA_TAIL = [
 
 
 def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Simulate a media column: utf-8 bytes of the text as ``payload``."""
-    return df.withColumn("payload", F.encode(F.col(text_col), "utf-8"))
+    """Simulate a media column: utf-8 bytes of the text as ``payload``.
+
+    Null text becomes empty bytes (not a null payload) so downstream
+    decoders see a total function of the column — matching the oracle,
+    which coalesces to '' before encode.
+    """
+    return df.withColumn(
+        "payload", F.encode(F.coalesce(F.col(text_col), F.lit("")), "utf-8")
+    )
 
 
 def _decode_stub(payload: bytes) -> tuple[int, int, int]:
     """Deterministic fake decode: (n_bytes, width, height).
 
-    A real implementation would be e.g.::
-
-        img = PIL.Image.open(io.BytesIO(payload))   # not available here
-        return len(payload), img.width, img.height
-
-    The fake derives stable pseudo-dimensions from the byte length so
-    the full pipeline (including the oracle) stays deterministic.
+    Derives stable pseudo-dimensions from the byte length so the full
+    pipeline (including the oracle) stays deterministic. Swap in
+    ``pil_image_decoder`` (or any ``bytes -> (n, w, h)`` callable) via
+    ``extract_features(decoder=...)`` where real media libs exist.
     """
     n = len(payload)
     return n, n % 640, (n * 7) % 480
 
 
+def pil_image_decoder(payload: bytes) -> tuple[int, int, int]:
+    """Real image decode via PIL, for environments that have it.
+
+    Import-guarded at call time: raises ImportError with a clear message
+    where PIL is absent (this sandbox), so the default stub path never
+    depends on it.
+    """
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - PIL absent in sandbox
+        raise ImportError(
+            "pil_image_decoder requires Pillow; use the default stub "
+            "decoder where media libraries are unavailable"
+        ) from e
+    import io
+
+    img = Image.open(io.BytesIO(payload))
+    return len(payload), img.width, img.height
+
+
 def extract_features(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder: Callable[[bytes], tuple[int, int, int]] | None = None,
 ) -> DataFrame:
     """mapInPandas feature extraction over a binary column.
 
     Output schema: (id_col, n_bytes, fake_width, fake_height).
+    ``decoder`` defaults to the deterministic stub; pass
+    ``pil_image_decoder`` (or any ``bytes -> (n_bytes, w, h)``) for real
+    media. Null payloads decode as empty bytes rather than crashing the
+    batch — agreeing with the oracle's coalesce-to-'' semantics.
     """
+    decode = decoder or _decode_stub
     id_field = [f for f in df.schema.fields if f.name == id_col]
     assert id_field, f"{id_col} missing from input"
     out_schema = StructType(
@@ -72,7 +104,7 @@ def extract_features(
         for pdf in it:
             # one Python call per payload (a real decoder is per-item
             # anyway), one unzip — no repeated Series.map passes
-            feats = [_decode_stub(p) for p in pdf[payload_col]]
+            feats = [decode(p if p is not None else b"") for p in pdf[payload_col]]
             n_bytes, widths, heights = (
                 zip(*feats) if feats else ((), (), ())
             )
@@ -96,10 +128,10 @@ def frame_sample_stub(
 ) -> DataFrame:
     """Video-frame-sampling shaped operator: one output row per sampled
     offset of the payload (stand-in for per-frame rows). Demonstrates the
-    1->N mapInPandas expansion the real frame sampler would use.
+    1->N mapInPandas expansion the real frame sampler would use; the
+    expansion itself is vectorized (numpy repeat + ragged arange), no
+    per-row Python inside the Arrow batch.
     """
-    import pandas as pd  # noqa: F401
-
     out_schema = StructType(
         [
             StructField(id_col, LongType(), True),
@@ -109,16 +141,22 @@ def frame_sample_stub(
     )
 
     def batches(it):
+        import numpy as np
         import pandas as pd
 
         for pdf in it:
-            rows = {id_col: [], "frame_no": [], "offset": []}
-            for _, r in pdf.iterrows():
-                n = len(r[payload_col])
-                for fi, off in enumerate(range(0, n, every_n_bytes)):
-                    rows[id_col].append(r[id_col])
-                    rows["frame_no"].append(fi)
-                    rows["offset"].append(off)
-            yield pd.DataFrame(rows)
+            lens = pdf[payload_col].map(len).to_numpy(dtype="int64")
+            n_frames = (lens + every_n_bytes - 1) // every_n_bytes
+            total = int(n_frames.sum())
+            # ragged arange: 0..k_i-1 per row, flattened
+            starts = np.cumsum(n_frames) - n_frames
+            frame_no = np.arange(total) - np.repeat(starts, n_frames)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), n_frames),
+                    "frame_no": frame_no.astype("int32"),
+                    "offset": (frame_no * every_n_bytes).astype("int32"),
+                }
+            )
 
     return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)

@@ -66,14 +66,26 @@ def sign_bucket(vec_col: str = "embedding", bits: int = 4):
     return bucket
 
 
+def adaptive_bits(n: int, target_bucket_size: int = 256) -> int:
+    """Sign-LSH bit width for an ``n``-row corpus: enough buckets that
+    the mean population is ~``target_bucket_size``. Deterministic in
+    ``n``, so an oracle can recompute it from COUNT(*) (GREATEST /
+    CEIL / LOG2 are IEEE-double in both engines; powers of two hit
+    exact log2 values, so the ceil never straddles an ulp)."""
+    import math
+
+    return max(1, math.ceil(math.log2(max(n / target_bucket_size, 2))))
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bits: int | None = 4,
+    bits: int | None = None,
     dp: int = 4,
     target_bucket_size: int = 256,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, sim >= threshold).
 
@@ -86,16 +98,20 @@ def embedding_neardup_pairs(
 
     Scale lever: within-bucket work is quadratic in bucket population
     (measured 23x runtime at 10x corpus with fixed bits=4), so ``bits``
-    must grow ~log2(n) with the corpus. ``bits=None`` derives it from a
-    corpus count targeting ``target_bucket_size`` rows per bucket (one
-    cheap count job; pass explicit bits to stay fully lazy — required
-    when the result must be oracle-reproducible).
+    must grow ~log2(n) with the corpus. The default ``bits=None``
+    derives it via ``adaptive_bits`` — the scale-safe configuration, and
+    still oracle-reproducible because the oracle recomputes the same
+    width from COUNT(*). The count is taken on a persisted corpus so the
+    signature scan reuses the cached data instead of re-reading the
+    source; at warehouse scale pass ``corpus_count`` from table/catalog
+    statistics instead (a 100 TB corpus should not be cached for a
+    count), which keeps the plan fully lazy with a single scan.
     """
     if bits is None:
-        import math
-
-        n = corpus.count()
-        bits = max(1, math.ceil(math.log2(max(n / target_bucket_size, 2))))
+        if corpus_count is None:
+            corpus = corpus.persist()
+            corpus_count = corpus.count()
+        bits = adaptive_bits(corpus_count, target_bucket_size)
     sig = corpus.select(
         F.col(id_col),
         F.col(vec_col).alias("__v"),

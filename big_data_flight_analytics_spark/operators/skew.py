@@ -83,7 +83,17 @@ def salted_broadcast_join(
     so each (key, salt) partition finds its match. With a broadcast dim
     this is usually unnecessary (no shuffle at all) — provided for the
     case where the dim exceeds broadcast size but a fact key is hot.
+
+    Only ``inner`` and ``left`` are supported: the dim side exists
+    ``salt_buckets`` times, so right/full outer modes would emit each
+    unmatched dim row once per salt value.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_broadcast_join supports how='inner'|'left', got {how!r}: "
+            "the replicated dim side would duplicate unmatched rows in "
+            "outer modes"
+        )
     salted_fact = fact.withColumn(
         "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
     )

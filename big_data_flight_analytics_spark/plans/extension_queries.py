@@ -389,21 +389,34 @@ SELECT query_id, neighbor_id, sim FROM ranked WHERE rn <= {TOPK}
 # ---------------------------------------------------------------------------
 
 NEARDUP_SIM = 0.4
+NEARDUP_TARGET_BUCKET = 256
 
 
 def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bits defaults to None -> adaptive_bits(COUNT(*)): the scale-safe
+    # configuration (fixed bits=4 measured 23x runtime at 10x corpus).
+    # Deterministic in the corpus count, so the oracle recomputes the
+    # identical width from COUNT(*) and parity holds at every sf.
     emb = load(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, threshold=NEARDUP_SIM, bits=LSH_BITS)
+    return embedding_neardup_pairs(
+        emb, threshold=NEARDUP_SIM, target_bucket_size=NEARDUP_TARGET_BUCKET
+    )
 
 
+# params mirrors operators/similarity.adaptive_bits: bits =
+# max(1, ceil(log2(max(n / target, 2)))); bucket = the same
+# first-``bits``-signs big-endian integer sign_bucket() builds.
 D5_SQL = f"""
-WITH sig AS (
-    SELECT vec_id, embedding,
-           (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END +
-            CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END +
-            CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END +
-            CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bucket
+WITH params AS (
+    SELECT GREATEST(1, CAST(CEIL(LOG2(GREATEST(
+               COUNT(*) / {NEARDUP_TARGET_BUCKET}.0, 2.0))) AS INTEGER)) AS bits
     FROM embeddings
+), sig AS (
+    SELECT vec_id, embedding,
+           list_sum(list_transform(range(1, bits + 1),
+               i -> CASE WHEN embedding[i] > 0
+                         THEN (1 << (bits - i)) ELSE 0 END)) AS bucket
+    FROM embeddings, params
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND(
@@ -431,9 +444,10 @@ def m1_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 M1_SQL = """
 SELECT doc_id,
-       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-       CAST(octet_length(encode(text)) % 640 AS INTEGER) AS fake_width,
-       CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS fake_height
+       CAST(octet_length(encode(COALESCE(text, ''))) AS INTEGER) AS n_bytes,
+       CAST(octet_length(encode(COALESCE(text, ''))) % 640 AS INTEGER) AS fake_width,
+       CAST((octet_length(encode(COALESCE(text, ''))) * 7) % 480 AS INTEGER)
+           AS fake_height
 FROM documents
 """
 

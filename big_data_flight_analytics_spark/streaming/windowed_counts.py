@@ -50,8 +50,12 @@ def airline_aircraft_counts(
     'N...' to PRIVATE; short to themselves; else first-3 uppercased.
     Output shape mirrors airlineCountToKeyValue (:103-116).
     """
-    # watermark attaches BEFORE the key filter: in the reference, stream
-    # time advances on every record, including ones the topology drops
+    # The watermark is declared before the key filter, but Catalyst
+    # pushes deterministic filters BELOW the EventTimeWatermark node, so
+    # records dropped here never advance Spark's watermark (unlike the
+    # reference, where stream time advances on every record). Tests and
+    # replayed backfills must flush windows with sentinel records that
+    # SURVIVE the filter (non-null callsign) — see replay.py.
     keyed = (
         stream.withWatermark("event_time", watermark)
         .filter(F.col("callsign").isNotNull())

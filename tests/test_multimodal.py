@@ -1,0 +1,67 @@
+"""Multimodal plumbing tests: Arrow batch shape, null payloads, decoder
+injection, vectorized frame expansion."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from big_data_flight_analytics_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_features,
+    frame_sample_stub,
+)
+
+
+def docs(spark):
+    rows = [
+        Row(doc_id=1, text="hello world"),        # 11 bytes
+        Row(doc_id=2, text=""),                   # 0 bytes
+        Row(doc_id=3, text=None),                 # null -> empty payload
+        Row(doc_id=4, text="x" * 700),            # wraps both fake dims
+    ]
+    return spark.createDataFrame(rows, schema="doc_id long, text string")
+
+
+class TestExtractFeatures:
+    def test_stub_features_and_null_text(self, spark):
+        out = {r["doc_id"]: r for r in
+               extract_features(attach_binary_payload(docs(spark))).collect()}
+        assert out[1]["n_bytes"] == 11
+        assert out[1]["fake_width"] == 11 and out[1]["fake_height"] == 77
+        # null text decodes as empty bytes — no crash, oracle-consistent
+        assert out[3]["n_bytes"] == 0
+        assert out[4]["fake_width"] == 60 and out[4]["fake_height"] == (700 * 7) % 480
+
+    def test_null_payload_column_guarded(self, spark):
+        # a payload column built elsewhere may carry real nulls
+        df = spark.createDataFrame(
+            [Row(doc_id=1, payload=b"abc"), Row(doc_id=2, payload=None)],
+            schema="doc_id long, payload binary",
+        )
+        out = {r["doc_id"]: r["n_bytes"] for r in extract_features(df).collect()}
+        assert out == {1: 3, 2: 0}
+
+    def test_decoder_injection(self, spark):
+        # the swap point for a real media decoder: any bytes -> (n, w, h)
+        def fake_decoder(payload: bytes) -> tuple[int, int, int]:
+            return len(payload), 640, 480
+
+        out = extract_features(
+            attach_binary_payload(docs(spark)), decoder=fake_decoder
+        ).collect()
+        assert all(r["fake_width"] == 640 and r["fake_height"] == 480 for r in out)
+
+
+class TestFrameSample:
+    def test_expansion_boundaries(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, payload=b""),          # 0 frames
+                Row(doc_id=2, payload=b"a" * 64),    # exactly 1 frame
+                Row(doc_id=3, payload=b"a" * 65),    # 2 frames
+            ],
+            schema="doc_id long, payload binary",
+        )
+        out = frame_sample_stub(df, every_n_bytes=64).collect()
+        got = {(r["doc_id"], r["frame_no"], r["offset"]) for r in out}
+        assert got == {(2, 0, 0), (3, 0, 0), (3, 1, 64)}

@@ -60,6 +60,17 @@ class TestSaltedJoin:
         salted = salted_broadcast_join(fact, dim, "k").groupBy("name").count()
         assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
 
+    def test_outer_modes_rejected(self, spark):
+        # the dim side is replicated per salt value: right/full outer
+        # would emit unmatched dim rows salt_buckets times
+        import pytest
+
+        fact = skewed_df(spark)
+        dim = spark.createDataFrame([Row(k="hot", name="H")])
+        for how in ("right", "full", "outer"):
+            with pytest.raises(ValueError, match="inner.*left"):
+                salted_broadcast_join(fact, dim, "k", how=how)
+
 
 class TestSemiAnti:
     def test_semi_plus_anti_partitions_fact(self, spark):

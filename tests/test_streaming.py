@@ -311,6 +311,31 @@ class TestUpsertSink:
         assert state["DAL"]["aircraft_count"] == 5  # replaced
         assert state["UAL"]["aircraft_count"] == 1  # retained
 
+    def test_crash_recovery_partial_staging(self, spark, tmp_path):
+        # crash BEFORE the swap: live intact, staging half-written ->
+        # the partial staging is discarded, live state survives
+        path = str(tmp_path / "state")
+        sink = ParquetUpsertSink(path, key_col="_id", version_col="v")
+        sink.merge(spark.createDataFrame([Row(_id="A", v=1)]), 0)
+        os.makedirs(path + ".staging")
+        with open(os.path.join(path + ".staging", "part-junk.parquet"), "w") as f:
+            f.write("not parquet")
+        sink.merge(spark.createDataFrame([Row(_id="B", v=2)]), 1)
+        assert not os.path.exists(path + ".staging")
+        assert {r["_id"] for r in sink.read(spark).collect()} == {"A", "B"}
+
+    def test_crash_recovery_between_renames(self, spark, tmp_path):
+        # crash BETWEEN the renames: live gone, staging complete
+        # (_SUCCESS present) -> staging is promoted, nothing lost
+        path = str(tmp_path / "state")
+        sink = ParquetUpsertSink(path, key_col="_id", version_col="v")
+        sink.merge(spark.createDataFrame([Row(_id="A", v=1)]), 0)
+        sink.merge(spark.createDataFrame([Row(_id="B", v=2)]), 1)
+        os.rename(path, path + ".old")          # live renamed aside...
+        os.rename(path + ".old", path + ".staging")  # ...new state staged
+        sink.merge(spark.createDataFrame([Row(_id="C", v=3)]), 2)
+        assert {r["_id"] for r in sink.read(spark).collect()} == {"A", "B", "C"}
+
     def test_streaming_foreach_batch_upsert(self, spark, tmp_path):
         src = str(tmp_path / "src")
         os.makedirs(src)
