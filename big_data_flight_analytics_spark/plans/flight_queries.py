@@ -112,6 +112,15 @@ def busiest_airports(
     cross-join computes identical values without the one-partition
     shuffle.
     """
+    return join_airports(
+        _scored_airports(flights, use_window, min_flights), airports
+    )
+
+
+def _scored_airports(
+    flights: DataFrame, use_window: bool = False,
+    min_flights: int = MIN_FLIGHTS_THRESHOLD,
+) -> DataFrame:
     counts = (
         flights.groupBy("Origin", "OriginCityName", "OriginStateName")
         .agg(F.count(F.col("Origin")).alias("FlightCount"))
@@ -147,7 +156,7 @@ def busiest_airports(
         .drop("_min", "_max", "_total")
         .orderBy(F.col("BusynessScorePercent").desc())
     )
-    return join_airports(scored, airports)
+    return scored
 
 
 def top_busiest_airports(
@@ -156,8 +165,23 @@ def top_busiest_airports(
 ) -> DataFrame:
     """The curated top-k slice written to the lake and shipped to the
     streaming geo lookup (batch_process.py:85-91) — the batch->stream
-    handoff of the lambda architecture."""
-    return busiest_airports(flights, airports, min_flights=min_flights).limit(k)
+    handoff of the lambda architecture.
+
+    The reference limits AFTER the metadata join, where Spark's join
+    does not preserve the upstream sort — which k rows survive is
+    plan-dependent (observed returning non-top rows). We implement the
+    evident intent deterministically: TakeOrderedAndProject on the
+    scored frame (score desc, code asc tie-break) BEFORE the broadcast
+    dim join — which also enriches only k rows instead of every
+    airport."""
+    top = (
+        _scored_airports(flights, min_flights=min_flights)
+        .orderBy(
+            F.col("BusynessScorePercent").desc(), F.col("AirportCode").asc()
+        )
+        .limit(k)
+    )
+    return join_airports(top, airports)
 
 
 # --- Q4 busiest weeks (batch_process.py:95-113) ----------------------------

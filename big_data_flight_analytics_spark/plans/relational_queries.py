@@ -458,6 +458,106 @@ SELECT user_id, event_type AS top_event_type FROM ranked WHERE rn = 1
 
 
 # ---------------------------------------------------------------------------
+# L3 — the full flights_lookup chain (J4 derived-key join + A9 dual
+# mode with desc-count/asc-value tie-break + A5 first() carry + J5
+# self-result join + F hhmm codec), the reference's most intricate
+# batch query, restated over events x customer x nation.
+# reference: flights_lookup_to_kafka.py:19-54
+# ---------------------------------------------------------------------------
+
+def l3_flights_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """callsign analog = mktsegment + '-' + nationkey (dim attr + key
+    piece, like ICAO + flight number); per callsign the mode of the
+    event HHMM ("CRSArrTime") and of a second derived code
+    ("CRSDepTime"), each with the reference's desc-count/asc-value
+    tie-break, carried group name via first() (functionally dependent
+    on the key, so deterministic), then the arr x dep self-join and
+    %02d:%02d formatting. Both dims broadcast; the two mode branches
+    shuffle on the derived key only."""
+    events = load(spark, sf_dir, "events")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+
+    cust = customer.filter(
+        F.length(F.trim(F.coalesce(F.col("c_mktsegment"), F.lit("")))) > 0
+    )
+    df = (
+        events.join(
+            F.broadcast(cust), events["user_id"] == cust["c_custkey"], "inner"
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "inner",
+        )
+        .withColumn(
+            "callsign",
+            F.concat(
+                F.col("c_mktsegment"), F.lit("-"), F.col("c_nationkey").cast("string")
+            ),
+        )
+        .filter(F.length(F.trim(F.col("callsign"))) > 0)
+        .withColumn("arr_hhmm", F.hour("ts") * 100 + F.minute("ts"))
+        .withColumn("dep_hhmm", (F.col("event_id") * 7) % 2400)
+    )
+    arr = mode_per_group(
+        df, ["callsign"], "arr_hhmm", carry={"group_name": F.first("n_name")}
+    ).select("callsign", F.col("arr_hhmm").alias("mode_arr"), "group_name")
+    dep = mode_per_group(df, ["callsign"], "dep_hhmm").select(
+        "callsign", F.col("dep_hhmm").alias("mode_dep")
+    )
+    return arr.join(dep, "callsign").select(
+        "callsign",
+        "group_name",
+        hhmm_to_str(F.col("mode_arr")).alias("arr_time"),
+        hhmm_to_str(F.col("mode_dep")).alias("dep_time"),
+    )
+
+
+L3_SQL = """
+WITH base AS (
+    SELECT e.event_id,
+           c.c_mktsegment || '-' || c.c_nationkey AS callsign,
+           n.n_name,
+           hour(e.ts) * 100 + minute(e.ts) AS arr_hhmm,
+           (e.event_id * 7) % 2400 AS dep_hhmm
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE length(trim(COALESCE(c.c_mktsegment, ''))) > 0
+      AND length(trim(c.c_mktsegment || '-' || c.c_nationkey)) > 0
+), arr_counts AS (
+    -- first(n_name): functionally dependent on callsign -> MIN is the
+    -- same value, deterministically
+    SELECT callsign, arr_hhmm, COUNT(*) AS cnt, MIN(n_name) AS group_name
+    FROM base GROUP BY 1, 2
+), dep_counts AS (
+    SELECT callsign, dep_hhmm, COUNT(*) AS cnt
+    FROM base GROUP BY 1, 2
+), arr_mode AS (
+    SELECT callsign, arr_hhmm, group_name
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY callsign
+                                       ORDER BY cnt DESC, arr_hhmm ASC) AS rn
+          FROM arr_counts)
+    WHERE rn = 1
+), dep_mode AS (
+    SELECT callsign, dep_hhmm
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY callsign
+                                       ORDER BY cnt DESC, dep_hhmm ASC) AS rn
+          FROM dep_counts)
+    WHERE rn = 1
+)
+SELECT a.callsign,
+       a.group_name,
+       printf('%02d:%02d', CAST(FLOOR(a.arr_hhmm / 100.0) AS INTEGER),
+              a.arr_hhmm % 100) AS arr_time,
+       printf('%02d:%02d', CAST(FLOOR(d.dep_hhmm / 100.0) AS INTEGER),
+              d.dep_hhmm % 100) AS dep_time
+FROM arr_mode a JOIN dep_mode d USING (callsign)
+"""
+
+
+# ---------------------------------------------------------------------------
 # F1 — HHMM time codec (F: hhmm_to_str via format_string)
 # reference: flights_lookup_to_kafka.py:15-16
 # ---------------------------------------------------------------------------
@@ -875,6 +975,7 @@ RELATIONAL_QUERIES = {
     "q9_part_attributes": q9_part_attributes,
     "l1_customer_balance_norm": l1_customer_balance_norm,
     "l2_user_top_event": l2_user_top_event,
+    "l3_flights_lookup": l3_flights_lookup,
     "f1_hhmm_histogram": f1_hhmm_histogram,
     "j1_enrich_orders": j1_enrich_orders,
     "j3_dedup_supplier_join": j3_dedup_supplier_join,
@@ -901,6 +1002,7 @@ RELATIONAL_ORACLES = {
     "q9_part_attributes": Q9_SQL,
     "l1_customer_balance_norm": L1_SQL,
     "l2_user_top_event": L2_SQL,
+    "l3_flights_lookup": L3_SQL,
     "f1_hhmm_histogram": F1_SQL,
     "j1_enrich_orders": J1_SQL,
     "j3_dedup_supplier_join": J3_SQL,

@@ -188,6 +188,153 @@ class TestFlightOracles:
         """)
         compare(sdf, rel)
 
+    def test_delay_reasons(self, spark, ducked):
+        data, con = ducked
+        sdf = FQ.delay_reasons(data["flights"])
+        rel = con.sql("""
+            SELECT 'CarrierDelay' AS DelayReason,
+                   AVG(CarrierDelay) AS AvgDelayMinutes FROM flights
+            UNION ALL SELECT 'WeatherDelay', AVG(WeatherDelay) FROM flights
+            UNION ALL SELECT 'NASDelay', AVG(NASDelay) FROM flights
+            UNION ALL SELECT 'SecurityDelay', AVG(SecurityDelay) FROM flights
+            UNION ALL SELECT 'LateAircraftDelay', AVG(LateAircraftDelay)
+                FROM flights
+        """)
+        compare(sdf, rel)
+
+    def test_days_with_cancellations(self, spark, ducked):
+        data, con = ducked
+        sdf = FQ.days_with_cancellations(data["flights"], min_flights=MIN)
+        rel = con.sql(f"""
+            SELECT DayOfWeek, COUNT(*) AS FlightCount,
+                   COUNT(CASE WHEN Cancelled = 1 THEN 1 END)
+                       AS CancellationCount,
+                   CASE WHEN COUNT(*) > 0 THEN
+                       COUNT(CASE WHEN Cancelled = 1 THEN 1 END) * 1.0
+                       / COUNT(*) * 100 END AS CancellationPercent
+            FROM flights GROUP BY 1 HAVING COUNT(*) > {MIN}
+        """)
+        compare(sdf, rel)
+
+    def test_diverted_flights_by_airport(self, spark, ducked):
+        data, con = ducked
+        sdf = FQ.diverted_flights_by_airport(
+            data["flights"], data["airports"], min_flights=10
+        )
+        rel = con.sql("""
+            WITH unp AS (
+                SELECT Div1Airport AS AirportCode FROM flights WHERE Diverted = 1
+                UNION ALL
+                SELECT Div2Airport FROM flights WHERE Diverted = 1
+                UNION ALL
+                SELECT Div3Airport FROM flights WHERE Diverted = 1
+                UNION ALL
+                SELECT Div4Airport FROM flights WHERE Diverted = 1
+                UNION ALL
+                SELECT Div5Airport FROM flights WHERE Diverted = 1
+            ), counts AS (
+                SELECT AirportCode, COUNT(*) AS DivertedFlightCount
+                FROM unp
+                WHERE AirportCode IS NOT NULL AND trim(AirportCode) <> ''
+                GROUP BY 1 HAVING COUNT(*) > 10
+            )
+            SELECT c.AirportCode, c.DivertedFlightCount,
+                   ap.latitude, ap.longitude, ap.name AS AirportName
+            FROM counts c LEFT JOIN airports ap ON c.AirportCode = ap.iata
+        """)
+        compare(sdf, rel)
+
+    def test_flights_lookup(self, spark, ducked):
+        # the full chain: derived-key inner join -> dual mode with
+        # desc-count/asc-time tie-break + first() carry -> arr x dep
+        # self-join -> HHMM formatting (flights_lookup_to_kafka.py:19-54).
+        # first(AirlineName) is deterministic here: fixture ICAOs are
+        # unique 3-char codes, so the callsign prefix determines the
+        # airline -> MIN() in SQL selects the identical value.
+        data, con = ducked
+        sdf = FQ.flights_lookup(data["flights"], data["airlines"])
+        rel = con.sql("""
+            WITH al AS (
+                SELECT IATA, ICAO, Name AS AirlineName FROM airlines
+                WHERE length(trim(COALESCE(ICAO, ''))) > 0
+            ), j AS (
+                SELECT al.ICAO || CAST(f.Flight_Number_Operating_Airline AS VARCHAR)
+                           AS callsign,
+                       al.AirlineName, f.CRSArrTime, f.CRSDepTime
+                FROM flights f JOIN al ON f.IATA = al.IATA
+            ), jf AS (
+                SELECT * FROM j WHERE length(trim(callsign)) > 0
+            ), arr_counts AS (
+                SELECT callsign, CRSArrTime, COUNT(*) AS cnt,
+                       MIN(AirlineName) AS AirlineName
+                FROM jf GROUP BY 1, 2
+            ), dep_counts AS (
+                SELECT callsign, CRSDepTime, COUNT(*) AS cnt
+                FROM jf GROUP BY 1, 2
+            ), arr_mode AS (
+                SELECT callsign, CRSArrTime AS mode_arr, AirlineName
+                FROM (SELECT *, ROW_NUMBER() OVER (
+                          PARTITION BY callsign
+                          ORDER BY cnt DESC, CRSArrTime ASC) AS rn
+                      FROM arr_counts)
+                WHERE rn = 1
+            ), dep_mode AS (
+                SELECT callsign, CRSDepTime AS mode_dep
+                FROM (SELECT *, ROW_NUMBER() OVER (
+                          PARTITION BY callsign
+                          ORDER BY cnt DESC, CRSDepTime ASC) AS rn
+                      FROM dep_counts)
+                WHERE rn = 1
+            )
+            SELECT a.callsign, a.AirlineName,
+                   printf('%02d:%02d', CAST(FLOOR(a.mode_arr / 100.0) AS INTEGER),
+                          a.mode_arr % 100) AS CRSArrTime,
+                   printf('%02d:%02d', CAST(FLOOR(d.mode_dep / 100.0) AS INTEGER),
+                          d.mode_dep % 100) AS CRSDepTime
+            FROM arr_mode a JOIN dep_mode d USING (callsign)
+        """)
+        compare(sdf, rel)
+
+    def test_top_busiest_airports_slice(self, spark, ducked):
+        # the curated top-10 batch->stream handoff
+        # (airports_lookup_to_kafka.py:17-59 reads this slice). The
+        # fixture's airport counts are pairwise distinct at the k
+        # boundary (asserted below), so the limit is unambiguous.
+        data, con = ducked
+        sdf = FQ.top_busiest_airports(data["flights"], data["airports"], k=5,
+                                      min_flights=MIN)
+        boundary = con.sql(f"""
+            SELECT COUNT(*) FROM (
+                SELECT COUNT(*) AS c FROM flights
+                GROUP BY Origin, OriginCityName, OriginStateName
+                HAVING COUNT(*) > {MIN}
+                ORDER BY c DESC LIMIT 6
+            ) t GROUP BY c HAVING COUNT(*) > 1
+        """).fetchall()
+        assert not boundary, "fixture tie at the k boundary; pick another k"
+        rel = con.sql(f"""
+            WITH counts AS (
+                SELECT Origin AS AirportCode, OriginCityName AS CityName,
+                       OriginStateName AS StateName, COUNT(*) AS FlightCount
+                FROM flights GROUP BY 1, 2, 3 HAVING COUNT(*) > {MIN}
+            ), stats AS (
+                SELECT MIN(FlightCount) AS mn, MAX(FlightCount) AS mx,
+                       SUM(FlightCount) AS tot FROM counts
+            )
+            SELECT c.AirportCode, c.CityName, c.StateName,
+                   CAST(c.FlightCount AS BIGINT) AS FlightCount,
+                   CASE WHEN s.mx = s.mn THEN 100.0
+                        ELSE (c.FlightCount - s.mn) * 1.0 / (s.mx - s.mn) * 100
+                   END AS BusynessScorePercent,
+                   CASE WHEN s.tot > 0 THEN c.FlightCount * 1.0 / s.tot * 100
+                        ELSE 0.0 END AS ShareOfTotalFlightsPercent,
+                   ap.latitude, ap.longitude, ap.name AS AirportName
+            FROM counts c CROSS JOIN stats s
+            LEFT JOIN airports ap ON c.AirportCode = ap.iata
+            ORDER BY BusynessScorePercent DESC, c.AirportCode ASC LIMIT 5
+        """)
+        compare(sdf, rel)
+
     def test_aircrafts_lookup(self, spark, ducked):
         data, con = ducked
         # dropDuplicates keeps an ARBITRARY row per key (reference
