@@ -204,7 +204,35 @@ def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-D3_SQL = rf"""
+def _d3_sql() -> str:
+    """MinHash oracle: one md5 per shingle, two 28-bit ints from the hex
+    via ascii arithmetic, permutations (h1 + j*h2) mod 2^31-1, banded
+    candidates with the hot-bucket cap, exact-Jaccard verify — the
+    literal SQL restatement of operators/dedup.minhash_lsh_pairs."""
+    digit = (
+        "(CASE WHEN ascii(substr(h, {i}, 1)) < 58"
+        " THEN ascii(substr(h, {i}, 1)) - 48"
+        " ELSE ascii(substr(h, {i}, 1)) - 87 END)"
+    )
+
+    def hex_int(start: int, width: int) -> str:
+        expr = digit.format(i=start)
+        for t in range(1, width):
+            expr = f"({expr} * 16 + {digit.format(i=start + t)})"
+        return expr
+
+    mins = ",\n           ".join(
+        f"MIN((CAST(h1 AS BIGINT) + {j} * CAST(h2 AS BIGINT)) % 2147483647)"
+        f" AS s{j}"
+        for j in range(16)
+    )
+    band_exprs = ", ".join(
+        "md5(concat_ws('|', '{bi}', s{a}, s{b}, s{c}, s{d}))".format(
+            bi=bi, a=bi * 4, b=bi * 4 + 1, c=bi * 4 + 2, d=bi * 4 + 3
+        )
+        for bi in range(4)
+    )
+    return rf"""
 WITH toks AS (
     SELECT doc_id,
            regexp_split_to_array(trim(lower(text)), '\s+') AS t
@@ -218,17 +246,21 @@ WITH toks AS (
     FROM toks
 ), ne AS (
     SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0
-), sig AS (
+), posting AS (
+    SELECT doc_id, unnest(shingles) AS s FROM ne
+), hashed AS (
+    SELECT doc_id, md5(s) AS h FROM posting
+), hh AS (
     SELECT doc_id,
-           list_transform(range(0, 16), j ->
-               list_min(list_transform(shingles, s -> md5(j || '|' || s)))) AS sig
-    FROM ne
+           {hex_int(1, 7)} AS h1,
+           {hex_int(8, 7)} AS h2
+    FROM hashed
+), sigs AS (
+    SELECT doc_id,
+           {mins}
+    FROM hh GROUP BY doc_id
 ), bands AS (
-    SELECT doc_id,
-           md5(concat_ws('|', b.b,
-               sig[b.b * 4 + 1], sig[b.b * 4 + 2],
-               sig[b.b * 4 + 3], sig[b.b * 4 + 4])) AS band_key
-    FROM sig, range(0, 4) b(b)
+    SELECT doc_id, unnest([{band_exprs}]) AS band_key FROM sigs
 ), small AS (
     SELECT band_key FROM bands GROUP BY band_key HAVING COUNT(*) <= {MAX_BAND_DF}
 ), capped AS (
@@ -249,6 +281,9 @@ WITH toks AS (
 )
 SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
 """
+
+
+D3_SQL = _d3_sql()
 
 
 def _d4_sql() -> str:
@@ -389,7 +424,10 @@ SELECT query_id, neighbor_id, sim FROM ranked WHERE rn <= {TOPK}
 # ---------------------------------------------------------------------------
 
 NEARDUP_SIM = 0.4
-NEARDUP_TARGET_BUCKET = 256
+# 128 rows/bucket: bucket pair-work stays bounded while recall stays
+# useful; at sf0.1 (2000 vecs) this derives bits=4 — the same width the
+# 10x scaling study validated — and keeps growing with log2(corpus).
+NEARDUP_TARGET_BUCKET = 128
 
 
 def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

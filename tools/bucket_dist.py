@@ -13,7 +13,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from big_data_flight_analytics_spark.operators.dedup import (  # noqa: E402
-    _minhash_signature,
+    MINHASH_P,
     _shingled,
     simhash_signatures,
 )
@@ -26,23 +26,37 @@ def main() -> None:
     spark = get_session(app_name="bucket_dist")
     docs = load(spark, sf_dir, "documents")
 
-    # MinHash band buckets
+    # MinHash band buckets (mirrors minhash_lsh_pairs' construction)
     sh = _shingled(docs, "doc_id", "text", 3).filter(F.size("shingles") > 0)
-    sig = sh.select("doc_id", _minhash_signature(F.col("shingles"), 16).alias("sig"))
+    hh = (
+        sh.select(F.col("doc_id"), F.explode("shingles").alias("__sh"))
+        .select(F.col("doc_id"), F.md5("__sh").alias("__h"))
+        .select(
+            F.col("doc_id"),
+            F.conv(F.substring("__h", 1, 7), 16, 10).cast("long").alias("__h1"),
+            F.conv(F.substring("__h", 8, 7), 16, 10).cast("long").alias("__h2"),
+        )
+    )
+    sig = hh.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("__h1") + F.lit(j) * F.col("__h2")) % MINHASH_P).alias(
+                f"__s{j}"
+            )
+            for j in range(16)
+        ]
+    )
     rows = 4
-    parts = []
-    for bi in range(4):
-        key = F.md5(
+    band_keys = [
+        F.md5(
             F.concat_ws(
                 "|",
                 F.lit(str(bi)),
-                *[F.element_at("sig", bi * rows + r + 1) for r in range(rows)],
+                *[F.col(f"__s{bi * rows + r}") for r in range(rows)],
             )
         )
-        parts.append(sig.select(key.alias("band_key")))
-    posting = parts[0]
-    for p in parts[1:]:
-        posting = posting.unionAll(p)
+        for bi in range(4)
+    ]
+    posting = sig.select(F.explode(F.array(*band_keys)).alias("band_key"))
     dist = (
         posting.groupBy("band_key")
         .count()
