@@ -135,6 +135,86 @@ def embedding_neardup_pairs(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dp: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus into
+    ``n_centroids`` cells, probe only the ``nprobe`` nearest cells per
+    query, rank exact cosine within the probed candidates.
+
+    Centroid selection here is deterministic (the ``n_centroids``
+    corpus vectors with the smallest ids) so the oracle can reproduce
+    it; a production pipeline would drop in k-means centroids — every
+    stage downstream of the centroid table is unchanged.
+
+    Scale design: the centroid table is tiny and broadcast to both
+    assignment joins, so the corpus is scored against centroids
+    map-side (no shuffle); the only shuffles are the corpus
+    re-partition on ``__cell`` for the probe join and the per-query
+    top-k window. Per-query work drops from |corpus| to
+    ~|corpus| * nprobe / n_centroids. Recall is bounded by the probe
+    count — raise ``nprobe`` toward ``n_centroids`` to trade speed
+    back for exactness.
+    """
+    cents = F.broadcast(
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec"))
+    )
+
+    def nearest_cells(df: DataFrame, out_id: str, n_keep: int) -> DataFrame:
+        scored = df.select(
+            F.col(id_col).alias(out_id), F.col(vec_col).alias("__v")
+        ).crossJoin(cents).select(
+            out_id,
+            "__v",
+            "__cid",
+            cosine_similarity(F.col("__v"), F.col("__cvec"), dp=dp).alias("__csim"),
+        )
+        w = Window.partitionBy(out_id).orderBy(
+            F.col("__csim").desc(), F.col("__cid").asc()
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n_keep)
+            .select(out_id, "__v", F.col("__cid").alias("__cell"))
+        )
+
+    assigned = nearest_cells(corpus, "neighbor_id", 1)
+    probes = nearest_cells(queries, "query_id", nprobe)
+    scored = (
+        assigned.join(
+            probes.select(
+                "query_id", F.col("__v").alias("__qv"), "__cell"
+            ),
+            "__cell",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("__qv"), F.col("__v"), dp=dp).alias("sim"),
+        )
+    )
+    # no dedup needed: each corpus row lives in exactly one cell, so a
+    # (query, neighbor) pair can appear at most once
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim")
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

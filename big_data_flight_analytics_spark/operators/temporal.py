@@ -1,0 +1,140 @@
+"""Temporal operators: as-of join and gap sessionization.
+
+Both are built on the union-window pattern rather than range joins:
+
+- ``asof_join`` tags left (probe) and right (reference) rows, unions
+  them, and takes ``last(payload, ignorenulls=True)`` over a window
+  partitioned by key and ordered by event time. This is the scalable
+  as-of strategy: ONE shuffle on the join key, no time-range candidate
+  explosion, no per-key driver loop — at 100 TB both sides shuffle once
+  and every partition resolves its keys independently. (A broadcast
+  range join would replicate the reference side; a theta join would be
+  quadratic per key.)
+- ``sessionize`` derives gap-based session ids with lag + a running sum
+  over the same per-key window — the standard distributed
+  sessionization; one shuffle on the user key, state bounded by the
+  window frame (growing frames over sorted runs are streaming-friendly
+  in Tungsten's window operator).
+
+Determinism rules (oracle parity): every window order includes explicit
+tie-break columns, and at equal timestamps reference rows sort BEFORE
+probe rows so the as-of semantics are inclusive (reference.time <=
+probe.time), with the largest tie-break reference row winning among
+equal-time references.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    payload: dict[str, str],
+    right_tie: str,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, attach the most recent right row per key.
+
+    ``payload`` maps right-side column -> output alias. Matching is
+    inclusive (``right_time <= left_time``); among right rows sharing
+    the as-of timestamp the one with the largest ``right_tie`` wins.
+    Left rows with no prior right row keep NULL payloads (left-outer
+    as-of semantics).
+
+    Implementation: union the two sides with a side tag, then
+    ``last(payload, ignorenulls=True)`` over
+    ``partitionBy(on).orderBy(time, side, tie)`` with an
+    unbounded-preceding running frame; right rows carry the payload,
+    left rows carry NULL, so the running "last non-null" at each left
+    row is exactly the as-of match. One shuffle total.
+    """
+    lt = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("long").alias("__tie"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}") for c in payload],
+    )
+    rt = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c != on],
+        F.col(on),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.col(right_tie).cast("long").alias("__tie"),
+        *[F.col(c).alias(f"__p_{c}") for c in payload],
+    )
+    u = lt.unionByName(rt)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__tie").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *[F.col(c) for c in left.columns],
+        F.col("__side"),
+        *[
+            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(alias)
+            for c, alias in payload.items()
+        ],
+    )
+    return filled.filter(F.col("__side") == 1).drop("__side")
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    tie_col: str,
+) -> DataFrame:
+    """Assign gap-based session indexes per key.
+
+    A new session starts when the micros-exact gap to the previous event
+    of the same key exceeds ``gap_seconds`` (or there is none).
+    Output: input columns + ``session_idx`` (1-based per key, in time
+    order). Gap arithmetic runs on ``unix_micros`` BIGINTs so engines
+    cannot disagree on sub-second rounding.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tie_col).asc()
+    )
+    us = F.unix_micros(F.col(ts_col))
+    prev = F.lag(us).over(w)
+    new_flag = F.when(
+        prev.isNull() | ((us - prev) > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    run = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tie_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.withColumn("session_idx", F.sum(new_flag).over(run))
+
+
+def session_stats(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    tie_col: str,
+) -> DataFrame:
+    """Per-session aggregates: bounds (epoch micros), size, duration.
+
+    Same single shuffle as ``sessionize`` — the groupBy keys are a
+    superset of the window partition key, so AQE reuses the exchange.
+    """
+    s = sessionize(events, key_col, ts_col, gap_seconds, tie_col)
+    us = F.unix_micros(F.col(ts_col))
+    return (
+        s.groupBy(key_col, "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(us).alias("start_us"),
+            F.max(us).alias("end_us"),
+        )
+        .withColumn("duration_us", F.col("end_us") - F.col("start_us"))
+    )

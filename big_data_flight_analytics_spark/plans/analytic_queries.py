@@ -1,0 +1,384 @@
+"""Advanced analytic catalog queries: as-of join, sessionization,
+multi-dimensional rollup, pivot, and IVF approximate nearest neighbor.
+
+These widen the engine beyond the reference's surface with the
+operators a warehouse/training-data pipeline leans on daily. Every
+entry runs under the full oracle gate (rows/schema/value-hash vs
+DuckDB).
+
+Parity notes (see BASELINE.md / tools/selfcheck.py):
+- timestamps are never emitted — epoch micros BIGINTs only;
+- session/as-of ordering always carries explicit tie-break columns;
+- double sums are accumulated as DECIMAL (exact, order-independent)
+  then cast back to DOUBLE, so engine-specific accumulation order
+  cannot flip a rounding boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_flight_analytics_spark.operators.similarity import ivf_topk
+from big_data_flight_analytics_spark.operators.temporal import (
+    asof_join,
+    session_stats,
+)
+from big_data_flight_analytics_spark.plans.tables import load
+
+# ---------------------------------------------------------------------------
+# J9 — as-of join: each event gets the most recent order of the same
+# customer (order_date <= event_ts; ties -> largest orderkey).
+# Union-window strategy: ONE shuffle on the key, no range explosion.
+# ---------------------------------------------------------------------------
+
+
+def j9_asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderdate",
+        "o_orderkey",
+        "o_totalprice",
+    )
+    joined = asof_join(
+        events.select("event_id", "user_id", "ts"),
+        orders,
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload={"o_orderkey": "asof_orderkey", "o_totalprice": "asof_totalprice"},
+        right_tie="o_orderkey",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("event_us"),
+        "asof_orderkey",
+        "asof_totalprice",
+    )
+
+
+J9_SQL = """
+WITH l AS (
+    SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+), r AS (
+    SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS t,
+           o_orderkey, o_totalprice
+    FROM orders
+), u AS (
+    SELECT event_id, user_id, t, 1 AS side, CAST(NULL AS BIGINT) AS tie,
+           CAST(NULL AS BIGINT) AS p_key, CAST(NULL AS DOUBLE) AS p_price
+    FROM l
+    UNION ALL
+    SELECT NULL, user_id, t, 0, o_orderkey, o_orderkey, o_totalprice FROM r
+), filled AS (
+    SELECT event_id, user_id, t, side,
+           LAST_VALUE(p_key IGNORE NULLS) OVER w AS asof_orderkey,
+           LAST_VALUE(p_price IGNORE NULLS) OVER w AS asof_totalprice
+    FROM u
+    WINDOW w AS (PARTITION BY user_id ORDER BY t ASC, side ASC, tie ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, t AS event_us, asof_orderkey, asof_totalprice
+FROM filled WHERE side = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# S4 — gap sessionization (30-min inactivity) -> per-session stats.
+# lag + running sum over one per-user window; micros-exact arithmetic.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_S = 1800
+
+
+def s4_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return session_stats(
+        events.select("user_id", "event_id", "ts"),
+        key_col="user_id",
+        ts_col="ts",
+        gap_seconds=SESSION_GAP_S,
+        tie_col="event_id",
+    ).select("user_id", "session_idx", "n_events", "start_us", "end_us", "duration_us")
+
+
+S4_SQL = f"""
+WITH e AS (
+    SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+), flags AS (
+    SELECT user_id, event_id, us,
+           CASE WHEN lag(us) OVER w IS NULL
+                     OR us - lag(us) OVER w > {SESSION_GAP_S} * 1000000
+                THEN 1 ELSE 0 END AS nf
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
+), sess AS (
+    SELECT user_id, us,
+           CAST(SUM(nf) OVER (PARTITION BY user_id
+                              ORDER BY us ASC, event_id ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_idx
+    FROM flags
+)
+SELECT user_id, session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(us) AS start_us,
+       MAX(us) AS end_us,
+       MAX(us) - MIN(us) AS duration_us
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# A8 — multi-dimensional rollup: revenue cube over returnflag x
+# linestatus with grouping id. DECIMAL-accumulated sums (exact,
+# order-independent) cast back to DOUBLE.
+# ---------------------------------------------------------------------------
+
+
+def a8_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n_items", "revenue", "sum_qty")
+    )
+
+
+A8_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# R4 — pivot: order totals per priority, one column per order status.
+# Explicit pivot values keep the plan single-pass (no distinct-scan job).
+# ---------------------------------------------------------------------------
+
+ORDER_STATUSES = ["F", "O", "P"]
+
+
+def r4_pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ORDER_STATUSES)
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+    )
+
+
+R4_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+            AS DOUBLE) AS "F",
+       CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+            AS DOUBLE) AS "O",
+       CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+            AS DOUBLE) AS "P"
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# V3 — IVF approximate top-k over embeddings: deterministic coarse
+# centroids, nprobe-cell probing, exact cosine within candidates.
+# ---------------------------------------------------------------------------
+
+N_QUERY_VECS = 5
+TOPK = 3
+N_CENTROIDS = 16
+NPROBE = 4
+
+
+def v3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return ivf_topk(
+        emb, queries, k=TOPK, n_centroids=N_CENTROIDS, nprobe=NPROBE
+    )
+
+
+V3_SQL = f"""
+WITH cents AS (
+    SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+    ORDER BY vec_id ASC LIMIT {N_CENTROIDS}
+), cscored AS (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROUND(
+             list_dot_product(e.embedding, c.cvec) /
+             (sqrt(list_dot_product(e.embedding, e.embedding))
+              * sqrt(list_dot_product(c.cvec, c.cvec))), 4) AS csim
+    FROM embeddings e CROSS JOIN cents c
+), assigned AS (
+    SELECT vec_id AS neighbor_id, embedding AS nv, cid AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY csim DESC, cid ASC) AS rn
+        FROM cscored
+    ) WHERE rn <= 1
+), probes AS (
+    SELECT vec_id AS query_id, embedding AS qv, cid AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY csim DESC, cid ASC) AS rn
+        FROM cscored WHERE vec_id < {N_QUERY_VECS}
+    ) WHERE rn <= {NPROBE}
+), scored AS (
+    SELECT p.query_id, a.neighbor_id,
+           ROUND(
+             list_dot_product(p.qv, a.nv) /
+             (sqrt(list_dot_product(p.qv, p.qv))
+              * sqrt(list_dot_product(a.nv, a.nv))), 4) AS sim
+    FROM assigned a JOIN probes p ON a.cell = p.cell
+    WHERE a.neighbor_id <> p.query_id
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id ASC) AS rn
+    FROM scored
+)
+SELECT query_id, neighbor_id, sim FROM ranked WHERE rn <= {TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# F2 — JSON extraction: parse the `props` JSON column, bucket the `k`
+# field, aggregate. get_json_object is JVM-side (Jackson) — the JSON
+# path never leaves codegen, no UDF.
+# ---------------------------------------------------------------------------
+
+
+def f2_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select(
+            (k - k % 10).alias("k_bucket"),
+            F.col("value"),
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+F2_SQL = """
+WITH parsed AS (
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value
+    FROM events
+)
+SELECT k - k % 10 AS k_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(AVG(value), 4) AS avg_value
+FROM parsed GROUP BY k_bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# W3 — running total per key (cumulative analytic frame); W4 — lag
+# deltas per key. Classic ordered-analytics; DECIMAL accumulation for
+# the running sum so partial-order differences can't flip a rounding.
+# ---------------------------------------------------------------------------
+
+
+def w3_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        # o_orderdate is TIMESTAMP_NTZ; cast is identity under the UTC
+        # session default
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("order_us"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+W3_SQL = """
+SELECT o_custkey, o_orderkey,
+       epoch_us(o_orderdate) AS order_us,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_total
+FROM orders
+"""
+
+
+def w4_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+
+
+W4_SQL = """
+SELECT o_custkey, o_orderkey,
+       epoch_us(o_orderdate)
+         - lag(epoch_us(o_orderdate))
+             OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate ASC, o_orderkey ASC) AS gap_us
+FROM orders
+"""
+
+
+ANALYTIC_QUERIES = {
+    "j9_asof_events_orders": j9_asof_events_orders,
+    "s4_user_sessions": s4_user_sessions,
+    "a8_rollup_revenue": a8_rollup_revenue,
+    "r4_pivot_order_status": r4_pivot_order_status,
+    "v3_ivf_topk": v3_ivf_topk,
+    "f2_props_json": f2_props_json,
+    "w3_running_revenue": w3_running_revenue,
+    "w4_order_gaps": w4_order_gaps,
+}
+
+ANALYTIC_ORACLES = {
+    "j9_asof_events_orders": J9_SQL,
+    "s4_user_sessions": S4_SQL,
+    "a8_rollup_revenue": A8_SQL,
+    "r4_pivot_order_status": R4_SQL,
+    "v3_ivf_topk": V3_SQL,
+    "f2_props_json": F2_SQL,
+    "w3_running_revenue": W3_SQL,
+    "w4_order_gaps": W4_SQL,
+}

@@ -8,6 +8,10 @@ rows-only check (documented per query).
 
 from __future__ import annotations
 
+from big_data_flight_analytics_spark.plans.analytic_queries import (
+    ANALYTIC_ORACLES,
+    ANALYTIC_QUERIES,
+)
 from big_data_flight_analytics_spark.plans.extension_queries import (
     EXTENSION_ORACLES,
     EXTENSION_QUERIES,
@@ -17,7 +21,7 @@ from big_data_flight_analytics_spark.plans.relational_queries import (
     RELATIONAL_QUERIES,
 )
 
-QUERIES = {**RELATIONAL_QUERIES, **EXTENSION_QUERIES}
-ORACLES = {**RELATIONAL_ORACLES, **EXTENSION_ORACLES}
+QUERIES = {**RELATIONAL_QUERIES, **EXTENSION_QUERIES, **ANALYTIC_QUERIES}
+ORACLES = {**RELATIONAL_ORACLES, **EXTENSION_ORACLES, **ANALYTIC_ORACLES}
 
 assert set(ORACLES) <= set(QUERIES), "oracle without a query"

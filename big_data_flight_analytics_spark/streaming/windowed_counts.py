@@ -72,6 +72,38 @@ def airline_aircraft_counts(
     )
 
 
+def session_counts(
+    stream: DataFrame,
+    key_col: str = "icao24",
+    gap: str = "30 minutes",
+    watermark: str = STREAM_WATERMARK,
+) -> DataFrame:
+    """Gap-based session aggregation per key (streaming counterpart of
+    operators/temporal.sessionize).
+
+    ``F.session_window`` merges events within ``gap`` of each other into
+    one growing window per key; append mode + watermark emits each
+    session exactly once, ``gap`` after its last event. State per key is
+    one open session (merged incrementally), so memory is bounded by
+    live-key cardinality, not event volume — the scale-safe shape for
+    100 TB streams. Window bounds are [first_event, last_event + gap);
+    the batch operator reports last_event instead of last+gap, which is
+    the only intended difference.
+    """
+    keyed = stream.withWatermark("event_time", watermark).filter(
+        F.col(key_col).isNotNull()
+    )
+    agg = keyed.groupBy(
+        F.session_window("event_time", gap).alias("w"), key_col
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return agg.select(
+        F.col(key_col),
+        F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+        F.unix_millis(F.col("w.end")).alias("session_end_ms"),
+        F.col("n_events").cast("int").alias("n_events"),
+    )
+
+
 def airport_aircraft_counts(
     stream: DataFrame,
     airports_lookup: DataFrame,

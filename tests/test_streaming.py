@@ -249,6 +249,49 @@ class TestAirlineCounts:
         assert got["DAL"] == 2  # HLL exact at tiny cardinality
 
 
+class TestSessionCounts:
+    def test_gap_merge_and_flush(self, spark, tmp_path):
+        from big_data_flight_analytics_spark.streaming.windowed_counts import (
+            session_counts,
+        )
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        # aaa111: two events 60s apart (one session at 2-min gap), then
+        # one 400s later (new session); events split across files so the
+        # session must MERGE across micro-batches
+        write_file(src, "f1.json", [
+            sv(BASE + 0, "aaa111", callsign="DAL123"),
+            sv(BASE + 10, "bbb222", callsign="UAL100"),
+        ], BASE)
+        write_file(src, "f2.json", [sv(BASE + 60, "aaa111", callsign="DAL123")],
+                   BASE + 10)
+        write_file(src, "f3.json", [sv(BASE + 400, "aaa111", callsign="DAL123"),
+                                    *SENTINEL], BASE + 20)
+
+        def build(raw):
+            return session_counts(
+                transformed_stream(parse_opensky(raw)), gap="2 minutes"
+            )
+
+        rows = run_stream(spark, src, build, query_name="session_counts")
+        got = {
+            (r["icao24"], r["session_start_ms"] // 1000): r
+            for r in rows if r["icao24"] != "zz9999"
+        }
+        first = got[("aaa111", BASE)]
+        assert first["n_events"] == 2
+        # session window closes gap after the LAST event
+        assert first["session_end_ms"] // 1000 == BASE + 60 + 120
+        second = got[("aaa111", BASE + 400)]
+        assert second["n_events"] == 1
+        assert second["session_end_ms"] // 1000 == BASE + 400 + 120
+        assert got[("bbb222", BASE + 10)]["n_events"] == 1
+        # emit-final: one row per session
+        keys = [(r["icao24"], r["session_start_ms"]) for r in rows]
+        assert len(keys) == len(set(keys))
+
+
 class TestAirportCounts:
     def test_geo_match_and_metadata(self, spark, tmp_path):
         src = str(tmp_path / "src")

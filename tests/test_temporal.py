@@ -1,0 +1,177 @@
+"""Unit semantics for the temporal operators (as-of join,
+sessionization) and the IVF ANN operator."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from big_data_flight_analytics_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+)
+from big_data_flight_analytics_spark.operators.temporal import (
+    asof_join,
+    session_stats,
+    sessionize,
+)
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+class TestAsofJoin:
+    def _run(self, spark, left_rows, right_rows):
+        left = spark.createDataFrame(left_rows, "eid long, k long, t timestamp")
+        right = spark.createDataFrame(right_rows, "k long, rt timestamp, rid long, v double")
+        out = asof_join(
+            left,
+            right,
+            on="k",
+            left_time="t",
+            right_time="rt",
+            payload={"rid": "asof_rid", "v": "asof_v"},
+            right_tie="rid",
+        )
+        return {r["eid"]: (r["asof_rid"], r["asof_v"]) for r in out.collect()}
+
+    def test_most_recent_prior_row_wins(self, spark):
+        got = self._run(
+            spark,
+            [(1, 7, ts("2024-01-10T00:00:00"))],
+            [
+                (7, ts("2024-01-01T00:00:00"), 100, 1.0),
+                (7, ts("2024-01-05T00:00:00"), 200, 2.0),
+                (7, ts("2024-01-11T00:00:00"), 300, 3.0),
+            ],
+        )
+        assert got[1] == (200, 2.0)
+
+    def test_inclusive_and_tie_break(self, spark):
+        # equal timestamps: the right row matches (inclusive), and among
+        # equal-time right rows the largest tie id wins
+        got = self._run(
+            spark,
+            [(1, 7, ts("2024-01-05T00:00:00"))],
+            [
+                (7, ts("2024-01-05T00:00:00"), 100, 1.0),
+                (7, ts("2024-01-05T00:00:00"), 200, 2.0),
+            ],
+        )
+        assert got[1] == (200, 2.0)
+
+    def test_no_prior_row_yields_nulls(self, spark):
+        got = self._run(
+            spark,
+            [(1, 7, ts("2024-01-01T00:00:00")), (2, 8, ts("2024-01-09T00:00:00"))],
+            [(7, ts("2024-01-02T00:00:00"), 100, 1.0)],
+        )
+        assert got[1] == (None, None)  # right row is later
+        assert got[2] == (None, None)  # key never appears on the right
+
+    def test_keys_do_not_leak_across_partitions(self, spark):
+        got = self._run(
+            spark,
+            [(1, 7, ts("2024-01-10T00:00:00")), (2, 8, ts("2024-01-10T00:00:00"))],
+            [
+                (7, ts("2024-01-01T00:00:00"), 100, 1.0),
+                (8, ts("2024-01-02T00:00:00"), 200, 2.0),
+            ],
+        )
+        assert got[1] == (100, 1.0)
+        assert got[2] == (200, 2.0)
+
+
+class TestSessionize:
+    ROWS = [
+        # user 1: two sessions split by a 31-min gap; second has 2 events
+        (1, 1, ts("2024-01-01T00:00:00")),
+        (1, 2, ts("2024-01-01T00:10:00")),
+        (1, 3, ts("2024-01-01T00:41:00")),
+        (1, 4, ts("2024-01-01T01:10:00")),
+        # user 2: single event
+        (2, 5, ts("2024-01-01T00:00:00")),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            self.ROWS, "user_id long, event_id long, t timestamp"
+        )
+
+    def test_gap_strictly_greater_splits(self, spark):
+        out = sessionize(self._df(spark), "user_id", "t", 1800, "event_id")
+        idx = {r["event_id"]: r["session_idx"] for r in out.collect()}
+        assert idx == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+    def test_exact_gap_does_not_split(self, spark):
+        rows = [
+            (1, 1, ts("2024-01-01T00:00:00")),
+            (1, 2, ts("2024-01-01T00:30:00")),  # exactly 1800s later
+        ]
+        df = spark.createDataFrame(rows, "user_id long, event_id long, t timestamp")
+        out = sessionize(df, "user_id", "t", 1800, "event_id")
+        assert {r["session_idx"] for r in out.collect()} == {1}
+
+    def test_session_stats(self, spark):
+        out = session_stats(self._df(spark), "user_id", "t", 1800, "event_id")
+        by_key = {(r["user_id"], r["session_idx"]): r for r in out.collect()}
+        assert by_key[(1, 1)]["n_events"] == 2
+        assert by_key[(1, 2)]["n_events"] == 2
+        assert by_key[(1, 2)]["duration_us"] == 29 * 60 * 1_000_000
+        assert by_key[(2, 1)]["n_events"] == 1
+        assert by_key[(2, 1)]["duration_us"] == 0
+
+
+class TestIvfTopk:
+    def test_probe_all_cells_matches_brute_force(self, spark):
+        # with nprobe == n_centroids every candidate cell is probed, so
+        # IVF degrades to exact search — results must equal brute force
+        import random
+
+        rng = random.Random(7)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        q = emb.filter(F.col("vec_id") < 3)
+        exact = {
+            (r["query_id"], r["rnk"]): r["neighbor_id"]
+            for r in brute_force_topk(emb, q, k=2)
+            .withColumn(
+                "rnk",
+                F.row_number().over(
+                    Window.partitionBy("query_id")
+                    .orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+                ),
+            )
+            .collect()
+        }
+        approx = {
+            (r["query_id"], r["rnk"]): r["neighbor_id"]
+            for r in ivf_topk(emb, q, k=2, n_centroids=4, nprobe=4)
+            .withColumn(
+                "rnk",
+                F.row_number().over(
+                    Window.partitionBy("query_id")
+                    .orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+                ),
+            )
+            .collect()
+        }
+        assert approx == exact
+
+    def test_nprobe_restricts_candidates(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        q = emb.filter(F.col("vec_id") < 3)
+        out = ivf_topk(emb, q, k=2, n_centroids=8, nprobe=1).collect()
+        # every query still produces results, bounded by k
+        per_q = {}
+        for r in out:
+            per_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+        assert set(per_q) == {0, 1, 2}
+        assert all(len(v) <= 2 for v in per_q.values())
