@@ -169,8 +169,8 @@ def ivf_topk(
         .select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec"))
     )
 
-    def nearest_cells(df: DataFrame, out_id: str, n_keep: int) -> DataFrame:
-        scored = df.select(
+    def scored_cells(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
             F.col(id_col).alias(out_id), F.col(vec_col).alias("__v")
         ).crossJoin(cents).select(
             out_id,
@@ -178,21 +178,46 @@ def ivf_topk(
             "__cid",
             cosine_similarity(F.col("__v"), F.col("__cvec"), dp=dp).alias("__csim"),
         )
-        w = Window.partitionBy(out_id).orderBy(
-            F.col("__csim").desc(), F.col("__cid").asc()
-        )
-        return (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= n_keep)
-            .select(out_id, "__v", F.col("__cid").alias("__cell"))
-        )
 
-    assigned = nearest_cells(corpus, "neighbor_id", 1)
-    probes = nearest_cells(queries, "query_id", nprobe)
+    # corpus assignment (1 cell per row) as a max_by hash aggregate, not
+    # a row_number window: the partial aggregate collapses the
+    # n_centroids-way fan-out map-side, so only |corpus| rows shuffle
+    # (vs n_centroids x |corpus| into a window sort). Ordering key
+    # (csim, -cid) = best similarity, smallest centroid id on ties —
+    # unique because cid is unique.
+    assigned = (
+        scored_cells(corpus, "neighbor_id")
+        .groupBy("neighbor_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("__v"), F.col("__cid")),
+                F.struct(F.col("__csim"), (-F.col("__cid")).alias("__t")),
+            ).alias("__best")
+        )
+        .select(
+            "neighbor_id",
+            F.col("__best.__v").alias("__v"),
+            F.col("__best.__cid").alias("__cell"),
+        )
+    )
+    # probes keep the top-nprobe window (per-query candidate cells)
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("__csim").desc(), F.col("__cid").asc()
+    )
+    probes = (
+        scored_cells(queries, "query_id")
+        .withColumn("__rn", F.row_number().over(pw))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "__v", F.col("__cid").alias("__cell"))
+    )
     scored = (
+        # broadcast the probe side (|queries| * nprobe rows) so the
+        # assigned corpus never shuffles for the candidate join
         assigned.join(
-            probes.select(
-                "query_id", F.col("__v").alias("__qv"), "__cell"
+            F.broadcast(
+                probes.select(
+                    "query_id", F.col("__v").alias("__qv"), "__cell"
+                )
             ),
             "__cell",
         )

@@ -60,7 +60,8 @@ def write_file(dirpath, name, records, mtime):
     return rp.write_batch(records)
 
 
-def run_stream(spark, src_dir, build, sink_fn=None, query_name="q"):
+def run_stream(spark, src_dir, build, sink_fn=None, query_name="q",
+               output_mode="append"):
     """availableNow one-file-per-batch run; returns collected rows."""
     from big_data_flight_analytics_spark.sources.replay import FileReplay
 
@@ -70,7 +71,7 @@ def run_stream(spark, src_dir, build, sink_fn=None, query_name="q"):
         q = (
             out.writeStream.format("memory")
             .queryName(query_name)
-            .outputMode("append")
+            .outputMode(output_mode)
             .trigger(availableNow=True)
             .start()
         )
@@ -290,6 +291,49 @@ class TestSessionCounts:
         # emit-final: one row per session
         keys = [(r["icao24"], r["session_start_ms"]) for r in rows]
         assert len(keys) == len(set(keys))
+
+
+class TestStatefulDedup:
+    def test_first_seen_survives_batches(self, spark, tmp_path):
+        from pyspark.sql import functions as F2
+
+        from big_data_flight_analytics_spark.streaming.stateful import (
+            first_seen_dedup,
+        )
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        # callsign serves as the dedup fingerprint; DAL123 repeats in a
+        # LATER batch and must be suppressed by cross-batch state
+        write_file(src, "f1.json", [
+            sv(BASE + 5, "aaa111", callsign="DAL123"),
+            sv(BASE + 1, "bbb222", callsign="DAL123"),  # same batch, earlier
+            sv(BASE + 2, "ccc333", callsign="UAL100"),
+        ], BASE)
+        write_file(src, "f2.json", [
+            sv(BASE + 60, "ddd444", callsign="DAL123"),  # repeat -> suppressed
+            sv(BASE + 61, "eee555", callsign="SWA200"),  # new -> emitted
+        ], BASE + 10)
+
+        def build(raw):
+            parsed = transformed_stream(parse_opensky(raw))
+            keyed = parsed.filter(F2.col("callsign").isNotNull()).select(
+                F2.col("callsign").alias("fingerprint"),
+                "icao24",
+                F2.unix_micros(F2.col("event_time")).alias("event_us"),
+            )
+            return first_seen_dedup(keyed)
+
+        rows = run_stream(
+            spark, src, build, query_name="stateful_dedup", output_mode="update"
+        )
+        got = {r["fingerprint"]: r for r in rows if r["fingerprint"] != "ZZZ999"}
+        # each fingerprint exactly once, first occurrence wins
+        assert set(got) == {"DAL123", "UAL100", "SWA200"}
+        assert got["DAL123"]["icao24"] == "bbb222"  # earliest event_us in batch
+        assert got["DAL123"]["first_seen_us"] == (BASE + 1) * 1_000_000
+        assert got["SWA200"]["icao24"] == "eee555"
+        assert len([r for r in rows if r["fingerprint"] == "DAL123"]) == 1
 
 
 class TestAirportCounts:
