@@ -15,7 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from big_data_flight_analytics_spark.functions.vector import cosine_similarity
+from big_data_flight_analytics_spark.functions.vector import (
+    cosine_from_norms,
+    cosine_similarity,
+    l2_norm,
+)
 
 
 def brute_force_topk(
@@ -32,10 +36,14 @@ def brute_force_topk(
     results are stable across engines/precision. Self-matches excluded.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -43,7 +51,10 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_similarity(F.col("__qvec"), F.col("__cvec"), dp=dp).alias("sim"),
+            cosine_from_norms(
+                F.col("__qvec"), F.col("__cvec"),
+                F.col("__qn"), F.col("__cn"), dp=dp,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -115,13 +126,16 @@ def embedding_neardup_pairs(
     sig = corpus.select(
         F.col(id_col),
         F.col(vec_col).alias("__v"),
+        l2_norm(F.col(vec_col)).alias("__n"),
         sign_bucket(vec_col, bits).alias("__bucket"),
     )
     a = sig.select(
-        F.col(id_col).alias("vec_a"), F.col("__v").alias("__va"), "__bucket"
+        F.col(id_col).alias("vec_a"), F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"), "__bucket",
     )
     b = sig.select(
-        F.col(id_col).alias("vec_b"), F.col("__v").alias("__vb"), "__bucket"
+        F.col(id_col).alias("vec_b"), F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"), "__bucket",
     )
     return (
         a.join(b, "__bucket")
@@ -129,7 +143,10 @@ def embedding_neardup_pairs(
         .select(
             "vec_a",
             "vec_b",
-            cosine_similarity(F.col("__va"), F.col("__vb"), dp=dp).alias("sim"),
+            cosine_from_norms(
+                F.col("__va"), F.col("__vb"),
+                F.col("__na"), F.col("__nb"), dp=dp,
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )
@@ -166,17 +183,29 @@ def ivf_topk(
     cents = F.broadcast(
         corpus.orderBy(F.col(id_col).asc())
         .limit(n_centroids)
-        .select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec"))
+        .select(
+            F.col(id_col).alias("__cid"),
+            F.col(vec_col).alias("__cvec"),
+            l2_norm(F.col(vec_col)).alias("__cn"),
+        )
     )
 
     def scored_cells(df: DataFrame, out_id: str) -> DataFrame:
+        # row norm computed once, reused for every centroid AND carried
+        # to the final pair scoring
         return df.select(
-            F.col(id_col).alias(out_id), F.col(vec_col).alias("__v")
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias("__v"),
+            l2_norm(F.col(vec_col)).alias("__n"),
         ).crossJoin(cents).select(
             out_id,
             "__v",
+            "__n",
             "__cid",
-            cosine_similarity(F.col("__v"), F.col("__cvec"), dp=dp).alias("__csim"),
+            cosine_from_norms(
+                F.col("__v"), F.col("__cvec"),
+                F.col("__n"), F.col("__cn"), dp=dp,
+            ).alias("__csim"),
         )
 
     # corpus assignment (1 cell per row) as a max_by hash aggregate, not
@@ -190,13 +219,14 @@ def ivf_topk(
         .groupBy("neighbor_id")
         .agg(
             F.max_by(
-                F.struct(F.col("__v"), F.col("__cid")),
+                F.struct(F.col("__v"), F.col("__n"), F.col("__cid")),
                 F.struct(F.col("__csim"), (-F.col("__cid")).alias("__t")),
             ).alias("__best")
         )
         .select(
             "neighbor_id",
             F.col("__best.__v").alias("__v"),
+            F.col("__best.__n").alias("__n"),
             F.col("__best.__cid").alias("__cell"),
         )
     )
@@ -208,7 +238,7 @@ def ivf_topk(
         scored_cells(queries, "query_id")
         .withColumn("__rn", F.row_number().over(pw))
         .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "__v", F.col("__cid").alias("__cell"))
+        .select("query_id", "__v", "__n", F.col("__cid").alias("__cell"))
     )
     scored = (
         # broadcast the probe side (|queries| * nprobe rows) so the
@@ -216,7 +246,10 @@ def ivf_topk(
         assigned.join(
             F.broadcast(
                 probes.select(
-                    "query_id", F.col("__v").alias("__qv"), "__cell"
+                    "query_id",
+                    F.col("__v").alias("__qv"),
+                    F.col("__n").alias("__qn"),
+                    "__cell",
                 )
             ),
             "__cell",
@@ -225,7 +258,10 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_similarity(F.col("__qv"), F.col("__v"), dp=dp).alias("sim"),
+            cosine_from_norms(
+                F.col("__qv"), F.col("__v"),
+                F.col("__qn"), F.col("__n"), dp=dp,
+            ).alias("sim"),
         )
     )
     # no dedup needed: each corpus row lives in exactly one cell, so a
@@ -258,11 +294,13 @@ def lsh_bucketed_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
         sign_bucket(vec_col, bits).alias("__bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
         sign_bucket(vec_col, bits).alias("__bucket"),
     )
     scored = (
@@ -271,7 +309,10 @@ def lsh_bucketed_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_similarity(F.col("__qvec"), F.col("__cvec"), dp=dp).alias("sim"),
+            cosine_from_norms(
+                F.col("__qvec"), F.col("__cvec"),
+                F.col("__qn"), F.col("__cn"), dp=dp,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
