@@ -490,6 +490,43 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# D6 — dedup clustering: connected components over the D2 near-dup pair
+# graph. Pairs -> transitive clusters -> canonical doc per cluster; the
+# last stage of a dedup pipeline. Oracle: recursive CTE reachability
+# (min reachable id == component min, identical to the Spark fixpoint).
+# ---------------------------------------------------------------------------
+
+
+def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.graph import dedup_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=JACCARD_THRESHOLD, max_df=MAX_SHINGLE_DF
+    )
+    return dedup_clusters(pairs, docs)
+
+
+D6_SQL = rf"""
+WITH RECURSIVE pairs AS (
+    {D2_SQL}
+), edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM pairs
+    UNION ALL
+    SELECT doc_b AS s, doc_a AS d FROM pairs
+), reach(id, lbl) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+)
+SELECT id AS doc_id,
+       MIN(lbl) AS cluster_id,
+       (id = MIN(lbl)) AS is_canonical
+FROM reach GROUP BY id
+"""
+
+
 EXTENSION_QUERIES = {
     "t1_text_stats": t1_text_stats,
     "d1_exact_dedup": d1_exact_dedup,
@@ -499,6 +536,7 @@ EXTENSION_QUERIES = {
     "v1_cosine_topk": v1_cosine_topk,
     "v2_lsh_topk": v2_lsh_topk,
     "d5_embedding_neardup": d5_embedding_neardup,
+    "d6_dedup_clusters": d6_dedup_clusters,
     "m1_multimodal_features": m1_multimodal_features,
 }
 
@@ -511,5 +549,6 @@ EXTENSION_ORACLES = {
     "v1_cosine_topk": V1_SQL,
     "v2_lsh_topk": V2_SQL,
     "d5_embedding_neardup": D5_SQL,
+    "d6_dedup_clusters": D6_SQL,
     "m1_multimodal_features": M1_SQL,
 }

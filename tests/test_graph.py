@@ -1,0 +1,47 @@
+"""Connected-components / dedup-cluster semantics."""
+
+from __future__ import annotations
+
+from big_data_flight_analytics_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def labels_of(df):
+    return {r["id"]: r["cluster_id"] for r in df.collect()}
+
+
+class TestConnectedComponents:
+    def test_chain_propagates_beyond_one_hop(self, spark):
+        # 1-2-3-4-5 chain: min label must travel 4 hops
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+        )
+        assert labels_of(connected_components(edges)) == {
+            1: 1, 2: 1, 3: 1, 4: 1, 5: 1
+        }
+
+    def test_two_components_and_isolated_vertex(self, spark):
+        edges = spark.createDataFrame(
+            [(10, 11), (20, 21), (21, 22)], "src long, dst long"
+        )
+        verts = spark.createDataFrame([(10,), (11,), (20,), (21,), (22,), (99,)], "id long")
+        got = labels_of(connected_components(edges, vertices=verts))
+        assert got == {10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 99: 99}
+
+    def test_direction_is_ignored(self, spark):
+        edges = spark.createDataFrame([(5, 1), (5, 3)], "src long, dst long")
+        got = labels_of(connected_components(edges))
+        assert got == {1: 1, 3: 1, 5: 1}
+
+
+class TestDedupClusters:
+    def test_canonical_flag(self, spark):
+        pairs = spark.createDataFrame([(1, 7), (7, 9)], "doc_a long, doc_b long")
+        docs = spark.createDataFrame([(1,), (7,), (9,), (4,)], "doc_id long")
+        rows = {r["doc_id"]: r for r in dedup_clusters(pairs, docs).collect()}
+        assert rows[1]["cluster_id"] == 1 and rows[1]["is_canonical"]
+        assert rows[7]["cluster_id"] == 1 and not rows[7]["is_canonical"]
+        assert rows[9]["cluster_id"] == 1 and not rows[9]["is_canonical"]
+        assert rows[4]["cluster_id"] == 4 and rows[4]["is_canonical"]
