@@ -101,3 +101,69 @@ class TestBucketizeProperties:
             assert r["x"] >= edges[i]
             if edges[i + 1] != float("inf"):
                 assert r["x"] < edges[i + 1]
+
+
+class TestAsofJoinProperties:
+    def test_matches_bruteforce_on_random_data(self, spark):
+        """Union-window as-of == per-row brute-force scan on random data."""
+        from datetime import datetime, timedelta
+
+        from big_data_flight_analytics_spark.operators.temporal import asof_join
+
+        rng = random.Random(23)
+        base = datetime(2024, 1, 1)
+        left_rows = [
+            (i, rng.randint(0, 5), base + timedelta(minutes=rng.randint(0, 500)))
+            for i in range(120)
+        ]
+        right_rows = [
+            (rng.randint(0, 5), base + timedelta(minutes=rng.randint(0, 500)),
+             100 + j, float(j))
+            for j in range(80)
+        ]
+        left = spark.createDataFrame(left_rows, "eid long, k long, t timestamp")
+        right = spark.createDataFrame(
+            right_rows, "k long, rt timestamp, rid long, v double"
+        )
+        got = {
+            r["eid"]: (r["asof_rid"], r["asof_v"])
+            for r in asof_join(
+                left, right, on="k", left_time="t", right_time="rt",
+                payload={"rid": "asof_rid", "v": "asof_v"}, right_tie="rid",
+            ).collect()
+        }
+        # brute force: max (rt, rid) among right rows with same k, rt <= t
+        for eid, k, t in left_rows:
+            cands = [(rt, rid, v) for (rk, rt, rid, v) in right_rows
+                     if rk == k and rt <= t]
+            want = (None, None) if not cands else (
+                max(cands)[1], max(cands)[2]
+            )
+            assert got[eid] == want, (eid, k, t)
+
+    def test_sessionize_matches_bruteforce(self, spark):
+        from datetime import datetime, timedelta
+
+        from big_data_flight_analytics_spark.operators.temporal import sessionize
+
+        rng = random.Random(31)
+        base = datetime(2024, 1, 1)
+        rows = [
+            (rng.randint(0, 4), i, base + timedelta(seconds=rng.randint(0, 50000)))
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "user_id long, event_id long, t timestamp")
+        got = {r["event_id"]: r["session_idx"]
+               for r in sessionize(df, "user_id", "t", 1800, "event_id").collect()}
+        by_user = {}
+        for u, eid, t in rows:
+            by_user.setdefault(u, []).append((t, eid))
+        for u, evs in by_user.items():
+            evs.sort()
+            idx = 0
+            prev = None
+            for t, eid in evs:
+                if prev is None or (t - prev).total_seconds() > 1800:
+                    idx += 1
+                prev = t
+                assert got[eid] == idx, (u, eid)
