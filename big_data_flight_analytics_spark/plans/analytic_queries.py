@@ -392,6 +392,103 @@ FROM orders
 """
 
 
+# ---------------------------------------------------------------------------
+# J10 — interval (range) join, grain-bucketed: per-priority launch
+# windows [first order, +180 days] joined to lineitem shipdates. The
+# grain equi-join is the 100 TB path (theta -> equi on day bucket);
+# tests prove it equals the broadcast NLJ form.
+# ---------------------------------------------------------------------------
+
+INTERVAL_DAYS = 180
+
+
+def j10_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.intervals import interval_join
+
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    iv = (
+        orders.groupBy("o_orderpriority")
+        .agg(F.min("o_orderdate").alias("iv_start"))
+        .withColumn("iv_end", F.col("iv_start") + F.expr(f"INTERVAL {INTERVAL_DAYS} DAYS"))
+    )
+    joined = interval_join(
+        li.select("l_shipdate", F.col("l_quantity")),
+        iv,
+        ts_col="l_shipdate",
+        use_grain=True,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+J10_SQL = f"""
+WITH iv AS (
+    SELECT o_orderpriority,
+           MIN(o_orderdate) AS iv_start,
+           MIN(o_orderdate) + INTERVAL {INTERVAL_DAYS} DAY AS iv_end
+    FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN iv
+  ON l_shipdate >= iv_start AND l_shipdate <= iv_end
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# T2 — deterministic hash split (train/val): md5-mod assignment, the
+# standard reproducible held-out split for training corpora. Same
+# ascii-arithmetic hex decode as the LSH oracles, so fully checkable.
+# ---------------------------------------------------------------------------
+
+TRAIN_PCT = 90
+
+
+def t2_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < TRAIN_PCT, F.lit("train")).otherwise(F.lit("val")).alias(
+            "split"
+        ),
+    )
+
+
+def _t2_sql() -> str:
+    digit = (
+        "(CASE WHEN ascii(substr(h, {i}, 1)) < 58"
+        " THEN ascii(substr(h, {i}, 1)) - 48"
+        " ELSE ascii(substr(h, {i}, 1)) - 87 END)"
+    )
+    expr = digit.format(i=1)
+    for t in range(1, 4):
+        expr = f"({expr} * 16 + {digit.format(i=1 + t)})"
+    return f"""
+WITH hashed AS (
+    SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN {expr} % 100 < {TRAIN_PCT} THEN 'train' ELSE 'val' END AS split
+FROM hashed
+"""
+
+
+T2_SQL = _t2_sql()
+
+
 ANALYTIC_QUERIES = {
     "j9_asof_events_orders": j9_asof_events_orders,
     "s4_user_sessions": s4_user_sessions,
@@ -401,6 +498,8 @@ ANALYTIC_QUERIES = {
     "f2_props_json": f2_props_json,
     "w3_running_revenue": w3_running_revenue,
     "w4_order_gaps": w4_order_gaps,
+    "j10_interval_join": j10_interval_join,
+    "t2_train_val_split": t2_train_val_split,
 }
 
 ANALYTIC_ORACLES = {
@@ -412,4 +511,6 @@ ANALYTIC_ORACLES = {
     "f2_props_json": F2_SQL,
     "w3_running_revenue": W3_SQL,
     "w4_order_gaps": W4_SQL,
+    "j10_interval_join": J10_SQL,
+    "t2_train_val_split": T2_SQL,
 }

@@ -175,3 +175,39 @@ class TestIvfTopk:
             per_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
         assert set(per_q) == {0, 1, 2}
         assert all(len(v) <= 2 for v in per_q.values())
+
+
+class TestIntervalJoin:
+    def _data(self, spark):
+        facts = spark.createDataFrame(
+            [(1, ts("2024-01-05T12:00:00")), (2, ts("2024-01-10T00:00:00")),
+             (3, ts("2024-02-01T00:00:00")), (4, ts("2024-01-07T23:59:59"))],
+            "fid long, t timestamp",
+        )
+        iv = spark.createDataFrame(
+            [("a", ts("2024-01-01T00:00:00"), ts("2024-01-07T23:59:59")),
+             ("b", ts("2024-01-06T00:00:00"), ts("2024-01-15T00:00:00"))],
+            "name string, iv_start timestamp, iv_end timestamp",
+        )
+        return facts, iv
+
+    def test_membership_and_inclusive_bounds(self, spark):
+        from big_data_flight_analytics_spark.operators.intervals import interval_join
+
+        facts, iv = self._data(spark)
+        got = {
+            (r["fid"], r["name"])
+            for r in interval_join(facts, iv, "t", use_grain=True).collect()
+        }
+        # fid 4 hits interval a's exact end bound (inclusive) and b
+        assert got == {(1, "a"), (2, "b"), (4, "a"), (4, "b")}
+
+    def test_grain_equals_broadcast(self, spark):
+        from big_data_flight_analytics_spark.operators.intervals import interval_join
+
+        facts, iv = self._data(spark)
+        a = {(r["fid"], r["name"])
+             for r in interval_join(facts, iv, "t", use_grain=True).collect()}
+        b = {(r["fid"], r["name"])
+             for r in interval_join(facts, iv, "t", use_grain=False).collect()}
+        assert a == b
