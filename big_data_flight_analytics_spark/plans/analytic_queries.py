@@ -489,6 +489,110 @@ FROM hashed
 T2_SQL = _t2_sql()
 
 
+# ---------------------------------------------------------------------------
+# W5 — rank-family analytics: ntile quartiles, percent_rank, cume_dist
+# over a fully-determined order (balance, custkey). percent_rank and
+# cume_dist are integer ratios — exact IEEE in both engines, no rounding.
+# ---------------------------------------------------------------------------
+
+
+def w5_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT Window.orderBy() (an unpartitioned window funnels the whole
+    # table through one task): distributed global row numbers via
+    # range-partition + per-partition rank + broadcast offsets, then
+    # ntile/percent_rank/cume_dist derived arithmetically — exact
+    # integer ratios, bit-identical to the oracle's native window
+    # functions because (c_acctbal, c_custkey) is a total order.
+    from big_data_flight_analytics_spark.operators.ranks import (
+        global_row_numbers,
+        ntile_from_rn,
+    )
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked = global_row_numbers(cust, ["c_acctbal", "c_custkey"], out_col="__rn")
+    n_total = cust.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    rn, n = F.col("__rn"), F.col("__n")
+    return ranked.crossJoin(F.broadcast(n_total)).select(
+        "c_custkey",
+        "c_acctbal",
+        ntile_from_rn(rn, n, 4).alias("quartile"),
+        ((rn - 1) / (n - 1)).alias("pct_rank"),
+        (rn / n).alias("cume"),
+    )
+
+
+W5_SQL = """
+SELECT c_custkey, c_acctbal,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM customer
+WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
+"""
+
+
+# ---------------------------------------------------------------------------
+# C1 — CUBE over (returnflag, linestatus), Expand-free: aggregate the
+# finest grouping once, derive all four grouping sets by re-aggregating
+# the tiny result (see a8_rollup_revenue for the rationale).
+# ---------------------------------------------------------------------------
+
+
+def c1_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    fine = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(revenue).alias("__rev"),
+    )
+
+    def level(keys: list[str], gid: int) -> DataFrame:
+        agged = (
+            fine.groupBy(*keys).agg(
+                F.sum("__n").alias("__n"), F.sum("__rev").alias("__rev")
+            )
+            if keys
+            else fine.groupBy().agg(
+                F.sum("__n").alias("__n"), F.sum("__rev").alias("__rev")
+            )
+        )
+        cols = []
+        for c in ("l_returnflag", "l_linestatus"):
+            cols.append(
+                F.col(c) if c in keys else F.lit(None).cast("string").alias(c)
+            )
+        return agged.select(
+            *cols, F.lit(gid).cast("long").alias("gid"), "__n", "__rev"
+        )
+
+    cube = (
+        level(["l_returnflag", "l_linestatus"], 0)
+        .unionByName(level(["l_returnflag"], 1))
+        .unionByName(level(["l_linestatus"], 2))
+        .unionByName(level([], 3))
+    )
+    return cube.select(
+        "l_returnflag",
+        "l_linestatus",
+        "gid",
+        F.col("__n").alias("n_items"),
+        F.col("__rev").cast("double").alias("revenue"),
+    )
+
+
+C1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
 ANALYTIC_QUERIES = {
     "j9_asof_events_orders": j9_asof_events_orders,
     "s4_user_sessions": s4_user_sessions,
@@ -500,6 +604,8 @@ ANALYTIC_QUERIES = {
     "w4_order_gaps": w4_order_gaps,
     "j10_interval_join": j10_interval_join,
     "t2_train_val_split": t2_train_val_split,
+    "w5_balance_quartiles": w5_balance_quartiles,
+    "c1_cube_revenue": c1_cube_revenue,
 }
 
 ANALYTIC_ORACLES = {
@@ -513,4 +619,6 @@ ANALYTIC_ORACLES = {
     "w4_order_gaps": W4_SQL,
     "j10_interval_join": J10_SQL,
     "t2_train_val_split": T2_SQL,
+    "w5_balance_quartiles": W5_SQL,
+    "c1_cube_revenue": C1_SQL,
 }

@@ -211,3 +211,39 @@ class TestIntervalJoin:
         b = {(r["fid"], r["name"])
              for r in interval_join(facts, iv, "t", use_grain=False).collect()}
         assert a == b
+
+
+class TestGlobalRanks:
+    def test_matches_unpartitioned_window(self, spark):
+        from big_data_flight_analytics_spark.operators.ranks import (
+            global_row_numbers,
+        )
+
+        import random
+        rng = random.Random(5)
+        rows = [(i, rng.uniform(-100, 100)) for i in range(137)]
+        df = spark.createDataFrame(rows, "id long, v double")
+        got = {r["id"]: r["rn"]
+               for r in global_row_numbers(df, ["v", "id"]).collect()}
+        w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+        want = {r["id"]: r["rn"]
+                for r in df.withColumn("rn", F.row_number().over(w)).collect()}
+        assert got == want
+
+    def test_ntile_formula_matches_native(self, spark):
+        from big_data_flight_analytics_spark.operators.ranks import ntile_from_rn
+
+        # uneven split (n=7, buckets=4 -> sizes 2,2,2,1) and n < buckets
+        for n, buckets in ((7, 4), (3, 4), (8, 4), (1, 4)):
+            df = spark.createDataFrame([(i,) for i in range(1, n + 1)], "id long")
+            w = Window.orderBy("id")
+            native = {r["id"]: r["nt"]
+                      for r in df.withColumn("nt", F.ntile(buckets).over(w)).collect()}
+            formula = {
+                r["id"]: r["nt"]
+                for r in df.select(
+                    "id",
+                    ntile_from_rn(F.col("id"), F.lit(n), buckets).alias("nt"),
+                ).collect()
+            }
+            assert formula == native, (n, buckets)
