@@ -447,3 +447,52 @@ class TestUpsertSink:
         # serving store holds the LATEST window per airline (upsert)
         assert state["DAL"]["window_end_ms"] == (w2 + 60) * 1000
         assert state["DAL"]["aircraft_count"] == 1
+
+
+class TestStreamStreamJoin:
+    def test_time_bounded_inner_join(self, spark, tmp_path):
+        from big_data_flight_analytics_spark.sources.replay import FileReplay
+        from big_data_flight_analytics_spark.streaming.stream_joins import (
+            positions_near_alerts,
+        )
+
+        pos_dir, al_dir = str(tmp_path / "pos"), str(tmp_path / "al")
+        os.makedirs(pos_dir); os.makedirs(al_dir)
+        pos_rp, al_rp = FileReplay(pos_dir), FileReplay(al_dir)
+
+        # positions: aaa111 10s and 400s after its alert; bbb222 alertless
+        pos_rp.write_batch([
+            sv(BASE + 10, "aaa111", callsign="DAL123", lat=10.0, lon=20.0),
+            sv(BASE + 400, "aaa111", callsign="DAL123", lat=11.0, lon=21.0),
+            sv(BASE + 10, "bbb222", callsign="UAL100", lat=30.0, lon=40.0),
+        ])
+        pos_rp.write_batch(SENTINEL)
+        # alerts: one for aaa111 at BASE (callsign doubles as alert kind)
+        al_rp.write_batch([sv(BASE, "aaa111", callsign="OVERSPEED")])
+        al_rp.write_batch(SENTINEL)
+
+        positions = transformed_stream(parse_opensky(pos_rp.stream(spark)))
+        alerts = transformed_stream(parse_opensky(al_rp.stream(spark))).select(
+            "icao24", "event_time", F.col("callsign").alias("alert_kind")
+        )
+        out = positions_near_alerts(positions, alerts, within="5 minutes")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ss_join")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("select * from ss_join").collect()
+        real = [r for r in rows if r["icao24"] == "aaa111"]
+        # only the position 10s after the alert joins; 400s is outside
+        # the 5-min bound's... wait 400 < 300? no: 400s > 300s -> excluded
+        assert len(real) == 1
+        r = real[0]
+        assert r["pos_time_ms"] // 1000 == BASE + 10
+        assert r["alert_time_ms"] // 1000 == BASE
+        assert r["alert_kind"] == "OVERSPEED"
+        assert r["latitude"] == 10.0
+        # alertless aircraft never appears
+        assert not [r for r in rows if r["icao24"] == "bbb222"]
