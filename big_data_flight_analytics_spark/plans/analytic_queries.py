@@ -593,6 +593,44 @@ GROUP BY CUBE(l_returnflag, l_linestatus)
 """
 
 
+# ---------------------------------------------------------------------------
+# P1 — table profiling: per-column null/distinct/min/max stats in one
+# scan + one shuffle (unpivot + hash agg), not a job per column.
+# ---------------------------------------------------------------------------
+
+
+def p1_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.profile import profile
+
+    return profile(load(spark, sf_dir, "orders"))
+
+
+def _p1_sql() -> str:
+    canon = {
+        "o_orderkey": "CAST(o_orderkey AS VARCHAR)",
+        "o_custkey": "CAST(o_custkey AS VARCHAR)",
+        "o_orderstatus": "o_orderstatus",
+        "o_totalprice": "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)",
+        "o_orderdate": "CAST(epoch_us(o_orderdate) AS VARCHAR)",
+        "o_orderpriority": "o_orderpriority",
+    }
+    branches = [
+        f"""
+SELECT '{name}' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+       MIN(v) AS min_val,
+       MAX(v) AS max_val
+FROM (SELECT {expr} AS v FROM orders)"""
+        for name, expr in canon.items()
+    ]
+    return "\nUNION ALL\n".join(branches)
+
+
+P1_SQL = _p1_sql()
+
+
 ANALYTIC_QUERIES = {
     "j9_asof_events_orders": j9_asof_events_orders,
     "s4_user_sessions": s4_user_sessions,
@@ -606,6 +644,7 @@ ANALYTIC_QUERIES = {
     "t2_train_val_split": t2_train_val_split,
     "w5_balance_quartiles": w5_balance_quartiles,
     "c1_cube_revenue": c1_cube_revenue,
+    "p1_profile_orders": p1_profile_orders,
 }
 
 ANALYTIC_ORACLES = {
@@ -621,4 +660,5 @@ ANALYTIC_ORACLES = {
     "t2_train_val_split": T2_SQL,
     "w5_balance_quartiles": W5_SQL,
     "c1_cube_revenue": C1_SQL,
+    "p1_profile_orders": P1_SQL,
 }
