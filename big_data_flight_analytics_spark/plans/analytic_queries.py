@@ -631,6 +631,66 @@ FROM (SELECT {expr} AS v FROM orders)"""
 P1_SQL = _p1_sql()
 
 
+# ---------------------------------------------------------------------------
+# Q10 — TPC-H Q5-shaped 6-way star join: revenue per nation for one
+# region and one order-date year. The fact table joins three broadcast
+# dims plus orders; Catalyst reorders and broadcasts (verified: all dim
+# joins are BroadcastHashJoin, orders filter pushed to the scan).
+# ---------------------------------------------------------------------------
+
+Q10_REGION = "ASIA"
+Q10_YEAR = 1996
+
+
+def q10_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(
+            orders.filter(F.year("o_orderdate") == Q10_YEAR),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == Q10_REGION)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(revenue).cast("double").alias("revenue"),
+        )
+    )
+
+
+Q10_SQL = f"""
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey AND year(o_orderdate) = {Q10_YEAR}
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey AND r_name = '{Q10_REGION}'
+GROUP BY n_name
+"""
+
+
 ANALYTIC_QUERIES = {
     "j9_asof_events_orders": j9_asof_events_orders,
     "s4_user_sessions": s4_user_sessions,
@@ -645,6 +705,7 @@ ANALYTIC_QUERIES = {
     "w5_balance_quartiles": w5_balance_quartiles,
     "c1_cube_revenue": c1_cube_revenue,
     "p1_profile_orders": p1_profile_orders,
+    "q10_region_revenue": q10_region_revenue,
 }
 
 ANALYTIC_ORACLES = {
@@ -661,4 +722,5 @@ ANALYTIC_ORACLES = {
     "w5_balance_quartiles": W5_SQL,
     "c1_cube_revenue": C1_SQL,
     "p1_profile_orders": P1_SQL,
+    "q10_region_revenue": Q10_SQL,
 }
