@@ -120,6 +120,12 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles"),
     )
+    # the hashed-shingle frame feeds the posting branch AND both verify
+    # broadcast sides; persisting computes the tokenize+shingle+hash
+    # pipeline once instead of three times (min-of-3 A/B: 3.7 -> 3.3 s
+    # at sf0.1). MEMORY_AND_DISK default spills at scale; Spark's LRU
+    # evicts when the caller never materializes.
+    hsh = hsh.persist()
     posting_h = hsh.select(F.col(id_col), F.explode("shingles").alias("sh"))
     capped = _cap_bucket_population(posting_h, ["sh"], max_df)
     a = capped.select(F.col(id_col).alias("doc_a"), "sh")
@@ -210,6 +216,10 @@ def minhash_lsh_pairs(
     # tokenize+shingle tree under projection collapsing: measured
     # split() x15 in the optimized plan with it, x1 without).
     sh = _shingled(df, id_col, text_col, n)
+    # reused by the signature posting AND the Jaccard-verify broadcast —
+    # persist to run the shingle pipeline once (same rationale and
+    # measurement as ngram_jaccard_pairs)
+    sh = sh.persist()
     # signature via explode + hash-agg: ONE md5 per shingle occurrence,
     # two 28-bit ints parsed from its hex, and all num_perm permutations
     # derived as (h1 + j*h2) mod p — integer min buffers instead of
