@@ -66,6 +66,22 @@ def shingle_expr(toks: "Column", n: int = 3) -> "Column":  # noqa: F821
     )
 
 
+def ngram_multiset_expr(toks: "Column", n: int = 2) -> "Column":  # noqa: F821
+    """n-gram MULTISET (duplicates kept) from a token array — the input
+    to repetition metrics (Gopher-style duplicated-n-gram fraction),
+    where frequency is the signal that ``shingle_expr``'s
+    ``array_distinct`` would destroy. Same shifted-slices construction
+    (see shingle_expr for the projection-collapsing rationale)."""
+    size = F.size(toks)
+    width = F.greatest(size - n + 1, F.lit(0))
+    slices = [F.slice(toks, j + 1, width) for j in range(n)]
+    grams = F.transform(
+        F.arrays_zip(*slices),
+        lambda x: F.concat_ws(" ", *[x[str(j)] for j in range(n)]),
+    )
+    return F.when(size >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
 def word_shingles(text_col: str = "text", n: int = 3):
     """Shingles straight from a text column (inline; prefer the two-step
     ``df.select(tokens(...))`` + ``shingle_expr`` in hot paths — see

@@ -122,6 +122,93 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# T3 — Gopher-style quality metrics: mean token length, alphabetic
+# fraction, and the duplicated-bigram fraction (max bigram frequency /
+# total bigrams — repetition is a top spam/boilerplate signal). Scalars
+# are map-only; the repetition ratio is one doc-keyed aggregation
+# joined back co-partitioned.
+# ---------------------------------------------------------------------------
+
+
+def t3_gopher_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.text import (
+        ngram_multiset_expr,
+        tokens,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    toked = docs.select(F.col("doc_id"), F.col("text"), tokens("text").alias("__toks"))
+    n_tok = F.size("__toks")
+    tok_chars = F.aggregate(
+        F.transform("__toks", lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    n_chars = F.length("text")
+    base = toked.select(
+        "doc_id",
+        F.when(n_tok > 0, F.round(tok_chars / n_tok, 6))
+        .otherwise(F.lit(0.0))
+        .alias("mean_token_len"),
+        F.when(n_chars > 0, F.round(F.regexp_count(F.col("text"), F.lit("[a-z]")) / n_chars, 6))
+        .otherwise(F.lit(0.0))
+        .alias("alpha_ratio"),
+    )
+    bg = toked.select(
+        "doc_id", F.explode(ngram_multiset_expr(F.col("__toks"), 2)).alias("bg")
+    )
+    rep = (
+        bg.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("doc_id")
+        .agg(F.max("__c").alias("__top"), F.sum("__c").alias("__total"))
+        .select(
+            "doc_id",
+            F.round(F.col("__top") / F.col("__total"), 6).alias("top_bigram_ratio"),
+        )
+    )
+    return base.join(rep, "doc_id", "left").select(
+        "doc_id",
+        "mean_token_len",
+        "alpha_ratio",
+        F.coalesce(F.col("top_bigram_ratio"), F.lit(0.0)).alias("top_bigram_ratio"),
+    )
+
+
+T3_SQL = r"""
+WITH toks AS (
+    SELECT doc_id, text,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS t
+    FROM documents
+), base AS (
+    SELECT doc_id,
+           CASE WHEN len(t) > 0
+                THEN ROUND(list_sum(list_transform(t, x -> length(x))) * 1.0
+                           / len(t), 6)
+                ELSE 0.0 END AS mean_token_len,
+           CASE WHEN length(text) > 0
+                THEN ROUND(len(regexp_extract_all(text, '[a-z]')) * 1.0
+                           / length(text), 6)
+                ELSE 0.0 END AS alpha_ratio
+    FROM toks
+), bigrams AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i + 1])) AS bg
+    FROM toks WHERE len(t) >= 2
+), freqs AS (
+    SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg
+), rep AS (
+    SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_bigram_ratio
+    FROM freqs GROUP BY doc_id
+)
+SELECT b.doc_id, b.mean_token_len, b.alpha_ratio,
+       COALESCE(r.top_bigram_ratio, 0.0) AS top_bigram_ratio
+FROM base b LEFT JOIN rep r ON b.doc_id = r.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # D2 — n-gram Jaccard near-dup pairs (inverted-index join)
 # ---------------------------------------------------------------------------
 
@@ -529,6 +616,7 @@ FROM reach GROUP BY id
 
 EXTENSION_QUERIES = {
     "t1_text_stats": t1_text_stats,
+    "t3_gopher_metrics": t3_gopher_metrics,
     "d1_exact_dedup": d1_exact_dedup,
     "d2_ngram_jaccard": d2_ngram_jaccard,
     "d3_minhash_lsh": d3_minhash_lsh,
@@ -542,6 +630,7 @@ EXTENSION_QUERIES = {
 
 EXTENSION_ORACLES = {
     "t1_text_stats": T1_SQL,
+    "t3_gopher_metrics": T3_SQL,
     "d1_exact_dedup": D1_SQL,
     "d2_ngram_jaccard": D2_SQL,
     "d3_minhash_lsh": D3_SQL,
