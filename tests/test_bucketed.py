@@ -1,0 +1,63 @@
+"""Bucketed co-located join: the shuffle is actually elided.
+
+Writes both join sides bucketed+sorted by the key, joins the catalog
+tables, and asserts (a) results are correct and (b) the physical plan
+contains ZERO shuffle exchanges — the entire point of paying the
+bucketed write.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from big_data_flight_analytics_spark.sources.bucketed import (
+    read_table,
+    write_bucketed,
+)
+
+
+class TestBucketedJoin:
+    def test_join_without_exchange(self, spark):
+        left = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("lv")
+        )
+        right = spark.range(0, 1000, 3).select(
+            F.col("id").alias("k"), (F.col("id") + 7).alias("rv")
+        )
+        write_bucketed(left, "bkt_left", ["k"], num_buckets=4)
+        write_bucketed(right, "bkt_right", ["k"], num_buckets=4)
+        try:
+            joined = read_table(spark, "bkt_left").join(
+                read_table(spark, "bkt_right"), "k"
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert not re.search(r"Exchange (hash|range)partitioning", plan), (
+                "bucketed join must not shuffle:\n" + plan
+            )
+            rows = joined.collect()
+            # every multiple of 3 under 1000 joins exactly once
+            assert len(rows) == 334
+            sample = {r["k"]: (r["lv"], r["rv"]) for r in rows}
+            assert sample[999] == (1998, 1006)
+            assert sample[0] == (0, 7)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS bkt_left")
+            spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+    def test_mismatched_buckets_fall_back_to_shuffle(self, spark):
+        left = spark.range(0, 100).select(F.col("id").alias("k"))
+        right = spark.range(0, 100).select(F.col("id").alias("k"))
+        write_bucketed(left, "bkt_l8", ["k"], num_buckets=8)
+        write_bucketed(right, "bkt_r4", ["k"], num_buckets=4)
+        try:
+            joined = read_table(spark, "bkt_l8").join(
+                read_table(spark, "bkt_r4"), "k"
+            )
+            # correctness unaffected; Spark shuffles (or coalesces
+            # buckets) when widths disagree — just assert results
+            assert joined.count() == 100
+        finally:
+            spark.sql("DROP TABLE IF EXISTS bkt_l8")
+            spark.sql("DROP TABLE IF EXISTS bkt_r4")
