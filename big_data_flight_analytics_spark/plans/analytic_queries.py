@@ -691,6 +691,83 @@ GROUP BY n_name
 """
 
 
+# ---------------------------------------------------------------------------
+# H1 — SCD Type-2 merge: version the customer segment dimension with
+# each customer's latest order priority as the incoming update. Changed
+# keys close their open version and append a new one; history rows and
+# unchanged keys pass through.
+# ---------------------------------------------------------------------------
+
+
+def h1_scd2_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.scd import (
+        latest_updates,
+        scd2_merge,
+    )
+
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    current = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(0).cast("long").alias("valid_from_us"),
+        F.lit(None).cast("long").alias("valid_to_us"),
+        F.lit(True).alias("is_current"),
+    )
+    upd = latest_updates(
+        orders.select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_orderpriority").alias("segment"),
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ts"),
+            "o_orderkey",
+        ),
+        key="c_custkey",
+        ts_col="ts",
+        tie_col="o_orderkey",
+    )
+    return scd2_merge(
+        current, upd, key="c_custkey", attr="segment", update_ts_us="ts"
+    )
+
+
+H1_SQL = """
+WITH cur AS (
+    SELECT c_custkey, c_mktsegment AS segment,
+           CAST(0 AS BIGINT) AS valid_from_us,
+           CAST(NULL AS BIGINT) AS valid_to_us,
+           TRUE AS is_current
+    FROM customer
+), upd AS (
+    SELECT c_custkey, new_attr, ts FROM (
+        SELECT o_custkey AS c_custkey,
+               o_orderpriority AS new_attr,
+               epoch_us(o_orderdate) AS ts,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC)
+                   AS rn
+        FROM orders
+    ) WHERE rn = 1
+), j AS (
+    SELECT cur.c_custkey, cur.segment, cur.valid_from_us, cur.valid_to_us,
+           cur.is_current, upd.new_attr, upd.ts,
+           COALESCE(upd.new_attr IS NOT NULL
+                    AND upd.new_attr <> cur.segment
+                    AND upd.ts > cur.valid_from_us, FALSE) AS chg
+    FROM cur LEFT JOIN upd USING (c_custkey)
+)
+SELECT c_custkey, segment, valid_from_us, valid_to_us, is_current
+FROM j WHERE NOT chg
+UNION ALL
+SELECT c_custkey, segment, valid_from_us, ts AS valid_to_us,
+       FALSE AS is_current
+FROM j WHERE chg
+UNION ALL
+SELECT c_custkey, new_attr AS segment, ts AS valid_from_us,
+       CAST(NULL AS BIGINT) AS valid_to_us, TRUE AS is_current
+FROM j WHERE chg
+"""
+
+
 ANALYTIC_QUERIES = {
     "j9_asof_events_orders": j9_asof_events_orders,
     "s4_user_sessions": s4_user_sessions,
@@ -706,6 +783,7 @@ ANALYTIC_QUERIES = {
     "c1_cube_revenue": c1_cube_revenue,
     "p1_profile_orders": p1_profile_orders,
     "q10_region_revenue": q10_region_revenue,
+    "h1_scd2_customer_segment": h1_scd2_customer_segment,
 }
 
 ANALYTIC_ORACLES = {
@@ -723,4 +801,5 @@ ANALYTIC_ORACLES = {
     "c1_cube_revenue": C1_SQL,
     "p1_profile_orders": P1_SQL,
     "q10_region_revenue": Q10_SQL,
+    "h1_scd2_customer_segment": H1_SQL,
 }

@@ -247,3 +247,55 @@ class TestGlobalRanks:
                 ).collect()
             }
             assert formula == native, (n, buckets)
+
+
+class TestScd2Merge:
+    def _current(self, spark):
+        return spark.createDataFrame(
+            [
+                # k=1: open BUILDING since 100; k=2: closed history + open
+                (1, "BUILDING", 100, None, True),
+                (2, "AUTO", 0, 50, False),
+                (2, "MACHINE", 50, None, True),
+                (3, "FURNITURE", 100, None, True),
+            ],
+            "k long, segment string, valid_from_us long, valid_to_us long, is_current boolean",
+        )
+
+    def _merge(self, spark, updates):
+        from big_data_flight_analytics_spark.operators.scd import scd2_merge
+
+        upd = spark.createDataFrame(updates, "k long, segment string, ts long")
+        return scd2_merge(
+            self._current(spark), upd, key="k", attr="segment", update_ts_us="ts"
+        ).collect()
+
+    def test_change_closes_and_opens(self, spark):
+        rows = self._merge(spark, [(1, "STEEL", 200)])
+        k1 = sorted(
+            [r for r in rows if r["k"] == 1],
+            key=lambda r: (r["valid_from_us"]),
+        )
+        assert [(r["segment"], r["valid_from_us"], r["valid_to_us"], r["is_current"])
+                for r in k1] == [("BUILDING", 100, 200, False), ("STEEL", 200, None, True)]
+        # untouched keys keep exactly their rows
+        assert len([r for r in rows if r["k"] == 2]) == 2
+        assert len([r for r in rows if r["k"] == 3]) == 1
+
+    def test_same_attr_update_is_noop(self, spark):
+        rows = self._merge(spark, [(1, "BUILDING", 200)])
+        assert len([r for r in rows if r["k"] == 1]) == 1
+
+    def test_stale_update_ignored(self, spark):
+        # update older than the open version's valid_from -> no change
+        rows = self._merge(spark, [(1, "STEEL", 50)])
+        k1 = [r for r in rows if r["k"] == 1]
+        assert len(k1) == 1 and k1[0]["segment"] == "BUILDING"
+
+    def test_history_rows_untouched(self, spark):
+        rows = self._merge(spark, [(2, "PLASTIC", 300)])
+        k2 = sorted([r for r in rows if r["k"] == 2],
+                    key=lambda r: r["valid_from_us"])
+        assert [(r["segment"], r["valid_to_us"]) for r in k2] == [
+            ("AUTO", 50), ("MACHINE", 300), ("PLASTIC", None)
+        ]
