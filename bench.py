@@ -40,11 +40,21 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # min of N_RUNS per query: the host shows heavy noisy-neighbor
+    # windows (identical code measured 56 s vs 197 s total in one
+    # afternoon); the per-query minimum estimates the true cost far
+    # more stably, and BOTH the recorded baseline and the driver's
+    # per-round run use this same script, so the comparison protocol
+    # stays symmetric.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -55,6 +65,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "runs_per_query": n_runs,
             }
         )
     )
