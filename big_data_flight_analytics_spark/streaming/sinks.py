@@ -82,10 +82,13 @@ class ParquetUpsertSink:
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        # materialize the merge to staging (we are still reading the live
-        # dir), then swap directories — the live path always points at a
+        self._write_and_swap(latest)
+
+    def _write_and_swap(self, df: DataFrame) -> None:
+        # materialize to staging (we may still be reading the live dir),
+        # then swap directories — the live path always points at a
         # complete store
-        latest.write.mode("overwrite").parquet(self._staging)
+        df.write.mode("overwrite").parquet(self._staging)
         if os.path.exists(self.path):
             os.rename(self.path, self._old)
         os.rename(self._staging, self.path)
@@ -97,3 +100,74 @@ class ParquetUpsertSink:
 
     def read(self, spark) -> DataFrame:
         return spark.read.parquet(self.path).drop("__batch")
+
+
+class Scd2Sink(ParquetUpsertSink):
+    """SCD Type-2 dimension maintained incrementally from an update
+    stream — the streaming form of ``operators/scd.scd2_merge``.
+
+    Each batch: reduce the batch to the latest update per key, merge
+    into the versioned dimension (close + append for changed keys),
+    swap the store with the same crash-safe rename discipline as
+    ParquetUpsertSink. Batches must arrive in non-decreasing event
+    order per key for exact SCD semantics (guaranteed under replay of
+    an ordered feed; with out-of-order sources, widen each batch via
+    watermarked buffering first).
+
+    Input batches: (key, attr, ts_us). Store schema:
+    (key, attr, valid_from_us, valid_to_us, is_current).
+    """
+
+    def __init__(self, path: str, key_col: str, attr_col: str, ts_col: str) -> None:
+        super().__init__(path, key_col, version_col=ts_col)
+        self.attr_col = attr_col
+        self.ts_col = ts_col
+
+    def merge(self, batch_df: DataFrame, batch_id: int) -> None:
+        from big_data_flight_analytics_spark.operators.scd import (
+            latest_updates,
+            scd2_merge,
+        )
+
+        spark = batch_df.sparkSession
+        self._recover()
+        upd = latest_updates(
+            batch_df.select(self.key_col, self.attr_col, self.ts_col),
+            key=self.key_col,
+            ts_col=self.ts_col,
+            # batch already reduced per (key, ts); ts doubles as tie
+            tie_col=self.ts_col,
+        )
+        if os.path.exists(self.path):
+            current = spark.read.parquet(self.path)
+        else:
+            current = upd.select(
+                self.key_col,
+                self.attr_col,
+                F.col(self.ts_col).alias("valid_from_us"),
+                F.lit(None).cast("long").alias("valid_to_us"),
+                F.lit(True).alias("is_current"),
+            ).limit(0)
+        merged = scd2_merge(
+            current,
+            upd,
+            key=self.key_col,
+            attr=self.attr_col,
+            update_ts_us=self.ts_col,
+        )
+        # brand-new keys (no open version yet) enter as fresh open rows
+        new_keys = upd.join(
+            current.filter(F.col("is_current")).select(self.key_col),
+            self.key_col,
+            "left_anti",
+        ).select(
+            self.key_col,
+            self.attr_col,
+            F.col(self.ts_col).alias("valid_from_us"),
+            F.lit(None).cast("long").alias("valid_to_us"),
+            F.lit(True).alias("is_current"),
+        )
+        self._write_and_swap(merged.unionByName(new_keys))
+
+    def read(self, spark) -> DataFrame:
+        return spark.read.parquet(self.path)

@@ -496,3 +496,45 @@ class TestStreamStreamJoin:
         assert r["latitude"] == 10.0
         # alertless aircraft never appears
         assert not [r for r in rows if r["icao24"] == "bbb222"]
+
+
+class TestScd2Sink:
+    def test_incremental_versioning_across_batches(self, spark, tmp_path):
+        from big_data_flight_analytics_spark.streaming.sinks import Scd2Sink
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        # callsign is the tracked attribute; updates arrive in 2 batches
+        write_file(src, "f1.json", [
+            sv(BASE + 100, "aaa111", callsign="DAL123"),
+            sv(BASE + 100, "bbb222", callsign="UAL100"),
+        ], BASE)
+        write_file(src, "f2.json", [
+            sv(BASE + 200, "aaa111", callsign="SWA999"),  # change -> version
+            sv(BASE + 200, "bbb222", callsign="UAL100"),  # same -> no-op
+            sv(BASE + 50, "ccc333", callsign="JBU400"),   # new key
+        ], BASE + 10)
+
+        sink = Scd2Sink(str(tmp_path / "dim"), "icao24", "callsign", "ts_us")
+
+        def build(raw):
+            parsed = transformed_stream(parse_opensky(raw))
+            return parsed.select(
+                "icao24", "callsign",
+                F.unix_micros(F.col("event_time")).alias("ts_us"),
+            )
+
+        run_stream(spark, src, build, sink_fn=sink, query_name="scd2")
+        rows = sink.read(spark).collect()
+        by_key = {}
+        for r in rows:
+            by_key.setdefault(r["icao24"], []).append(r)
+        a = sorted(by_key["aaa111"], key=lambda r: r["valid_from_us"])
+        assert [(r["callsign"], r["valid_to_us"], r["is_current"]) for r in a] == [
+            ("DAL123", (BASE + 200) * 1_000_000, False),
+            ("SWA999", None, True),
+        ]
+        b = by_key["bbb222"]
+        assert len(b) == 1 and b[0]["is_current"] and b[0]["callsign"] == "UAL100"
+        c = by_key["ccc333"]
+        assert len(c) == 1 and c[0]["valid_from_us"] == (BASE + 50) * 1_000_000
