@@ -768,6 +768,91 @@ FROM j WHERE chg
 """
 
 
+# ---------------------------------------------------------------------------
+# W6 — RANGE-framed window: 7-day trailing revenue per customer. The
+# frame is value-based (epoch seconds), not row-based — a different
+# window machinery than W3's ROWS frame.
+# ---------------------------------------------------------------------------
+
+TRAILING_S = 7 * 24 * 3600
+
+
+def w6_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    sec = F.unix_micros(F.col("o_orderdate").cast("timestamp")) / 1_000_000
+    with_sec = orders.withColumn("__sec", sec.cast("long"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("__sec").asc())
+        .rangeBetween(-TRAILING_S, 0)
+    )
+    return with_sec.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("__sec").alias("order_s"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_7d_revenue"),
+    )
+
+
+W6_SQL = f"""
+WITH o AS (
+    SELECT o_custkey, o_orderkey,
+           CAST(epoch_us(o_orderdate) // 1000000 AS BIGINT) AS order_s,
+           o_totalprice
+    FROM orders
+)
+SELECT o_custkey, o_orderkey, order_s,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY order_s ASC
+                      RANGE BETWEEN {TRAILING_S} PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS trailing_7d_revenue
+FROM o
+"""
+
+
+# ---------------------------------------------------------------------------
+# U1 — set operators: INTERSECT / EXCEPT with SQL set semantics
+# (distinct). Customers holding both an urgent and a low-priority
+# order, and those urgent-only.
+# ---------------------------------------------------------------------------
+
+
+def u1_priority_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    both = urgent.intersect(low).select(
+        "o_custkey", F.lit("both").alias("bucket")
+    )
+    # subtract == SQL EXCEPT (distinct set semantics)
+    urgent_only = urgent.subtract(low).select(
+        "o_custkey", F.lit("urgent_only").alias("bucket")
+    )
+    return both.unionByName(urgent_only)
+
+
+U1_SQL = """
+SELECT o_custkey, 'both' AS bucket FROM (
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+)
+UNION ALL
+SELECT o_custkey, 'urgent_only' AS bucket FROM (
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+)
+"""
+
+
 ANALYTIC_QUERIES = {
     "j9_asof_events_orders": j9_asof_events_orders,
     "s4_user_sessions": s4_user_sessions,
@@ -784,6 +869,8 @@ ANALYTIC_QUERIES = {
     "p1_profile_orders": p1_profile_orders,
     "q10_region_revenue": q10_region_revenue,
     "h1_scd2_customer_segment": h1_scd2_customer_segment,
+    "w6_trailing_revenue": w6_trailing_revenue,
+    "u1_priority_overlap": u1_priority_overlap,
 }
 
 ANALYTIC_ORACLES = {
@@ -802,4 +889,6 @@ ANALYTIC_ORACLES = {
     "p1_profile_orders": P1_SQL,
     "q10_region_revenue": Q10_SQL,
     "h1_scd2_customer_segment": H1_SQL,
+    "w6_trailing_revenue": W6_SQL,
+    "u1_priority_overlap": U1_SQL,
 }
