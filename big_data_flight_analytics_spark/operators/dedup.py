@@ -139,6 +139,44 @@ def ngram_jaccard_pairs(
     return _verify_jaccard(candidates, hsh, id_col, threshold)
 
 
+def containment_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing >= ``min_shared``
+    n-gram shingles with any benchmark doc.
+
+    Asymmetric containment (not symmetric Jaccard): a training document
+    that CONTAINS a benchmark item must be flagged even when the rest
+    of the document makes the Jaccard similarity tiny — the standard
+    eval-leakage guard for training corpora.
+
+    Scale design: the benchmark side is small by nature (an eval set),
+    so its shingle posting list BROADCASTS; the corpus posting streams
+    past it map-side — no corpus shuffle for the probe, one shuffle to
+    aggregate shared-shingle counts per (benchmark, corpus) pair.
+    Output: bench_doc, corpus_doc, n_shared.
+    """
+    bench_posting = F.broadcast(
+        _shingled(benchmark, id_col, text_col, n).select(
+            F.col(id_col).alias("bench_doc"), F.explode("shingles").alias("sh")
+        )
+    )
+    corpus_posting = _shingled(corpus, id_col, text_col, n).select(
+        F.col(id_col).alias("corpus_doc"), F.explode("shingles").alias("sh")
+    )
+    return (
+        corpus_posting.join(bench_posting, "sh")
+        .groupBy("bench_doc", "corpus_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def _cap_bucket_population(
     posting: DataFrame, keys: list[str], cap: int
 ) -> DataFrame:

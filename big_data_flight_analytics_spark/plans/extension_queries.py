@@ -578,6 +578,53 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# D7 — benchmark decontamination: corpus docs sharing >= K shingles
+# with a (broadcast-small) benchmark set — asymmetric containment, the
+# eval-leakage guard symmetric Jaccard misses.
+# ---------------------------------------------------------------------------
+
+N_BENCH_DOCS = 5
+MIN_SHARED = 2
+
+
+def d7_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.dedup import (
+        containment_overlap,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < N_BENCH_DOCS)
+    corpus = docs.filter(F.col("doc_id") >= N_BENCH_DOCS)
+    return containment_overlap(corpus, bench, min_shared=MIN_SHARED)
+
+
+D7_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS t
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 3 THEN
+               list_distinct(list_transform(range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
+           ELSE [] END AS shingles
+    FROM toks
+), bench AS (
+    SELECT doc_id AS bench_doc, unnest(shingles) AS sh FROM sh
+    WHERE doc_id < {N_BENCH_DOCS}
+), corpus AS (
+    SELECT doc_id AS corpus_doc, unnest(shingles) AS sh FROM sh
+    WHERE doc_id >= {N_BENCH_DOCS}
+)
+SELECT bench_doc, corpus_doc, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM corpus JOIN bench USING (sh)
+GROUP BY bench_doc, corpus_doc
+HAVING COUNT(*) >= {MIN_SHARED}
+"""
+
+
+# ---------------------------------------------------------------------------
 # D6 — dedup clustering: connected components over the D2 near-dup pair
 # graph. Pairs -> transitive clusters -> canonical doc per cluster; the
 # last stage of a dedup pipeline. Oracle: recursive CTE reachability
@@ -625,6 +672,7 @@ EXTENSION_QUERIES = {
     "v2_lsh_topk": v2_lsh_topk,
     "d5_embedding_neardup": d5_embedding_neardup,
     "d6_dedup_clusters": d6_dedup_clusters,
+    "d7_decontamination": d7_decontamination,
     "m1_multimodal_features": m1_multimodal_features,
 }
 
@@ -639,5 +687,6 @@ EXTENSION_ORACLES = {
     "v2_lsh_topk": V2_SQL,
     "d5_embedding_neardup": D5_SQL,
     "d6_dedup_clusters": D6_SQL,
+    "d7_decontamination": D7_SQL,
     "m1_multimodal_features": M1_SQL,
 }
