@@ -21,11 +21,14 @@ import duckdb  # noqa: E402
 
 QUERIES = [
     "t1_text_stats",
+    "t3_gopher_metrics",
     "d1_exact_dedup",
     "d2_ngram_jaccard",
     "d3_minhash_lsh",
     "d4_simhash",
     "d5_embedding_neardup",
+    "d6_dedup_clusters",
+    "d7_decontamination",
     "v2_lsh_topk",
 ]
 
