@@ -20,6 +20,7 @@ from collections.abc import Callable, Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StructField,
@@ -156,6 +157,54 @@ def frame_sample_stub(
                     id_col: np.repeat(pdf[id_col].to_numpy(), n_frames),
                     "frame_no": frame_no.astype("int32"),
                     "offset": (frame_no * every_n_bytes).astype("int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+
+
+def resize_stub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    target_w: int = 8,
+    target_h: int = 8,
+) -> DataFrame:
+    """Image-resize shaped operator: payload -> fixed target_w*target_h
+    byte buffer (stand-in for resampled pixels), plus the recorded
+    output dims. The real plumbing a resize needs — binary in, binary
+    out, dims as typed metadata, Arrow batches — with the resample
+    itself a deterministic stub (truncate or zero-pad to w*h bytes,
+    vectorized via numpy). Swap the kernel for PIL's ``Image.resize``
+    where media libs exist; every Spark-side piece stays identical.
+    """
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), True),
+            StructField("payload", BinaryType(), True),
+            StructField("width", IntegerType(), False),
+            StructField("height", IntegerType(), False),
+        ]
+    )
+    size = target_w * target_h
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for p in pdf[payload_col]:
+                buf = np.frombuffer(p if p is not None else b"", dtype=np.uint8)
+                fixed = np.zeros(size, dtype=np.uint8)
+                fixed[: min(len(buf), size)] = buf[:size]
+                out.append(fixed.tobytes())
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "payload": out,
+                    "width": np.full(len(out), target_w, dtype="int32"),
+                    "height": np.full(len(out), target_h, dtype="int32"),
                 }
             )
 

@@ -65,3 +65,28 @@ class TestFrameSample:
         out = frame_sample_stub(df, every_n_bytes=64).collect()
         got = {(r["doc_id"], r["frame_no"], r["offset"]) for r in out}
         assert got == {(2, 0, 0), (3, 0, 0), (3, 1, 64)}
+
+
+class TestResizeStub:
+    def test_fixed_buffer_and_dims(self, spark):
+        from big_data_flight_analytics_spark.operators.multimodal import (
+            attach_binary_payload,
+            resize_stub,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a" * 100), (2, "xy"), (3, None)], "doc_id long, text string"
+        )
+        out = resize_stub(
+            attach_binary_payload(docs), target_w=4, target_h=4
+        ).collect()
+        by_id = {r["doc_id"]: r for r in out}
+        assert set(by_id) == {1, 2, 3}
+        for r in out:
+            assert len(r["payload"]) == 16
+            assert (r["width"], r["height"]) == (4, 4)
+        # truncation keeps the leading bytes; short payloads zero-pad
+        assert by_id[1]["payload"] == b"a" * 16
+        assert by_id[2]["payload"][:2] == b"xy"
+        assert by_id[2]["payload"][2:] == b"\x00" * 14
+        assert by_id[3]["payload"] == b"\x00" * 16
