@@ -54,7 +54,10 @@ def interval_join(
     if not use_grain:
         return facts.crossJoin(F.broadcast(intervals)).filter(between)
 
-    grains = intervals.withColumn(
+    # inverted intervals (end < start) match nothing in broadcast mode;
+    # filter them here too, because sequence() THROWS on a negative
+    # span — both modes must agree that they are simply empty
+    grains = intervals.filter(F.col(start_col) <= F.col(end_col)).withColumn(
         "__grain",
         F.explode(
             F.sequence(

@@ -299,3 +299,20 @@ class TestScd2Merge:
         assert [(r["segment"], r["valid_to_us"]) for r in k2] == [
             ("AUTO", 50), ("MACHINE", 300), ("PLASTIC", None)
         ]
+
+
+class TestIntervalJoinInverted:
+    def test_inverted_interval_empty_in_both_modes(self, spark):
+        from big_data_flight_analytics_spark.operators.intervals import interval_join
+
+        facts = spark.createDataFrame(
+            [(1, ts("2024-01-05T00:00:00"))], "fid long, t timestamp"
+        )
+        iv = spark.createDataFrame(
+            [("bad", ts("2024-01-10T00:00:00"), ts("2024-01-01T00:00:00"))],
+            "name string, iv_start timestamp, iv_end timestamp",
+        )
+        # grain mode must not crash on sequence(start > end) and must
+        # agree with broadcast mode that an inverted interval is empty
+        assert interval_join(facts, iv, "t", use_grain=True).count() == 0
+        assert interval_join(facts, iv, "t", use_grain=False).count() == 0
