@@ -45,3 +45,14 @@ class TestDedupClusters:
         assert rows[7]["cluster_id"] == 1 and not rows[7]["is_canonical"]
         assert rows[9]["cluster_id"] == 1 and not rows[9]["is_canonical"]
         assert rows[4]["cluster_id"] == 4 and rows[4]["is_canonical"]
+
+
+class TestEdgeCases:
+    def test_empty_edges_all_singletons(self, spark):
+        edges = spark.createDataFrame([], "src long, dst long")
+        verts = spark.createDataFrame([(1,), (2,)], "id long")
+        assert labels_of(connected_components(edges, vertices=verts)) == {1: 1, 2: 2}
+
+    def test_self_loop_harmless(self, spark):
+        edges = spark.createDataFrame([(3, 3), (3, 5)], "src long, dst long")
+        assert labels_of(connected_components(edges)) == {3: 3, 5: 3}

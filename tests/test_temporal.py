@@ -316,3 +316,21 @@ class TestIntervalJoinInverted:
         # agree with broadcast mode that an inverted interval is empty
         assert interval_join(facts, iv, "t", use_grain=True).count() == 0
         assert interval_join(facts, iv, "t", use_grain=False).count() == 0
+
+
+class TestIvfEdgeCases:
+    def test_empty_query_set(self, spark):
+        emb = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(10)],
+            "vec_id long, embedding array<float>",
+        )
+        out = ivf_topk(emb, emb.filter("vec_id < 0"), k=2, n_centroids=4, nprobe=2)
+        assert out.count() == 0
+
+    def test_corpus_smaller_than_centroids(self, spark):
+        emb = spark.createDataFrame(
+            [(i, [float(i + 1), 1.0]) for i in range(3)],
+            "vec_id long, embedding array<float>",
+        )
+        out = ivf_topk(emb, emb, k=2, n_centroids=16, nprobe=16).collect()
+        assert {r["query_id"] for r in out} == {0, 1, 2}
