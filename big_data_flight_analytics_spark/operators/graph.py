@@ -8,18 +8,30 @@ vertex id reachable from it — deterministic, engine-independent.
 
 Algorithm: min-label propagation to fixpoint. Each iteration sends each
 vertex's current label to its neighbors and takes the min — a join + a
-hash aggregate, both shuffling on the vertex id so AQE reuses the
-exchange layout across iterations. Iterations needed = graph diameter;
-near-dup clusters are tiny, flat graphs (diameter ~2-4), so the loop
-converges in a handful of rounds. The per-iteration driver-side
-``count()`` is ONE scalar job on the (vertex-sized) change set — the
-standard convergence check for iterative DataFrame algorithms.
+hash aggregate. Iterations needed = graph diameter; near-dup clusters
+are tiny, flat graphs (diameter ~2-4), so the loop converges in a
+handful of rounds. The per-iteration driver-side ``count()`` is ONE
+scalar job on the (vertex-sized) change set — the standard convergence
+check for iterative DataFrame algorithms.
 
-Scale notes:
-- ``localCheckpoint`` truncates the lineage each iteration; without it
-  the plan doubles per round and Catalyst analysis dominates. On a
-  cluster, swap for ``checkpoint`` with a durable checkpoint dir (the
-  call site is marked) so executor loss cannot invalidate labels.
+Scale design:
+- The loop runs ONLY over edge endpoints. Isolated vertices (the vast
+  majority of a deduped corpus — most documents are in no near-dup
+  pair) never enter the loop; they are attached at the end with a
+  broadcast anti-join. Loop frames are O(edges), not O(documents).
+- The edge frame is eagerly ``localCheckpoint``-ed once: this both
+  truncates the (possibly expensive) pair-generation lineage and lets
+  AQE size its partitions to the real edge volume. The loop then runs
+  with ``spark.sql.shuffle.partitions`` pinned to that edge-derived
+  count and AQE disabled (both restored in a ``finally``): cached
+  plans do NOT get AQE output-partition coalescing
+  (``spark.sql.optimizer.canChangeCachedPlanOutputPartitioning`` is
+  false by default), so without the pin an 882-edge graph would run 32
+  reduce tasks per round, and AQE's stage-by-stage materialization
+  adds ~0.3 s of scheduling latency per round on frames this small.
+  On a cluster, swap ``localCheckpoint`` for ``checkpoint`` with a
+  durable dir (call site marked) so executor loss cannot invalidate
+  the edge frame.
 - For web-scale graphs with high-degree hubs, the large-star /
   small-star variant (Kiveris et al., "Connected Components in
   MapReduce and Beyond") halves rounds; plain min-propagation is the
@@ -27,6 +39,8 @@ Scale notes:
 """
 
 from __future__ import annotations
+
+import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -39,61 +53,117 @@ def connected_components(
     vertices: DataFrame | None = None,
     id_col: str = "id",
     max_iter: int = 25,
+    num_partitions: int | None = None,
+    allow_nonconverged: bool = False,
 ) -> DataFrame:
     """Label each vertex with min reachable vertex id (cluster_id).
 
     ``edges`` is treated as undirected. ``vertices`` (optional, column
     ``id_col``) adds isolated vertices, which come back labeled with
     their own id. Output: (``id_col``, cluster_id).
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass without
+    reaching the fixpoint (labels would be silently wrong for any
+    component of diameter > max_iter); pass ``allow_nonconverged=True``
+    to downgrade that to a warning.
     """
     sym = edges.select(
         F.col(src).alias("__s"), F.col(dst).alias("__d")
     ).union(edges.select(F.col(dst).alias("__s"), F.col(src).alias("__d")))
     # dedup parallel edges once up front (every iteration joins this);
-    # localCheckpoint truncates the (possibly expensive) pair-generation
-    # lineage after the first materialization — cluster swap point:
+    # the EAGER localCheckpoint truncates the pair-generation lineage
+    # and materializes with AQE-sized partitions — cluster swap point:
     # .checkpoint() with a durable dir
-    e = sym.distinct().localCheckpoint(eager=False)
+    e = sym.distinct().localCheckpoint(eager=True)
+    if num_partitions is None:
+        # inherit AQE's sizing of the materialized edge frame so loop
+        # shuffles match the real data volume (1 task at test scale,
+        # proportional at cluster scale)
+        num_partitions = max(1, e.rdd.getNumPartitions())
 
-    verts = e.select(F.col("__s").alias(id_col))
-    if vertices is not None:
-        verts = verts.union(vertices.select(F.col(id_col)))
-    labels = verts.distinct().select(
-        F.col(id_col), F.col(id_col).alias("cluster_id")
+    # loop frames are O(edge endpoints): isolated vertices are attached
+    # after convergence, below
+    labels = (
+        e.select(F.col("__s").alias(id_col))
+        .distinct()
+        .select(F.col(id_col), F.col(id_col).alias("cluster_id"))
+        .coalesce(num_partitions)
     )
 
+    spark = edges.sparkSession
+    aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    parts0 = spark.conf.get("spark.sql.shuffle.partitions")
     prev = None
-    for _ in range(max_iter):
-        # one shuffle + ONE action per iteration: self rows carry the
-        # old label tagged, so the same aggregate yields the new label
-        # AND the change flag — no separate compare join or second job
-        tagged = labels.select(
-            F.col(id_col),
-            F.col("cluster_id").alias("__lbl"),
-            F.lit(True).alias("__self"),
-        )
-        msgs = e.join(labels, e["__s"] == labels[id_col]).select(
-            F.col("__d").alias(id_col),
-            F.col("cluster_id").alias("__lbl"),
-            F.lit(False).alias("__self"),
-        )
-        agg = (
-            tagged.union(msgs)
-            .groupBy(id_col)
-            .agg(
-                F.min("__lbl").alias("cluster_id"),
-                F.min(F.when(F.col("__self"), F.col("__lbl"))).alias("__old"),
+    changed = 0
+    try:
+        # pin the loop's shuffle width to the edge-derived count and
+        # skip AQE's per-stage re-planning: every frame in the loop is
+        # O(edges) and already correctly sized, so AQE can only add
+        # scheduling latency here (see module docstring)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
+        for _ in range(max_iter):
+            # one shuffle + ONE action per iteration: self rows carry
+            # the old label tagged, so the same aggregate yields the
+            # new label AND the change flag — no separate compare join
+            # or second job
+            tagged = labels.select(
+                F.col(id_col),
+                F.col("cluster_id").alias("__lbl"),
+                F.lit(True).alias("__self"),
             )
-            .persist()
+            msgs = e.join(labels, e["__s"] == labels[id_col]).select(
+                F.col("__d").alias(id_col),
+                F.col("cluster_id").alias("__lbl"),
+                F.lit(False).alias("__self"),
+            )
+            agg = (
+                tagged.union(msgs)
+                .groupBy(id_col)
+                .agg(
+                    F.min("__lbl").alias("cluster_id"),
+                    F.min(F.when(F.col("__self"), F.col("__lbl"))).alias("__old"),
+                )
+                .persist()
+            )
+            changed = agg.filter(F.col("cluster_id") != F.col("__old")).count()
+            if prev is not None:
+                prev.unpersist()
+            prev = agg
+            labels = agg.select(F.col(id_col), "cluster_id")
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe0)
+        spark.conf.set("spark.sql.shuffle.partitions", parts0)
+    if changed != 0:
+        msg = (
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); a component has diameter "
+            f"> max_iter and its labels are NOT final"
         )
-        changed = agg.filter(F.col("cluster_id") != F.col("__old")).count()
-        if prev is not None:
-            prev.unpersist()
-        prev = agg
-        labels = agg.select(F.col(id_col), "cluster_id")
-        if changed == 0:
-            break
-    return labels
+        if allow_nonconverged:
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        else:
+            if prev is not None:
+                prev.unpersist()
+            raise RuntimeError(msg)
+
+    # materialize the converged labels (tiny: one row per edge
+    # endpoint) so the last loop cache can be released — no persisted
+    # frame escapes this operator
+    final = labels.localCheckpoint(eager=True)
+    if prev is not None:
+        prev.unpersist()
+
+    if vertices is not None:
+        isolated = (
+            vertices.select(F.col(id_col))
+            .join(F.broadcast(final.select(id_col)), id_col, "left_anti")
+            .select(F.col(id_col), F.col(id_col).alias("cluster_id"))
+        )
+        final = final.union(isolated)
+    return final
 
 
 def dedup_clusters(
