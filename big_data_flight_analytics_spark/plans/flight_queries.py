@@ -473,7 +473,10 @@ def flights_lookup(flights: DataFrame, airlines: DataFrame) -> DataFrame:
     )
 
     return (
-        arr_mode.join(dep_mode, "callsign")
+        # both mode frames are tiny by construction (≤1 row per
+        # callsign); broadcasting the narrower side drops the catalog's
+        # only SortMergeJoin
+        arr_mode.join(F.broadcast(dep_mode), "callsign")
         .withColumn("CRSArrTime", hhmm_to_str(F.col("mode_arr")))
         .withColumn("CRSDepTime", hhmm_to_str(F.col("mode_dep")))
         .select("callsign", "AirlineName", "CRSArrTime", "CRSDepTime")

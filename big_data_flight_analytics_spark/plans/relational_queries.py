@@ -506,7 +506,9 @@ def l3_flights_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dep = mode_per_group(df, ["callsign"], "dep_hhmm").select(
         "callsign", F.col("dep_hhmm").alias("mode_dep")
     )
-    return arr.join(dep, "callsign").select(
+    # both mode outputs are ≤1 row per callsign; broadcasting the
+    # narrower side keeps the arr x dep self-join sort-free (BHJ)
+    return arr.join(F.broadcast(dep), "callsign").select(
         "callsign",
         "group_name",
         hhmm_to_str(F.col("mode_arr")).alias("arr_time"),
