@@ -18,6 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from big_data_flight_analytics_spark.cache import release_tracked  # noqa: E402
 from big_data_flight_analytics_spark.plans.catalog import QUERIES  # noqa: E402
 from big_data_flight_analytics_spark.session import get_session  # noqa: E402
 
@@ -54,6 +55,10 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
+            # operator-internal caches are per-invocation scratch;
+            # releasing between runs keeps the session flat and each
+            # run honest (outside the timed region)
+            release_tracked()
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from big_data_flight_analytics_spark.cache import tracked_persist
 from big_data_flight_analytics_spark.functions.text import rolling_fingerprint
 
 
@@ -123,9 +124,10 @@ def ngram_jaccard_pairs(
     # the hashed-shingle frame feeds the posting branch AND both verify
     # broadcast sides; persisting computes the tokenize+shingle+hash
     # pipeline once instead of three times (min-of-3 A/B: 3.7 -> 3.3 s
-    # at sf0.1). MEMORY_AND_DISK default spills at scale; Spark's LRU
-    # evicts when the caller never materializes.
-    hsh = hsh.persist()
+    # at sf0.1). MEMORY_AND_DISK default spills at scale; the handle is
+    # registered so catalog drivers release it after the terminal
+    # action (see cache.release_tracked).
+    hsh = tracked_persist(hsh)
     posting_h = hsh.select(F.col(id_col), F.explode("shingles").alias("sh"))
     capped = _cap_bucket_population(posting_h, ["sh"], max_df)
     a = capped.select(F.col(id_col).alias("doc_a"), "sh")
@@ -255,9 +257,9 @@ def minhash_lsh_pairs(
     # split() x15 in the optimized plan with it, x1 without).
     sh = _shingled(df, id_col, text_col, n)
     # reused by the signature posting AND the Jaccard-verify broadcast —
-    # persist to run the shingle pipeline once (same rationale and
-    # measurement as ngram_jaccard_pairs)
-    sh = sh.persist()
+    # persist to run the shingle pipeline once (same rationale,
+    # measurement, and release contract as ngram_jaccard_pairs)
+    sh = tracked_persist(sh)
     # signature via explode + hash-agg: ONE md5 per shingle occurrence,
     # two 28-bit ints parsed from its hex, and all num_perm permutations
     # derived as (h1 + j*h2) mod p — integer min buffers instead of

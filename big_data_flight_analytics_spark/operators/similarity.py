@@ -120,7 +120,9 @@ def embedding_neardup_pairs(
     """
     if bits is None:
         if corpus_count is None:
-            corpus = corpus.persist()
+            from big_data_flight_analytics_spark.cache import tracked_persist
+
+            corpus = tracked_persist(corpus)
             corpus_count = corpus.count()
         bits = adaptive_bits(corpus_count, target_bucket_size)
     sig = corpus.select(

@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
+from big_data_flight_analytics_spark.cache import release_tracked  # noqa: E402
 from big_data_flight_analytics_spark.plans.tables import TABLES  # noqa: E402
 from big_data_flight_analytics_spark.session import get_session  # noqa: E402
 
@@ -79,6 +80,8 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
             continue
+        finally:
+            release_tracked()
         if name not in oracles:
             print(f"ok    {name}: rows-only ({len(srows)} rows, "
                   f"{time.time()-t0:.1f}s) [no oracle]")
