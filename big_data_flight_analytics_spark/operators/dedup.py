@@ -347,7 +347,10 @@ def simhash_signature(text_col: str = "text", bits: int = 32) -> Column:
     """
     from big_data_flight_analytics_spark.operators.text import tokens
 
-    assert bits <= 128
+    # the signature accumulates into ONE 64-bit long (1 << k terms), so
+    # bit 63 would wrap sign and anything wider overflows — widen to an
+    # array of longs if a >63-bit signature is ever needed
+    assert 0 < bits <= 63
     hashes = F.transform(tokens(text_col), lambda t: F.md5(t))
 
     def bit_merge(k: int):
@@ -387,7 +390,9 @@ def simhash_signatures(
     """
     from big_data_flight_analytics_spark.operators.text import tokens
 
-    assert bits % 4 == 0 and bits <= 128
+    # single-long signature: see simhash_signature — 60 is the widest
+    # multiple of 4 that fits without sign-wrap
+    assert bits % 4 == 0 and 0 < bits <= 60
     n_digits = bits // 4
     toked = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
     hashed = toked.select(F.col(id_col), F.md5("__t").alias("__h"))

@@ -516,7 +516,10 @@ def w5_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_acctbal",
         ntile_from_rn(rn, n, 4).alias("quartile"),
-        ((rn - 1) / (n - 1)).alias("pct_rank"),
+        # percent_rank of a single-row input is 0.0, not 0/0=NULL
+        F.when(n == 1, F.lit(0.0))
+        .otherwise((rn - 1) / (n - 1))
+        .alias("pct_rank"),
         (rn / n).alias("cume"),
     )
 

@@ -116,12 +116,26 @@ class Scd2Sink(ParquetUpsertSink):
 
     Input batches: (key, attr, ts_us). Store schema:
     (key, attr, valid_from_us, valid_to_us, is_current).
+
+    Tie-break: a batch carrying two DIFFERENT attr values for the same
+    key at the same timestamp must still resolve deterministically or
+    the dimension is replay-unstable. Pass ``tie_col`` (e.g. an event
+    id) for a domain-meaningful winner; without one, the greatest attr
+    value wins — arbitrary but stable under replay.
     """
 
-    def __init__(self, path: str, key_col: str, attr_col: str, ts_col: str) -> None:
+    def __init__(
+        self,
+        path: str,
+        key_col: str,
+        attr_col: str,
+        ts_col: str,
+        tie_col: str | None = None,
+    ) -> None:
         super().__init__(path, key_col, version_col=ts_col)
         self.attr_col = attr_col
         self.ts_col = ts_col
+        self.tie_col = tie_col
 
     def merge(self, batch_df: DataFrame, batch_id: int) -> None:
         from big_data_flight_analytics_spark.operators.scd import (
@@ -131,13 +145,20 @@ class Scd2Sink(ParquetUpsertSink):
 
         spark = batch_df.sparkSession
         self._recover()
+        cols = [self.key_col, self.attr_col, self.ts_col]
+        if self.tie_col is not None:
+            cols.append(self.tie_col)
         upd = latest_updates(
-            batch_df.select(self.key_col, self.attr_col, self.ts_col),
+            batch_df.select(*cols),
             key=self.key_col,
             ts_col=self.ts_col,
-            # batch already reduced per (key, ts); ts doubles as tie
-            tie_col=self.ts_col,
+            # see class docstring: explicit tie column, else greatest
+            # attr — never the timestamp itself (identical sort keys
+            # would pick a nondeterministic winner)
+            tie_col=self.tie_col if self.tie_col is not None else self.attr_col,
         )
+        if self.tie_col is not None:
+            upd = upd.drop(self.tie_col)
         if os.path.exists(self.path):
             current = spark.read.parquet(self.path)
         else:

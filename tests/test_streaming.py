@@ -538,3 +538,34 @@ class TestScd2Sink:
         assert len(b) == 1 and b[0]["is_current"] and b[0]["callsign"] == "UAL100"
         c = by_key["ccc333"]
         assert len(c) == 1 and c[0]["valid_from_us"] == (BASE + 50) * 1_000_000
+
+    def test_same_timestamp_conflict_resolves_deterministically(
+        self, spark, tmp_path
+    ):
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.streaming.sinks import Scd2Sink
+
+        # no tie column: greatest attr wins — stable under replay
+        batch = spark.createDataFrame([
+            Row(icao24="aaa111", callsign="AAA111", ts_us=1000),
+            Row(icao24="aaa111", callsign="ZZZ999", ts_us=1000),
+        ])
+        sink = Scd2Sink(str(tmp_path / "dim_attr"), "icao24", "callsign", "ts_us")
+        for _ in range(3):  # replaying the identical batch must agree
+            sink.merge(batch, 0)
+            rows = sink.read(spark).collect()
+            assert len(rows) == 1 and rows[0]["callsign"] == "ZZZ999"
+
+        # explicit tie column: its max picks the winner, not the attr
+        batch2 = spark.createDataFrame([
+            Row(icao24="aaa111", callsign="ZZZ999", ts_us=1000, event_id=1),
+            Row(icao24="aaa111", callsign="AAA111", ts_us=1000, event_id=2),
+        ])
+        sink2 = Scd2Sink(
+            str(tmp_path / "dim_tie"), "icao24", "callsign", "ts_us",
+            tie_col="event_id",
+        )
+        sink2.merge(batch2, 0)
+        rows = sink2.read(spark).collect()
+        assert len(rows) == 1 and rows[0]["callsign"] == "AAA111"
