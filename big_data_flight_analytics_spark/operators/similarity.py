@@ -154,6 +154,39 @@ def embedding_neardup_pairs(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Seeded k-means centroid table for ``ivf_topk``: (__cid, __cvec).
+
+    Distributed Lloyd iterations over a k-means|| init
+    (``pyspark.ml.clustering.KMeans``) — the corpus never leaves the
+    cluster; only the ``n_centroids`` centers (inherently driver-side
+    model state) come back to build the tiny centroid table. The fixed
+    ``seed`` makes runs repeatable on identical data/partitioning,
+    though unlike the min-id stub the result is not an engine-portable
+    deterministic function of the data — hence centroids are an
+    ``ivf_topk`` INPUT, not part of the oracle-checked catalog query.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return corpus.sparkSession.createDataFrame(
+        centers, schema="__cid long, __cvec array<double>"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -163,15 +196,17 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dp: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus into
     ``n_centroids`` cells, probe only the ``nprobe`` nearest cells per
     query, rank exact cosine within the probed candidates.
 
-    Centroid selection here is deterministic (the ``n_centroids``
+    Default centroid selection is deterministic (the ``n_centroids``
     corpus vectors with the smallest ids) so the oracle can reproduce
-    it; a production pipeline would drop in k-means centroids — every
-    stage downstream of the centroid table is unchanged.
+    it; pass ``centroids`` (``(__cid, __cvec)``, e.g. from
+    ``kmeans_centroids``) for data-adaptive cells with real ANN recall
+    — every stage downstream of the centroid table is unchanged.
 
     Scale design: the centroid table is tiny and broadcast to both
     assignment joins, so the corpus is scored against centroids
@@ -182,13 +217,17 @@ def ivf_topk(
     count — raise ``nprobe`` toward ``n_centroids`` to trade speed
     back for exactness.
     """
+    if centroids is None:
+        centroids = (
+            corpus.orderBy(F.col(id_col).asc())
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
+            )
+        )
     cents = F.broadcast(
-        corpus.orderBy(F.col(id_col).asc())
-        .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("__cid"),
-            F.col(vec_col).alias("__cvec"),
-            l2_norm(F.col(vec_col)).alias("__cn"),
+        centroids.select(
+            "__cid", "__cvec", l2_norm(F.col("__cvec")).alias("__cn")
         )
     )
 

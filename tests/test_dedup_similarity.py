@@ -10,10 +10,18 @@ from big_data_flight_analytics_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+import os
+
+import pytest
+
 from big_data_flight_analytics_spark.operators.similarity import (
     brute_force_topk,
+    ivf_topk,
+    kmeans_centroids,
     lsh_bucketed_topk,
 )
+
+SF001 = "/root/testdata/sf0.01"
 
 
 def corpus(spark):
@@ -147,3 +155,66 @@ class TestLshTopK:
         # vec 3 ([-1,0,...]) and 2 ([0,1,...]) land in different sign buckets
         assert 1 in ids and 4 in ids
         assert 3 not in ids
+
+
+class TestKmeansIvf:
+    """Data-adaptive IVF centroids vs the deterministic min-id stub.
+
+    Queries are disjoint from the min-id centroid rows — a query that
+    IS a centroid always probes its own cell first, which inflated the
+    stub's measured recall in an earlier (biased) comparison.
+    """
+
+    @pytest.mark.skipif(
+        not os.path.exists(f"{SF001}/embeddings.parquet"),
+        reason="sf0.01 testdata not present",
+    )
+    def test_recall_vs_brute_force(self, spark):
+        emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+        queries = emb.filter("vec_id >= 100 and vec_id < 140")
+        bf = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(emb, queries, k=3).collect()
+        }
+        cents = kmeans_centroids(emb, n_centroids=16, seed=42)
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(
+                emb, queries, k=3, nprobe=12, centroids=cents
+            ).collect()
+        }
+        assert len(bf & got) / len(bf) >= 0.9
+
+    @pytest.mark.skipif(
+        not os.path.exists(f"{SF001}/embeddings.parquet"),
+        reason="sf0.01 testdata not present",
+    )
+    def test_kmeans_beats_min_id_at_equal_probe_budget(self, spark):
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+        queries = emb.filter("vec_id >= 100 and vec_id < 140")
+        bf = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(emb, queries, k=3).collect()
+        }
+
+        def recall(cents):
+            got = {
+                (r["query_id"], r["neighbor_id"])
+                for r in ivf_topk(
+                    emb, queries, k=3, nprobe=8, centroids=cents
+                ).collect()
+            }
+            return len(bf & got) / len(bf)
+
+        min_id = (
+            emb.orderBy(F.col("vec_id").asc())
+            .limit(16)
+            .select(
+                F.col("vec_id").alias("__cid"),
+                F.col("embedding").alias("__cvec"),
+            )
+        )
+        km = kmeans_centroids(emb, n_centroids=16, seed=42)
+        assert recall(km) >= recall(min_id)
