@@ -1,0 +1,174 @@
+"""Streaming throughput benchmark: S1 enrichment + S2 windowed counts.
+
+Replays an OpenSky-shaped JSON feed derived deterministically from the
+``events`` table through the two headline streaming pipelines and
+reports end-to-end rows/second for each (input rows / wall time of the
+availableNow run, micro-batched via maxFilesPerTrigger so the
+watermark advances and windows actually emit).
+
+Prints ONE JSON line:
+  {"metric": "stream_rows_per_sec", "value": <min of pipelines>,
+   "unit": "rows/sec", "pipelines": {...}, "rows": N, "sf": ...}
+
+Env knobs: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+$SPARK_GRAFT_CPUS, $SPARK_GRAFT_STREAM_WORKDIR (default under /tmp,
+input files are cached there across runs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from big_data_flight_analytics_spark.session import get_session  # noqa: E402
+from big_data_flight_analytics_spark.streaming.enrichment import (  # noqa: E402
+    enrich_stream,
+    parse_opensky,
+    transformed_stream,
+)
+from big_data_flight_analytics_spark.streaming.windowed_counts import (  # noqa: E402
+    airline_aircraft_counts,
+)
+
+N_INPUT_FILES = 16
+FILES_PER_TRIGGER = 4  # >1 batch so the watermark advances mid-run
+
+
+def _opensky_frame(spark, sf_dir: str):
+    """events -> OpenSky state vectors, all derivations deterministic."""
+    from big_data_flight_analytics_spark.plans.tables import load
+
+    ev = load(spark, sf_dir, "events")  # nanos-aware events reader
+    return ev.select(
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("timestamp"),
+        F.lpad(F.conv(F.col("user_id").cast("string"), 10, 16), 6, "0").alias(
+            "icao24"
+        ),
+        F.concat(
+            F.upper(F.substring("event_type", 1, 3)),
+            (F.col("user_id") % 9000 + 100).cast("string"),
+        ).alias("callsign"),
+        F.lit("USA").alias("origin_country"),
+        ((F.col("event_id") % 360) - 180.0).alias("longitude"),
+        ((F.col("event_id") % 180) - 90.0).alias("latitude"),
+        (F.col("value") * 100).alias("geo_altitude"),
+        F.lit(200.0).alias("velocity"),
+        F.lit(90.0).alias("true_track"),
+        F.lit(0.0).alias("vertical_rate"),
+        F.lit(False).alias("on_ground"),
+        (F.col("value") * 99).alias("baro_altitude"),
+    )
+
+
+def build_input(spark, sf_dir: str, workdir: str) -> tuple[str, int]:
+    """JSON-lines feed on disk (cached across runs), returns (dir, rows)."""
+    src_dir = os.path.join(workdir, "feed")
+    meta = os.path.join(workdir, "feed_meta.json")
+    if os.path.exists(meta):
+        with open(meta) as fh:
+            cached = json.load(fh)
+        if cached.get("sf_dir") == sf_dir:
+            return src_dir, cached["rows"]
+    shutil.rmtree(src_dir, ignore_errors=True)
+    frame = _opensky_frame(spark, sf_dir)
+    rows = frame.count()
+    frame.select(F.to_json(F.struct(*frame.columns)).alias("value")).repartition(
+        N_INPUT_FILES
+    ).write.mode("overwrite").text(src_dir)
+    with open(meta, "w") as fh:
+        json.dump({"sf_dir": sf_dir, "rows": rows}, fh)
+    return src_dir, rows
+
+
+def _lookups(spark, sf_dir: str):
+    """GlobalKTable-shaped lookup sides keyed to match the feed."""
+    sv = _opensky_frame(spark, sf_dir)
+    ac = sv.groupBy("icao24").agg(
+        F.round(F.avg("geo_altitude"), 2).alias("AvgCarrierDelayMinutes"),
+        F.count(F.lit(1)).alias("FlightCount"),
+        F.round(F.avg("baro_altitude") / 100, 4).alias("DelayScore01"),
+    )
+    fl = sv.groupBy("callsign").agg(
+        F.first("origin_country").alias("AirlineName"),
+        F.lit("12:00").alias("CRSArrTime"),
+        F.lit("13:00").alias("CRSDepTime"),
+    )
+    return ac, fl
+
+
+def _run(spark, src_dir: str, build, checkpoint: str) -> float:
+    shutil.rmtree(checkpoint, ignore_errors=True)
+    raw = (
+        spark.readStream.option("maxFilesPerTrigger", FILES_PER_TRIGGER)
+        .text(src_dir)
+    )
+    out = build(raw)
+    t0 = time.time()
+    q = (
+        out.writeStream.format("noop")
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    workdir = os.environ.get(
+        "SPARK_GRAFT_STREAM_WORKDIR", "/tmp/spark_graft_stream_bench"
+    )
+    os.makedirs(workdir, exist_ok=True)
+
+    spark = get_session(app_name="bench_stream")
+    spark.sparkContext.setLogLevel("ERROR")
+    src_dir, rows = build_input(spark, sf_dir, workdir)
+    ac, fl = _lookups(spark, sf_dir)
+    # lookup sides re-read per micro-batch (GlobalKTable snapshot
+    # semantics) — materialize them once so the bench measures the
+    # streaming path, not lookup recomputation
+    ac, fl = ac.localCheckpoint(), fl.localCheckpoint()
+
+    def s1(raw):
+        return enrich_stream(
+            transformed_stream(parse_opensky(raw)), ac, fl
+        )
+
+    def s2(raw):
+        return airline_aircraft_counts(transformed_stream(parse_opensky(raw)))
+
+    pipelines = {}
+    for name, build in (("s1_enrich", s1), ("s2_windowed_counts", s2)):
+        secs = _run(spark, src_dir, build, os.path.join(workdir, f"ckpt_{name}"))
+        pipelines[name] = round(rows / secs, 1)
+
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "stream_rows_per_sec",
+                "value": min(pipelines.values()),
+                "unit": "rows/sec",
+                "pipelines": pipelines,
+                "rows": rows,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
