@@ -1,12 +1,24 @@
-"""10x scaling study for the dedup/similarity operators.
+"""Scaling study for the dedup/similarity operators.
 
-Builds key-shifted 10x replicas of documents/embeddings from sf0.1
-(text/vectors copied verbatim — harsher than fresh data for dedup ops,
-since every doc gains 9 more exact near-dups), then times the heavy
-catalog queries at 1x vs 10x. Sub-linear-to-linear growth (<= ~6x for
-the LSH family) is the pass bar; quadratic offenders show up as >20x.
+Two replica models, two different stress axes:
+
+- verbatim (default, 10x): text/vectors copied with shifted keys —
+  harsher than fresh data for dedup ops, since every doc gains 9 more
+  exact near-dups and every LSH bucket population multiplies.
+- fresh (``--fresh``, for 30-100x): per-replica token tagging for text
+  and per-replica rotation for embeddings, so replicas share no
+  shingles and no near-identical vectors. This models CORPUS GROWTH
+  (the 100 TB axis): per-shingle/per-bucket density stays constant
+  while volume scales, so the expected cost curve is ~linear in
+  copies. Verbatim replication cannot measure this regime — at 100
+  copies every shingle exceeds ``max_df`` and candidate generation
+  goes trivially empty.
+
+Sub-linear-to-linear growth is the pass bar (<= ~6x at 10x verbatim;
+<= ~1.5x-per-copy at 100x fresh); quadratic offenders show up as >20x.
 
 Usage: python tools/scaling_study.py [base_sf_dir] [replica_dir]
+           [copies] [--fresh] [query ...]
 """
 
 from __future__ import annotations
@@ -33,7 +45,9 @@ QUERIES = [
 ]
 
 
-def build_replica(base: str, out: str, copies: int = 10) -> None:
+def build_replica(
+    base: str, out: str, copies: int = 10, fresh: bool = False
+) -> None:
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     for table, key in (("documents", "doc_id"), ("embeddings", "vec_id")):
@@ -41,37 +55,71 @@ def build_replica(base: str, out: str, copies: int = 10) -> None:
         dst = os.path.join(out, f"{table}.parquet")
         if os.path.exists(dst):
             continue
-        parts = " UNION ALL ".join(
-            f"SELECT {key} + {i * 10_000_000} AS {key}, * EXCLUDE ({key}) "
-            f"FROM read_parquet('{src}')"
-            for i in range(copies)
-        )
-        con.sql(f"COPY ({parts}) TO '{dst}' (FORMAT PARQUET)")
+        parts = []
+        for i in range(copies):
+            cols = f"{key} + {i * 10_000_000} AS {key}, * EXCLUDE ({key})"
+            if fresh and table == "documents":
+                # tag every token with the replica id: replicas share
+                # zero shingles, per-shingle density stays constant
+                cols = (
+                    f"{key} + {i * 10_000_000} AS {key}, "
+                    f"regexp_replace(text, '(\\S+)', 'r{i}\\1', 'g') AS text, "
+                    f"* EXCLUDE ({key}, text)"
+                )
+            elif fresh and table == "embeddings":
+                # rotate the vector by the replica id (a rotated
+                # gaussian vector is ~orthogonal to the original) and
+                # sign-flip past 64 copies — 128 distinct transforms,
+                # so no two replicas carry identical vectors and
+                # cross-replica near-dups stay absent
+                rot = i % 64
+                vec = "embedding"
+                if rot:
+                    vec = f"(embedding[{rot + 1}:] || embedding[1:{rot}])"
+                if i >= 64:
+                    vec = f"list_transform({vec}, x -> -x)"
+                if vec != "embedding":
+                    cols = (
+                        f"{key} + {i * 10_000_000} AS {key}, "
+                        f"{vec}::FLOAT[] AS embedding, "
+                        f"* EXCLUDE ({key}, embedding)"
+                    )
+            parts.append(f"SELECT {cols} FROM read_parquet('{src}')")
+        con.sql(f"COPY ({' UNION ALL '.join(parts)}) TO '{dst}' (FORMAT PARQUET)")
         n = con.sql(f"SELECT COUNT(*) FROM read_parquet('{dst}')").fetchone()[0]
-        print(f"replica {table}: {n} rows")
+        print(f"replica {table}: {n} rows ({'fresh' if fresh else 'verbatim'})")
 
 
 def main() -> None:
-    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1x"
-    build_replica(base, out)
+    args = [a for a in sys.argv[1:] if a != "--fresh"]
+    fresh = "--fresh" in sys.argv[1:]
+    base = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+    out = args[1] if len(args) > 1 else "/tmp/sf1x"
+    copies = int(args[2]) if len(args) > 2 else 10
+    queries = args[3:] if len(args) > 3 else QUERIES
+    build_replica(base, out, copies, fresh)
 
     import __spark_entry__ as entrymod
     from big_data_flight_analytics_spark.session import get_session
 
     spark = get_session(app_name="scaling_study")
+    label = f"{copies}x"
+    print(f"{'query':28s} {'1x':>8s} {label:>8s} {'growth':>7s}")
     qs = entrymod.queries()
-    print(f"{'query':28s} {'1x':>8s} {'10x':>8s} {'growth':>7s}")
-    for name in QUERIES:
+    from big_data_flight_analytics_spark.cache import release_tracked
+
+    for name in queries:
         t = time.time()
         n1 = qs[name](spark, base).count()
         t1 = time.time() - t
+        release_tracked()
         t = time.time()
-        n10 = qs[name](spark, out).count()
-        t10 = time.time() - t
+        nx = qs[name](spark, out).count()
+        tx = time.time() - t
+        release_tracked()
         print(
-            f"{name:28s} {t1:8.2f} {t10:8.2f} {t10 / t1:6.1f}x"
-            f"   rows {n1} -> {n10}"
+            f"{name:28s} {t1:8.2f} {tx:8.2f} {tx / t1:6.1f}x"
+            f"   rows {n1} -> {nx}"
         )
     spark.stop()
 
