@@ -661,6 +661,109 @@ FROM reach GROUP BY id
 """
 
 
+# ---------------------------------------------------------------------------
+# D8 — end-to-end corpus curation: the composition a training-data
+# pipeline actually materializes. Near-dup clusters (D6) pick one
+# canonical doc per cluster; quality gates (T1 heuristics) drop short /
+# low-quality docs; the output carries language id, token count,
+# quality, and how many near-dups the surviving doc represents.
+# Scale shape: the pair pipeline dominates; everything added here is
+# one doc-keyed aggregate (cluster sizes), one doc-keyed join, and
+# map-only column math.
+# ---------------------------------------------------------------------------
+
+D8_MIN_TOKENS = 25
+D8_MIN_QUALITY = 0.6
+
+
+def d8_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.graph import dedup_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=JACCARD_THRESHOLD, max_df=MAX_SHINGLE_DF
+    )
+    clusters = dedup_clusters(pairs, docs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("int").alias("cluster_size")
+    )
+    canon = (
+        clusters.filter(F.col("is_canonical"))
+        .join(sizes, "cluster_id")
+        .select("doc_id", "cluster_size")
+    )
+    stats = text_stats(docs).select("doc_id", "lang_pred", "n_tokens", "quality")
+    return (
+        stats.join(canon, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= D8_MIN_TOKENS)
+            & (F.col("quality") >= D8_MIN_QUALITY)
+        )
+        .select("doc_id", "lang_pred", "n_tokens", "quality", "cluster_size")
+    )
+
+
+D8_SQL = rf"""
+WITH RECURSIVE pairs AS (
+    {D2_SQL}
+), edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM pairs
+    UNION ALL
+    SELECT doc_b AS s, doc_a AS d FROM pairs
+), reach(id, lbl) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+), clusters AS (
+    SELECT id AS doc_id,
+           MIN(lbl) AS cluster_id,
+           (id = MIN(lbl)) AS is_canonical
+    FROM reach GROUP BY id
+), sizes AS (
+    SELECT cluster_id, CAST(COUNT(*) AS INTEGER) AS cluster_size
+    FROM clusters GROUP BY cluster_id
+), base AS (
+    SELECT doc_id, text,
+           length(text) AS n_chars_calc,
+           CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+           len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+           len(regexp_extract_all(lower(text),
+               '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS n_stop
+    FROM documents
+), ratios AS (
+    SELECT *,
+           CASE WHEN n_chars_calc IS NULL OR n_chars_calc = 0 THEN 0.0
+                ELSE ROUND(n_punct * 1.0 / n_chars_calc, 6) END AS punct_ratio,
+           CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE ROUND(n_stop * 1.0 / n_tokens, 6) END AS stopword_ratio
+    FROM base
+), stats AS (
+    SELECT doc_id,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           ROUND(0.4 * LEAST(length(COALESCE(text, '')) / 500.0, 1.0)
+                 + 0.3 * (1.0 - punct_ratio)
+                 + 0.3 * LEAST(stopword_ratio / 0.1, 1.0), 6) AS quality,
+           CASE
+             WHEN len(regexp_extract_all(lower(text),
+                  '\b(der|die|das|und|nicht|ist)\b')) > 0 THEN 'de'
+             WHEN len(regexp_extract_all(lower(text),
+                  '\b(le|la|les|et|est|pas)\b')) > 0 THEN 'fr'
+             WHEN len(regexp_extract_all(lower(text),
+                  '\b(el|los|las|y|es|no)\b')) > 0 THEN 'es'
+             WHEN len(regexp_extract_all(lower(text), '[\x{{4e00}}-\x{{9fff}}]')) > 0 THEN 'zh'
+             ELSE 'en'
+           END AS lang_pred
+    FROM ratios
+)
+SELECT s.doc_id, s.lang_pred, s.n_tokens, s.quality, z.cluster_size
+FROM stats s
+JOIN clusters c ON s.doc_id = c.doc_id AND c.is_canonical
+JOIN sizes z ON c.cluster_id = z.cluster_id
+WHERE s.n_tokens >= {D8_MIN_TOKENS} AND s.quality >= {D8_MIN_QUALITY}
+"""
+
+
 EXTENSION_QUERIES = {
     "t1_text_stats": t1_text_stats,
     "t3_gopher_metrics": t3_gopher_metrics,
@@ -673,6 +776,7 @@ EXTENSION_QUERIES = {
     "d5_embedding_neardup": d5_embedding_neardup,
     "d6_dedup_clusters": d6_dedup_clusters,
     "d7_decontamination": d7_decontamination,
+    "d8_curated_corpus": d8_curated_corpus,
     "m1_multimodal_features": m1_multimodal_features,
 }
 
@@ -688,5 +792,6 @@ EXTENSION_ORACLES = {
     "d5_embedding_neardup": D5_SQL,
     "d6_dedup_clusters": D6_SQL,
     "d7_decontamination": D7_SQL,
+    "d8_curated_corpus": D8_SQL,
     "m1_multimodal_features": M1_SQL,
 }
