@@ -167,3 +167,76 @@ class TestAsofJoinProperties:
                     idx += 1
                 prev = t
                 assert got[eid] == idx, (u, eid)
+
+
+class TestConnectedComponentsProperties:
+    def test_matches_union_find_on_random_graphs(self, spark):
+        """Random sparse graphs vs a pure-Python union-find reference.
+
+        One Spark run over the union of several random graphs (vertex
+        ids offset per graph so components never cross graphs) — the
+        batch-evaluated pattern: many cases, one job."""
+        from big_data_flight_analytics_spark.operators.graph import (
+            connected_components,
+        )
+
+        rng = random.Random(23)
+        edges, all_verts = [], []
+        parent: dict[int, int] = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for g in range(20):
+            base = g * 1000
+            n = rng.randint(2, 40)
+            verts = [base + i for i in range(n)]
+            all_verts.extend(verts)
+            for v in verts:
+                parent[v] = v
+            # sparse: ~n/2 to ~1.5n edges, including chains long enough
+            # to need multi-round propagation
+            for _ in range(rng.randint(n // 2, n + n // 2)):
+                a, b = rng.choice(verts), rng.choice(verts)
+                edges.append(Row(src=a, dst=b))
+                union(a, b)
+
+        expected = {v: find(v) for v in all_verts}
+        got = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(
+                spark.createDataFrame(edges),
+                vertices=spark.createDataFrame(
+                    [Row(id=v) for v in all_verts]
+                ),
+            ).collect()
+        }
+        assert got == expected
+
+    def test_long_chain_exceeding_max_iter_raises(self, spark):
+        from big_data_flight_analytics_spark.operators.graph import (
+            connected_components,
+        )
+        import pytest as _pytest
+
+        chain = spark.createDataFrame(
+            [Row(src=i, dst=i + 1) for i in range(12)]
+        )
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(chain, max_iter=3)
+        # allow_nonconverged downgrades to a warning and returns labels
+        import warnings as _w
+
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            out = connected_components(chain, max_iter=3, allow_nonconverged=True)
+            assert out.count() == 13
+        assert any("did not converge" in str(c.message) for c in caught)
