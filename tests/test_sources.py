@@ -62,3 +62,22 @@ class TestWriteParquet:
         write_parquet(df, out, single_file=True)
         import glob
         assert len(glob.glob(out + "/part-*")) == 1
+
+    def test_partition_pruning_reaches_scan(self, spark, tmp_path):
+        """A filter on the partition column must become a PartitionFilter
+        (directory pruning at the source), not a post-scan Filter — the
+        difference between reading one partition and reading 100 TB."""
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [Row(y=2020 + i % 4, x=i) for i in range(64)]
+        )
+        out = str(tmp_path / "pp")
+        write_parquet(df, out, partition_by=["y"])
+        read = spark.read.parquet(out).filter(F.col("y") == 2022)
+        plan = read._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(y" in plan
+        # pruned read returns exactly the one partition's rows
+        assert read.count() == 16
+        rows = read.select("y").distinct().collect()
+        assert [r["y"] for r in rows] == [2022]
