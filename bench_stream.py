@@ -33,8 +33,12 @@ from big_data_flight_analytics_spark.streaming.enrichment import (  # noqa: E402
     parse_opensky,
     transformed_stream,
 )
+from big_data_flight_analytics_spark.streaming.stateful import (  # noqa: E402
+    first_seen_dedup,
+)
 from big_data_flight_analytics_spark.streaming.windowed_counts import (  # noqa: E402
     airline_aircraft_counts,
+    session_counts,
 )
 
 N_INPUT_FILES = 16
@@ -103,7 +107,7 @@ def _lookups(spark, sf_dir: str):
     return ac, fl
 
 
-def _run(spark, src_dir: str, build, checkpoint: str) -> float:
+def _run(spark, src_dir: str, build, checkpoint: str, mode: str = "append") -> float:
     shutil.rmtree(checkpoint, ignore_errors=True)
     raw = (
         spark.readStream.option("maxFilesPerTrigger", FILES_PER_TRIGGER)
@@ -114,7 +118,7 @@ def _run(spark, src_dir: str, build, checkpoint: str) -> float:
     q = (
         out.writeStream.format("noop")
         .option("checkpointLocation", checkpoint)
-        .outputMode("append")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -147,9 +151,31 @@ def main() -> None:
     def s2(raw):
         return airline_aircraft_counts(transformed_stream(parse_opensky(raw)))
 
+    def s3(raw):
+        return session_counts(transformed_stream(parse_opensky(raw)))
+
+    def s4(raw):
+        # the Python-state path: Arrow-batched applyInPandasWithState —
+        # the interesting throughput number wherever JVM-only operators
+        # can't express the semantics
+        parsed = transformed_stream(parse_opensky(raw))
+        keyed = parsed.filter(F.col("callsign").isNotNull()).select(
+            F.col("callsign").alias("fingerprint"),
+            "icao24",
+            F.unix_micros(F.col("event_time")).alias("event_us"),
+        )
+        return first_seen_dedup(keyed)
+
     pipelines = {}
-    for name, build in (("s1_enrich", s1), ("s2_windowed_counts", s2)):
-        secs = _run(spark, src_dir, build, os.path.join(workdir, f"ckpt_{name}"))
+    for name, build, mode in (
+        ("s1_enrich", s1, "append"),
+        ("s2_windowed_counts", s2, "append"),
+        ("s3_session_windows", s3, "append"),
+        ("s4_stateful_dedup", s4, "update"),
+    ):
+        secs = _run(
+            spark, src_dir, build, os.path.join(workdir, f"ckpt_{name}"), mode
+        )
         pipelines[name] = round(rows / secs, 1)
 
     try:

@@ -336,6 +336,47 @@ class TestStatefulDedup:
         assert len([r for r in rows if r["fingerprint"] == "DAL123"]) == 1
 
 
+class TestWatermarkedDedup:
+    def test_builtin_dedup_suppresses_within_watermark(self, spark, tmp_path):
+        from pyspark.sql import functions as F2
+
+        from big_data_flight_analytics_spark.streaming.stateful import (
+            watermarked_dedup,
+        )
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        write_file(src, "f1.json", [
+            sv(BASE + 1, "aaa111", callsign="DAL123"),
+            sv(BASE + 2, "bbb222", callsign="UAL100"),
+        ], BASE)
+        write_file(src, "f2.json", [
+            # repeat ~1 min after first occurrence, inside the 10-min
+            # horizon -> suppressed by the JVM-side state store
+            sv(BASE + 60, "ccc333", callsign="DAL123"),
+            sv(BASE + 61, "ddd444", callsign="SWA200"),
+        ], BASE + 10)
+
+        def build(raw):
+            parsed = transformed_stream(parse_opensky(raw))
+            keyed = parsed.filter(F2.col("callsign").isNotNull()).select(
+                F2.col("callsign").alias("fingerprint"),
+                "icao24",
+                "event_time",
+            )
+            return watermarked_dedup(keyed)
+
+        rows = run_stream(spark, src, build, query_name="wm_dedup")
+        got = [r for r in rows if r["fingerprint"] != "ZZZ999"]
+        by_fp = {}
+        for r in got:
+            by_fp.setdefault(r["fingerprint"], []).append(r)
+        assert set(by_fp) == {"DAL123", "UAL100", "SWA200"}
+        assert all(len(v) == 1 for v in by_fp.values())
+        # the FIRST arrival of the duplicated key is the one kept
+        assert by_fp["DAL123"][0]["icao24"] == "aaa111"
+
+
 class TestAirportCounts:
     def test_geo_match_and_metadata(self, spark, tmp_path):
         src = str(tmp_path / "src")
