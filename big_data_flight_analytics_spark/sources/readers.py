@@ -42,3 +42,14 @@ def read_parquet(spark: SparkSession, path: str, schema: StructType | None = Non
     if schema is not None:
         return spark.read.schema(schema).parquet(path)
     return spark.read.parquet(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """ORC scan (built-in vectorized reader). Like parquet, ORC is
+    self-describing and supports predicate pushdown + column pruning;
+    an explicit schema pins the projection."""
+    if schema is not None:
+        return spark.read.schema(schema).orc(path)
+    return spark.read.orc(path)

@@ -71,3 +71,17 @@ def upsert_foreach_batch(
         merge_fn(batch_df, batch_id)
 
     return _apply
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """Partitioned parallel ORC write — same contract as write_parquet
+    for deployments standardized on the ORC format."""
+    writer = df.write
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.mode(mode).orc(path)

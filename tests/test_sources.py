@@ -81,3 +81,25 @@ class TestWriteParquet:
         assert read.count() == 16
         rows = read.select("y").distinct().collect()
         assert [r["y"] for r in rows] == [2022]
+
+
+class TestOrc:
+    def test_round_trip_and_pushdown(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from big_data_flight_analytics_spark.sources.readers import read_orc
+        from big_data_flight_analytics_spark.sources.writers import write_orc
+
+        df = spark.createDataFrame(
+            [Row(k=i, v=f"s{i}", y=2020 + i % 2) for i in range(40)]
+        )
+        out = str(tmp_path / "orc")
+        write_orc(df, out, partition_by=["y"])
+        back = read_orc(spark, out)
+        assert back.count() == 40
+        filtered = back.filter(F.col("k") == 7).select("k", "v")
+        plan = filtered._jdf.queryExecution().executedPlan().toString()
+        # predicate reaches the ORC scan, projection is pruned
+        assert "PushedFilters: [IsNotNull(k), EqualTo(k,7)" in plan
+        rows = filtered.collect()
+        assert len(rows) == 1 and rows[0]["v"] == "s7"
