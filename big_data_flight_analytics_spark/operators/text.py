@@ -1,13 +1,15 @@
 """Document-level text analysis operators (training-data pipeline).
 
 All native expressions over the ``documents`` table shape
-(doc_id, text, ...). Linear per-partition work, no shuffles — at 100 TB
-these run map-only over the scan.
+(doc_id, text, ...). The per-document stats are linear per-partition
+work with no shuffles — at 100 TB they run map-only over the scan. The
+corpus-level operators (TF-IDF, n-gram counts) shuffle only on their
+aggregation keys with map-side partial aggregation.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from big_data_flight_analytics_spark.functions.text import (
@@ -87,3 +89,83 @@ def word_shingles(text_col: str = "text", n: int = 3):
     ``df.select(tokens(...))`` + ``shingle_expr`` in hot paths — see
     ``shingle_expr`` docstring)."""
     return shingle_expr(tokens(text_col), n)
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms via a distributed inverted index.
+
+    The classic corpus-statistics shape: explode tokens (map-side),
+    aggregate term frequency per (doc, term), derive document frequency
+    per term from the TF frame (one extra shuffle on ``term``, input
+    already one row per (doc, term)), then rank within each document.
+    Corpus size enters as an in-plan scalar (``crossJoin(broadcast())``
+    — no driver ``collect()``), so the whole computation is one lazily
+    optimized plan.
+
+    Scale notes: every shuffle key here is fine-grained ((doc, term),
+    term, doc) — no global funnel. The df frame is NOT broadcast: at
+    corpus scale the distinct-term dimension is itself huge, so the
+    tf-df join stays a shuffle join on ``term``. Ranking uses a window
+    partitioned by document (bounded partitions).
+
+    The score is ``tf * (ln((N+1)/(df+1)) + 1)`` (smoothed idf,
+    sklearn-style). Ranking uses only integer keys (tf desc, df asc,
+    term asc) so result sets are deterministic regardless of float
+    rounding; the rounded score is carried as a value column.
+    """
+    toks = docs.select(id_col, tokens(text_col).alias("t"))
+    terms = toks.select(id_col, F.explode("t").alias("term")).where(
+        F.col("term") != ""
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf")
+    )
+
+
+def top_ngrams(
+    docs: DataFrame, n: int = 3, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level top-k n-gram counts (the canonical MapReduce job).
+
+    Multiset n-grams (duplicates kept — frequency IS the signal) are
+    built per row with the shifted-slices construction, exploded
+    map-side, and hash-aggregated with map-side partial combine; the
+    global top-k is a ``TakeOrderedAndProject`` (per-partition heap +
+    driver merge of k rows), never a full sort. Ties break on the gram
+    string so the top-k SET is deterministic.
+    """
+    toks = docs.select(tokens(text_col).alias("t"))
+    grams = toks.select(F.explode(ngram_multiset_expr(F.col("t"), n)).alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
+        .limit(k)
+    )

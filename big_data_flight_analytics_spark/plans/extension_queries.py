@@ -28,7 +28,12 @@ from big_data_flight_analytics_spark.operators.similarity import (
     embedding_neardup_pairs,
     lsh_bucketed_topk,
 )
-from big_data_flight_analytics_spark.operators.text import text_stats
+from big_data_flight_analytics_spark.operators.sampling import stratified_sample
+from big_data_flight_analytics_spark.operators.text import (
+    text_stats,
+    tfidf_top_terms,
+    top_ngrams,
+)
 from big_data_flight_analytics_spark.plans.tables import load
 
 JACCARD_THRESHOLD = 0.05
@@ -206,6 +211,124 @@ SELECT b.doc_id, b.mean_token_len, b.alpha_ratio,
        COALESCE(r.top_bigram_ratio, 0.0) AS top_bigram_ratio
 FROM base b LEFT JOIN rep r ON b.doc_id = r.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# T4 — per-document top-k TF-IDF terms (distributed inverted index +
+# corpus statistics — the classic "build the index" pipeline job).
+# Result sets are ranked on integer keys only (tf desc, df asc, term);
+# the rounded ln-score rides along as a value column (ln parity at 4dp
+# verified Spark-vs-DuckDB over the full df domain).
+# ---------------------------------------------------------------------------
+
+TFIDF_TOPK = 3
+
+
+def t4_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=TFIDF_TOPK)
+
+
+T4_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+    FROM documents
+), terms AS (
+    SELECT doc_id, unnest(t) AS term FROM toks
+), tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM terms WHERE term != '' GROUP BY doc_id, term
+), dfreq AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), n AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+), scored AS (
+    SELECT doc_id, term, tf, df,
+           ROUND(tf * (LN((n_docs + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf,
+           ROW_NUMBER() OVER (
+               PARTITION BY doc_id
+               ORDER BY tf DESC, df ASC, term ASC) AS rn
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf FROM scored WHERE rn <= {TFIDF_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# T5 — corpus-level top-k n-gram counts (the canonical MapReduce word/
+# ngram-count job): multiset trigrams, map-side partial agg, global
+# top-k via per-partition heap (TakeOrderedAndProject — never a full
+# sort). Integer-only, deterministic tie-break on the gram string.
+# ---------------------------------------------------------------------------
+
+NGRAM_N = 3
+NGRAM_TOPK = 20
+
+
+def t5_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return top_ngrams(docs, n=NGRAM_N, k=NGRAM_TOPK)
+
+
+T5_SQL = rf"""
+WITH toks AS (
+    SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+    FROM documents
+), grams AS (
+    SELECT CASE WHEN len(t) >= {NGRAM_N} THEN
+               list_transform(range(1, len(t) - {NGRAM_N - 2}),
+                   i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+           ELSE [] END AS g
+    FROM toks
+), flat AS (
+    SELECT unnest(g) AS gram FROM grams
+)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM flat GROUP BY gram
+ORDER BY n_occurrences DESC, gram ASC
+LIMIT {NGRAM_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# T6 — deterministic stratified subsample: downsample the dominant
+# languages by md5-bucket (reproducible under any partitioning — the
+# corpus-rebalancing counterpart of the t2 train/val split). The rate
+# table is a broadcast dim; the document side never shuffles.
+# ---------------------------------------------------------------------------
+
+STRATA_RATES = {"en": 10, "zh": 40}
+
+
+def t6_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return stratified_sample(docs, STRATA_RATES).select("doc_id", "lang", "source")
+
+
+def _t6_sql() -> str:
+    # md5 hex -> int via ascii arithmetic (same decode as t2/d3)
+    digit = (
+        "(CASE WHEN ascii(substr(h, {i}, 1)) < 58"
+        " THEN ascii(substr(h, {i}, 1)) - 48"
+        " ELSE ascii(substr(h, {i}, 1)) - 87 END)"
+    )
+    expr = digit.format(i=1)
+    for t in range(1, 4):
+        expr = f"({expr} * 16 + {digit.format(i=1 + t)})"
+    rates = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(STRATA_RATES.items())
+    )
+    return f"""
+WITH hashed AS (
+    SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+)
+SELECT doc_id, lang, source FROM hashed
+WHERE {expr} % 100 < (CASE lang {rates} ELSE 100 END)
+"""
+
+
+T6_SQL = _t6_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -767,6 +890,9 @@ WHERE s.n_tokens >= {D8_MIN_TOKENS} AND s.quality >= {D8_MIN_QUALITY}
 EXTENSION_QUERIES = {
     "t1_text_stats": t1_text_stats,
     "t3_gopher_metrics": t3_gopher_metrics,
+    "t4_tfidf_top_terms": t4_tfidf_top_terms,
+    "t5_ngram_counts": t5_ngram_counts,
+    "t6_stratified_sample": t6_stratified_sample,
     "d1_exact_dedup": d1_exact_dedup,
     "d2_ngram_jaccard": d2_ngram_jaccard,
     "d3_minhash_lsh": d3_minhash_lsh,
@@ -783,6 +909,9 @@ EXTENSION_QUERIES = {
 EXTENSION_ORACLES = {
     "t1_text_stats": T1_SQL,
     "t3_gopher_metrics": T3_SQL,
+    "t4_tfidf_top_terms": T4_SQL,
+    "t5_ngram_counts": T5_SQL,
+    "t6_stratified_sample": T6_SQL,
     "d1_exact_dedup": D1_SQL,
     "d2_ngram_jaccard": D2_SQL,
     "d3_minhash_lsh": D3_SQL,

@@ -1,0 +1,127 @@
+"""Corpus-level text operators: TF-IDF, n-gram counts, stratified sample.
+
+Hand-computable semantics checks (SURVEY §5.3 style) plus the
+determinism invariants that make these safe at 100 TB: results must be
+invariant to partitioning, and ranking ties must break on stable keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from big_data_flight_analytics_spark.operators.sampling import (
+    md5_bucket,
+    stratified_sample,
+)
+from big_data_flight_analytics_spark.operators.text import (
+    tfidf_top_terms,
+    top_ngrams,
+)
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+class TestTfidfTopTerms:
+    def test_tf_df_values(self, spark):
+        df = _docs(spark, ["a a b", "a c", "c c c"])
+        out = {
+            (r["doc_id"], r["term"]): (r["tf"], r["df"])
+            for r in tfidf_top_terms(df, k=5).collect()
+        }
+        # tf counts within doc, df = number of docs containing term
+        assert out[(0, "a")] == (2, 2)
+        assert out[(0, "b")] == (1, 1)
+        assert out[(1, "c")] == (1, 2)
+        assert out[(2, "c")] == (3, 2)
+
+    def test_rare_term_scores_higher_than_common(self, spark):
+        # same tf=1 in doc 1: 'c' is in 2 docs, 'a' in 2 docs, but a
+        # df=1 term must outscore a df=3 term at equal tf
+        df = _docs(spark, ["x common", "y common", "common z"])
+        rows = tfidf_top_terms(df, k=1).collect()
+        top = {r["doc_id"]: r["term"] for r in rows}
+        # each doc's unique term (df=1) beats 'common' (df=3)
+        assert top == {0: "x", 1: "y", 2: "z"}
+
+    def test_k_cap_and_tie_break(self, spark):
+        # doc 0 has four distinct terms all tf=1 df=1: tie breaks on
+        # term asc, so k=2 must select the lexicographically first two
+        df = _docs(spark, ["d c b a"])
+        rows = tfidf_top_terms(df, k=2).collect()
+        assert sorted(r["term"] for r in rows) == ["a", "b"]
+
+    def test_partition_invariance(self, spark):
+        df = _docs(spark, ["a a b", "a c d", "c c e", "b d f"])
+        base = set(map(tuple, tfidf_top_terms(df, k=2).collect()))
+        shuf = set(map(tuple, tfidf_top_terms(df.repartition(7), k=2).collect()))
+        assert base == shuf
+
+
+class TestTopNgrams:
+    def test_counts_and_multiset(self, spark):
+        # 'a b c' appears twice inside one doc -> multiset must count 2
+        df = _docs(spark, ["a b c a b c", "a b c"])
+        out = {r["gram"]: r["n_occurrences"] for r in top_ngrams(df, n=3, k=10).collect()}
+        assert out["a b c"] == 3
+        assert out["b c a"] == 1
+        assert out["c a b"] == 1
+
+    def test_short_docs_produce_no_grams(self, spark):
+        df = _docs(spark, ["one two", "x"])
+        assert top_ngrams(df, n=3, k=10).count() == 0
+
+    def test_k_limit_with_deterministic_ties(self, spark):
+        # every gram count=1; top-2 must be the lexicographically first
+        df = _docs(spark, ["b q r", "a q r", "c q r"])
+        rows = top_ngrams(df, n=3, k=2).collect()
+        assert [r["gram"] for r in rows] == ["a q r", "b q r"]
+
+
+class TestStratifiedSample:
+    def _frame(self, spark, n=400):
+        rows = [
+            Row(doc_id=i, lang=("en" if i % 2 == 0 else ("zh" if i % 4 == 1 else "fr")),
+                source=f"s{i % 3}")
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_unlisted_stratum_kept_fully(self, spark):
+        df = self._frame(spark)
+        out = stratified_sample(df, {"en": 0})
+        fr_in = df.where(F.col("lang") == "fr").count()
+        fr_out = out.where(F.col("lang") == "fr").count()
+        assert fr_in == fr_out
+        assert out.where(F.col("lang") == "en").count() == 0
+
+    def test_rate_is_approximate_and_deterministic(self, spark):
+        df = self._frame(spark, n=1000)
+        out1 = {r["doc_id"] for r in stratified_sample(df, {"en": 20}).collect()}
+        out2 = {
+            r["doc_id"]
+            for r in stratified_sample(df.repartition(13), {"en": 20}).collect()
+        }
+        # identical selection regardless of partitioning
+        assert out1 == out2
+        en_kept = sum(1 for i in out1 if i % 2 == 0)
+        # md5-bucket < 20 of 100: binomial around 0.2 * 500
+        assert 60 <= en_kept <= 140
+
+    def test_column_order_preserved(self, spark):
+        df = self._frame(spark)
+        assert stratified_sample(df, {"en": 50}).columns == df.columns
+
+    def test_bucket_range(self, spark):
+        df = self._frame(spark, n=300)
+        mn, mx = (
+            df.select(md5_bucket(F.col("doc_id")).alias("b"))
+            .agg(F.min("b"), F.max("b"))
+            .collect()[0]
+        )
+        assert mn >= 0 and mx < 100
