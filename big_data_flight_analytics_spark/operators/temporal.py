@@ -29,6 +29,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _micros(col_name: str):
+    """Epoch-micros of a timestamp column, NTZ-tolerant.
+
+    ``unix_micros`` requires TIMESTAMP (LTZ); parquet written with
+    naive micros reads as TIMESTAMP_NTZ under Spark >= 4.1. The cast is
+    an identity under the engine's pinned UTC session timezone and a
+    no-op on already-LTZ columns, so it is safe unconditionally.
+    """
+    return F.unix_micros(F.col(col_name).cast("timestamp"))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -104,7 +115,7 @@ def sessionize(
     w = Window.partitionBy(key_col).orderBy(
         F.col(ts_col).asc(), F.col(tie_col).asc()
     )
-    us = F.unix_micros(F.col(ts_col))
+    us = _micros(ts_col)
     prev = F.lag(us).over(w)
     new_flag = F.when(
         prev.isNull() | ((us - prev) > gap_seconds * 1_000_000), 1
@@ -128,7 +139,7 @@ def session_stats(
     superset of the window partition key, so AQE reuses the exchange.
     """
     s = sessionize(events, key_col, ts_col, gap_seconds, tie_col)
-    us = F.unix_micros(F.col(ts_col))
+    us = _micros(ts_col)
     return (
         s.groupBy(key_col, "session_idx")
         .agg(

@@ -53,7 +53,7 @@ def j9_asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id",
         "user_id",
-        F.unix_micros(F.col("ts")).alias("event_us"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("event_us"),
         "asof_orderkey",
         "asof_totalprice",
     )

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -15,11 +15,19 @@ TABLES = (
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan; Catalyst handles pushdown/pruning from here.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    unless read as a raw long (spark.sql.legacy.parquet.nanosAsLong);
-    it is then converted to a microsecond timestamp column, which every
-    downstream grouping (minute windows, hour/minute, dayofweek) is
-    insensitive to. Set defensively here so any caller session works.
+    ``events.ts`` is normalized to session-zone TIMESTAMP regardless of
+    how the parquet encodes it:
+
+    - TIMESTAMP(NANOS) files Spark 4 rejects unless read as a raw long
+      (spark.sql.legacy.parquet.nanosAsLong); converted to a
+      microsecond timestamp, which every downstream grouping (minute
+      windows, hour/minute, dayofweek) is insensitive to.
+    - Naive-micros files read as TIMESTAMP_NTZ under PySpark >= 4.1;
+      several timestamp builtins (``unix_micros`` et al.) require LTZ,
+      so cast — an identity under the engine's pinned UTC session
+      timezone (session.py), just a type-tag change.
+
+    Set defensively here so any caller session works.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -28,5 +36,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer `div` (not `/`): float division of ~1e18 nanos loses
             # sub-microsecond precision in double
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
