@@ -37,9 +37,12 @@ def main() -> None:
     # JVM/codegen warmup outside the timed region so per-query numbers
     # measure the engine, not session startup
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
-    next(iter(QUERIES.values()))(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    try:
+        next(iter(QUERIES.values()))(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:  # noqa: BLE001 — warmup only; the loop records it
+        pass
 
     # min of N_RUNS per query: the host shows heavy noisy-neighbor
     # windows (identical code measured 56 s vs 197 s total in one
@@ -47,33 +50,44 @@ def main() -> None:
     # more stably, and BOTH the recorded baseline and the driver's
     # per-round run use this same script, so the comparison protocol
     # stays symmetric.
+    # Per-query fault isolation: one broken query must cost one row in
+    # the output, never the whole artifact. Failures are recorded as
+    # {"err": ...} under "errors" and excluded from the total.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in QUERIES.items():
         best = float("inf")
         for _ in range(n_runs):
             t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as e:  # noqa: BLE001
+                errors[name] = f"{type(e).__name__}: {e}"[:500]
+                best = float("inf")
+                break
             best = min(best, time.time() - t0)
             # operator-internal caches are per-invocation scratch;
             # releasing between runs keeps the session flat and each
             # run honest (outside the timed region)
             release_tracked()
-        timings[name] = round(best, 3)
+        if name not in errors:
+            timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_catalog_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "runs_per_query": n_runs,
-            }
-        )
-    )
+    out = {
+        "metric": "total_catalog_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "runs_per_query": n_runs,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    if not timings:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

@@ -8,10 +8,13 @@ doubles in both engines — integer-count ratios and identical IEEE
 operation order; verified 2026-08-13 across all 28 oracle queries).
 
 Usage: python tools/selfcheck.py [sf_dir] [query ...]
+Set SPARK_GRAFT_SELFCHECK_JSON=<path> to also write a per-query JSON
+artifact (the round's committed full-catalog record).
 """
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
@@ -68,6 +71,7 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -79,12 +83,15 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
+            results[name] = {"status": "fail", "err": f"spark: {e}"[:500]}
             continue
         finally:
             release_tracked()
         if name not in oracles:
             print(f"ok    {name}: rows-only ({len(srows)} rows, "
                   f"{time.time()-t0:.1f}s) [no oracle]")
+            results[name] = {"status": "ok", "check": "rows_only",
+                             "spark_rows": len(srows)}
             continue
         try:
             rel = con.sql(oracles[name])
@@ -93,6 +100,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
+            results[name] = {"status": "fail", "err": f"duckdb: {e}"[:500]}
             continue
         problems = []
         if sorted(scols) != sorted(dcols):
@@ -109,8 +117,22 @@ def main() -> int:
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             failures.append(name)
+            results[name] = {"status": "fail",
+                             "err": "; ".join(problems)[:500]}
         else:
             print(f"ok    {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
+            results[name] = {"status": "ok", "check": "hash",
+                             "spark_rows": len(srows)}
+
+    out_path = os.environ.get("SPARK_GRAFT_SELFCHECK_JSON")
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(
+                {"sf_dir": sf_dir, "n_ok": len(results) - len(failures),
+                 "n_fail": len(failures), "queries": results},
+                fh, indent=1,
+            )
+            fh.write("\n")
 
     print()
     if failures:
