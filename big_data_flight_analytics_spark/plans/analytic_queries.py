@@ -132,6 +132,61 @@ FROM sess GROUP BY user_id, session_idx
 
 
 # ---------------------------------------------------------------------------
+# S5 — native session windows: the same gap-sessionization as S4 but
+# through Spark's built-in ``session_window`` aggregate (the operator
+# Structured Streaming uses for streaming sessionization; identical
+# code runs on a stream). Semantics verified empirically: events merge
+# while the time delta is <= gap (a delta of exactly ``gap`` merges),
+# and the session end is last-event-time + gap — the oracle encodes
+# both rules. One shuffle on the user key, merge happens inside the
+# session-window aggregate (no window-function pass).
+# ---------------------------------------------------------------------------
+
+
+def s5_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.select("user_id", "ts")
+        .groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+S5_SQL = f"""
+WITH e AS (
+    SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+), flags AS (
+    SELECT user_id, us,
+           CASE WHEN lag(us) OVER w IS NULL
+                     OR us - lag(us) OVER w > {SESSION_GAP_S} * 1000000
+                THEN 1 ELSE 0 END AS nf
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
+), sess AS (
+    SELECT user_id, us,
+           SUM(nf) OVER (PARTITION BY user_id ORDER BY us ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_idx
+    FROM flags
+)
+SELECT user_id,
+       MIN(us) AS session_start_us,
+       MAX(us) + {SESSION_GAP_S} * 1000000 AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
+# ---------------------------------------------------------------------------
 # A8 — multi-dimensional rollup: revenue cube over returnflag x
 # linestatus with grouping id. DECIMAL-accumulated sums (exact,
 # order-independent) cast back to DOUBLE.
@@ -859,6 +914,7 @@ SELECT o_custkey, 'urgent_only' AS bucket FROM (
 ANALYTIC_QUERIES = {
     "j9_asof_events_orders": j9_asof_events_orders,
     "s4_user_sessions": s4_user_sessions,
+    "s5_session_windows": s5_session_windows,
     "a8_rollup_revenue": a8_rollup_revenue,
     "r4_pivot_order_status": r4_pivot_order_status,
     "v3_ivf_topk": v3_ivf_topk,
@@ -879,6 +935,7 @@ ANALYTIC_QUERIES = {
 ANALYTIC_ORACLES = {
     "j9_asof_events_orders": J9_SQL,
     "s4_user_sessions": S4_SQL,
+    "s5_session_windows": S5_SQL,
     "a8_rollup_revenue": A8_SQL,
     "r4_pivot_order_status": R4_SQL,
     "v3_ivf_topk": V3_SQL,

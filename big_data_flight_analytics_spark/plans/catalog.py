@@ -32,6 +32,9 @@ ORACLES = {**RELATIONAL_ORACLES, **EXTENSION_ORACLES, **ANALYTIC_ORACLES}
 # window costs nothing. tools/selfcheck.py still verifies all entries
 # every round regardless of position.
 ORDER = [
+    # new in round 4 — never driver-checked
+    "s5_session_windows",
+    "m2_frame_sample",
     # never driver-checked before round 4
     "h1_scd2_customer_segment",
     "w6_trailing_revenue",

@@ -701,6 +701,44 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# M2 — frame sampling: the 1->N mapInPandas expansion a video frame
+# sampler uses — one output row per sampled payload offset, expansion
+# vectorized inside the Arrow batch (numpy repeat + ragged arange,
+# no per-row Python). The decode itself stays a deterministic stub
+# (no media libs here); every Spark-side piece — schema contract,
+# batch iteration, row expansion, partition parallelism — is real and
+# oracle-checked. No shuffle: map-only over the scan.
+# ---------------------------------------------------------------------------
+
+M2_FRAME_BYTES = 64
+
+
+def m2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.multimodal import (
+        frame_sample_stub,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return frame_sample_stub(
+        attach_binary_payload(docs), every_n_bytes=M2_FRAME_BYTES
+    ).select(
+        "doc_id", "frame_no", F.col("offset").alias("frame_offset")
+    )
+
+
+M2_SQL = f"""
+WITH lens AS (
+    SELECT doc_id, octet_length(encode(COALESCE(text, ''))) AS n
+    FROM documents
+)
+SELECT doc_id,
+       CAST(u.f AS INTEGER) AS frame_no,
+       CAST(u.f * {M2_FRAME_BYTES} AS INTEGER) AS frame_offset
+FROM lens, UNNEST(range((n + {M2_FRAME_BYTES} - 1) // {M2_FRAME_BYTES})) AS u(f)
+"""
+
+
+# ---------------------------------------------------------------------------
 # D7 — benchmark decontamination: corpus docs sharing >= K shingles
 # with a (broadcast-small) benchmark set — asymmetric containment, the
 # eval-leakage guard symmetric Jaccard misses.
@@ -904,6 +942,7 @@ EXTENSION_QUERIES = {
     "d7_decontamination": d7_decontamination,
     "d8_curated_corpus": d8_curated_corpus,
     "m1_multimodal_features": m1_multimodal_features,
+    "m2_frame_sample": m2_frame_sample,
 }
 
 EXTENSION_ORACLES = {
@@ -923,4 +962,5 @@ EXTENSION_ORACLES = {
     "d7_decontamination": D7_SQL,
     "d8_curated_corpus": D8_SQL,
     "m1_multimodal_features": M1_SQL,
+    "m2_frame_sample": M2_SQL,
 }
