@@ -53,3 +53,22 @@ def read_orc(
     if schema is not None:
         return spark.read.schema(schema).orc(path)
     return spark.read.orc(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    multiline: bool = False,
+) -> DataFrame:
+    """NDJSON scan (one object per line; ``multiline=True`` for a
+    single JSON array per file — the OpenSky replay corpus shape,
+    producer.py:100-135). An explicit schema is strongly preferred:
+    without one, JSON inference is a FULL extra pass over the data and
+    types drift with content. Malformed lines follow Spark's
+    PERMISSIVE mode (nulls + _corrupt_record when declared in the
+    schema) rather than failing the scan."""
+    reader = spark.read.option("multiLine", multiline)
+    if schema is not None:
+        return reader.schema(schema).json(path)
+    return reader.json(path)

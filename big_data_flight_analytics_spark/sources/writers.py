@@ -85,3 +85,23 @@ def write_orc(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.mode(mode).orc(path)
+
+
+def write_json(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+    compression: str | None = None,
+) -> None:
+    """Partitioned parallel NDJSON write (one object per line per
+    part-file) — the interchange format for the replay/ingest path.
+    JSON is a row format with no pushdown or pruning on re-read; it is
+    an EXPORT format here, not a lake format — keep hot-path data in
+    parquet/ORC."""
+    writer = df.write
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.mode(mode).json(path)

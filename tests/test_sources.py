@@ -103,3 +103,64 @@ class TestOrc:
         assert "PushedFilters: [IsNotNull(k), EqualTo(k,7)" in plan
         rows = filtered.collect()
         assert len(rows) == 1 and rows[0]["v"] == "s7"
+
+
+class TestJson:
+    def test_ndjson_round_trip(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from big_data_flight_analytics_spark.sources.readers import read_json
+        from big_data_flight_analytics_spark.sources.writers import write_json
+
+        df = spark.createDataFrame(
+            [Row(k=i, v=f"s{i}", y=2020 + i % 2) for i in range(40)]
+        )
+        out = str(tmp_path / "json")
+        write_json(df, out, partition_by=["y"], compression="gzip")
+        back = read_json(spark, out, schema=df.schema)
+        assert back.count() == 40
+        got = back.filter(F.col("k") == 7).collect()
+        assert len(got) == 1 and got[0]["v"] == "s7" and got[0]["y"] == 2021
+        # partition values survive the partitioned layout round trip
+        assert back.filter(F.col("y") == 2020).count() == 20
+
+    def test_multiline_array_file(self, spark, tmp_path):
+        """OpenSky replay corpus shape: one JSON array per file."""
+        from big_data_flight_analytics_spark.sources.readers import read_json
+
+        p = tmp_path / "states.json"
+        p.write_text('[{"icao24": "a1", "ts": 5}, {"icao24": "b2", "ts": 6}]')
+        df = read_json(spark, str(p), multiline=True)
+        rows = {r["icao24"]: r["ts"] for r in df.collect()}
+        assert rows == {"a1": 5, "b2": 6}
+
+    def test_explicit_schema_skips_inference_and_permissive_corrupt(
+        self, spark, tmp_path
+    ):
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from big_data_flight_analytics_spark.sources.readers import read_json
+
+        p = tmp_path / "data.json"
+        p.write_text('{"k": 1, "v": "ok"}\n{"k": not-json\n{"k": 2, "v": "x"}\n')
+        schema = StructType(
+            [
+                StructField("k", LongType(), True),
+                StructField("v", StringType(), True),
+                StructField("_corrupt_record", StringType(), True),
+            ]
+        )
+        df = read_json(spark, str(p), schema=schema).cache()
+        try:
+            assert df.count() == 3
+            bad = df.filter(df["_corrupt_record"].isNotNull()).collect()
+            assert len(bad) == 1 and bad[0]["k"] is None
+            good = {r["k"] for r in df.filter(df["k"].isNotNull()).collect()}
+            assert good == {1, 2}
+        finally:
+            df.unpersist()
