@@ -240,3 +240,65 @@ class TestConnectedComponentsProperties:
             out = connected_components(chain, max_iter=3, allow_nonconverged=True)
             assert out.count() == 13
         assert any("did not converge" in str(c.message) for c in caught)
+
+
+class TestSessionizationDifferential:
+    """The window-function sessionizer (operators/temporal.sessionize)
+    and Spark's native session_window aggregate are independent
+    implementations of the same gap rule (a delta of exactly the gap
+    MERGES; see plans/analytic_queries s5 notes). On random event sets
+    — including exact-boundary deltas — they must produce identical
+    (n_sessions, per-session sizes, bounds) per key."""
+
+    def test_random_events_agree(self, spark):
+        from datetime import datetime, timedelta
+
+        from big_data_flight_analytics_spark.operators.temporal import (
+            session_stats,
+        )
+
+        rng = random.Random(23)
+        gap_s = 600
+        base = datetime(2024, 3, 1)
+        rows = []
+        eid = 0
+        for user in range(30):
+            t = base + timedelta(seconds=rng.randrange(0, 3600))
+            for _ in range(rng.randrange(1, 40)):
+                # deltas biased to straddle the boundary: often exactly
+                # gap_s (merge), sometimes gap_s+1 (split), plus noise
+                delta = rng.choice(
+                    [0, 1, gap_s // 2, gap_s, gap_s, gap_s + 1,
+                     rng.randrange(0, 3 * gap_s)]
+                )
+                t = t + timedelta(seconds=delta)
+                rows.append(Row(user_id=user, event_id=eid, ts=t))
+                eid += 1
+        df = spark.createDataFrame(rows)
+
+        via_window = {
+            (r["user_id"], r["start_us"]): (r["n_events"], r["end_us"])
+            for r in session_stats(
+                df, "user_id", "ts", gap_seconds=gap_s, tie_col="event_id"
+            ).collect()
+        }
+        native = {
+            (r["user_id"], r["start_us"]): (r["n"], r["last_us"])
+            for r in (
+                df.groupBy(
+                    "user_id",
+                    F.session_window("ts", f"{gap_s} seconds").alias("w"),
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.unix_micros(F.max("ts")).alias("last_us"),
+                )
+                .select(
+                    "user_id",
+                    F.unix_micros(F.col("w.start")).alias("start_us"),
+                    "n",
+                    "last_us",
+                )
+            ).collect()
+        }
+        assert via_window == native
