@@ -42,7 +42,23 @@ QUERIES = [
     "d6_dedup_clusters",
     "d7_decontamination",
     "v2_lsh_topk",
+    "j9_asof_events_orders",
+    "s4_user_sessions",
+    "s5_session_windows",
 ]
+
+# (table, primary key, other key columns shifted in lockstep).
+# Shifting user_id/o_custkey by the same per-replica offset keeps the
+# events<->orders key spaces aligned while making replicas' users
+# disjoint: per-key history depth stays constant as volume scales —
+# the corpus-growth axis for the temporal operators (as-of join,
+# sessionization), whose windows partition by those keys.
+TABLES = (
+    ("documents", "doc_id", ()),
+    ("embeddings", "vec_id", ()),
+    ("events", "event_id", ("user_id",)),
+    ("orders", "o_orderkey", ("o_custkey",)),
+)
 
 
 def build_replica(
@@ -50,14 +66,20 @@ def build_replica(
 ) -> None:
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
-    for table, key in (("documents", "doc_id"), ("embeddings", "vec_id")):
+    for table, key, lockstep in TABLES:
         src = os.path.join(base, f"{table}.parquet")
         dst = os.path.join(out, f"{table}.parquet")
         if os.path.exists(dst):
             continue
         parts = []
         for i in range(copies):
-            cols = f"{key} + {i * 10_000_000} AS {key}, * EXCLUDE ({key})"
+            shift = "".join(
+                f"{c} + {i * 10_000_000} AS {c}, " for c in lockstep
+            )
+            cols = (
+                f"{key} + {i * 10_000_000} AS {key}, {shift}"
+                f"* EXCLUDE ({key}{''.join(', ' + c for c in lockstep)})"
+            )
             if fresh and table == "documents":
                 # tag every token with the replica id: replicas share
                 # zero shingles, per-shingle density stays constant
@@ -107,6 +129,12 @@ def main() -> None:
     print(f"{'query':28s} {'1x':>8s} {label:>8s} {'growth':>7s}")
     qs = entrymod.queries()
     from big_data_flight_analytics_spark.cache import release_tracked
+
+    # JVM/codegen warmup outside every timed region: with a short query
+    # list the first measurement would otherwise be dominated by
+    # session startup, not the operator
+    qs[queries[0]](spark, base).count()
+    release_tracked()
 
     for name in queries:
         t = time.time()
