@@ -8,6 +8,9 @@ rows-only check (documented per query).
 
 from __future__ import annotations
 
+import json
+import os
+
 from big_data_flight_analytics_spark.plans.analytic_queries import (
     ANALYTIC_ORACLES,
     ANALYTIC_QUERIES,
@@ -24,27 +27,27 @@ from big_data_flight_analytics_spark.plans.relational_queries import (
 _ALL_QUERIES = {**RELATIONAL_QUERIES, **EXTENSION_QUERIES, **ANALYTIC_QUERIES}
 ORACLES = {**RELATIONAL_ORACLES, **EXTENSION_ORACLES, **ANALYTIC_ORACLES}
 
-# Explicit catalog order. The driver's oracle gate checks the FIRST 50
-# entries per round, so ordering is least-recently-driver-verified
-# first: entries that have never (or not recently) had a driver
-# CORRECTNESS row lead, and the longest-green relational veterans
-# (hash-green in rounds 1-3) sit at the tail where falling outside the
-# window costs nothing. tools/selfcheck.py still verifies all entries
-# every round regardless of position.
-ORDER = [
-    # new in round 4 — never driver-checked
-    "s5_session_windows",
-    "m2_frame_sample",
-    # never driver-checked before round 4
-    "h1_scd2_customer_segment",
-    "w6_trailing_revenue",
-    "u1_priority_overlap",
-    # green in r2, pushed out of the window in r3
-    "w5_balance_quartiles",
-    "c1_cube_revenue",
-    "p1_profile_orders",
-    "q10_region_revenue",
-    # checked in r3
+# The driver's oracle gate checks the FIRST 50 catalog entries per
+# round, so ORDER is DERIVED least-recently-driver-verified first: the
+# stalest entries always lead the window, and whichever green rows fell
+# past the window rotate back to the front next round automatically.
+# New queries (no recorded round) lead everything. tools/selfcheck.py
+# still verifies all entries every round regardless of position.
+#
+# Maintenance contract: after each round's CORRECTNESS_r{N}.json lands,
+# bump every name that got a green row to N — run
+#   python tools/record_verified.py CORRECTNESS_r0N.json N
+# which rewrites verified_rounds.json. A name missing from the file is
+# treated as never-verified (round 0) and leads the order.
+_VERIFIED_PATH = os.path.join(os.path.dirname(__file__), "verified_rounds.json")
+with open(_VERIFIED_PATH) as _fh:
+    LAST_DRIVER_VERIFIED: dict[str, int] = json.load(_fh)
+
+# Fixed tie-break within a verification round so the derived order is
+# deterministic; freshly-added simple queries intentionally sit late in
+# their group (they just got checked, so falling out next round is the
+# cheapest possible staleness).
+_TIE_BREAK = [
     "l1_customer_balance_norm",
     "l2_user_top_event",
     "l3_flights_lookup",
@@ -86,7 +89,6 @@ ORDER = [
     "w4_order_gaps",
     "j10_interval_join",
     "t2_train_val_split",
-    # hash-green in every round so far — tail
     "q1_supplier_stats",
     "q2_status_priority_delays",
     "q3_busiest_customers",
@@ -96,14 +98,43 @@ ORDER = [
     "q7_price_buckets",
     "q8_problematic_segments",
     "q9_part_attributes",
+    "s5_session_windows",
+    "m2_frame_sample",
+    "h1_scd2_customer_segment",
+    "w6_trailing_revenue",
+    "u1_priority_overlap",
+    "w5_balance_quartiles",
+    "c1_cube_revenue",
+    "p1_profile_orders",
+    "q10_region_revenue",
 ]
 
-assert set(ORDER) == set(_ALL_QUERIES), (
-    "ORDER out of sync with query modules: "
-    f"missing={set(_ALL_QUERIES) - set(ORDER)} "
-    f"unknown={set(ORDER) - set(_ALL_QUERIES)}"
+_unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)
+if _unknown_verified:
+    raise ValueError(
+        f"LAST_DRIVER_VERIFIED names unknown queries: {sorted(_unknown_verified)}"
+    )
+_missing_tiebreak = set(_ALL_QUERIES) - set(_TIE_BREAK)
+if _missing_tiebreak:
+    raise ValueError(
+        "query modules define entries missing from _TIE_BREAK "
+        f"(add them, typically near the tail): {sorted(_missing_tiebreak)}"
+    )
+_unknown_tiebreak = set(_TIE_BREAK) - set(_ALL_QUERIES)
+if _unknown_tiebreak:
+    raise ValueError(
+        f"_TIE_BREAK names unknown queries: {sorted(_unknown_tiebreak)}"
+    )
+
+_rank = {name: i for i, name in enumerate(_TIE_BREAK)}
+ORDER = sorted(
+    _ALL_QUERIES,
+    key=lambda n: (LAST_DRIVER_VERIFIED.get(n, 0), _rank[n]),
 )
 
 QUERIES = {name: _ALL_QUERIES[name] for name in ORDER}
 
-assert set(ORACLES) <= set(QUERIES), "oracle without a query"
+if not set(ORACLES) <= set(QUERIES):
+    raise ValueError(
+        f"oracle without a query: {sorted(set(ORACLES) - set(QUERIES))}"
+    )

@@ -31,6 +31,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The NTZ->TIMESTAMP cast below is only an identity under UTC;
+        # pin it here so the docstring's "any caller session" holds for
+        # sessions not built by session.get_session()
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if isinstance(df.schema["ts"].dataType, LongType):
             # integer `div` (not `/`): float division of ~1e18 nanos loses

@@ -1,0 +1,67 @@
+"""Opt-in cross-query stage sharing for single-pass catalog runs.
+
+d6 (connected components) and d8 (curated corpus) are compositions
+that begin with d2's near-dup pair pipeline — the same batch-view-reuse
+shape as the reference feeding Q3's curated output into L3
+(orchestration/src/batch_process.py:85-91). Run in isolation (the
+oracle gate calls each query independently) every composition recomputes
+its parents; run as one pass (bench, a user pipeline materializing the
+whole catalog) that recompute is pure waste.
+
+``stage(key, builder)`` is the seam: by default it just calls
+``builder()`` — query semantics are unchanged and each call is fully
+isolated. Inside a ``shared_stages()`` scope the result is persisted and
+memoized by key, so the second query asking for the same stage reuses
+the first one's frame. Keys must include every parameter that affects
+the result (scale dir, thresholds) — two calls with different params are
+different stages.
+
+Shared frames deliberately bypass ``cache.tracked_persist`` bookkeeping:
+``release_tracked()`` between queries must NOT drop a frame a later
+query will reuse. The ``shared_stages()`` exit unpersists everything it
+pinned.
+
+100-TB note: on a real cluster the same seam is where you would swap
+``persist()`` for writing the stage to the lake and re-reading it
+(lineage truncation + executor-loss resilience); the memo key becomes
+the dataset path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Hashable
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame
+
+_SHARED: dict[Hashable, DataFrame] | None = None
+
+
+def sharing_enabled() -> bool:
+    return _SHARED is not None
+
+
+def stage(key: Hashable, builder: Callable[[], DataFrame]) -> DataFrame:
+    """Build (or reuse, inside ``shared_stages()``) the named stage."""
+    if _SHARED is None:
+        return builder()
+    if key not in _SHARED:
+        _SHARED[key] = builder().persist()
+    return _SHARED[key]
+
+
+@contextmanager
+def shared_stages():
+    """Scope within which ``stage()`` results are persisted and shared."""
+    global _SHARED
+    prev = _SHARED
+    _SHARED = {}
+    try:
+        yield
+    finally:
+        for df in _SHARED.values():
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — stopped session; moot
+                pass
+        _SHARED = prev

@@ -1,0 +1,108 @@
+"""Shared-stage registry: reuse semantics and isolation guarantees.
+
+The seam exists for single-pass catalog runs (bench, pipelines): d6/d8
+reuse d2's pair frame instead of recomputing it. Two invariants matter:
+
+1. Sharing must not change results — d2/d6/d8 inside ``shared_stages()``
+   match their fully-isolated forms row for row.
+2. Outside the scope, ``stage()`` is a plain passthrough — the oracle
+   gate's per-query isolation is untouched and nothing stays persisted.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_flight_analytics_spark.plans.extension_queries import (
+    d2_ngram_jaccard,
+    d6_dedup_clusters,
+    d8_curated_corpus,
+)
+from big_data_flight_analytics_spark.stages import (
+    shared_stages,
+    sharing_enabled,
+    stage,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+class TestStageRegistry:
+    def test_passthrough_outside_scope(self, spark):
+        calls = []
+
+        def build():
+            calls.append(1)
+            return spark.range(3)
+
+        assert not sharing_enabled()
+        a = stage("k", build)
+        b = stage("k", build)
+        assert len(calls) == 2  # no memoization outside the scope
+        assert a.count() == b.count() == 3
+
+    def test_memoized_inside_scope(self, spark):
+        calls = []
+
+        def build():
+            calls.append(1)
+            return spark.range(5)
+
+        with shared_stages():
+            assert sharing_enabled()
+            a = stage("k", build)
+            b = stage("k", build)
+            assert a is b
+            assert len(calls) == 1
+            assert a.storageLevel.useMemory  # pinned for reuse
+        assert not sharing_enabled()
+        # scope exit released the pin
+        assert not a.storageLevel.useMemory
+
+    def test_distinct_keys_distinct_stages(self, spark):
+        with shared_stages():
+            a = stage(("k", 1), lambda: spark.range(1))
+            b = stage(("k", 2), lambda: spark.range(2))
+            assert a is not b
+
+    def test_nested_scopes_restore(self, spark):
+        with shared_stages():
+            outer = stage("k", lambda: spark.range(1))
+            with shared_stages():
+                inner = stage("k", lambda: spark.range(1))
+                assert inner is not outer  # fresh registry
+            assert stage("k", lambda: spark.range(9)) is outer
+
+
+class TestSharedCatalogEquivalence:
+    """d2/d6/d8 answers are identical with and without sharing."""
+
+    @pytest.fixture(scope="class")
+    def isolated(self, spark):
+        return {
+            "d2": _rows(d2_ngram_jaccard(spark, SF_DIR)),
+            "d6": _rows(d6_dedup_clusters(spark, SF_DIR)),
+            "d8": _rows(d8_curated_corpus(spark, SF_DIR)),
+        }
+
+    def test_shared_pass_matches_isolated(self, spark, isolated):
+        with shared_stages():
+            assert _rows(d2_ngram_jaccard(spark, SF_DIR)) == isolated["d2"]
+            assert _rows(d6_dedup_clusters(spark, SF_DIR)) == isolated["d6"]
+            assert _rows(d8_curated_corpus(spark, SF_DIR)) == isolated["d8"]
+
+    def test_d8_composition_consistency(self, spark):
+        """Within one shared pass, d8's canon rows are d6 canonicals."""
+        with shared_stages():
+            d6 = d6_dedup_clusters(spark, SF_DIR)
+            d8 = d8_curated_corpus(spark, SF_DIR)
+            canon_ids = {
+                r.doc_id
+                for r in d6.filter(F.col("is_canonical")).collect()
+            }
+            assert {r.doc_id for r in d8.collect()} <= canon_ids
