@@ -56,20 +56,26 @@ def main() -> None:
     # the output, never the whole artifact. Failures are recorded as
     # {"err": ...} under "errors" and excluded from the total.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    # The catalog runs as ONE pass here, so composition queries
-    # (d6/d8) share their parent stages (d2's pair frame, d6's
-    # clusters) instead of recomputing them — the same batch-view-reuse
-    # a user pipeline materializing the whole catalog would do. The
-    # oracle gate calls queries() directly (sharing off), so per-query
-    # correctness semantics are untouched. SPARK_GRAFT_SHARED_STAGES=0
-    # restores fully-isolated timings.
+    # The catalog is measured as N full PASSES (min per query across
+    # passes), each pass inside its own shared-stage scope: composition
+    # queries (d6/d8) reuse their parent stages (d2's pair frame, d6's
+    # clusters) within a pass — the batch-view-reuse a user pipeline
+    # materializing the whole catalog would do — while every pass still
+    # pays each stage's build cost exactly once, in the first query
+    # that needs it. A per-query min-of-N with a cache living ACROSS
+    # runs would let d2's second run read its own persisted result and
+    # report near-zero — pass-scoped registries keep the numbers
+    # honest. The oracle gate calls queries() directly (sharing off),
+    # so per-query correctness semantics are untouched.
+    # SPARK_GRAFT_SHARED_STAGES=0 restores fully-isolated timings.
     share = os.environ.get("SPARK_GRAFT_SHARED_STAGES", "1") != "0"
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    with shared_stages() if share else _nullcontext():
-        for name, fn in QUERIES.items():
-            best = float("inf")
-            for _ in range(n_runs):
+    for _ in range(n_runs):
+        with shared_stages() if share else _nullcontext():
+            for name, fn in QUERIES.items():
+                if name in errors:
+                    continue
                 t0 = time.time()
                 try:
                     fn(spark, sf_dir).write.format("noop").mode(
@@ -77,16 +83,16 @@ def main() -> None:
                     ).save()
                 except Exception as e:  # noqa: BLE001
                     errors[name] = f"{type(e).__name__}: {e}"[:500]
-                    best = float("inf")
-                    break
-                best = min(best, time.time() - t0)
+                    timings.pop(name, None)
+                    continue
+                elapsed = time.time() - t0
+                timings[name] = round(min(timings.get(name, elapsed), elapsed), 3)
                 # operator-internal caches are per-invocation scratch;
-                # releasing between runs keeps the session flat and each
-                # run honest (outside the timed region). Shared stages
-                # are registered separately and survive this.
+                # releasing between queries keeps the session flat and
+                # each query honest (outside the timed region). Shared
+                # stages are registered separately and survive until
+                # the pass ends.
                 release_tracked()
-            if name not in errors:
-                timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     out = {

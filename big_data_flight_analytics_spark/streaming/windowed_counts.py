@@ -36,6 +36,44 @@ def _distinct_count(exact: bool):
     )
 
 
+def windowed_distinct_counts(
+    stream: DataFrame,
+    key_col: str,
+    id_col: str,
+    exact: bool = True,
+    window: str = STREAM_WINDOW,
+    watermark: str = STREAM_WATERMARK,
+    ts_col: str = "event_time",
+) -> DataFrame:
+    """Distinct ``id_col`` per ``key_col`` per tumbling window — the S2
+    shape generalized to any keyed event stream (the airline/airport
+    operators below are this pattern with domain key derivation).
+
+    Streaming cannot use ``count_distinct`` (unsupported on streaming
+    aggregations); ``size(collect_set(...))`` is the exact equivalent
+    (both ignore nulls), ``approx_count_distinct`` the bounded-state
+    scale path. The same plan runs in batch, where it IS the batch
+    windowed-distinct query — the stream/batch differential test pins
+    that equivalence on real data.
+    """
+    keyed = stream.withWatermark(ts_col, watermark)
+    agg = keyed.groupBy(
+        F.window(ts_col, window).alias("w"), key_col
+    ).agg(
+        (
+            F.size(F.collect_set(id_col)) if exact
+            else F.approx_count_distinct(id_col)
+        ).alias("distinct_count"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.select(
+        F.col(key_col),
+        F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+        F.col("distinct_count").cast("int").alias("distinct_count"),
+        F.col("n_events"),
+    )
+
+
 def airline_aircraft_counts(
     stream: DataFrame,
     exact: bool = True,

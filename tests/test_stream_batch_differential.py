@@ -1,0 +1,191 @@
+"""Stream-final == batch-answer differential on real data (sf0.1).
+
+The catalog's windowed/session queries (s2, s5) are oracle-checked in
+batch form; the streaming paths were previously covered only by small
+crafted fixtures. This suite closes the gap the round-4 verdict called
+out: replay the full sf0.1 events table (100k rows) through the
+STREAMING operators in availableNow mode and assert the final sink
+contents equal the batch catalog answers on the same data.
+
+Reference semantics being pinned: suppress-until-close emit-final
+(AirlineAircraftCountStream.java:38-51) — append mode + watermark 0
+must reproduce the batch answer exactly once per closed window.
+
+Mechanics: the events parquet is replayed as file-source micro-batches
+(maxFilesPerTrigger=1). A far-future sentinel file closes all real
+windows/sessions — a window only emits once the watermark passes its
+end, and the watermark only advances on records that survive pre-agg
+filters (see sources/replay.py). Sentinel rows are keyed so they can be
+excluded from the comparison (their own window/session never closes and
+is never emitted).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
+
+from big_data_flight_analytics_spark.plans.analytic_queries import (
+    SESSION_GAP_S,
+    s5_session_windows,
+)
+from big_data_flight_analytics_spark.plans.relational_queries import (
+    s2_windowed_distinct_users,
+)
+from big_data_flight_analytics_spark.plans.tables import load
+from big_data_flight_analytics_spark.streaming.windowed_counts import (
+    session_counts,
+    windowed_distinct_counts,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SENTINEL_USER = -1
+SENTINEL_TYPE = "__flush__"
+
+
+def _normalize_ts(df):
+    """Mirror tables.load()'s events-ts normalization for a stream."""
+    t = df.schema["ts"].dataType
+    if isinstance(t, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(t, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark, tmp_path_factory):
+    """events.parquet + a far-future sentinel file, mtime-ordered."""
+    d = tmp_path_factory.mktemp("events_replay")
+    dst = str(d / "batch-000000.parquet")
+    shutil.copyfile(f"{SF_DIR}/events.parquet", dst)
+    os.utime(dst, (1_000_000_000, 1_000_000_000))
+
+    batch = spark.read.parquet(dst)
+    max_ts = batch.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    sent = str(d / "batch-000001.parquet")
+    tmp_out = str(d / "_sentinel_out")
+    (
+        batch.limit(1)
+        .select(
+            F.lit(-1).cast("long").alias("event_id"),
+            # far enough past max_ts that every real window AND session
+            # (gap 30 min) closes before the stream ends
+            (
+                F.lit(max_ts) + F.expr(f"INTERVAL {4 * SESSION_GAP_S} SECONDS")
+            ).cast(batch.schema["ts"].dataType).alias("ts"),
+            F.lit(SENTINEL_USER).cast("long").alias("user_id"),
+            F.lit(SENTINEL_TYPE).alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(tmp_out)
+    )
+    part = next(
+        f for f in os.listdir(tmp_out) if f.endswith(".parquet")
+    )
+    shutil.copyfile(os.path.join(tmp_out, part), sent)
+    os.utime(sent, (1_000_000_001, 1_000_000_001))
+    shutil.rmtree(tmp_out)
+    return str(d)
+
+
+def _events_stream(spark, replay_dir):
+    schema = spark.read.parquet(f"{replay_dir}/batch-000000.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+    return _normalize_ts(raw).withColumnRenamed("ts", "event_time")
+
+
+def _run_to_memory(spark, out, name):
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"select * from {name}")
+
+
+class TestStreamBatchDifferential:
+    def test_windowed_distinct_stream_equals_batch_s2(self, spark, replay_dir):
+        stream = _events_stream(spark, replay_dir)
+        out = windowed_distinct_counts(
+            stream,
+            key_col="event_type",
+            id_col="user_id",
+            window="1 minute",
+            watermark="0 seconds",
+        )
+        got = {
+            (r.event_type, r.window_start_epoch, r.distinct_count, r.n_events)
+            for r in _run_to_memory(spark, out, "diff_s2").collect()
+            if r.event_type != SENTINEL_TYPE
+        }
+        want = {
+            (r.event_type, r.window_start_epoch, r.uniq_users, r.n_events)
+            for r in s2_windowed_distinct_users(spark, SF_DIR).collect()
+        }
+        assert len(want) > 1000  # real-data scale, not a toy fixture
+        assert got == want
+
+    def test_session_stream_equals_batch_s5(self, spark, replay_dir):
+        stream = _events_stream(spark, replay_dir)
+        out = session_counts(
+            stream,
+            key_col="user_id",
+            gap=f"{SESSION_GAP_S} seconds",
+            watermark="0 seconds",
+        )
+        got = {
+            (r.user_id, r.session_start_ms, r.session_end_ms, r.n_events)
+            for r in _run_to_memory(spark, out, "diff_s5").collect()
+            if r.user_id != SENTINEL_USER
+        }
+        # batch s5 reports microseconds; session_counts reports the
+        # reference's millisecond shape — compare at ms (truncation is
+        # exact: unix_millis == unix_micros div 1000 for any timestamp)
+        want = {
+            (
+                r.user_id,
+                r.session_start_us // 1000,
+                r.session_end_us // 1000,
+                r.n_events,
+            )
+            for r in s5_session_windows(spark, SF_DIR).collect()
+        }
+        assert len(want) > 1000
+        assert got == want
+
+    def test_batch_form_of_streaming_operator_matches_catalog(
+        self, spark, replay_dir
+    ):
+        """The SAME operator body runs in batch: windowed_distinct_counts
+        over the batch events frame is plan-for-plan the s2 catalog
+        query modulo distinct-count implementation."""
+        events = load(spark, SF_DIR, "events").withColumnRenamed(
+            "ts", "event_time"
+        )
+        got = {
+            (r.event_type, r.window_start_epoch, r.distinct_count, r.n_events)
+            for r in windowed_distinct_counts(
+                events, key_col="event_type", id_col="user_id",
+                window="1 minute", watermark="0 seconds",
+            ).collect()
+        }
+        want = {
+            (r.event_type, r.window_start_epoch, r.uniq_users, r.n_events)
+            for r in s2_windowed_distinct_users(spark, SF_DIR).collect()
+        }
+        assert got == want

@@ -45,6 +45,7 @@ QUERIES = [
     "j9_asof_events_orders",
     "s4_user_sessions",
     "s5_session_windows",
+    "m2_frame_sample",
 ]
 
 # (table, primary key, other key columns shifted in lockstep).
