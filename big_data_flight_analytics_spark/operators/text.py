@@ -149,6 +149,57 @@ def tfidf_top_terms(
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003): hash every k-gram shingle, slide a ``window`` over the
+    hash sequence, keep each window's MINIMUM — the classic
+    local-fingerprinting guarantee (any shared substring of length
+    >= window+k-1 contributes at least one common fingerprint, so
+    matching docs share fingerprints without comparing full texts).
+
+    Output: one row per distinct (doc, fingerprint). Map-only at any
+    scale — shingling, hashing, window minima, and per-doc dedup all
+    happen inside array expressions on the row; the only data movement
+    is the final explode (no shuffle, no join). Downstream near-dup
+    candidate generation joins on the fingerprint exactly like d2's
+    shingle posting join, but over the winnowed ~2/(window+1) fraction
+    of positions — the standard way to cut posting volume ~5-10x at
+    100 TB while keeping the matching guarantee.
+
+    md5 is the hash (bit-identical in Spark and DuckDB — the same trick
+    that makes MinHash/SimHash oracle-checkable, operators/dedup.py).
+    Docs with fewer than k tokens have no shingles and emit nothing;
+    docs with fewer than ``window`` shingles emit the min over what
+    exists (one short window — standard winnowing tail behavior).
+    """
+    toks = tokens(text_col)
+    hashes = F.transform(
+        # multiset positions, NOT array_distinct: winnowing is
+        # positional — repeated shingles occupy distinct windows
+        ngram_multiset_expr(toks, k),
+        lambda g: F.md5(g),
+    )
+    m = F.size(hashes)
+    mins = F.when(
+        m > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(m - window, F.lit(0))),
+            lambda j: F.array_min(F.slice(hashes, j + 1, window)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.col(id_col), F.array_distinct(mins).alias("__fps"))
+        .filter(F.size("__fps") > 0)
+        .select(F.col(id_col), F.explode("__fps").alias("fingerprint"))
+    )
+
+
 def top_ngrams(
     docs: DataFrame, n: int = 3, k: int = 20, text_col: str = "text"
 ) -> DataFrame:

@@ -57,6 +57,7 @@ _TIE_BREAK = [
     "j7_geo_radius",
     "j8_semi_anti_customers",
     "k1_salted_counts",
+    "k2_skewed_brand_counts",
     "o3_topk_orders",
     "a6_distinct_event_types",
     "w2_top3_per_priority",
@@ -68,6 +69,8 @@ _TIE_BREAK = [
     "t4_tfidf_top_terms",
     "t5_ngram_counts",
     "t6_stratified_sample",
+    "t7_winnow_fingerprints",
+    "t8_source_quality",
     "d1_exact_dedup",
     "d2_ngram_jaccard",
     "d3_minhash_lsh",

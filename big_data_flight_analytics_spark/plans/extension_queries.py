@@ -363,6 +363,123 @@ T6_SQL = _t6_sql()
 
 
 # ---------------------------------------------------------------------------
+# T7 — winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+# window-min shingle hashes, the local fingerprinting scheme whose
+# guarantee (shared substrings >= window+k-1 tokens always share a
+# fingerprint) lets near-dup candidate joins run over ~2/(window+1) of
+# the positions. Map-only — the only data movement is the explode.
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 3
+WINNOW_WINDOW = 4
+
+
+def t7_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=WINNOW_K, window=WINNOW_WINDOW)
+
+
+T7_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS t
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= {WINNOW_K} THEN
+               list_transform(range(1, len(t) - {WINNOW_K - 2}),
+                   i -> md5(t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
+           ELSE [] END AS h
+    FROM toks
+), wins AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, greatest(len(h) - {WINNOW_WINDOW}, 0) + 2),
+               j -> list_min(h[j : least(j + {WINNOW_WINDOW - 1}, len(h))])
+           )) AS fps
+    FROM sh
+    WHERE len(h) > 0
+)
+SELECT doc_id, unnest(fps) AS fingerprint FROM wins
+"""
+
+
+# ---------------------------------------------------------------------------
+# T8 — per-(source, language) corpus quality report: the dataset-card
+# rollup a curation pipeline publishes per shard. Quality sums run in
+# DECIMAL (exact, order-independent — the a8 pattern) so the hash gate
+# holds; the token median is Spark's exact percentile, which matches
+# DuckDB quantile_cont bit-for-bit (the a7 pattern).
+# ---------------------------------------------------------------------------
+
+
+def t8_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    stats = text_stats(docs).select("source", "lang_pred", "n_tokens", "quality")
+    return stats.groupBy("source", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum(F.col("quality").cast("decimal(18,6)")), 6)
+        .cast("double")
+        .alias("sum_quality"),
+        F.min("quality").alias("min_quality"),
+        F.max("quality").alias("max_quality"),
+        F.percentile("n_tokens", 0.5).alias("p50_tokens"),
+    )
+
+
+T8_SQL = rf"""
+WITH base AS (
+    SELECT source,
+           text,
+           length(text) AS n_chars_calc,
+           CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+           len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+           len(regexp_extract_all(lower(text),
+               '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS n_stop
+    FROM documents
+), ratios AS (
+    SELECT *,
+           CASE WHEN n_chars_calc IS NULL OR n_chars_calc = 0 THEN 0.0
+                ELSE ROUND(n_punct * 1.0 / n_chars_calc, 6) END AS punct_ratio,
+           CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE ROUND(n_stop * 1.0 / n_tokens, 6) END AS stopword_ratio
+    FROM base
+), stats AS (
+    SELECT source,
+           n_tokens,
+           ROUND(0.4 * LEAST(length(COALESCE(text, '')) / 500.0, 1.0)
+                 + 0.3 * (1.0 - punct_ratio)
+                 + 0.3 * LEAST(stopword_ratio / 0.1, 1.0), 6) AS quality,
+           CASE
+             WHEN len(regexp_extract_all(lower(text),
+                  '\b(der|die|das|und|nicht|ist)\b')) > 0 THEN 'de'
+             WHEN len(regexp_extract_all(lower(text),
+                  '\b(le|la|les|et|est|pas)\b')) > 0 THEN 'fr'
+             WHEN len(regexp_extract_all(lower(text),
+                  '\b(el|los|las|y|es|no)\b')) > 0 THEN 'es'
+             WHEN len(regexp_extract_all(lower(text), '[\x{{4e00}}-\x{{9fff}}]')) > 0 THEN 'zh'
+             ELSE 'en'
+           END AS lang_pred
+    FROM ratios
+)
+SELECT source,
+       lang_pred,
+       COUNT(*) AS n_docs,
+       CAST(ROUND(SUM(CAST(quality AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_quality,
+       MIN(quality) AS min_quality,
+       MAX(quality) AS max_quality,
+       quantile_cont(n_tokens, 0.5) AS p50_tokens
+FROM stats
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # D2 — n-gram Jaccard near-dup pairs (inverted-index join)
 # ---------------------------------------------------------------------------
 
@@ -948,6 +1065,8 @@ EXTENSION_QUERIES = {
     "t4_tfidf_top_terms": t4_tfidf_top_terms,
     "t5_ngram_counts": t5_ngram_counts,
     "t6_stratified_sample": t6_stratified_sample,
+    "t7_winnow_fingerprints": t7_winnow_fingerprints,
+    "t8_source_quality": t8_source_quality,
     "d1_exact_dedup": d1_exact_dedup,
     "d2_ngram_jaccard": d2_ngram_jaccard,
     "d3_minhash_lsh": d3_minhash_lsh,
@@ -968,6 +1087,8 @@ EXTENSION_ORACLES = {
     "t4_tfidf_top_terms": T4_SQL,
     "t5_ngram_counts": T5_SQL,
     "t6_stratified_sample": T6_SQL,
+    "t7_winnow_fingerprints": T7_SQL,
+    "t8_source_quality": T8_SQL,
     "d1_exact_dedup": D1_SQL,
     "d2_ngram_jaccard": D2_SQL,
     "d3_minhash_lsh": D3_SQL,

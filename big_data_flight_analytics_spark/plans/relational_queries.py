@@ -794,6 +794,66 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# K2 — skewed join + aggregation under a genuinely hot key (zipfian-ish
+# fixture derived deterministically from lineitem: ~80% of 600k rows
+# collapse onto ONE part key). Composes both skew operators k1 leaves
+# untouched: salted_broadcast_join spreads the hot fact key over salt
+# buckets for the dim join, salted_group_agg spreads the equally-hot
+# post-join brand key for the final aggregate. The oracle is the plain
+# unsalted join+GROUP BY — salting must be invisible in the result.
+# ---------------------------------------------------------------------------
+
+K2_HOT_KEY = 1
+K2_MOD = 5
+
+
+def k2_skewed_brand_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.skew import (
+        salted_broadcast_join,
+        salted_group_agg,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_partkey") % K2_MOD != 0, F.lit(K2_HOT_KEY))
+        .otherwise(F.col("l_partkey"))
+        .cast("long")
+        .alias("p_key"),
+        "l_quantity",
+    )
+    part = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("p_key"), "p_brand"
+    )
+    joined = salted_broadcast_join(li, part, "p_key", how="inner")
+    return salted_group_agg(
+        joined,
+        ["p_brand"],
+        partial_aggs={
+            "__n": F.count(F.lit(1)),
+            "__qty": F.sum("l_quantity"),
+        },
+        combine_aggs={
+            "n_items": F.sum("__n"),
+            "total_qty": F.round(F.sum("__qty"), 2),
+        },
+    ).select("p_brand", "n_items", "total_qty")
+
+
+K2_SQL = f"""
+WITH li AS (
+    SELECT CASE WHEN l_partkey % {K2_MOD} <> 0 THEN {K2_HOT_KEY}
+                ELSE l_partkey END AS p_key,
+           l_quantity
+    FROM lineitem
+)
+SELECT p_brand,
+       COUNT(*) AS n_items,
+       ROUND(SUM(l_quantity), 2) AS total_qty
+FROM li JOIN part ON p_partkey = p_key
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # O3 — top-k via TakeOrderedAndProject (O1, O3)
 # reference: batch_process.py:85
 # ---------------------------------------------------------------------------
@@ -984,6 +1044,7 @@ RELATIONAL_QUERIES = {
     "j7_geo_radius": j7_geo_radius,
     "j8_semi_anti_customers": j8_semi_anti_customers,
     "k1_salted_counts": k1_salted_counts,
+    "k2_skewed_brand_counts": k2_skewed_brand_counts,
     "o3_topk_orders": o3_topk_orders,
     "a6_distinct_event_types": a6_distinct_event_types,
     "w2_top3_per_priority": w2_top3_per_priority,
@@ -1011,6 +1072,7 @@ RELATIONAL_ORACLES = {
     "j7_geo_radius": J7_SQL,
     "j8_semi_anti_customers": J8_SQL,
     "k1_salted_counts": K1_SQL,
+    "k2_skewed_brand_counts": K2_SQL,
     "o3_topk_orders": O3_SQL,
     "a6_distinct_event_types": A6_SQL,
     "w2_top3_per_priority": W2_SQL,

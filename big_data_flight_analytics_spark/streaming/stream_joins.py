@@ -23,6 +23,47 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "event_time",
+    right_ts: str = "event_time",
+    lower: str = "0 seconds",
+    upper: str = "5 minutes",
+    watermark: str = "0 seconds",
+    how: str = "inner",
+) -> DataFrame:
+    """Generic time-bounded stream-stream equi-join (attribution shape).
+
+    A right row matches a left row with the same ``key`` when
+    ``right_ts`` falls in ``[left_ts + lower, left_ts + upper]`` — e.g.
+    left = impressions, right = conversions, upper = the attribution
+    window. Works identically on batch frames (watermark is a no-op in
+    batch), which is what the stream/batch differential test exploits.
+
+    State contract at scale: both sides are watermarked and the join
+    condition carries the event-time bound, so each side's state store
+    holds at most (rate x (upper - lower + watermark)) rows per
+    partition and evicts the rest — without the bound Spark rejects the
+    append-mode join outright. The equi-key hash-partitions both sides
+    identically; each state-store partition joins locally.
+
+    Column contract: non-key column names must not collide across
+    sides (select/alias before joining); the key column is emitted
+    once. ``positions_near_alerts`` below is the flight-domain instance
+    of this shape.
+    """
+    l_wm = left.withWatermark(left_ts, watermark)
+    r_wm = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l_wm[key] == r_wm[key])
+        & (r_wm[right_ts] >= l_wm[left_ts] + F.expr(f"INTERVAL {lower}"))
+        & (r_wm[right_ts] <= l_wm[left_ts] + F.expr(f"INTERVAL {upper}"))
+    )
+    return l_wm.join(r_wm, cond, how).drop(r_wm[key])
+
+
 def positions_near_alerts(
     positions: DataFrame,
     alerts: DataFrame,

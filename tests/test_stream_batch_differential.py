@@ -37,6 +37,9 @@ from big_data_flight_analytics_spark.plans.relational_queries import (
     s2_windowed_distinct_users,
 )
 from big_data_flight_analytics_spark.plans.tables import load
+from big_data_flight_analytics_spark.streaming.stream_joins import (
+    stream_interval_join,
+)
 from big_data_flight_analytics_spark.streaming.windowed_counts import (
     session_counts,
     windowed_distinct_counts,
@@ -166,6 +169,50 @@ class TestStreamBatchDifferential:
             for r in s5_session_windows(spark, SF_DIR).collect()
         }
         assert len(want) > 1000
+        assert got == want
+
+    def test_stream_interval_join_equals_batch_join(self, spark, replay_dir):
+        """Attribution join (click -> purchase within 2 h, same user)
+        streamed over the full events table equals the batch join. Inner
+        stream-stream matches emit as found (no watermark wait), so the
+        sentinel only exercises the state-eviction path."""
+
+        def split(df, kind, ts_alias):
+            return df.filter(F.col("event_type") == kind).select(
+                "user_id",
+                F.col("event_time").alias(ts_alias),
+                F.col("event_id").alias(f"{kind}_id"),
+            )
+
+        stream = _events_stream(spark, replay_dir)
+        out = stream_interval_join(
+            split(stream, "click", "click_time"),
+            split(stream, "purchase", "purchase_time"),
+            key="user_id",
+            left_ts="click_time",
+            right_ts="purchase_time",
+            upper="2 hours",
+        ).select("user_id", "click_id", "purchase_id")
+        got = {
+            tuple(r)
+            for r in _run_to_memory(spark, out, "diff_ssjoin").collect()
+        }
+
+        batch = load(spark, SF_DIR, "events").withColumnRenamed(
+            "ts", "event_time"
+        )
+        want = {
+            tuple(r)
+            for r in stream_interval_join(
+                split(batch, "click", "click_time"),
+                split(batch, "purchase", "purchase_time"),
+                key="user_id",
+                left_ts="click_time",
+                right_ts="purchase_time",
+                upper="2 hours",
+            ).select("user_id", "click_id", "purchase_id").collect()
+        }
+        assert len(want) > 500
         assert got == want
 
     def test_batch_form_of_streaming_operator_matches_catalog(
