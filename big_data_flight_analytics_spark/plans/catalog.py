@@ -81,6 +81,7 @@ _TIE_BREAK = [
     "d6_dedup_clusters",
     "d7_decontamination",
     "d8_curated_corpus",
+    "d9_cross_source_overlap",
     "m1_multimodal_features",
     "j9_asof_events_orders",
     "s4_user_sessions",

@@ -480,6 +480,49 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# D9 — cross-source near-dup overlap matrix: for every pair of sources,
+# how many near-dup pairs straddle them. The data-governance rollup a
+# curation team uses to find which crawls/feeds are re-hosting each
+# other's content. Third consumer of the shared d2 pair stage (with d6,
+# d8): in a single-pass run the pair pipeline is computed once for all
+# three. The pair frame is tiny relative to the corpus, so attaching
+# sources is two joins the optimizer is free to broadcast; at 100 TB
+# with a huge pair set they degrade gracefully to shuffle hash joins on
+# doc_id.
+# ---------------------------------------------------------------------------
+
+
+def d9_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = _jaccard_pairs(spark, sf_dir)
+    sided = (
+        pairs.join(
+            docs.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("__sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("__sb")
+            ),
+            "doc_b",
+        )
+    )
+    return (
+        sided.select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# D9_SQL is defined after D2_SQL (it embeds the pair CTE).
+
+
+# ---------------------------------------------------------------------------
 # D2 — n-gram Jaccard near-dup pairs (inverted-index join)
 # ---------------------------------------------------------------------------
 
@@ -525,6 +568,20 @@ WITH toks AS (
     JOIN sh sb ON sb.doc_id = doc_b
 )
 SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+D9_SQL = rf"""
+WITH pairs AS (
+    {D2_SQL}
+)
+SELECT least(sa.source, sb.source) AS source_a,
+       greatest(sa.source, sb.source) AS source_b,
+       COUNT(*) AS n_pairs
+FROM pairs
+JOIN documents sa ON pairs.doc_a = sa.doc_id
+JOIN documents sb ON pairs.doc_b = sb.doc_id
+GROUP BY 1, 2
 """
 
 
@@ -1067,6 +1124,7 @@ EXTENSION_QUERIES = {
     "t6_stratified_sample": t6_stratified_sample,
     "t7_winnow_fingerprints": t7_winnow_fingerprints,
     "t8_source_quality": t8_source_quality,
+    "d9_cross_source_overlap": d9_cross_source_overlap,
     "d1_exact_dedup": d1_exact_dedup,
     "d2_ngram_jaccard": d2_ngram_jaccard,
     "d3_minhash_lsh": d3_minhash_lsh,
@@ -1089,6 +1147,7 @@ EXTENSION_ORACLES = {
     "t6_stratified_sample": T6_SQL,
     "t7_winnow_fingerprints": T7_SQL,
     "t8_source_quality": T8_SQL,
+    "d9_cross_source_overlap": D9_SQL,
     "d1_exact_dedup": D1_SQL,
     "d2_ngram_jaccard": D2_SQL,
     "d3_minhash_lsh": D3_SQL,

@@ -302,3 +302,78 @@ class TestSessionizationDifferential:
             ).collect()
         }
         assert via_window == native
+
+
+class TestWinnowingProperties:
+    """The winnowing guarantee (Schleimer/Wilkerson/Aiken, SIGMOD 2003
+    thm 1): two documents sharing a contiguous token run of length
+    >= window + k - 1 share at least one fingerprint. Batch-evaluated:
+    one Spark job over many planted-overlap pairs."""
+
+    K, W = 3, 4
+
+    def _fps(self, spark, docs):
+        from big_data_flight_analytics_spark.operators.text import (
+            winnow_fingerprints,
+        )
+        from pyspark.sql import Row
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=" ".join(t)) for i, t in docs.items()]
+        )
+        rows = winnow_fingerprints(df, k=self.K, window=self.W).collect()
+        out: dict[int, set] = {i: set() for i in docs}
+        for r in rows:
+            out[r.doc_id].add(r.fingerprint)
+        return out
+
+    def test_shared_run_shares_fingerprint(self, spark):
+        rng = random.Random(5)
+        vocab = [f"w{i}" for i in range(400)]
+        guarantee = self.W + self.K - 1  # 6 tokens
+        docs, expect_pairs = {}, []
+        for case in range(40):
+            run_len = rng.randint(guarantee, guarantee + 6)
+            shared = [rng.choice(vocab) for _ in range(run_len)]
+            a, b = 2 * case, 2 * case + 1
+            docs[a] = (
+                [rng.choice(vocab) for _ in range(rng.randint(0, 20))]
+                + shared
+                + [rng.choice(vocab) for _ in range(rng.randint(0, 20))]
+            )
+            docs[b] = (
+                [rng.choice(vocab) for _ in range(rng.randint(0, 20))]
+                + shared
+                + [rng.choice(vocab) for _ in range(rng.randint(0, 20))]
+            )
+            expect_pairs.append((a, b))
+        fps = self._fps(spark, docs)
+        for a, b in expect_pairs:
+            assert fps[a] & fps[b], (
+                f"docs {a},{b} share a {len(docs[a])}/{len(docs[b])}-token "
+                "run >= the guarantee length but no fingerprint"
+            )
+
+    def test_identical_docs_identical_fingerprints(self, spark):
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(50)]
+        base = [rng.choice(vocab) for _ in range(60)]
+        fps = self._fps(spark, {0: base, 1: list(base)})
+        assert fps[0] == fps[1] and fps[0]
+
+    def test_density_bound(self, spark):
+        """Fingerprints are window minima, so a doc can never emit more
+        fingerprints than it has windows (m - w + 1 full windows)."""
+        rng = random.Random(9)
+        vocab = [f"w{i}" for i in range(300)]
+        docs = {
+            i: [rng.choice(vocab) for _ in range(rng.randint(3, 120))]
+            for i in range(60)
+        }
+        fps = self._fps(spark, docs)
+        for i, toks in docs.items():
+            m = max(len(toks) - self.K + 1, 0)
+            if m == 0:
+                assert fps[i] == set()
+            else:
+                assert 1 <= len(fps[i]) <= max(m - self.W + 1, 1)

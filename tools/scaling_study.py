@@ -46,6 +46,7 @@ QUERIES = [
     "s4_user_sessions",
     "s5_session_windows",
     "m2_frame_sample",
+    "t7_winnow_fingerprints",
 ]
 
 # (table, primary key, other key columns shifted in lockstep).
