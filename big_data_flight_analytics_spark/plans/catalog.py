@@ -58,6 +58,7 @@ _TIE_BREAK = [
     "j8_semi_anti_customers",
     "k1_salted_counts",
     "k2_skewed_brand_counts",
+    "i1_incremental_priority_revenue",
     "o3_topk_orders",
     "a6_distinct_event_types",
     "w2_top3_per_priority",

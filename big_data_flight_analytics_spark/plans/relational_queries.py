@@ -854,6 +854,68 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# I1 — incremental aggregate maintenance: the materialized aggregate is
+# refreshed by folding per-partition PARTIAL aggregates (here the fact
+# table deterministically split into three "arrival batches"), never by
+# rescanning history. The oracle is the plain full-scan GROUP BY — the
+# algebraic merge must be invisible in the result, like k1/k2's
+# salting. DECIMAL-accumulated sums keep the merge order-independent.
+# ---------------------------------------------------------------------------
+
+
+def i1_incremental_priority_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.incremental import (
+        merge_partial_aggregates,
+        partial_aggregate,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    parts = [
+        partial_aggregate(
+            orders.filter(F.col("o_orderkey") % 3 == i),
+            ["o_orderpriority"],
+            partials={
+                "__n": F.count(F.lit(1)),
+                "__sum": F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                "__min": F.min("o_totalprice"),
+                "__max": F.max("o_totalprice"),
+            },
+        )
+        for i in range(3)
+    ]
+    return merge_partial_aggregates(
+        parts,
+        ["o_orderpriority"],
+        combine={
+            "n_orders": F.sum("__n"),
+            "total_value": F.round(F.sum("__sum"), 2).cast("double"),
+            "min_value": F.min("__min"),
+            "max_value": F.max("__max"),
+        },
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        "n_orders",
+        "total_value",
+        "min_value",
+        "max_value",
+    )
+
+
+I1_SQL = """
+SELECT o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS total_value,
+       MIN(o_totalprice) AS min_value,
+       MAX(o_totalprice) AS max_value
+FROM orders
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # O3 — top-k via TakeOrderedAndProject (O1, O3)
 # reference: batch_process.py:85
 # ---------------------------------------------------------------------------
@@ -1045,6 +1107,7 @@ RELATIONAL_QUERIES = {
     "j8_semi_anti_customers": j8_semi_anti_customers,
     "k1_salted_counts": k1_salted_counts,
     "k2_skewed_brand_counts": k2_skewed_brand_counts,
+    "i1_incremental_priority_revenue": i1_incremental_priority_revenue,
     "o3_topk_orders": o3_topk_orders,
     "a6_distinct_event_types": a6_distinct_event_types,
     "w2_top3_per_priority": w2_top3_per_priority,
@@ -1073,6 +1136,7 @@ RELATIONAL_ORACLES = {
     "j8_semi_anti_customers": J8_SQL,
     "k1_salted_counts": K1_SQL,
     "k2_skewed_brand_counts": K2_SQL,
+    "i1_incremental_priority_revenue": I1_SQL,
     "o3_topk_orders": O3_SQL,
     "a6_distinct_event_types": A6_SQL,
     "w2_top3_per_priority": W2_SQL,
