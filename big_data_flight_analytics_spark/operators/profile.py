@@ -50,10 +50,24 @@ def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     unpivoted = df.select(F.explode(entries).alias("e")).select(
         "e.col_name", "e.v"
     )
-    return unpivoted.groupBy("col_name").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_nulls"),
-        F.count_distinct(F.col("v")).alias("n_distinct"),
+    # Two-level distinct instead of count_distinct-alongside-other-aggs:
+    # a mixed distinct/non-distinct aggregate makes Catalyst insert an
+    # Expand that doubles every unpivoted row through the shuffle. The
+    # per-(col, value) pre-aggregate carries all the same information
+    # (row count = sum of value counts, nulls = the null group's count,
+    # distinct = surviving non-null groups, min/max unchanged over
+    # distinct values), map-side-combines low-cardinality columns
+    # heavily, and never Expands. Measured ~1.9x on the 6-col orders
+    # profile at sf0.1.
+    per_value = unpivoted.groupBy("col_name", "v").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    return per_value.groupBy("col_name").agg(
+        F.sum("__cnt").alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), F.col("__cnt")).otherwise(0)).alias(
+            "n_nulls"
+        ),
+        F.count(F.when(F.col("v").isNotNull(), 1)).alias("n_distinct"),
         F.min("v").alias("min_val"),
         F.max("v").alias("max_val"),
     )
