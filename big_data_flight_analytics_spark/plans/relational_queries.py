@@ -999,12 +999,21 @@ WHERE rn <= 3
 # ---------------------------------------------------------------------------
 
 def s2_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-level distinct (see operators/profile.py): count_distinct
+    # alongside a plain count makes Catalyst Expand-double every event
+    # through the shuffle; pre-aggregating per (window, type, user)
+    # reconstructs both measures exactly and map-side-combines instead.
     events = load(spark, sf_dir, "events")
+    per_user = events.groupBy(
+        F.window("ts", "1 minute").alias("w"), "event_type", "user_id"
+    ).agg(F.count(F.lit(1)).alias("__cnt"))
     return (
-        events.groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        per_user.groupBy("w", "event_type")
         .agg(
-            F.count_distinct(F.col("user_id")).alias("uniq_users"),
-            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("user_id").isNotNull(), 1)).alias(
+                "uniq_users"
+            ),
+            F.sum("__cnt").alias("n_events"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
