@@ -141,6 +141,54 @@ def ngram_jaccard_pairs(
     return _verify_jaccard(candidates, hsh, id_col, threshold)
 
 
+def winnow_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+    threshold: float = 0.2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs with WINNOWED-fingerprint candidate generation.
+
+    Same verify-exact contract as ``ngram_jaccard_pairs`` (emitted
+    Jaccard values are computed on the FULL shingle sets), but the
+    inverted-index join runs over winnowing fingerprints
+    (text.winnow_fingerprints) instead of every shingle — ~2/(window+1)
+    of the posting volume, the standard way to cut candidate-join cost
+    at corpus scale. Recall trade is the winnowing guarantee: pairs
+    sharing a contiguous run of >= window+k-1 tokens always share a
+    fingerprint and are found; pairs whose overlap is only scattered
+    short shingles can be missed. ``max_df`` caps hot-fingerprint
+    buckets exactly like the shingle version.
+    """
+    from big_data_flight_analytics_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    posting = winnow_fingerprints(
+        df, k=k, window=window, text_col=text_col, id_col=id_col
+    ).withColumnRenamed("fingerprint", "sh")
+    if max_df is not None:
+        posting = _cap_bucket_population(posting, ["sh"], max_df)
+    a = posting.select(F.col(id_col).alias("doc_a"), "sh")
+    b = posting.select(F.col(id_col).alias("doc_b"), "sh")
+    candidates = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # hashed shingle ids for the exact verify (intersection counts are
+    # what matters — see ngram_jaccard_pairs)
+    hsh = _shingled(df, id_col, text_col, k).select(
+        F.col(id_col),
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles"),
+    )
+    return _verify_jaccard(candidates, hsh, id_col, threshold)
+
+
 def containment_overlap(
     corpus: DataFrame,
     benchmark: DataFrame,

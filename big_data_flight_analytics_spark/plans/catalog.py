@@ -83,6 +83,7 @@ _TIE_BREAK = [
     "d7_decontamination",
     "d8_curated_corpus",
     "d9_cross_source_overlap",
+    "d10_winnow_jaccard",
     "m1_multimodal_features",
     "j9_asof_events_orders",
     "s4_user_sessions",

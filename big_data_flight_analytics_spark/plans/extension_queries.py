@@ -409,6 +409,78 @@ SELECT doc_id, unnest(fps) AS fingerprint FROM wins
 
 
 # ---------------------------------------------------------------------------
+# D10 — near-dup pairs via winnowed-fingerprint candidates: t7's
+# fingerprints doing their actual job. Same exact-verify contract as
+# d2 but the inverted-index join runs over ~2/(window+1) of the
+# posting volume; recall bounded by the winnowing guarantee (shared
+# runs >= window+k-1 tokens are never missed).
+# ---------------------------------------------------------------------------
+
+
+def d10_winnow_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.dedup import (
+        winnow_jaccard_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return winnow_jaccard_pairs(
+        docs,
+        k=WINNOW_K,
+        window=WINNOW_WINDOW,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+def _d10_sql() -> str:
+    return rf"""
+WITH toks AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS t
+    FROM documents
+), mh AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= {WINNOW_K} THEN
+               list_transform(range(1, len(t) - {WINNOW_K - 2}),
+                   i -> md5(t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
+           ELSE [] END AS h
+    FROM toks
+), fps AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(h) - {WINNOW_WINDOW}, 0) + 2),
+               j -> list_min(h[j : least(j + {WINNOW_WINDOW - 1}, len(h))])
+           ))) AS f
+    FROM mh
+    WHERE len(h) > 0
+), candidates AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM fps a JOIN fps b ON a.f = b.f AND a.doc_id < b.doc_id
+), sh AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= {WINNOW_K} THEN
+               list_distinct(list_transform(range(1, len(t) - {WINNOW_K - 2}),
+                   i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
+           ELSE [] END AS shingles
+    FROM toks
+), verified AS (
+    SELECT doc_a, doc_b,
+           ROUND(
+               len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+               (len(sa.shingles) + len(sb.shingles)
+                - len(list_intersect(sa.shingles, sb.shingles))), 4) AS jaccard
+    FROM candidates
+    JOIN sh sa ON sa.doc_id = doc_a
+    JOIN sh sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM verified
+WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+D10_SQL = _d10_sql()
+
+
+# ---------------------------------------------------------------------------
 # T8 — per-(source, language) corpus quality report: the dataset-card
 # rollup a curation pipeline publishes per shard. Quality sums run in
 # DECIMAL (exact, order-independent — the a8 pattern) so the hash gate
@@ -1125,6 +1197,7 @@ EXTENSION_QUERIES = {
     "t7_winnow_fingerprints": t7_winnow_fingerprints,
     "t8_source_quality": t8_source_quality,
     "d9_cross_source_overlap": d9_cross_source_overlap,
+    "d10_winnow_jaccard": d10_winnow_jaccard,
     "d1_exact_dedup": d1_exact_dedup,
     "d2_ngram_jaccard": d2_ngram_jaccard,
     "d3_minhash_lsh": d3_minhash_lsh,
@@ -1148,6 +1221,7 @@ EXTENSION_ORACLES = {
     "t7_winnow_fingerprints": T7_SQL,
     "t8_source_quality": T8_SQL,
     "d9_cross_source_overlap": D9_SQL,
+    "d10_winnow_jaccard": D10_SQL,
     "d1_exact_dedup": D1_SQL,
     "d2_ngram_jaccard": D2_SQL,
     "d3_minhash_lsh": D3_SQL,

@@ -218,3 +218,28 @@ class TestKmeansIvf:
         )
         km = kmeans_centroids(emb, n_centroids=16, seed=42)
         assert recall(km) >= recall(min_id)
+
+
+class TestWinnowJaccard:
+    def test_subset_of_full_shingle_pairs_with_high_recall(self, spark):
+        """d10's exact-verify contract makes its output a SUBSET of the
+        full shingle-posting pairs (identical verification, sparser
+        candidates); the winnowing guarantee keeps recall high on real
+        text."""
+        from big_data_flight_analytics_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+            winnow_jaccard_pairs,
+        )
+        from big_data_flight_analytics_spark.plans.tables import load
+
+        docs = load(spark, "/root/testdata/sf0.01", "documents")
+        full = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in ngram_jaccard_pairs(docs, threshold=0.05).collect()
+        }
+        winnowed = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in winnow_jaccard_pairs(docs, threshold=0.05).collect()
+        }
+        assert winnowed <= full
+        assert len(winnowed) >= 0.8 * len(full)  # 27/29 on this corpus
