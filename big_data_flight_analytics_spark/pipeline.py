@@ -55,6 +55,7 @@ def run_pipeline(
     steps: Mapping[str, Callable[[], DataFrame]],
     sink: Callable[[str, DataFrame], None] | None = None,
     fail_fast: bool = False,
+    share_stages: bool = True,
 ) -> RunReport:
     """Run named DataFrame-producing steps; write each via ``sink``.
 
@@ -62,27 +63,39 @@ def run_pipeline(
     ``fail_fast`` the first failure stops the run (remaining steps are
     not attempted); otherwise all steps run and the report aggregates
     per-step status — either way the failure is never swallowed.
+
+    ``share_stages`` (default on): the steps run as ONE pass, so
+    composition steps reuse parent stages registered via
+    ``stages.stage`` (d6/d8/d9 reuse d2's pair frame) instead of
+    recomputing them — the batch-view-reuse the reference gets from
+    feeding Q3's curated output into L3 (batch_process.py:85-91). Pass
+    False to force fully-isolated steps (the oracle gate's semantics).
     """
+    from contextlib import nullcontext
+
+    from big_data_flight_analytics_spark.stages import shared_stages
+
     report = RunReport()
-    for name, build in steps.items():
-        t0 = time.time()
-        try:
-            df = build()
-            if sink is None:
-                rows = df.count()
-            else:
-                sink(name, df)
-                rows = None
-            report.steps.append(
-                StepResult(name, True, time.time() - t0, rows=rows)
-            )
-        except Exception:  # noqa: BLE001 — isolation boundary per step
-            report.steps.append(
-                StepResult(
-                    name, False, time.time() - t0,
-                    error=traceback.format_exc(limit=3),
+    with shared_stages() if share_stages else nullcontext():
+        for name, build in steps.items():
+            t0 = time.time()
+            try:
+                df = build()
+                if sink is None:
+                    rows = df.count()
+                else:
+                    sink(name, df)
+                    rows = None
+                report.steps.append(
+                    StepResult(name, True, time.time() - t0, rows=rows)
                 )
-            )
-            if fail_fast:
-                break
+            except Exception:  # noqa: BLE001 — isolation boundary per step
+                report.steps.append(
+                    StepResult(
+                        name, False, time.time() - t0,
+                        error=traceback.format_exc(limit=3),
+                    )
+                )
+                if fail_fast:
+                    break
     return report
