@@ -1,0 +1,69 @@
+"""Parquet compaction: file-count reduction with exact row preservation."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from big_data_flight_analytics_spark.sources.compact import (
+    _data_files,
+    compact_parquet,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+class TestCompactParquet:
+    def test_flat_dataset_compacts_preserving_rows(self, spark, tmp_path):
+        path = str(tmp_path / "flat")
+        # 16 small files
+        spark.range(0, 4000).withColumn(
+            "v", F.col("id") * 2
+        ).repartition(16).write.parquet(path)
+        assert len(_data_files(path)) == 16
+        before = _rows(spark.read.parquet(path))
+
+        report = compact_parquet(
+            spark, path, target_file_bytes=10 * 1024 * 1024
+        )
+        n_before, n_after = report[path]
+        assert n_before == 16 and n_after == 1
+        assert len(_data_files(path)) == 1
+        assert _rows(spark.read.parquet(path)) == before
+        # no staging/old leftovers
+        assert not [
+            d for d in os.listdir(tmp_path) if "compact" in d
+        ]
+
+    def test_partitioned_dataset_keeps_layout(self, spark, tmp_path):
+        path = str(tmp_path / "part")
+        df = spark.range(0, 3000).withColumn("p", F.col("id") % 3)
+        df.repartition(8).write.partitionBy("p").parquet(path)
+        before = _rows(spark.read.parquet(path))
+
+        compact_parquet(spark, path, target_file_bytes=10 * 1024 * 1024)
+        # partition directories intact, each compacted to one file
+        parts = sorted(
+            d for d in os.listdir(path) if d.startswith("p=")
+        )
+        assert parts == ["p=0", "p=1", "p=2"]
+        for d in parts:
+            assert len(_data_files(os.path.join(path, d))) == 1
+        assert _rows(spark.read.parquet(path)) == before
+
+    def test_already_compact_is_untouched(self, spark, tmp_path):
+        path = str(tmp_path / "one")
+        spark.range(10).coalesce(1).write.parquet(path)
+        files_before = _data_files(path)
+        mtime = os.path.getmtime(
+            os.path.join(path, files_before[0])
+        )
+        report = compact_parquet(spark, path)
+        assert report[path] == (1, 1)
+        assert _data_files(path) == files_before
+        assert os.path.getmtime(
+            os.path.join(path, files_before[0])
+        ) == mtime  # not rewritten
