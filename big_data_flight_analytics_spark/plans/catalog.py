@@ -40,8 +40,14 @@ ORACLES = {**RELATIONAL_ORACLES, **EXTENSION_ORACLES, **ANALYTIC_ORACLES}
 # which rewrites verified_rounds.json. A name missing from the file is
 # treated as never-verified (round 0) and leads the order.
 _VERIFIED_PATH = os.path.join(os.path.dirname(__file__), "verified_rounds.json")
-with open(_VERIFIED_PATH) as _fh:
-    LAST_DRIVER_VERIFIED: dict[str, int] = json.load(_fh)
+try:
+    with open(_VERIFIED_PATH) as _fh:
+        LAST_DRIVER_VERIFIED: dict[str, int] = json.load(_fh)
+except (OSError, json.JSONDecodeError):
+    # Missing/corrupt rotation state (e.g. packaged without data files)
+    # must not break imports; {} = everything never-verified, which is
+    # the safe direction (all queries lead the driver window).
+    LAST_DRIVER_VERIFIED = {}
 
 # Fixed tie-break within a verification round so the derived order is
 # deterministic; freshly-added simple queries intentionally sit late in

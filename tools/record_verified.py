@@ -28,8 +28,14 @@ VERIFIED_PATH = os.path.join(
 def green(row: dict) -> bool:
     if row.get("err"):
         return False
-    # hash_match is absent for oracle-less (rows-only) entries
-    return bool(row.get("rows_match")) and row.get("hash_match") is not False
+    # hash_match/schema_match are absent for oracle-less (rows-only)
+    # entries; an explicit False on either means drift and must keep the
+    # query in next round's driver window.
+    return (
+        bool(row.get("rows_match"))
+        and row.get("hash_match") is not False
+        and row.get("schema_match") is not False
+    )
 
 
 def main() -> int:
