@@ -28,6 +28,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       timezone (session.py), just a type-tag change.
 
     Set defensively here so any caller session works.
+
+    .. warning:: loading ``events`` permanently sets
+       ``spark.sql.session.timeZone=UTC`` (and ``nanosAsLong``) on the
+       caller's session. Save/restore would be wrong: the NTZ->TIMESTAMP
+       cast above evaluates lazily, under whatever timezone is current
+       when the query *executes*, so the pin must outlive this call.
+       Sessions built by :func:`..session.get_session` already pin UTC;
+       callers that rely on a non-UTC session timezone for *rendering*
+       other timestamps should not share a session with events queries.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -12,9 +12,19 @@ Design:
   only concatenates existing partitions into fewer write tasks;
 - crash-safe swap via the same rename discipline as
   streaming.sinks.ParquetUpsertSink: write to a staging dir, rename
-  live -> old, staging -> live, drop old. A reader never sees a
-  half-written dataset; a crash mid-swap leaves either the old or the
-  new dataset intact (plus a recoverable staging/old dir).
+  live -> old, staging -> live, drop old. Staging/old dirs live beside
+  the leaf with a ``_``-prefixed basename, which Spark's file listing
+  and partition discovery skip (same rule as ``_SUCCESS``/``_temporary``)
+  and ``_leaf_dirs`` ignores — so neither a concurrent reader of a
+  partitioned root nor a later compaction ever picks up in-flight or
+  crash-leftover data as a real partition. Stale ``_*__compact_*``
+  leftovers from a previous crash are swept on the next run.
+- atomicity caveat: the swap is two renames, not one. A reader that
+  lists the root in the instant between rename(live, old) and
+  rename(staging, live) can miss that one leaf; it never sees
+  duplicates or partial files. A crash in that instant leaves the data
+  recoverable in the ``_``-prefixed old dir (invisible to readers until
+  manually restored).
 - partitioned datasets compact per partition directory (the
   partition column layout is preserved because compaction recurses on
   leaf directories, never across them).
@@ -55,6 +65,32 @@ def _leaf_dirs(path: str) -> list[str]:
     return leaves
 
 
+def _swap_dirs(leaf: str, suffix: str) -> str:
+    """Sibling work-dir path for ``leaf``, hidden from Spark and readers.
+
+    Spark's hidden-path filter (InMemoryFileIndex.shouldFilterOut) skips
+    ``_``-prefixed names ONLY if they contain no ``=`` — a dir named
+    ``_p=1__x`` would be parsed as a partition column ``_p`` and break
+    partition discovery on the root. So the partition leaf's ``=`` is
+    percent-encoded in the work-dir basename.
+    """
+    parent, base = os.path.split(leaf)
+    return os.path.join(
+        parent, f"_{base.replace('=', '%3D')}__compact_{suffix}"
+    )
+
+
+def _sweep_stale(path: str) -> None:
+    """Remove crash leftovers (``_*__compact_staging``/``_*__compact_old``)."""
+    for root, dirs, _files in os.walk(path):
+        for d in list(dirs):
+            if d.startswith("_") and (
+                d.endswith("__compact_staging") or d.endswith("__compact_old")
+            ):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                dirs.remove(d)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -68,6 +104,7 @@ def compact_parquet(
     contents and schema are byte-for-byte preserved up to parquet
     re-encoding; tests assert full row equality.
     """
+    _sweep_stale(path)
     report: dict[str, tuple[int, int]] = {}
     for leaf in _leaf_dirs(path):
         before = len(_data_files(leaf))
@@ -78,8 +115,8 @@ def compact_parquet(
         if n_out >= before:
             report[leaf] = (before, before)
             continue
-        staging = leaf + "__compact_staging"
-        old = leaf + "__compact_old"
+        staging = _swap_dirs(leaf, "staging")
+        old = _swap_dirs(leaf, "old")
         shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
         (

@@ -29,39 +29,50 @@ the dataset path.
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable, Hashable
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
-_SHARED: dict[Hashable, DataFrame] | None = None
+# Registry is thread-local: two pipelines on different threads (e.g. a
+# notebook running catalog passes concurrently) each get their own
+# scope, never cross-share registries or unpersist each other's pinned
+# frames. Nested scopes on one thread stack via the save/restore in
+# shared_stages(), which is exception-safe (try/finally).
+_TLS = threading.local()
+
+
+def _registry() -> dict[Hashable, DataFrame] | None:
+    return getattr(_TLS, "shared", None)
 
 
 def sharing_enabled() -> bool:
-    return _SHARED is not None
+    return _registry() is not None
 
 
 def stage(key: Hashable, builder: Callable[[], DataFrame]) -> DataFrame:
     """Build (or reuse, inside ``shared_stages()``) the named stage."""
-    if _SHARED is None:
+    shared = _registry()
+    if shared is None:
         return builder()
-    if key not in _SHARED:
-        _SHARED[key] = builder().persist()
-    return _SHARED[key]
+    if key not in shared:
+        shared[key] = builder().persist()
+    return shared[key]
 
 
 @contextmanager
 def shared_stages():
     """Scope within which ``stage()`` results are persisted and shared."""
-    global _SHARED
-    prev = _SHARED
-    _SHARED = {}
+    prev = _registry()
+    mine: dict[Hashable, DataFrame] = {}
+    _TLS.shared = mine
     try:
         yield
     finally:
-        for df in _SHARED.values():
+        for df in mine.values():
             try:
                 df.unpersist()
             except Exception:  # noqa: BLE001 — stopped session; moot
                 pass
-        _SHARED = prev
+        _TLS.shared = prev

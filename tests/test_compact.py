@@ -54,6 +54,34 @@ class TestCompactParquet:
             assert len(_data_files(os.path.join(path, d))) == 1
         assert _rows(spark.read.parquet(path)) == before
 
+    def test_crash_leftovers_invisible_and_swept(self, spark, tmp_path):
+        """A crashed run's staging/old dirs must never surface as data.
+
+        They are _-prefixed (Spark's listing skips them, so a reader of
+        the partitioned root sees no duplicate/mangled rows) and the
+        next compact_parquet sweeps them before compacting.
+        """
+        path = str(tmp_path / "part")
+        df = spark.range(0, 3000).withColumn("p", F.col("id") % 3)
+        df.repartition(8).write.partitionBy("p").parquet(path)
+        before = _rows(spark.read.parquet(path))
+
+        # simulate a crash: leftover staging (half-written) and old
+        # (full copy) dirs beside a partition leaf
+        staging = os.path.join(path, "_p%3D1__compact_staging")
+        old = os.path.join(path, "_p%3D1__compact_old")
+        spark.range(5).coalesce(1).write.parquet(staging)
+        spark.range(7).coalesce(1).write.parquet(old)
+
+        # a concurrent reader of the root sees only the real data
+        assert _rows(spark.read.parquet(path)) == before
+
+        compact_parquet(spark, path, target_file_bytes=10 * 1024 * 1024)
+        assert not os.path.exists(staging) and not os.path.exists(old)
+        assert _rows(spark.read.parquet(path)) == before
+        # swap work-dirs from this run are gone too
+        assert not [d for d in os.listdir(path) if "compact" in d]
+
     def test_already_compact_is_untouched(self, spark, tmp_path):
         path = str(tmp_path / "one")
         spark.range(10).coalesce(1).write.parquet(path)

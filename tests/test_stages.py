@@ -78,6 +78,47 @@ class TestStageRegistry:
                 assert inner is not outer  # fresh registry
             assert stage("k", lambda: spark.range(9)) is outer
 
+    def test_thread_isolation(self, spark):
+        """A scope on one thread is invisible to another thread.
+
+        Two concurrent pipelines must not cross-share registries or
+        unpersist each other's pinned frames (registry is thread-local).
+        """
+        import threading
+
+        seen = {}
+        barrier = threading.Barrier(2)
+
+        def worker(name):
+            with shared_stages():
+                barrier.wait()  # both scopes open simultaneously
+                df = stage("k", lambda: spark.range(3))
+                barrier.wait()
+                seen[name] = df
+
+        t1 = threading.Thread(target=worker, args=("a",))
+        t2 = threading.Thread(target=worker, args=("b",))
+        t1.start(); t2.start(); t1.join(); t2.join()
+        assert seen["a"] is not seen["b"]  # no cross-thread memo hit
+
+    def test_scope_on_thread_invisible_to_main(self, spark):
+        import threading
+
+        opened = threading.Event()
+        done = threading.Event()
+
+        def holder():
+            with shared_stages():
+                opened.set()
+                done.wait(10)
+
+        t = threading.Thread(target=holder)
+        t.start()
+        assert opened.wait(10)
+        assert not sharing_enabled()  # main thread unaffected
+        done.set()
+        t.join()
+
 
 class TestSharedCatalogEquivalence:
     """d2/d6/d8 answers are identical with and without sharing."""
