@@ -57,6 +57,106 @@ def write_kafka(df: DataFrame, topic: str, bootstrap_servers: str, key_col: str)
     )
 
 
+class KafkaTopicAdmin:
+    """Thin admin-client adapter behind :func:`ensure_topic` (IO7).
+
+    Wraps whichever Kafka admin library is installed — the reference's
+    ``confluent_kafka.admin.AdminClient`` first, ``kafka-python``'s
+    ``KafkaAdminClient`` as a fallback — behind two calls:
+    ``topic_names()`` and ``create_topic()``. Tests inject a fake with
+    the same two methods, so the ensure logic is verified without a
+    broker; the broker-gated smoke exercises a real client.
+    """
+
+    def __init__(self, bootstrap_servers: str, timeout_s: float = 10.0):
+        self._timeout = timeout_s
+        try:
+            from confluent_kafka.admin import AdminClient, NewTopic
+
+            self._impl = "confluent"
+            self._new_topic = NewTopic
+            self._admin = AdminClient({"bootstrap.servers": bootstrap_servers})
+            return
+        except ImportError:
+            pass
+        try:
+            from kafka.admin import KafkaAdminClient, NewTopic
+
+            self._impl = "kafka-python"
+            self._new_topic = NewTopic
+            self._admin = KafkaAdminClient(
+                bootstrap_servers=bootstrap_servers,
+                request_timeout_ms=int(timeout_s * 1000),
+            )
+            return
+        except ImportError:
+            raise ImportError(
+                "ensure_topic needs a Kafka admin client "
+                "(pip install confluent-kafka or kafka-python), or pass "
+                "an explicit admin adapter"
+            ) from None
+
+    def topic_names(self) -> set[str]:
+        if self._impl == "confluent":
+            return set(self._admin.list_topics(timeout=self._timeout).topics)
+        return set(self._admin.list_topics())
+
+    def create_topic(
+        self, topic: str, num_partitions: int, replication_factor: int
+    ) -> None:
+        if self._impl == "confluent":
+            futures = self._admin.create_topics(
+                [self._new_topic(topic, num_partitions, replication_factor)]
+            )
+            for f in futures.values():
+                f.result(timeout=self._timeout * 3)
+        else:
+            self._admin.create_topics(
+                [
+                    self._new_topic(
+                        name=topic,
+                        num_partitions=num_partitions,
+                        replication_factor=replication_factor,
+                    )
+                ]
+            )
+
+
+def ensure_topic(
+    topic: str,
+    bootstrap_servers: str = "",
+    num_partitions: int = 3,
+    replication_factor: int = 1,
+    admin=None,
+) -> bool:
+    """Idempotently create ``topic`` if the cluster doesn't have it (IO7).
+
+    Returns True if the topic was created, False if it already existed.
+    Defaults mirror the reference's lookup-topic bootstrap
+    (orchestration/src/shared.py:50-65: 3 partitions, replication 1);
+    at scale, partition count should match expected consumer
+    parallelism, so override ``num_partitions`` for hot topics.
+
+    A concurrent creator racing between the existence check and the
+    create is treated as success (the topic exists either way) — the
+    reference would crash on that race.
+    """
+    if admin is None:
+        admin = KafkaTopicAdmin(bootstrap_servers)
+    if topic in admin.topic_names():
+        return False
+    try:
+        admin.create_topic(topic, num_partitions, replication_factor)
+    except Exception as exc:  # noqa: BLE001 — race: created concurrently
+        if "exist" in str(exc).lower() or type(exc).__name__ in (
+            "TopicAlreadyExistsError",
+            "TopicExistsError",
+        ):
+            return False
+        raise
+    return True
+
+
 def upsert_foreach_batch(
     merge_fn: Callable[[DataFrame, int], None]
 ) -> Callable[[DataFrame, int], None]:

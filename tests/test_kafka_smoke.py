@@ -52,6 +52,15 @@ def _read_topic(spark, topic):
     )
 
 
+class TestTopicEnsure:
+    def test_io7_ensure_topic_real_broker(self):
+        from big_data_flight_analytics_spark.sources.writers import ensure_topic
+
+        topic = f"spark_graft_ensure_{uuid.uuid4().hex[:8]}"
+        assert ensure_topic(topic, KAFKA) is True  # created
+        assert ensure_topic(topic, KAFKA) is False  # already there
+
+
 class TestKafkaRoundTrip:
     def test_io6_batch_write_then_io8_batch_read(self, kafka_spark):
         from pyspark.sql import Row, functions as F
