@@ -56,6 +56,59 @@ def exact_dedup(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """C4-style paragraph-grain exact dedup with document reconstruction.
+
+    Splits each document on ``sep``, keeps only the FIRST occurrence of
+    every distinct paragraph corpus-wide (first = lowest
+    ``(doc_id, position)``), and rebuilds each document from its
+    surviving paragraphs in original order. Documents whose every
+    paragraph already appeared elsewhere vanish entirely — the C4 /
+    RefinedWeb line-grain rule generalized to any separator.
+
+    Output: ``id_col, clean_text, n_paras`` (original), ``n_kept``.
+
+    Scale: one explode, one window partitioned by paragraph text (high
+    cardinality; the only heavy keys are boilerplate paragraphs — which
+    is exactly what gets deduped away), one hash agg per doc. Nothing
+    quadratic; every shuffle keys on paragraph or doc id.
+
+    ``sep`` is a Java regex in Spark's ``split`` — keep it
+    literal-safe (no metacharacters) so the DuckDB oracle's literal
+    ``string_split`` stays equivalent.
+    """
+    toked = df.select(
+        F.col(id_col), F.split(F.col(text_col), sep).alias("__paras")
+    )
+    paras = toked.select(
+        F.col(id_col),
+        F.size("__paras").cast("bigint").alias("n_paras"),
+        F.posexplode("__paras").alias("idx", "para"),
+    )
+    first_seen = Window.partitionBy("para").orderBy(id_col, "idx")
+    kept = (
+        paras.withColumn("rn", F.row_number().over(first_seen))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                lambda x: x["para"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.first("n_paras").alias("n_paras"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+
+
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     # two-step: materialize the token array, THEN build shingles from the
     # column reference (inline split would re-tokenize per element_at)

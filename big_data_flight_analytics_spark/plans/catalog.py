@@ -79,6 +79,7 @@ _TIE_BREAK = [
     "t7_winnow_fingerprints",
     "t8_source_quality",
     "d1_exact_dedup",
+    "d11_paragraph_dedup",
     "d2_ngram_jaccard",
     "d3_minhash_lsh",
     "d4_simhash",

@@ -158,6 +158,50 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# D11 — paragraph-grain dedup (C4/RefinedWeb style): dedup at paragraph
+# grain corpus-wide keeping first occurrence, then reconstruct documents
+# from surviving paragraphs. The synthetic corpus has no newline
+# structure (zero documents contain "\n\n"), so the catalog entry uses a
+# literal token boundary (" the ") as the paragraph separator to
+# exercise real multi-paragraph behavior (sf0.01: ~1.27k paragraphs,
+# ~54 cross-document dups removed); real corpora use the operator's
+# default "\n\n".
+# ---------------------------------------------------------------------------
+
+D11_PARA_SEP = " the "
+
+
+def d11_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.dedup import paragraph_dedup
+
+    return paragraph_dedup(
+        load(spark, sf_dir, "documents"), sep=D11_PARA_SEP
+    )
+
+
+D11_SQL = """
+WITH paras AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' the ')) AS para,
+           generate_subscripts(string_split(text, ' the '), 1) AS idx,
+           len(string_split(text, ' the ')) AS n_paras
+    FROM documents
+), ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+    FROM paras
+)
+SELECT doc_id,
+       string_agg(para, ' the ' ORDER BY idx) AS clean_text,
+       first(n_paras) AS n_paras,
+       COUNT(*) AS n_kept
+FROM ranked
+WHERE rn = 1
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # T3 — Gopher-style quality metrics: mean token length, alphabetic
 # fraction, and the duplicated-bigram fraction (max bigram frequency /
 # total bigrams — repetition is a top spam/boilerplate signal). Scalars
@@ -1199,6 +1243,7 @@ EXTENSION_QUERIES = {
     "d9_cross_source_overlap": d9_cross_source_overlap,
     "d10_winnow_jaccard": d10_winnow_jaccard,
     "d1_exact_dedup": d1_exact_dedup,
+    "d11_paragraph_dedup": d11_paragraph_dedup,
     "d2_ngram_jaccard": d2_ngram_jaccard,
     "d3_minhash_lsh": d3_minhash_lsh,
     "d4_simhash": d4_simhash,
@@ -1223,6 +1268,7 @@ EXTENSION_ORACLES = {
     "d9_cross_source_overlap": D9_SQL,
     "d10_winnow_jaccard": D10_SQL,
     "d1_exact_dedup": D1_SQL,
+    "d11_paragraph_dedup": D11_SQL,
     "d2_ngram_jaccard": D2_SQL,
     "d3_minhash_lsh": D3_SQL,
     "d4_simhash": D4_SQL,

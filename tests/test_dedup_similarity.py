@@ -45,6 +45,61 @@ class TestExactDedup:
         assert out[4] == 1
 
 
+class TestParagraphDedup:
+    """C4-style paragraph-grain dedup: first occurrence wins, docs
+    rebuilt in order, fully-duplicated docs vanish."""
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [
+                Row(doc_id=1, text="alpha beta\n\nshared boiler\n\ngamma"),
+                Row(doc_id=2, text="shared boiler\n\ndelta"),
+                Row(doc_id=3, text="shared boiler"),  # only dup paras -> vanishes
+                Row(doc_id=4, text="alpha beta\n\ngamma"),  # all seen in doc 1
+            ]
+        )
+
+    def test_first_occurrence_wins_and_rebuild_order(self, spark):
+        from big_data_flight_analytics_spark.operators.dedup import paragraph_dedup
+
+        out = {
+            r["doc_id"]: (r["clean_text"], r["n_paras"], r["n_kept"])
+            for r in paragraph_dedup(self._df(spark)).collect()
+        }
+        # doc 1 is first everywhere: intact, original order
+        assert out[1] == ("alpha beta\n\nshared boiler\n\ngamma", 3, 3)
+        # doc 2 loses the shared paragraph, keeps its own
+        assert out[2] == ("delta", 2, 1)
+        # docs 3 and 4 are fully covered by earlier docs -> dropped
+        assert 3 not in out and 4 not in out
+
+    def test_order_preserved_not_sorted(self, spark):
+        from big_data_flight_analytics_spark.operators.dedup import paragraph_dedup
+
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="zz last\n\naa first\n\nmm mid")]
+        )
+        (row,) = paragraph_dedup(df).collect()
+        # reconstruction follows document position, not lexicographic
+        assert row["clean_text"] == "zz last\n\naa first\n\nmm mid"
+
+    def test_custom_separator(self, spark):
+        from big_data_flight_analytics_spark.operators.dedup import paragraph_dedup
+
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="a b -- c d"),
+                Row(doc_id=2, text="c d -- e f"),
+            ]
+        )
+        out = {
+            r["doc_id"]: r["clean_text"]
+            for r in paragraph_dedup(df, sep=" -- ").collect()
+        }
+        assert out[1] == "a b -- c d"  # sep is reused on rebuild
+        assert out[2] == "e f"
+
+
 class TestNgramJaccard:
     def test_near_dup_found_far_pair_not(self, spark):
         pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
