@@ -41,6 +41,47 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII scrub patterns (training-data hygiene). Written in the syntax
+# subset Java regex (Spark) and RE2 (DuckDB oracle) share: no
+# lookaround, no backrefs — the same literal pattern string runs in
+# both engines. Replacement ordering matters: URLs first (an email-like
+# userinfo inside a URL becomes part of <URL>), then emails, then long
+# digit runs; the placeholder tokens contain no '@'/'/'/digits, so a
+# later pass never re-matches an earlier replacement.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL_RE = r"(https?://|www\.)[^\s]+"
+PII_DIGITS_RE = r"\d[\d\- ().]{5,}\d"
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "clean_text"
+) -> DataFrame:
+    """Scrub emails, URLs, and long digit runs (phones/SSNs/cards).
+
+    Adds ``out_col`` with matches replaced by ``<URL>``/``<EMAIL>``/
+    ``<NUM>`` placeholders, plus per-type raw match counts
+    (``n_emails``, ``n_urls``, ``n_digit_runs``) measured on the
+    ORIGINAL text. Pure native ``regexp_replace``/``regexp_count``
+    chain — map-only, no shuffle, whole-stage-codegen at any scale.
+    """
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_URL_RE, "<URL>"),
+            PII_EMAIL_RE,
+            "<EMAIL>",
+        ),
+        PII_DIGITS_RE,
+        "<NUM>",
+    )
+    return (
+        df.withColumn("n_emails", F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("bigint"))
+        .withColumn("n_urls", F.regexp_count(t, F.lit(PII_URL_RE)).cast("bigint"))
+        .withColumn("n_digit_runs", F.regexp_count(t, F.lit(PII_DIGITS_RE)).cast("bigint"))
+        .withColumn(out_col, scrubbed)
+    )
+
+
 def tokens(text_col: str = "text"):
     """Whitespace tokens of the lowercased, trimmed text (array<string>)."""
     return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")

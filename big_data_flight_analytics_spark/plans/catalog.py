@@ -78,6 +78,7 @@ _TIE_BREAK = [
     "t6_stratified_sample",
     "t7_winnow_fingerprints",
     "t8_source_quality",
+    "t9_pii_scrub",
     "d1_exact_dedup",
     "d11_paragraph_dedup",
     "d2_ngram_jaccard",

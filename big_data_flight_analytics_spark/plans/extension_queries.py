@@ -158,6 +158,79 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# T9 — PII/URL scrub (training-data hygiene). The synthetic corpus
+# contains no PII, so the query deterministically injects an email
+# (doc_id % 2 == 0), a URL (doc_id % 3 == 0), and a phone-style digit
+# run (every doc) derived from doc_id — identically in Spark and the
+# oracle — then scrubs. The regexes are therefore exercised against
+# real matches and the oracle verifies replacement + counts exactly;
+# tests/test_text_corpus.py asserts no pattern survives scrubbing.
+# ---------------------------------------------------------------------------
+
+
+def t9_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.text import scrub_pii
+
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pii_text = F.concat(
+        F.col("text"),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@mail.example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" see https://example.org/doc/"),
+                did.cast("string"),
+                F.lit("?ref=abc"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(" call 415-555-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+    )
+    synth = docs.select(did.alias("doc_id"), pii_text.alias("text"))
+    return scrub_pii(synth).select(
+        "doc_id", "clean_text", "n_emails", "n_urls", "n_digit_runs"
+    )
+
+
+T9_SQL = r"""
+WITH synth AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 2 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@mail.example.com'
+                ELSE '' END
+           || CASE WHEN doc_id % 3 = 0
+                THEN ' see https://example.org/doc/'
+                     || CAST(doc_id AS VARCHAR) || '?ref=abc'
+                ELSE '' END
+           || ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS text
+    FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(text, '(https?://|www\.)[^\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\d[\d\- ().]{5,}\d', '<NUM>', 'g') AS clean_text,
+       len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(text, '(https?://|www\.)[^\s]+')) AS n_urls,
+       len(regexp_extract_all(text, '\d[\d\- ().]{5,}\d')) AS n_digit_runs
+FROM synth
+"""
+
+
+# ---------------------------------------------------------------------------
 # D11 — paragraph-grain dedup (C4/RefinedWeb style): dedup at paragraph
 # grain corpus-wide keeping first occurrence, then reconstruct documents
 # from surviving paragraphs. The synthetic corpus has no newline
@@ -1240,6 +1313,7 @@ EXTENSION_QUERIES = {
     "t6_stratified_sample": t6_stratified_sample,
     "t7_winnow_fingerprints": t7_winnow_fingerprints,
     "t8_source_quality": t8_source_quality,
+    "t9_pii_scrub": t9_pii_scrub,
     "d9_cross_source_overlap": d9_cross_source_overlap,
     "d10_winnow_jaccard": d10_winnow_jaccard,
     "d1_exact_dedup": d1_exact_dedup,
@@ -1265,6 +1339,7 @@ EXTENSION_ORACLES = {
     "t6_stratified_sample": T6_SQL,
     "t7_winnow_fingerprints": T7_SQL,
     "t8_source_quality": T8_SQL,
+    "t9_pii_scrub": T9_SQL,
     "d9_cross_source_overlap": D9_SQL,
     "d10_winnow_jaccard": D10_SQL,
     "d1_exact_dedup": D1_SQL,

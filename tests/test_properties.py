@@ -304,6 +304,73 @@ class TestSessionizationDifferential:
         assert via_window == native
 
 
+class TestPiiScrubProperties:
+    """After scrub_pii, NO text can still match any scrub pattern —
+    the property real training-data hygiene relies on. Batch-evaluated:
+    one job over many planted-PII strings and near-misses."""
+
+    def test_no_pattern_survives_scrub(self, spark):
+        from big_data_flight_analytics_spark.operators.text import (
+            PII_DIGITS_RE,
+            PII_EMAIL_RE,
+            PII_URL_RE,
+            scrub_pii,
+        )
+
+        rng = random.Random(41)
+        words = ["alpha", "beta", "report", "data", "x1", "k9"]
+        planted = []
+        for i in range(200):
+            bits = [rng.choice(words) for _ in range(rng.randint(1, 8))]
+            kind = i % 5
+            if kind == 0:
+                bits.insert(1, f"user.{i}+tag@sub{i % 7}.example.co")
+            elif kind == 1:
+                bits.insert(0, rng.choice([
+                    f"https://ex.com/p/{i}?a=b&c=d#frag",
+                    f"http://h{i}.org", f"www.site{i}.net/x",
+                ]))
+            elif kind == 2:
+                bits.append(rng.choice([
+                    "415-555-0199", "(415) 555 0199", "4111 1111 1111 1111",
+                    "123-45-6789", "12345678901",
+                ]))
+            elif kind == 3:  # all three at once, adjacent
+                bits = [f"a@b.io www.c.de 987-654-3210"] + bits
+            # kind == 4: clean text + near-misses that must NOT be
+            # scrubbed. The digit pattern spans separators ("4111 1111
+            # 1111 1111" is one run), so neighbors must be digit-free or
+            # a vocab digit would legitimately extend the run.
+            else:
+                bits = [w for w in bits if not any(c.isdigit() for c in w)]
+                bits.append(rng.choice(["1234", "a@b", "v1.2", "http//x"]))
+            planted.append(Row(doc_id=i, text=" ".join(bits)))
+
+        out = scrub_pii(spark.createDataFrame(planted)).select(
+            "doc_id",
+            "clean_text",
+            F.regexp_count("clean_text", F.lit(PII_EMAIL_RE)).alias("e"),
+            F.regexp_count("clean_text", F.lit(PII_URL_RE)).alias("u"),
+            F.regexp_count("clean_text", F.lit(PII_DIGITS_RE)).alias("d"),
+            "n_emails", "n_urls", "n_digit_runs",
+        ).collect()
+        for r in out:
+            assert r["e"] == r["u"] == r["d"] == 0, r["clean_text"]
+            kind = r["doc_id"] % 5
+            if kind == 0:
+                assert "<EMAIL>" in r["clean_text"] and r["n_emails"] >= 1
+            elif kind == 1:
+                assert "<URL>" in r["clean_text"] and r["n_urls"] >= 1
+            elif kind == 2:
+                assert "<NUM>" in r["clean_text"] and r["n_digit_runs"] >= 1
+            elif kind == 3:
+                for tok in ("<EMAIL>", "<URL>", "<NUM>"):
+                    assert tok in r["clean_text"]
+            else:  # near-misses untouched
+                for tok in ("<EMAIL>", "<URL>", "<NUM>"):
+                    assert tok not in r["clean_text"]
+
+
 class TestWinnowingProperties:
     """The winnowing guarantee (Schleimer/Wilkerson/Aiken, SIGMOD 2003
     thm 1): two documents sharing a contiguous token run of length
