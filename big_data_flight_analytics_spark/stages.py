@@ -30,6 +30,7 @@ the dataset path.
 from __future__ import annotations
 
 import threading
+import time
 from collections.abc import Callable, Hashable
 from contextlib import contextmanager
 
@@ -57,16 +58,38 @@ def stage(key: Hashable, builder: Callable[[], DataFrame]) -> DataFrame:
     if shared is None:
         return builder()
     if key not in shared:
-        shared[key] = builder().persist()
+        collector = getattr(_TLS, "build_times", None)
+        if collector is None:
+            shared[key] = builder().persist()
+        else:
+            # Attribution mode (bench): persist() is lazy, so without
+            # forcing, the build cost lands inside whichever consumer
+            # query happens to run first — making per-query numbers
+            # depend on catalog order. Materialize here, timed, so the
+            # cost is reported as the stage's own.
+            t0 = time.time()
+            df = builder().persist()
+            df.count()
+            collector[key] = collector.get(key, 0.0) + (time.time() - t0)
+            shared[key] = df
     return shared[key]
 
 
 @contextmanager
-def shared_stages():
-    """Scope within which ``stage()`` results are persisted and shared."""
+def shared_stages(build_times: dict[Hashable, float] | None = None):
+    """Scope within which ``stage()`` results are persisted and shared.
+
+    ``build_times``: optional collector dict. When given, each stage is
+    eagerly materialized at creation and its build seconds recorded
+    under its key — consumers then time net-of-build. When omitted
+    (default), stages stay lazy and build cost is paid by the first
+    action that touches them.
+    """
     prev = _registry()
+    prev_times = getattr(_TLS, "build_times", None)
     mine: dict[Hashable, DataFrame] = {}
     _TLS.shared = mine
+    _TLS.build_times = build_times
     try:
         yield
     finally:
@@ -76,3 +99,4 @@ def shared_stages():
             except Exception:  # noqa: BLE001 — stopped session; moot
                 pass
         _TLS.shared = prev
+        _TLS.build_times = prev_times

@@ -78,6 +78,23 @@ class TestStageRegistry:
                 assert inner is not outer  # fresh registry
             assert stage("k", lambda: spark.range(9)) is outer
 
+    def test_build_times_collector(self, spark):
+        """With a collector, stage build is eager, timed, and memoized;
+        the second request records no additional build."""
+        times = {}
+        with shared_stages(build_times=times):
+            a = stage("k", lambda: spark.range(4))
+            assert "k" in times and times["k"] > 0
+            first = times["k"]
+            b = stage("k", lambda: spark.range(4))
+            assert b is a
+            assert times["k"] == first  # no re-build on reuse
+            assert a.count() == 4
+        # collector detached after scope exit: plain scope stays lazy
+        with shared_stages():
+            stage("k2", lambda: spark.range(2))
+            assert "k2" not in times
+
     def test_thread_isolation(self, spark):
         """A scope on one thread is invisible to another thread.
 
