@@ -17,15 +17,36 @@ STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 STOPWORD_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
 PUNCT_RE = r"[.,!?;:]"
 
-# Marker words per language for the n-gram/heuristic language id. CASE
-# chain, first match wins, default 'en'. (Synthetic corpora won't carry
-# real language signal; the operator contract is the deterministic rule.)
-LANG_MARKERS = [
-    ("de", r"\b(der|die|das|und|nicht|ist)\b"),
-    ("fr", r"\b(le|la|les|et|est|pas)\b"),
-    ("es", r"\b(el|los|las|y|es|no)\b"),
-    ("zh", r"[一-鿿]"),
-]
+# Char-trigram language id. Per language, a fixed profile of 12
+# high-frequency character trigrams (ASCII, within-word — classic
+# Cavnar/Trenkle-style n-gram profiles, truncated hard so the scorer
+# stays a single native regexp_count per language). A document's score
+# per language = non-overlapping occurrences of any profile trigram in
+# the lowercased text; the prediction is the max-score language with
+# ties broken in LANG_PRIORITY order and 'en' as the zero-score
+# default. CJK text is scored by codepoint-range count instead (Latin
+# trigrams can't see it). All equal-length alternations, so Java regex
+# (Spark) and RE2 (DuckDB) count identically — fully oracle-checkable.
+# On keyword-soup synthetic corpora the prediction is arbitrary-but-
+# deterministic; on natural prose the profiles behave like a real
+# (small) trigram classifier — see the truth-table test.
+LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "und", "ein", "ich", "sch", "die", "che",
+           "ung", "gen", "den", "ber", "ten"),
+    "fr": ("les", "des", "que", "est", "eur", "ait", "ans",
+           "par", "une", "our", "ais", "ont"),
+    "es": ("los", "las", "del", "con", "por", "una", "ado",
+           "nte", "ara", "ien", "cio", "ndo"),
+    "en": ("the", "and", "ing", "ion", "ent", "tio", "for",
+           "tha", "ter", "hat", "ere", "his"),
+}
+LANG_ZH_RE = r"[一-鿿]"
+# tie-break chain order; 'en' is the CASE default (covers all-zero)
+LANG_PRIORITY = ("zh", "de", "fr", "es")
+
+
+def _trigram_pattern(lang: str) -> str:
+    return "(" + "|".join(LANG_TRIGRAMS[lang]) + ")"
 
 
 def token_count(text: Column) -> Column:
@@ -68,14 +89,56 @@ def quality_score(text: Column) -> Column:
 
 
 def lang_id_expr(text: Column) -> Column:
-    """Heuristic language id: first-match CASE over marker regexes, else 'en'."""
+    """Char-trigram language id (see LANG_TRIGRAMS): argmax of per-
+    language trigram-profile counts, ties to LANG_PRIORITY order,
+    'en' when every score is zero.
+
+    Cost note: the winner-selection CASE repeats each score expression
+    in several comparisons; Catalyst does not CSE across when-branches,
+    so this is ~25 regexp_counts per row — still map-only, linear, and
+    cheap next to any shuffle, but don't lift it into a hot inner loop.
+    """
     lowered = F.lower(text)
+    scores: dict[str, Column] = {
+        lang: F.regexp_count(lowered, F.lit(_trigram_pattern(lang)))
+        for lang in LANG_TRIGRAMS
+    }
+    scores["zh"] = F.regexp_count(lowered, F.lit(LANG_ZH_RE))
     expr: Column | None = None
-    for lang, pattern in LANG_MARKERS:
-        cond = F.regexp_count(lowered, F.lit(pattern)) > 0
+    for lang in LANG_PRIORITY:
+        cond = scores[lang] > 0
+        for other, s in scores.items():
+            if other != lang:
+                cond = cond & (scores[lang] >= s)
         expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
     assert expr is not None
     return expr.otherwise(F.lit("en"))
+
+
+def lang_case_sql(text_expr: str = "text") -> str:
+    """The DuckDB-SQL mirror of :func:`lang_id_expr` — one CASE
+    expression (no alias) generated from the same trigram tables, so
+    the operator and its oracle can never drift."""
+    counts = {
+        lang: (
+            f"len(regexp_extract_all(lower({text_expr}), "
+            f"'{_trigram_pattern(lang)}'))"
+        )
+        for lang in LANG_TRIGRAMS
+    }
+    counts["zh"] = (
+        f"len(regexp_extract_all(lower({text_expr}), '[\\x{{4e00}}-\\x{{9fff}}]'))"
+    )
+    branches = []
+    for lang in LANG_PRIORITY:
+        conds = [f"{counts[lang]} > 0"] + [
+            f"{counts[lang]} >= {s}" for other, s in counts.items() if other != lang
+        ]
+        branches.append(
+            "WHEN " + "\n              AND ".join(conds) + f" THEN '{lang}'"
+        )
+    joined = "\n         ".join(branches)
+    return f"CASE\n         {joined}\n         ELSE 'en'\n       END"
 
 
 def normalize_text(text: Column) -> Column:

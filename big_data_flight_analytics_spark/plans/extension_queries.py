@@ -34,8 +34,14 @@ from big_data_flight_analytics_spark.operators.text import (
     tfidf_top_terms,
     top_ngrams,
 )
+from big_data_flight_analytics_spark.functions.text import lang_case_sql
 from big_data_flight_analytics_spark.plans.tables import load
 from big_data_flight_analytics_spark.stages import stage
+
+# DuckDB mirror of lang_id_expr, generated from the same trigram
+# tables (functions/text.py) so the Spark expression and every oracle
+# using lang_pred can never drift.
+_LANG_CASE = lang_case_sql()
 
 JACCARD_THRESHOLD = 0.05
 N_QUERY_VECS = 5
@@ -123,20 +129,11 @@ SELECT doc_id,
        ROUND(0.4 * LEAST(length(COALESCE(text, '')) / 500.0, 1.0)
              + 0.3 * (1.0 - punct_ratio)
              + 0.3 * LEAST(stopword_ratio / 0.1, 1.0), 6) AS quality,
-       CASE
-         WHEN len(regexp_extract_all(lower(text),
-              '\b(der|die|das|und|nicht|ist)\b')) > 0 THEN 'de'
-         WHEN len(regexp_extract_all(lower(text),
-              '\b(le|la|les|et|est|pas)\b')) > 0 THEN 'fr'
-         WHEN len(regexp_extract_all(lower(text),
-              '\b(el|los|las|y|es|no)\b')) > 0 THEN 'es'
-         WHEN len(regexp_extract_all(lower(text), '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
-         ELSE 'en'
-       END AS lang_pred,
+       __LANG_CASE__ AS lang_pred,
        md5(trim(regexp_replace(lower(COALESCE(text, '')), '\s+', ' ', 'g')))
            AS fingerprint
 FROM ratios
-"""
+""".replace("__LANG_CASE__", _LANG_CASE)
 
 
 # ---------------------------------------------------------------------------
@@ -644,16 +641,7 @@ WITH base AS (
            ROUND(0.4 * LEAST(length(COALESCE(text, '')) / 500.0, 1.0)
                  + 0.3 * (1.0 - punct_ratio)
                  + 0.3 * LEAST(stopword_ratio / 0.1, 1.0), 6) AS quality,
-           CASE
-             WHEN len(regexp_extract_all(lower(text),
-                  '\b(der|die|das|und|nicht|ist)\b')) > 0 THEN 'de'
-             WHEN len(regexp_extract_all(lower(text),
-                  '\b(le|la|les|et|est|pas)\b')) > 0 THEN 'fr'
-             WHEN len(regexp_extract_all(lower(text),
-                  '\b(el|los|las|y|es|no)\b')) > 0 THEN 'es'
-             WHEN len(regexp_extract_all(lower(text), '[\x{{4e00}}-\x{{9fff}}]')) > 0 THEN 'zh'
-             ELSE 'en'
-           END AS lang_pred
+           {_LANG_CASE} AS lang_pred
     FROM ratios
 )
 SELECT source,
@@ -1285,16 +1273,7 @@ WITH RECURSIVE pairs AS (
            ROUND(0.4 * LEAST(length(COALESCE(text, '')) / 500.0, 1.0)
                  + 0.3 * (1.0 - punct_ratio)
                  + 0.3 * LEAST(stopword_ratio / 0.1, 1.0), 6) AS quality,
-           CASE
-             WHEN len(regexp_extract_all(lower(text),
-                  '\b(der|die|das|und|nicht|ist)\b')) > 0 THEN 'de'
-             WHEN len(regexp_extract_all(lower(text),
-                  '\b(le|la|les|et|est|pas)\b')) > 0 THEN 'fr'
-             WHEN len(regexp_extract_all(lower(text),
-                  '\b(el|los|las|y|es|no)\b')) > 0 THEN 'es'
-             WHEN len(regexp_extract_all(lower(text), '[\x{{4e00}}-\x{{9fff}}]')) > 0 THEN 'zh'
-             ELSE 'en'
-           END AS lang_pred
+           {_LANG_CASE} AS lang_pred
     FROM ratios
 )
 SELECT s.doc_id, s.lang_pred, s.n_tokens, s.quality, z.cluster_size

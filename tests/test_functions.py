@@ -104,6 +104,82 @@ class TestTokenCount:
         assert one(df, token_count(F.col("t"))) == expected
 
 
+class TestLangId:
+    """Truth table for the char-trigram language id on natural prose.
+
+    The profiles are tiny (12 trigrams/language), so this asserts the
+    classifier contract on clearly-in-language sentences, not corpus
+    accuracy; keyword-soup text is documented arbitrary-but-
+    deterministic."""
+
+    CASES = [
+        ("en", "the children were singing that song for the nation "
+               "and everyone there was watching his performance"),
+        ("de", "der schnelle braune fuchs springt gegen den faulen hund "
+               "und die katze beobachtet ihn bei der schönen unterhaltung"),
+        ("fr", "les enfants mangent des pommes que leur mère avait "
+               "achetées pour eux pendant une longue journée"),
+        ("es", "los niños comen unas manzanas que una madre ha comprado "
+               "para ellos durante el viernes por la mañana"),
+        ("zh", "这是一个完整的中文句子没有任何拉丁字母"),
+    ]
+
+    def test_truth_table(self, spark):
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.functions.text import lang_id_expr
+
+        df = spark.createDataFrame(
+            [Row(want=lang, text=text) for lang, text in self.CASES]
+        )
+        out = df.select("want", lang_id_expr(F.col("text")).alias("got")).collect()
+        for r in out:
+            assert r["got"] == r["want"], (r["want"], r["got"])
+
+    def test_empty_and_null_default_en(self, spark):
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.functions.text import lang_id_expr
+
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text=""), Row(doc_id=2, text=None),
+             Row(doc_id=3, text="zzz qqq xxx")]
+        )
+        got = {r["doc_id"]: r["l"] for r in
+               df.select("doc_id", lang_id_expr(F.col("text")).alias("l")).collect()}
+        assert got == {1: "en", 2: "en", 3: "en"}
+
+    def test_sql_mirror_matches_spark(self, spark):
+        """lang_case_sql() on the same sentences agrees with the Spark
+        expression (the generator IS the oracle used by t1/t8/d8)."""
+        import duckdb
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.functions.text import (
+            lang_case_sql,
+            lang_id_expr,
+        )
+
+        df = spark.createDataFrame(
+            [Row(i=i, text=t) for i, (_, t) in enumerate(self.CASES)]
+        )
+        spark_out = {
+            r["i"]: r["l"]
+            for r in df.select("i", lang_id_expr(F.col("text")).alias("l")).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t AS SELECT * FROM (VALUES "
+            + ", ".join(f"({i}, ?)" for i in range(len(self.CASES)))
+            + ") v(i, text)",
+            [t for _, t in self.CASES],
+        )
+        duck_out = dict(
+            con.execute(f"SELECT i, {lang_case_sql()} FROM t").fetchall()
+        )
+        assert duck_out == spark_out
+
+
 class TestVector:
     def test_dot_product(self, spark):
         df = spark.createDataFrame([Row(a=[1.0, 2.0, 3.0], b=[4.0, 5.0, 6.0])])
