@@ -74,11 +74,15 @@ def windowed_distinct_counts(
     )
 
 
+KEEPALIVE_KEY = "__KEEPALIVE__"
+
+
 def airline_aircraft_counts(
     stream: DataFrame,
     exact: bool = True,
     window: str = STREAM_WINDOW,
     watermark: str = STREAM_WATERMARK,
+    keepalive: bool = False,
 ) -> DataFrame:
     """Distinct aircraft per airline code per window.
 
@@ -87,21 +91,52 @@ def airline_aircraft_counts(
     returns null -> filter); blank-but-present callsigns map to UNKNOWN;
     'N...' to PRIVATE; short to themselves; else first-3 uppercased.
     Output shape mirrors airlineCountToKeyValue (:103-116).
+
+    ``keepalive``: the default filter drops null-callsign records BELOW
+    the EventTimeWatermark node (Catalyst pushes deterministic filters
+    there), so they never advance Spark's watermark — if ALL incoming
+    records are filtered, open windows stall forever (unlike KStreams,
+    where stream time advances on every record; verified by
+    TestWatermarkStall). With ``keepalive=True``, null-callsign records
+    are instead mapped to a reserved key so they flow THROUGH the
+    watermark and aggregate — advancing event time and flushing open
+    windows — and their groups are removed after aggregation. Cost: one
+    extra group per window. Use it for replayed backfills/feeds where
+    the filtered class can dominate; the default matches the reference's
+    drop semantics exactly.
     """
-    # The watermark is declared before the key filter, but Catalyst
-    # pushes deterministic filters BELOW the EventTimeWatermark node, so
-    # records dropped here never advance Spark's watermark (unlike the
-    # reference, where stream time advances on every record). Tests and
-    # replayed backfills must flush windows with sentinel records that
-    # SURVIVE the filter (non-null callsign) — see replay.py.
-    keyed = (
-        stream.withWatermark("event_time", watermark)
-        .filter(F.col("callsign").isNotNull())
-        .withColumn("airline", airline_code_from_callsign(F.col("callsign")))
-    )
+    keyed = stream.withWatermark("event_time", watermark)
+    if keepalive:
+        keyed = keyed.withColumn(
+            "airline",
+            F.when(F.col("callsign").isNull(), F.lit(KEEPALIVE_KEY)).otherwise(
+                airline_code_from_callsign(F.col("callsign"))
+            ),
+        )
+    else:
+        # Tests and replayed backfills must flush windows with sentinel
+        # records that SURVIVE this filter (non-null callsign) — see
+        # replay.py — or pass keepalive=True.
+        keyed = keyed.filter(F.col("callsign").isNotNull()).withColumn(
+            "airline", airline_code_from_callsign(F.col("callsign"))
+        )
     agg = keyed.groupBy(
         F.window("event_time", window).alias("w"), "airline"
     ).agg(_distinct_count(exact).alias("aircraft_count"))
+    if keepalive:
+        # The predicate must reference an aggregate output: a key-only
+        # filter (airline != KEY) is deterministic and Catalyst pushes
+        # it through the Aggregate and below the EventTimeWatermark —
+        # silently recreating the stall this flag exists to fix. The
+        # CASE couples the key test to aircraft_count (which doesn't
+        # exist below the Aggregate), so it cannot be pushed down; the
+        # count<0 arm is never true, making it exactly "drop the
+        # keepalive group".
+        agg = agg.filter(
+            F.when(
+                F.col("airline") == KEEPALIVE_KEY, F.col("aircraft_count") < 0
+            ).otherwise(F.lit(True))
+        )
     return agg.select(
         F.col("airline").alias("_id"),
         "airline",

@@ -82,6 +82,29 @@ class TestCompactParquet:
         # swap work-dirs from this run are gone too
         assert not [d for d in os.listdir(path) if "compact" in d]
 
+    def test_scan_task_count_drops_after_compaction(self, spark, tmp_path):
+        """The read-path win, measured: a many-small-files table costs
+        ~one scan task per file (openCostInBytes makes each small file
+        its own split); after compaction the same rows scan in a
+        handful of tasks, contents identical."""
+        path = str(tmp_path / "many")
+        spark.range(0, 60_000).withColumn(
+            "v", F.col("id") * 3
+        ).repartition(120).write.parquet(path)
+        assert len(_data_files(path)) == 120
+        before_tasks = spark.read.parquet(path).rdd.getNumPartitions()
+        before_rows = _rows(spark.read.parquet(path))
+
+        report = compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024)
+        assert report[path][1] == 1
+        after_tasks = spark.read.parquet(path).rdd.getNumPartitions()
+        # the exact pre-compaction split count depends on session conf
+        # (openCostInBytes / parallelism bin-packing); the invariant is
+        # a multiple-times drop to a near-single-task scan
+        assert after_tasks <= 2
+        assert before_tasks >= 3 * after_tasks
+        assert _rows(spark.read.parquet(path)) == before_rows
+
     def test_already_compact_is_untouched(self, spark, tmp_path):
         path = str(tmp_path / "one")
         spark.range(10).coalesce(1).write.parquet(path)

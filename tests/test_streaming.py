@@ -250,6 +250,61 @@ class TestAirlineCounts:
         assert got["DAL"] == 2  # HLL exact at tiny cardinality
 
 
+class TestWatermarkStall:
+    """The documented stall (windowed_counts caveat), verified both
+    ways: records dropped by a pre-watermark filter do NOT advance the
+    watermark — a feed of 100% filtered records stalls open windows
+    forever — and keepalive=True routes those records through the
+    aggregate so they advance event time and flush, without appearing
+    in the output."""
+
+    def build(self, raw, **kw):
+        return airline_aircraft_counts(
+            transformed_stream(parse_opensky(raw)), **kw
+        )
+
+    def _stalled_feed(self, tmp_path):
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        w1 = BASE
+        write_file(src, "f1.json", [
+            sv(w1 + 1, "aaa111", callsign="DAL123"),
+            sv(w1 + 2, "bbb222", callsign="DAL456"),
+        ], BASE)
+        # two hours of event time, every record null-callsign (filtered)
+        write_file(src, "f2.json", [
+            sv(w1 + 7200 + i, f"fff{i:03d}", callsign=None) for i in range(5)
+        ], BASE + 10)
+        return src, w1
+
+    def test_all_filtered_feed_stalls_open_windows(self, spark, tmp_path):
+        src, w1 = self._stalled_feed(tmp_path)
+        rows = run_stream(spark, src, self.build, query_name="stall")
+        # event time moved 2 h past w1's end, but every carrier record
+        # was dropped below the watermark node: w1 never closes, append
+        # mode emits nothing
+        assert rows == []
+
+    def test_keepalive_advances_watermark_and_flushes(self, spark, tmp_path):
+        from big_data_flight_analytics_spark.streaming.windowed_counts import (
+            KEEPALIVE_KEY,
+        )
+
+        src, w1 = self._stalled_feed(tmp_path)
+        rows = run_stream(
+            spark, src,
+            lambda raw: self.build(raw, keepalive=True),
+            query_name="keepalive",
+        )
+        got = {(r["airline"], r["window_end_ms"] // 1000): r["aircraft_count"]
+               for r in rows}
+        # same feed, keepalive on: w1 closed and emitted
+        assert got[("DAL", w1 + 60)] == 2
+        # the reserved key never reaches the output
+        assert all(r["airline"] != KEEPALIVE_KEY for r in rows)
+        assert all(r["_id"] != KEEPALIVE_KEY for r in rows)
+
+
 class TestSessionCounts:
     def test_gap_merge_and_flush(self, spark, tmp_path):
         from big_data_flight_analytics_spark.streaming.windowed_counts import (
