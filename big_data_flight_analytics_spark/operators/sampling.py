@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from typing import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 BUCKETS = 100
@@ -61,3 +61,94 @@ def stratified_sample(
     )
     # restore the caller's column order (the join moved strata_col first)
     return kept.select(*df.columns)
+
+
+def mixture_sample(
+    df: DataFrame,
+    targets: Mapping[str, float],
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    resolution: int = 10_000,
+) -> DataFrame:
+    """Downsample sources to hit target mixture WEIGHTS with maximal
+    retention — the data-mixing step of a training pipeline ("40%
+    web, 30% code, 30% books").
+
+    The bottleneck source (largest observed-count deficit relative to
+    its weight) is kept whole; every other source is thinned
+    deterministically (md5-bucket on ``key_col``) to match the target
+    proportions. Sources absent from ``targets`` are dropped. The
+    achieved mixture is exact up to 1/``resolution`` hash-bucket
+    granularity.
+
+    Plan: one tiny per-source count agg (broadcast back), a broadcast
+    scalar for the bottleneck scale, then a map-side filter — the fact
+    table is scanned once and never shuffled. Per-source keep
+    thresholds use double arithmetic in a fixed operation order so the
+    DuckDB oracle computes bit-identical thresholds.
+    """
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(targets.items())],
+        f"{source_col} string, __w double",
+    )
+    counts = (
+        df.join(F.broadcast(tgt), source_col, "inner")
+        .groupBy(source_col, "__w")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    # achievable total scale: min over sources of n_s / w_s
+    scale = counts.agg(F.min(F.col("__n") / F.col("__w")).alias("__scale"))
+    thresholds = counts.crossJoin(F.broadcast(scale)).select(
+        source_col,
+        F.floor(
+            F.lit(float(resolution)) * F.col("__w") * F.col("__scale")
+            / F.col("__n")
+        ).alias("__thresh"),
+    )
+    kept = (
+        df.join(F.broadcast(thresholds), source_col, "inner")
+        .where(md5_bucket(F.col(key_col), resolution) < F.col("__thresh"))
+        .drop("__thresh")
+    )
+    return kept.select(*df.columns)
+
+
+def pack_sequences(
+    df: DataFrame,
+    target_tokens: int,
+    tokens_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    buckets: int = 32,
+) -> DataFrame:
+    """Assign documents to ~``target_tokens`` packed training sequences
+    (greedy contiguous fill) — the packing step before tokenized
+    examples become fixed-length context windows.
+
+    Documents are hash-bucketed (md5 on ``key_col``), ordered
+    deterministically by key within each bucket, and a running token
+    total assigns each doc to the sequence its cumulative span starts
+    in: ``seq_in_bucket = floor(cum_before / target_tokens)``. A doc
+    straddling a boundary belongs to the sequence it starts in (real
+    packers split or pad there; assignment grain is what matters for
+    sharding). Output adds ``bucket`` and a globally-unique ``seq_id``
+    (bucket * 2^32 + seq_in_bucket).
+
+    Scale: the window is partitioned by bucket, so parallelism ==
+    ``buckets`` — set it to your shard count (hundreds at 100 TB), not
+    the default 32. One shuffle on bucket; everything after is a local
+    sort + running sum.
+    """
+    b = md5_bucket(F.col(key_col), buckets).alias("bucket")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(tokens_col).over(w)
+    seq_in_bucket = F.floor(
+        (cum - F.col(tokens_col)) / F.lit(int(target_tokens))
+    )
+    return df.withColumn("bucket", b).withColumn(
+        "seq_id", F.col("bucket") * F.lit(2**32) + seq_in_bucket
+    )

@@ -79,6 +79,8 @@ _TIE_BREAK = [
     "t7_winnow_fingerprints",
     "t8_source_quality",
     "t9_pii_scrub",
+    "t10_mixture_sample",
+    "t11_pack_sequences",
     "d1_exact_dedup",
     "d11_paragraph_dedup",
     "d2_ngram_jaccard",

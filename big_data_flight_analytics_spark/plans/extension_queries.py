@@ -477,6 +477,129 @@ T6_SQL = _t6_sql()
 
 
 # ---------------------------------------------------------------------------
+# T10 — source-weighted mixture sampling (data mixing): downsample
+# sources to target mixture weights with maximal retention — the
+# bottleneck source is kept whole, the rest thinned deterministically.
+# Oracle mirrors the double arithmetic in the same operation order, so
+# thresholds are bit-identical.
+# ---------------------------------------------------------------------------
+
+T10_TARGETS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+T10_RESOLUTION = 10_000
+
+
+def t10_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.sampling import mixture_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs, T10_TARGETS, resolution=T10_RESOLUTION
+    ).select("doc_id", "source")
+
+
+def _t10_sql() -> str:
+    digit = (
+        "(CASE WHEN ascii(substr(h, {i}, 1)) < 58"
+        " THEN ascii(substr(h, {i}, 1)) - 48"
+        " ELSE ascii(substr(h, {i}, 1)) - 87 END)"
+    )
+    expr = digit.format(i=1)
+    for t in range(1, 4):
+        expr = f"({expr} * 16 + {digit.format(i=1 + t)})"
+    weights = " ".join(
+        f"WHEN '{k}' THEN {v!r}" for k, v in sorted(T10_TARGETS.items())
+    )
+    return f"""
+WITH tgt AS (
+    SELECT source, CASE source {weights} END AS w
+    FROM (SELECT DISTINCT source FROM documents)
+    WHERE CASE source {weights} END IS NOT NULL
+), counts AS (
+    SELECT d.source, t.w, COUNT(*) AS n
+    FROM documents d JOIN tgt t USING (source)
+    GROUP BY d.source, t.w
+), scaled AS (
+    SELECT source,
+           FLOOR({float(T10_RESOLUTION)} * w
+                 * (SELECT MIN(n / w) FROM counts) / n) AS thresh
+    FROM counts
+), hashed AS (
+    SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+)
+SELECT doc_id, source
+FROM hashed JOIN scaled USING (source)
+WHERE {expr} % {T10_RESOLUTION} < thresh
+"""
+
+
+T10_SQL = _t10_sql()
+
+
+# ---------------------------------------------------------------------------
+# T11 — sequence packing: assign documents to ~target-token packed
+# training sequences (greedy contiguous fill within hash buckets) —
+# the sharding/packing step between a curated corpus and fixed-length
+# training examples. Window is bucket-partitioned (never global).
+# ---------------------------------------------------------------------------
+
+T11_TARGET_TOKENS = 512
+T11_BUCKETS = 32
+
+
+def t11_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.functions.text import token_count
+    from big_data_flight_analytics_spark.operators.sampling import pack_sequences
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    return pack_sequences(
+        docs, T11_TARGET_TOKENS, buckets=T11_BUCKETS
+    ).select("doc_id", "n_tokens", "bucket", "seq_id")
+
+
+def _t11_sql() -> str:
+    digit = (
+        "(CASE WHEN ascii(substr(h, {i}, 1)) < 58"
+        " THEN ascii(substr(h, {i}, 1)) - 48"
+        " ELSE ascii(substr(h, {i}, 1)) - 87 END)"
+    )
+    expr = digit.format(i=1)
+    for t in range(1, 4):
+        expr = f"({expr} * 16 + {digit.format(i=1 + t)})"
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+               AS n_tokens,
+           md5(CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+), bucketed AS (
+    SELECT doc_id, n_tokens, {expr} % {T11_BUCKETS} AS bucket
+    FROM toks
+), packed AS (
+    SELECT doc_id, n_tokens, bucket,
+           SUM(n_tokens) OVER (
+               PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tokens AS cum_before
+    FROM bucketed
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       bucket,
+       bucket * 4294967296 + CAST(FLOOR(cum_before * 1.0 / {T11_TARGET_TOKENS}) AS BIGINT)
+           AS seq_id
+FROM packed
+"""
+
+
+T11_SQL = _t11_sql()
+
+
+# ---------------------------------------------------------------------------
 # T7 — winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
 # window-min shingle hashes, the local fingerprinting scheme whose
 # guarantee (shared substrings >= window+k-1 tokens always share a
@@ -1293,6 +1416,8 @@ EXTENSION_QUERIES = {
     "t7_winnow_fingerprints": t7_winnow_fingerprints,
     "t8_source_quality": t8_source_quality,
     "t9_pii_scrub": t9_pii_scrub,
+    "t10_mixture_sample": t10_mixture_sample,
+    "t11_pack_sequences": t11_pack_sequences,
     "d9_cross_source_overlap": d9_cross_source_overlap,
     "d10_winnow_jaccard": d10_winnow_jaccard,
     "d1_exact_dedup": d1_exact_dedup,
@@ -1319,6 +1444,8 @@ EXTENSION_ORACLES = {
     "t7_winnow_fingerprints": T7_SQL,
     "t8_source_quality": T8_SQL,
     "t9_pii_scrub": T9_SQL,
+    "t10_mixture_sample": T10_SQL,
+    "t11_pack_sequences": T11_SQL,
     "d9_cross_source_overlap": D9_SQL,
     "d10_winnow_jaccard": D10_SQL,
     "d1_exact_dedup": D1_SQL,

@@ -7,6 +7,8 @@ invariant to partitioning, and ranking ties must break on stable keys.
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import Row
 
 from big_data_flight_analytics_spark.operators.sampling import (
@@ -125,3 +127,92 @@ class TestStratifiedSample:
             .collect()[0]
         )
         assert mn >= 0 and mx < 100
+
+
+class TestMixtureSample:
+    def _frame(self, spark):
+        # deliberately unbalanced: 3000 web, 600 code, 400 books
+        rows = (
+            [Row(doc_id=i, source="web") for i in range(3000)]
+            + [Row(doc_id=10_000 + i, source="code") for i in range(600)]
+            + [Row(doc_id=20_000 + i, source="books") for i in range(400)]
+        )
+        return spark.createDataFrame(rows)
+
+    def test_hits_target_mixture_with_bottleneck_kept_whole(self, spark):
+        from big_data_flight_analytics_spark.operators.sampling import (
+            mixture_sample,
+        )
+
+        # books is the bottleneck: 400 / 0.2 = 2000 achievable total
+        out = mixture_sample(
+            self._frame(spark), {"web": 0.5, "code": 0.3, "books": 0.2}
+        )
+        by_src = {
+            r["source"]: r["n"]
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert by_src["books"] == 400  # kept whole
+        # web thinned to ~1000 of 3000, code to ~600 of 600
+        assert 900 <= by_src["web"] <= 1100
+        assert by_src["code"] >= 550
+        # achieved proportions within hash-variance of targets
+        total = sum(by_src.values())
+        assert abs(by_src["web"] / total - 0.5) < 0.05
+        assert abs(by_src["books"] / total - 0.2) < 0.05
+
+    def test_untargeted_source_dropped_and_deterministic(self, spark):
+        from big_data_flight_analytics_spark.operators.sampling import (
+            mixture_sample,
+        )
+
+        df = self._frame(spark)
+        out1 = {r["doc_id"] for r in
+                mixture_sample(df, {"web": 0.7, "code": 0.3}).collect()}
+        out2 = {r["doc_id"] for r in
+                mixture_sample(df.repartition(17), {"web": 0.7, "code": 0.3}).collect()}
+        assert out1 == out2  # partitioning-independent selection
+        assert not any(i >= 20_000 for i in out1)  # books dropped
+
+
+class TestPackSequences:
+    def test_capacity_and_contiguity_invariants(self, spark):
+        from big_data_flight_analytics_spark.operators.sampling import (
+            pack_sequences,
+        )
+
+        rng = random.Random(13)
+        rows = [Row(doc_id=i, n_tokens=rng.randint(1, 300)) for i in range(2000)]
+        target = 1000
+        out = pack_sequences(
+            spark.createDataFrame(rows), target, buckets=8
+        ).collect()
+        assert len(out) == 2000  # assignment, never drops or duplicates
+        # rebuild each bucket's order and check the greedy-fill rule
+        by_bucket: dict[int, list] = {}
+        for r in out:
+            by_bucket.setdefault(r["bucket"], []).append(r)
+        for bucket, docs in by_bucket.items():
+            docs.sort(key=lambda r: r["doc_id"])
+            cum = 0
+            for r in docs:
+                want_seq = bucket * 2**32 + cum // target
+                assert r["seq_id"] == want_seq, (bucket, r["doc_id"])
+                cum += r["n_tokens"]
+        # sequences are reasonably full: average span ≈ target
+        n_seqs = len({r["seq_id"] for r in out})
+        total_tokens = sum(r["n_tokens"] for r in out)
+        assert total_tokens / n_seqs >= 0.7 * target
+
+    def test_deterministic_under_repartition(self, spark):
+        from big_data_flight_analytics_spark.operators.sampling import (
+            pack_sequences,
+        )
+
+        rows = [Row(doc_id=i, n_tokens=(i * 37) % 200 + 1) for i in range(500)]
+        df = spark.createDataFrame(rows)
+        a = {(r["doc_id"], r["seq_id"])
+             for r in pack_sequences(df, 500, buckets=4).collect()}
+        b = {(r["doc_id"], r["seq_id"])
+             for r in pack_sequences(df.repartition(11), 500, buckets=4).collect()}
+        assert a == b
