@@ -258,6 +258,49 @@ def winnow_fingerprints(
     )
 
 
+def rare_token_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_below: int = 5,
+) -> DataFrame:
+    """Corpus-frequency quality signals per document (CCNet-style LM
+    filtering proxy, without the LM): the mean corpus frequency of a
+    doc's tokens and the fraction of its tokens that are corpus-rare
+    (fewer than ``rare_below`` occurrences). Garbage/misspelled/OCR
+    text scores high on ``rare_frac``; boilerplate scores high on
+    ``mean_tf``.
+
+    Deliberately log-free: a log-prob variant needs ``ln``, whose last
+    ulp differs between the JVM and DuckDB and breaks bit-exact oracle
+    hashing. Sums and counts here are exact integers (< 2^53), so the
+    final divisions are IEEE-identical cross-engine after 6dp rounding.
+
+    Plan: one token-posting explode, one vocab count agg, one
+    posting-to-vocab equi-join (broadcast at dim-sized vocab,
+    shuffle-hash at web-scale vocab — both fine; token keys are
+    high-cardinality), one per-doc agg. At 100 TB: two shuffles on
+    token + one on doc id, all with map-side partial aggregation.
+    """
+    posting = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    )
+    vocab = posting.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        posting.join(vocab, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.avg("tf"), 6).alias("mean_tf"),
+            F.round(
+                F.sum((F.col("tf") < rare_below).cast("bigint"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("rare_frac"),
+        )
+    )
+
+
 def top_ngrams(
     docs: DataFrame, n: int = 3, k: int = 20, text_col: str = "text"
 ) -> DataFrame:

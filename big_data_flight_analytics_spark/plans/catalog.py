@@ -81,6 +81,7 @@ _TIE_BREAK = [
     "t9_pii_scrub",
     "t10_mixture_sample",
     "t11_pack_sequences",
+    "t12_rare_token_score",
     "d1_exact_dedup",
     "d11_paragraph_dedup",
     "d2_ngram_jaccard",

@@ -477,6 +477,41 @@ T6_SQL = _t6_sql()
 
 
 # ---------------------------------------------------------------------------
+# T12 — corpus-frequency quality signals (CCNet-style LM-filter proxy):
+# mean token corpus frequency + rare-token fraction per document.
+# Log-free so the oracle hashes bit-exact (see operators/text.py).
+# ---------------------------------------------------------------------------
+
+T12_RARE_BELOW = 5
+
+
+def t12_rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.text import rare_token_score
+
+    return rare_token_score(
+        load(spark, sf_dir, "documents"), rare_below=T12_RARE_BELOW
+    )
+
+
+T12_SQL = rf"""
+WITH posting AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+    FROM documents
+), vocab AS (
+    SELECT tok, COUNT(*) AS tf FROM posting GROUP BY tok
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(AVG(tf), 6) AS mean_tf,
+       ROUND(SUM(CASE WHEN tf < {T12_RARE_BELOW} THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS rare_frac
+FROM posting JOIN vocab USING (tok)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # T10 — source-weighted mixture sampling (data mixing): downsample
 # sources to target mixture weights with maximal retention — the
 # bottleneck source is kept whole, the rest thinned deterministically.
@@ -1418,6 +1453,7 @@ EXTENSION_QUERIES = {
     "t9_pii_scrub": t9_pii_scrub,
     "t10_mixture_sample": t10_mixture_sample,
     "t11_pack_sequences": t11_pack_sequences,
+    "t12_rare_token_score": t12_rare_token_score,
     "d9_cross_source_overlap": d9_cross_source_overlap,
     "d10_winnow_jaccard": d10_winnow_jaccard,
     "d1_exact_dedup": d1_exact_dedup,
@@ -1446,6 +1482,7 @@ EXTENSION_ORACLES = {
     "t9_pii_scrub": T9_SQL,
     "t10_mixture_sample": T10_SQL,
     "t11_pack_sequences": T11_SQL,
+    "t12_rare_token_score": T12_SQL,
     "d9_cross_source_overlap": D9_SQL,
     "d10_winnow_jaccard": D10_SQL,
     "d1_exact_dedup": D1_SQL,

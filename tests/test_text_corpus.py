@@ -129,6 +129,44 @@ class TestStratifiedSample:
         assert mn >= 0 and mx < 100
 
 
+class TestRareTokenScore:
+    def test_frequencies_and_rare_fraction(self, spark):
+        from big_data_flight_analytics_spark.operators.text import (
+            rare_token_score,
+        )
+
+        # "common" appears 6x corpus-wide, every other token once
+        df = spark.createDataFrame([
+            Row(doc_id=1, text="common common common alpha"),
+            Row(doc_id=2, text="common common common beta"),
+            Row(doc_id=3, text="gamma delta"),
+        ])
+        out = {r["doc_id"]: r for r in
+               rare_token_score(df, rare_below=2).collect()}
+        # doc 1: tokens tf = [6,6,6,1] -> mean 4.75, rare(tf<2) 1/4
+        assert out[1]["n_tokens"] == 4
+        assert out[1]["mean_tf"] == 4.75
+        assert out[1]["rare_frac"] == 0.25
+        # doc 3: both tokens unique -> all rare
+        assert out[3]["rare_frac"] == 1.0
+        assert out[3]["mean_tf"] == 1.0
+
+    def test_garbage_text_scores_rarer_than_prose(self, spark):
+        from big_data_flight_analytics_spark.operators.text import (
+            rare_token_score,
+        )
+
+        prose = "the cat sat on the mat and the dog sat too"
+        rows = [Row(doc_id=i, text=prose) for i in range(20)]
+        rows.append(Row(doc_id=99, text="xq7f zzkw qpvnn mx9r jjjq"))
+        out = {r["doc_id"]: r["rare_frac"]
+               for r in rare_token_score(
+                   spark.createDataFrame(rows), rare_below=5
+               ).collect()}
+        assert out[99] == 1.0  # OCR-garbage: every token corpus-rare
+        assert out[0] == 0.0   # repeated prose: nothing rare
+
+
 class TestMixtureSample:
     def _frame(self, spark):
         # deliberately unbalanced: 3000 web, 600 code, 400 books
