@@ -304,6 +304,47 @@ class TestSessionizationDifferential:
         assert via_window == native
 
 
+class TestParagraphDedupProperties:
+    """paragraph_dedup == a pure-Python first-occurrence simulation on
+    random corpora with planted shared paragraphs. Batch-evaluated:
+    one Spark job over many documents."""
+
+    def test_matches_python_reference(self, spark):
+        from big_data_flight_analytics_spark.operators.dedup import (
+            paragraph_dedup,
+        )
+
+        rng = random.Random(47)
+        pool = [f"para {i} " + " ".join(
+            rng.choice(["aa", "bb", "cc", "dd"]) for _ in range(4)
+        ) for i in range(60)]  # shared pool -> guaranteed cross-doc dups
+        docs = {}
+        for did in range(120):
+            n = rng.randint(1, 6)
+            docs[did] = [rng.choice(pool) for _ in range(n)]
+
+        # python reference: first occurrence by (doc_id, position) wins
+        seen: set[str] = set()
+        expect: dict[int, tuple[str, int, int]] = {}
+        for did in sorted(docs):
+            kept = []
+            for p in docs[did]:
+                if p not in seen:
+                    seen.add(p)
+                    kept.append(p)
+            if kept:
+                expect[did] = ("\n\n".join(kept), len(docs[did]), len(kept))
+
+        df = spark.createDataFrame(
+            [Row(doc_id=d, text="\n\n".join(ps)) for d, ps in docs.items()]
+        )
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_paras"], r["n_kept"])
+            for r in paragraph_dedup(df).collect()
+        }
+        assert got == expect
+
+
 class TestPiiScrubProperties:
     """After scrub_pii, NO text can still match any scrub pattern —
     the property real training-data hygiene relies on. Batch-evaluated:
