@@ -189,3 +189,55 @@ def dedup_clusters(
         "cluster_id",
         (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+def canonical_by_score(
+    clusters: DataFrame,
+    scored_docs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pick each cluster's keeper by a quality score, not by min id.
+
+    Production dedup pipelines (C4 / RefinedWeb style) keep the BEST
+    member of a near-dup cluster — typically the longest or
+    highest-quality one — rather than an arbitrary canonical.
+    ``clusters`` is ``dedup_clusters`` output (doc_id, cluster_id, ...);
+    ``scored_docs`` carries ``(id_col, score_col)``. Highest score wins,
+    ties break on min doc id so the choice is deterministic.
+
+    Output: (cluster_id, kept_doc_id, <score_col>, cluster_size).
+
+    Plan: one doc-keyed equi-join and one cluster-partitioned
+    ``row_number`` window. Cluster sizes are bounded by near-dup
+    neighborhoods (not corpus size), so the window partitions stay
+    small at any scale; the join shuffles on doc id with AQE free to
+    broadcast the smaller side.
+    """
+    from pyspark.sql import Window
+
+    joined = clusters.select(id_col, "cluster_id").join(
+        scored_docs.select(id_col, score_col), id_col
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.select(
+            "cluster_id",
+            F.col(id_col),
+            F.col(score_col),
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("cluster_id"))
+            .cast("bigint")
+            .alias("cluster_size"),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            "cluster_id",
+            F.col(id_col).alias("kept_doc_id"),
+            score_col,
+            "cluster_size",
+        )
+    )

@@ -301,6 +301,64 @@ def rare_token_score(
     )
 
 
+def chunk_tokens(
+    docs: DataFrame,
+    chunk_size: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-token-count chunks with overlap — the
+    context-window preparation step between a curated corpus and an
+    embedding / training / retrieval pipeline (RAG chunking, long-doc
+    truncation with stride).
+
+    Chunk starts are ``0, step, 2*step, ...`` for ``step = chunk_size -
+    overlap``, every start strictly inside the document; trailing
+    chunks may be shorter than ``chunk_size`` (the slice clamps at the
+    end of the document). Case and punctuation are preserved — chunks
+    are re-joined from the ORIGINAL whitespace tokens, not the
+    lowercased analysis tokens.
+
+    Plan: map-only — one ``sequence`` + ``explode`` over the scan, no
+    shuffle, no window. At 100 TB this chunker runs at scan speed and
+    parallelizes per input split; output order is irrelevant because
+    (doc, chunk_id) is the key downstream.
+    """
+    if overlap >= chunk_size:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_size ({chunk_size})"
+        )
+    step = chunk_size - overlap
+    t = F.col(text_col)
+    toks = F.when(
+        t.isNull() | (F.trim(t) == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(t), r"\s+"))
+    n = F.size(F.col("__toks"))
+    return (
+        docs.select(F.col(id_col), toks.alias("__toks"))
+        .filter(F.size(F.col("__toks")) > 0)
+        .select(
+            F.col(id_col),
+            F.col("__toks"),
+            F.explode(
+                F.sequence(F.lit(0), n - 1, F.lit(step))
+            ).alias("__start"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("__start") / step).cast("int").alias("chunk_id"),
+            F.least(F.lit(chunk_size), n - F.col("__start"))
+            .cast("int")
+            .alias("n_chunk_tokens"),
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("__start") + 1, chunk_size),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
+
+
 def top_ngrams(
     docs: DataFrame, n: int = 3, k: int = 20, text_col: str = "text"
 ) -> DataFrame:

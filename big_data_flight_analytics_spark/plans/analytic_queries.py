@@ -911,6 +911,81 @@ SELECT o_custkey, 'urgent_only' AS bucket FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# B1 — ordered event funnel: signup -> view -> purchase, each step
+# strictly after the user's previous-step timestamp. One user-keyed
+# aggregation per step; event-type filters push to the scan.
+# ---------------------------------------------------------------------------
+
+B1_STEPS = ("signup", "view", "purchase")
+
+
+def b1_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.behavior import (
+        ordered_funnel,
+    )
+
+    events = load(spark, sf_dir, "events")
+    return ordered_funnel(events, B1_STEPS)
+
+
+B1_SQL = f"""
+WITH s1 AS (
+    SELECT user_id, MIN(ts) AS t FROM events
+    WHERE event_type = '{B1_STEPS[0]}' GROUP BY user_id
+), s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t
+    FROM events e JOIN s1 USING (user_id)
+    WHERE e.event_type = '{B1_STEPS[1]}' AND e.ts > s1.t
+    GROUP BY e.user_id
+), s3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t
+    FROM events e JOIN s2 USING (user_id)
+    WHERE e.event_type = '{B1_STEPS[2]}' AND e.ts > s2.t
+    GROUP BY e.user_id
+)
+SELECT CAST(1 AS INTEGER) AS step_idx, '{B1_STEPS[0]}' AS step,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_users
+UNION ALL
+SELECT CAST(2 AS INTEGER), '{B1_STEPS[1]}',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+UNION ALL
+SELECT CAST(3 AS INTEGER), '{B1_STEPS[2]}',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM s3)
+"""
+
+
+# ---------------------------------------------------------------------------
+# B2 — weekly cohort retention: users cohorted by first active day,
+# retained-at-offset-w = active on any day in [first+7w, first+7w+7).
+# Calendar-agnostic (no week-start convention to drift cross-engine).
+# ---------------------------------------------------------------------------
+
+
+def b2_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.behavior import (
+        weekly_retention,
+    )
+
+    events = load(spark, sf_dir, "events")
+    return weekly_retention(events)
+
+
+B2_SQL = """
+WITH first_day AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+    FROM events GROUP BY user_id
+), active AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+)
+SELECT cohort_day,
+       CAST(date_diff('day', cohort_day, day) // 7 AS BIGINT) AS week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM active JOIN first_day USING (user_id)
+GROUP BY cohort_day, week_offset
+"""
+
+
 ANALYTIC_QUERIES = {
     "j9_asof_events_orders": j9_asof_events_orders,
     "s4_user_sessions": s4_user_sessions,
@@ -930,6 +1005,8 @@ ANALYTIC_QUERIES = {
     "h1_scd2_customer_segment": h1_scd2_customer_segment,
     "w6_trailing_revenue": w6_trailing_revenue,
     "u1_priority_overlap": u1_priority_overlap,
+    "b1_funnel_steps": b1_funnel_steps,
+    "b2_weekly_retention": b2_weekly_retention,
 }
 
 ANALYTIC_ORACLES = {
@@ -951,4 +1028,6 @@ ANALYTIC_ORACLES = {
     "h1_scd2_customer_segment": H1_SQL,
     "w6_trailing_revenue": W6_SQL,
     "u1_priority_overlap": U1_SQL,
+    "b1_funnel_steps": B1_SQL,
+    "b2_weekly_retention": B2_SQL,
 }

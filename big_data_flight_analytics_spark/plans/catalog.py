@@ -124,6 +124,10 @@ _TIE_BREAK = [
     "c1_cube_revenue",
     "p1_profile_orders",
     "q10_region_revenue",
+    "t13_chunk_documents",
+    "d12_keep_longest",
+    "b1_funnel_steps",
+    "b2_weekly_retention",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

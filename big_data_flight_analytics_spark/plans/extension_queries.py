@@ -1442,6 +1442,102 @@ WHERE s.n_tokens >= {D8_MIN_TOKENS} AND s.quality >= {D8_MIN_QUALITY}
 """
 
 
+# ---------------------------------------------------------------------------
+# T13 — fixed-token chunking with overlap: the context-window prep step
+# between a curated corpus and an embedding / training / retrieval
+# pipeline. Map-only (sequence + explode over the scan — no shuffle);
+# chunk grain is the unit a RAG index or packed-sequence builder
+# consumes downstream.
+# ---------------------------------------------------------------------------
+
+T13_CHUNK = 64
+T13_OVERLAP = 16
+_T13_STEP = T13_CHUNK - T13_OVERLAP
+
+
+def t13_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.text import chunk_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_tokens(docs, chunk_size=T13_CHUNK, overlap=T13_OVERLAP)
+
+
+T13_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+    FROM documents
+), starts AS (
+    SELECT doc_id, t, unnest(range(0, len(t), {_T13_STEP})) AS s
+    FROM toks WHERE len(t) > 0
+)
+SELECT doc_id,
+       CAST(s // {_T13_STEP} AS INTEGER) AS chunk_id,
+       CAST(least({T13_CHUNK}, len(t) - s) AS INTEGER) AS n_chunk_tokens,
+       array_to_string(t[s + 1 : s + {T13_CHUNK}], ' ') AS chunk_text
+FROM starts
+"""
+
+
+# ---------------------------------------------------------------------------
+# D12 — keep-best dedup: near-dup clusters (D6) keep their LONGEST
+# member, not the min-id one — the C4/RefinedWeb policy where dropping
+# the shorter near-dups preserves the most content per cluster. Same
+# shared pair/cluster stages as d6/d8; the selection adds one doc-keyed
+# join and one cluster-partitioned row_number.
+# ---------------------------------------------------------------------------
+
+
+def d12_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.functions.text import token_count
+    from big_data_flight_analytics_spark.operators.graph import (
+        canonical_by_score,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    clusters = _jaccard_clusters(spark, sf_dir)
+    scored = docs.select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    return canonical_by_score(clusters, scored, "n_tokens")
+
+
+D12_SQL = rf"""
+WITH RECURSIVE pairs AS (
+    {D2_SQL}
+), edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM pairs
+    UNION ALL
+    SELECT doc_b AS s, doc_a AS d FROM pairs
+), reach(id, lbl) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+), clusters AS (
+    SELECT id AS doc_id, MIN(lbl) AS cluster_id
+    FROM reach GROUP BY id
+), scored AS (
+    SELECT doc_id,
+           CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                AS BIGINT) AS n_tokens
+    FROM documents
+), ranked AS (
+    SELECT c.cluster_id, c.doc_id, s.n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                              ORDER BY s.n_tokens DESC, c.doc_id ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+    FROM clusters c JOIN scored s USING (doc_id)
+)
+SELECT cluster_id,
+       doc_id AS kept_doc_id,
+       n_tokens,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM ranked WHERE rn = 1
+"""
+
+
 EXTENSION_QUERIES = {
     "t1_text_stats": t1_text_stats,
     "t3_gopher_metrics": t3_gopher_metrics,
@@ -1454,6 +1550,8 @@ EXTENSION_QUERIES = {
     "t10_mixture_sample": t10_mixture_sample,
     "t11_pack_sequences": t11_pack_sequences,
     "t12_rare_token_score": t12_rare_token_score,
+    "t13_chunk_documents": t13_chunk_documents,
+    "d12_keep_longest": d12_keep_longest,
     "d9_cross_source_overlap": d9_cross_source_overlap,
     "d10_winnow_jaccard": d10_winnow_jaccard,
     "d1_exact_dedup": d1_exact_dedup,
@@ -1483,6 +1581,8 @@ EXTENSION_ORACLES = {
     "t10_mixture_sample": T10_SQL,
     "t11_pack_sequences": T11_SQL,
     "t12_rare_token_score": T12_SQL,
+    "t13_chunk_documents": T13_SQL,
+    "d12_keep_longest": D12_SQL,
     "d9_cross_source_overlap": D9_SQL,
     "d10_winnow_jaccard": D10_SQL,
     "d1_exact_dedup": D1_SQL,

@@ -67,10 +67,29 @@ def stage(key: Hashable, builder: Callable[[], DataFrame]) -> DataFrame:
             # query happens to run first — making per-query numbers
             # depend on catalog order. Materialize here, timed, so the
             # cost is reported as the stage's own.
+            #
+            # Stages NEST (dedup_clusters builds jaccard_pairs inside
+            # its own builder). A child's whole build period sits
+            # inside the parent's gross wall time, so recording both
+            # gross times would double-count the child — and a
+            # consumer subtracting the collector delta would go
+            # NEGATIVE when it triggers both builds. The stack tracks
+            # child gross seconds per in-flight build; each stage
+            # records gross minus its children.
+            stack = getattr(_TLS, "_build_stack", None)
+            if stack is None:
+                stack = _TLS._build_stack = []
             t0 = time.time()
-            df = builder().persist()
-            df.count()
-            collector[key] = collector.get(key, 0.0) + (time.time() - t0)
+            stack.append(0.0)
+            try:
+                df = builder().persist()
+                df.count()
+            finally:
+                gross = time.time() - t0
+                child_secs = stack.pop()
+                if stack:
+                    stack[-1] += gross
+            collector[key] = collector.get(key, 0.0) + (gross - child_secs)
             shared[key] = df
     return shared[key]
 

@@ -1,0 +1,121 @@
+"""Behavioral analytics: ordered funnels and cohort retention.
+
+The funnel tests pin the ORDERED semantics — a user whose later-step
+event type occurs only BEFORE the earlier step must not advance — which
+is exactly the case a min-per-type-then-compare formulation gets wrong.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_flight_analytics_spark.operators.behavior import (
+    ordered_funnel,
+    weekly_retention,
+)
+
+
+def _ts(day: int, hour: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, day, hour, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # u1 completes the funnel in order.
+        ("u1", "signup", _ts(1)),
+        ("u1", "view", _ts(2)),
+        ("u1", "purchase", _ts(3)),
+        # u2 viewed ONLY BEFORE signing up: must stop at step 1.
+        ("u2", "view", _ts(1)),
+        ("u2", "signup", _ts(2)),
+        ("u2", "purchase", _ts(3)),
+        # u3 views before AND after signup: the pre-signup view must
+        # not block the post-signup one.
+        ("u3", "view", _ts(1)),
+        ("u3", "signup", _ts(2)),
+        ("u3", "view", _ts(4)),
+        # u3's purchase lands between signup and the qualifying view —
+        # ordered semantics: no conversion.
+        ("u3", "purchase", _ts(3)),
+        # u4 never signs up.
+        ("u4", "view", _ts(1)),
+        ("u4", "purchase", _ts(2)),
+    ]
+    return spark.createDataFrame(rows, "user_id string, event_type string, ts timestamp")
+
+
+class TestOrderedFunnel:
+    def test_step_counts(self, events):
+        out = ordered_funnel(events, ("signup", "view", "purchase"))
+        got = {r["step"]: r["n_users"] for r in out.collect()}
+        # signup: u1,u2,u3; view-after-signup: u1,u3; purchase-after: u1
+        assert got == {"signup": 3, "view": 2, "purchase": 1}
+
+    def test_step_idx_and_types(self, events):
+        out = ordered_funnel(events, ("signup", "view", "purchase"))
+        rows = sorted(out.collect(), key=lambda r: r["step_idx"])
+        assert [r["step_idx"] for r in rows] == [1, 2, 3]
+        assert [r["step"] for r in rows] == ["signup", "view", "purchase"]
+        assert dict(out.dtypes)["n_users"] == "bigint"
+
+    def test_single_step(self, events):
+        out = ordered_funnel(events, ("purchase",))
+        assert out.collect()[0]["n_users"] == 4
+
+    def test_empty_steps_raises(self, events):
+        with pytest.raises(ValueError):
+            ordered_funnel(events, ())
+
+    def test_strictly_after(self, spark):
+        # Same-timestamp events do NOT advance the funnel (strict >).
+        df = spark.createDataFrame(
+            [("u", "a", _ts(1)), ("u", "b", _ts(1))],
+            "user_id string, event_type string, ts timestamp",
+        )
+        got = {r["step"]: r["n_users"] for r in ordered_funnel(df, ("a", "b")).collect()}
+        assert got == {"a": 1, "b": 0}
+
+
+class TestWeeklyRetention:
+    def test_offsets_and_counts(self, spark):
+        rows = [
+            # u1 first active day 1; active again day 8 (offset 1) and
+            # twice in offset 2 week (days 15, 16 — counted once).
+            ("u1", _ts(1)),
+            ("u1", _ts(8)),
+            ("u1", _ts(15)),
+            ("u1", _ts(16)),
+            # u2 cohorts on day 2; returns day 8 — 6 days later is
+            # still offset 0 by the days/7 rule.
+            ("u2", _ts(2)),
+            ("u2", _ts(8)),
+        ]
+        df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+        out = weekly_retention(df)
+        got = {
+            (r["cohort_day"].isoformat(), r["week_offset"]): r["n_users"]
+            for r in out.collect()
+        }
+        assert got == {
+            ("2024-01-01", 0): 1,
+            ("2024-01-01", 1): 1,
+            ("2024-01-01", 2): 1,
+            ("2024-01-02", 0): 1,
+        }
+
+    def test_same_day_events_dedup(self, spark):
+        # Many events on one day count the user once at offset 0.
+        rows = [("u", _ts(1, h)) for h in range(5)]
+        df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+        out = weekly_retention(df).collect()
+        assert len(out) == 1 and out[0]["n_users"] == 1
+
+    def test_no_unpartitioned_window(self, spark):
+        rows = [("u", _ts(1)), ("v", _ts(2))]
+        df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+        plan = weekly_retention(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan

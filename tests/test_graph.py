@@ -56,3 +56,51 @@ class TestEdgeCases:
     def test_self_loop_harmless(self, spark):
         edges = spark.createDataFrame([(3, 3), (3, 5)], "src long, dst long")
         assert labels_of(connected_components(edges)) == {3: 3, 5: 3}
+
+
+class TestCanonicalByScore:
+    def _clusters(self, spark):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame(
+            [
+                Row(doc_id=1, cluster_id=1, is_canonical=True),
+                Row(doc_id=5, cluster_id=1, is_canonical=False),
+                Row(doc_id=7, cluster_id=1, is_canonical=False),
+                Row(doc_id=9, cluster_id=9, is_canonical=True),
+            ]
+        )
+
+    def test_highest_score_wins(self, spark):
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.operators.graph import (
+            canonical_by_score,
+        )
+
+        scored = spark.createDataFrame(
+            [
+                Row(doc_id=1, n_tokens=10),
+                Row(doc_id=5, n_tokens=50),
+                Row(doc_id=7, n_tokens=20),
+                Row(doc_id=9, n_tokens=5),
+            ]
+        )
+        out = canonical_by_score(self._clusters(spark), scored, "n_tokens")
+        got = {r["cluster_id"]: (r["kept_doc_id"], r["cluster_size"]) for r in out.collect()}
+        # NOT min-id: doc 5 beats canonical doc 1 on length
+        assert got == {1: (5, 3), 9: (9, 1)}
+
+    def test_tie_breaks_on_min_id(self, spark):
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.operators.graph import (
+            canonical_by_score,
+        )
+
+        scored = spark.createDataFrame(
+            [Row(doc_id=d, n_tokens=10) for d in (1, 5, 7, 9)]
+        )
+        out = canonical_by_score(self._clusters(spark), scored, "n_tokens")
+        got = {r["cluster_id"]: r["kept_doc_id"] for r in out.collect()}
+        assert got == {1: 1, 9: 9}

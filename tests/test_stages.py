@@ -95,6 +95,50 @@ class TestStageRegistry:
             stage("k2", lambda: spark.range(2))
             assert "k2" not in times
 
+    def test_nested_build_attribution_not_double_counted(self, spark):
+        """A parent stage that builds a child stage inside its builder
+        records only its OWN seconds: sum(collector) must track the
+        wall clock of the outer build, not double-count the child
+        (the bug that made the first consumer's net time negative)."""
+        import time as _time
+
+        times = {}
+
+        def child():
+            _time.sleep(0.2)
+            return spark.range(4)
+
+        def parent():
+            inner = stage("child", child)
+            _time.sleep(0.05)
+            return inner.select((inner.id * 2).alias("id"))
+
+        with shared_stages(build_times=times):
+            t0 = _time.time()
+            stage("parent", parent)
+            wall = _time.time() - t0
+            assert set(times) == {"child", "parent"}
+            # child carries its sleep; parent is net of the child
+            assert times["child"] >= 0.2
+            assert times["parent"] >= 0
+            # the anti-double-count property: a double-counted child
+            # would make the sum exceed wall by >= the child's 0.2 s
+            # sleep; net attribution keeps sum == outer gross <= wall.
+            assert sum(times.values()) <= wall + 0.05
+
+    def test_nested_build_failure_keeps_stack_consistent(self, spark):
+        """A child builder that raises must unwind the attribution
+        stack so later top-level builds don't credit a phantom
+        parent."""
+        times = {}
+        with shared_stages(build_times=times):
+            try:
+                stage("bad", lambda: (_ for _ in ()).throw(RuntimeError("boom")))
+            except RuntimeError:
+                pass
+            stage("ok", lambda: spark.range(3))
+            assert "ok" in times and times["ok"] >= 0
+
     def test_thread_isolation(self, spark):
         """A scope on one thread is invisible to another thread.
 

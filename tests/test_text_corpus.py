@@ -254,3 +254,75 @@ class TestPackSequences:
         b = {(r["doc_id"], r["seq_id"])
              for r in pack_sequences(df.repartition(11), 500, buckets=4).collect()}
         assert a == b
+
+
+class TestChunkTokens:
+    def test_exact_cover_no_overlap(self, spark):
+        from big_data_flight_analytics_spark.operators.text import chunk_tokens
+
+        docs = _docs(spark, ["a b c d e f"])
+        out = chunk_tokens(docs, chunk_size=3, overlap=0).collect()
+        got = {r["chunk_id"]: (r["chunk_text"], r["n_chunk_tokens"]) for r in out}
+        assert got == {0: ("a b c", 3), 1: ("d e f", 3)}
+
+    def test_overlap_stride(self, spark):
+        from big_data_flight_analytics_spark.operators.text import chunk_tokens
+
+        docs = _docs(spark, ["t0 t1 t2 t3 t4 t5 t6"])
+        out = chunk_tokens(docs, chunk_size=4, overlap=2).collect()
+        got = {r["chunk_id"]: r["chunk_text"] for r in out}
+        # step 2: starts 0,2,4,6; trailing chunks clamp at doc end
+        assert got == {
+            0: "t0 t1 t2 t3",
+            1: "t2 t3 t4 t5",
+            2: "t4 t5 t6",
+            3: "t6",
+        }
+
+    def test_every_token_covered_and_case_preserved(self, spark):
+        from big_data_flight_analytics_spark.operators.text import chunk_tokens
+
+        text = "The Quick BROWN fox JUMPS over the LAZY dog again and again"
+        docs = _docs(spark, [text])
+        rows = sorted(
+            chunk_tokens(docs, chunk_size=5, overlap=2).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        toks = text.split()
+        step = 3
+        for r in rows:
+            start = r["chunk_id"] * step
+            assert r["chunk_text"].split() == toks[start : start + 5]
+        # full reconstruction: non-overlapped prefix of each chunk
+        rebuilt = []
+        for r in rows:
+            rebuilt.extend(r["chunk_text"].split()[: step if r["chunk_id"] < rows[-1]["chunk_id"] else 5])
+        assert rebuilt[: len(toks)] == toks
+
+    def test_empty_and_null_text_dropped(self, spark):
+        from big_data_flight_analytics_spark.operators.text import chunk_tokens
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=0, text=""), Row(doc_id=1, text="   "), Row(doc_id=2, text=None), Row(doc_id=3, text="x")]
+        )
+        out = chunk_tokens(docs, chunk_size=4, overlap=1).collect()
+        assert [(r["doc_id"], r["chunk_text"]) for r in out] == [(3, "x")]
+
+    def test_bad_overlap_raises(self, spark):
+        import pytest
+
+        from big_data_flight_analytics_spark.operators.text import chunk_tokens
+
+        docs = _docs(spark, ["a"])
+        with pytest.raises(ValueError):
+            chunk_tokens(docs, chunk_size=4, overlap=4)
+
+    def test_map_only_plan(self, spark):
+        from big_data_flight_analytics_spark.operators.text import chunk_tokens
+
+        docs = _docs(spark, ["a b c"] * 10)
+        plan = (
+            chunk_tokens(docs, chunk_size=2, overlap=1)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "Window" not in plan
