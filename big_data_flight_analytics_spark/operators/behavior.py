@@ -8,14 +8,13 @@ the way the dedup/ANN family extends the documents surface).
 
 Scale shapes:
 
-- ``ordered_funnel`` — one user-keyed aggregation per funnel step,
-  each preceded by an event-type filter that pushes to the scan.
-  Every stage frame is keyed by user id, so the step joins are
-  co-partitioned after the first shuffle and AQE is free to broadcast
-  the (shrinking) reached-user frames. Steps are strictly ORDERED:
-  step k counts only events after the user's step-(k-1) timestamp —
-  the semantics min-per-type-then-compare gets wrong whenever a user
-  has the later event type both before and after the earlier step.
+- ``ordered_funnel`` — ONE shuffle total: prefilter to funnel event
+  types (pushes to the scan), hash once by user, then one unordered
+  whole-partition window per step plus the per-user collapse, all
+  reusing the same Exchange. Steps are strictly ORDERED: step k
+  counts only events after the user's step-(k-1) timestamp — the
+  semantics min-per-type-then-compare gets wrong whenever a user has
+  the later event type both before and after the earlier step.
 - ``weekly_retention`` — two user-keyed aggregations (first-seen day,
   distinct active days) and one small-key aggregation over
   (cohort, offset). Day-grain dedup happens BEFORE the join, so the
@@ -49,33 +48,47 @@ def ordered_funnel(
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
-    stage = (
-        events.filter(F.col(type_col) == steps[0])
-        .groupBy(user_col)
-        .agg(F.min(ts_col).alias("__t"))
+    from pyspark.sql import Window
+
+    # Single-shuffle formulation: prefilter to funnel event types, hash
+    # the events once by user, then derive each step's per-user
+    # timestamp with an unordered whole-partition window — Catalyst
+    # reuses one Exchange for every window AND the per-user collapse
+    # (same partitioning key), so the funnel costs ONE shuffle of the
+    # relevant events regardless of step count. The naive alternative
+    # (one groupBy + join per step) shuffles the event table per step.
+    w = Window.partitionBy(user_col)
+    cur = events.filter(F.col(type_col).isin(*steps)).select(
+        user_col, type_col, ts_col
     )
-    counts = [stage]
-    for step in steps[1:]:
-        stage = (
-            events.filter(F.col(type_col) == step)
-            .join(stage.select(user_col, F.col("__t").alias("__prev")), user_col)
-            .filter(F.col(ts_col) > F.col("__prev"))
-            .groupBy(user_col)
-            .agg(F.min(ts_col).alias("__t"))
-        )
-        counts.append(stage)
-    rows = [
-        frame.agg(
-            F.lit(i + 1).cast("int").alias("step_idx"),
-            F.lit(step).alias("step"),
-            F.count(F.lit(1)).cast("bigint").alias("n_users"),
-        )
-        for i, (step, frame) in enumerate(zip(steps, counts))
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    prev = None
+    for i, step in enumerate(steps):
+        reach = F.col(type_col) == step
+        if prev is not None:
+            reach = reach & F.col(prev).isNotNull() & (F.col(ts_col) > F.col(prev))
+        col = f"__t{i}"
+        cur = cur.withColumn(col, F.min(F.when(reach, F.col(ts_col))).over(w))
+        prev = col
+    per_user = cur.groupBy(user_col).agg(
+        *[F.first(f"__t{i}").alias(f"__t{i}") for i in range(len(steps))]
+    )
+    totals = per_user.agg(
+        *[
+            F.count(f"__t{i}").cast("bigint").alias(f"__n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("int").alias("step_idx"),
+                F.lit(step).alias("step"),
+                F.col(f"__n{i}").alias("n_users"),
+            )
+            for i, step in enumerate(steps)
+        ]
+    )
+    return totals.select(F.explode(rows).alias("r")).select("r.*")
 
 
 def weekly_retention(
@@ -107,4 +120,41 @@ def weekly_retention(
         )
         .groupBy("cohort_day", "week_offset")
         .agg(F.countDistinct(user_col).cast("bigint").alias("n_users"))
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """First-order transition counts between consecutive events.
+
+    For each user's event sequence (ordered by ``ts_col``, ties broken
+    on ``tie_col`` so the matrix is deterministic under replay), count
+    (from_type -> to_type) pairs — the Markov transition matrix that
+    drives next-action analysis and anomaly scoring over clickstreams.
+
+    Output: (from_type, to_type, n_transitions).
+
+    Plan: one user-partitioned ``lead`` window (sort within partition)
+    and one small-key aggregation over type pairs with map-side
+    partial combine. Window partitions are per-user event sequences —
+    bounded by user activity, never corpus-sized.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tie_col).asc()
+    )
+    return (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
     )

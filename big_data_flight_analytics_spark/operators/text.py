@@ -379,3 +379,38 @@ def top_ngrams(
         .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
         .limit(k)
     )
+
+
+def lexical_diversity(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Type-token ratio and hapax fraction per document.
+
+    Lexical diversity separates natural prose from keyword stuffing and
+    template boilerplate (low TTR) and from OCR noise / gibberish (very
+    high hapax fraction) — complementary to the frequency-based signals
+    in ``rare_token_score`` (corpus-relative) and ``text_stats``
+    (surface ratios): this one is purely intra-document.
+
+    Output: (id_col, n_tokens, n_distinct, n_hapax, ttr, hapax_frac).
+
+    Log-free oracle contract: counts are exact integers; each ratio is
+    ONE IEEE division of exact integers, rounded to 6dp — bit-identical
+    cross-engine. Plan: one token explode, one (doc, token) hash agg,
+    one doc agg — two shuffles, both with map-side partial combine.
+    """
+    per_tok = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    return per_tok.groupBy(id_col).agg(
+        n.cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum((F.col("c") == 1).cast("bigint")).cast("bigint").alias("n_hapax"),
+        F.round(F.count(F.lit(1)) / n, 6).alias("ttr"),
+        F.round(F.sum((F.col("c") == 1).cast("bigint")) / n, 6).alias(
+            "hapax_frac"
+        ),
+    )

@@ -986,6 +986,72 @@ GROUP BY cohort_day, week_offset
 """
 
 
+# ---------------------------------------------------------------------------
+# B3 — first-order event transition matrix: consecutive-event pairs
+# per user (ts order, event_id tie-break), counted over all users.
+# One user-partitioned lead window, one small-key aggregation.
+# ---------------------------------------------------------------------------
+
+
+def b3_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.behavior import (
+        event_transitions,
+    )
+
+    events = load(spark, sf_dir, "events")
+    return event_transitions(events)
+
+
+B3_SQL = """
+WITH seq AS (
+    SELECT event_type AS from_type,
+           LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ) AS to_type
+    FROM events
+)
+SELECT from_type, to_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM seq WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# A9 — GROUPING SETS that are neither a rollup nor a cube: revenue by
+# priority and, independently, by status — two one-dimensional
+# aggregates in one pass over orders (Spark expands the grouping sets
+# map-side; a rollup/cube cannot express this pair).
+# ---------------------------------------------------------------------------
+
+
+def a9_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"]],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select("o_orderpriority", "o_orderstatus", "n_orders", "revenue")
+    )
+
+
+A9_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+"""
+
+
 ANALYTIC_QUERIES = {
     "j9_asof_events_orders": j9_asof_events_orders,
     "s4_user_sessions": s4_user_sessions,
@@ -1007,6 +1073,8 @@ ANALYTIC_QUERIES = {
     "u1_priority_overlap": u1_priority_overlap,
     "b1_funnel_steps": b1_funnel_steps,
     "b2_weekly_retention": b2_weekly_retention,
+    "b3_event_transitions": b3_event_transitions,
+    "a9_grouping_sets": a9_grouping_sets,
 }
 
 ANALYTIC_ORACLES = {
@@ -1030,4 +1098,6 @@ ANALYTIC_ORACLES = {
     "u1_priority_overlap": U1_SQL,
     "b1_funnel_steps": B1_SQL,
     "b2_weekly_retention": B2_SQL,
+    "b3_event_transitions": B3_SQL,
+    "a9_grouping_sets": A9_SQL,
 }

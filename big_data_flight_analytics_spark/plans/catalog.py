@@ -128,6 +128,9 @@ _TIE_BREAK = [
     "d12_keep_longest",
     "b1_funnel_steps",
     "b2_weekly_retention",
+    "b3_event_transitions",
+    "a9_grouping_sets",
+    "t14_lexical_diversity",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

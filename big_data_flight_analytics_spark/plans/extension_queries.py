@@ -1481,6 +1481,44 @@ FROM starts
 
 
 # ---------------------------------------------------------------------------
+# T14 — lexical diversity: type-token ratio + hapax fraction per doc —
+# the intra-document diversity signal complementing t1 (surface
+# ratios), t3 (repetition), and t12 (corpus-relative frequency).
+# Ratios are single IEEE divisions of exact integer counts (log-free
+# oracle contract).
+# ---------------------------------------------------------------------------
+
+
+def t14_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.text import (
+        lexical_diversity,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return lexical_diversity(docs)
+
+
+T14_SQL = r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+    FROM documents
+    WHERE text IS NOT NULL AND trim(text) <> ''
+), tc AS (
+    SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       ROUND(COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS ttr,
+       ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) / CAST(SUM(c) AS DOUBLE), 6)
+           AS hapax_frac
+FROM tc GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # D12 — keep-best dedup: near-dup clusters (D6) keep their LONGEST
 # member, not the min-id one — the C4/RefinedWeb policy where dropping
 # the shorter near-dups preserves the most content per cluster. Same
@@ -1551,6 +1589,7 @@ EXTENSION_QUERIES = {
     "t11_pack_sequences": t11_pack_sequences,
     "t12_rare_token_score": t12_rare_token_score,
     "t13_chunk_documents": t13_chunk_documents,
+    "t14_lexical_diversity": t14_lexical_diversity,
     "d12_keep_longest": d12_keep_longest,
     "d9_cross_source_overlap": d9_cross_source_overlap,
     "d10_winnow_jaccard": d10_winnow_jaccard,
@@ -1582,6 +1621,7 @@ EXTENSION_ORACLES = {
     "t11_pack_sequences": T11_SQL,
     "t12_rare_token_score": T12_SQL,
     "t13_chunk_documents": T13_SQL,
+    "t14_lexical_diversity": T14_SQL,
     "d12_keep_longest": D12_SQL,
     "d9_cross_source_overlap": D9_SQL,
     "d10_winnow_jaccard": D10_SQL,

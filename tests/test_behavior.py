@@ -119,3 +119,62 @@ class TestWeeklyRetention:
         df = spark.createDataFrame(rows, "user_id string, ts timestamp")
         plan = weekly_retention(df)._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan
+
+
+class TestEventTransitions:
+    def test_counts_and_ordering(self, spark):
+        from big_data_flight_analytics_spark.operators.behavior import (
+            event_transitions,
+        )
+
+        rows = [
+            # u1: a -> b -> a
+            (1, "u1", "a", _ts(1)),
+            (2, "u1", "b", _ts(2)),
+            (3, "u1", "a", _ts(3)),
+            # u2: b -> b
+            (4, "u2", "b", _ts(1)),
+            (5, "u2", "b", _ts(2)),
+            # u3: single event, no transition
+            (6, "u3", "a", _ts(1)),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id string, event_type string, ts timestamp"
+        )
+        got = {
+            (r["from_type"], r["to_type"]): r["n_transitions"]
+            for r in event_transitions(df).collect()
+        }
+        assert got == {("a", "b"): 1, ("b", "a"): 1, ("b", "b"): 1}
+
+    def test_tie_breaks_on_event_id(self, spark):
+        from big_data_flight_analytics_spark.operators.behavior import (
+            event_transitions,
+        )
+
+        # Two simultaneous events: event_id decides the sequence.
+        rows = [
+            (10, "u", "x", _ts(1)),
+            (2, "u", "y", _ts(1)),
+            (30, "u", "z", _ts(2)),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id string, event_type string, ts timestamp"
+        )
+        got = {
+            (r["from_type"], r["to_type"]): r["n_transitions"]
+            for r in event_transitions(df).collect()
+        }
+        # order: y (id 2) -> x (id 10) -> z
+        assert got == {("y", "x"): 1, ("x", "z"): 1}
+
+    def test_no_cross_user_transitions(self, spark):
+        from big_data_flight_analytics_spark.operators.behavior import (
+            event_transitions,
+        )
+
+        rows = [(1, "u1", "a", _ts(1)), (2, "u2", "b", _ts(2))]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id string, event_type string, ts timestamp"
+        )
+        assert event_transitions(df).count() == 0

@@ -326,3 +326,35 @@ class TestChunkTokens:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan and "Window" not in plan
+
+
+class TestLexicalDiversity:
+    def test_hand_computed(self, spark):
+        from big_data_flight_analytics_spark.operators.text import (
+            lexical_diversity,
+        )
+
+        # "a a b c": 4 tokens, 3 distinct, hapax = {b, c}
+        docs = _docs(spark, ["a a b c"])
+        r = lexical_diversity(docs).collect()[0]
+        assert (r["n_tokens"], r["n_distinct"], r["n_hapax"]) == (4, 3, 2)
+        assert r["ttr"] == 0.75
+        assert r["hapax_frac"] == 0.5
+
+    def test_case_folded(self, spark):
+        from big_data_flight_analytics_spark.operators.text import (
+            lexical_diversity,
+        )
+
+        docs = _docs(spark, ["The the THE"])
+        r = lexical_diversity(docs).collect()[0]
+        assert (r["n_tokens"], r["n_distinct"], r["n_hapax"]) == (3, 1, 0)
+
+    def test_all_unique(self, spark):
+        from big_data_flight_analytics_spark.operators.text import (
+            lexical_diversity,
+        )
+
+        docs = _docs(spark, ["w1 w2 w3"])
+        r = lexical_diversity(docs).collect()[0]
+        assert r["ttr"] == 1.0 and r["hapax_frac"] == 1.0
