@@ -64,3 +64,60 @@ def merge_partial_aggregates(
     return merged.groupBy(*keys).agg(
         *[expr.alias(name) for name, expr in combine.items()]
     )
+
+
+def hll_partials(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    lg_k: int = 12,
+    sketch_col: str = "hll_sketch",
+) -> DataFrame:
+    """One partition's mergeable distinct-count state: Datasketches HLL.
+
+    Exact distinct is the canonical NON-algebraic measure (partial
+    distinct counts don't add), so the incremental-maintenance pattern
+    switches representation: keep one HLL sketch per key — a few KB of
+    binary state whose union is lossless w.r.t. the sketch's own
+    estimate. ``hll_sketch_agg`` runs JVM-side with map-side partial
+    aggregation like any hash agg.
+
+    ``lg_k`` = log2 of sketch buckets (12 -> 4096 buckets, ~1.6%
+    relative standard error, ~2-4 KB per key). The same lg_k must be
+    used for every partial that will later merge.
+    """
+    from pyspark.sql import functions as F
+
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(value_col), lg_k).alias(sketch_col)
+    )
+
+
+def merge_hll_partials(
+    parts: Sequence[DataFrame],
+    keys: Sequence[str],
+    sketch_col: str = "hll_sketch",
+    estimate_col: str = "approx_distinct",
+) -> DataFrame:
+    """Union per-key HLL sketches across partials and estimate.
+
+    The union is associative and commutative (same contract as
+    ``merge_partial_aggregates``): any refresh cadence yields the same
+    merged sketch, and a delta refresh costs O(delta scan + |keys| x
+    sketch bytes) — never a rescan of history. The output keeps the
+    merged sketch (the next refresh's input state) alongside the
+    integer estimate.
+    """
+    from functools import reduce as _reduce
+
+    from pyspark.sql import functions as F
+
+    if not parts:
+        raise ValueError("merge_hll_partials needs at least one part")
+    merged = _reduce(lambda a, b: a.unionByName(b), parts)
+    out = merged.groupBy(*keys).agg(
+        F.hll_union_agg(F.col(sketch_col)).alias(sketch_col)
+    )
+    return out.withColumn(
+        estimate_col, F.hll_sketch_estimate(F.col(sketch_col))
+    )

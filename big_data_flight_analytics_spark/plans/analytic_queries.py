@@ -1052,6 +1052,47 @@ GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
 """
 
 
+# ---------------------------------------------------------------------------
+# S6 — first-touch per (user, event type): the batch mirror of the
+# streaming first-seen dedup (streaming/stateful.first_seen_dedup) —
+# same earliest-occurrence-wins semantics, same (ts, id) tie-break, as
+# one partitioned row_number. Serving shape for first-touch
+# attribution tables.
+# ---------------------------------------------------------------------------
+
+
+def s6_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        events.select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("first_ts"),
+            F.col("event_id").alias("first_event_id"),
+            F.row_number().over(w).alias("__rn"),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+S6_SQL = """
+SELECT user_id, event_type, first_ts, first_event_id FROM (
+    SELECT user_id, event_type,
+           ts AS first_ts,
+           event_id AS first_event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts ASC, event_id ASC) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+
 ANALYTIC_QUERIES = {
     "j9_asof_events_orders": j9_asof_events_orders,
     "s4_user_sessions": s4_user_sessions,
@@ -1075,6 +1116,7 @@ ANALYTIC_QUERIES = {
     "b2_weekly_retention": b2_weekly_retention,
     "b3_event_transitions": b3_event_transitions,
     "a9_grouping_sets": a9_grouping_sets,
+    "s6_first_touch": s6_first_touch,
 }
 
 ANALYTIC_ORACLES = {
@@ -1100,4 +1142,5 @@ ANALYTIC_ORACLES = {
     "b2_weekly_retention": B2_SQL,
     "b3_event_transitions": B3_SQL,
     "a9_grouping_sets": A9_SQL,
+    "s6_first_touch": S6_SQL,
 }

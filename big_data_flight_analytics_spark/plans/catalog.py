@@ -131,6 +131,7 @@ _TIE_BREAK = [
     "b3_event_transitions",
     "a9_grouping_sets",
     "t14_lexical_diversity",
+    "s6_first_touch",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

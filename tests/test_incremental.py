@@ -118,3 +118,90 @@ class TestIncrementalMerge:
             for r in merge_partial_aggregates([full], ["k"], COMBINE()).collect()
         )
         assert with_empty == alone == _direct(facts)
+
+
+class TestHllIncremental:
+    def _events(self, spark, n_users=300, n_rows=3000, seed=7):
+        import random
+
+        rng = random.Random(seed)
+        rows = [
+            Row(day=rng.randrange(10), user=f"u{rng.randrange(n_users)}")
+            for _ in range(n_rows)
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_estimate_close_to_exact(self, spark):
+        from big_data_flight_analytics_spark.operators.incremental import (
+            hll_partials,
+            merge_hll_partials,
+        )
+
+        df = self._events(spark)
+        part = hll_partials(df, ["day"], "user")
+        est = {
+            r["day"]: r["approx_distinct"]
+            for r in merge_hll_partials([part], ["day"]).collect()
+        }
+        exact = {
+            r["day"]: r["n"]
+            for r in df.groupBy("day")
+            .agg(F.countDistinct("user").alias("n"))
+            .collect()
+        }
+        assert set(est) == set(exact)
+        for day, n in exact.items():
+            # lg_k=12 -> ~1.6% RSE; 5% is a comfortable 3-sigma bound
+            assert abs(est[day] - n) <= max(3, 0.05 * n)
+
+    def test_delta_refresh_equals_full_recompute(self, spark):
+        from big_data_flight_analytics_spark.operators.incremental import (
+            hll_partials,
+            merge_hll_partials,
+        )
+
+        df = self._events(spark)
+        hist = df.filter(F.col("day") < 7)
+        delta = df.filter(F.col("day") >= 7)
+        merged = merge_hll_partials(
+            [hll_partials(hist, ["day"], "user"),
+             hll_partials(delta, ["day"], "user")],
+            ["day"],
+        )
+        full = merge_hll_partials(
+            [hll_partials(df, ["day"], "user")], ["day"]
+        )
+        got = {r["day"]: r["approx_distinct"] for r in merged.collect()}
+        want = {r["day"]: r["approx_distinct"] for r in full.collect()}
+        assert got == want
+
+    def test_merge_is_associative(self, spark):
+        from big_data_flight_analytics_spark.operators.incremental import (
+            hll_partials,
+            merge_hll_partials,
+        )
+
+        df = self._events(spark)
+        parts = [
+            hll_partials(df.filter(F.col("day") % 3 == i), ["day"], "user")
+            for i in range(3)
+        ]
+        flat = merge_hll_partials(parts, ["day"])
+        chained = merge_hll_partials(
+            [merge_hll_partials(parts[:2], ["day"]).select("day", "hll_sketch"),
+             parts[2]],
+            ["day"],
+        )
+        a = {r["day"]: r["approx_distinct"] for r in flat.collect()}
+        b = {r["day"]: r["approx_distinct"] for r in chained.collect()}
+        assert a == b
+
+    def test_empty_part_list_raises(self, spark):
+        import pytest
+
+        from big_data_flight_analytics_spark.operators.incremental import (
+            merge_hll_partials,
+        )
+
+        with pytest.raises(ValueError):
+            merge_hll_partials([], ["day"])
