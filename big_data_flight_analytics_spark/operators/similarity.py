@@ -364,3 +364,76 @@ def lsh_bucketed_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "sim")
     )
+
+
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int | None = None,
+    dp: int = 4,
+    target_bucket_size: int = 256,
+    corpus_count: int | None = None,
+) -> DataFrame:
+    """Approximate k-nearest-neighbor graph over the whole corpus.
+
+    Every vector gets its top-``k`` most-cosine-similar neighbors among
+    its sign-LSH bucket mates — the all-pairs counterpart of
+    ``embedding_neardup_pairs`` (which thresholds) and the input
+    artifact for semantic-dedup / clustering pipelines that operate on
+    a kNN graph rather than a threshold pair list (SemDeDup-style
+    corpus curation).
+
+    Output: (vec_a, vec_b, sim, rank) with rank 1..k per vec_a;
+    vectors alone in their bucket emit no rows (no candidates — the
+    documented recall trade of single-probe sign-LSH; union multiple
+    rotated bucketings for higher recall).
+
+    Scale: the bucket equi-join replaces the O(n^2) cross join;
+    ``adaptive_bits`` grows the bucket count with the corpus so
+    within-bucket work stays ~target_bucket_size^2 per bucket. The
+    top-k window partitions by vector id — bounded partitions (bucket
+    population), never corpus-wide. Ties at the k boundary break on
+    neighbor id, so the graph is deterministic.
+    """
+    if bits is None:
+        if corpus_count is None:
+            from big_data_flight_analytics_spark.cache import tracked_persist
+
+            corpus = tracked_persist(corpus)
+            corpus_count = corpus.count()
+        bits = adaptive_bits(corpus_count, target_bucket_size)
+    sig = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        l2_norm(F.col(vec_col)).alias("__n"),
+        sign_bucket(vec_col, bits).alias("__bucket"),
+    )
+    a = sig.select(
+        F.col(id_col).alias("vec_a"), F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"), "__bucket",
+    )
+    b = sig.select(
+        F.col(id_col).alias("vec_b"), F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"), "__bucket",
+    )
+    scored = (
+        a.join(b, "__bucket")
+        .filter(F.col("vec_a") != F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine_from_norms(
+                F.col("__va"), F.col("__vb"),
+                F.col("__na"), F.col("__nb"), dp=dp,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("vec_a").orderBy(
+        F.col("sim").desc(), F.col("vec_b").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

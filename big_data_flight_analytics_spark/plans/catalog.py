@@ -132,6 +132,7 @@ _TIE_BREAK = [
     "a9_grouping_sets",
     "t14_lexical_diversity",
     "s6_first_touch",
+    "v4_knn_graph",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

@@ -1217,6 +1217,61 @@ WHERE ROUND(
 
 
 # ---------------------------------------------------------------------------
+# V4 — kNN graph construction: every vector's top-k cosine neighbors
+# among its sign-LSH bucket mates — the all-vectors counterpart of d5's
+# threshold pairs and the input artifact for SemDeDup-style semantic
+# curation. Same adaptive bucket scheme as d5, mirrored in the oracle;
+# the top-k window partitions by vector id (bounded partitions).
+# ---------------------------------------------------------------------------
+
+KNN_K = 5
+
+
+def v4_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.similarity import (
+        knn_graph,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return knn_graph(emb, k=KNN_K, target_bucket_size=NEARDUP_TARGET_BUCKET)
+
+
+V4_SQL = f"""
+WITH params AS (
+    SELECT GREATEST(1, CAST(CEIL(LOG2(GREATEST(
+               COUNT(*) / {NEARDUP_TARGET_BUCKET}.0, 2.0))) AS INTEGER)) AS bits
+    FROM embeddings
+), sig AS (
+    -- CAST to DOUBLE[] matters: list_dot_product over FLOAT[]
+    -- accumulates in float, which diverges from Spark's double fold
+    -- by ~1e-6 on cancellation-heavy (low-sim) pairs — d5 never sees
+    -- them (threshold 0.4) but a kNN graph ranks ALL pairs. float x
+    -- float products are exact in double, so the double path is
+    -- bit-identical cross-engine (verified at sf0.1).
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding,
+           list_sum(list_transform(range(1, bits + 1),
+               i -> CASE WHEN embedding[i] > 0
+                         THEN (1 << (bits - i)) ELSE 0 END)) AS bucket
+    FROM embeddings, params
+), scored AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(
+             list_dot_product(a.embedding, b.embedding) /
+             (sqrt(list_dot_product(a.embedding, a.embedding))
+              * sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS sim
+    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+), ranked AS (
+    SELECT vec_a, vec_b, sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY vec_a
+                                   ORDER BY sim DESC, vec_b ASC) AS INTEGER)
+               AS rank
+    FROM scored
+)
+SELECT vec_a, vec_b, sim, rank FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # M1 — multimodal binary plumbing: payload + mapInPandas feature stub.
 # Oracle checks the Arrow plumbing end-to-end because the stub decode is
 # a deterministic function of the payload bytes.
@@ -1601,6 +1656,7 @@ EXTENSION_QUERIES = {
     "v1_cosine_topk": v1_cosine_topk,
     "v2_lsh_topk": v2_lsh_topk,
     "d5_embedding_neardup": d5_embedding_neardup,
+    "v4_knn_graph": v4_knn_graph,
     "d6_dedup_clusters": d6_dedup_clusters,
     "d7_decontamination": d7_decontamination,
     "d8_curated_corpus": d8_curated_corpus,
@@ -1633,6 +1689,7 @@ EXTENSION_ORACLES = {
     "v1_cosine_topk": V1_SQL,
     "v2_lsh_topk": V2_SQL,
     "d5_embedding_neardup": D5_SQL,
+    "v4_knn_graph": V4_SQL,
     "d6_dedup_clusters": D6_SQL,
     "d7_decontamination": D7_SQL,
     "d8_curated_corpus": D8_SQL,

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from big_data_flight_analytics_spark.operators.dedup import (
     exact_dedup,
@@ -298,3 +299,74 @@ class TestWinnowJaccard:
         }
         assert winnowed <= full
         assert len(winnowed) >= 0.8 * len(full)  # 27/29 on this corpus
+
+
+class TestKnnGraph:
+    def test_matches_brute_force_in_one_bucket(self, spark):
+        """bits=1 with all-positive first components puts every vector
+        in one bucket -> the graph must equal exact kNN."""
+        from big_data_flight_analytics_spark.operators.similarity import (
+            knn_graph,
+        )
+
+        rows = [
+            Row(vec_id=0, embedding=[1.0, 0.5, 0.0, 0.0]),
+            Row(vec_id=1, embedding=[0.9, 0.5, 0.1, 0.0]),
+            Row(vec_id=2, embedding=[0.1, 1.0, 0.0, 0.0]),
+            Row(vec_id=4, embedding=[0.9, 0.2, 0.0, 0.0]),
+        ]
+        emb = spark.createDataFrame(rows)
+        out = knn_graph(emb, k=2, bits=1)
+        got = {
+            (r["vec_a"], r["rank"]): r["vec_b"] for r in out.collect()
+        }
+        exact = {
+            (q["query_id"], i + 1): n
+            for q in emb.select(F.col("vec_id").alias("query_id")).collect()
+            for i, n in enumerate(
+                r["neighbor_id"]
+                for r in sorted(
+                    brute_force_topk(
+                        emb, emb.filter(F.col("vec_id") == q["query_id"]), k=2
+                    ).collect(),
+                    key=lambda r: (-r["sim"], r["neighbor_id"]),
+                )
+            )
+        }
+        assert got == exact
+
+    def test_every_vector_at_most_k_ranked_neighbors(self, spark):
+        from big_data_flight_analytics_spark.operators.similarity import (
+            knn_graph,
+        )
+
+        emb = embeddings(spark)
+        out = knn_graph(emb, k=2, bits=2).collect()
+        assert all(1 <= r["rank"] <= 2 for r in out)
+        assert all(r["vec_a"] != r["vec_b"] for r in out)
+        per_a = {}
+        for r in out:
+            per_a.setdefault(r["vec_a"], []).append(r["rank"])
+        assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_a.values())
+
+    def test_bucket_isolation(self, spark):
+        """Vectors in different sign buckets never become neighbors."""
+        from big_data_flight_analytics_spark.operators.similarity import (
+            knn_graph,
+        )
+
+        emb = embeddings(spark)
+        out = knn_graph(emb, k=4, bits=1).collect()
+        # bits=1 buckets on the sign of the first component:
+        # {0, 1, 4} are positive, {2, 3} negative — edges never cross.
+        pos, neg = {0, 1, 4}, {2, 3}
+        for r in out:
+            edge = {r["vec_a"], r["vec_b"]}
+            assert edge <= pos or edge <= neg
+        # the negative bucket is a 2-clique: each is the other's rank 1
+        neg_edges = {
+            (r["vec_a"], r["vec_b"], r["rank"])
+            for r in out
+            if {r["vec_a"], r["vec_b"]} <= neg
+        }
+        assert neg_edges == {(2, 3, 1), (3, 2, 1)}
