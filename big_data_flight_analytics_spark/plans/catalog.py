@@ -133,6 +133,7 @@ _TIE_BREAK = [
     "t14_lexical_diversity",
     "s6_first_touch",
     "v4_knn_graph",
+    "q11_cheapest_suppliers",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

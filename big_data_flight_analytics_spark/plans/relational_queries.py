@@ -1096,6 +1096,45 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Q11 — correlated scalar subquery, decorrelated: lineitems priced at
+# their part's minimum (TPC-H Q2's min-cost-supplier shape). The
+# oracle keeps the literally correlated form (DuckDB decorrelates it
+# itself); the Spark side writes the decorrelation explicitly —
+# min-per-key aggregate + equi-join — which pins the single-shuffle
+# plan instead of trusting the optimizer's rewrite. Equality on the
+# raw DOUBLE is exact: both engines compare the same parquet values,
+# no arithmetic performed.
+# ---------------------------------------------------------------------------
+
+
+def q11_cheapest_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    mins = li.groupBy("l_partkey").agg(
+        F.min("l_extendedprice").alias("cheapest_price")
+    )
+    return (
+        li.select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(mins, "l_partkey")
+        .filter(F.col("l_extendedprice") == F.col("cheapest_price"))
+        .join(part.select("p_partkey", "p_brand"),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "p_brand", "l_suppkey", "cheapest_price")
+    )
+
+
+Q11_SQL = """
+SELECT p_partkey, p_brand, l_suppkey,
+       l_extendedprice AS cheapest_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_extendedprice = (
+    SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+    WHERE l2.l_partkey = lineitem.l_partkey
+)
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_supplier_stats": q1_supplier_stats,
     "q2_status_priority_delays": q2_status_priority_delays,
@@ -1123,6 +1162,7 @@ RELATIONAL_QUERIES = {
     "s2_windowed_distinct_users": s2_windowed_distinct_users,
     "a7_price_percentiles": a7_price_percentiles,
     "s3_sliding_window_users": s3_sliding_window_users,
+    "q11_cheapest_suppliers": q11_cheapest_suppliers,
 }
 
 RELATIONAL_ORACLES = {
@@ -1152,4 +1192,5 @@ RELATIONAL_ORACLES = {
     "s2_windowed_distinct_users": S2_SQL,
     "a7_price_percentiles": A7_SQL,
     "s3_sliding_window_users": S3_SQL,
+    "q11_cheapest_suppliers": Q11_SQL,
 }
