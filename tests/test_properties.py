@@ -485,3 +485,52 @@ class TestWinnowingProperties:
                 assert fps[i] == set()
             else:
                 assert 1 <= len(fps[i]) <= max(m - self.W + 1, 1)
+
+
+class TestChunkTokensProperties:
+    """chunk_tokens == a pure-Python chunker over random whitespace-
+    messy corpora, across a (chunk_size, overlap) grid including the
+    degenerate cases (overlap 0, step 1, docs shorter than one chunk).
+    Batch-evaluated: one Spark job per config."""
+
+    @staticmethod
+    def _reference(texts, chunk_size, overlap):
+        step = chunk_size - overlap
+        out = {}
+        for doc_id, text in enumerate(texts):
+            toks = text.split() if text and text.strip() else []
+            for idx, start in enumerate(range(0, len(toks), step)):
+                piece = toks[start : start + chunk_size]
+                out[(doc_id, idx)] = (" ".join(piece), len(piece))
+        return out
+
+    def test_matches_python_reference(self, spark):
+        from big_data_flight_analytics_spark.operators.text import (
+            chunk_tokens,
+        )
+
+        rng = random.Random(29)
+        words = ["aa", "b", "ccc", "Dd", "EEE"]
+        texts = []
+        for _ in range(40):
+            n = rng.randint(0, 30)
+            sep = lambda: rng.choice([" ", "  ", "\t", " \t "])  # noqa: E731
+            texts.append(sep().join(rng.choice(words) for _ in range(n)))
+        texts += ["", "   ", "one"]
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+        )
+        for chunk_size, overlap in [(2, 0), (2, 1), (5, 2), (7, 6), (64, 16)]:
+            got = {
+                (r["doc_id"], r["chunk_id"]): (
+                    r["chunk_text"],
+                    r["n_chunk_tokens"],
+                )
+                for r in chunk_tokens(
+                    docs, chunk_size=chunk_size, overlap=overlap
+                ).collect()
+            }
+            assert got == self._reference(texts, chunk_size, overlap), (
+                chunk_size,
+                overlap,
+            )

@@ -236,3 +236,48 @@ class TestStreamBatchDifferential:
             for r in s2_windowed_distinct_users(spark, SF_DIR).collect()
         }
         assert got == want
+
+    def test_streaming_dedup_covers_batch_first_touch_keys(
+        self, spark, replay_dir
+    ):
+        """Streaming bounded-state dedup (dropDuplicatesWithinWatermark
+        with a delay longer than the data span) replayed over the full
+        events table emits EXACTLY the batch s6 key set, once per key,
+        and every emitted row is a genuine event of its key. (Which row
+        is kept is arrival-order within a micro-batch — event-time
+        tie-breaking is the batch operator's contract, not this one's.)"""
+        from big_data_flight_analytics_spark.plans.analytic_queries import (
+            s6_first_touch,
+        )
+        from big_data_flight_analytics_spark.streaming.stateful import (
+            watermarked_dedup,
+        )
+
+        stream = _events_stream(spark, replay_dir)
+        out = watermarked_dedup(
+            stream,
+            key_cols=("user_id", "event_type"),
+            event_time_col="event_time",
+            delay="90 days",
+        ).select("user_id", "event_type", "event_id")
+        rows = [
+            r
+            for r in _run_to_memory(spark, out, "diff_s6").collect()
+            if r.event_type != SENTINEL_TYPE
+        ]
+        got_keys = [(r.user_id, r.event_type) for r in rows]
+        assert len(got_keys) == len(set(got_keys))  # exactly once per key
+        want = {
+            (r.user_id, r.event_type)
+            for r in s6_first_touch(spark, SF_DIR).collect()
+        }
+        assert set(got_keys) == want
+        assert len(want) > 500
+        # every emitted row is a real event of its key
+        valid = {
+            (r.user_id, r.event_type, r.event_id)
+            for r in load(spark, SF_DIR, "events").collect()
+        }
+        assert all(
+            (r.user_id, r.event_type, r.event_id) in valid for r in rows
+        )
