@@ -437,3 +437,45 @@ def knn_graph(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def semantic_prune(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **neardup_kwargs,
+) -> DataFrame:
+    """SemDeDup-style semantic pruning over embedding space.
+
+    A vector is pruned iff some LOWER-id vector in its sign-LSH bucket
+    is cosine-similar above ``threshold`` — the greedy keep-first rule
+    semantic dedup implementations apply within clusters (the kept
+    representative is the earliest id of each similar set; chains prune
+    greedily, matching the reference implementations' behavior).
+
+    Output: (id_col, pruned) for EVERY corpus vector — filtering
+    ``~pruned`` yields the semantically deduplicated corpus.
+
+    Pure composition: candidate pairs come from
+    ``embedding_neardup_pairs`` (bucketed, capped, never all-pairs), so
+    the scale properties are inherited; the marking adds one distinct
+    on pruned ids and one left join keyed by vector id.
+    """
+    pairs = embedding_neardup_pairs(
+        corpus, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        **neardup_kwargs,
+    )
+    pruned = (
+        pairs.select(F.col("vec_b").alias(id_col))
+        .distinct()
+        .withColumn("__pruned", F.lit(True))
+    )
+    return (
+        corpus.select(id_col)
+        .join(pruned, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__pruned"), F.lit(False)).alias("pruned"),
+        )
+    )

@@ -134,6 +134,7 @@ _TIE_BREAK = [
     "s6_first_touch",
     "v4_knn_graph",
     "q11_cheapest_suppliers",
+    "d13_semantic_prune",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

@@ -1272,6 +1272,36 @@ SELECT vec_a, vec_b, sim, rank FROM ranked WHERE rank <= {KNN_K}
 
 
 # ---------------------------------------------------------------------------
+# D13 — SemDeDup-style semantic pruning: drop every vector with a
+# lower-id bucket mate above the d5 similarity threshold (greedy
+# keep-first within similar sets). Pure composition over the d5 pair
+# pipeline; output marks EVERY vector so the curation decision is
+# auditable, not just the survivor list.
+# ---------------------------------------------------------------------------
+
+
+def d13_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.similarity import (
+        semantic_prune,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_prune(
+        emb, threshold=NEARDUP_SIM, target_bucket_size=NEARDUP_TARGET_BUCKET
+    )
+
+
+D13_SQL = f"""
+WITH pairs AS (
+    {D5_SQL}
+)
+SELECT vec_id,
+       vec_id IN (SELECT vec_b FROM pairs) AS pruned
+FROM embeddings
+"""
+
+
+# ---------------------------------------------------------------------------
 # M1 — multimodal binary plumbing: payload + mapInPandas feature stub.
 # Oracle checks the Arrow plumbing end-to-end because the stub decode is
 # a deterministic function of the payload bytes.
@@ -1657,6 +1687,7 @@ EXTENSION_QUERIES = {
     "v2_lsh_topk": v2_lsh_topk,
     "d5_embedding_neardup": d5_embedding_neardup,
     "v4_knn_graph": v4_knn_graph,
+    "d13_semantic_prune": d13_semantic_prune,
     "d6_dedup_clusters": d6_dedup_clusters,
     "d7_decontamination": d7_decontamination,
     "d8_curated_corpus": d8_curated_corpus,
@@ -1690,6 +1721,7 @@ EXTENSION_ORACLES = {
     "v2_lsh_topk": V2_SQL,
     "d5_embedding_neardup": D5_SQL,
     "v4_knn_graph": V4_SQL,
+    "d13_semantic_prune": D13_SQL,
     "d6_dedup_clusters": D6_SQL,
     "d7_decontamination": D7_SQL,
     "d8_curated_corpus": D8_SQL,

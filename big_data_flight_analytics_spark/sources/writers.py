@@ -205,3 +205,30 @@ def write_json(
     if compression:
         writer = writer.option("compression", compression)
     writer.mode(mode).json(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+    header: bool = True,
+    compression: str | None = None,
+) -> None:
+    """Partitioned parallel CSV write — closes the loop with
+    ``readers.read_csv`` (the reference ingests CSV; pipelines that
+    hand results back to CSV-consuming tools need the inverse). Same
+    contract as the other writers; like JSON, CSV is an EXPORT format
+    (no types, no pushdown, no pruning on re-read) — keep hot-path
+    data in parquet/ORC. Timestamps serialize ISO-8601 so a
+    read_csv round trip with an explicit schema is lossless at
+    microsecond grain."""
+    writer = df.write.option("header", str(header).lower())
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer = writer.option(
+        "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    )
+    writer.mode(mode).csv(path)

@@ -370,3 +370,34 @@ class TestKnnGraph:
             if {r["vec_a"], r["vec_b"]} <= neg
         }
         assert neg_edges == {(2, 3, 1), (3, 2, 1)}
+
+
+class TestSemanticPrune:
+    def test_keep_first_within_similar_set(self, spark):
+        from big_data_flight_analytics_spark.operators.similarity import (
+            semantic_prune,
+        )
+
+        rows = [
+            Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0]),
+            Row(vec_id=1, embedding=[0.99, 0.1, 0.0, 0.0]),  # ~dup of 0
+            Row(vec_id=2, embedding=[0.98, 0.15, 0.05, 0.0]),  # ~dup of 0,1
+            Row(vec_id=3, embedding=[0.1, 1.0, 0.0, 0.0]),  # distinct
+        ]
+        emb = spark.createDataFrame(rows)
+        got = {
+            r["vec_id"]: r["pruned"]
+            for r in semantic_prune(emb, threshold=0.9, bits=1).collect()
+        }
+        # 0 kept (earliest), 1 and 2 pruned, 3 kept (below threshold)
+        assert got == {0: False, 1: True, 2: True, 3: False}
+
+    def test_every_vector_marked(self, spark):
+        from big_data_flight_analytics_spark.operators.similarity import (
+            semantic_prune,
+        )
+
+        emb = embeddings(spark)
+        out = semantic_prune(emb, threshold=0.9999, bits=1).collect()
+        assert {r["vec_id"] for r in out} == {0, 1, 2, 3, 4}
+        assert all(r["pruned"] is False for r in out)  # nothing that similar

@@ -164,3 +164,35 @@ class TestJson:
             assert good == {1, 2}
         finally:
             df.unpersist()
+
+
+class TestCsvWrite:
+    def test_partitioned_round_trip_with_schema(self, spark, tmp_path):
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from big_data_flight_analytics_spark.sources.readers import read_csv
+        from big_data_flight_analytics_spark.sources.writers import write_csv
+
+        df = spark.createDataFrame(
+            [
+                Row(
+                    k=i,
+                    v=f"s{i}",
+                    ts=dt.datetime(2024, 1, 1, 0, 0, i, 123456),
+                    y=2020 + i % 2,
+                )
+                for i in range(40)
+            ]
+        )
+        out = str(tmp_path / "csv")
+        write_csv(df, out, partition_by=["y"])
+        back = read_csv(
+            spark, out + "/*/*.csv", schema="k long, v string, ts timestamp"
+        )
+        assert back.count() == 40
+        got = back.filter(F.col("k") == 7).collect()
+        assert len(got) == 1 and got[0]["v"] == "s7"
+        # microsecond grain survives the ISO timestamp format
+        assert got[0]["ts"] == dt.datetime(2024, 1, 1, 0, 0, 7, 123456)
