@@ -118,6 +118,30 @@ def embedding_neardup_pairs(
     statistics instead (a 100 TB corpus should not be cached for a
     count), which keeps the plan fully lazy with a single scan.
     """
+    return _bucket_scored_pairs(
+        corpus, id_col, vec_col, bits, dp, target_bucket_size,
+        corpus_count, ordered=True,
+    ).filter(F.col("sim") >= threshold)
+
+
+def _bucket_scored_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bits: int | None,
+    dp: int,
+    target_bucket_size: int,
+    corpus_count: int | None,
+    ordered: bool,
+) -> DataFrame:
+    """Exact-cosine-scored same-bucket candidate pairs — the shared
+    candidate-generation core of ``embedding_neardup_pairs`` (ordered
+    a < b, thresholded by the caller) and ``knn_graph`` (both
+    directions, ranked by the caller). Any change to the bucketing
+    scheme (multi-probe, rotated bucketings, the persist-for-count
+    pattern) belongs HERE — the d5 and v4 oracles both mirror this
+    logic and must be updated in lockstep.
+    """
     if bits is None:
         if corpus_count is None:
             from big_data_flight_analytics_spark.cache import tracked_persist
@@ -139,9 +163,14 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("vec_b"), F.col("__v").alias("__vb"),
         F.col("__n").alias("__nb"), "__bucket",
     )
+    pair_filter = (
+        F.col("vec_a") < F.col("vec_b")
+        if ordered
+        else F.col("vec_a") != F.col("vec_b")
+    )
     return (
         a.join(b, "__bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(pair_filter)
         .select(
             "vec_a",
             "vec_b",
@@ -150,7 +179,6 @@ def embedding_neardup_pairs(
                 F.col("__na"), F.col("__nb"), dp=dp,
             ).alias("sim"),
         )
-        .filter(F.col("sim") >= threshold)
     )
 
 
@@ -397,38 +425,9 @@ def knn_graph(
     population), never corpus-wide. Ties at the k boundary break on
     neighbor id, so the graph is deterministic.
     """
-    if bits is None:
-        if corpus_count is None:
-            from big_data_flight_analytics_spark.cache import tracked_persist
-
-            corpus = tracked_persist(corpus)
-            corpus_count = corpus.count()
-        bits = adaptive_bits(corpus_count, target_bucket_size)
-    sig = corpus.select(
-        F.col(id_col),
-        F.col(vec_col).alias("__v"),
-        l2_norm(F.col(vec_col)).alias("__n"),
-        sign_bucket(vec_col, bits).alias("__bucket"),
-    )
-    a = sig.select(
-        F.col(id_col).alias("vec_a"), F.col("__v").alias("__va"),
-        F.col("__n").alias("__na"), "__bucket",
-    )
-    b = sig.select(
-        F.col(id_col).alias("vec_b"), F.col("__v").alias("__vb"),
-        F.col("__n").alias("__nb"), "__bucket",
-    )
-    scored = (
-        a.join(b, "__bucket")
-        .filter(F.col("vec_a") != F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            cosine_from_norms(
-                F.col("__va"), F.col("__vb"),
-                F.col("__na"), F.col("__nb"), dp=dp,
-            ).alias("sim"),
-        )
+    scored = _bucket_scored_pairs(
+        corpus, id_col, vec_col, bits, dp, target_bucket_size,
+        corpus_count, ordered=False,
     )
     w = Window.partitionBy("vec_a").orderBy(
         F.col("sim").desc(), F.col("vec_b").asc()
@@ -448,11 +447,17 @@ def semantic_prune(
 ) -> DataFrame:
     """SemDeDup-style semantic pruning over embedding space.
 
-    A vector is pruned iff some LOWER-id vector in its sign-LSH bucket
-    is cosine-similar above ``threshold`` — the greedy keep-first rule
-    semantic dedup implementations apply within clusters (the kept
-    representative is the earliest id of each similar set; chains prune
-    greedily, matching the reference implementations' behavior).
+    A vector is pruned iff ANY lower-id vector in its sign-LSH bucket
+    is cosine-similar above ``threshold`` — including a lower vector
+    that was itself pruned. On similarity CHAINS (sim(1,2) and sim(2,3)
+    above threshold but sim(1,3) below) this is deliberately more
+    aggressive than an iterative keep-first sweep: 3 is pruned here
+    because of 2, where keep-first would retain it once 2 fell. The
+    transitive rule is one scalable join; true keep-first is inherently
+    sequential per similar set (each decision depends on earlier
+    keeps) — if that semantics is required, run connected components
+    over the pair graph (``operators/graph.dedup_clusters``) and keep
+    one per cluster instead.
 
     Output: (id_col, pruned) for EVERY corpus vector — filtering
     ``~pruned`` yields the semantically deduplicated corpus.

@@ -314,11 +314,14 @@ def chunk_tokens(
     truncation with stride).
 
     Chunk starts are ``0, step, 2*step, ...`` for ``step = chunk_size -
-    overlap``, every start strictly inside the document; trailing
-    chunks may be shorter than ``chunk_size`` (the slice clamps at the
-    end of the document). Case and punctuation are preserved — chunks
-    are re-joined from the ORIGINAL whitespace tokens, not the
-    lowercased analysis tokens.
+    overlap``, stopping before ``n_tokens - overlap`` so a trailing
+    chunk always carries at least one token the previous chunk did not
+    (a start inside the final overlap would emit a pure suffix of the
+    prior chunk — duplicate retrieval candidates / wasted training
+    tokens). The last chunk may still be shorter than ``chunk_size``
+    (the slice clamps at the end of the document). Case and punctuation
+    are preserved — chunks are re-joined from the ORIGINAL whitespace
+    tokens, not the lowercased analysis tokens.
 
     Plan: map-only — one ``sequence`` + ``explode`` over the scan, no
     shuffle, no window. At 100 TB this chunker runs at scan speed and
@@ -342,7 +345,11 @@ def chunk_tokens(
             F.col(id_col),
             F.col("__toks"),
             F.explode(
-                F.sequence(F.lit(0), n - 1, F.lit(step))
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(n - overlap - 1, F.lit(0)),
+                    F.lit(step),
+                )
             ).alias("__start"),
         )
         .select(
@@ -394,13 +401,20 @@ def lexical_diversity(
 
     Output: (id_col, n_tokens, n_distinct, n_hapax, ttr, hapax_frac).
 
+    Empty/whitespace-only/null documents emit NO row (mirrors the
+    oracle's ``trim(text) <> ''`` filter): ``split('')`` would
+    otherwise yield a phantom ``['']`` token scoring the doc a
+    nonsense ttr of 1.0.
+
     Log-free oracle contract: counts are exact integers; each ratio is
     ONE IEEE division of exact integers, rounded to 6dp — bit-identical
     cross-engine. Plan: one token explode, one (doc, token) hash agg,
     one doc agg — two shuffles, both with map-side partial combine.
     """
+    t = F.col(text_col)
     per_tok = (
-        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+        docs.filter(t.isNotNull() & (F.trim(t) != ""))
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
         .groupBy(id_col, "tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )

@@ -1554,7 +1554,11 @@ WITH toks AS (
                 ELSE regexp_split_to_array(trim(text), '\s+') END AS t
     FROM documents
 ), starts AS (
-    SELECT doc_id, t, unnest(range(0, len(t), {_T13_STEP})) AS s
+    -- starts stop before len - overlap: a start inside the final
+    -- overlap would emit a pure suffix of the prior chunk
+    SELECT doc_id, t,
+           unnest(range(0, greatest(len(t) - {T13_OVERLAP}, 1), {_T13_STEP}))
+               AS s
     FROM toks WHERE len(t) > 0
 )
 SELECT doc_id,

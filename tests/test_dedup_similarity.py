@@ -401,3 +401,33 @@ class TestSemanticPrune:
         out = semantic_prune(emb, threshold=0.9999, bits=1).collect()
         assert {r["vec_id"] for r in out} == {0, 1, 2, 3, 4}
         assert all(r["pruned"] is False for r in out)  # nothing that similar
+
+    def test_chain_prunes_transitively(self, spark):
+        """Pinned semantics: on a similarity CHAIN (1~2, 2~3, 1!~3) the
+        transitive rule prunes 3 via the already-pruned 2 — more
+        aggressive than iterative keep-first (which would retain 3).
+        See the operator docstring for the keep-one-per-cluster
+        alternative."""
+        from big_data_flight_analytics_spark.operators.similarity import (
+            semantic_prune,
+        )
+
+        import math
+
+        a = 25.0  # degrees between consecutive vectors
+        def vec(deg):
+            r = math.radians(deg)
+            return [math.cos(r), math.sin(r), 0.0, 0.0]
+
+        rows = [
+            Row(vec_id=1, embedding=vec(0)),
+            Row(vec_id=2, embedding=vec(a)),
+            Row(vec_id=3, embedding=vec(2 * a)),
+        ]
+        emb = spark.createDataFrame(rows)
+        # cos(25deg)=0.906 >= t; cos(50deg)=0.643 < t
+        got = {
+            r["vec_id"]: r["pruned"]
+            for r in semantic_prune(emb, threshold=0.9, bits=1).collect()
+        }
+        assert got == {1: False, 2: True, 3: True}

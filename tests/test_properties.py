@@ -499,7 +499,10 @@ class TestChunkTokensProperties:
         out = {}
         for doc_id, text in enumerate(texts):
             toks = text.split() if text and text.strip() else []
-            for idx, start in enumerate(range(0, len(toks), step)):
+            # starts stop before len - overlap: no chunk may be a pure
+            # suffix of its predecessor
+            stop = max(len(toks) - overlap, 1) if toks else 0
+            for idx, start in enumerate(range(0, stop, step)):
                 piece = toks[start : start + chunk_size]
                 out[(doc_id, idx)] = (" ".join(piece), len(piece))
         return out

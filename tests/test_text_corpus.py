@@ -271,12 +271,12 @@ class TestChunkTokens:
         docs = _docs(spark, ["t0 t1 t2 t3 t4 t5 t6"])
         out = chunk_tokens(docs, chunk_size=4, overlap=2).collect()
         got = {r["chunk_id"]: r["chunk_text"] for r in out}
-        # step 2: starts 0,2,4,6; trailing chunks clamp at doc end
+        # step 2: starts 0,2,4 — a start at 6 (inside the final
+        # overlap) would emit 't6', a pure suffix of chunk 2
         assert got == {
             0: "t0 t1 t2 t3",
             1: "t2 t3 t4 t5",
             2: "t4 t5 t6",
-            3: "t6",
         }
 
     def test_every_token_covered_and_case_preserved(self, spark):
