@@ -476,9 +476,14 @@ def semantic_prune(
         .distinct()
         .withColumn("__pruned", F.lit(True))
     )
+    # shuffle-hash, not sort-merge: both sides are corpus-scale (the
+    # pruned set can approach corpus size, so broadcast is NOT safe),
+    # and the join key is a unique id — hashing beats sorting two
+    # corpus-sized relations. AQE would often make this call at
+    # runtime; the hint pins it.
     return (
         corpus.select(id_col)
-        .join(pruned, id_col, "left")
+        .join(pruned.hint("shuffle_hash"), id_col, "left")
         .select(
             id_col,
             F.coalesce(F.col("__pruned"), F.lit(False)).alias("pruned"),
