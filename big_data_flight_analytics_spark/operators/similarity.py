@@ -67,12 +67,18 @@ def brute_force_topk(
     )
 
 
-def sign_bucket(vec_col: str = "embedding", bits: int = 4):
-    """Axis-aligned sign-LSH bucket id from the first ``bits`` components."""
+def sign_bucket(vec_col: str = "embedding", bits: int = 4, offset: int = 0):
+    """Axis-aligned sign-LSH bucket id from ``bits`` components starting
+    at dimension ``offset`` (0-based). Components beyond the vector's
+    length read as bit 0 (``element_at`` past the end is NULL) — pick
+    ``offset + bits <= dim`` for a genuinely independent probe."""
     v = F.col(vec_col)
     bucket = F.lit(0)
     for i in range(bits):
-        bit = F.when(F.element_at(v, i + 1) > 0, F.lit(1)).otherwise(F.lit(0))
+        bit = (
+            F.when(F.element_at(v, offset + i + 1) > 0, F.lit(1))
+            .otherwise(F.lit(0))
+        )
         bucket = bucket * 2 + bit
     return bucket
 
@@ -133,6 +139,7 @@ def _bucket_scored_pairs(
     target_bucket_size: int,
     corpus_count: int | None,
     ordered: bool,
+    probes: int = 1,
 ) -> DataFrame:
     """Exact-cosine-scored same-bucket candidate pairs — the shared
     candidate-generation core of ``embedding_neardup_pairs`` (ordered
@@ -141,6 +148,14 @@ def _bucket_scored_pairs(
     scheme (multi-probe, rotated bucketings, the persist-for-count
     pattern) belongs HERE — the d5 and v4 oracles both mirror this
     logic and must be updated in lockstep.
+
+    ``probes`` > 1 unions candidates from ``probes`` DISJOINT sign
+    windows (dimensions [p*bits, (p+1)*bits)): a pair straddling one
+    window's sign boundary is recovered by another — the recall lever
+    the single-probe scheme trades away. Cost is ~probes x the
+    candidate volume; duplicates are dropped before scoring reaches
+    the caller (a pair's sim is identical from every probe).
+    Requires ``probes * bits <= dim`` for independent probes.
     """
     if bits is None:
         if corpus_count is None:
@@ -149,37 +164,45 @@ def _bucket_scored_pairs(
             corpus = tracked_persist(corpus)
             corpus_count = corpus.count()
         bits = adaptive_bits(corpus_count, target_bucket_size)
-    sig = corpus.select(
-        F.col(id_col),
-        F.col(vec_col).alias("__v"),
-        l2_norm(F.col(vec_col)).alias("__n"),
-        sign_bucket(vec_col, bits).alias("__bucket"),
-    )
-    a = sig.select(
-        F.col(id_col).alias("vec_a"), F.col("__v").alias("__va"),
-        F.col("__n").alias("__na"), "__bucket",
-    )
-    b = sig.select(
-        F.col(id_col).alias("vec_b"), F.col("__v").alias("__vb"),
-        F.col("__n").alias("__nb"), "__bucket",
-    )
     pair_filter = (
         F.col("vec_a") < F.col("vec_b")
         if ordered
         else F.col("vec_a") != F.col("vec_b")
     )
-    return (
-        a.join(b, "__bucket")
-        .filter(pair_filter)
-        .select(
-            "vec_a",
-            "vec_b",
-            cosine_from_norms(
-                F.col("__va"), F.col("__vb"),
-                F.col("__na"), F.col("__nb"), dp=dp,
-            ).alias("sim"),
+    frames = []
+    for p in range(probes):
+        sig = corpus.select(
+            F.col(id_col),
+            F.col(vec_col).alias("__v"),
+            l2_norm(F.col(vec_col)).alias("__n"),
+            sign_bucket(vec_col, bits, offset=p * bits).alias("__bucket"),
         )
-    )
+        a = sig.select(
+            F.col(id_col).alias("vec_a"), F.col("__v").alias("__va"),
+            F.col("__n").alias("__na"), "__bucket",
+        )
+        b = sig.select(
+            F.col(id_col).alias("vec_b"), F.col("__v").alias("__vb"),
+            F.col("__n").alias("__nb"), "__bucket",
+        )
+        frames.append(
+            a.join(b, "__bucket")
+            .filter(pair_filter)
+            .select(
+                "vec_a",
+                "vec_b",
+                cosine_from_norms(
+                    F.col("__va"), F.col("__vb"),
+                    F.col("__na"), F.col("__nb"), dp=dp,
+                ).alias("sim"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    if len(frames) > 1:
+        out = out.dropDuplicates(["vec_a", "vec_b"])
+    return out
 
 
 def kmeans_centroids(
@@ -403,6 +426,7 @@ def knn_graph(
     dp: int = 4,
     target_bucket_size: int = 256,
     corpus_count: int | None = None,
+    probes: int = 1,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor graph over the whole corpus.
 
@@ -427,7 +451,7 @@ def knn_graph(
     """
     scored = _bucket_scored_pairs(
         corpus, id_col, vec_col, bits, dp, target_bucket_size,
-        corpus_count, ordered=False,
+        corpus_count, ordered=False, probes=probes,
     )
     w = Window.partitionBy("vec_a").orderBy(
         F.col("sim").desc(), F.col("vec_b").asc()

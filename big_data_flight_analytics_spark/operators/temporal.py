@@ -149,3 +149,74 @@ def session_stats(
         )
         .withColumn("duration_us", F.col("end_us") - F.col("start_us"))
     )
+
+
+def gap_fill(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_s: int = 3600,
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Regularize an irregular time series: fixed ``step_s`` grid per
+    key, last observation carried forward (LOCF) across empty buckets —
+    the hypertable resample/gap-fill operation (sensor feeds, metric
+    rollups) a time-series store does natively.
+
+    Per (key, bucket) the LATEST observation wins (max (ts, tie) —
+    deterministic under replay); the grid spans each key's own
+    [first, last] observed bucket, so a key absent for a while is
+    filled, not a key never seen. Output: (key, bucket_start_s,
+    value, is_observed).
+
+    Plan: one (key, bucket) row_number window to pick winners, one
+    per-key min/max agg, one ``sequence`` explode to build the grid
+    (grid rows ≈ span/step per key — generated, never shuffled raw),
+    one key-bucket left join, one key-partitioned LOCF window. Every
+    window partitions by key; grid generation is map-side from the
+    tiny bounds frame. At 100 TB the expensive input collapses to one
+    row per observed bucket BEFORE any join.
+    """
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col))
+    bucket = F.floor(us / (step_s * 1_000_000)).cast("bigint")
+    w_pick = Window.partitionBy(key_col, "__bucket").orderBy(
+        F.col(ts_col).desc(), F.col(tie_col).desc()
+    )
+    observed = (
+        df.select(
+            F.col(key_col),
+            bucket.alias("__bucket"),
+            F.col(ts_col),
+            F.col(tie_col),
+            F.col(value_col).alias("__val"),
+        )
+        .withColumn("__rn", F.row_number().over(w_pick))
+        .filter(F.col("__rn") == 1)
+        .select(key_col, "__bucket", "__val")
+    )
+    bounds = observed.groupBy(key_col).agg(
+        F.min("__bucket").alias("__mn"), F.max("__bucket").alias("__mx")
+    )
+    grid = bounds.select(
+        F.col(key_col),
+        F.explode(
+            F.sequence(F.col("__mn"), F.col("__mx"))
+        ).alias("__bucket"),
+    )
+    w_locf = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("__bucket").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(observed, [key_col, "__bucket"], "left")
+        .select(
+            F.col(key_col),
+            (F.col("__bucket") * step_s).alias("bucket_start_s"),
+            F.last("__val", ignorenulls=True).over(w_locf).alias(value_col),
+            F.col("__val").isNotNull().alias("is_observed"),
+        )
+    )

@@ -1093,6 +1093,53 @@ SELECT user_id, event_type, first_ts, first_event_id FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# TS1 — gap-fill / LOCF resample: each user's event `value` series
+# regularized onto a fixed 6-hour grid, empty buckets carrying the
+# last observation forward — the hypertable resample op. LOCF copies
+# exact doubles (no arithmetic), so the oracle hashes bit-exact.
+# ---------------------------------------------------------------------------
+
+TS1_STEP_S = 6 * 3600
+
+
+def ts1_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.temporal import gap_fill
+
+    events = load(spark, sf_dir, "events")
+    return gap_fill(events, step_s=TS1_STEP_S)
+
+
+TS1_SQL = f"""
+WITH obs AS (
+    SELECT user_id,
+           CAST(FLOOR(epoch_us(ts) / ({TS1_STEP_S} * 1000000.0)) AS BIGINT)
+               AS bucket,
+           value,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id,
+                   CAST(FLOOR(epoch_us(ts) / ({TS1_STEP_S} * 1000000.0))
+                        AS BIGINT)
+               ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+), per AS (
+    SELECT user_id, bucket, value FROM obs WHERE rn = 1
+), bounds AS (
+    SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx
+    FROM per GROUP BY user_id
+), grid AS (
+    SELECT user_id, unnest(range(mn, mx + 1)) AS bucket FROM bounds
+)
+SELECT g.user_id,
+       g.bucket * {TS1_STEP_S} AS bucket_start_s,
+       last_value(p.value IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       p.value IS NOT NULL AS is_observed
+FROM grid g LEFT JOIN per p USING (user_id, bucket)
+"""
+
+
 ANALYTIC_QUERIES = {
     "j9_asof_events_orders": j9_asof_events_orders,
     "s4_user_sessions": s4_user_sessions,
@@ -1117,6 +1164,7 @@ ANALYTIC_QUERIES = {
     "b3_event_transitions": b3_event_transitions,
     "a9_grouping_sets": a9_grouping_sets,
     "s6_first_touch": s6_first_touch,
+    "ts1_gap_fill": ts1_gap_fill,
 }
 
 ANALYTIC_ORACLES = {
@@ -1143,4 +1191,5 @@ ANALYTIC_ORACLES = {
     "b3_event_transitions": B3_SQL,
     "a9_grouping_sets": A9_SQL,
     "s6_first_touch": S6_SQL,
+    "ts1_gap_fill": TS1_SQL,
 }

@@ -135,6 +135,7 @@ _TIE_BREAK = [
     "v4_knn_graph",
     "q11_cheapest_suppliers",
     "d13_semantic_prune",
+    "ts1_gap_fill",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

@@ -1225,6 +1225,10 @@ WHERE ROUND(
 # ---------------------------------------------------------------------------
 
 KNN_K = 5
+KNN_PROBES = 2  # measured recall@5 vs exact kNN at sf0.01:
+#                 probes 1 -> 0.38, 2 -> 0.59, 4 -> 0.84, 8 -> 0.98
+#                 (near-isotropic synthetic vectors — the axis-sign
+#                 scheme's hardest case; see BASELINE.md)
 
 
 def v4_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1233,7 +1237,12 @@ def v4_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    return knn_graph(emb, k=KNN_K, target_bucket_size=NEARDUP_TARGET_BUCKET)
+    return knn_graph(
+        emb,
+        k=KNN_K,
+        target_bucket_size=NEARDUP_TARGET_BUCKET,
+        probes=KNN_PROBES,
+    )
 
 
 V4_SQL = f"""
@@ -1248,18 +1257,30 @@ WITH params AS (
     -- them (threshold 0.4) but a kNN graph ranks ALL pairs. float x
     -- float products are exact in double, so the double path is
     -- bit-identical cross-engine (verified at sf0.1).
+    -- Two DISJOINT sign windows (multi-probe): bucket0 over dims
+    -- [1, bits], bucket1 over [bits+1, 2*bits].
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding,
            list_sum(list_transform(range(1, bits + 1),
                i -> CASE WHEN embedding[i] > 0
-                         THEN (1 << (bits - i)) ELSE 0 END)) AS bucket
+                         THEN (1 << (bits - i)) ELSE 0 END)) AS bucket0,
+           list_sum(list_transform(range(1, bits + 1),
+               i -> CASE WHEN embedding[bits + i] > 0
+                         THEN (1 << (bits - i)) ELSE 0 END)) AS bucket1
     FROM embeddings, params
-), scored AS (
+), cand AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           a.embedding AS ea, b.embedding AS eb
+    FROM sig a JOIN sig b ON a.bucket0 = b.bucket0 AND a.vec_id <> b.vec_id
+    UNION
+    SELECT a.vec_id, b.vec_id, a.embedding, b.embedding
+    FROM sig a JOIN sig b ON a.bucket1 = b.bucket1 AND a.vec_id <> b.vec_id
+), scored AS (
+    SELECT vec_a, vec_b,
            ROUND(
-             list_dot_product(a.embedding, b.embedding) /
-             (sqrt(list_dot_product(a.embedding, a.embedding))
-              * sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS sim
-    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+             list_dot_product(ea, eb) /
+             (sqrt(list_dot_product(ea, ea))
+              * sqrt(list_dot_product(eb, eb))), 4) AS sim
+    FROM cand
 ), ranked AS (
     SELECT vec_a, vec_b, sim,
            CAST(ROW_NUMBER() OVER (PARTITION BY vec_a
@@ -1273,10 +1294,11 @@ SELECT vec_a, vec_b, sim, rank FROM ranked WHERE rank <= {KNN_K}
 
 # ---------------------------------------------------------------------------
 # D13 — SemDeDup-style semantic pruning: drop every vector with a
-# lower-id bucket mate above the d5 similarity threshold (greedy
-# keep-first within similar sets). Pure composition over the d5 pair
-# pipeline; output marks EVERY vector so the curation decision is
-# auditable, not just the survivor list.
+# lower-id bucket mate above the d5 similarity threshold
+# (chain-transitive — see the operator docstring for the
+# keep-one-per-cluster alternative). Pure composition over the d5
+# pair pipeline; output marks EVERY vector so the curation decision
+# is auditable, not just the survivor list.
 # ---------------------------------------------------------------------------
 
 

@@ -431,3 +431,28 @@ class TestSemanticPrune:
             for r in semantic_prune(emb, threshold=0.9, bits=1).collect()
         }
         assert got == {1: False, 2: True, 3: True}
+
+
+class TestKnnGraphRecall:
+    def test_multiprobe_recall_bound_on_real_corpus(self, spark):
+        """Measured contract: 4 disjoint sign probes recover >= 0.8 of
+        the exact top-5 graph on the sf0.01 embeddings (near-isotropic
+        vectors — the axis-sign scheme's hardest case). Single-probe
+        measured 0.38 on the same corpus; the probes lever is what
+        makes the graph usable there."""
+        emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(emb, emb, k=5).collect()
+        }
+        from big_data_flight_analytics_spark.operators.similarity import (
+            knn_graph,
+        )
+
+        approx = {
+            (r["vec_a"], r["vec_b"])
+            for r in knn_graph(
+                emb, k=5, target_bucket_size=128, probes=4
+            ).collect()
+        }
+        assert len(approx & exact) / len(exact) >= 0.8

@@ -334,3 +334,64 @@ class TestIvfEdgeCases:
         )
         out = ivf_topk(emb, emb, k=2, n_centroids=16, nprobe=16).collect()
         assert {r["query_id"] for r in out} == {0, 1, 2}
+
+
+class TestGapFill:
+    def _df(self, spark):
+        import datetime as dt
+
+        rows = [
+            # u1: observations in buckets 0, 3 (gap at 1, 2)
+            (1, "u1", dt.datetime(2024, 1, 1, 0, 30), 10.0),
+            (2, "u1", dt.datetime(2024, 1, 1, 3, 10), 40.0),
+            # u1 second observation in bucket 0: later ts wins
+            (3, "u1", dt.datetime(2024, 1, 1, 0, 45), 11.0),
+            # u2: single observation -> single-bucket grid
+            (4, "u2", dt.datetime(2024, 1, 1, 2, 5), 7.0),
+        ]
+        return spark.createDataFrame(
+            rows, "event_id long, user_id string, ts timestamp, value double"
+        )
+
+    def test_locf_and_grid(self, spark):
+        from big_data_flight_analytics_spark.operators.temporal import gap_fill
+
+        out = {
+            (r["user_id"], r["bucket_start_s"]): (r["value"], r["is_observed"])
+            for r in gap_fill(self._df(spark), step_s=3600).collect()
+        }
+        base = 1704067200  # 2024-01-01 00:00 UTC epoch seconds
+        assert out == {
+            ("u1", base + 0): (11.0, True),      # later obs in bucket wins
+            ("u1", base + 3600): (11.0, False),  # filled
+            ("u1", base + 7200): (11.0, False),  # filled
+            ("u1", base + 10800): (40.0, True),
+            ("u2", base + 7200): (7.0, True),
+        }
+
+    def test_tie_breaks_on_event_id(self, spark):
+        import datetime as dt
+
+        from big_data_flight_analytics_spark.operators.temporal import gap_fill
+
+        rows = [
+            (5, "u", dt.datetime(2024, 1, 1, 0, 0), 1.0),
+            (9, "u", dt.datetime(2024, 1, 1, 0, 0), 2.0),  # same ts, higher id
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id string, ts timestamp, value double"
+        )
+        (row,) = gap_fill(df, step_s=3600).collect()
+        assert row["value"] == 2.0 and row["is_observed"] is True
+
+    def test_no_unpartitioned_window(self, spark):
+        from big_data_flight_analytics_spark.operators.temporal import gap_fill
+
+        plan = (
+            gap_fill(self._df(spark), step_s=3600)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        import re
+
+        # every window spec carries a partition key
+        assert not re.search(r"windowspecdefinition\((?!user_id)", plan)
