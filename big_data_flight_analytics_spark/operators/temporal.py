@@ -176,16 +176,18 @@ def gap_fill(
     one key-bucket left join, one key-partitioned LOCF window. Every
     window partitions by key; grid generation is map-side from the
     tiny bounds frame. At 100 TB the expensive input collapses to one
-    row per observed bucket BEFORE any join.
+    row per observed bucket BEFORE any join, and that collapsed frame
+    is persisted — it feeds both the bounds/grid side and the final
+    join, and without the pin the window pipeline would execute twice.
     """
-    from pyspark.sql import Window
+    from big_data_flight_analytics_spark.cache import tracked_persist
 
-    us = F.unix_micros(F.col(ts_col))
+    us = _micros(ts_col)
     bucket = F.floor(us / (step_s * 1_000_000)).cast("bigint")
     w_pick = Window.partitionBy(key_col, "__bucket").orderBy(
         F.col(ts_col).desc(), F.col(tie_col).desc()
     )
-    observed = (
+    observed = tracked_persist(
         df.select(
             F.col(key_col),
             bucket.alias("__bucket"),

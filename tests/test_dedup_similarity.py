@@ -434,6 +434,10 @@ class TestSemanticPrune:
 
 
 class TestKnnGraphRecall:
+    @pytest.mark.skipif(
+        not os.path.exists(f"{SF001}/embeddings.parquet"),
+        reason="sf0.01 testdata not present",
+    )
     def test_multiprobe_recall_bound_on_real_corpus(self, spark):
         """Measured contract: 4 disjoint sign probes recover >= 0.8 of
         the exact top-5 graph on the sf0.01 embeddings (near-isotropic
