@@ -158,17 +158,27 @@ def gap_fill(
     value_col: str = "value",
     step_s: int = 3600,
     tie_col: str = "event_id",
+    method: str = "locf",
 ) -> DataFrame:
     """Regularize an irregular time series: fixed ``step_s`` grid per
-    key, last observation carried forward (LOCF) across empty buckets —
-    the hypertable resample/gap-fill operation (sensor feeds, metric
-    rollups) a time-series store does natively.
+    key, empty buckets filled by ``method`` — the hypertable
+    resample/gap-fill operation (sensor feeds, metric rollups) a
+    time-series store does natively.
+
+    ``method``: ``"locf"`` carries the last observation forward
+    (gauges, state-like series); ``"linear"`` interpolates between the
+    surrounding observations — ``prev + (next - prev) * frac`` with the
+    multiply/divide in that fixed association, and the interpolated
+    value rounded to 6dp, so a SQL oracle phrasing the same expression
+    hashes bit-exact. Observed buckets pass their value through
+    unmodified under both methods.
 
     Per (key, bucket) the LATEST observation wins (max (ts, tie) —
     deterministic under replay); the grid spans each key's own
     [first, last] observed bucket, so a key absent for a while is
-    filled, not a key never seen. Output: (key, bucket_start_s,
-    value, is_observed).
+    filled, not a key never seen (and under ``linear`` every gap has
+    both neighbors — the edges of the grid are always observed).
+    Output: (key, bucket_start_s, value, is_observed).
 
     Plan: one (key, bucket) row_number window to pick winners, one
     per-key min/max agg, one ``sequence`` explode to build the grid
@@ -208,17 +218,38 @@ def gap_fill(
             F.sequence(F.col("__mn"), F.col("__mx"))
         ).alias("__bucket"),
     )
-    w_locf = (
+    if method not in ("locf", "linear"):
+        raise ValueError(f"method must be 'locf' or 'linear', got {method!r}")
+    w_back = (
         Window.partitionBy(key_col)
         .orderBy(F.col("__bucket").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        grid.join(observed, [key_col, "__bucket"], "left")
-        .select(
-            F.col(key_col),
-            (F.col("__bucket") * step_s).alias("bucket_start_s"),
-            F.last("__val", ignorenulls=True).over(w_locf).alias(value_col),
-            F.col("__val").isNotNull().alias("is_observed"),
+    joined = grid.join(observed, [key_col, "__bucket"], "left")
+    if method == "locf":
+        value = F.last("__val", ignorenulls=True).over(w_back)
+    else:
+        w_fwd = (
+            Window.partitionBy(key_col)
+            .orderBy(F.col("__bucket").asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
+        obs_bucket = F.when(
+            F.col("__val").isNotNull(), F.col("__bucket")
+        )
+        prev_v = F.last("__val", ignorenulls=True).over(w_back)
+        prev_b = F.last(obs_bucket, ignorenulls=True).over(w_back)
+        next_v = F.first("__val", ignorenulls=True).over(w_fwd)
+        next_b = F.first(obs_bucket, ignorenulls=True).over(w_fwd)
+        interp = prev_v + (next_v - prev_v) * (
+            (F.col("__bucket") - prev_b) / (next_b - prev_b)
+        )
+        value = F.when(
+            F.col("__val").isNotNull(), F.col("__val")
+        ).otherwise(F.round(interp, 6))
+    return joined.select(
+        F.col(key_col),
+        (F.col("__bucket") * step_s).alias("bucket_start_s"),
+        value.alias(value_col),
+        F.col("__val").isNotNull().alias("is_observed"),
     )

@@ -1140,6 +1140,69 @@ FROM grid g LEFT JOIN per p USING (user_id, bucket)
 """
 
 
+# ---------------------------------------------------------------------------
+# TS2 — linear-interpolation gap fill: same grid as TS1, empty buckets
+# interpolate between the surrounding observations. The interpolation
+# expression keeps one fixed association (prev + (next-prev) * frac,
+# rounded 6dp) mirrored in the oracle so doubles hash bit-exact.
+# ---------------------------------------------------------------------------
+
+
+def ts2_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.temporal import gap_fill
+
+    events = load(spark, sf_dir, "events")
+    return gap_fill(events, step_s=TS1_STEP_S, method="linear")
+
+
+TS2_SQL = f"""
+WITH obs AS (
+    SELECT user_id,
+           CAST(FLOOR(epoch_us(ts) / ({TS1_STEP_S} * 1000000.0)) AS BIGINT)
+               AS bucket,
+           value,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id,
+                   CAST(FLOOR(epoch_us(ts) / ({TS1_STEP_S} * 1000000.0))
+                        AS BIGINT)
+               ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+), per AS (
+    SELECT user_id, bucket, value FROM obs WHERE rn = 1
+), bounds AS (
+    SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx
+    FROM per GROUP BY user_id
+), grid AS (
+    SELECT user_id, unnest(range(mn, mx + 1)) AS bucket FROM bounds
+), joined AS (
+    SELECT g.user_id, g.bucket, p.value AS v
+    FROM grid g LEFT JOIN per p USING (user_id, bucket)
+), ctx AS (
+    SELECT user_id, bucket, v,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+           last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+           first_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+           first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY bucket
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+    FROM joined
+)
+SELECT user_id,
+       bucket * {TS1_STEP_S} AS bucket_start_s,
+       CASE WHEN v IS NOT NULL THEN v
+            ELSE ROUND(pv + (nv - pv) * ((bucket - pb) / (nb - pb)), 6)
+       END AS value,
+       v IS NOT NULL AS is_observed
+FROM ctx
+"""
+
+
 ANALYTIC_QUERIES = {
     "j9_asof_events_orders": j9_asof_events_orders,
     "s4_user_sessions": s4_user_sessions,
@@ -1165,6 +1228,7 @@ ANALYTIC_QUERIES = {
     "a9_grouping_sets": a9_grouping_sets,
     "s6_first_touch": s6_first_touch,
     "ts1_gap_fill": ts1_gap_fill,
+    "ts2_interpolate": ts2_interpolate,
 }
 
 ANALYTIC_ORACLES = {
@@ -1192,4 +1256,5 @@ ANALYTIC_ORACLES = {
     "a9_grouping_sets": A9_SQL,
     "s6_first_touch": S6_SQL,
     "ts1_gap_fill": TS1_SQL,
+    "ts2_interpolate": TS2_SQL,
 }

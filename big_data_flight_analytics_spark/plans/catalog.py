@@ -136,6 +136,7 @@ _TIE_BREAK = [
     "q11_cheapest_suppliers",
     "d13_semantic_prune",
     "ts1_gap_fill",
+    "ts2_interpolate",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

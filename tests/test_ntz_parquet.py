@@ -109,6 +109,28 @@ class TestTemporalOperatorsOnRawNTZ:
         assert by_key[(7, 2)] == (1, 0)
         assert by_key[(8, 1)] == (1, 0)
 
+    def test_gap_fill_on_ntz(self, spark):
+        from big_data_flight_analytics_spark.operators.temporal import (
+            gap_fill,
+        )
+
+        out = gap_fill(_ntz_events(spark), step_s=3600)
+        got = {
+            (r["user_id"], r["bucket_start_s"]): (
+                r["value"],
+                r["is_observed"],
+            )
+            for r in out.collect()
+        }
+        base = 1704067200  # 2024-01-01 00:00 UTC
+        # user 7: bucket 0 latest obs is event 2 (00:10, value 2.0);
+        # bucket 1 holds event 3. user 8: single bucket.
+        assert got == {
+            (7, base): (2.0, True),
+            (7, base + 3600): (3.0, True),
+            (8, base): (4.0, True),
+        }
+
     def test_asof_join_ntz_probe_ltz_reference(self, spark):
         # mixed zoneness across the two sides — the worst case the
         # union-window pattern can see

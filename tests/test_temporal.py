@@ -395,3 +395,36 @@ class TestGapFill:
 
         # every window spec carries a partition key
         assert not re.search(r"windowspecdefinition\((?!user_id)", plan)
+
+    def test_linear_interpolation(self, spark):
+        import datetime as dt
+
+        from big_data_flight_analytics_spark.operators.temporal import gap_fill
+
+        rows = [
+            (1, "u", dt.datetime(2024, 1, 1, 0, 30), 10.0),
+            (2, "u", dt.datetime(2024, 1, 1, 3, 10), 40.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id string, ts timestamp, value double"
+        )
+        out = {
+            r["bucket_start_s"]: (r["value"], r["is_observed"])
+            for r in gap_fill(df, step_s=3600, method="linear").collect()
+        }
+        base = 1704067200
+        # buckets 0..3; gaps at 1,2 interpolate 10 -> 40 linearly
+        assert out == {
+            base + 0: (10.0, True),
+            base + 3600: (20.0, False),
+            base + 7200: (30.0, False),
+            base + 10800: (40.0, True),
+        }
+
+    def test_bad_method_raises(self, spark):
+        import pytest as _pytest
+
+        from big_data_flight_analytics_spark.operators.temporal import gap_fill
+
+        with _pytest.raises(ValueError):
+            gap_fill(self._df(spark), method="cubic")
