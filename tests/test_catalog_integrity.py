@@ -1,0 +1,36 @@
+"""Catalog-contract invariants, pinned as tests.
+
+catalog.py raises ValueError on sync drift at import time; these tests
+make the remaining invariants (the ones a bad edit could silently
+break without failing an import) first-class failures.
+"""
+
+from __future__ import annotations
+
+import inspect
+
+from big_data_flight_analytics_spark.plans.catalog import ORACLES, ORDER, QUERIES
+
+
+class TestCatalogIntegrity:
+    def test_every_query_has_an_oracle(self):
+        # the whole catalog is oracle-checked — a queries()-only entry
+        # would silently downgrade to the driver's rows-only check
+        assert set(ORACLES) == set(QUERIES)
+
+    def test_order_covers_catalog_exactly_once(self):
+        assert len(ORDER) == len(set(ORDER)) == len(QUERIES)
+
+    def test_oracles_are_nonempty_sql(self):
+        for name, sql in ORACLES.items():
+            assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+    def test_queries_take_spark_and_sf_dir(self):
+        for name, fn in QUERIES.items():
+            params = list(inspect.signature(fn).parameters)
+            assert len(params) == 2, (name, params)
+
+    def test_catalog_size_floor(self):
+        # growth-only guard: round 6 closed at 83 entries; losing
+        # entries (a bad merge, an accidental deletion) must fail loud
+        assert len(QUERIES) >= 83

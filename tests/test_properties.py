@@ -537,3 +537,122 @@ class TestChunkTokensProperties:
                 chunk_size,
                 overlap,
             )
+
+
+class TestOrderedFunnelProperties:
+    """ordered_funnel == a pure-Python earliest-completion simulation
+    on random event streams. The window formulation (one Exchange for
+    all steps) must be semantically identical to the sequential
+    definition: t_k = min ts of step-k events strictly after t_{k-1}.
+    Batch-evaluated: one Spark job per corpus."""
+
+    @staticmethod
+    def _reference(events, steps):
+        # events: list of (user, type, ts)
+        by_user: dict = {}
+        for u, t, ts in events:
+            by_user.setdefault(u, []).append((t, ts))
+        counts = [0] * len(steps)
+        for u, evs in by_user.items():
+            prev = None
+            for k, step in enumerate(steps):
+                cand = [
+                    ts
+                    for t, ts in evs
+                    if t == step and (prev is None or ts > prev)
+                ]
+                if not cand:
+                    break
+                prev = min(cand)
+                counts[k] += 1
+        return {s: c for s, c in zip(steps, counts)}
+
+    def test_matches_python_reference(self, spark):
+        from big_data_flight_analytics_spark.operators.behavior import (
+            ordered_funnel,
+        )
+
+        rng = random.Random(61)
+        types = ["a", "b", "c", "d"]
+        events = []
+        for i in range(800):
+            events.append(
+                (
+                    f"u{rng.randrange(40)}",
+                    rng.choice(types),
+                    # coarse timestamps force plenty of exact ties,
+                    # exercising the strict > boundary
+                    1_700_000_000_000_000 + rng.randrange(50) * 1_000_000,
+                )
+            )
+        df = spark.createDataFrame(
+            [
+                Row(
+                    user_id=u,
+                    event_type=t,
+                    ts=__import__("datetime").datetime.utcfromtimestamp(
+                        us / 1_000_000
+                    ),
+                )
+                for u, t, us in events
+            ]
+        )
+        for steps in [("a", "b"), ("a", "b", "c"), ("d", "a", "c", "b")]:
+            got = {
+                r["step"]: r["n_users"]
+                for r in ordered_funnel(df, steps).collect()
+            }
+            want = self._reference(
+                [
+                    (u, t, us)
+                    for u, t, us in events
+                ],
+                steps,
+            )
+            assert got == want, steps
+
+
+class TestEventTransitionsProperties:
+    def test_matches_python_reference(self, spark):
+        from big_data_flight_analytics_spark.operators.behavior import (
+            event_transitions,
+        )
+
+        rng = random.Random(17)
+        rows = []
+        for eid in range(600):
+            rows.append(
+                (
+                    eid,
+                    f"u{rng.randrange(25)}",
+                    rng.choice(["x", "y", "z"]),
+                    1_700_000_000_000_000 + rng.randrange(40) * 1_000_000,
+                )
+            )
+        # python reference: sort per user by (ts, event_id)
+        per_user: dict = {}
+        for eid, u, t, us in rows:
+            per_user.setdefault(u, []).append((us, eid, t))
+        want: dict = {}
+        for u, evs in per_user.items():
+            evs.sort()
+            for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+                want[(a, b)] = want.get((a, b), 0) + 1
+        df = spark.createDataFrame(
+            [
+                Row(
+                    event_id=eid,
+                    user_id=u,
+                    event_type=t,
+                    ts=__import__("datetime").datetime.utcfromtimestamp(
+                        us / 1_000_000
+                    ),
+                )
+                for eid, u, t, us in rows
+            ]
+        )
+        got = {
+            (r["from_type"], r["to_type"]): r["n_transitions"]
+            for r in event_transitions(df).collect()
+        }
+        assert got == want
