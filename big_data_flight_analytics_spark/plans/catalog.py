@@ -137,6 +137,7 @@ _TIE_BREAK = [
     "d13_semantic_prune",
     "ts1_gap_fill",
     "ts2_interpolate",
+    "d14_dedup_ensemble",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

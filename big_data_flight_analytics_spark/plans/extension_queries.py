@@ -1293,6 +1293,63 @@ SELECT vec_a, vec_b, sim, rank FROM ranked WHERE rank <= {KNN_K}
 
 
 # ---------------------------------------------------------------------------
+# D14 — dedup-method ensemble: the union of the three text near-dup
+# detectors (n-gram Jaccard, MinHash-LSH, SimHash) with per-method
+# provenance flags — the agreement/complementarity report a curation
+# pipeline uses to pick its method mix. Pure composition: reuses d2's
+# shared pair stage in single-pass runs; the ensemble adds one
+# small-key aggregation over the union of pair lists (pair lists, not
+# posting lists — the cheap side of each pipeline).
+# ---------------------------------------------------------------------------
+
+
+def d14_dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    j = d2_ngram_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b",
+        F.lit(1).alias("__j"), F.lit(0).alias("__m"), F.lit(0).alias("__s"),
+    )
+    m = d3_minhash_lsh(spark, sf_dir).select(
+        "doc_a", "doc_b",
+        F.lit(0).alias("__j"), F.lit(1).alias("__m"), F.lit(0).alias("__s"),
+    )
+    s = d4_simhash(spark, sf_dir).select(
+        "doc_a", "doc_b",
+        F.lit(0).alias("__j"), F.lit(0).alias("__m"), F.lit(1).alias("__s"),
+    )
+    return (
+        j.unionByName(m)
+        .unionByName(s)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (F.max("__j") == 1).alias("by_jaccard"),
+            (F.max("__m") == 1).alias("by_minhash"),
+            (F.max("__s") == 1).alias("by_simhash"),
+            (F.max("__j") + F.max("__m") + F.max("__s"))
+            .cast("int")
+            .alias("n_methods"),
+        )
+    )
+
+
+D14_SQL = f"""
+WITH u AS (
+    SELECT doc_a, doc_b, 1 AS jj, 0 AS mm, 0 AS ss
+    FROM ( {D2_SQL} )
+    UNION ALL
+    SELECT doc_a, doc_b, 0, 1, 0 FROM ( {D3_SQL} )
+    UNION ALL
+    SELECT doc_a, doc_b, 0, 0, 1 FROM ( {D4_SQL} )
+)
+SELECT doc_a, doc_b,
+       MAX(jj) = 1 AS by_jaccard,
+       MAX(mm) = 1 AS by_minhash,
+       MAX(ss) = 1 AS by_simhash,
+       CAST(MAX(jj) + MAX(mm) + MAX(ss) AS INTEGER) AS n_methods
+FROM u GROUP BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # D13 — SemDeDup-style semantic pruning: drop every vector with a
 # lower-id bucket mate above the d5 similarity threshold
 # (chain-transitive — see the operator docstring for the
@@ -1714,6 +1771,7 @@ EXTENSION_QUERIES = {
     "d5_embedding_neardup": d5_embedding_neardup,
     "v4_knn_graph": v4_knn_graph,
     "d13_semantic_prune": d13_semantic_prune,
+    "d14_dedup_ensemble": d14_dedup_ensemble,
     "d6_dedup_clusters": d6_dedup_clusters,
     "d7_decontamination": d7_decontamination,
     "d8_curated_corpus": d8_curated_corpus,
@@ -1748,6 +1806,7 @@ EXTENSION_ORACLES = {
     "d5_embedding_neardup": D5_SQL,
     "v4_knn_graph": V4_SQL,
     "d13_semantic_prune": D13_SQL,
+    "d14_dedup_ensemble": D14_SQL,
     "d6_dedup_clusters": D6_SQL,
     "d7_decontamination": D7_SQL,
     "d8_curated_corpus": D8_SQL,
