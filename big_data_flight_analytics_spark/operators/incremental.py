@@ -66,6 +66,104 @@ def merge_partial_aggregates(
     )
 
 
+def dedup_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Build the persisted exact-dedup state: fingerprint -> canonical.
+
+    One row per distinct content fingerprint with the corpus-wide
+    canonical (min id) and the duplicate count. This is the frame a
+    pipeline persists between ingest batches — at 100 TB it should be
+    written BUCKETED by ``fingerprint`` (``sources/bucketed.py``) so
+    every later ``dedup_delta`` refresh joins against it without
+    re-shuffling the index.
+    """
+    from pyspark.sql import functions as F
+
+    from big_data_flight_analytics_spark.functions.text import rolling_fingerprint
+
+    return (
+        df.select(rolling_fingerprint(F.col(text_col)).alias("fingerprint"), id_col)
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def dedup_delta(
+    index: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup ONE new ingest batch against a persisted index: O(delta) work.
+
+    The 100 TB ingest pattern: the corpus-wide dedup state lives as a
+    ``dedup_index`` frame; each arriving batch is fingerprinted, deduped
+    within itself (one shuffle over the DELTA only), then left-joined
+    against the index — never a rescan or re-shuffle of the full corpus.
+    With the index stored bucketed by fingerprint the join is
+    shuffle-free on the index side; the delta side moves O(|delta|)
+    rows regardless of corpus size.
+
+    Returns ``(assignments, updated_index)``:
+
+    - ``assignments`` — one row per NEW doc: ``(id, fingerprint,
+      canonical_doc_id, dup_of_index)``. The canonical is the min id
+      across index AND delta (``least`` handles out-of-order ids), so
+      chained refreshes agree with a from-scratch rebuild.
+    - ``updated_index`` — the next round's state: same shape as
+      ``dedup_index``, and EXACTLY equal to rebuilding the index over
+      the union (the associativity contract shared with
+      ``merge_partial_aggregates``; min/count are algebraic).
+
+    Exact-once delivery caveat applies as for partial aggregates: a
+    delta folded twice inflates ``dup_count`` (canonicals stay correct
+    — min is idempotent).
+    """
+    from pyspark.sql import functions as F
+
+    from big_data_flight_analytics_spark.functions.text import rolling_fingerprint
+
+    delta_fp = new_docs.select(
+        rolling_fingerprint(F.col(text_col)).alias("fingerprint"), id_col
+    )
+    delta_groups = delta_fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias("__delta_canonical"),
+        F.count(F.lit(1)).alias("__delta_count"),
+    )
+    idx = index.select(
+        "fingerprint",
+        F.col("canonical_doc_id").alias("__idx_canonical"),
+        F.col("dup_count").alias("__idx_count"),
+    )
+    resolved = delta_groups.join(idx, "fingerprint", "left").select(
+        "fingerprint",
+        F.least(
+            F.coalesce("__idx_canonical", "__delta_canonical"), "__delta_canonical"
+        ).alias("canonical_doc_id"),
+        F.col("__idx_canonical").isNotNull().alias("dup_of_index"),
+        (F.coalesce("__idx_count", F.lit(0)) + F.col("__delta_count")).alias(
+            "dup_count"
+        ),
+    )
+    assignments = delta_fp.join(
+        resolved.select("fingerprint", "canonical_doc_id", "dup_of_index"),
+        "fingerprint",
+    ).select(id_col, "fingerprint", "canonical_doc_id", "dup_of_index")
+    untouched = idx.join(delta_groups, "fingerprint", "left_anti").select(
+        "fingerprint",
+        F.col("__idx_canonical").alias("canonical_doc_id"),
+        F.col("__idx_count").alias("dup_count"),
+    )
+    updated_index = untouched.unionByName(
+        resolved.select("fingerprint", "canonical_doc_id", "dup_count")
+    )
+    return assignments, updated_index
+
+
 def hll_partials(
     df: DataFrame,
     keys: Sequence[str],

@@ -138,6 +138,7 @@ _TIE_BREAK = [
     "ts1_gap_fill",
     "ts2_interpolate",
     "d14_dedup_ensemble",
+    "i2_dedup_delta",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

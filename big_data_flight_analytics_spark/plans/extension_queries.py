@@ -1744,8 +1744,62 @@ FROM ranked WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# I2 — incremental dedup maintenance: the persisted fingerprint index
+# absorbs one new ingest batch with O(delta) work (delta-only shuffle +
+# one join against the index; the index never re-shuffles when stored
+# bucketed by fingerprint). The catalog entry deterministically splits
+# documents into a 90% "already indexed" corpus and a 10% arrival
+# batch; the oracle restates the same assignment rule from scratch, so
+# the delta path must be invisible in the result — the same contract as
+# i1's algebraic-partials merge.
+# ---------------------------------------------------------------------------
+
+
+def i2_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.incremental import (
+        dedup_delta,
+        dedup_index,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    assignments, _updated = dedup_delta(dedup_index(base), delta)
+    return assignments.select(
+        "doc_id", "fingerprint", "canonical_doc_id", "dup_of_index"
+    )
+
+
+I2_SQL = r"""
+WITH fp AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(COALESCE(text, '')), '\s+', ' ', 'g')))
+               AS fingerprint
+    FROM documents
+), delta AS (
+    SELECT * FROM fp WHERE doc_id % 10 = 0
+), base_idx AS (
+    SELECT fingerprint, MIN(doc_id) AS base_canonical
+    FROM fp WHERE doc_id % 10 <> 0 GROUP BY 1
+), delta_min AS (
+    SELECT fingerprint, MIN(doc_id) AS delta_canonical
+    FROM delta GROUP BY 1
+)
+SELECT d.doc_id,
+       d.fingerprint,
+       LEAST(COALESCE(b.base_canonical, dm.delta_canonical),
+             dm.delta_canonical) AS canonical_doc_id,
+       b.base_canonical IS NOT NULL AS dup_of_index
+FROM delta d
+JOIN delta_min dm USING (fingerprint)
+LEFT JOIN base_idx b USING (fingerprint)
+"""
+
+
 EXTENSION_QUERIES = {
     "t1_text_stats": t1_text_stats,
+    "i2_dedup_delta": i2_dedup_delta,
     "t3_gopher_metrics": t3_gopher_metrics,
     "t4_tfidf_top_terms": t4_tfidf_top_terms,
     "t5_ngram_counts": t5_ngram_counts,
@@ -1781,6 +1835,7 @@ EXTENSION_QUERIES = {
 
 EXTENSION_ORACLES = {
     "t1_text_stats": T1_SQL,
+    "i2_dedup_delta": I2_SQL,
     "t3_gopher_metrics": T3_SQL,
     "t4_tfidf_top_terms": T4_SQL,
     "t5_ngram_counts": T5_SQL,

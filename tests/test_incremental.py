@@ -205,3 +205,84 @@ class TestHllIncremental:
 
         with pytest.raises(ValueError):
             merge_hll_partials([], ["day"])
+
+
+class TestDedupDelta:
+    """Incremental dedup-index maintenance == from-scratch rebuild."""
+
+    @staticmethod
+    def _docs(spark, lo, hi):
+        # duplicate texts across the whole id range (i % 7) so delta
+        # batches collide with the base corpus and with themselves
+        rows = [Row(doc_id=i, text=f"doc body {i % 7} words") for i in range(lo, hi)]
+        return spark.createDataFrame(rows)
+
+    def test_updated_index_equals_rebuild(self, spark):
+        from big_data_flight_analytics_spark.operators.incremental import (
+            dedup_delta,
+            dedup_index,
+        )
+
+        base = self._docs(spark, 0, 60)
+        delta = self._docs(spark, 60, 90)
+        _assign, updated = dedup_delta(dedup_index(base), delta)
+        rebuilt = dedup_index(base.unionByName(delta))
+        got = sorted(tuple(r) for r in updated.collect())
+        want = sorted(tuple(r) for r in rebuilt.collect())
+        assert got == want
+
+    def test_assignments_match_global_canonicals(self, spark):
+        from big_data_flight_analytics_spark.operators.incremental import (
+            dedup_delta,
+            dedup_index,
+        )
+
+        base = self._docs(spark, 0, 60)
+        delta = self._docs(spark, 60, 90)
+        assign, _updated = dedup_delta(dedup_index(base), delta)
+        rows = assign.collect()
+        assert len(rows) == 30  # one per delta doc
+        rebuilt = {
+            r["fingerprint"]: r["canonical_doc_id"]
+            for r in dedup_index(base.unionByName(delta)).collect()
+        }
+        for r in rows:
+            assert r["canonical_doc_id"] == rebuilt[r["fingerprint"]]
+            assert r["dup_of_index"]  # every i%7 text exists in base
+
+    def test_chained_refreshes_equal_one_shot(self, spark):
+        from big_data_flight_analytics_spark.operators.incremental import (
+            dedup_delta,
+            dedup_index,
+        )
+
+        base = self._docs(spark, 0, 40)
+        d1 = self._docs(spark, 40, 70)
+        d2 = self._docs(spark, 70, 100)
+        _a1, idx1 = dedup_delta(dedup_index(base), d1)
+        _a2, idx2 = dedup_delta(idx1, d2)
+        rebuilt = dedup_index(base.unionByName(d1).unionByName(d2))
+        got = sorted(tuple(r) for r in idx2.collect())
+        want = sorted(tuple(r) for r in rebuilt.collect())
+        assert got == want
+
+    def test_novel_delta_content_not_marked_index_dup(self, spark):
+        from big_data_flight_analytics_spark.operators.incremental import (
+            dedup_delta,
+            dedup_index,
+        )
+
+        base = self._docs(spark, 0, 20)
+        delta = spark.createDataFrame(
+            [Row(doc_id=100, text="entirely new content"),
+             Row(doc_id=101, text="entirely new content"),
+             Row(doc_id=102, text="doc body 3 words")]
+        )
+        assign, _ = dedup_delta(dedup_index(base), delta)
+        by_id = {r["doc_id"]: r for r in assign.collect()}
+        assert not by_id[100]["dup_of_index"]
+        assert by_id[100]["canonical_doc_id"] == 100
+        assert not by_id[101]["dup_of_index"]
+        assert by_id[101]["canonical_doc_id"] == 100  # delta-internal dup
+        assert by_id[102]["dup_of_index"]
+        assert by_id[102]["canonical_doc_id"] == 3
