@@ -25,6 +25,8 @@ equal-time references.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -252,4 +254,61 @@ def gap_fill(
         (F.col("__bucket") * step_s).alias("bucket_start_s"),
         value.alias(value_col),
         F.col("__val").isNotNull().alias("is_observed"),
+    )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key: str,
+    order: Sequence[str],
+    int_value_col: str,
+    window: int = 5,
+    min_periods: int = 3,
+    out_col: str = "zscore",
+) -> DataFrame:
+    """Trailing-window z-score per key: distributed anomaly detection.
+
+    For each row, scores ``int_value_col`` against the PRECEDING
+    ``window`` rows of its key (current row excluded — the classic
+    online-anomaly frame where a spike must not mask itself). Rows with
+    fewer than ``min_periods`` trailing observations, or a
+    zero-variance trail, get NULL.
+
+    Exactness contract (what makes this oracle-checkable bit-for-bit):
+    the value column must be an exact INTEGER grain (e.g. cents, not
+    dollars-as-double). count/sum/sum-of-squares over the frame are
+    then exact int64 arithmetic in any accumulation order, and the
+    float work collapses to ONE cast chain:
+
+        z = (x*n - s) / sqrt(n*ss - s*s)        -- == (x - mean)/stddev_pop
+
+    — two exact int64 -> double casts, one IEEE sqrt (correctly
+    rounded), one IEEE division, rounded to 6dp. Every engine computes
+    identical bits. A double-valued input would instead make the frame
+    SUM depend on accumulation order (Spark recomputes sliding frames;
+    DuckDB uses segment trees), which diverges in the last ulp.
+
+    Scale shape: ONE shuffle on ``key``; the frame is O(window) state
+    per row inside Tungsten's window operator — no self-join, no
+    per-key collect. At 100 TB this is the plan you want for per-entity
+    telemetry scoring.
+    """
+    from pyspark.sql import Window as _Window
+
+    frame = (
+        _Window.partitionBy(key)
+        .orderBy(*[F.col(c).asc() for c in order])
+        .rowsBetween(-window, -1)
+    )
+    v = F.col(int_value_col)
+    n = F.count(v).over(frame)
+    s = F.sum(v).over(frame)
+    ss = F.sum(v * v).over(frame)
+    var_num = n * ss - s * s
+    z = F.round(
+        (v * n - s).cast("double") / F.sqrt(var_num.cast("double")), 6
+    )
+    return df.withColumn(
+        out_col,
+        F.when((n >= min_periods) & (var_num > 0), z),
     )

@@ -1203,8 +1203,78 @@ FROM ctx
 """
 
 
+# ---------------------------------------------------------------------------
+# TS3 — trailing-window z-score anomalies: each order scored against
+# its customer's previous 5 orders; |z| > 2 flags the spike/crash
+# rows. The operator demands an exact integer value grain (cents via
+# floor(x*100 + 0.5) — identical double arithmetic in both engines),
+# which keeps every frame aggregate exact int64 and the z expression a
+# single deterministic IEEE cast/sqrt/divide chain. One shuffle on the
+# customer key; O(window) state per row.
+# ---------------------------------------------------------------------------
+
+
+def ts3_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.temporal import rolling_zscore
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("__cents"),
+    )
+    scored = rolling_zscore(
+        orders,
+        key="o_custkey",
+        order=["o_orderdate", "o_orderkey"],
+        int_value_col="__cents",
+        window=5,
+        min_periods=3,
+    )
+    return scored.filter(F.abs(F.col("zscore")) > 2).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_totalprice").alias("totalprice"),
+        "zscore",
+    )
+
+
+TS3_SQL = """
+WITH c AS (
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders
+), w AS (
+    SELECT o_custkey, o_orderkey, o_totalprice, cents,
+           COUNT(cents) OVER f AS n,
+           SUM(cents) OVER f AS s,
+           SUM(cents * cents) OVER f AS ss
+    FROM c
+    WINDOW f AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+), z AS (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CASE WHEN n >= 3 AND n * ss - s * s > 0
+                THEN ROUND(CAST(cents * n - s AS DOUBLE)
+                           / sqrt(CAST(n * ss - s * s AS DOUBLE)), 6)
+           END AS zscore
+    FROM w
+)
+SELECT o_custkey AS custkey,
+       o_orderkey AS orderkey,
+       o_totalprice AS totalprice,
+       zscore
+FROM z
+WHERE ABS(zscore) > 2
+"""
+
+
 ANALYTIC_QUERIES = {
     "j9_asof_events_orders": j9_asof_events_orders,
+    "ts3_rolling_zscore": ts3_rolling_zscore,
     "s4_user_sessions": s4_user_sessions,
     "s5_session_windows": s5_session_windows,
     "a8_rollup_revenue": a8_rollup_revenue,
@@ -1257,4 +1327,5 @@ ANALYTIC_ORACLES = {
     "s6_first_touch": S6_SQL,
     "ts1_gap_fill": TS1_SQL,
     "ts2_interpolate": TS2_SQL,
+    "ts3_rolling_zscore": TS3_SQL,
 }

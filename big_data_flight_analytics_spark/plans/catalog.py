@@ -139,6 +139,7 @@ _TIE_BREAK = [
     "ts2_interpolate",
     "d14_dedup_ensemble",
     "i2_dedup_delta",
+    "ts3_rolling_zscore",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

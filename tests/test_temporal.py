@@ -428,3 +428,44 @@ class TestGapFill:
 
         with _pytest.raises(ValueError):
             gap_fill(self._df(spark), method="cubic")
+
+
+class TestRollingZscore:
+    @staticmethod
+    def _df(spark):
+        from pyspark.sql import Row
+
+        # one key with a stable run then a spike; one constant key
+        rows = [Row(k="a", t=i, v=100) for i in range(5)]
+        rows[3] = Row(k="a", t=3, v=104)  # mild variance in the trail
+        rows.append(Row(k="a", t=5, v=500))  # spike
+        rows += [Row(k="b", t=i, v=7) for i in range(4)]  # zero variance
+        return spark.createDataFrame(rows)
+
+    def test_spike_scores_high_and_trail_excludes_current(self, spark):
+        from big_data_flight_analytics_spark.operators.temporal import (
+            rolling_zscore,
+        )
+
+        out = rolling_zscore(
+            self._df(spark), key="k", order=["t"], int_value_col="v",
+            window=5, min_periods=3,
+        )
+        by = {(r["k"], r["t"]): r["zscore"] for r in out.collect()}
+        # trail of t=5 is [100,100,100,104,100]: mean 100.8, std 1.6
+        assert by[("a", 5)] == round((500 - 100.8) / 1.6, 6)
+        # fewer than min_periods trailing rows -> NULL
+        assert by[("a", 0)] is None and by[("a", 2)] is None
+        # zero-variance trail -> NULL, not inf
+        assert by[("b", 3)] is None
+
+    def test_one_shuffle_plan(self, spark):
+        from big_data_flight_analytics_spark.operators.temporal import (
+            rolling_zscore,
+        )
+
+        out = rolling_zscore(
+            self._df(spark), key="k", order=["t"], int_value_col="v"
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
