@@ -158,3 +158,49 @@ def event_transitions(
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
     )
+
+
+def top_paths(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order: Sequence[str] = ("ts", "event_id"),
+    k_steps: int = 5,
+    sep: str = ">",
+) -> DataFrame:
+    """Count users by their first-``k_steps`` ordered event path.
+
+    The navigation-analysis staple: each user's journey prefix
+    ("click>view>purchase...") tallied across the population. Ordering
+    must include a unique tie-break column (``order`` defaults to
+    ``(ts, event_id)``) so the path string is deterministic.
+
+    Plan shape: the row_number window, the per-user path collapse, and
+    nothing else touch fact rows — both are partitioned by the user
+    hash, so Catalyst reuses ONE Exchange for the window AND the
+    groupBy; the final path tally shuffles only one row per user.
+    Per-user state is bounded by ``k_steps`` (the collect_list runs on
+    the <= k_steps surviving rows, never the full history), so the
+    collapse is skew-safe even for pathological single-user feeds.
+    """
+    from pyspark.sql import Window as _Window
+
+    w = _Window.partitionBy(user_col).orderBy(
+        *[F.col(c).asc() for c in order]
+    )
+    firstk = (
+        events.select(user_col, type_col, *order)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k_steps)
+    )
+    ordered_struct = F.array_sort(
+        F.collect_list(F.struct(*[F.col(c) for c in order], F.col(type_col)))
+    )
+    paths = firstk.groupBy(user_col).agg(
+        F.array_join(
+            F.transform(ordered_struct, lambda x: x[type_col]), sep
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

@@ -1272,9 +1272,39 @@ WHERE ABS(zscore) > 2
 """
 
 
+# ---------------------------------------------------------------------------
+# B4 — first-k ordered path tally: each user's first-5 event-type
+# journey prefix counted across the population. One Exchange serves
+# both the ranking window and the per-user collapse (same user-hash
+# partitioning); the path tally shuffles one row per user.
+# ---------------------------------------------------------------------------
+
+
+def b4_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.behavior import top_paths
+
+    return top_paths(load(spark, sf_dir, "events"), k_steps=5)
+
+
+B4_SQL = """
+WITH ranked AS (
+    SELECT user_id, ts, event_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts ASC, event_id ASC) AS rn
+    FROM events
+), paths AS (
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts ASC, event_id ASC) AS path
+    FROM ranked WHERE rn <= 5 GROUP BY user_id
+)
+SELECT path, COUNT(*) AS n_users FROM paths GROUP BY 1
+"""
+
+
 ANALYTIC_QUERIES = {
     "j9_asof_events_orders": j9_asof_events_orders,
     "ts3_rolling_zscore": ts3_rolling_zscore,
+    "b4_top_paths": b4_top_paths,
     "s4_user_sessions": s4_user_sessions,
     "s5_session_windows": s5_session_windows,
     "a8_rollup_revenue": a8_rollup_revenue,
@@ -1328,4 +1358,5 @@ ANALYTIC_ORACLES = {
     "ts1_gap_fill": TS1_SQL,
     "ts2_interpolate": TS2_SQL,
     "ts3_rolling_zscore": TS3_SQL,
+    "b4_top_paths": B4_SQL,
 }

@@ -140,6 +140,7 @@ _TIE_BREAK = [
     "d14_dedup_ensemble",
     "i2_dedup_delta",
     "ts3_rolling_zscore",
+    "b4_top_paths",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

@@ -178,3 +178,54 @@ class TestEventTransitions:
             rows, "event_id long, user_id string, event_type string, ts timestamp"
         )
         assert event_transitions(df).count() == 0
+
+
+class TestTopPaths:
+    def test_paths_ordered_and_truncated(self, spark):
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.operators.behavior import top_paths
+
+        rows = [
+            # user 1: out-of-order arrival, path must follow ts
+            Row(user_id=1, event_id=3, ts=3, event_type="c"),
+            Row(user_id=1, event_id=1, ts=1, event_type="a"),
+            Row(user_id=1, event_id=2, ts=2, event_type="b"),
+            # user 2: same path
+            Row(user_id=2, event_id=4, ts=1, event_type="a"),
+            Row(user_id=2, event_id=5, ts=2, event_type="b"),
+            Row(user_id=2, event_id=6, ts=3, event_type="c"),
+            # user 3: 4 events, k_steps=3 truncates
+            Row(user_id=3, event_id=7, ts=1, event_type="a"),
+            Row(user_id=3, event_id=8, ts=2, event_type="x"),
+            Row(user_id=3, event_id=9, ts=3, event_type="y"),
+            Row(user_id=3, event_id=10, ts=4, event_type="z"),
+        ]
+        out = top_paths(spark.createDataFrame(rows), k_steps=3)
+        got = {r["path"]: r["n_users"] for r in out.collect()}
+        assert got == {"a>b>c": 2, "a>x>y": 1}
+
+    def test_tie_break_on_event_id(self, spark):
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.operators.behavior import top_paths
+
+        rows = [
+            Row(user_id=1, event_id=2, ts=1, event_type="b"),
+            Row(user_id=1, event_id=1, ts=1, event_type="a"),
+        ]
+        out = top_paths(spark.createDataFrame(rows), k_steps=5)
+        assert out.collect()[0]["path"] == "a>b"
+
+    def test_single_exchange_feeds_window_and_collapse(self, spark):
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.operators.behavior import top_paths
+
+        df = spark.createDataFrame(
+            [Row(user_id=i % 3, event_id=i, ts=i, event_type="t") for i in range(9)]
+        )
+        plan = top_paths(df)._jdf.queryExecution().executedPlan().toString()
+        # one Exchange on user hash (window + groupBy(user)) + one for
+        # the final path tally — never three
+        assert plan.count("Exchange") == 2
