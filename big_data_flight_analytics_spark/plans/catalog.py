@@ -141,6 +141,7 @@ _TIE_BREAK = [
     "i2_dedup_delta",
     "ts3_rolling_zscore",
     "b4_top_paths",
+    "q12_small_quantity_revenue",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

@@ -1135,7 +1135,63 @@ WHERE l_extendedprice = (
 """
 
 
+# ---------------------------------------------------------------------------
+# Q12 — small-quantity revenue by brand (TPC-H Q17 shape): lineitems
+# whose quantity falls below 20% of their part's average quantity. The
+# oracle keeps the textbook CORRELATED scalar subquery; the Spark plan
+# decorrelates it into one per-part aggregate + an equi-join — the
+# probe-side shuffle lands on the same l_partkey hash partitioning the
+# aggregate just produced, and the brand dim is a broadcast.
+# Determinism: quantities are integral (sums exact in double any
+# order); the threshold is ONE division then one multiply (0.2*(s/n),
+# same association both engines); revenue accumulates in exact int64
+# cents (floor(x*100+0.5) — identical double arithmetic both engines).
+# ---------------------------------------------------------------------------
+
+
+def q12_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_quantity",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("__cents"),
+    )
+    stats = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    small = li.join(stats, "l_partkey").filter(
+        F.col("l_quantity") < F.lit(0.2) * (F.col("__s") / F.col("__n"))
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        small.join(
+            F.broadcast(part), small.l_partkey == part.p_partkey, "inner"
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("__cents").alias("revenue_cents"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT p_brand,
+       COUNT(*) AS n_items,
+       SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+           AS revenue_cents
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_quantity < 0.2 * (
+    SELECT SUM(l2.l_quantity) / COUNT(*)
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+)
+GROUP BY 1
+"""
+
+
 RELATIONAL_QUERIES = {
+    "q12_small_quantity_revenue": q12_small_quantity_revenue,
     "q1_supplier_stats": q1_supplier_stats,
     "q2_status_priority_delays": q2_status_priority_delays,
     "q3_busiest_customers": q3_busiest_customers,
@@ -1193,4 +1249,5 @@ RELATIONAL_ORACLES = {
     "a7_price_percentiles": A7_SQL,
     "s3_sliding_window_users": S3_SQL,
     "q11_cheapest_suppliers": Q11_SQL,
+    "q12_small_quantity_revenue": Q12_SQL,
 }
