@@ -524,3 +524,168 @@ def semantic_prune(
             F.coalesce(F.col("__pruned"), F.lit(False)).alias("pruned"),
         )
     )
+
+
+def quantize_vectors(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector int8 scalar quantization: the 4x-smaller ANN index.
+
+    Each vector is affinely mapped onto [0, 255] by its own min/max
+    (``q_i = floor((x_i - min)/scale + 0.5)``); the frame keeps the
+    codes plus the original vector. At 100 TB the codes are what the
+    candidate stage scans — a quarter of the float32 bytes, so 4x the
+    vectors per executor-memory-byte — and the floats are only fetched
+    for the small rerank set.
+
+    Every arithmetic step is an explicit double op (identical IEEE
+    bits in any engine); the codes themselves are exact integers.
+    Alongside the codes the index row carries the reconstruction
+    parameters (``amin``, ``scale``, the code sum, the vector's true
+    l2 norm and its length) — the per-vector scalars every SQ index
+    stores so a pair's approximate dot product can be RECONSTRUCTED
+    from pure per-pair integer work:
+
+        dot(a,b) ~ d*amin_a*amin_b + amin_a*s_b*sum(q_b)
+                   + amin_b*s_a*sum(q_a) + s_a*s_b*sum(q_a*q_b)
+
+    (only the last term is pair-dependent; everything else is indexed.)
+    """
+    v = F.col(vec_col)
+    amin = F.array_min(v).cast("double")
+    amax = F.array_max(v).cast("double")
+    staged = df.select(
+        F.col(id_col),
+        v.alias(vec_col),
+        amin.alias("amin"),
+        F.when(amax > amin, (amax - amin) / F.lit(255.0))
+        .otherwise(F.lit(1.0))
+        .alias("scale"),
+    )
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(
+            (x.cast("double") - F.col("amin")) / F.col("scale") + F.lit(0.5)
+        ).cast("long"),
+    )
+    return staged.select(
+        id_col,
+        vec_col,
+        qv.alias("qv"),
+        "amin",
+        "scale",
+        F.aggregate(
+            qv, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("qsum"),
+        F.size(v).alias("dim"),
+        l2_norm(v).alias("norm"),
+    )
+
+
+def _int_dot(a, b):
+    """Exact int64 dot product of two code arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    expand: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dp: int = 4,
+) -> DataFrame:
+    """Top-k cosine neighbors via int8-code candidates + exact rerank.
+
+    Two-stage ANN: (1) rank the corpus per query by the RECONSTRUCTED
+    cosine from the quantization codes and keep ``k * expand``
+    candidates — the stage that scans everything touches only the 4x-
+    compressed codes plus five indexed scalars per vector, and its one
+    pair-dependent term is EXACT int64 arithmetic; (2) rerank only the
+    candidates with the exact double-accumulated cosine (the same
+    precision contract as the kNN graph), fetching original vectors by
+    id — at scale a join against the float store for
+    O(k * expand * |queries|) rows, never a full scan.
+
+    Determinism: the reconstruction combines indexed doubles in ONE
+    fixed association (mirrored verbatim in the oracle SQL), so the
+    candidate ordering is bit-identical cross-engine; ties break on
+    neighbor id. Recall is a measured trade (see TestQuantizedTopk);
+    ``expand`` is the knob that buys recall back.
+    """
+    cq = quantize_vectors(corpus, id_col, vec_col)
+    qq = quantize_vectors(queries, id_col, vec_col)
+    c_side = cq.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qv").alias("__cq"),
+        F.col("amin").alias("__ca"),
+        F.col("scale").alias("__cs"),
+        F.col("qsum").alias("__cqs"),
+        F.col("dim").alias("__d"),
+        F.col("norm").alias("__cn0"),
+    )
+    q_side = qq.select(
+        F.col(id_col).alias("query_id"),
+        F.col("qv").alias("__qq"),
+        F.col("amin").alias("__qa"),
+        F.col("scale").alias("__qs"),
+        F.col("qsum").alias("__qqs"),
+        F.col("norm").alias("__qn0"),
+    )
+    qdot = _int_dot(F.col("__cq"), F.col("__qq"))
+    recon = (
+        F.col("__d") * F.col("__ca") * F.col("__qa")
+        + F.col("__ca") * F.col("__qs") * F.col("__qqs")
+        + F.col("__qa") * F.col("__cs") * F.col("__cqs")
+        + F.col("__cs") * F.col("__qs") * qdot
+    )
+    denom = F.col("__cn0") * F.col("__qn0")
+    score = F.when(denom == 0, F.lit(0.0)).otherwise(recon / denom)
+    cand = (
+        c_side.crossJoin(F.broadcast(q_side))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", score.alias("__qdot"))
+    )
+    w_cand = Window.partitionBy("query_id").orderBy(
+        F.col("__qdot").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        cand.withColumn("__rn", F.row_number().over(w_cand))
+        .filter(F.col("__rn") <= k * expand)
+        .select("query_id", "neighbor_id")
+    )
+    c_vec = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
+    q_vec = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    )
+    reranked = (
+        shortlist.join(c_vec, "neighbor_id")
+        .join(F.broadcast(q_vec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_from_norms(
+                F.col("__qvec"), F.col("__cvec"),
+                F.col("__qn"), F.col("__cn"), dp=dp,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        reranked.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "sim")
+    )

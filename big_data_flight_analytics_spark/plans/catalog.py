@@ -142,6 +142,7 @@ _TIE_BREAK = [
     "ts3_rolling_zscore",
     "b4_top_paths",
     "q12_small_quantity_revenue",
+    "v5_quantized_topk",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

@@ -1745,6 +1745,96 @@ FROM ranked WHERE rn = 1
 
 
 # ---------------------------------------------------------------------------
+# V5 — int8-quantized ANN: candidates ranked by the EXACT integer dot
+# product of per-vector affine codes (the 4x-compressed index is the
+# only thing the full scan touches), then an exact double-accumulated
+# rerank over k*expand candidates fetched by id. The candidate stage
+# carries zero cross-engine float risk by construction; the rerank
+# reuses the kNN-graph DOUBLE[] precision contract.
+# ---------------------------------------------------------------------------
+
+V5_EXPAND = 4
+
+
+def v5_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.similarity import (
+        quantized_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return quantized_topk(emb, queries, k=TOPK, expand=V5_EXPAND)
+
+
+V5_SQL = f"""
+WITH quant AS (
+    SELECT vec_id, embedding,
+           CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS amin,
+           CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS amax
+    FROM embeddings
+), scaled AS (
+    SELECT vec_id, embedding, amin,
+           CASE WHEN amax > amin THEN (amax - amin) / 255.0 ELSE 1.0 END
+               AS scale
+    FROM quant
+), codes AS (
+    -- mirrors quantize_vectors: codes + the indexed reconstruction
+    -- scalars (amin/scale/code-sum/dim/true norm). DOUBLE[] cast = the
+    -- kNN-graph precision contract for every float accumulation.
+    SELECT vec_id, amin, scale,
+           CAST(embedding AS DOUBLE[]) AS dv,
+           list_transform(embedding,
+               x -> CAST(FLOOR((CAST(x AS DOUBLE) - amin) / scale + 0.5)
+                         AS BIGINT)) AS qv,
+           len(embedding) AS d
+    FROM scaled
+), idx AS (
+    SELECT vec_id, amin, scale, dv, qv, d,
+           CAST(list_aggregate(qv, 'sum') AS BIGINT) AS qsum,
+           sqrt(list_dot_product(dv, dv)) AS norm
+    FROM codes
+), q AS (
+    SELECT vec_id AS query_id, qv AS qq, dv AS qdv,
+           amin AS qamin, scale AS qscale, qsum AS qqsum, norm AS qnorm
+    FROM idx WHERE vec_id < {N_QUERY_VECS}
+), cand AS (
+    -- reconstructed cosine, ONE fixed association shared with Spark:
+    -- ((d*ca*qa + ca*qs*qqs) + qa*cs*cqs) + cs*qs*intdot, over cn*qn
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           CASE WHEN c.norm * q.qnorm = 0 THEN 0.0 ELSE
+               (c.d * c.amin * q.qamin
+                + c.amin * q.qscale * q.qqsum
+                + q.qamin * c.scale * c.qsum
+                + c.scale * q.qscale * list_dot_product(c.qv, q.qq))
+               / (c.norm * q.qnorm) END AS qdot
+    FROM idx c CROSS JOIN q
+    WHERE c.vec_id <> q.query_id
+), short AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY qdot DESC, neighbor_id ASC) AS rn
+        FROM cand
+    ) WHERE rn <= {TOPK} * {V5_EXPAND}
+), scored AS (
+    SELECT s.query_id, s.neighbor_id,
+           ROUND(list_dot_product(qs.qdv, cv.dv) /
+                 (sqrt(list_dot_product(qs.qdv, qs.qdv))
+                  * sqrt(list_dot_product(cv.dv, cv.dv))), 4) AS sim
+    FROM short s
+    JOIN codes cv ON cv.vec_id = s.neighbor_id
+    JOIN q qs ON qs.query_id = s.query_id
+)
+SELECT query_id, neighbor_id, sim FROM (
+    SELECT query_id, neighbor_id, sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id ASC) AS rn
+    FROM scored
+) WHERE rn <= {TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # I2 — incremental dedup maintenance: the persisted fingerprint index
 # absorbs one new ingest batch with O(delta) work (delta-only shuffle +
 # one join against the index; the index never re-shuffles when stored
@@ -1824,6 +1914,7 @@ EXTENSION_QUERIES = {
     "v2_lsh_topk": v2_lsh_topk,
     "d5_embedding_neardup": d5_embedding_neardup,
     "v4_knn_graph": v4_knn_graph,
+    "v5_quantized_topk": v5_quantized_topk,
     "d13_semantic_prune": d13_semantic_prune,
     "d14_dedup_ensemble": d14_dedup_ensemble,
     "d6_dedup_clusters": d6_dedup_clusters,
@@ -1860,6 +1951,7 @@ EXTENSION_ORACLES = {
     "v2_lsh_topk": V2_SQL,
     "d5_embedding_neardup": D5_SQL,
     "v4_knn_graph": V4_SQL,
+    "v5_quantized_topk": V5_SQL,
     "d13_semantic_prune": D13_SQL,
     "d14_dedup_ensemble": D14_SQL,
     "d6_dedup_clusters": D6_SQL,
