@@ -262,15 +262,18 @@ def rolling_zscore(
     key: str,
     order: Sequence[str],
     int_value_col: str,
-    window: int = 5,
+    window: int | None = 5,
     min_periods: int = 3,
     out_col: str = "zscore",
+    dp: int | None = 6,
 ) -> DataFrame:
     """Trailing-window z-score per key: distributed anomaly detection.
 
     For each row, scores ``int_value_col`` against the PRECEDING
     ``window`` rows of its key (current row excluded — the classic
-    online-anomaly frame where a spike must not mask itself). Rows with
+    online-anomaly frame where a spike must not mask itself); pass
+    ``window=None`` for an EXPANDING frame (all prior rows — the batch
+    mirror of ``streaming.stateful.running_zscore``'s state). Rows with
     fewer than ``min_periods`` trailing observations, or a
     zero-variance trail, get NULL.
 
@@ -298,16 +301,22 @@ def rolling_zscore(
     frame = (
         _Window.partitionBy(key)
         .orderBy(*[F.col(c).asc() for c in order])
-        .rowsBetween(-window, -1)
+        .rowsBetween(
+            _Window.unboundedPreceding if window is None else -window, -1
+        )
     )
     v = F.col(int_value_col)
     n = F.count(v).over(frame)
     s = F.sum(v).over(frame)
     ss = F.sum(v * v).over(frame)
     var_num = n * ss - s * s
-    z = F.round(
-        (v * n - s).cast("double") / F.sqrt(var_num.cast("double")), 6
-    )
+    z = (v * n - s).cast("double") / F.sqrt(var_num.cast("double"))
+    if dp is not None:
+        # HALF_UP like every other catalog rounding; pass dp=None for
+        # the raw IEEE quotient (bit-comparable with any engine that
+        # runs the same int64 -> double cast/sqrt/divide chain, e.g.
+        # the streaming running_zscore differential).
+        z = F.round(z, dp)
     return df.withColumn(
         out_col,
         F.when((n >= min_periods) & (var_num > 0), z),

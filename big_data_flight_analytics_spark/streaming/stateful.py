@@ -25,6 +25,7 @@ from typing import TYPE_CHECKING, Any, Iterable, Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -103,4 +104,100 @@ def watermarked_dedup(
     """
     return stream.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(
         list(key_cols)
+    )
+
+
+ZSCORE_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("event_us", LongType()),
+        StructField("cents", LongType()),
+        StructField("zscore", DoubleType()),
+    ]
+)
+
+# running (n, sum, sum-of-squares) — exact int64, a few bytes per key
+ZSCORE_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s", LongType()),
+        StructField("ss", LongType()),
+    ]
+)
+
+
+def _make_running_zscore(min_periods: int):
+    def _score_group(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        n0, s0, ss0 = state.get if state.exists else (0, 0, 0)
+        batches = [p for p in pdfs if len(p)]
+        if not batches:
+            state.update((n0, s0, ss0))
+            return
+        rows = pd.concat(batches, ignore_index=True).sort_values(
+            ["event_us", "event_id"], kind="mergesort"
+        )
+        v = rows["cents"].to_numpy(dtype=np.int64)
+        # prior-state vectors: state BEFORE each row, shifted cumsums
+        n_prior = n0 + np.arange(len(v), dtype=np.int64)
+        s_prior = s0 + np.concatenate(([0], np.cumsum(v)[:-1]))
+        ss_prior = ss0 + np.concatenate(([0], np.cumsum(v * v)[:-1]))
+        var_num = n_prior * ss_prior - s_prior * s_prior
+        ok = (n_prior >= min_periods) & (var_num > 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (v * n_prior - s_prior).astype(np.float64) / np.sqrt(
+                var_num.astype(np.float64)
+            )
+        out = pd.DataFrame(
+            {
+                "user_id": rows["user_id"].to_numpy(dtype=np.int64),
+                "event_id": rows["event_id"].to_numpy(dtype=np.int64),
+                "event_us": rows["event_us"].to_numpy(dtype=np.int64),
+                "cents": v,
+            }
+        )
+        # None (not NaN) where the trail is short/flat -> SQL NULL
+        out["zscore"] = pd.Series(z).where(pd.Series(ok), other=None)
+        yield out
+        state.update(
+            (
+                int(n0 + len(v)),
+                int(s0 + int(v.sum())),
+                int(ss0 + int((v * v).sum())),
+            )
+        )
+
+    return _score_group
+
+
+def running_zscore(
+    stream: DataFrame, min_periods: int = 3
+) -> DataFrame:
+    """Expanding z-score per user, scored online across micro-batches.
+
+    The streaming counterpart of ``operators.temporal.rolling_zscore(
+    window=None, dp=None)``: each event is scored against ALL prior
+    events of its key using running ``(n, sum, sum_sq)`` int64 state —
+    a dozen bytes per key regardless of history length. The float work
+    is the identical cast/sqrt/divide chain, so given a per-key
+    time-ordered feed the emitted scores equal the batch expanding
+    window BIT-FOR-BIT (see the differential test).
+
+    Input must carry ``user_id``, ``event_id``, ``event_us`` (epoch
+    micros long) and ``cents`` (exact integer value grain). Within a
+    micro-batch rows are ordered by (event_us, event_id); ACROSS
+    batches ordering is the replay/source contract (same as
+    ``first_seen_dedup``) — late rows score against a state that
+    already includes newer events, which is the standard online-scoring
+    semantics.
+    """
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _make_running_zscore(min_periods),
+        outputStructType=ZSCORE_OUTPUT,
+        stateStructType=ZSCORE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -1,0 +1,114 @@
+"""Streaming running z-score == batch expanding window, bit-for-bit.
+
+The stateful operator keeps exact int64 (n, sum, sum_sq) per key and
+runs the identical cast/sqrt/divide chain as the batch expanding
+window, so a per-key time-ordered replay must reproduce the batch
+scores EXACTLY (no tolerance) — including the NULLs for short/flat
+trails. The replay splits the sf0.01 events at the median timestamp
+into two mtime-ordered files and forces two micro-batches
+(maxFilesPerTrigger=1), so the differential genuinely exercises state
+carried ACROSS batches, not one big in-batch sort.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_flight_analytics_spark.operators.temporal import rolling_zscore
+from big_data_flight_analytics_spark.plans.tables import load
+from big_data_flight_analytics_spark.streaming.stateful import (
+    ZSCORE_OUTPUT,
+    running_zscore,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _prepared(spark):
+    """events -> all-long frame (Arrow-stable, exact integer grain)."""
+    ev = load(spark, SF_DIR, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("event_us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{SF_DIR}/events.parquet"),
+    reason="sf0.01 testdata not present",
+)
+def test_streaming_zscore_equals_batch_expanding(spark, tmp_path):
+    prepared = _prepared(spark)
+    split_us = prepared.approxQuantile("event_us", [0.5], 0.0)[0]
+
+    replay = tmp_path / "replay"
+    replay.mkdir()
+    for i, part in enumerate(
+        [
+            prepared.filter(F.col("event_us") <= split_us),
+            prepared.filter(F.col("event_us") > split_us),
+        ]
+    ):
+        p = str(replay / f"batch-{i}.parquet")
+        part.coalesce(1).write.mode("overwrite").parquet(p + ".dir")
+        # single-file layout so maxFilesPerTrigger=1 -> one batch each
+        src = next(
+            f
+            for f in os.listdir(p + ".dir")
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        os.rename(os.path.join(p + ".dir", src), p)
+        os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(prepared.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(replay))
+    )
+    q = (
+        running_zscore(stream, min_periods=3)
+        .writeStream.format("memory")
+        .queryName("zscores")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["user_id"], r["event_id"]): r["zscore"]
+        for r in spark.sql("SELECT * FROM zscores").collect()
+    }
+    want_df = rolling_zscore(
+        prepared,
+        key="user_id",
+        order=["event_us", "event_id"],
+        int_value_col="cents",
+        window=None,
+        min_periods=3,
+        dp=None,
+    )
+    want = {
+        (r["user_id"], r["event_id"]): r["zscore"] for r in want_df.collect()
+    }
+    assert set(got) == set(want)
+    diffs = [k for k in want if got[k] != want[k]]
+    assert diffs == [], f"{len(diffs)} score mismatches, e.g. {diffs[:5]}"
+    # sanity: the differential actually scored things
+    scored = [v for v in want.values() if v is not None]
+    assert len(scored) > 1000
+
+
+def test_schema_contract_matches_operator_output():
+    assert [f.name for f in ZSCORE_OUTPUT.fields] == [
+        "user_id",
+        "event_id",
+        "event_us",
+        "cents",
+        "zscore",
+    ]
