@@ -15,6 +15,8 @@ deterministic DataFrame form works on plain parquet.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -87,3 +89,49 @@ def scd2_merge(
         .unionByName(closed_out)
         .unionByName(new_open)
     )
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    seq: Sequence[str],
+    op_col: str = "op",
+    payload: Sequence[str] | None = None,
+) -> DataFrame:
+    """CDC MERGE: fold an insert/update/delete changeset into a snapshot.
+
+    ``changes`` carries ``key``, ``op_col`` ('I'/'U'/'D'), ordering
+    columns ``seq`` (last writer wins; include a unique tie-break) and
+    the ``payload`` columns of the target schema. Semantics match SQL
+    MERGE applied in ``seq`` order per key:
+
+    - key's last change is I/U  -> row present with that payload
+      (whether or not it existed in ``base`` — upsert);
+    - key's last change is D    -> row absent;
+    - key untouched by changes  -> base row passes through.
+
+    Plan shape: ONE shuffle of the (small) changeset for the per-key
+    last-writer window, then one left-anti join against base keyed on
+    ``key`` — base rows never reshuffle more than the join demands, and
+    with base stored bucketed on ``key`` (`sources/bucketed.py`) the
+    refresh is a map-side merge at any scale. This is the batch
+    equivalent of the streaming upsert sink (`streaming/sinks.py`).
+    """
+    from pyspark.sql import Window as _Window
+
+    if payload is None:
+        payload = [c for c in base.columns if c != key]
+    w = _Window.partitionBy(key).orderBy(
+        *[F.col(c).desc() for c in seq]
+    )
+    last = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(key, op_col, *payload)
+    )
+    surviving_changes = last.filter(F.col(op_col) != "D").select(key, *payload)
+    untouched = base.join(last.select(key), key, "left_anti").select(
+        key, *payload
+    )
+    return untouched.unionByName(surviving_changes)

@@ -1273,6 +1273,78 @@ WHERE ABS(zscore) > 2
 
 
 # ---------------------------------------------------------------------------
+# H2 — CDC MERGE snapshot: a deterministic insert/update/delete
+# changeset (synthesized from orders: deletes every 17th orderkey,
+# inserts for shifted keys, updates otherwise; last writer per key by
+# (o_orderdate, o_orderkey)) folded into the customer snapshot. The
+# oracle restates MERGE semantics directly: anti-join passthrough UNION
+# surviving last-writer rows. One changeset shuffle + one key join —
+# the batch mirror of the streaming upsert sink.
+# ---------------------------------------------------------------------------
+
+
+def h2_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.scd import apply_changes
+
+    base = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    changes = orders.select(
+        F.when(F.col("o_custkey") % 50 == 0, F.col("o_custkey") + 1000000)
+        .otherwise(F.col("o_custkey"))
+        .alias("c_custkey"),
+        F.when(F.col("o_orderkey") % 17 == 0, F.lit("D"))
+        .when(F.col("o_custkey") % 3 == 0, F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.concat(F.lit("cdc#"), F.col("o_orderkey").cast("string")).alias(
+            "c_name"
+        ),
+        (F.col("o_orderkey") % 25).cast("int").alias("c_nationkey"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.col("o_orderpriority").alias("c_mktsegment"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    return apply_changes(
+        base,
+        changes,
+        key="c_custkey",
+        seq=["o_orderdate", "o_orderkey"],
+        payload=["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+
+
+H2_SQL = """
+WITH changes AS (
+    SELECT CASE WHEN o_custkey % 50 = 0 THEN o_custkey + 1000000
+                ELSE o_custkey END AS c_custkey,
+           CASE WHEN o_orderkey % 17 = 0 THEN 'D'
+                WHEN o_custkey % 3 = 0 THEN 'I'
+                ELSE 'U' END AS op,
+           concat('cdc#', CAST(o_orderkey AS VARCHAR)) AS c_name,
+           CAST(o_orderkey % 25 AS INTEGER) AS c_nationkey,
+           o_totalprice AS c_acctbal,
+           o_orderpriority AS c_mktsegment,
+           o_orderdate, o_orderkey
+    FROM orders
+), last AS (
+    SELECT * FROM (
+        SELECT c.*,
+               ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                  ORDER BY o_orderdate DESC,
+                                           o_orderkey DESC) AS rn
+        FROM changes c
+    ) WHERE rn = 1
+)
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM last)
+UNION ALL
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM last WHERE op <> 'D'
+"""
+
+
+# ---------------------------------------------------------------------------
 # B4 — first-k ordered path tally: each user's first-5 event-type
 # journey prefix counted across the population. One Exchange serves
 # both the ranking window and the per-user collapse (same user-hash
@@ -1305,6 +1377,7 @@ ANALYTIC_QUERIES = {
     "j9_asof_events_orders": j9_asof_events_orders,
     "ts3_rolling_zscore": ts3_rolling_zscore,
     "b4_top_paths": b4_top_paths,
+    "h2_cdc_snapshot": h2_cdc_snapshot,
     "s4_user_sessions": s4_user_sessions,
     "s5_session_windows": s5_session_windows,
     "a8_rollup_revenue": a8_rollup_revenue,
@@ -1359,4 +1432,5 @@ ANALYTIC_ORACLES = {
     "ts2_interpolate": TS2_SQL,
     "ts3_rolling_zscore": TS3_SQL,
     "b4_top_paths": B4_SQL,
+    "h2_cdc_snapshot": H2_SQL,
 }

@@ -143,6 +143,7 @@ _TIE_BREAK = [
     "b4_top_paths",
     "q12_small_quantity_revenue",
     "v5_quantized_topk",
+    "h2_cdc_snapshot",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

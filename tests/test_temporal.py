@@ -469,3 +469,44 @@ class TestRollingZscore:
         )
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1
+
+
+class TestApplyChanges:
+    @staticmethod
+    def _frames(spark):
+        from pyspark.sql import Row
+
+        base = spark.createDataFrame(
+            [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]
+        )
+        changes = spark.createDataFrame(
+            [
+                Row(k=2, op="U", v="b1", seq=1),
+                Row(k=2, op="U", v="b2", seq=2),   # last writer wins
+                Row(k=3, op="D", v=None, seq=1),   # delete
+                Row(k=4, op="I", v="new", seq=1),  # insert (absent in base)
+                Row(k=5, op="I", v="x", seq=1),
+                Row(k=5, op="D", v=None, seq=2),   # inserted then deleted
+            ]
+        )
+        return base, changes
+
+    def test_merge_semantics(self, spark):
+        from big_data_flight_analytics_spark.operators.scd import apply_changes
+
+        base, changes = self._frames(spark)
+        out = apply_changes(base, changes, key="k", seq=["seq"], payload=["v"])
+        got = {(r["k"], r["v"]) for r in out.collect()}
+        assert got == {(1, "a"), (2, "b2"), (4, "new")}
+
+    def test_delete_then_reinsert_survives(self, spark):
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.operators.scd import apply_changes
+
+        base = spark.createDataFrame([Row(k=1, v="a")])
+        changes = spark.createDataFrame(
+            [Row(k=1, op="D", v=None, seq=1), Row(k=1, op="I", v="a2", seq=2)]
+        )
+        out = apply_changes(base, changes, key="k", seq=["seq"], payload=["v"])
+        assert [(r["k"], r["v"]) for r in out.collect()] == [(1, "a2")]
