@@ -144,6 +144,7 @@ _TIE_BREAK = [
     "q12_small_quantity_revenue",
     "v5_quantized_topk",
     "h2_cdc_snapshot",
+    "q13_dominant_suppliers",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

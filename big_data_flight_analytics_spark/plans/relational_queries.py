@@ -1190,8 +1190,54 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Q13 — dominant-supplier semi-join chain (TPC-H Q20 shape): suppliers
+# who carry more than 15% of some part's total lineitem quantity. The
+# oracle keeps the textbook nested form (IN + correlated HAVING); the
+# Spark plan decorrelates to two aggregates over the SAME
+# (l_partkey[, l_suppkey]) grouping — the pair agg's shuffle already
+# co-partitions the part totals join — then one semi join into the
+# supplier dim. Integral quantities keep both sums exact.
+# ---------------------------------------------------------------------------
+
+
+def q13_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("__pair_qty")
+    )
+    totals = pair.groupBy("l_partkey").agg(
+        F.sum("__pair_qty").alias("__part_qty")
+    )
+    dominant = (
+        pair.join(totals, "l_partkey")
+        .filter(F.col("__pair_qty") > F.lit(0.15) * F.col("__part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return supplier.join(
+        dominant, supplier.s_suppkey == dominant.l_suppkey, "left_semi"
+    )
+
+
+Q13_SQL = """
+SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (
+    SELECT l_suppkey FROM lineitem l
+    GROUP BY l_partkey, l_suppkey
+    HAVING SUM(l_quantity) > 0.15 * (
+        SELECT SUM(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+    )
+)
+"""
+
+
 RELATIONAL_QUERIES = {
     "q12_small_quantity_revenue": q12_small_quantity_revenue,
+    "q13_dominant_suppliers": q13_dominant_suppliers,
     "q1_supplier_stats": q1_supplier_stats,
     "q2_status_priority_delays": q2_status_priority_delays,
     "q3_busiest_customers": q3_busiest_customers,
@@ -1250,4 +1296,5 @@ RELATIONAL_ORACLES = {
     "s3_sliding_window_users": S3_SQL,
     "q11_cheapest_suppliers": Q11_SQL,
     "q12_small_quantity_revenue": Q12_SQL,
+    "q13_dominant_suppliers": Q13_SQL,
 }
