@@ -1205,14 +1205,18 @@ def q13_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_quantity"
     )
-    pair = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum("l_quantity").alias("__pair_qty")
+    # ONE fact shuffle on l_partkey serves everything downstream:
+    # HashPartitioning(partkey) satisfies the (partkey, suppkey) pair
+    # aggregate's clustered distribution AND the whole-partition window
+    # that attaches the part total — no pair/total re-shuffle, no join.
+    pair = (
+        li.repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("__pair_qty"))
     )
-    totals = pair.groupBy("l_partkey").agg(
-        F.sum("__pair_qty").alias("__part_qty")
-    )
+    w_part = Window.partitionBy("l_partkey")
     dominant = (
-        pair.join(totals, "l_partkey")
+        pair.withColumn("__part_qty", F.sum("__pair_qty").over(w_part))
         .filter(F.col("__pair_qty") > F.lit(0.15) * F.col("__part_qty"))
         .select("l_suppkey")
         .distinct()
