@@ -209,3 +209,73 @@ def resize_stub(
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+
+
+def frame_slices(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_n_bytes: int = 64,
+) -> DataFrame:
+    """One row per fixed-size byte slice ("frame") of a binary payload.
+
+    Unlike ``frame_sample_stub`` (which demonstrates the mapInPandas
+    expansion), this emits the actual frame BYTES via pure native
+    expressions — sequence/explode + binary substring, fully inside
+    whole-stage codegen with no Python boundary and no shuffle. Empty
+    payloads produce zero frames.
+    """
+    n = F.length(F.col(payload_col))
+    k = F.floor((n + every_n_bytes - 1) / every_n_bytes).cast("int")
+    frames = F.when(n > 0, F.sequence(F.lit(0), k - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    exploded = df.select(
+        id_col, payload_col, F.explode(frames).alias("frame_no")
+    )
+    return exploded.select(
+        id_col,
+        "frame_no",
+        F.expr(
+            f"substring({payload_col}, frame_no * {every_n_bytes} + 1, "
+            f"{every_n_bytes})"
+        ).alias("frame_bytes"),
+    )
+
+
+def frame_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_n_bytes: int = 64,
+    min_count: int = 2,
+) -> DataFrame:
+    """Frame-grain exact dedup: which payload slices repeat corpus-wide.
+
+    The video-pipeline version of document dedup — identical frames
+    across assets (intro cards, test patterns, re-hosted clips) are
+    found by hashing each fixed-size slice and grouping. One shuffle on
+    the frame fingerprint; canonical = the lowest (doc, frame) pair,
+    carried through the aggregation as one composite int64 so no
+    second pass or window is needed.
+    """
+    frames = frame_slices(df, id_col, payload_col, every_n_bytes)
+    composite = F.col(id_col) * 1_000_000 + F.col("frame_no")
+    return (
+        frames.select(
+            F.md5(F.col("frame_bytes")).alias("fingerprint"),
+            composite.alias("__pos"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.min("__pos").alias("__first"),
+        )
+        .filter(F.col("n_frames") >= min_count)
+        .select(
+            "fingerprint",
+            "n_frames",
+            (F.col("__first") / 1_000_000).cast("long").alias("first_doc_id"),
+            (F.col("__first") % 1_000_000).alias("first_frame_no"),
+        )
+    )

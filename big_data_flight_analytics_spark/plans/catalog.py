@@ -145,6 +145,7 @@ _TIE_BREAK = [
     "v5_quantized_topk",
     "h2_cdc_snapshot",
     "q13_dominant_suppliers",
+    "m3_frame_dedup",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

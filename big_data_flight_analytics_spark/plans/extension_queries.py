@@ -1427,6 +1427,53 @@ def m2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# M3 — frame-grain exact dedup over the binary payload: which fixed-64-
+# byte slices repeat corpus-wide (the video-pipeline dup-frame scan).
+# Pure native expressions — sequence/explode + binary substring + md5,
+# one shuffle on the frame fingerprint. Oracle contract: the corpus is
+# pure ASCII (octet_length == length, asserted in tests), so DuckDB's
+# char-wise VARCHAR substring slices the identical bytes Spark's binary
+# substring does, and md5(VARCHAR) hashes the same octets as
+# Spark's md5(BINARY).
+# ---------------------------------------------------------------------------
+
+
+def m3_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.multimodal import (
+        frame_dedup,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return frame_dedup(
+        attach_binary_payload(docs), every_n_bytes=M2_FRAME_BYTES
+    )
+
+
+M3_SQL = f"""
+WITH frames AS (
+    SELECT doc_id,
+           CAST(u.f AS INTEGER) AS frame_no,
+           substring(COALESCE(text, ''),
+                     CAST(u.f AS INTEGER) * {M2_FRAME_BYTES} + 1,
+                     {M2_FRAME_BYTES}) AS frame_txt
+    FROM documents,
+         UNNEST(range((octet_length(encode(COALESCE(text, '')))
+                       + {M2_FRAME_BYTES} - 1) // {M2_FRAME_BYTES})) AS u(f)
+), hashed AS (
+    SELECT md5(frame_txt) AS fingerprint,
+           doc_id * 1000000 + frame_no AS pos
+    FROM frames
+)
+SELECT fingerprint,
+       COUNT(*) AS n_frames,
+       CAST(MIN(pos) // 1000000 AS BIGINT) AS first_doc_id,
+       CAST(MIN(pos) % 1000000 AS BIGINT) AS first_frame_no
+FROM hashed
+GROUP BY 1 HAVING COUNT(*) >= 2
+"""
+
+
 M2_SQL = f"""
 WITH lens AS (
     SELECT doc_id, octet_length(encode(COALESCE(text, ''))) AS n
@@ -1922,6 +1969,7 @@ EXTENSION_QUERIES = {
     "d8_curated_corpus": d8_curated_corpus,
     "m1_multimodal_features": m1_multimodal_features,
     "m2_frame_sample": m2_frame_sample,
+    "m3_frame_dedup": m3_frame_dedup,
 }
 
 EXTENSION_ORACLES = {
@@ -1959,4 +2007,5 @@ EXTENSION_ORACLES = {
     "d8_curated_corpus": D8_SQL,
     "m1_multimodal_features": M1_SQL,
     "m2_frame_sample": M2_SQL,
+    "m3_frame_dedup": M3_SQL,
 }

@@ -90,3 +90,56 @@ class TestResizeStub:
         assert by_id[2]["payload"][:2] == b"xy"
         assert by_id[2]["payload"][2:] == b"\x00" * 14
         assert by_id[3]["payload"] == b"\x00" * 16
+
+
+class TestFrameDedup:
+    def test_slices_cover_payload_exactly(self, spark):
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.operators.multimodal import (
+            frame_slices,
+        )
+
+        df = spark.createDataFrame(
+            [Row(doc_id=1, payload=bytearray(b"abcdefghij")),
+             Row(doc_id=2, payload=bytearray(b"")),]
+        )
+        rows = frame_slices(df, every_n_bytes=4).collect()
+        by = {(r["doc_id"], r["frame_no"]): bytes(r["frame_bytes"]) for r in rows}
+        # doc 1: ceil(10/4)=3 frames, last one short; doc 2: none
+        assert by == {
+            (1, 0): b"abcd",
+            (1, 1): b"efgh",
+            (1, 2): b"ij",
+        }
+
+    def test_dup_frames_found_across_docs(self, spark):
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.operators.multimodal import (
+            frame_dedup,
+        )
+
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, payload=bytearray(b"AAAABBBB")),
+                Row(doc_id=2, payload=bytearray(b"CCCCAAAA")),
+                Row(doc_id=3, payload=bytearray(b"DDDDEEEE")),
+            ]
+        )
+        rows = frame_dedup(df, every_n_bytes=4).collect()
+        assert len(rows) == 1  # only AAAA repeats
+        r = rows[0]
+        assert r["n_frames"] == 2
+        assert r["first_doc_id"] == 1 and r["first_frame_no"] == 0
+
+    def test_no_python_boundary_in_plan(self, spark):
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.operators.multimodal import (
+            frame_dedup,
+        )
+
+        df = spark.createDataFrame([Row(doc_id=1, payload=bytearray(b"xy"))])
+        plan = frame_dedup(df)._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
