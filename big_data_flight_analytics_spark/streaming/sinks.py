@@ -192,3 +192,67 @@ class Scd2Sink(ParquetUpsertSink):
 
     def read(self, spark) -> DataFrame:
         return spark.read.parquet(self.path)
+
+
+class DedupIndexSink(ParquetUpsertSink):
+    """Continuously maintained exact-dedup index: streaming i2.
+
+    ``foreachBatch`` target that folds each micro-batch of documents
+    into the persisted fingerprint index via
+    ``operators.incremental.dedup_delta`` — O(batch) work per trigger,
+    never a corpus rescan, so the index stays current at ingest rate.
+    The dir-swap crash-safety is inherited from ``ParquetUpsertSink``;
+    on top of it a ``_last_batch`` marker written INSIDE the staging
+    dir (atomic with the data it describes) makes replayed batches
+    no-ops — foreachBatch is at-least-once, and ``dup_count`` is not
+    idempotent under refold, so the marker is what upgrades the sink to
+    exactly-once. The marker file is ``_``-prefixed, invisible to
+    parquet readers.
+    """
+
+    def __init__(
+        self, path: str, id_col: str = "doc_id", text_col: str = "text"
+    ) -> None:
+        super().__init__(path, key_col="fingerprint", version_col="__none")
+        self.id_col = id_col
+        self.text_col = text_col
+
+    @staticmethod
+    def _marker(dirpath: str) -> str:
+        return os.path.join(dirpath, "_last_batch")
+
+    def _last_batch(self) -> int:
+        try:
+            with open(self._marker(self.path)) as fh:
+                return int(fh.read())
+        except (OSError, ValueError):
+            return -1
+
+    def merge(self, batch_df: DataFrame, batch_id: int) -> None:
+        from big_data_flight_analytics_spark.operators.incremental import (
+            dedup_delta,
+            dedup_index,
+        )
+
+        self._recover()
+        if os.path.exists(self.path) and batch_id <= self._last_batch():
+            return  # replay of an already-folded batch
+        spark = batch_df.sparkSession
+        if os.path.exists(self.path):
+            index = spark.read.parquet(self.path)
+            _assignments, updated = dedup_delta(
+                index, batch_df, self.id_col, self.text_col
+            )
+        else:
+            updated = dedup_index(batch_df, self.id_col, self.text_col)
+        updated.write.mode("overwrite").parquet(self._staging)
+        with open(self._marker(self._staging), "w") as fh:
+            fh.write(str(batch_id))
+        if os.path.exists(self.path):
+            os.rename(self.path, self._old)
+        os.rename(self._staging, self.path)
+        if os.path.exists(self._old):
+            shutil.rmtree(self._old)
+
+    def read(self, spark) -> DataFrame:
+        return spark.read.parquet(self.path)

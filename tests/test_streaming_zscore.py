@@ -112,3 +112,77 @@ def test_schema_contract_matches_operator_output():
         "cents",
         "zscore",
     ]
+
+
+class TestDedupIndexSink:
+    """Streaming dedup-index maintenance == batch rebuild, exactly-once."""
+
+    @staticmethod
+    def _write_doc_files(spark, d):
+        from pyspark.sql import Row
+
+        batches = [
+            [Row(doc_id=i, text=f"doc body {i % 5}") for i in range(0, 30)],
+            [Row(doc_id=i, text=f"doc body {i % 5}") for i in range(30, 50)],
+        ]
+        for i, rows in enumerate(batches):
+            p = str(d / f"b{i}.parquet")
+            spark.createDataFrame(rows).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(p + ".dir")
+            src = next(
+                f
+                for f in os.listdir(p + ".dir")
+                if f.endswith(".parquet") and not f.startswith("_")
+            )
+            os.rename(os.path.join(p + ".dir", src), p)
+            os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+        return spark.createDataFrame([r for b in batches for r in b])
+
+    def test_streamed_index_equals_batch_rebuild(self, spark, tmp_path):
+        from big_data_flight_analytics_spark.operators.incremental import (
+            dedup_index,
+        )
+        from big_data_flight_analytics_spark.streaming.sinks import (
+            DedupIndexSink,
+        )
+
+        replay = tmp_path / "docs"
+        replay.mkdir()
+        all_docs = self._write_doc_files(spark, replay)
+        sink = DedupIndexSink(str(tmp_path / "index"))
+        stream = (
+            spark.readStream.schema(all_docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(replay))
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = sorted(tuple(r) for r in sink.read(spark).collect())
+        want = sorted(tuple(r) for r in dedup_index(all_docs).collect())
+        assert got == want
+        assert sink._last_batch() >= 1  # really saw two batches
+
+    def test_replayed_batch_is_a_noop(self, spark, tmp_path):
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.streaming.sinks import (
+            DedupIndexSink,
+        )
+
+        sink = DedupIndexSink(str(tmp_path / "index"))
+        batch = spark.createDataFrame(
+            [Row(doc_id=1, text="x"), Row(doc_id=2, text="x")]
+        )
+        sink.merge(batch, 0)
+        first = sorted(tuple(r) for r in sink.read(spark).collect())
+        sink.merge(batch, 0)  # at-least-once replay
+        again = sorted(tuple(r) for r in sink.read(spark).collect())
+        assert first == again
+        assert first[0][2] == 2  # dup_count not inflated by the replay
