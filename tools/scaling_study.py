@@ -60,6 +60,13 @@ TABLES = (
     ("embeddings", "vec_id", ()),
     ("events", "event_id", ("user_id",)),
     ("orders", "o_orderkey", ("o_custkey",)),
+    # star-schema tables in lockstep so fact->dim keys stay aligned
+    # across replicas (dims scale with the facts — the realistic growth
+    # model for TPC-H-shaped data)
+    ("lineitem", "l_orderkey", ("l_partkey", "l_suppkey")),
+    ("part", "p_partkey", ()),
+    ("supplier", "s_suppkey", ()),
+    ("customer", "c_custkey", ()),
 )
 
 
