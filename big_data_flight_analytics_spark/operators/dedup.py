@@ -40,6 +40,10 @@ from pyspark.sql import functions as F
 
 from big_data_flight_analytics_spark.cache import tracked_persist
 from big_data_flight_analytics_spark.functions.text import rolling_fingerprint
+from big_data_flight_analytics_spark.operators.text import (
+    ngram_multiset_expr,
+    tokens,
+)
 
 
 def exact_dedup(
@@ -582,4 +586,64 @@ def simhash_pairs(
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact repeated-substring spans: the suffix-array dedup grain.
+
+    Finds, per document, the maximal token spans whose every length-n
+    token window also occurs elsewhere in the corpus (or again in the
+    same document) — the substring-level duplication that document- and
+    paragraph-grain dedup miss (boilerplate headers, licence blocks,
+    templated sentences). This is the distributed re-formulation of the
+    suffix-array approach of "Deduplicating Training Data Makes
+    Language Models Better" (Lee et al., 2022): a suffix array is
+    infeasible across 100 TB, but marking positions by corpus-frequent
+    n-gram hash + merging adjacent marked positions yields the same
+    >= n-token repeated spans with two linear shuffles (positions by
+    gram hash for the frequency mark, then by doc for the run merge —
+    the merge groupBy reuses the doc Exchange).
+
+    Output: (doc_id, span_start, span_end_tok, n_windows) — token
+    offsets inclusive, span covers tokens [span_start, span_end_tok].
+    Windows are positional (multiset), so in-doc repetition also
+    marks. md5 grams keep the operator oracle-checkable.
+    """
+    hashes = F.transform(
+        ngram_multiset_expr(tokens(text_col), n), lambda g: F.md5(g)
+    )
+    pos = docs.select(F.col(id_col), F.posexplode(hashes).alias("pos", "__g"))
+    by_gram = Window.partitionBy("__g")
+    marked = (
+        pos.withColumn("__c", F.count(F.lit(1)).over(by_gram))
+        .filter(F.col("__c") >= min_count)
+        .select(id_col, "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    new_run = F.when(
+        F.lag("pos").over(w).isNull()
+        | (F.col("pos") - F.lag("pos").over(w) > 1),
+        1,
+    ).otherwise(0)
+    sess = marked.withColumn(
+        "__rid",
+        F.sum(new_run).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sess.groupBy(id_col, "__rid")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + n - 1).cast("long").alias("span_end_tok"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(id_col, "span_start", "span_end_tok", "n_windows")
     )

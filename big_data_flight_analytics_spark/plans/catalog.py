@@ -146,6 +146,7 @@ _TIE_BREAK = [
     "h2_cdc_snapshot",
     "q13_dominant_suppliers",
     "m3_frame_dedup",
+    "d15_repeated_spans",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

@@ -1792,6 +1792,67 @@ FROM ranked WHERE rn = 1
 
 
 # ---------------------------------------------------------------------------
+# D15 — exact repeated-substring spans (Lee et al. 2022 grain): per
+# doc, the maximal token spans whose every 8-token window recurs in the
+# corpus. Distributed suffix-array replacement: mark positions by
+# corpus-frequent gram hash (one shuffle on the gram), merge adjacent
+# marks per doc (one shuffle on the doc; the span groupBy reuses it).
+# ---------------------------------------------------------------------------
+
+D15_N = 8
+
+
+def d15_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.dedup import repeated_spans
+
+    return repeated_spans(load(spark, sf_dir, "documents"), n=D15_N)
+
+
+_D15_GRAM = " || ' ' || ".join(f"t[i + {j}]" for j in range(D15_N)).replace(
+    "t[i + 0]", "t[i]"
+)
+
+D15_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+    FROM documents
+), grams AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= {D15_N} THEN
+               list_transform(range(1, len(t) - {D15_N - 2}),
+                   i -> md5({_D15_GRAM}))
+           ELSE [] END AS h
+    FROM toks
+), pos AS (
+    SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+           h[CAST(u.i AS BIGINT) + 1] AS g
+    FROM grams, UNNEST(range(len(h))) AS u(i)
+), counts AS (
+    SELECT g, COUNT(*) AS c FROM pos GROUP BY 1
+), marked AS (
+    SELECT p.doc_id, p.pos FROM pos p JOIN counts USING (g) WHERE c >= 2
+), runs AS (
+    SELECT doc_id, pos,
+           CASE WHEN lag(pos) OVER w IS NULL
+                     OR pos - lag(pos) OVER w > 1
+                THEN 1 ELSE 0 END AS nf
+    FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), sess AS (
+    SELECT doc_id, pos,
+           SUM(nf) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS rid
+    FROM runs
+)
+SELECT doc_id,
+       MIN(pos) AS span_start,
+       MAX(pos) + {D15_N - 1} AS span_end_tok,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM sess GROUP BY doc_id, rid
+"""
+
+
+# ---------------------------------------------------------------------------
 # V5 — int8-quantized ANN: candidates ranked by the EXACT integer dot
 # product of per-vector affine codes (the 4x-compressed index is the
 # only thing the full scan touches), then an exact double-accumulated
@@ -1964,6 +2025,7 @@ EXTENSION_QUERIES = {
     "v5_quantized_topk": v5_quantized_topk,
     "d13_semantic_prune": d13_semantic_prune,
     "d14_dedup_ensemble": d14_dedup_ensemble,
+    "d15_repeated_spans": d15_repeated_spans,
     "d6_dedup_clusters": d6_dedup_clusters,
     "d7_decontamination": d7_decontamination,
     "d8_curated_corpus": d8_curated_corpus,
@@ -2002,6 +2064,7 @@ EXTENSION_ORACLES = {
     "v5_quantized_topk": V5_SQL,
     "d13_semantic_prune": D13_SQL,
     "d14_dedup_ensemble": D14_SQL,
+    "d15_repeated_spans": D15_SQL,
     "d6_dedup_clusters": D6_SQL,
     "d7_decontamination": D7_SQL,
     "d8_curated_corpus": D8_SQL,

@@ -503,3 +503,67 @@ class TestQuantizedTopk:
             for r in quantized_topk(emb, queries, k=3, expand=4).collect()
         }
         assert len(approx & exact) / len(exact) >= 0.85
+
+
+class TestRepeatedSpans:
+    def test_shared_substring_yields_span_in_both_docs(self, spark):
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.operators.dedup import (
+            repeated_spans,
+        )
+
+        shared = "one two three four five six seven eight nine ten"
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, text=f"alpha beta {shared} gamma delta"),
+                Row(doc_id=2, text=f"{shared} epsilon zeta eta theta iota"),
+                Row(doc_id=3, text="k l m n o p q r s t u v w x y z"),
+            ]
+        )
+        spans = {
+            r["doc_id"]: (r["span_start"], r["span_end_tok"], r["n_windows"])
+            for r in repeated_spans(docs, n=8).collect()
+        }
+        # shared block = 10 tokens -> 3 windows of 8; doc 1 offset by 2
+        assert spans[1] == (2, 11, 3)
+        assert spans[2] == (0, 9, 3)
+        assert 3 not in spans
+
+    def test_in_doc_repetition_marks(self, spark):
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.operators.dedup import (
+            repeated_spans,
+        )
+
+        text = "a b c d e f g h x a b c d e f g h"  # 8-gram repeats in-doc
+        rows = repeated_spans(
+            spark.createDataFrame([Row(doc_id=1, text=text)]), n=8
+        ).collect()
+        assert len(rows) == 2
+        assert {(r["span_start"], r["span_end_tok"]) for r in rows} == {
+            (0, 7),
+            (9, 16),
+        }
+
+    def test_adjacent_windows_merge_into_one_span(self, spark):
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.operators.dedup import (
+            repeated_spans,
+        )
+
+        shared = " ".join(f"w{i}" for i in range(20))
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, text=shared), Row(doc_id=2, text=shared)]
+        )
+        rows = repeated_spans(docs, n=8).collect()
+        # 20 shared tokens = 13 overlapping windows -> ONE merged span
+        assert len(rows) == 2
+        for r in rows:
+            assert (r["span_start"], r["span_end_tok"], r["n_windows"]) == (
+                0,
+                19,
+                13,
+            )
