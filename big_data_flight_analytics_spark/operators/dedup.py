@@ -647,3 +647,95 @@ def repeated_spans(
         )
         .select(id_col, "span_start", "span_end_tok", "n_windows")
     )
+
+
+def excise_repeated_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-dedup rewrite: drop every corpus-repeated n-token run.
+
+    The action half of ``repeated_spans`` — Lee et al. remove the
+    repeated substrings rather than whole documents, keeping the
+    novel remainder. Tokens covered by ANY corpus-frequent n-gram
+    window are excised; the survivors are rejoined in original order
+    (lowercased/whitespace-normalized, the same canonical form every
+    fingerprint in this module uses).
+
+    Output: (doc_id, clean_text, n_kept, n_removed) for every doc,
+    including untouched ones (n_removed = 0) and fully-boilerplate ones
+    (clean_text = '').
+
+    Shape: the gram-frequency mark is d15's; covered positions come
+    from exploding each marked window into its n offsets (bounded
+    blow-up: n rows per marked window), distinct-ed, anti-joined
+    against the token positions, and the rebuild groupBy rides the
+    doc-hash Exchange the anti join just produced.
+    """
+    toks = tokens(text_col)
+    base = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "", toks
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "tok"),
+    )
+    hashes = F.transform(
+        ngram_multiset_expr(tokens(text_col), n), lambda g: F.md5(g)
+    )
+    gram_pos = docs.select(
+        F.col(id_col), F.posexplode(hashes).alias("pos", "__g")
+    )
+    by_gram = Window.partitionBy("__g")
+    marked = (
+        gram_pos.withColumn("__c", F.count(F.lit(1)).over(by_gram))
+        .filter(F.col("__c") >= min_count)
+        .select(id_col, "pos")
+    )
+    covered = (
+        marked.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = base.join(covered, [id_col, "pos"], "left_anti")
+    n_total = docs.select(
+        F.col(id_col),
+        F.when(
+            F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "",
+            F.size(toks),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("__n_total"),
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                ),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        n_total.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("__n_total") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )

@@ -147,6 +147,7 @@ _TIE_BREAK = [
     "q13_dominant_suppliers",
     "m3_frame_dedup",
     "d15_repeated_spans",
+    "d16_excise_spans",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

@@ -1853,6 +1853,69 @@ FROM sess GROUP BY doc_id, rid
 
 
 # ---------------------------------------------------------------------------
+# D16 — substring-dedup REWRITE: the action half of d15. Tokens covered
+# by any corpus-repeated 8-gram window are excised and the remainder
+# rejoined in order (canonical lowercased/normalized form). Every doc
+# appears in the output, including untouched (n_removed = 0) and
+# fully-boilerplate (clean_text = '') ones.
+# ---------------------------------------------------------------------------
+
+
+def d16_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.dedup import (
+        excise_repeated_spans,
+    )
+
+    return excise_repeated_spans(load(spark, sf_dir, "documents"), n=D15_N)
+
+
+D16_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, text,
+           CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+           END AS t
+    FROM documents
+), base AS (
+    SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+           t[CAST(u.i AS BIGINT) + 1] AS tok
+    FROM toks, UNNEST(range(len(t))) AS u(i)
+), grams AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= {D15_N} THEN
+               list_transform(range(1, len(t) - {D15_N - 2}),
+                   i -> md5({_D15_GRAM}))
+           ELSE [] END AS h
+    FROM toks
+), gpos AS (
+    SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+           h[CAST(u.i AS BIGINT) + 1] AS g
+    FROM grams, UNNEST(range(len(h))) AS u(i)
+), counts AS (
+    SELECT g, COUNT(*) AS c FROM gpos GROUP BY 1
+), marked AS (
+    SELECT p.doc_id, p.pos FROM gpos p JOIN counts USING (g) WHERE c >= 2
+), covered AS (
+    SELECT DISTINCT m.doc_id, CAST(u.j AS BIGINT) AS pos
+    FROM marked m, UNNEST(range(m.pos, m.pos + {D15_N})) AS u(j)
+), kept AS (
+    SELECT b.doc_id, b.pos, b.tok
+    FROM base b ANTI JOIN covered c USING (doc_id, pos)
+), rebuilt AS (
+    SELECT doc_id,
+           string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       CAST(len(t.t) AS BIGINT) - COALESCE(r.n_kept, 0) AS n_removed
+FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # V5 — int8-quantized ANN: candidates ranked by the EXACT integer dot
 # product of per-vector affine codes (the 4x-compressed index is the
 # only thing the full scan touches), then an exact double-accumulated
@@ -2026,6 +2089,7 @@ EXTENSION_QUERIES = {
     "d13_semantic_prune": d13_semantic_prune,
     "d14_dedup_ensemble": d14_dedup_ensemble,
     "d15_repeated_spans": d15_repeated_spans,
+    "d16_excise_spans": d16_excise_spans,
     "d6_dedup_clusters": d6_dedup_clusters,
     "d7_decontamination": d7_decontamination,
     "d8_curated_corpus": d8_curated_corpus,
@@ -2065,6 +2129,7 @@ EXTENSION_ORACLES = {
     "d13_semantic_prune": D13_SQL,
     "d14_dedup_ensemble": D14_SQL,
     "d15_repeated_spans": D15_SQL,
+    "d16_excise_spans": D16_SQL,
     "d6_dedup_clusters": D6_SQL,
     "d7_decontamination": D7_SQL,
     "d8_curated_corpus": D8_SQL,

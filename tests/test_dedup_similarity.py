@@ -567,3 +567,32 @@ class TestRepeatedSpans:
                 19,
                 13,
             )
+
+
+class TestExciseRepeatedSpans:
+    def test_shared_block_removed_from_both(self, spark):
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.operators.dedup import (
+            excise_repeated_spans,
+        )
+
+        shared = "one two three four five six seven eight"
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, text=f"Alpha beta {shared} gamma"),
+                Row(doc_id=2, text=f"{shared} epsilon zeta"),
+                Row(doc_id=3, text="untouched words here"),
+                Row(doc_id=4, text=shared),  # fully boilerplate
+                Row(doc_id=5, text=None),    # null text
+            ]
+        )
+        by = {
+            r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+            for r in excise_repeated_spans(docs, n=8).collect()
+        }
+        assert by[1] == ("alpha beta gamma", 3, 8)
+        assert by[2] == ("epsilon zeta", 2, 8)
+        assert by[3] == ("untouched words here", 3, 0)
+        assert by[4] == ("", 0, 8)
+        assert by[5] == ("", 0, 0)
