@@ -589,12 +589,40 @@ def simhash_pairs(
     )
 
 
+def repeated_window_marks(
+    docs: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Positions whose length-n token window recurs corpus-wide.
+
+    The shared heavy stage of ``repeated_spans`` (report) and
+    ``excise_repeated_spans`` (rewrite): hash every n-gram window once,
+    count occurrences over a gram-partitioned window (one shuffle on
+    the gram hash), keep window-start positions with count >=
+    ``min_count``. Output: (id_col, pos).
+    """
+    hashes = F.transform(
+        ngram_multiset_expr(tokens(text_col), n), lambda g: F.md5(g)
+    )
+    pos = docs.select(F.col(id_col), F.posexplode(hashes).alias("pos", "__g"))
+    by_gram = Window.partitionBy("__g")
+    return (
+        pos.withColumn("__c", F.count(F.lit(1)).over(by_gram))
+        .filter(F.col("__c") >= min_count)
+        .select(id_col, "pos")
+    )
+
+
 def repeated_spans(
     docs: DataFrame,
     n: int = 8,
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    marks: DataFrame | None = None,
 ) -> DataFrame:
     """Exact repeated-substring spans: the suffix-array dedup grain.
 
@@ -615,16 +643,15 @@ def repeated_spans(
     offsets inclusive, span covers tokens [span_start, span_end_tok].
     Windows are positional (multiset), so in-doc repetition also
     marks. md5 grams keep the operator oracle-checkable.
+
+    ``marks`` lets a single-pass pipeline share the frequency-marked
+    positions with ``excise_repeated_spans`` (see the plans-layer
+    stage seam).
     """
-    hashes = F.transform(
-        ngram_multiset_expr(tokens(text_col), n), lambda g: F.md5(g)
-    )
-    pos = docs.select(F.col(id_col), F.posexplode(hashes).alias("pos", "__g"))
-    by_gram = Window.partitionBy("__g")
     marked = (
-        pos.withColumn("__c", F.count(F.lit(1)).over(by_gram))
-        .filter(F.col("__c") >= min_count)
-        .select(id_col, "pos")
+        marks
+        if marks is not None
+        else repeated_window_marks(docs, n, min_count, id_col, text_col)
     )
     w = Window.partitionBy(id_col).orderBy("pos")
     new_run = F.when(
@@ -655,6 +682,7 @@ def excise_repeated_spans(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    marks: DataFrame | None = None,
 ) -> DataFrame:
     """Substring-dedup rewrite: drop every corpus-repeated n-token run.
 
@@ -684,17 +712,10 @@ def excise_repeated_spans(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("pos", "tok"),
     )
-    hashes = F.transform(
-        ngram_multiset_expr(tokens(text_col), n), lambda g: F.md5(g)
-    )
-    gram_pos = docs.select(
-        F.col(id_col), F.posexplode(hashes).alias("pos", "__g")
-    )
-    by_gram = Window.partitionBy("__g")
     marked = (
-        gram_pos.withColumn("__c", F.count(F.lit(1)).over(by_gram))
-        .filter(F.col("__c") >= min_count)
-        .select(id_col, "pos")
+        marks
+        if marks is not None
+        else repeated_window_marks(docs, n, min_count, id_col, text_col)
     )
     covered = (
         marked.select(

@@ -1802,10 +1802,29 @@ FROM ranked WHERE rn = 1
 D15_N = 8
 
 
+def _repeated_marks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d15/d16's gram-frequency mark as a shareable stage — the heavy
+    gram shuffle runs once per single-pass pipeline instead of twice."""
+    from big_data_flight_analytics_spark.operators.dedup import (
+        repeated_window_marks,
+    )
+
+    return stage(
+        ("repeated_marks", sf_dir, D15_N, 2),
+        lambda: repeated_window_marks(
+            load(spark, sf_dir, "documents"), n=D15_N, min_count=2
+        ),
+    )
+
+
 def d15_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_flight_analytics_spark.operators.dedup import repeated_spans
 
-    return repeated_spans(load(spark, sf_dir, "documents"), n=D15_N)
+    return repeated_spans(
+        load(spark, sf_dir, "documents"),
+        n=D15_N,
+        marks=_repeated_marks(spark, sf_dir),
+    )
 
 
 _D15_GRAM = " || ' ' || ".join(f"t[i + {j}]" for j in range(D15_N)).replace(
@@ -1866,7 +1885,11 @@ def d16_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         excise_repeated_spans,
     )
 
-    return excise_repeated_spans(load(spark, sf_dir, "documents"), n=D15_N)
+    return excise_repeated_spans(
+        load(spark, sf_dir, "documents"),
+        n=D15_N,
+        marks=_repeated_marks(spark, sf_dir),
+    )
 
 
 D16_SQL = rf"""

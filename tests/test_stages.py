@@ -208,3 +208,20 @@ class TestSharedCatalogEquivalence:
                 for r in d6.filter(F.col("is_canonical")).collect()
             }
             assert {r.doc_id for r in d8.collect()} <= canon_ids
+
+
+def test_repeated_marks_stage_shared_equals_isolated(spark):
+    from big_data_flight_analytics_spark.plans.extension_queries import (
+        d15_repeated_spans,
+        d16_excise_spans,
+    )
+    from big_data_flight_analytics_spark.stages import shared_stages
+
+    sf = "/root/testdata/sf0.001"
+    iso15 = sorted(tuple(r) for r in d15_repeated_spans(spark, sf).collect())
+    iso16 = sorted(tuple(r) for r in d16_excise_spans(spark, sf).collect())
+    with shared_stages():
+        sh15 = sorted(tuple(r) for r in d15_repeated_spans(spark, sf).collect())
+        sh16 = sorted(tuple(r) for r in d16_excise_spans(spark, sf).collect())
+    assert sh15 == iso15
+    assert sh16 == iso16
