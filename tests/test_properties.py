@@ -656,3 +656,126 @@ class TestEventTransitionsProperties:
             for r in event_transitions(df).collect()
         }
         assert got == want
+
+
+class TestApplyChangesProperties:
+    """CDC merge vs a direct python fold of the changeset."""
+
+    def test_matches_python_reference_on_random_changesets(self, spark):
+        from big_data_flight_analytics_spark.operators.scd import apply_changes
+
+        rng = random.Random(23)
+        base_rows = [Row(k=k, v=f"base{k}") for k in range(40)]
+        changes = [
+            Row(
+                k=rng.randrange(60),  # keys beyond base -> inserts
+                op=rng.choice(["I", "U", "D"]),
+                v=f"c{i}",
+                seq=i,
+            )
+            for i in range(300)
+        ]
+        got = {
+            (r["k"], r["v"])
+            for r in apply_changes(
+                spark.createDataFrame(base_rows),
+                spark.createDataFrame(changes),
+                key="k",
+                seq=["seq"],
+                payload=["v"],
+            ).collect()
+        }
+        # python reference: fold in seq order, last writer wins
+        state = {r.k: r.v for r in base_rows}
+        for c in sorted(changes, key=lambda c: c.seq):
+            if c.op == "D":
+                state.pop(c.k, None)
+            else:
+                state[c.k] = c.v
+        assert got == set(state.items())
+
+
+class TestRollingZscoreProperties:
+    def test_matches_python_reference(self, spark):
+        from big_data_flight_analytics_spark.operators.temporal import (
+            rolling_zscore,
+        )
+
+        rng = random.Random(7)
+        rows = [
+            Row(k=i % 5, t=i, v=rng.randrange(0, 1000)) for i in range(400)
+        ]
+        out = rolling_zscore(
+            spark.createDataFrame(rows), key="k", order=["t"],
+            int_value_col="v", window=5, min_periods=3, dp=None,
+        ).collect()
+        got = {(r["k"], r["t"]): r["zscore"] for r in out}
+        series: dict[int, list[tuple[int, int]]] = {}
+        for r in sorted(rows, key=lambda r: (r.k, r.t)):
+            series.setdefault(r.k, []).append((r.t, r.v))
+        for k, pts in series.items():
+            for i, (t, v) in enumerate(pts):
+                trail = [x for _, x in pts[max(0, i - 5):i]]
+                n = len(trail)
+                if n < 3:
+                    assert got[(k, t)] is None
+                    continue
+                s, ss = sum(trail), sum(x * x for x in trail)
+                var_num = n * ss - s * s
+                if var_num <= 0:
+                    assert got[(k, t)] is None
+                else:
+                    want = (v * n - s) / math.sqrt(var_num)
+                    assert got[(k, t)] == want  # bit-exact, same IEEE chain
+
+
+class TestRepeatedSpansProperties:
+    def test_matches_python_reference_on_random_corpus(self, spark):
+        from big_data_flight_analytics_spark.operators.dedup import (
+            repeated_spans,
+        )
+
+        rng = random.Random(41)
+        vocab = [f"w{i}" for i in range(12)]  # small vocab -> collisions
+        docs = [
+            Row(
+                doc_id=i,
+                text=" ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 30))),
+            )
+            for i in range(40)
+        ]
+        n = 4
+        got = {
+            (r["doc_id"], r["span_start"], r["span_end_tok"], r["n_windows"])
+            for r in repeated_spans(
+                spark.createDataFrame(docs), n=n
+            ).collect()
+        }
+        # python reference
+        from collections import Counter
+
+        grams: list[tuple[int, int, tuple]] = []
+        counts: Counter = Counter()
+        for d in docs:
+            toks = d.text.lower().split()
+            for p in range(len(toks) - n + 1):
+                g = tuple(toks[p:p + n])
+                grams.append((d.doc_id, p, g))
+                counts[g] += 1
+        marked: dict[int, list[int]] = {}
+        for doc, p, g in grams:
+            if counts[g] >= 2:
+                marked.setdefault(doc, []).append(p)
+        want = set()
+        for doc, ps in marked.items():
+            ps.sort()
+            start = prev = ps[0]
+            cnt = 1
+            for p in ps[1:]:
+                if p - prev > 1:
+                    want.add((doc, start, prev + n - 1, cnt))
+                    start, cnt = p, 0
+                prev = p
+                cnt += 1
+            want.add((doc, start, prev + n - 1, cnt))
+        assert got == want
