@@ -166,12 +166,34 @@ def main() -> None:
         )
         return first_seen_dedup(keyed)
 
+    def s5(raw):
+        # running z-score: the int64-state online anomaly scorer
+        # (streaming i2 of ts3); emits one scored row per input row,
+        # so rows/sec here is true per-event scoring throughput
+        from big_data_flight_analytics_spark.streaming.stateful import (
+            running_zscore,
+        )
+
+        parsed = transformed_stream(parse_opensky(raw))
+        keyed = parsed.select(
+            F.conv(F.col("icao24"), 16, 10).cast("long").alias("user_id"),
+            F.unix_micros(F.col("event_time")).alias("event_us"),
+            F.xxhash64("icao24", "event_time", "geo_altitude").alias(
+                "event_id"
+            ),
+            F.floor(F.col("geo_altitude") + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        return running_zscore(keyed)
+
     pipelines = {}
     for name, build, mode in (
         ("s1_enrich", s1, "append"),
         ("s2_windowed_counts", s2, "append"),
         ("s3_session_windows", s3, "append"),
         ("s4_stateful_dedup", s4, "update"),
+        ("s5_running_zscore", s5, "append"),
     ):
         secs = _run(
             spark, src_dir, build, os.path.join(workdir, f"ckpt_{name}"), mode
