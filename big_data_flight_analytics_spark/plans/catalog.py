@@ -148,6 +148,7 @@ _TIE_BREAK = [
     "m3_frame_dedup",
     "d15_repeated_spans",
     "d16_excise_spans",
+    "u2_activity_reconciliation",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

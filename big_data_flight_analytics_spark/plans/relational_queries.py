@@ -1239,9 +1239,62 @@ SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (
 """
 
 
+# ---------------------------------------------------------------------------
+# U2 — full-outer reconciliation: per-key activity counts from two
+# independent sources (events vs orders over the shared user/customer
+# key space), FULL OUTER joined with a presence indicator — the
+# source-reconciliation report every ingestion pipeline runs. Both
+# inputs pre-aggregate to one row per key BEFORE the join, so the full
+# outer join moves |keys| rows, never facts.
+# ---------------------------------------------------------------------------
+
+
+def u2_activity_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    od = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    joined = ev.join(od, "user_id", "full_outer")
+    return joined.select(
+        "user_id",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.when(
+            F.col("n_events").isNotNull() & F.col("n_orders").isNotNull(),
+            F.lit("both"),
+        )
+        .when(F.col("n_events").isNotNull(), F.lit("events_only"))
+        .otherwise(F.lit("orders_only"))
+        .alias("presence"),
+    )
+
+
+U2_SQL = """
+WITH ev AS (
+    SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1
+), od AS (
+    SELECT o_custkey AS user_id, COUNT(*) AS n_orders FROM orders GROUP BY 1
+)
+SELECT user_id,
+       COALESCE(n_events, 0) AS n_events,
+       COALESCE(n_orders, 0) AS n_orders,
+       CASE WHEN n_events IS NOT NULL AND n_orders IS NOT NULL THEN 'both'
+            WHEN n_events IS NOT NULL THEN 'events_only'
+            ELSE 'orders_only' END AS presence
+FROM ev FULL OUTER JOIN od USING (user_id)
+"""
+
+
 RELATIONAL_QUERIES = {
     "q12_small_quantity_revenue": q12_small_quantity_revenue,
     "q13_dominant_suppliers": q13_dominant_suppliers,
+    "u2_activity_reconciliation": u2_activity_reconciliation,
     "q1_supplier_stats": q1_supplier_stats,
     "q2_status_priority_delays": q2_status_priority_delays,
     "q3_busiest_customers": q3_busiest_customers,
@@ -1301,4 +1354,5 @@ RELATIONAL_ORACLES = {
     "q11_cheapest_suppliers": Q11_SQL,
     "q12_small_quantity_revenue": Q12_SQL,
     "q13_dominant_suppliers": Q13_SQL,
+    "u2_activity_reconciliation": U2_SQL,
 }
