@@ -239,3 +239,75 @@ def airport_aircraft_counts(
         )
         .join(meta, "AirportCode", "left")
     )
+
+
+def windowed_key_counts(
+    stream: DataFrame,
+    key_col: str,
+    window: str = STREAM_WINDOW,
+    watermark: str = STREAM_WATERMARK,
+    ts_col: str = "event_time",
+) -> DataFrame:
+    """Event counts per (tumbling window, key) — emit-final input for
+    sink-side ranking (``rank_topk``). Append mode + watermark emits
+    each closed window's rows exactly once, all in the batch where the
+    watermark passes the window end — which is what makes ranking in
+    the SINK sound (see windowed_topk_query)."""
+    keyed = stream.withWatermark(ts_col, watermark)
+    return (
+        keyed.groupBy(F.window(ts_col, window).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            F.col(key_col),
+            "n_events",
+        )
+    )
+
+
+def rank_topk(
+    batch_df: DataFrame, k: int = 3, key_col: str = "event_type"
+) -> DataFrame:
+    """Per-window top-k by count (count desc, key asc tie-break) — the
+    foreachBatch half of streaming windowed top-k."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window_start_epoch").orderBy(
+        F.col("n_events").desc(), F.col(key_col).asc()
+    )
+    return (
+        batch_df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def windowed_topk_query(
+    stream: DataFrame,
+    key_col: str,
+    sink,
+    k: int = 3,
+    window: str = STREAM_WINDOW,
+    watermark: str = STREAM_WATERMARK,
+    ts_col: str = "event_time",
+    checkpoint: str | None = None,
+):
+    """Continuous per-window top-k keys: the streaming leaderboard.
+
+    A rank over a streaming aggregate is two stateful operators — not
+    supported, and unnecessary: in append mode a window's count rows
+    are emitted exactly once, TOGETHER, in the micro-batch where the
+    watermark passes the window end. Ranking inside ``foreachBatch``
+    therefore sees every closed window complete, so the sink-side
+    ``rank_topk`` is exact, with zero extra streaming state. ``sink``
+    receives the ranked batch (e.g. a ParquetUpsertSink keyed on
+    (window, rank), or any callable(batch_df, batch_id)).
+    """
+    counts = windowed_key_counts(stream, key_col, window, watermark, ts_col)
+
+    def _emit(batch_df: DataFrame, batch_id: int) -> None:
+        sink(rank_topk(batch_df, k, key_col), batch_id)
+
+    writer = counts.writeStream.foreachBatch(_emit).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
