@@ -149,6 +149,7 @@ _TIE_BREAK = [
     "d15_repeated_spans",
     "d16_excise_spans",
     "u2_activity_reconciliation",
+    "p2_constraint_report",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

@@ -1291,10 +1291,71 @@ FROM ev FULL OUTER JOIN od USING (user_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# P2 — declarative constraint report (Deequ/dbt-test shape): every
+# row-level expectation folds into ONE aggregate over ONE scan
+# (violations are conditional sums; uniqueness rides the same agg via
+# count-distinct); the referential check is one broadcast anti-join
+# count. The mixed pass/fail outcome is intentional — range and
+# accepted-set checks are tuned to actually catch rows.
+# ---------------------------------------------------------------------------
+
+
+def p2_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.quality import (
+        constraint_report,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return constraint_report(
+        orders,
+        not_null=["o_custkey"],
+        unique=["o_orderkey"],
+        ranges={"o_totalprice": (0.0, 400_000.0)},
+        in_set={"o_orderstatus": ["F", "O"]},
+        fks=[("o_custkey", customer, "c_custkey")],
+    )
+
+
+P2_SQL = """
+WITH base AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS checked,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS v1,
+           CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                              AND (o_totalprice < 0.0
+                                   OR o_totalprice > 400000.0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+           CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                              AND o_orderstatus NOT IN ('F', 'O')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+           CAST(SUM(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+                - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v4
+    FROM orders
+), fk AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS v FROM orders
+    WHERE o_custkey IS NOT NULL
+      AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+)
+SELECT 'not_null(o_custkey)' AS check_name, v1 AS violations, checked,
+       v1 = 0 AS passed FROM base
+UNION ALL
+SELECT 'range(o_totalprice)', v2, checked, v2 = 0 FROM base
+UNION ALL
+SELECT 'in_set(o_orderstatus)', v3, checked, v3 = 0 FROM base
+UNION ALL
+SELECT 'unique(o_orderkey)', v4, checked, v4 = 0 FROM base
+UNION ALL
+SELECT 'fk(o_custkey)', v, (SELECT checked FROM base), v = 0 FROM fk
+"""
+
+
 RELATIONAL_QUERIES = {
     "q12_small_quantity_revenue": q12_small_quantity_revenue,
     "q13_dominant_suppliers": q13_dominant_suppliers,
     "u2_activity_reconciliation": u2_activity_reconciliation,
+    "p2_constraint_report": p2_constraint_report,
     "q1_supplier_stats": q1_supplier_stats,
     "q2_status_priority_delays": q2_status_priority_delays,
     "q3_busiest_customers": q3_busiest_customers,
@@ -1355,4 +1416,5 @@ RELATIONAL_ORACLES = {
     "q12_small_quantity_revenue": Q12_SQL,
     "q13_dominant_suppliers": Q13_SQL,
     "u2_activity_reconciliation": U2_SQL,
+    "p2_constraint_report": P2_SQL,
 }

@@ -137,3 +137,79 @@ class TestRadiusJoinBanding:
         sites = spark.createDataFrame([Row(sid=1, site_latitude=10.0, site_longitude=10.0)])
         out = radius_join(pts, sites, radius_km=50.0, use_banding=False).collect()
         assert [r["pid"] for r in out] == [2]
+
+
+class TestConstraintReport:
+    def test_all_constraint_kinds_detect_and_pass(self, spark):
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.operators.quality import (
+            constraint_report,
+        )
+
+        facts = spark.createDataFrame(
+            [
+                Row(k=1, v=10.0, s="A", fk=1),
+                Row(k=2, v=-5.0, s="B", fk=1),     # range violation
+                Row(k=2, v=20.0, s="Z", fk=9),     # dup k, bad s, bad fk
+                Row(k=None, v=None, s=None, fk=None),  # nulls
+            ]
+        )
+        dim = spark.createDataFrame([Row(d=1), Row(d=2)])
+        rep = {
+            r["check_name"]: (r["violations"], r["checked"], r["passed"])
+            for r in constraint_report(
+                facts,
+                not_null=["k"],
+                unique=["k"],
+                ranges={"v": (0.0, 100.0)},
+                in_set={"s": ["A", "B"]},
+                fks=[("fk", dim, "d")],
+            ).collect()
+        }
+        assert rep["not_null(k)"] == (1, 4, False)
+        assert rep["unique(k)"] == (1, 4, False)   # k=2 twice, nulls ignored
+        assert rep["range(v)"] == (1, 4, False)
+        assert rep["in_set(s)"] == (1, 4, False)
+        assert rep["fk(fk)"] == (1, 4, False)
+
+    def test_clean_frame_passes_everything(self, spark):
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.operators.quality import (
+            constraint_report,
+        )
+
+        facts = spark.createDataFrame(
+            [Row(k=i, v=float(i), s="A", fk=1) for i in range(10)]
+        )
+        dim = spark.createDataFrame([Row(d=1)])
+        rep = constraint_report(
+            facts,
+            not_null=["k"],
+            unique=["k"],
+            ranges={"v": (0.0, 100.0)},
+            in_set={"s": ["A"]},
+            fks=[("fk", dim, "d")],
+        ).collect()
+        assert all(r["passed"] for r in rep)
+        assert len(rep) == 5
+
+    def test_row_level_checks_share_one_scan(self, spark):
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.operators.quality import (
+            constraint_report,
+        )
+
+        facts = spark.createDataFrame([Row(k=1, v=1.0, s="A")])
+        rep = constraint_report(
+            facts,
+            not_null=["k"],
+            unique=["k"],
+            ranges={"v": (0.0, 2.0)},
+            in_set={"s": ["A"]},
+        )
+        plan = rep._jdf.queryExecution().optimizedPlan().toString()
+        # no fk -> a single aggregate, no join/union in the plan
+        assert "Join" not in plan and "Union" not in plan
