@@ -1260,7 +1260,11 @@ def u2_activity_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_custkey").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
-    joined = ev.join(od, "user_id", "full_outer")
+    # full outer can't broadcast; the default would be a SortMergeJoin.
+    # Both sides arrive hash-partitioned on user_id from their groupBys,
+    # so a shuffled-hash join adds NO exchange and skips both sorts —
+    # the same pin d13's marking join uses.
+    joined = ev.join(od.hint("SHUFFLE_HASH"), "user_id", "full_outer")
     return joined.select(
         "user_id",
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
