@@ -1273,6 +1273,84 @@ WHERE ABS(zscore) > 2
 
 
 # ---------------------------------------------------------------------------
+# A10 — correlation from sufficient statistics: per-brand
+# corr(quantity, price) computed from exact integer/decimal sums
+# (n, Sx, Sy, Sxy, Sxx, Syy) rather than the engine's corr() — the
+# accumulation is order-independent (exact decimal), each SUM casts to
+# double deterministically, and the final Pearson formula is one fixed
+# IEEE chain, so the result is bit-identical cross-engine where a
+# native corr() would drift in the last ulp. The sufficient-statistic
+# form is also what makes the measure ALGEBRAIC — partials merge, the
+# i1/i2 incremental-maintenance contract.
+# ---------------------------------------------------------------------------
+
+
+def a10_brand_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("__q"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("__c"),
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    sums = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(dec(F.col("__q"))).alias("__sx"),
+            F.sum(dec(F.col("__c"))).alias("__sy"),
+            F.sum(dec(F.col("__q") * F.col("__c"))).alias("__sxy"),
+            F.sum(dec(F.col("__q") * F.col("__q"))).alias("__sxx"),
+            F.sum(dec(F.col("__c") * F.col("__c"))).alias("__syy"),
+        )
+    )
+    n = F.col("n_items").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return sums.select("p_brand", "n_items", F.round(corr, 6).alias("qty_price_corr"))
+
+
+A10_SQL = """
+WITH facts AS (
+    SELECT l_partkey,
+           CAST(l_quantity AS BIGINT) AS q,
+           CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+    FROM lineitem
+), sums AS (
+    SELECT p_brand,
+           COUNT(*) AS n_items,
+           SUM(CAST(q AS HUGEINT)) AS sx,
+           SUM(CAST(c AS HUGEINT)) AS sy,
+           SUM(CAST(q * c AS HUGEINT)) AS sxy,
+           SUM(CAST(q * q AS HUGEINT)) AS sxx,
+           SUM(CAST(c * c AS HUGEINT)) AS syy
+    FROM facts JOIN part ON p_partkey = l_partkey
+    GROUP BY 1
+)
+SELECT p_brand,
+       CAST(n_items AS BIGINT) AS n_items,
+       ROUND(
+           (CAST(n_items AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n_items AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n_items AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+           AS qty_price_corr
+FROM sums
+"""
+
+
+# ---------------------------------------------------------------------------
 # H2 — CDC MERGE snapshot: a deterministic insert/update/delete
 # changeset (synthesized from orders: deletes every 17th orderkey,
 # inserts for shifted keys, updates otherwise; last writer per key by
@@ -1378,6 +1456,7 @@ ANALYTIC_QUERIES = {
     "ts3_rolling_zscore": ts3_rolling_zscore,
     "b4_top_paths": b4_top_paths,
     "h2_cdc_snapshot": h2_cdc_snapshot,
+    "a10_brand_price_qty_corr": a10_brand_price_qty_corr,
     "s4_user_sessions": s4_user_sessions,
     "s5_session_windows": s5_session_windows,
     "a8_rollup_revenue": a8_rollup_revenue,
@@ -1433,4 +1512,5 @@ ANALYTIC_ORACLES = {
     "ts3_rolling_zscore": TS3_SQL,
     "b4_top_paths": B4_SQL,
     "h2_cdc_snapshot": H2_SQL,
+    "a10_brand_price_qty_corr": A10_SQL,
 }

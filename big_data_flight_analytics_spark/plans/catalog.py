@@ -150,6 +150,7 @@ _TIE_BREAK = [
     "d16_excise_spans",
     "u2_activity_reconciliation",
     "p2_constraint_report",
+    "a10_brand_price_qty_corr",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)
