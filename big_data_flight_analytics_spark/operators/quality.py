@@ -82,16 +82,21 @@ def constraint_report(
             .alias(f"__v{len(names)}")
         )
 
-    one = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{name}', __v{i + 1}" for i, name in enumerate(names)
-    )
-    tall = one.selectExpr(
-        f"stack({len(names)}, {stack_args}) AS (check_name, violations)",
-        "__checked AS checked",
-    )
-
-    reports = [tall]
+    if not names and not fks:
+        raise ValueError("constraint_report: no constraints declared")
+    reports = []
+    if names:
+        one = df.agg(*aggs)
+        stack_args = ", ".join(
+            f"'{name}', __v{i + 1}" for i, name in enumerate(names)
+        )
+        reports.append(
+            one.selectExpr(
+                f"stack({len(names)}, {stack_args}) "
+                "AS (check_name, violations)",
+                "__checked AS checked",
+            )
+        )
     for c, dim, dim_col in fks:
         viol_count = (
             df.select(F.col(c)).filter(F.col(c).isNotNull())
