@@ -1273,6 +1273,84 @@ WHERE ABS(zscore) > 2
 
 
 # ---------------------------------------------------------------------------
+# B5 — conversion-latency histogram: per user, seconds from FIRST
+# 'click' to the first 'purchase' AFTER it, bucketed into hour bands.
+# One user-hash Exchange serves both first-touch windows (the funnel
+# pattern); micros arithmetic is exact integer end-to-end.
+# ---------------------------------------------------------------------------
+
+B5_BUCKET_S = 6 * 3600
+
+
+def b5_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    by_user = Window.partitionBy("user_id")
+    first_click = F.min(
+        F.when(F.col("event_type") == "click", F.col("us"))
+    ).over(by_user)
+    per_user = ev.withColumn("__click_us", first_click)
+    first_purchase_after = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("us") > F.col("__click_us")),
+            F.col("us"),
+        )
+    ).over(by_user)
+    lat = (
+        per_user.withColumn("__purchase_us", first_purchase_after)
+        .groupBy("user_id")
+        .agg(
+            F.first("__click_us").alias("__c"),
+            F.first("__purchase_us").alias("__p"),
+        )
+        .filter(F.col("__c").isNotNull() & F.col("__p").isNotNull())
+        .select(
+            # integer `div`, not float `/`: exact at any magnitude
+            F.expr("(__p - __c) div 1000000").alias("latency_s")
+        )
+    )
+    return (
+        lat.groupBy(
+            (F.col("latency_s") - F.col("latency_s") % B5_BUCKET_S).alias(
+                "bucket_start_s"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+B5_SQL = f"""
+WITH ev AS (
+    SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+), firsts AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'click' THEN us END) AS c
+    FROM ev GROUP BY 1
+), pairs AS (
+    SELECT f.user_id, f.c,
+           MIN(CASE WHEN e.event_type = 'purchase' AND e.us > f.c
+                    THEN e.us END) AS p
+    FROM firsts f JOIN ev e USING (user_id)
+    GROUP BY 1, 2
+), lat AS (
+    SELECT CAST((p - c) // 1000000 AS BIGINT) AS latency_s
+    FROM pairs WHERE c IS NOT NULL AND p IS NOT NULL
+)
+SELECT latency_s - latency_s % {B5_BUCKET_S} AS bucket_start_s,
+       COUNT(*) AS n_users
+FROM lat GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # A10 — correlation from sufficient statistics: per-brand
 # corr(quantity, price) computed from exact integer/decimal sums
 # (n, Sx, Sy, Sxy, Sxx, Syy) rather than the engine's corr() — the
@@ -1457,6 +1535,7 @@ ANALYTIC_QUERIES = {
     "b4_top_paths": b4_top_paths,
     "h2_cdc_snapshot": h2_cdc_snapshot,
     "a10_brand_price_qty_corr": a10_brand_price_qty_corr,
+    "b5_conversion_latency": b5_conversion_latency,
     "s4_user_sessions": s4_user_sessions,
     "s5_session_windows": s5_session_windows,
     "a8_rollup_revenue": a8_rollup_revenue,
@@ -1513,4 +1592,5 @@ ANALYTIC_ORACLES = {
     "b4_top_paths": B4_SQL,
     "h2_cdc_snapshot": H2_SQL,
     "a10_brand_price_qty_corr": A10_SQL,
+    "b5_conversion_latency": B5_SQL,
 }

@@ -151,6 +151,8 @@ _TIE_BREAK = [
     "u2_activity_reconciliation",
     "p2_constraint_report",
     "a10_brand_price_qty_corr",
+    "b5_conversion_latency",
+    "d17_source_dedup_report",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

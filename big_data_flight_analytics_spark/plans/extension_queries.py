@@ -32,9 +32,13 @@ from big_data_flight_analytics_spark.operators.sampling import stratified_sample
 from big_data_flight_analytics_spark.operators.text import (
     text_stats,
     tfidf_top_terms,
+    tokens,
     top_ngrams,
 )
-from big_data_flight_analytics_spark.functions.text import lang_case_sql
+from big_data_flight_analytics_spark.functions.text import (
+    lang_case_sql,
+    rolling_fingerprint,
+)
 from big_data_flight_analytics_spark.plans.tables import load
 from big_data_flight_analytics_spark.stages import stage
 
@@ -1939,6 +1943,118 @@ FROM toks t LEFT JOIN rebuilt r USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
+# D17 — per-source dedup report: the curation dashboard a corpus owner
+# reads before training. Per source: doc count, docs participating in
+# an exact-dup group, token volume, tokens inside corpus-repeated
+# 8-gram spans (the d16 removal), and the removal rate. Composition:
+# the exact-dup flag is one fingerprint-partitioned window; the
+# repeated-token counts reuse the shared d15/d16 gram-mark stage; the
+# final rollup is one groupBy(source). Ratios are integer-over-integer
+# — exact IEEE, no rounding tolerance needed (rounded 6dp for
+# presentation).
+# ---------------------------------------------------------------------------
+
+
+def d17_source_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        rolling_fingerprint(F.col("text")).alias("__f"),
+        F.when(
+            F.trim(F.coalesce(F.col("text"), F.lit(""))) != "", F.size(toks)
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("__n_toks"),
+    )
+    dup_flag = (
+        F.count(F.lit(1)).over(Window.partitionBy("__f")) >= 2
+    ).alias("__is_dup")
+    flagged = per_doc.select("doc_id", "source", "__n_toks", dup_flag)
+
+    marks = _repeated_marks(spark, sf_dir)
+    covered_per_doc = (
+        marks.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (D15_N - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__removed"))
+    )
+    joined = flagged.join(covered_per_doc, "doc_id", "left")
+    removed = F.coalesce("__removed", F.lit(0))
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("__is_dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("dup_docs"),
+        F.sum("__n_toks").alias("tokens_total"),
+        F.sum(removed).alias("tokens_removed"),
+        F.round(
+            F.sum(removed).cast("double")
+            / F.sum("__n_toks").cast("double"),
+            6,
+        ).alias("removal_rate"),
+    )
+
+
+D17_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, source, text,
+           CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+           END AS t
+    FROM documents
+), grams AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= {D15_N} THEN
+               list_transform(range(1, len(t) - {D15_N - 2}),
+                   i -> md5({_D15_GRAM}))
+           ELSE [] END AS h
+    FROM toks
+), gpos AS (
+    SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+           h[CAST(u.i AS BIGINT) + 1] AS g
+    FROM grams, UNNEST(range(len(h))) AS u(i)
+), counts AS (
+    SELECT g, COUNT(*) AS c FROM gpos GROUP BY 1
+), marked AS (
+    SELECT p.doc_id, p.pos FROM gpos p JOIN counts USING (g) WHERE c >= 2
+), covered AS (
+    SELECT DISTINCT m.doc_id, CAST(u.j AS BIGINT) AS pos
+    FROM marked m, UNNEST(range(m.pos, m.pos + {D15_N})) AS u(j)
+), cov_per_doc AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS removed
+    FROM covered GROUP BY 1
+), fp AS (
+    SELECT doc_id, source,
+           md5(trim(regexp_replace(lower(COALESCE(text, '')), '\s+', ' ',
+                                   'g'))) AS f,
+           CAST(len(t) AS BIGINT) AS n_toks
+    FROM toks
+), gs AS (
+    SELECT f, COUNT(*) AS c FROM fp GROUP BY 1
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS tokens_total,
+       CAST(SUM(COALESCE(removed, 0)) AS BIGINT) AS tokens_removed,
+       ROUND(CAST(SUM(COALESCE(removed, 0)) AS DOUBLE)
+             / CAST(SUM(n_toks) AS DOUBLE), 6) AS removal_rate
+FROM fp JOIN gs USING (f) LEFT JOIN cov_per_doc USING (doc_id)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # V5 — int8-quantized ANN: candidates ranked by the EXACT integer dot
 # product of per-vector affine codes (the 4x-compressed index is the
 # only thing the full scan touches), then an exact double-accumulated
@@ -2113,6 +2229,7 @@ EXTENSION_QUERIES = {
     "d14_dedup_ensemble": d14_dedup_ensemble,
     "d15_repeated_spans": d15_repeated_spans,
     "d16_excise_spans": d16_excise_spans,
+    "d17_source_dedup_report": d17_source_dedup_report,
     "d6_dedup_clusters": d6_dedup_clusters,
     "d7_decontamination": d7_decontamination,
     "d8_curated_corpus": d8_curated_corpus,
@@ -2153,6 +2270,7 @@ EXTENSION_ORACLES = {
     "d14_dedup_ensemble": D14_SQL,
     "d15_repeated_spans": D15_SQL,
     "d16_excise_spans": D16_SQL,
+    "d17_source_dedup_report": D17_SQL,
     "d6_dedup_clusters": D6_SQL,
     "d7_decontamination": D7_SQL,
     "d8_curated_corpus": D8_SQL,
