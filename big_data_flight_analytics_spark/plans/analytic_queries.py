@@ -1273,6 +1273,46 @@ WHERE ABS(zscore) > 2
 
 
 # ---------------------------------------------------------------------------
+# S7 — per-window top-k leaderboard: the BATCH form of
+# streaming.windowed_counts.windowed_topk_query (identical
+# windowed_key_counts + rank_topk code runs on the stream; the
+# streaming differential is tests/test_streaming_topk.py — this entry
+# puts the same semantics under the oracle gate).
+# ---------------------------------------------------------------------------
+
+
+def s7_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.streaming.windowed_counts import (
+        rank_topk,
+        windowed_key_counts,
+    )
+
+    events = load(spark, sf_dir, "events").select(
+        F.col("ts").alias("event_time"), "event_type"
+    )
+    counts = windowed_key_counts(
+        events, "event_type", window="1 minute", watermark="0 seconds"
+    )
+    return rank_topk(counts, k=3, key_col="event_type")
+
+
+S7_SQL = """
+WITH counts AS (
+    SELECT (epoch_us(ts) // 60000000) * 60 AS window_start_epoch,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+)
+SELECT window_start_epoch, event_type, n_events,
+       CAST(ROW_NUMBER() OVER (PARTITION BY window_start_epoch
+                               ORDER BY n_events DESC, event_type ASC)
+            AS INTEGER) AS rank
+FROM counts
+QUALIFY rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # B5 — conversion-latency histogram: per user, seconds from FIRST
 # 'click' to the first 'purchase' AFTER it, bucketed into hour bands.
 # One user-hash Exchange serves both first-touch windows (the funnel
@@ -1536,6 +1576,7 @@ ANALYTIC_QUERIES = {
     "h2_cdc_snapshot": h2_cdc_snapshot,
     "a10_brand_price_qty_corr": a10_brand_price_qty_corr,
     "b5_conversion_latency": b5_conversion_latency,
+    "s7_windowed_topk": s7_windowed_topk,
     "s4_user_sessions": s4_user_sessions,
     "s5_session_windows": s5_session_windows,
     "a8_rollup_revenue": a8_rollup_revenue,
@@ -1593,4 +1634,5 @@ ANALYTIC_ORACLES = {
     "h2_cdc_snapshot": H2_SQL,
     "a10_brand_price_qty_corr": A10_SQL,
     "b5_conversion_latency": B5_SQL,
+    "s7_windowed_topk": S7_SQL,
 }

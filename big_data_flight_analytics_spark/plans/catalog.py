@@ -153,6 +153,7 @@ _TIE_BREAK = [
     "a10_brand_price_qty_corr",
     "b5_conversion_latency",
     "d17_source_dedup_report",
+    "s7_windowed_topk",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)
