@@ -942,16 +942,28 @@ MAX_CHUNK_DF = 100
 
 
 def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(
-        docs, threshold=JACCARD_THRESHOLD, max_band_df=MAX_BAND_DF
+    # a shareable stage: d14's ensemble reuses these pairs in a
+    # single-pass run instead of re-running the signature pipeline
+    return stage(
+        ("minhash_pairs", sf_dir, JACCARD_THRESHOLD, MAX_BAND_DF),
+        lambda: minhash_lsh_pairs(
+            load(spark, sf_dir, "documents"),
+            threshold=JACCARD_THRESHOLD,
+            max_band_df=MAX_BAND_DF,
+        ),
     )
 
 
 def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    return simhash_pairs(
-        docs, bits=32, max_hamming=3, chunks=4, max_chunk_df=MAX_CHUNK_DF
+    return stage(
+        ("simhash_pairs", sf_dir, 32, 3, 4, MAX_CHUNK_DF),
+        lambda: simhash_pairs(
+            load(spark, sf_dir, "documents"),
+            bits=32,
+            max_hamming=3,
+            chunks=4,
+            max_chunk_df=MAX_CHUNK_DF,
+        ),
     )
 
 
