@@ -206,8 +206,13 @@ def winnow_jaccard_pairs(
     window: int = 4,
     threshold: float = 0.2,
     max_df: int | None = None,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs with WINNOWED-fingerprint candidate generation.
+
+    ``fingerprints`` lets a single-pass pipeline inject an
+    already-built ``winnow_fingerprints`` frame (same ``k``/``window``)
+    — the t7/d10 stage seam.
 
     Same verify-exact contract as ``ngram_jaccard_pairs`` (emitted
     Jaccard values are computed on the FULL shingle sets), but the
@@ -224,9 +229,14 @@ def winnow_jaccard_pairs(
         winnow_fingerprints,
     )
 
-    posting = winnow_fingerprints(
-        df, k=k, window=window, text_col=text_col, id_col=id_col
-    ).withColumnRenamed("fingerprint", "sh")
+    fps = (
+        fingerprints
+        if fingerprints is not None
+        else winnow_fingerprints(
+            df, k=k, window=window, text_col=text_col, id_col=id_col
+        )
+    )
+    posting = fps.withColumnRenamed("fingerprint", "sh")
     if max_df is not None:
         posting = _cap_bucket_population(posting, ["sh"], max_df)
     a = posting.select(F.col(id_col).alias("doc_a"), "sh")

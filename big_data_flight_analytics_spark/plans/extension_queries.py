@@ -650,13 +650,23 @@ WINNOW_K = 3
 WINNOW_WINDOW = 4
 
 
-def t7_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t7's fingerprint frame as a shareable stage (d10 consumes the
+    same frame as its posting input in single-pass runs)."""
     from big_data_flight_analytics_spark.operators.text import (
         winnow_fingerprints,
     )
 
-    docs = load(spark, sf_dir, "documents")
-    return winnow_fingerprints(docs, k=WINNOW_K, window=WINNOW_WINDOW)
+    return stage(
+        ("winnow_fps", sf_dir, WINNOW_K, WINNOW_WINDOW),
+        lambda: winnow_fingerprints(
+            load(spark, sf_dir, "documents"), k=WINNOW_K, window=WINNOW_WINDOW
+        ),
+    )
+
+
+def t7_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _winnow_fps(spark, sf_dir)
 
 
 T7_SQL = rf"""
@@ -704,6 +714,7 @@ def d10_winnow_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=WINNOW_K,
         window=WINNOW_WINDOW,
         threshold=JACCARD_THRESHOLD,
+        fingerprints=_winnow_fps(spark, sf_dir),
     )
 
 
