@@ -1,0 +1,174 @@
+"""Timer-driven sessionization: fold semantics + gated e2e differential.
+
+The pure fold (``fold_session_events``) IS the session semantics of
+the transformWithState operator; it is differentially tested against
+the batch sessionizer on real data with no streaming machinery. The
+end-to-end streaming run additionally needs google.protobuf (the
+transformWithState state-server protocol), which this sandbox image
+does not ship — that half skips here and runs wherever protobuf
+exists, exactly like the Kafka broker smoke test.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from big_data_flight_analytics_spark.operators.temporal import session_stats
+from big_data_flight_analytics_spark.plans.tables import load
+from big_data_flight_analytics_spark.streaming.transform_state import (
+    fold_session_events,
+    timer_sessionize,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+GAP_S = 1800
+SENTINEL_USER = -1
+
+_HAS_PROTOBUF = importlib.util.find_spec("google") is not None
+
+
+class TestFoldSemantics:
+    def test_fold_matches_batch_sessionizer_on_real_data(self, spark):
+        """Feed each user's full ordered history through the fold (plus
+        a final flush) and compare against temporal.session_stats."""
+        ev = load(spark, SF_DIR, "events").select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("event_us"),
+        )
+        rows = ev.collect()
+        per_user: dict[int, list[tuple[int, int]]] = {}
+        for r in rows:
+            per_user.setdefault(r["user_id"], []).append(
+                (r["event_us"], r["event_id"])
+            )
+        got = set()
+        gap_us = GAP_S * 1_000_000
+        for user, evs in per_user.items():
+            evs.sort()
+            closed, open_state = fold_session_events(
+                None, [us for us, _ in evs], gap_us
+            )
+            if open_state is not None:
+                closed.append(open_state)
+            for start, last, n in closed:
+                got.add((user, start, last, n))
+        want = {
+            (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+            for r in session_stats(
+                load(spark, SF_DIR, "events").select(
+                    "user_id", "event_id", "ts"
+                ),
+                key_col="user_id",
+                ts_col="ts",
+                gap_seconds=GAP_S,
+                tie_col="event_id",
+            ).collect()
+        }
+        assert len(want) > 50
+        assert got == want
+
+    def test_fold_resumes_from_carried_state(self):
+        gap = 10
+        closed, state = fold_session_events(None, [0, 5, 8], gap)
+        assert closed == [] and state == (0, 8, 3)
+        # resume: one merge, then a gap, then a new session stays open
+        closed, state = fold_session_events(state, [15, 40, 45], gap)
+        assert closed == [(0, 15, 4)]
+        assert state == (40, 45, 2)
+
+    def test_exact_gap_delta_merges(self):
+        closed, state = fold_session_events(None, [0, 10], 10)
+        assert closed == [] and state == (0, 10, 2)
+        closed, state = fold_session_events(None, [0, 11], 10)
+        assert closed == [(0, 0, 1)] and state == (11, 11, 1)
+
+
+@pytest.mark.skipif(
+    not _HAS_PROTOBUF,
+    reason="transformWithStateInPandas needs google.protobuf; "
+    "not installed in this sandbox (environment gate, like the "
+    "Kafka broker smoke test)",
+)
+@pytest.mark.skipif(
+    not os.path.exists(f"{SF_DIR}/events.parquet"),
+    reason="sf0.001 testdata not present",
+)
+def test_timer_sessions_equal_batch_sessions(spark, tmp_path):
+    ev = load(spark, SF_DIR, "events")
+    prepared = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("event_us"),
+    )
+    max_us = prepared.agg(F.max("event_us")).collect()[0][0]
+
+    replay = tmp_path / "replay"
+    replay.mkdir()
+    split_us = prepared.approxQuantile("event_us", [0.5], 0.0)[0]
+    parts = [
+        prepared.filter(F.col("event_us") <= split_us),
+        prepared.filter(F.col("event_us") > split_us),
+        spark.createDataFrame(
+            [
+                Row(
+                    user_id=SENTINEL_USER,
+                    event_id=-1,
+                    event_us=int(max_us) + 10**12,
+                )
+            ],
+            prepared.schema,
+        ),
+    ]
+    for i, part in enumerate(parts):
+        p = str(replay / f"b{i}.parquet")
+        part.coalesce(1).write.mode("overwrite").parquet(p + ".dir")
+        src = next(
+            f
+            for f in os.listdir(p + ".dir")
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        os.rename(os.path.join(p + ".dir", src), p)
+        os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(prepared.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(replay))
+        .withColumn("event_time", F.timestamp_micros(F.col("event_us")))
+        .withWatermark("event_time", "0 seconds")
+    )
+    q = (
+        timer_sessionize(stream, gap_s=GAP_S)
+        .writeStream.format("memory")
+        .queryName("timer_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            f"SELECT * FROM timer_sessions WHERE user_id != {SENTINEL_USER}"
+        ).collect()
+    )
+    want = sorted(
+        (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+        for r in session_stats(
+            ev.select("user_id", "event_id", "ts"),
+            key_col="user_id",
+            ts_col="ts",
+            gap_seconds=GAP_S,
+            tie_col="event_id",
+        ).collect()
+    )
+    assert len(want) > 50
+    assert got == want
