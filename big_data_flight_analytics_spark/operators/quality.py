@@ -117,9 +117,12 @@ def constraint_report(
     out = reports[0]
     for extra in reports[1:]:
         out = out.unionByName(extra)
+    # SUM over zero rows is NULL — an empty frame has zero violations,
+    # and every check on it passes vacuously
+    v = F.coalesce("violations", F.lit(0))
     return out.select(
         "check_name",
-        "violations",
+        v.alias("violations"),
         "checked",
-        (F.col("violations") == 0).alias("passed"),
+        (v == 0).alias("passed"),
     )
