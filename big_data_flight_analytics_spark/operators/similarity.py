@@ -478,9 +478,13 @@ def semantic_prune(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pairs: DataFrame | None = None,
     **neardup_kwargs,
 ) -> DataFrame:
     """SemDeDup-style semantic pruning over embedding space.
+
+    ``pairs`` lets a single-pass pipeline inject the d5 pair frame
+    (same threshold/bucketing) — the d5/d13 stage seam.
 
     A vector is pruned iff ANY lower-id vector in its sign-LSH bucket
     is cosine-similar above ``threshold`` — including a lower vector
@@ -502,10 +506,11 @@ def semantic_prune(
     the scale properties are inherited; the marking adds one distinct
     on pruned ids and one left join keyed by vector id.
     """
-    pairs = embedding_neardup_pairs(
-        corpus, threshold=threshold, id_col=id_col, vec_col=vec_col,
-        **neardup_kwargs,
-    )
+    if pairs is None:
+        pairs = embedding_neardup_pairs(
+            corpus, threshold=threshold, id_col=id_col, vec_col=vec_col,
+            **neardup_kwargs,
+        )
     pruned = (
         pairs.select(F.col("vec_b").alias(id_col))
         .distinct()

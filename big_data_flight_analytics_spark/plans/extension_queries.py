@@ -1204,15 +1204,24 @@ NEARDUP_SIM = 0.4
 NEARDUP_TARGET_BUCKET = 128
 
 
+def _embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d5's pair frame as a shareable stage (d13 marks from it)."""
+    return stage(
+        ("embedding_pairs", sf_dir, NEARDUP_SIM, NEARDUP_TARGET_BUCKET),
+        lambda: embedding_neardup_pairs(
+            load(spark, sf_dir, "embeddings"),
+            threshold=NEARDUP_SIM,
+            target_bucket_size=NEARDUP_TARGET_BUCKET,
+        ),
+    )
+
+
 def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bits defaults to None -> adaptive_bits(COUNT(*)): the scale-safe
     # configuration (fixed bits=4 measured 23x runtime at 10x corpus).
     # Deterministic in the corpus count, so the oracle recomputes the
     # identical width from COUNT(*) and parity holds at every sf.
-    emb = load(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(
-        emb, threshold=NEARDUP_SIM, target_bucket_size=NEARDUP_TARGET_BUCKET
-    )
+    return _embedding_pairs(spark, sf_dir)
 
 
 # params mirrors operators/similarity.adaptive_bits: bits =
@@ -1393,7 +1402,10 @@ def d13_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return semantic_prune(
-        emb, threshold=NEARDUP_SIM, target_bucket_size=NEARDUP_TARGET_BUCKET
+        emb,
+        threshold=NEARDUP_SIM,
+        target_bucket_size=NEARDUP_TARGET_BUCKET,
+        pairs=_embedding_pairs(spark, sf_dir),
     )
 
 
