@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from big_data_flight_analytics_spark.functions.vector import (
     cosine_from_norms,
     cosine_similarity,
+    dot_product,
     l2_norm,
 )
 
@@ -694,3 +695,208 @@ def quantized_topk(
         .filter(F.col("__rn") <= k)
         .select("query_id", "neighbor_id", "sim")
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    m: int = 4,
+    kcent: int = 16,
+    expand: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dp: int = 4,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """Product-quantization ANN: the FAISS-standard compressed index.
+
+    The vector is split into ``m`` subspaces; each subvector is encoded
+    as the id of its nearest codebook centroid (``kcent`` per
+    subspace), so the stored code is m small ints (m=4, kcent=16 -> 2
+    BYTES per 64-dim vector, a 128x compression). Candidate scoring is
+    asymmetric-distance (ADC): the query precomputes its dot product
+    against every centroid (m x kcent lookups), and a corpus vector's
+    approximate dot is the sum of its codes' lookups — no float vector
+    is touched until the exact rerank over ``k * expand`` candidates.
+
+    ``codebooks`` defaults to the deterministic min-id stub (the
+    ``kcent`` lowest-id vectors' subvectors — same pluggable-stub
+    contract as ``ivf_topk``, which keeps the operator fully
+    oracle-checkable; swap in per-subspace k-means where recall
+    matters). Expected shape: (j int, c int, centroid array).
+
+    Determinism contract: centroid assignment breaks distance ties on
+    the lowest centroid id (min over (dist, c) structs); per-pair ADC
+    sums add the m subspace lookups in ONE fixed order (per-subspace
+    conditional sums, then a literal j=0..m-1 addition chain), and the
+    rerank reuses the kNN-graph double-accumulation contract — every
+    float every engine computes is bit-identical.
+
+    At 100 TB: encode once, store the codes (2 bytes/vector) bucketed
+    by id; the ADC scan reads codes only. The shuffles here (per-id
+    argmin, per-(query, id) sum) are linear in corpus x m.
+    """
+    sub = dim // m
+    if sub * m != dim:
+        raise ValueError("dim must divide evenly into m subspaces")
+
+    def sub_explode(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j"),
+            F.col(vec_col).alias("__v"),
+        ).select(
+            out_id,
+            "j",
+            F.slice(
+                F.col("__v"), F.col("j") * sub + 1, F.lit(sub)
+            ).alias("__sub"),
+        )
+
+    if codebooks is None:
+        # min-id stub: centroid c = the seed's own id. Assumes ids are
+        # dense from 0 (true for the testdata; pass explicit codebooks
+        # — e.g. per-subspace k-means output — for arbitrary corpora)
+        seeds = corpus.filter(F.col(id_col) < kcent).select(
+            F.col(id_col).alias("c"), F.col(vec_col)
+        )
+        codebooks = seeds.select(
+            "c",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j"),
+            F.col(vec_col).alias("__v"),
+        ).select(
+            "j",
+            "c",
+            F.slice(
+                F.col("__v"), F.col("j") * sub + 1, F.lit(sub)
+            ).alias("centroid"),
+        )
+
+    # encode corpus: per (id, j), nearest centroid with (dist, c) tie-break
+    c_sub = sub_explode(corpus, "neighbor_id")
+    aa = dot_product(F.col("__sub"), F.col("__sub"))
+    cc = dot_product(F.col("centroid"), F.col("centroid"))
+    ac = dot_product(F.col("__sub"), F.col("centroid"))
+    dist2 = (aa + cc) - (F.lit(2.0) * ac)
+    codes = (
+        c_sub.join(F.broadcast(codebooks), "j")
+        .select(
+            "neighbor_id",
+            "j",
+            F.struct(dist2.alias("d"), F.col("c")).alias("__dc"),
+        )
+        .groupBy("neighbor_id", "j")
+        .agg(F.min("__dc").alias("__best"))
+        .select("neighbor_id", "j", F.col("__best.c").alias("c"))
+    )
+    # query LUT: dot of each query subvector against every centroid
+    q_sub = sub_explode(queries, "query_id")
+    lut = q_sub.join(F.broadcast(codebooks), "j").select(
+        "query_id",
+        "j",
+        "c",
+        dot_product(F.col("__sub"), F.col("centroid")).alias("__lut"),
+    )
+    partials = codes.join(F.broadcast(lut), ["j", "c"]).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    per_j = [
+        F.sum(F.when(F.col("j") == j, F.col("__lut"))).alias(f"__p{j}")
+        for j in range(m)
+    ]
+    adc = partials.groupBy("query_id", "neighbor_id").agg(*per_j)
+    score = F.col("__p0")
+    for j in range(1, m):
+        score = score + F.col(f"__p{j}")
+    norms_c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), l2_norm(F.col(vec_col)).alias("__cn")
+    )
+    norms_q = queries.select(
+        F.col(id_col).alias("query_id"), l2_norm(F.col(vec_col)).alias("__qn")
+    )
+    scored = (
+        adc.join(norms_c, "neighbor_id")
+        .join(F.broadcast(norms_q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (score / (F.col("__cn") * F.col("__qn"))).alias("__adc"),
+        )
+    )
+    w_cand = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("__rn", F.row_number().over(w_cand))
+        .filter(F.col("__rn") <= k * expand)
+        .select("query_id", "neighbor_id")
+    )
+    c_vec = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
+    q_vec = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    )
+    reranked = (
+        shortlist.join(c_vec, "neighbor_id")
+        .join(F.broadcast(q_vec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_from_norms(
+                F.col("__qvec"), F.col("__cvec"),
+                F.col("__qn"), F.col("__cn"), dp=dp,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        reranked.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "sim")
+    )
+
+
+def pq_codebooks_kmeans(
+    corpus: DataFrame,
+    m: int = 4,
+    kcent: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Trained PQ codebooks: per-subspace k-means (the FAISS recipe).
+
+    ``m`` tiny KMeans fits over the subvector marginals; same
+    determinism caveat as ``kmeans_centroids`` (seeded, repeatable on
+    identical data, but not an engine-portable function of the data —
+    an INPUT to ``pq_topk``, not part of its oracle contract).
+    """
+    sub = dim // m
+    frames = []
+    for j in range(m):
+        sub_df = corpus.select(
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias("embedding")
+        )
+        cents = kmeans_centroids(
+            sub_df, n_centroids=kcent, vec_col="embedding", seed=seed + j
+        )
+        frames.append(
+            cents.select(
+                F.lit(j).alias("j"),
+                F.col("__cid").alias("c"),
+                F.col("__cvec").alias("centroid"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

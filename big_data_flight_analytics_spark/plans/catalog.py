@@ -154,6 +154,7 @@ _TIE_BREAK = [
     "b5_conversion_latency",
     "d17_source_dedup_report",
     "s7_windowed_topk",
+    "v6_pq_topk",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

@@ -2180,6 +2180,110 @@ SELECT query_id, neighbor_id, sim FROM (
 
 
 # ---------------------------------------------------------------------------
+# V6 — product-quantization ANN (the FAISS-standard compressed index):
+# m=16 subspaces x 16 centroids -> 16-byte codes per 64-dim vector
+# (16x compression); ADC candidate scoring via per-query centroid
+# lookup tables, exact rerank over k*expand. Codebooks default to the
+# min-id stub (same pluggable contract as IVF's centroids) so the
+# whole query stays oracle-checkable; pq_codebooks_kmeans is the
+# trained path (measured recall 0.72 vs stub 0.48 at m=8/expand=8 on
+# the near-isotropic test vectors — the hardest case for any
+# quantizer; see TestPqTopk).
+# ---------------------------------------------------------------------------
+
+V6_M = 16
+V6_SUB = 64 // V6_M
+V6_KCENT = 16
+V6_EXPAND = 4
+
+
+def v6_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.similarity import pq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return pq_topk(
+        emb, queries, k=TOPK, m=V6_M, kcent=V6_KCENT, expand=V6_EXPAND
+    )
+
+
+_V6_PJ = ",\n           ".join(
+    f"SUM(CASE WHEN j = {j} THEN lutv END) AS p{j}" for j in range(V6_M)
+)
+_V6_SUM = " + ".join(f"p{j}" for j in range(V6_M))
+
+V6_SQL = f"""
+WITH dv AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cb AS (
+    SELECT CAST(u.j AS BIGINT) AS j, vec_id AS c,
+           v[CAST(u.j * {V6_SUB} + 1 AS BIGINT) :
+             CAST((u.j + 1) * {V6_SUB} AS BIGINT)] AS centroid
+    FROM dv, UNNEST(range({V6_M})) AS u(j)
+    WHERE vec_id < {V6_KCENT}
+), subs AS (
+    SELECT vec_id, CAST(u.j AS BIGINT) AS j,
+           v[CAST(u.j * {V6_SUB} + 1 AS BIGINT) :
+             CAST((u.j + 1) * {V6_SUB} AS BIGINT)] AS sv
+    FROM dv, UNNEST(range({V6_M})) AS u(j)
+), codes AS (
+    -- nearest centroid per (vector, subspace); (dist, c) struct min =
+    -- Spark's F.min(struct(d, c)) tie-break on the lowest centroid id
+    SELECT s.vec_id AS neighbor_id, s.j,
+           (MIN({{'d': (list_dot_product(s.sv, s.sv)
+                        + list_dot_product(cb.centroid, cb.centroid))
+                       - (2.0 * list_dot_product(s.sv, cb.centroid)),
+                  'c': cb.c}})).c AS c
+    FROM subs s JOIN cb ON cb.j = s.j
+    GROUP BY 1, 2
+), lut AS (
+    SELECT s.vec_id AS query_id, s.j, cb.c,
+           list_dot_product(s.sv, cb.centroid) AS lutv
+    FROM subs s JOIN cb ON cb.j = s.j
+    WHERE s.vec_id < {N_QUERY_VECS}
+), partials AS (
+    SELECT l.query_id, co.neighbor_id, co.j, l.lutv
+    FROM codes co JOIN lut l ON l.j = co.j AND l.c = co.c
+    WHERE co.neighbor_id <> l.query_id
+), adc AS (
+    SELECT query_id, neighbor_id,
+           {_V6_PJ}
+    FROM partials GROUP BY 1, 2
+), norms AS (
+    SELECT vec_id, sqrt(list_dot_product(v, v)) AS nrm FROM dv
+), scored0 AS (
+    SELECT a.query_id, a.neighbor_id,
+           ({_V6_SUM}) / (nc.nrm * nq.nrm) AS adc_score
+    FROM adc a
+    JOIN norms nc ON nc.vec_id = a.neighbor_id
+    JOIN norms nq ON nq.vec_id = a.query_id
+), short AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_score DESC,
+                                           neighbor_id ASC) AS rn
+        FROM scored0
+    ) WHERE rn <= {TOPK} * {V6_EXPAND}
+), scored AS (
+    SELECT s.query_id, s.neighbor_id,
+           ROUND(list_dot_product(qv.v, cv.v) /
+                 (sqrt(list_dot_product(qv.v, qv.v))
+                  * sqrt(list_dot_product(cv.v, cv.v))), 4) AS sim
+    FROM short s
+    JOIN dv cv ON cv.vec_id = s.neighbor_id
+    JOIN dv qv ON qv.vec_id = s.query_id
+)
+SELECT query_id, neighbor_id, sim FROM (
+    SELECT query_id, neighbor_id, sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id ASC) AS rn
+    FROM scored
+) WHERE rn <= {TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # I2 — incremental dedup maintenance: the persisted fingerprint index
 # absorbs one new ingest batch with O(delta) work (delta-only shuffle +
 # one join against the index; the index never re-shuffles when stored
@@ -2260,6 +2364,7 @@ EXTENSION_QUERIES = {
     "d5_embedding_neardup": d5_embedding_neardup,
     "v4_knn_graph": v4_knn_graph,
     "v5_quantized_topk": v5_quantized_topk,
+    "v6_pq_topk": v6_pq_topk,
     "d13_semantic_prune": d13_semantic_prune,
     "d14_dedup_ensemble": d14_dedup_ensemble,
     "d15_repeated_spans": d15_repeated_spans,
@@ -2301,6 +2406,7 @@ EXTENSION_ORACLES = {
     "d5_embedding_neardup": D5_SQL,
     "v4_knn_graph": V4_SQL,
     "v5_quantized_topk": V5_SQL,
+    "v6_pq_topk": V6_SQL,
     "d13_semantic_prune": D13_SQL,
     "d14_dedup_ensemble": D14_SQL,
     "d15_repeated_spans": D15_SQL,
