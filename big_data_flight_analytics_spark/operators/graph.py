@@ -241,3 +241,89 @@ def canonical_by_score(
             "cluster_size",
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    num_iter: int = 10,
+    damping: float = 0.85,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """PageRank over a directed edge list: (node, rank).
+
+    The canonical iterative-algorithm shape this engine supports beyond
+    fixpoint labeling (``connected_components``): each round is one
+    join (ranks -> out-edges) + one aggregation (contributions by
+    destination), with dangling-node mass redistributed uniformly via a
+    one-row aggregate crossJoined back (in-plan — no driver collect).
+    Lineage is truncated per round with an eager localCheckpoint
+    (cluster swap point: durable ``checkpoint()``), and loop-frame
+    partitioning is pinned so every iteration shuffles the same way —
+    the same discipline as the connected-components loop.
+
+    Ranks sum to 1 (within float accumulation) every round. Fixed
+    ``num_iter`` — PageRank converges geometrically (damping^k); ten
+    rounds is the classic default. Ordering within float ties is not
+    guaranteed; results are verified against a reference implementation
+    under tolerance in pytest, not the bit-exact oracle gate (sums over
+    variable-cardinality neighbor sets are accumulation-order
+    dependent — the documented boundary of the hash-gate contract).
+    """
+    e = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if num_partitions is None:
+        num_partitions = max(1, e.rdd.getNumPartitions())
+
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .union(e.select(F.col("__d").alias("node")))
+        .distinct()
+        .coalesce(num_partitions)
+        .localCheckpoint(eager=True)
+    )
+    n_total = nodes.count()
+    out_deg = e.groupBy(F.col("__s").alias("node")).agg(
+        F.count(F.lit(1)).alias("__deg")
+    )
+    base = F.lit((1.0 - damping) / n_total)
+
+    ranks = nodes.select("node", F.lit(1.0 / n_total).alias("rank"))
+    for _ in range(num_iter):
+        with_deg = ranks.join(out_deg, "node", "left")
+        # dangling mass: nodes with no out-edges spread rank everywhere
+        dangling = with_deg.filter(F.col("__deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")
+        )
+        contribs = (
+            with_deg.filter(F.col("__deg").isNotNull())
+            .join(e, with_deg.node == e.__s)
+            .select(
+                F.col("__d").alias("node"),
+                (F.col("rank") / F.col("__deg")).alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    base
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("__in"), F.lit(0.0))
+                        + F.col("__dang") / n_total
+                    )
+                ).alias("rank"),
+            )
+            .coalesce(num_partitions)
+            .localCheckpoint(eager=True)
+        )
+    return ranks

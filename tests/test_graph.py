@@ -104,3 +104,80 @@ class TestCanonicalByScore:
         out = canonical_by_score(self._clusters(spark), scored, "n_tokens")
         got = {r["cluster_id"]: r["kept_doc_id"] for r in out.collect()}
         assert got == {1: 1, 9: 9}
+
+
+class TestPageRank:
+    @staticmethod
+    def _reference(edges, num_iter=10, damping=0.85):
+        nodes = sorted({n for e in edges for n in e})
+        n = len(nodes)
+        out = {}
+        for s, d in set(edges):
+            out.setdefault(s, []).append(d)
+        rank = {v: 1.0 / n for v in nodes}
+        for _ in range(num_iter):
+            dang = sum(r for v, r in rank.items() if v not in out)
+            nxt = {v: 0.0 for v in nodes}
+            for s, ds in out.items():
+                c = rank[s] / len(ds)
+                for d in ds:
+                    nxt[d] += c
+            rank = {
+                v: (1 - damping) / n + damping * (nxt[v] + dang / n)
+                for v in nodes
+            }
+        return rank
+
+    def test_matches_reference_on_random_graph(self, spark):
+        import random
+
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.operators.graph import pagerank
+
+        rng = random.Random(99)
+        edges = list(
+            {
+                (rng.randrange(30), rng.randrange(30))
+                for _ in range(120)
+            }
+        )
+        edges = [(s, d) for s, d in edges if s != d]
+        df = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+        got = {r["node"]: r["rank"] for r in pagerank(df, num_iter=10).collect()}
+        want = self._reference(edges, num_iter=10)
+        assert set(got) == set(want)
+        for v in want:
+            assert abs(got[v] - want[v]) < 1e-9
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    def test_dangling_mass_conserved(self, spark):
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.operators.graph import pagerank
+
+        # 1 -> 2, 2 has no out-edges (dangling)
+        df = spark.createDataFrame([Row(src=1, dst=2)])
+        got = {r["node"]: r["rank"] for r in pagerank(df, num_iter=20).collect()}
+        assert abs(sum(got.values()) - 1.0) < 1e-12
+        assert got[2] > got[1]  # sink accumulates
+
+    def test_on_knn_graph_artifact(self, spark):
+        """The intended composition: centrality over the v4 kNN graph
+        (which vectors are hubs of their semantic neighborhood)."""
+        from pyspark.sql import functions as F
+
+        from big_data_flight_analytics_spark.operators.graph import pagerank
+        from big_data_flight_analytics_spark.operators.similarity import (
+            knn_graph,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        g = knn_graph(emb, k=3, target_bucket_size=64)
+        ranks = pagerank(
+            g.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")),
+            num_iter=5,
+        )
+        rows = ranks.collect()
+        assert len(rows) > 10
+        assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-9
