@@ -155,6 +155,7 @@ _TIE_BREAK = [
     "d17_source_dedup_report",
     "s7_windowed_topk",
     "v6_pq_topk",
+    "g1_knn_pagerank",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

@@ -1268,17 +1268,41 @@ KNN_PROBES = 2  # measured recall@5 vs exact kNN at sf0.01:
 
 
 def v4_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # a shareable stage: g1's centrality pass consumes the same graph
     from big_data_flight_analytics_spark.operators.similarity import (
         knn_graph,
     )
 
-    emb = load(spark, sf_dir, "embeddings")
-    return knn_graph(
-        emb,
-        k=KNN_K,
-        target_bucket_size=NEARDUP_TARGET_BUCKET,
-        probes=KNN_PROBES,
+    return stage(
+        ("knn_graph", sf_dir, KNN_K, NEARDUP_TARGET_BUCKET, KNN_PROBES),
+        lambda: knn_graph(
+            load(spark, sf_dir, "embeddings"),
+            k=KNN_K,
+            target_bucket_size=NEARDUP_TARGET_BUCKET,
+            probes=KNN_PROBES,
+        ),
     )
+
+
+# ---------------------------------------------------------------------------
+# G1 — kNN-graph PageRank: which vectors are hubs of their semantic
+# neighborhood (a centrality signal for curation — SemDeDup prunes
+# redundancy, centrality finds representatives). Iterative join+agg
+# rounds over the shared v4 graph stage. Genuinely non-SQL-expressible
+# (iteration + accumulation-order-dependent float sums), so this entry
+# runs under the driver's rows-only check; the value contract is the
+# 1e-9 python-reference differential in TestPageRank.
+# ---------------------------------------------------------------------------
+
+
+def g1_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.graph import pagerank
+
+    g = v4_knn_graph(spark, sf_dir)
+    return pagerank(
+        g.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")),
+        num_iter=5,
+    ).select("node", F.round("rank", 6).alias("rank"))
 
 
 V4_SQL = f"""
@@ -2365,6 +2389,7 @@ EXTENSION_QUERIES = {
     "v4_knn_graph": v4_knn_graph,
     "v5_quantized_topk": v5_quantized_topk,
     "v6_pq_topk": v6_pq_topk,
+    "g1_knn_pagerank": g1_knn_pagerank,
     "d13_semantic_prune": d13_semantic_prune,
     "d14_dedup_ensemble": d14_dedup_ensemble,
     "d15_repeated_spans": d15_repeated_spans,
