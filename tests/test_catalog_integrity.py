@@ -12,11 +12,19 @@ import inspect
 from big_data_flight_analytics_spark.plans.catalog import ORACLES, ORDER, QUERIES
 
 
+# entries DOCUMENTED as rows-only: genuinely non-SQL-expressible
+# (iteration + order-dependent float accumulation), value-verified by a
+# pytest reference differential instead of the hash gate. Adding a name
+# here is a deliberate contract change, not a fallthrough.
+ROWS_ONLY = {"g1_knn_pagerank"}
+
+
 class TestCatalogIntegrity:
-    def test_every_query_has_an_oracle(self):
-        # the whole catalog is oracle-checked — a queries()-only entry
-        # would silently downgrade to the driver's rows-only check
-        assert set(ORACLES) == set(QUERIES)
+    def test_every_query_has_an_oracle_or_is_documented(self):
+        # the catalog is oracle-checked — an undocumented queries()-only
+        # entry would silently downgrade to the driver's rows-only check
+        assert set(ORACLES) == set(QUERIES) - ROWS_ONLY
+        assert ROWS_ONLY <= set(QUERIES)
 
     def test_order_covers_catalog_exactly_once(self):
         assert len(ORDER) == len(set(ORDER)) == len(QUERIES)
