@@ -156,6 +156,7 @@ _TIE_BREAK = [
     "s7_windowed_topk",
     "v6_pq_topk",
     "g1_knn_pagerank",
+    "q14_dormant_high_balance",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

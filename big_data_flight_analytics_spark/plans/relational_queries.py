@@ -1355,11 +1355,77 @@ SELECT 'fk(o_custkey)', v, (SELECT checked FROM base), v = 0 FROM fk
 """
 
 
+# ---------------------------------------------------------------------------
+# Q14 — dormant high-balance customers (TPC-H Q22 shape): customers
+# whose balance exceeds the positive-balance average and who placed NO
+# order on/after the fixed dormancy cutoff — a scalar subquery
+# (decorrelated to a one-row aggregate crossJoin(broadcast), the A4
+# pattern) composed with an anti join against the pushed-down recent
+# slice (the date filter reaches the orders scan).
+# DECIMAL-exact sum for the average (order-independent), one final
+# IEEE division.
+# ---------------------------------------------------------------------------
+
+
+Q14_CUTOFF = "2001-01-01"
+
+
+def q14_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= Q14_CUTOFF)
+        .select("o_custkey")
+    )
+    avg_pos = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("__avg")
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2
+            )
+            .cast("double")
+            .alias("total_balance"),
+        )
+    )
+
+
+Q14_SQL = """
+WITH avg_pos AS (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(*) AS a
+    FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment AS segment,
+       COUNT(*) AS n_customers,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS total_balance
+FROM customer, avg_pos
+WHERE c_acctbal > a
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY 1
+"""
+
+
 RELATIONAL_QUERIES = {
     "q12_small_quantity_revenue": q12_small_quantity_revenue,
     "q13_dominant_suppliers": q13_dominant_suppliers,
     "u2_activity_reconciliation": u2_activity_reconciliation,
     "p2_constraint_report": p2_constraint_report,
+    "q14_dormant_high_balance": q14_dormant_high_balance,
     "q1_supplier_stats": q1_supplier_stats,
     "q2_status_priority_delays": q2_status_priority_delays,
     "q3_busiest_customers": q3_busiest_customers,
@@ -1421,4 +1487,5 @@ RELATIONAL_ORACLES = {
     "q13_dominant_suppliers": Q13_SQL,
     "u2_activity_reconciliation": U2_SQL,
     "p2_constraint_report": P2_SQL,
+    "q14_dormant_high_balance": Q14_SQL,
 }
