@@ -152,3 +152,42 @@ def pack_sequences(
     return df.withColumn("bucket", b).withColumn(
         "seq_id", F.col("bucket") * F.lit(2**32) + seq_in_bucket
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES).
+
+    Every row gets the key ``u^(1/w)`` where ``u`` is a deterministic
+    hash-uniform of ``(id, seed)``; the k largest keys are the sample.
+    The A-ES guarantee: the result is distributed exactly as sequential
+    weighted draws without replacement — but computed as one
+    embarrassingly-parallel map + a top-k, so it works identically at
+    any scale and any partitioning (the hash makes it a pure function
+    of the DATA: same corpus + seed -> same sample on 1 or 1000
+    executors — reproducible training subsets, unlike rand()-based
+    sampling which changes under retry/repartition).
+
+    Rows with non-positive/null weights are excluded (they can never
+    be drawn). Ranking ties (impossible in practice at 2^53 hash
+    resolution) break on ``id_col``.
+    """
+    from big_data_flight_analytics_spark.operators.core import top_k
+
+    u = (
+        F.abs(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .bitwiseAND(F.lit((1 << 53) - 1))
+        + 1
+    ) / F.lit(float(1 << 53))  # (0, 1]
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    keyed = df.filter(F.col(weight_col) > 0).withColumn("__aes_key", key)
+    # TakeOrderedAndProject, never a global window: each partition
+    # keeps its local top-k, the driver merges k-sized heaps
+    return top_k(
+        keyed, [F.col("__aes_key").desc(), F.col(id_col).asc()], k
+    ).drop("__aes_key")

@@ -358,3 +358,82 @@ class TestLexicalDiversity:
         docs = _docs(spark, ["w1 w2 w3"])
         r = lexical_diversity(docs).collect()[0]
         assert r["ttr"] == 1.0 and r["hapax_frac"] == 1.0
+
+
+class TestWeightedSample:
+    def test_deterministic_across_partitionings(self, spark):
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.operators.sampling import (
+            weighted_sample,
+        )
+
+        rows = [Row(doc_id=i, w=float(1 + i % 5)) for i in range(500)]
+        df1 = spark.createDataFrame(rows).repartition(2)
+        df2 = spark.createDataFrame(rows).repartition(17, "doc_id")
+        s1 = sorted(r["doc_id"] for r in weighted_sample(df1, "w", 50).collect())
+        s2 = sorted(r["doc_id"] for r in weighted_sample(df2, "w", 50).collect())
+        assert s1 == s2 and len(s1) == 50
+
+    def test_weights_bias_inclusion(self, spark):
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.operators.sampling import (
+            weighted_sample,
+        )
+
+        # 5000 light (w=1) + 5000 heavy (w=10); A-ES inclusion odds for
+        # a k=1000 sample strongly favor the heavy class. Deterministic
+        # under the fixed seed, so the bound is stable, not flaky.
+        rows = [Row(doc_id=i, w=1.0 if i < 5000 else 10.0) for i in range(10000)]
+        df = spark.createDataFrame(rows)
+        sample = weighted_sample(df, "w", 1000, seed=7).collect()
+        heavy = sum(1 for r in sample if r["w"] == 10.0)
+        assert len(sample) == 1000
+        assert heavy > 800  # ~10x odds; uniform sampling would give ~500
+
+    def test_nonpositive_weights_excluded(self, spark):
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.operators.sampling import (
+            weighted_sample,
+        )
+
+        df = spark.createDataFrame(
+            [Row(doc_id=1, w=0.0), Row(doc_id=2, w=-1.0), Row(doc_id=3, w=2.0)]
+        )
+        got = [r["doc_id"] for r in weighted_sample(df, "w", 10).collect()]
+        assert got == [3]
+
+    def test_matches_python_reference_exactly(self, spark):
+        """The sample is a pure function of (data, seed): recompute the
+        A-ES keys in python from the same xxhash64 values and compare
+        the top-k EXACTLY (java.lang.Math.pow and python math.pow are
+        both correctly-rounded for these operands in practice; the
+        ranking margin between distinct hash-uniforms dwarfs any ulp)."""
+        import math
+
+        from pyspark.sql import Row
+        from pyspark.sql import functions as F
+
+        from big_data_flight_analytics_spark.operators.sampling import (
+            weighted_sample,
+        )
+
+        rows = [Row(doc_id=i, w=float(1 + (i * 13) % 7)) for i in range(300)]
+        df = spark.createDataFrame(rows)
+        hashes = {
+            r["doc_id"]: r["h"]
+            for r in df.select(
+                "doc_id", F.xxhash64("doc_id", F.lit(0)).alias("h")
+            ).collect()
+        }
+        keys = {}
+        for r in rows:
+            u = ((abs(hashes[r.doc_id]) & ((1 << 53) - 1)) + 1) / float(1 << 53)
+            keys[r.doc_id] = math.pow(u, 1.0 / r.w)
+        want = sorted(
+            sorted(keys, key=lambda d: (-keys[d], d))[:40]
+        )
+        got = sorted(r["doc_id"] for r in weighted_sample(df, "w", 40).collect())
+        assert got == want
