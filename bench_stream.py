@@ -175,7 +175,9 @@ def main() -> None:
         )
 
         parsed = transformed_stream(parse_opensky(raw))
-        keyed = parsed.select(
+        keyed = parsed.filter(
+            F.col("icao24").isNotNull() & F.col("geo_altitude").isNotNull()
+        ).select(
             F.conv(F.col("icao24"), 16, 10).cast("long").alias("user_id"),
             F.unix_micros(F.col("event_time")).alias("event_us"),
             F.xxhash64("icao24", "event_time", "geo_altitude").alias(

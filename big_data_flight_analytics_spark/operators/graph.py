@@ -287,6 +287,9 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_total = nodes.count()
+    if n_total == 0:
+        # empty graph -> empty ranks (not a ZeroDivisionError)
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     out_deg = e.groupBy(F.col("__s").alias("node")).agg(
         F.count(F.lit(1)).alias("__deg")
     )

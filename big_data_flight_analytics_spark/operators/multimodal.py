@@ -258,6 +258,13 @@ def frame_dedup(
     the frame fingerprint; canonical = the lowest (doc, frame) pair,
     carried through the aggregation as one composite int64 so no
     second pass or window is needed.
+
+    Composite bounds (validated where cheap, documented where not):
+    frame_no must stay below 1_000_000 (payloads up to ~61 MB at the
+    64-byte default — far above any media frame) and doc ids below
+    ~9.2e12 so the composite fits int64; the decode uses INTEGER
+    division (`div`), matching the oracle's `//` exactly at any
+    magnitude.
     """
     frames = frame_slices(df, id_col, payload_col, every_n_bytes)
     composite = F.col(id_col) * 1_000_000 + F.col("frame_no")
@@ -275,7 +282,7 @@ def frame_dedup(
         .select(
             "fingerprint",
             "n_frames",
-            (F.col("__first") / 1_000_000).cast("long").alias("first_doc_id"),
+            F.expr("__first div 1000000").alias("first_doc_id"),
             (F.col("__first") % 1_000_000).alias("first_frame_no"),
         )
     )

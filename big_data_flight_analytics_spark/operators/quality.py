@@ -84,7 +84,8 @@ def constraint_report(
 
     if not names and not fks:
         raise ValueError("constraint_report: no constraints declared")
-    reports = []
+    reports: list[DataFrame] = []
+    checked_frame: DataFrame | None = None
     if names:
         one = df.agg(*aggs)
         stack_args = ", ".join(
@@ -97,6 +98,18 @@ def constraint_report(
                 "__checked AS checked",
             )
         )
+        checked_frame = one.select(F.col("__checked").alias("checked"))
+    if fks and checked_frame is None:
+        checked_frame = df.agg(
+            F.count(F.lit(1)).cast("long").alias("checked")
+        )
+    if fks:
+        # ONE extra row-count source shared by every fk report row (and
+        # when row-level checks ran, it is the same aggregate — no
+        # additional scan), instead of a fresh COUNT(*) scan per fk
+        from big_data_flight_analytics_spark.cache import tracked_persist
+
+        checked_frame = tracked_persist(checked_frame)
     for c, dim, dim_col in fks:
         viol_count = (
             df.select(F.col(c)).filter(F.col(c).isNotNull())
@@ -107,9 +120,8 @@ def constraint_report(
             )
             .agg(F.count(F.lit(1)).cast("long").alias("violations"))
         )
-        checked = df.agg(F.count(F.lit(1)).cast("long").alias("checked"))
         reports.append(
-            viol_count.crossJoin(checked).select(
+            viol_count.crossJoin(checked_frame).select(
                 F.lit(f"fk({c})").alias("check_name"), "violations", "checked"
             )
         )

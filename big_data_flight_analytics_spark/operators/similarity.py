@@ -816,13 +816,18 @@ def pq_topk(
     norms_q = queries.select(
         F.col(id_col).alias("query_id"), l2_norm(F.col(vec_col)).alias("__qn")
     )
+    denom = F.col("__cn") * F.col("__qn")
     scored = (
         adc.join(norms_c, "neighbor_id")
         .join(F.broadcast(norms_q), "query_id")
         .select(
             "query_id",
             "neighbor_id",
-            (score / (F.col("__cn") * F.col("__qn"))).alias("__adc"),
+            # zero-norm guard (same contract as cosine_from_norms):
+            # 0.0, never engine-specific NULL-vs-NaN ordering
+            F.when(denom == 0, F.lit(0.0))
+            .otherwise(score / denom)
+            .alias("__adc"),
         )
     )
     w_cand = Window.partitionBy("query_id").orderBy(

@@ -287,7 +287,11 @@ def rolling_zscore(
 
     — two exact int64 -> double casts, one IEEE sqrt (correctly
     rounded), one IEEE division, rounded to 6dp. Every engine computes
-    identical bits. A double-valued input would instead make the frame
+    identical bits. Exactness bound (matters for ``window=None``
+    expanding frames): the frame's sum-of-squares must stay under
+    2^62 — choose the grain so value^2 x frame length fits (cents up
+    to 1e7 supports ~4.6e4-row frames); the streaming counterpart
+    raises OverflowError at the bound, the batch window shares it. A double-valued input would instead make the frame
     SUM depend on accumulation order (Spark recomputes sliding frames;
     DuckDB uses segment trees), which diverges in the last ulp.
 

@@ -1434,7 +1434,14 @@ def a10_brand_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     corr = (n * sxy - sx * sy) / (
         F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
     )
-    return sums.select("p_brand", "n_items", F.round(corr, 6).alias("qty_price_corr"))
+    # zero-variance groups (single row / constant measure) have no
+    # defined correlation: NULL in BOTH engines, never NULL-vs-NaN
+    defined = (n * sxx - sx * sx > 0) & (n * syy - sy * sy > 0)
+    return sums.select(
+        "p_brand",
+        "n_items",
+        F.when(defined, F.round(corr, 6)).alias("qty_price_corr"),
+    )
 
 
 A10_SQL = """
@@ -1456,14 +1463,18 @@ WITH facts AS (
 )
 SELECT p_brand,
        CAST(n_items AS BIGINT) AS n_items,
-       ROUND(
+       CASE WHEN CAST(n_items AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             AND CAST(n_items AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+       THEN ROUND(
            (CAST(n_items AS DOUBLE) * CAST(sxy AS DOUBLE)
             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
            / (sqrt(CAST(n_items AS DOUBLE) * CAST(sxx AS DOUBLE)
                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
               * sqrt(CAST(n_items AS DOUBLE) * CAST(syy AS DOUBLE)
                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
-           AS qty_price_corr
+       END AS qty_price_corr
 FROM sums
 """
 

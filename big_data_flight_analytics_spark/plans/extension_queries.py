@@ -1134,10 +1134,12 @@ WITH q AS (
 ), scored AS (
     SELECT q.query_id,
            e.vec_id AS neighbor_id,
-           ROUND(
+           CASE WHEN sqrt(list_dot_product(q.qv, q.qv))
+                       * sqrt(list_dot_product(e.embedding, e.embedding)) = 0
+                  THEN 0.0 ELSE ROUND(
              list_dot_product(q.qv, e.embedding) /
              (sqrt(list_dot_product(q.qv, q.qv))
-              * sqrt(list_dot_product(e.embedding, e.embedding))), 4) AS sim
+              * sqrt(list_dot_product(e.embedding, e.embedding))), 4) END AS sim
     FROM embeddings e CROSS JOIN q
     WHERE e.vec_id <> q.query_id
 ), ranked AS (
@@ -1177,10 +1179,12 @@ WITH sig AS (
 ), scored AS (
     SELECT q.query_id,
            e.vec_id AS neighbor_id,
-           ROUND(
+           CASE WHEN sqrt(list_dot_product(q.qv, q.qv))
+                       * sqrt(list_dot_product(e.embedding, e.embedding)) = 0
+                  THEN 0.0 ELSE ROUND(
              list_dot_product(q.qv, e.embedding) /
              (sqrt(list_dot_product(q.qv, q.qv))
-              * sqrt(list_dot_product(e.embedding, e.embedding))), 4) AS sim
+              * sqrt(list_dot_product(e.embedding, e.embedding))), 4) END AS sim
     FROM sig e JOIN q ON e.bucket = q.bucket
     WHERE e.vec_id <> q.query_id
 ), ranked AS (
@@ -1240,15 +1244,19 @@ WITH params AS (
     FROM embeddings, params
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND(
+       CASE WHEN sqrt(list_dot_product(a.embedding, a.embedding))
+                   * sqrt(list_dot_product(b.embedding, b.embedding)) = 0
+              THEN 0.0 ELSE ROUND(
          list_dot_product(a.embedding, b.embedding) /
          (sqrt(list_dot_product(a.embedding, a.embedding))
-          * sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS sim
+          * sqrt(list_dot_product(b.embedding, b.embedding))), 4) END AS sim
 FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE ROUND(
+WHERE CASE WHEN sqrt(list_dot_product(a.embedding, a.embedding))
+                   * sqrt(list_dot_product(b.embedding, b.embedding)) = 0
+              THEN 0.0 ELSE ROUND(
          list_dot_product(a.embedding, b.embedding) /
          (sqrt(list_dot_product(a.embedding, a.embedding))
-          * sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= {NEARDUP_SIM}
+          * sqrt(list_dot_product(b.embedding, b.embedding))), 4) END >= {NEARDUP_SIM}
 """
 
 
@@ -1336,10 +1344,12 @@ WITH params AS (
     FROM sig a JOIN sig b ON a.bucket1 = b.bucket1 AND a.vec_id <> b.vec_id
 ), scored AS (
     SELECT vec_a, vec_b,
-           ROUND(
+           CASE WHEN sqrt(list_dot_product(ea, ea))
+                     * sqrt(list_dot_product(eb, eb)) = 0
+                THEN 0.0 ELSE ROUND(
              list_dot_product(ea, eb) /
              (sqrt(list_dot_product(ea, ea))
-              * sqrt(list_dot_product(eb, eb))), 4) AS sim
+              * sqrt(list_dot_product(eb, eb))), 4) END AS sim
     FROM cand
 ), ranked AS (
     SELECT vec_a, vec_b, sim,
@@ -2187,9 +2197,11 @@ WITH quant AS (
     ) WHERE rn <= {TOPK} * {V5_EXPAND}
 ), scored AS (
     SELECT s.query_id, s.neighbor_id,
-           ROUND(list_dot_product(qs.qdv, cv.dv) /
+           CASE WHEN sqrt(list_dot_product(qs.qdv, qs.qdv))
+                     * sqrt(list_dot_product(cv.dv, cv.dv)) = 0
+                THEN 0.0 ELSE ROUND(list_dot_product(qs.qdv, cv.dv) /
                  (sqrt(list_dot_product(qs.qdv, qs.qdv))
-                  * sqrt(list_dot_product(cv.dv, cv.dv))), 4) AS sim
+                  * sqrt(list_dot_product(cv.dv, cv.dv))), 4) END AS sim
     FROM short s
     JOIN codes cv ON cv.vec_id = s.neighbor_id
     JOIN q qs ON qs.query_id = s.query_id
@@ -2277,7 +2289,8 @@ WITH dv AS (
     SELECT vec_id, sqrt(list_dot_product(v, v)) AS nrm FROM dv
 ), scored0 AS (
     SELECT a.query_id, a.neighbor_id,
-           ({_V6_SUM}) / (nc.nrm * nq.nrm) AS adc_score
+           CASE WHEN nc.nrm * nq.nrm = 0 THEN 0.0
+                ELSE ({_V6_SUM}) / (nc.nrm * nq.nrm) END AS adc_score
     FROM adc a
     JOIN norms nc ON nc.vec_id = a.neighbor_id
     JOIN norms nq ON nq.vec_id = a.query_id
@@ -2291,9 +2304,11 @@ WITH dv AS (
     ) WHERE rn <= {TOPK} * {V6_EXPAND}
 ), scored AS (
     SELECT s.query_id, s.neighbor_id,
-           ROUND(list_dot_product(qv.v, cv.v) /
+           CASE WHEN sqrt(list_dot_product(qv.v, qv.v))
+                     * sqrt(list_dot_product(cv.v, cv.v)) = 0
+                THEN 0.0 ELSE ROUND(list_dot_product(qv.v, cv.v) /
                  (sqrt(list_dot_product(qv.v, qv.v))
-                  * sqrt(list_dot_product(cv.v, cv.v))), 4) AS sim
+                  * sqrt(list_dot_product(cv.v, cv.v))), 4) END AS sim
     FROM short s
     JOIN dv cv ON cv.vec_id = s.neighbor_id
     JOIN dv qv ON qv.vec_id = s.query_id

@@ -31,15 +31,18 @@ def _normalize(col: Column, mn: Column, mx: Column, bits: int) -> Column:
 
     Constant columns map to 0 (the span guard); the top value maps to
     2^bits - 1 (LEAST clamp — floor((x-mn)/(mx-mn) * 2^bits) would hit
-    2^bits exactly at x == mx).
+    2^bits exactly at x == mx). NULL values map to cell 0 explicitly —
+    without the guard they would ride F.least's null-skipping into the
+    TOP cell, widening that file's min/max stats on every dimension.
     """
     top = (1 << bits) - 1
     span = mx.cast("double") - mn.cast("double")
     scaled = F.floor(
         (col.cast("double") - mn.cast("double")) / span * F.lit(1 << bits)
     ).cast("long")
-    return F.when(span <= 0, F.lit(0)).otherwise(
-        F.least(scaled, F.lit(top))
+    return (
+        F.when(col.isNull() | (span <= 0), F.lit(0))
+        .otherwise(F.least(scaled, F.lit(top)))
     )
 
 
@@ -59,7 +62,9 @@ def _interleave(norm_cols: Sequence[Column], bits: int) -> Column:
 def zorder_key(
     df: DataFrame, cols: Sequence[str], bits: int = 16, out_col: str = "__zkey"
 ) -> DataFrame:
-    """Attach the Morton key for ``cols`` (numeric/date-castable).
+    """Attach the Morton key for ``cols`` (double-castable numerics;
+    pre-derive date/timestamp dimensions to epoch numbers first —
+    Spark does not cast DATE to DOUBLE).
 
     ``bits`` per dimension; total key width bits*len(cols) must stay
     <= 63 (2 cols x 16 bits = 32-bit keys is plenty — the key only

@@ -137,10 +137,26 @@ def _make_running_zscore(min_periods: int):
         if not batches:
             state.update((n0, s0, ss0))
             return
-        rows = pd.concat(batches, ignore_index=True).sort_values(
-            ["event_us", "event_id"], kind="mergesort"
+        rows = (
+            pd.concat(batches, ignore_index=True)
+            # null-valued events carry no scoreable value: dropped (a
+            # NaN would otherwise crash the int64 conversion and kill
+            # the whole query); mirrors the batch window skipping nulls
+            .dropna(subset=["cents", "event_us", "event_id"])
+            .sort_values(["event_us", "event_id"], kind="mergesort")
         )
+        if not len(rows):
+            state.update((n0, s0, ss0))
+            return
         v = rows["cents"].to_numpy(dtype=np.int64)
+        # exactness bound: the expanding sum-of-squares must stay in
+        # int64 or scores silently wrap. Fail loud instead — the fix is
+        # a coarser value grain, not garbage output.
+        if ss0 + int((v.astype(object) ** 2).sum()) > (1 << 62):
+            raise OverflowError(
+                "running_zscore: expanding sum-of-squares exceeds 2^62; "
+                "rescale the integer value grain (see docstring)"
+            )
         # prior-state vectors: state BEFORE each row, shifted cumsums
         n_prior = n0 + np.arange(len(v), dtype=np.int64)
         s_prior = s0 + np.concatenate(([0], np.cumsum(v)[:-1]))

@@ -123,3 +123,9 @@ class TestEmptyInputs:
 
         assert fold_session_events(None, [], 10) == ([], None)
         assert fold_session_events((0, 5, 2), [], 10) == ([], (0, 5, 2))
+
+    def test_pagerank_empty_graph(self, spark):
+        from big_data_flight_analytics_spark.operators.graph import pagerank
+
+        df = _empty(spark, src="long", dst="long")
+        assert pagerank(df, num_iter=3).count() == 0

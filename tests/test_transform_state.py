@@ -29,7 +29,7 @@ SF_DIR = "/root/testdata/sf0.001"
 GAP_S = 1800
 SENTINEL_USER = -1
 
-_HAS_PROTOBUF = importlib.util.find_spec("google") is not None
+_HAS_PROTOBUF = importlib.util.find_spec("google.protobuf") is not None
 
 
 class TestFoldSemantics:
