@@ -29,7 +29,10 @@ SF_DIR = "/root/testdata/sf0.001"
 GAP_S = 1800
 SENTINEL_USER = -1
 
-_HAS_PROTOBUF = importlib.util.find_spec("google.protobuf") is not None
+try:
+    _HAS_PROTOBUF = importlib.util.find_spec("google.protobuf") is not None
+except ModuleNotFoundError:  # no google namespace package at all
+    _HAS_PROTOBUF = False
 
 
 class TestFoldSemantics:
