@@ -1,0 +1,171 @@
+"""Distributed byte-pair-encoding vocabulary learning.
+
+The tokenizer-training half of an LLM data pipeline: learn the merge
+table from corpus statistics. Classic BPE (Sennrich et al., 2016) is
+an inherently sequential loop — each round merges the most frequent
+adjacent symbol pair — but each ROUND is embarrassingly parallel, and
+that is what matters at 100 TB:
+
+- the corpus collapses ONCE to the word-frequency vocab (one shuffle;
+  at web scale the distinct-word table is millions of rows — big
+  enough to want a cluster, small enough to iterate on);
+- each round explodes adjacent pairs from the vocab's symbol arrays,
+  aggregates pair counts weighted by word frequency (one shuffle over
+  the VOCAB, never the corpus), takes the argmax via TakeOrdered, and
+  rewrites only the vocab rows containing the merged pair;
+- like k-means centers (``similarity.kmeans_centroids``), the single
+  winning pair per round is inherently driver-side MODEL state — the
+  one-row collect is the algorithm, not a driver funnel.
+
+Determinism: ties break on (count desc, pair lexicographic), so the
+learned merge table is a pure function of the corpus — verified
+symbol-for-symbol against a reference implementation in pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
+
+from big_data_flight_analytics_spark.operators.text import tokens
+
+END = "</w>"
+
+_VOCAB_SCHEMA = StructType(
+    [
+        StructField("syms", ArrayType(StringType()), False),
+        StructField("freq", LongType(), False),
+    ]
+)
+
+
+def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus -> (symbol-array, frequency) vocab: the BPE working set.
+
+    Words start as character sequences with the end-of-word marker —
+    the standard formulation, so merges never cross word boundaries.
+    """
+    words = docs.select(
+        F.explode(tokens(text_col)).alias("w")
+    ).filter(F.col("w") != "")
+    return (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.concat(
+                F.split(F.col("w"), ""), F.array(F.lit(END))
+            ).alias("syms"),
+            "freq",
+        )
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    pairs = vocab.select(
+        "freq",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+        F.sum("freq").alias("n")
+    )
+
+
+def _merge_pair(vocab: DataFrame, a: str, b: str) -> DataFrame:
+    """Rewrite ``[.., a, b, ..] -> [.., ab, ..]`` in affected rows only.
+
+    The scan is native (array_contains prefilter); the sequential
+    within-word merge runs as an Arrow-batched mapInPandas over the
+    small affected slice — the classic "python only where built-ins
+    can't express the semantics" boundary (left-to-right merging is
+    order-dependent, which transform() cannot do).
+    """
+    merged = a + b
+
+    def apply(it):
+        for pdf in it:
+            out = []
+            for syms in pdf["syms"]:
+                syms = list(syms)
+                res = []
+                i = 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        res.append(merged)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                out.append(res)
+            pdf = pdf.assign(syms=out)
+            yield pdf
+
+    hit = F.array_contains("syms", a) & F.array_contains("syms", b)
+    affected = vocab.filter(hit).mapInPandas(apply, schema=_VOCAB_SCHEMA)
+    return vocab.filter(~hit).unionByName(affected)
+
+
+def learn_bpe_merges(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merge rules from the corpus.
+
+    Stops early when no pair reaches ``min_count``. Each round
+    localCheckpoints the (small) vocab so the lineage never compounds
+    across rounds — the same loop discipline as connected components
+    and PageRank.
+    """
+    vocab = word_vocab(docs, text_col).localCheckpoint(eager=True)
+    # pin loop-frame partitioning to the AQE-sized materialized vocab
+    # (1 task at test scale, proportional at cluster scale) — without
+    # this every round fans the tiny vocab across the default shuffle
+    # width and pays 32x the task/python-worker startup for no work
+    nparts = max(1, vocab.rdd.getNumPartitions())
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            _pair_counts(vocab)
+            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < min_count:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        vocab = (
+            _merge_pair(vocab, a, b)
+            .coalesce(nparts)
+            .localCheckpoint(eager=True)
+        )
+    return merges
+
+
+def segment_with_merges(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply a learned merge table to one word (greedy, in merge order)
+    — the reference tokenizer, used to validate learned tables and to
+    spot-check segmentations. Production tokenization would ship the
+    merge table to a tokenizer library; the TABLE is the artifact this
+    module produces."""
+    syms = list(word) + [END]
+    for a, b in merges:
+        res = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                res.append(a + b)
+                i += 2
+            else:
+                res.append(syms[i])
+                i += 1
+        syms = res
+    return syms

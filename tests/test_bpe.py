@@ -1,0 +1,90 @@
+"""Distributed BPE learning == the sequential reference, merge-for-merge."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import Row
+
+from big_data_flight_analytics_spark.operators.bpe import (
+    END,
+    learn_bpe_merges,
+    segment_with_merges,
+    word_vocab,
+)
+
+
+def _reference_bpe(texts, n_merges, min_count=2):
+    """Pure-python Sennrich-style BPE with the same tie-break."""
+    vocab = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            vocab[tuple(list(w) + [END])] += 1
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, freq in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += freq
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_count:
+            break
+        (a, b), _n = best
+        merges.append((a, b))
+        new_vocab = Counter()
+        for syms, freq in vocab.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            new_vocab[tuple(res)] += freq
+        vocab = new_vocab
+    return merges
+
+
+class TestBpe:
+    TEXTS = [
+        "low lower lowest newer new news",
+        "low low lower newest wide wider widest",
+        "new newer news lowest widest wide",
+    ]
+
+    def test_learned_merges_match_reference_exactly(self, spark):
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(self.TEXTS)]
+        )
+        got = learn_bpe_merges(docs, n_merges=12)
+        want = _reference_bpe(self.TEXTS, n_merges=12)
+        assert got == want
+        assert len(got) >= 8  # enough signal in the corpus to learn
+
+    def test_segmentation_compresses_frequent_words(self, spark):
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(self.TEXTS)]
+        )
+        merges = learn_bpe_merges(docs, n_merges=12)
+        low = segment_with_merges("low", merges)
+        assert len(low) <= 2  # 'low' is frequent -> few symbols
+        unseen = segment_with_merges("zzz", merges)
+        assert unseen == ["z", "z", "z", END]  # falls back to chars
+
+    def test_min_count_stops_learning(self, spark):
+        docs = spark.createDataFrame([Row(doc_id=0, text="a b c d")])
+        # every word is one char: the only pairs are (char, END), each
+        # seen once -> below min_count=2, nothing learned
+        assert learn_bpe_merges(docs, n_merges=5) == []
+
+    def test_vocab_shape(self, spark):
+        docs = spark.createDataFrame([Row(doc_id=0, text="aa Aa bb")])
+        rows = {
+            tuple(r["syms"]): r["freq"]
+            for r in word_vocab(docs).collect()
+        }
+        # lowercased tokens: 'aa' twice, 'bb' once
+        assert rows == {("a", "a", END): 2, ("b", "b", END): 1}
