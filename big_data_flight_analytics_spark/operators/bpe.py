@@ -123,6 +123,13 @@ def learn_bpe_merges(
     localCheckpoints the (small) vocab so the lineage never compounds
     across rounds — the same loop discipline as connected components
     and PageRank.
+
+    Scale honesty: rounds are sequential (three tiny jobs each), so
+    this shape suits vocabularies of hundreds-to-thousands of merges;
+    a production 30k-merge tokenizer wants the standard batched
+    variant (merge the top-k DISJOINT pairs per round, cutting rounds
+    ~k-fold at slight fidelity cost) — the per-round dataflow here is
+    unchanged by that optimization.
     """
     vocab = word_vocab(docs, text_col).localCheckpoint(eager=True)
     # pin loop-frame partitioning to the AQE-sized materialized vocab
