@@ -52,7 +52,12 @@ class TestCacheDiscipline:
             assert _n_persisted(spark) > base  # caches were really live
             released = release_tracked()
             assert released >= 3
-            assert _n_persisted(spark) == base
+            # <=, not ==: the async ContextCleaner may free ambient
+            # localCheckpoint blocks left by OTHER tests (the iterative
+            # operators) between the baseline capture and here; the
+            # invariant under test is that TRACKED caches drained, and
+            # only benign downward drift is tolerated
+            assert _n_persisted(spark) <= base
 
     def test_connected_components_registers_no_cache(self, spark):
         release_tracked()
