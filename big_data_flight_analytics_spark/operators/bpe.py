@@ -176,3 +176,48 @@ def segment_with_merges(word: str, merges: list[tuple[str, str]]) -> list[str]:
                 i += 1
         syms = res
     return syms
+
+
+def tokenize_with_merges(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge table to the corpus: the serving half.
+
+    Output: (id_col, bpe_tokens array<string>, n_bpe_tokens). The merge
+    table ships to executors inside the Arrow-batched closure (tables
+    are KBs — broadcast-by-closure is the right size class), each
+    batch memoizes per distinct word, and no shuffle is introduced —
+    tokenization stays a map-only pass at any corpus size.
+    """
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), True),
+            StructField("bpe_tokens", ArrayType(StringType()), False),
+            StructField("n_bpe_tokens", LongType(), False),
+        ]
+    )
+
+    def apply(it):
+        memo: dict[str, list[str]] = {}
+        for pdf in it:
+            toks_col, counts = [], []
+            for text in pdf["__text"]:
+                toks: list[str] = []
+                for w in (text or "").lower().split():
+                    seg = memo.get(w)
+                    if seg is None:
+                        seg = segment_with_merges(w, merges)
+                        memo[w] = seg
+                    toks.extend(seg)
+                toks_col.append(toks)
+                counts.append(len(toks))
+            yield pdf.assign(bpe_tokens=toks_col, n_bpe_tokens=counts)[
+                [id_col, "bpe_tokens", "n_bpe_tokens"]
+            ]
+
+    return docs.select(
+        F.col(id_col), F.col(text_col).alias("__text")
+    ).mapInPandas(apply, schema=out_schema)

@@ -88,3 +88,38 @@ class TestBpe:
         }
         # lowercased tokens: 'aa' twice, 'bb' once
         assert rows == {("a", "a", END): 2, ("b", "b", END): 1}
+
+    def test_tokenize_matches_per_word_reference(self, spark):
+        from big_data_flight_analytics_spark.operators.bpe import (
+            tokenize_with_merges,
+        )
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(self.TEXTS)]
+            + [Row(doc_id=99, text=None)]
+        )
+        merges = learn_bpe_merges(docs, n_merges=12)
+        got = {
+            r["doc_id"]: (list(r["bpe_tokens"]), r["n_bpe_tokens"])
+            for r in tokenize_with_merges(docs, merges).collect()
+        }
+        for i, t in enumerate(self.TEXTS):
+            want = []
+            for w in t.lower().split():
+                want.extend(segment_with_merges(w, merges))
+            assert got[i] == (want, len(want))
+        assert got[99] == ([], 0)  # null text -> empty tokenization
+
+    def test_tokenize_is_map_only(self, spark):
+        from big_data_flight_analytics_spark.operators.bpe import (
+            tokenize_with_merges,
+        )
+
+        docs = spark.createDataFrame([Row(doc_id=0, text="a b")])
+        plan = (
+            tokenize_with_merges(docs, [("a", "</w>")])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
