@@ -123,3 +123,14 @@ class TestBpe:
             .toString()
         )
         assert "Exchange" not in plan
+
+    def test_merges_invariant_under_repartitioning(self, spark):
+        """The learned table is a pure function of the corpus: identical
+        merges from 1-partition and 13-partition layouts (the tie-break
+        is what makes the argmax partition-independent)."""
+        rows = [Row(doc_id=i, text=t) for i, t in enumerate(self.TEXTS * 3)]
+        a = learn_bpe_merges(spark.createDataFrame(rows).coalesce(1), 8)
+        b = learn_bpe_merges(
+            spark.createDataFrame(rows).repartition(13), 8
+        )
+        assert a == b and len(a) == 8
