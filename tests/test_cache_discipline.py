@@ -27,6 +27,14 @@ def _n_persisted(spark) -> int:
     return spark.sparkContext._jsc.getPersistentRDDs().size()
 
 
+def _persisted_ids(spark) -> set[int]:
+    it = spark.sparkContext._jsc.getPersistentRDDs().keySet().iterator()
+    ids = set()
+    while it.hasNext():
+        ids.add(int(it.next()))
+    return ids
+
+
 def _docs(spark):
     rows = [
         Row(doc_id=i, text=f"shared prefix words here for doc number {i} tail")
@@ -42,22 +50,23 @@ def _vecs(spark):
 
 class TestCacheDiscipline:
     def test_persisting_operators_drain_after_release(self, spark):
+        # track ids, not counts: the async ContextCleaner frees ambient
+        # localCheckpoint blocks left by OTHER tests (the iterative
+        # operators) at arbitrary times, so global counts drift in both
+        # directions. The invariant under test is that the ids OUR
+        # operators persisted appear and then drain.
         release_tracked()
-        base = _n_persisted(spark)
         docs = _docs(spark)
         for _ in range(2):  # repeated invocation must not accumulate
+            before = _persisted_ids(spark)
             ngram_jaccard_pairs(docs, threshold=0.1, max_df=10).count()
             minhash_lsh_pairs(docs, threshold=0.1).count()
             embedding_neardup_pairs(_vecs(spark), threshold=0.0).count()
-            assert _n_persisted(spark) > base  # caches were really live
+            ours = _persisted_ids(spark) - before
+            assert len(ours) >= 3  # caches were really live
             released = release_tracked()
             assert released >= 3
-            # <=, not ==: the async ContextCleaner may free ambient
-            # localCheckpoint blocks left by OTHER tests (the iterative
-            # operators) between the baseline capture and here; the
-            # invariant under test is that TRACKED caches drained, and
-            # only benign downward drift is tolerated
-            assert _n_persisted(spark) <= base
+            assert not (_persisted_ids(spark) & ours)  # all drained
 
     def test_connected_components_registers_no_cache(self, spark):
         release_tracked()
