@@ -1142,26 +1142,31 @@ WHERE l_extendedprice = (
 # decorrelates it into one per-part aggregate + an equi-join — the
 # probe-side shuffle lands on the same l_partkey hash partitioning the
 # aggregate just produced, and the brand dim is a broadcast.
-# Determinism: quantities are integral (sums exact in double any
-# order); the threshold is ONE division then one multiply (0.2*(s/n),
-# same association both engines); revenue accumulates in exact int64
-# cents (floor(x*100+0.5) — identical double arithmetic both engines).
+# Determinism: ZERO float ops in the predicate. Quantities are
+# integral, and 0.2 = 1/5, so "qty < 0.2 * (s/n)" is rewritten to the
+# exact-int64 form "5 * qty * n < s" with qty cast to long and s kept
+# as an integer sum — hash-stable under any engine/version arithmetic
+# (the previous float form 0.2*(s/n) hash-mismatched on the driver's
+# DuckDB while passing bit-exact locally). Magnitude check: qty <= ~50,
+# n <= rows-per-part; 5*50*n overflows int64 only past ~7e16 rows per
+# part. Revenue accumulates in exact int64 cents (floor(x*100+0.5) —
+# identical double arithmetic both engines).
 # ---------------------------------------------------------------------------
 
 
 def q12_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         "l_partkey",
-        "l_quantity",
+        F.col("l_quantity").cast("long").alias("__qty"),
         F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
         .cast("long")
         .alias("__cents"),
     )
     stats = li.groupBy("l_partkey").agg(
-        F.sum("l_quantity").alias("__s"), F.count(F.lit(1)).alias("__n")
+        F.sum("__qty").alias("__s"), F.count(F.lit(1)).alias("__n")
     )
     small = li.join(stats, "l_partkey").filter(
-        F.col("l_quantity") < F.lit(0.2) * (F.col("__s") / F.col("__n"))
+        F.lit(5) * F.col("__qty") * F.col("__n") < F.col("__s")
     )
     part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
     return (
@@ -1182,8 +1187,10 @@ SELECT p_brand,
        SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
            AS revenue_cents
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-WHERE l.l_quantity < 0.2 * (
-    SELECT SUM(l2.l_quantity) / COUNT(*)
+WHERE 5 * CAST(l.l_quantity AS BIGINT) * (
+    SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+) < (
+    SELECT SUM(CAST(l2.l_quantity AS BIGINT))
     FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
 )
 GROUP BY 1
