@@ -330,3 +330,105 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    num_iter: int = 5,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    scale: int = 10**12,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """PageRank in exact int64 fixed-point: (node, rank_fp).
+
+    The float ``pagerank`` above is accumulation-order dependent (sums
+    over variable-cardinality neighbor sets), which kept it outside the
+    bit-exact oracle gate. This variant makes every arithmetic step an
+    int64 operation — integer addition is associative-exact, so ANY
+    engine computing the same formula produces the same bits:
+
+    - ranks are integer "rank units" out of ``scale`` (default 1e12);
+      initial rank = ``scale DIV n``
+    - damping is the rational ``damping_num/damping_den`` (17/20 =
+      0.85); base = ``(den-num)*scale DIV (den*n)`` (a Python int —
+      exact)
+    - per-edge contribution = ``rank DIV out_degree`` (integer floor
+      division; all values non-negative, so floor == truncate in every
+      engine)
+    - dangling mass redistributes as ``dang DIV n``
+    - update: ``base + (num * (in + dang DIV n)) DIV den``
+
+    Overflow bound: every rank <= scale (floors only lose mass), so the
+    largest intermediate is ``num * scale`` = 1.7e13 << 2^63. Floor
+    rounding leaks ~1 unit per op (<= 1e-12 relative at the default
+    scale) and leaks identically in both engines — the point is
+    determinism, and the leaked mass is far below any ranking use.
+
+    Same physical shape as ``pagerank``: per round one join + one agg,
+    in-plan dangling mass via broadcast crossJoin, pinned loop
+    partitioning, per-round localCheckpoint lineage truncation
+    (cluster swap point: durable ``checkpoint()``).
+    """
+    e = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if num_partitions is None:
+        num_partitions = max(1, e.rdd.getNumPartitions())
+
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .union(e.select(F.col("__d").alias("node")))
+        .distinct()
+        .coalesce(num_partitions)
+        .localCheckpoint(eager=True)
+    )
+    n_total = nodes.count()
+    if n_total == 0:
+        return nodes.select("node", F.lit(0).cast("long").alias("rank_fp"))
+    out_deg = e.groupBy(F.col("__s").alias("node")).agg(
+        F.count(F.lit(1)).alias("__deg")
+    )
+    base = ((damping_den - damping_num) * scale) // (damping_den * n_total)
+
+    ranks = nodes.select(
+        "node", F.lit(scale // n_total).cast("long").alias("__r")
+    )
+    for _ in range(num_iter):
+        with_deg = ranks.join(out_deg, "node", "left")
+        dangling = with_deg.filter(F.col("__deg").isNull()).agg(
+            F.coalesce(F.sum("__r"), F.lit(0)).cast("long").alias("__dang")
+        )
+        contribs = (
+            with_deg.filter(F.col("__deg").isNotNull())
+            .join(e, with_deg.node == e.__s)
+            .select(
+                F.col("__d").alias("node"),
+                F.expr("__r DIV __deg").alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").cast("long").alias("__in"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_num} * (coalesce(__in, CAST(0 AS BIGINT))"
+                        f" + __dang DIV {n_total})) DIV {damping_den}"
+                    )
+                )
+                .cast("long")
+                .alias("__r"),
+            )
+            .coalesce(num_partitions)
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("__r").alias("rank_fp"))

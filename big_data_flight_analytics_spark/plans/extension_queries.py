@@ -1296,21 +1296,32 @@ def v4_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # G1 — kNN-graph PageRank: which vectors are hubs of their semantic
 # neighborhood (a centrality signal for curation — SemDeDup prunes
 # redundancy, centrality finds representatives). Iterative join+agg
-# rounds over the shared v4 graph stage. Genuinely non-SQL-expressible
-# (iteration + accumulation-order-dependent float sums), so this entry
-# runs under the driver's rows-only check; the value contract is the
-# 1e-9 python-reference differential in TestPageRank.
+# rounds over the shared v4 graph stage. Runs in exact int64
+# FIXED-POINT (scale 1e12, damping 17/20, floor division) so integer
+# addition's associativity makes the result engine- and
+# partitioning-independent — the accumulation-order blocker that kept
+# the float variant rows-only is gone, and the full hash gate applies.
+# The oracle unrolls the 5 iterations as chained CTEs over the same
+# v4 graph SQL. Float variant (``pagerank``) remains for
+# tolerance-based use; its 1e-9 python differential lives in
+# TestPageRank.
 # ---------------------------------------------------------------------------
+
+PAGERANK_ITER = 5
+PAGERANK_SCALE = 10**12
 
 
 def g1_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from big_data_flight_analytics_spark.operators.graph import pagerank
+    from big_data_flight_analytics_spark.operators.graph import (
+        pagerank_fixedpoint,
+    )
 
     g = v4_knn_graph(spark, sf_dir)
-    return pagerank(
+    return pagerank_fixedpoint(
         g.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")),
-        num_iter=5,
-    ).select("node", F.round("rank", 6).alias("rank"))
+        num_iter=PAGERANK_ITER,
+        scale=PAGERANK_SCALE,
+    )
 
 
 V4_SQL = f"""
@@ -1360,6 +1371,65 @@ WITH params AS (
 )
 SELECT vec_a, vec_b, sim, rank FROM ranked WHERE rank <= {KNN_K}
 """
+
+
+def _pagerank_fp_sql(
+    edges_sql: str,
+    num_iter: int = PAGERANK_ITER,
+    scale: int = PAGERANK_SCALE,
+    damping_num: int = 17,
+    damping_den: int = 20,
+) -> str:
+    """Unrolled fixed-point PageRank as chained DuckDB CTEs.
+
+    Mirrors ``operators.graph.pagerank_fixedpoint`` op-for-op: int64
+    rank units out of ``scale``, floor division everywhere (all values
+    non-negative, so DuckDB's ``//`` == Spark's ``DIV``), damping as
+    the rational num/den. Integer addition is associative-exact, so
+    the unrolled CTE chain and Spark's iterative plan agree bit-for-bit
+    regardless of join order or partitioning.
+    """
+    base_num = damping_den - damping_num
+    parts = [
+        # MATERIALIZED matters: DuckDB inlines CTEs by default, so
+        # without it the (expensive) edge-list SQL would re-evaluate
+        # once per reference — nodes x2, deg, and every iteration's
+        # contribution join (measured 239 s -> ~13 s at sf0.01).
+        f"""WITH edges AS MATERIALIZED (
+    SELECT DISTINCT vec_a AS s, vec_b AS d FROM ( {edges_sql} )
+),
+nodes AS MATERIALIZED (SELECT s AS node FROM edges UNION SELECT d FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS MATERIALIZED (SELECT s AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+r0 AS (SELECT node, {scale} // n AS r FROM nodes, nn)"""
+    ]
+    for k in range(1, num_iter + 1):
+        p = k - 1
+        parts.append(
+            f"""r{p}m AS MATERIALIZED (SELECT node, r FROM r{p}),
+d{k} AS (
+    SELECT COALESCE(SUM(r), 0) AS dang
+    FROM r{p}m LEFT JOIN deg USING (node) WHERE deg IS NULL
+),
+i{k} AS (
+    SELECT e.d AS node, SUM(p.r // dg.deg) AS inr
+    FROM r{p}m p JOIN deg dg ON p.node = dg.node
+                 JOIN edges e ON e.s = p.node
+    GROUP BY 1
+),
+r{k} AS (
+    SELECT no.node,
+           {base_num} * {scale} // ({damping_den} * nn.n)
+           + {damping_num} * (COALESCE(i.inr, 0) + dk.dang // nn.n)
+             // {damping_den} AS r
+    FROM nodes no LEFT JOIN i{k} i ON no.node = i.node, d{k} dk, nn
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"{body}\nSELECT node, r AS rank_fp FROM r{num_iter}"
+
+
+G1_SQL = _pagerank_fp_sql(V4_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -2445,6 +2515,7 @@ EXTENSION_ORACLES = {
     "v2_lsh_topk": V2_SQL,
     "d5_embedding_neardup": D5_SQL,
     "v4_knn_graph": V4_SQL,
+    "g1_knn_pagerank": G1_SQL,
     "v5_quantized_topk": V5_SQL,
     "v6_pq_topk": V6_SQL,
     "d13_semantic_prune": D13_SQL,

@@ -12,11 +12,13 @@ import inspect
 from big_data_flight_analytics_spark.plans.catalog import ORACLES, ORDER, QUERIES
 
 
-# entries DOCUMENTED as rows-only: genuinely non-SQL-expressible
-# (iteration + order-dependent float accumulation), value-verified by a
-# pytest reference differential instead of the hash gate. Adding a name
-# here is a deliberate contract change, not a fallthrough.
-ROWS_ONLY = {"g1_knn_pagerank"}
+# entries DOCUMENTED as rows-only: genuinely non-SQL-expressible,
+# value-verified by a pytest reference differential instead of the
+# hash gate. Adding a name here is a deliberate contract change, not a
+# fallthrough. Empty since r7: g1 moved to exact int64 fixed-point
+# PageRank (associative integer sums), giving it a full unrolled-CTE
+# DuckDB oracle.
+ROWS_ONLY: set[str] = set()
 
 
 class TestCatalogIntegrity:

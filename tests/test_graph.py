@@ -181,3 +181,115 @@ class TestPageRank:
         rows = ranks.collect()
         assert len(rows) > 10
         assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-9
+
+
+class TestPageRankFixedPoint:
+    """Exact int64 fixed-point PageRank (the g1 oracle-gated path)."""
+
+    @staticmethod
+    def _reference(edges, num_iter=5, num=17, den=20, scale=10**12):
+        # mirrors operators.graph.pagerank_fixedpoint op-for-op in
+        # plain python ints — exact, so the assertion is ==, not ~=
+        nodes = sorted({n for e in edges for n in e})
+        n = len(nodes)
+        out = {}
+        for s, d in set(edges):
+            out.setdefault(s, set()).add(d)
+        base = (den - num) * scale // (den * n)
+        rank = {v: scale // n for v in nodes}
+        for _ in range(num_iter):
+            dang = sum(r for v, r in rank.items() if v not in out)
+            nxt = {v: 0 for v in nodes}
+            for s, ds in out.items():
+                c = rank[s] // len(ds)
+                for d in ds:
+                    nxt[d] += c
+            rank = {
+                v: base + num * (nxt[v] + dang // n) // den for v in nodes
+            }
+        return rank
+
+    def test_bit_exact_vs_reference(self, spark):
+        import random
+
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.operators.graph import (
+            pagerank_fixedpoint,
+        )
+
+        rng = random.Random(7)
+        edges = [
+            (s, d)
+            for s, d in {
+                (rng.randrange(40), rng.randrange(40)) for _ in range(160)
+            }
+            if s != d
+        ]
+        df = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+        got = {
+            r["node"]: r["rank_fp"]
+            for r in pagerank_fixedpoint(df, num_iter=5).collect()
+        }
+        assert got == self._reference(edges, num_iter=5)
+
+    def test_partition_count_invariance(self, spark):
+        # associative integer sums: 1-partition and 13-partition runs
+        # must agree to the bit (the property that earns the hash gate)
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.operators.graph import (
+            pagerank_fixedpoint,
+        )
+
+        import random
+
+        rng = random.Random(11)
+        rows = [
+            Row(src=rng.randrange(25), dst=rng.randrange(25))
+            for _ in range(100)
+        ]
+        a = {
+            r["node"]: r["rank_fp"]
+            for r in pagerank_fixedpoint(
+                spark.createDataFrame(rows).repartition(1), num_iter=4
+            ).collect()
+        }
+        b = {
+            r["node"]: r["rank_fp"]
+            for r in pagerank_fixedpoint(
+                spark.createDataFrame(rows).repartition(13), num_iter=4
+            ).collect()
+        }
+        assert a == b
+
+    def test_tracks_float_pagerank(self, spark):
+        # the fixed-point ranks are the float ranks to ~1e-9 relative
+        # (floor loses <= 1 unit per op at scale 1e12)
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.operators.graph import (
+            pagerank,
+            pagerank_fixedpoint,
+        )
+
+        edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)]
+        df = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+        fl = {r["node"]: r["rank"] for r in pagerank(df, num_iter=5).collect()}
+        fp = {
+            r["node"]: r["rank_fp"] / 1e12
+            for r in pagerank_fixedpoint(df, num_iter=5).collect()
+        }
+        assert set(fl) == set(fp)
+        for v in fl:
+            assert abs(fl[v] - fp[v]) < 1e-6
+
+    def test_empty_graph(self, spark):
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.operators.graph import (
+            pagerank_fixedpoint,
+        )
+
+        df = spark.createDataFrame([Row(src=1, dst=2)]).filter("src > 99")
+        assert pagerank_fixedpoint(df).collect() == []
