@@ -157,6 +157,7 @@ _TIE_BREAK = [
     "v6_pq_topk",
     "g1_knn_pagerank",
     "q14_dormant_high_balance",
+    "t15_bpe_merges",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

@@ -2445,8 +2445,81 @@ LEFT JOIN base_idx b USING (fingerprint)
 """
 
 
+# ---------------------------------------------------------------------------
+# T15 — BPE merge learning under the full oracle gate: the first K
+# merge rules learned from the documents corpus (tokenizer training —
+# the model-state half of an LLM data pipeline). The merge table is a
+# pure, partition-invariant function of the corpus (ties break on
+# count desc, pair lexicographic — pinned by TestBpe), so the hash
+# gate applies. The oracle unrolls the K greedy rounds as chained
+# CTEs; the within-word left-to-right merge is expressed as a string
+# replace over individually-sep-wrapped symbols ("\x1fa\x1f\x1fb\x1f"
+# -> "\x1fab\x1f"), which scans left-to-right without overlap — the
+# exact semantics of the Arrow-batched merge in operators/bpe.py.
+# min_count=1 here so both engines always complete K rounds (the
+# early-stop is exercised in pytest).
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 10
+
+
+def t15_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.bpe import (
+        learn_bpe_merges,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, BPE_MERGES, min_count=1)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        schema="merge_rank int, sym_a string, sym_b string",
+    )
+
+
+def _bpe_sql(k: int = BPE_MERGES) -> str:
+    """Unrolled greedy BPE as chained DuckDB CTEs (see T15 banner)."""
+    parts = [
+        """WITH v0 AS MATERIALIZED (
+  SELECT chr(31) || array_to_string(list_append(string_split(w, ''), '</w>'),
+                                    chr(31)||chr(31)) || chr(31) AS ws,
+         COUNT(*) AS freq
+  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents) t
+  WHERE w <> ''
+  GROUP BY 1
+)"""
+    ]
+    for i in range(1, k + 1):
+        p = i - 1
+        parts.append(
+            f"""p{i} AS (
+  SELECT l[idx] AS a, l[idx + 1] AS b, SUM(freq) AS n
+  FROM (SELECT freq, string_split(trim(ws, chr(31)), chr(31)||chr(31)) AS l
+        FROM v{p}) s,
+       UNNEST(generate_series(1, len(l) - 1)) AS u(idx)
+  GROUP BY 1, 2
+),
+t{i} AS (SELECT a, b FROM p{i} ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+v{i} AS MATERIALIZED (
+  SELECT replace(ws, chr(31)||t.a||chr(31)||chr(31)||t.b||chr(31),
+                 chr(31)||t.a||t.b||chr(31)) AS ws, freq
+  FROM v{p}, t{i} t
+)"""
+        )
+    body = ",\n".join(parts)
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, a AS sym_a, b AS sym_b FROM t{i}"
+        for i in range(1, k + 1)
+    )
+    return body + "\n" + finals
+
+
+T15_SQL = _bpe_sql()
+
+
 EXTENSION_QUERIES = {
     "t1_text_stats": t1_text_stats,
+    "t15_bpe_merges": t15_bpe_merges,
     "i2_dedup_delta": i2_dedup_delta,
     "t3_gopher_metrics": t3_gopher_metrics,
     "t4_tfidf_top_terms": t4_tfidf_top_terms,
@@ -2490,6 +2563,7 @@ EXTENSION_QUERIES = {
 
 EXTENSION_ORACLES = {
     "t1_text_stats": T1_SQL,
+    "t15_bpe_merges": T15_SQL,
     "i2_dedup_delta": I2_SQL,
     "t3_gopher_metrics": T3_SQL,
     "t4_tfidf_top_terms": T4_SQL,
