@@ -665,3 +665,49 @@ class TestPqTopk:
         emb = spark.createDataFrame([Row(vec_id=0, embedding=[1.0] * 10)])
         with pytest.raises(ValueError):
             pq_topk(emb, emb, m=4, dim=10)
+
+
+class TestPqTrained:
+    """The TRAINED PQ path (per-subspace k-means codebooks) has its own
+    correctness gate, mirroring TestKmeansIvf: the v6 catalog entry
+    runs stub codebooks under the oracle, so this differential is what
+    verifies the production path's candidate quality.
+
+    Measured at sf0.01 (near-isotropic synthetic vectors — PQ's
+    hardest case), k=3, m=4, kcent=16:
+      expand=8  stub 0.25 trained 0.425
+      expand=16 stub 0.38 trained 0.600
+      expand=32 stub 0.63 trained 0.742
+    """
+
+    @pytest.mark.skipif(
+        not os.path.exists(f"{SF001}/embeddings.parquet"),
+        reason="sf0.01 testdata not present",
+    )
+    def test_trained_recall_bound_and_beats_stub(self, spark):
+        from big_data_flight_analytics_spark.operators.similarity import (
+            pq_codebooks_kmeans,
+            pq_topk,
+        )
+
+        emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+        queries = emb.filter("vec_id >= 100 and vec_id < 140")
+        bf = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(emb, queries, k=3).collect()
+        }
+        cb = pq_codebooks_kmeans(emb, seed=42)
+        trained = {
+            (r["query_id"], r["neighbor_id"])
+            for r in pq_topk(
+                emb, queries, k=3, expand=8, codebooks=cb
+            ).collect()
+        }
+        stub = {
+            (r["query_id"], r["neighbor_id"])
+            for r in pq_topk(emb, queries, k=3, expand=8).collect()
+        }
+        trained_recall = len(bf & trained) / len(bf)
+        stub_recall = len(bf & stub) / len(bf)
+        assert trained_recall >= 0.35  # measured 0.425; headroom for drift
+        assert trained_recall > stub_recall
