@@ -259,15 +259,33 @@ def frame_dedup(
     carried through the aggregation as one composite int64 so no
     second pass or window is needed.
 
-    Composite bounds (validated where cheap, documented where not):
-    frame_no must stay below 1_000_000 (payloads up to ~61 MB at the
-    64-byte default — far above any media frame) and doc ids below
-    ~9.2e12 so the composite fits int64; the decode uses INTEGER
-    division (`div`), matching the oracle's `//` exactly at any
-    magnitude.
+    Composite bounds (validated in-plan): frame_no must stay below
+    1_000_000 (payloads up to ~61 MB at the 64-byte default — far
+    above any media frame) and doc ids in [0, ~9.2e12) so the
+    composite fits int64 and decodes unambiguously; a violated bound
+    raises rather than silently aliasing first_doc_id/first_frame_no.
+    The check is a per-row comparison inside codegen (no extra shuffle
+    or scan). The decode uses INTEGER division (`div`), matching the
+    oracle's `//` exactly at any magnitude.
     """
     frames = frame_slices(df, id_col, payload_col, every_n_bytes)
-    composite = F.col(id_col) * 1_000_000 + F.col("frame_no")
+    # assert_true returns NULL when the bound holds (raises otherwise);
+    # adding that NULL-typed zero to the composite keeps the guard in
+    # the projection without changing any passing row's value
+    bounds_ok = F.assert_true(
+        (F.col("frame_no") < 1_000_000)
+        & (F.col(id_col) >= 0)
+        & (F.col(id_col) < (1 << 63) // 1_000_000 - 1),
+        F.lit(
+            "frame_dedup: composite key bounds violated "
+            f"(need 0 <= {id_col} < ~9.2e12 and frame_no < 1e6)"
+        ),
+    )
+    composite = (
+        F.col(id_col) * 1_000_000
+        + F.col("frame_no")
+        + F.coalesce(bounds_ok.cast("long"), F.lit(0))
+    )
     return (
         frames.select(
             F.md5(F.col("frame_bytes")).alias("fingerprint"),

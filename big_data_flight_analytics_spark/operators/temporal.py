@@ -288,10 +288,15 @@ def rolling_zscore(
     — two exact int64 -> double casts, one IEEE sqrt (correctly
     rounded), one IEEE division, rounded to 6dp. Every engine computes
     identical bits. Exactness bound (matters for ``window=None``
-    expanding frames): the frame's sum-of-squares must stay under
-    2^62 — choose the grain so value^2 x frame length fits (cents up
-    to 1e7 supports ~4.6e4-row frames); the streaming counterpart
-    raises OverflowError at the bound, the batch window shares it. A double-valued input would instead make the frame
+    expanding frames): ``n * sum_sq`` over the frame must stay under
+    2^62 — that product bounds every int64 intermediate (``var_num <=
+    n*ss``; ``s^2 <= n*ss`` by Cauchy-Schwarz), where a bound on ss
+    alone would not (cents ~1e7 over a few hundred rows pushes n*ss
+    past 2^63 while ss passes). The plan asserts the bound per row
+    (in-codegen, no extra shuffle) and raises instead of wrapping —
+    Spark would wrap where DuckDB raises, silently breaking oracle
+    parity at extremes. The streaming counterpart enforces the same
+    bound. A double-valued input would instead make the frame
     SUM depend on accumulation order (Spark recomputes sliding frames;
     DuckDB uses segment trees), which diverges in the last ulp.
 
@@ -313,6 +318,21 @@ def rolling_zscore(
     n = F.count(v).over(frame)
     s = F.sum(v).over(frame)
     ss = F.sum(v * v).over(frame)
+    # overflow guard BEFORE any int64 product can wrap: the double
+    # product of two exact int64 casts has ~1e-16 relative error, and
+    # the 2x headroom between the 2^62 bound and int64's 2^63 absorbs
+    # it. assert_true returns NULL when the bound holds (raises
+    # otherwise), so anchoring the result on .isNull() keeps the check
+    # inside whole-stage codegen with zero effect on passing rows.
+    # coalesce: an empty frame has NULL ss, and assert_true(NULL) raises
+    bound_ok = F.assert_true(
+        F.coalesce(n.cast("double") * ss.cast("double"), F.lit(0.0))
+        <= F.lit(float(1 << 62)),
+        F.lit(
+            "rolling_zscore: n * frame sum-of-squares exceeds 2^62; "
+            "rescale the integer value grain (see docstring)"
+        ),
+    )
     var_num = n * ss - s * s
     z = (v * n - s).cast("double") / F.sqrt(var_num.cast("double"))
     if dp is not None:
@@ -323,5 +343,7 @@ def rolling_zscore(
         z = F.round(z, dp)
     return df.withColumn(
         out_col,
-        F.when((n >= min_periods) & (var_num > 0), z),
+        F.when(
+            bound_ok.isNull() & (n >= min_periods) & (var_num > 0), z
+        ),
     )

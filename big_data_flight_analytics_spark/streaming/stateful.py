@@ -149,13 +149,20 @@ def _make_running_zscore(min_periods: int):
             state.update((n0, s0, ss0))
             return
         v = rows["cents"].to_numpy(dtype=np.int64)
-        # exactness bound: the expanding sum-of-squares must stay in
-        # int64 or scores silently wrap. Fail loud instead — the fix is
-        # a coarser value grain, not garbage output.
-        if ss0 + int((v.astype(object) ** 2).sum()) > (1 << 62):
+        # exactness bound: the guard must cover the PRODUCT n*ss, not
+        # just ss — var_num = n*ss - s*s, and n*ss can pass 2^63 while
+        # ss alone sits under 2^62 (e.g. cents ~1e7 over a few hundred
+        # prior rows). n*ss <= 2^62 bounds every intermediate: var_num
+        # <= n*ss, s*s <= n*ss (Cauchy-Schwarz), and |v*n - s| <
+        # sqrt(n*ss)*sqrt(n) + sqrt(n*ss) < 2^63. Python ints are
+        # exact, so the check itself cannot wrap. Fail loud — the fix
+        # is a coarser value grain, not garbage output.
+        n_final = n0 + len(v)
+        ss_final = ss0 + int((v.astype(object) ** 2).sum())
+        if n_final * ss_final > (1 << 62):
             raise OverflowError(
-                "running_zscore: expanding sum-of-squares exceeds 2^62; "
-                "rescale the integer value grain (see docstring)"
+                "running_zscore: n * expanding sum-of-squares exceeds "
+                "2^62; rescale the integer value grain (see docstring)"
             )
         # prior-state vectors: state BEFORE each row, shifted cumsums
         n_prior = n0 + np.arange(len(v), dtype=np.int64)
@@ -209,6 +216,13 @@ def running_zscore(
     ``first_seen_dedup``) — late rows score against a state that
     already includes newer events, which is the standard online-scoring
     semantics.
+
+    Exactness bound: ``n * sum_sq`` (count times expanding
+    sum-of-squares) must stay under 2^62 — that product bounds every
+    int64 intermediate (``var_num <= n*ss``; ``s^2 <= n*ss`` by
+    Cauchy-Schwarz). Choose the grain so value^2 x history^2 fits;
+    the operator raises OverflowError at the bound rather than
+    wrapping.
     """
     return stream.groupBy("user_id").applyInPandasWithState(
         _make_running_zscore(min_periods),

@@ -143,3 +143,56 @@ class TestFrameDedup:
         df = spark.createDataFrame([Row(doc_id=1, payload=bytearray(b"xy"))])
         plan = frame_dedup(df)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+class TestFrameDedupBounds:
+    def test_negative_doc_id_raises(self, spark):
+        import pytest as _pytest
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.operators.multimodal import (
+            frame_dedup,
+        )
+
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=-1, payload=bytearray(b"x" * 128)),
+                Row(doc_id=2, payload=bytearray(b"x" * 128)),
+            ]
+        )
+        with _pytest.raises(Exception, match="composite key bounds"):
+            frame_dedup(df, every_n_bytes=64).collect()
+
+    def test_oversized_frame_no_raises(self, spark):
+        import pytest as _pytest
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.operators.multimodal import (
+            frame_dedup,
+        )
+
+        # 2-byte slices over a 3 MB payload -> frame_no > 1e6
+        df = spark.createDataFrame(
+            [Row(doc_id=1, payload=bytearray(b"ab" * 1_500_000))]
+        )
+        with _pytest.raises(Exception, match="composite key bounds"):
+            frame_dedup(df, every_n_bytes=2).collect()
+
+    def test_in_bounds_unchanged(self, spark):
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.operators.multimodal import (
+            frame_dedup,
+        )
+
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, payload=bytearray(b"A" * 64 + b"B" * 64)),
+                Row(doc_id=2, payload=bytearray(b"A" * 64 + b"C" * 64)),
+            ]
+        )
+        out = {r["fingerprint"]: r for r in frame_dedup(df).collect()}
+        assert len(out) == 1  # only the shared A-frame repeats
+        (r,) = out.values()
+        assert (r["first_doc_id"], r["first_frame_no"]) == (1, 0)
+        assert r["n_frames"] == 2
