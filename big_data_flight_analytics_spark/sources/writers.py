@@ -35,14 +35,23 @@ def write_parquet(
     writer.mode(mode).parquet(path)
 
 
-def kafka_message_frame(df: DataFrame, key_col: str) -> DataFrame:
+def kafka_message_frame(
+    df: DataFrame, key_col: str, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """(key, value) frame: key = string key column, value = JSON of all
     columns — the shape ``.write.format("kafka")`` expects. Stays fully
     distributed; no driver collect (contrast IO6 reference pattern).
+
+    ``passthrough`` columns ride alongside (key, value) WITHOUT
+    entering the JSON payload — e.g. an event-time column the wire
+    shape needs as Kafka record timestamp (`streaming.kafka_shape`).
     """
-    payload = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    payload_cols = [c for c in df.columns if c not in passthrough]
+    payload = F.to_json(F.struct(*[F.col(c) for c in payload_cols]))
     return df.select(
-        F.col(key_col).cast("string").alias("key"), payload.alias("value")
+        F.col(key_col).cast("string").alias("key"),
+        payload.alias("value"),
+        *[F.col(c) for c in passthrough],
     )
 
 
