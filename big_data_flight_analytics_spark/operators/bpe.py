@@ -135,25 +135,42 @@ def learn_bpe_merges(
     # pin loop-frame partitioning to the AQE-sized materialized vocab
     # (1 task at test scale, proportional at cluster scale) — without
     # this every round fans the tiny vocab across the default shuffle
-    # width and pays 32x the task/python-worker startup for no work
+    # width and pays 32x the task/python-worker startup for no work.
+    # The pin covers the per-round SHUFFLE width too (the pair-count
+    # aggregate), same discipline as the connected-components and
+    # PageRank loops: the loop runs ~3 tiny jobs per merge, so
+    # scheduling latency — not data volume — is the round cost, and
+    # 32-way shuffles of a kilobyte-scale vocab tripled the measured
+    # per-round time at sf0.1.
+    spark = docs.sparkSession
     nparts = max(1, vocab.rdd.getNumPartitions())
+    aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    parts0 = spark.conf.get("spark.sql.shuffle.partitions")
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        top = (
-            _pair_counts(vocab)
-            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
-            .limit(1)
-            .collect()
-        )
-        if not top or top[0]["n"] < min_count:
-            break
-        a, b = top[0]["a"], top[0]["b"]
-        merges.append((a, b))
-        vocab = (
-            _merge_pair(vocab, a, b)
-            .coalesce(nparts)
-            .localCheckpoint(eager=True)
-        )
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+        for _ in range(n_merges):
+            top = (
+                _pair_counts(vocab)
+                .orderBy(
+                    F.col("n").desc(), F.col("a").asc(), F.col("b").asc()
+                )
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["n"] < min_count:
+                break
+            a, b = top[0]["a"], top[0]["b"]
+            merges.append((a, b))
+            vocab = (
+                _merge_pair(vocab, a, b)
+                .coalesce(nparts)
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe0)
+        spark.conf.set("spark.sql.shuffle.partitions", parts0)
     return merges
 
 
