@@ -238,3 +238,119 @@ def tokenize_with_merges(
     return docs.select(
         F.col(id_col), F.col(text_col).alias("__text")
     ).mapInPandas(apply, schema=out_schema)
+
+
+def _merge_disjoint_pairs(
+    vocab: DataFrame, pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """Apply several SYMBOL-DISJOINT merges in one pass over the vocab.
+
+    Disjointness (no symbol appears in two selected pairs) is what
+    makes a single left-to-right scan with a pair SET equivalent to
+    applying the pairs sequentially in any order — occurrences of
+    different pairs cannot overlap. One Arrow batch pass replaces
+    ``len(pairs)`` passes of ``_merge_pair``.
+    """
+    pairset = set(pairs)
+
+    def apply(it):
+        for pdf in it:
+            out = []
+            for syms in pdf["syms"]:
+                syms = list(syms)
+                res = []
+                i = 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and (syms[i], syms[i + 1]) in pairset
+                    ):
+                        res.append(syms[i] + syms[i + 1])
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                out.append(res)
+            yield pdf.assign(syms=out)
+
+    hit = None
+    for a, b in pairs:
+        h = F.array_contains("syms", a) & F.array_contains("syms", b)
+        hit = h if hit is None else (hit | h)
+    affected = vocab.filter(hit).mapInPandas(apply, schema=_VOCAB_SCHEMA)
+    return vocab.filter(~hit).unionByName(affected)
+
+
+def learn_bpe_merges_batched(
+    docs: DataFrame,
+    n_merges: int,
+    batch_k: int = 8,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Batched BPE: merge the top-k DISJOINT pairs per round.
+
+    The production variant named by ``learn_bpe_merges``: a 30k-merge
+    tokenizer at 100 TB cannot afford 30k sequential rounds, but the
+    counts of symbol-disjoint pairs don't interact within a round, so
+    merging several at once cuts rounds ~k-fold while keeping every
+    per-round dataflow identical (pair-count aggregate -> top-k to the
+    driver as model state -> one vocab rewrite pass).
+
+    Selection: scan the round's pairs in classic order (count desc,
+    pair lexicographic) and keep each pair whose symbols are unseen in
+    this round's selection — so batch_k=1 reduces EXACTLY to
+    ``learn_bpe_merges`` (pinned by test), and larger k deviates from
+    classic BPE only where classic would have re-counted between
+    adjacent merges (the standard fidelity trade, cf. SentencePiece's
+    queued variants; deviation measured in TestBpeBatched).
+
+    Determinism: same corpus -> same merge list, any partitioning —
+    selection is a pure function of the exact integer pair counts.
+    """
+    vocab = word_vocab(docs, text_col).localCheckpoint(eager=True)
+    spark = docs.sparkSession
+    nparts = max(1, vocab.rdd.getNumPartitions())
+    aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    parts0 = spark.conf.get("spark.sql.shuffle.partitions")
+    merges: list[tuple[str, str]] = []
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+        while len(merges) < n_merges:
+            # over-fetch: disjoint filtering can reject up to half the
+            # scanned prefix (each kept pair blocks at most its own two
+            # symbols), so 3x the remaining budget keeps one round from
+            # starving without shipping the whole pair table
+            want = min(n_merges - len(merges), batch_k)
+            top = (
+                _pair_counts(vocab)
+                .filter(F.col("n") >= min_count)
+                .orderBy(
+                    F.col("n").desc(), F.col("a").asc(), F.col("b").asc()
+                )
+                .limit(3 * want)
+                .collect()
+            )
+            if not top:
+                break
+            used: set[str] = set()
+            picked: list[tuple[str, str]] = []
+            for r in top:
+                a, b = r["a"], r["b"]
+                if a in used or b in used:
+                    continue
+                picked.append((a, b))
+                used.update((a, b))
+                if len(picked) == want:
+                    break
+            merges.extend(picked)
+            vocab = (
+                _merge_disjoint_pairs(vocab, picked)
+                .coalesce(nparts)
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe0)
+        spark.conf.set("spark.sql.shuffle.partitions", parts0)
+    return merges
