@@ -41,3 +41,40 @@ def release_tracked() -> int:
             # then moot
             pass
     return n
+
+
+def loop_checkpoint(df: DataFrame) -> DataFrame:
+    """Eager lineage truncation for iterative loops — durable on a
+    cluster, local in tests.
+
+    Every iterative operator (connected components, PageRank, BPE)
+    truncates its loop frame's lineage each round. ``localCheckpoint``
+    is the right default on local[*] (no filesystem round-trip), but
+    its blocks live on executors: on a real cluster, losing one
+    executor invalidates the frame mid-loop. This helper is the single
+    swap point the loop docstrings promise:
+
+    - ``spark.graft.loop.checkpoint=auto`` (default): durable
+      ``checkpoint()`` when ``sparkContext.setCheckpointDir`` has been
+      called (the cluster signal), else ``localCheckpoint``.
+    - ``local``: always localCheckpoint (opt-out, e.g. a test session
+      that sets a checkpoint dir for other reasons).
+    - ``durable``: always checkpoint(); raises if no dir is set
+      (fail loud rather than silently downgrading resilience).
+    """
+    spark = df.sparkSession
+    mode = spark.conf.get("spark.graft.loop.checkpoint", "auto")
+    if mode not in ("auto", "local", "durable"):
+        raise ValueError(
+            f"spark.graft.loop.checkpoint={mode!r}: "
+            "expected auto|local|durable"
+        )
+    has_dir = spark.sparkContext.getCheckpointDir() is not None
+    if mode == "durable" and not has_dir:
+        raise RuntimeError(
+            "spark.graft.loop.checkpoint=durable but no checkpoint dir "
+            "is set; call sparkContext.setCheckpointDir(...) first"
+        )
+    if mode == "durable" or (mode == "auto" and has_dir):
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)

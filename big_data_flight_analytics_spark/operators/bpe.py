@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
 
+from big_data_flight_analytics_spark.cache import loop_checkpoint
 from big_data_flight_analytics_spark.operators.text import tokens
 
 END = "</w>"
@@ -126,12 +127,11 @@ def learn_bpe_merges(
 
     Scale honesty: rounds are sequential (three tiny jobs each), so
     this shape suits vocabularies of hundreds-to-thousands of merges;
-    a production 30k-merge tokenizer wants the standard batched
-    variant (merge the top-k DISJOINT pairs per round, cutting rounds
-    ~k-fold at slight fidelity cost) — the per-round dataflow here is
-    unchanged by that optimization.
+    a production 30k-merge tokenizer wants ``learn_bpe_merges_batched``
+    (top-k DISJOINT pairs per round, cutting rounds ~k-fold at slight
+    fidelity cost) — the per-round dataflow is identical.
     """
-    vocab = word_vocab(docs, text_col).localCheckpoint(eager=True)
+    vocab = word_vocab(docs, text_col).transform(loop_checkpoint)
     # pin loop-frame partitioning to the AQE-sized materialized vocab
     # (1 task at test scale, proportional at cluster scale) — without
     # this every round fans the tiny vocab across the default shuffle
@@ -166,7 +166,7 @@ def learn_bpe_merges(
             vocab = (
                 _merge_pair(vocab, a, b)
                 .coalesce(nparts)
-                .localCheckpoint(eager=True)
+                .transform(loop_checkpoint)
             )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe0)
@@ -308,7 +308,7 @@ def learn_bpe_merges_batched(
     Determinism: same corpus -> same merge list, any partitioning —
     selection is a pure function of the exact integer pair counts.
     """
-    vocab = word_vocab(docs, text_col).localCheckpoint(eager=True)
+    vocab = word_vocab(docs, text_col).transform(loop_checkpoint)
     spark = docs.sparkSession
     nparts = max(1, vocab.rdd.getNumPartitions())
     aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
@@ -348,7 +348,7 @@ def learn_bpe_merges_batched(
             vocab = (
                 _merge_disjoint_pairs(vocab, picked)
                 .coalesce(nparts)
-                .localCheckpoint(eager=True)
+                .transform(loop_checkpoint)
             )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe0)

@@ -45,6 +45,8 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from big_data_flight_analytics_spark.cache import loop_checkpoint
+
 
 def connected_components(
     edges: DataFrame,
@@ -74,7 +76,7 @@ def connected_components(
     # the EAGER localCheckpoint truncates the pair-generation lineage
     # and materializes with AQE-sized partitions — cluster swap point:
     # .checkpoint() with a durable dir
-    e = sym.distinct().localCheckpoint(eager=True)
+    e = sym.distinct().transform(loop_checkpoint)
     if num_partitions is None:
         # inherit AQE's sizing of the materialized edge frame so loop
         # shuffles match the real data volume (1 task at test scale,
@@ -152,7 +154,7 @@ def connected_components(
     # materialize the converged labels (tiny: one row per edge
     # endpoint) so the last loop cache can be released — no persisted
     # frame escapes this operator
-    final = labels.localCheckpoint(eager=True)
+    final = labels.transform(loop_checkpoint)
     if prev is not None:
         prev.unpersist()
 
@@ -274,7 +276,7 @@ def pagerank(
     e = (
         edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(loop_checkpoint)
     )
     if num_partitions is None:
         num_partitions = max(1, e.rdd.getNumPartitions())
@@ -284,7 +286,7 @@ def pagerank(
         .union(e.select(F.col("__d").alias("node")))
         .distinct()
         .coalesce(num_partitions)
-        .localCheckpoint(eager=True)
+        .transform(loop_checkpoint)
     )
     n_total = nodes.count()
     if n_total == 0:
@@ -327,7 +329,7 @@ def pagerank(
                 ).alias("rank"),
             )
             .coalesce(num_partitions)
-            .localCheckpoint(eager=True)
+            .transform(loop_checkpoint)
         )
     return ranks
 
@@ -375,7 +377,7 @@ def pagerank_fixedpoint(
     e = (
         edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(loop_checkpoint)
     )
     if num_partitions is None:
         num_partitions = max(1, e.rdd.getNumPartitions())
@@ -385,7 +387,7 @@ def pagerank_fixedpoint(
         .union(e.select(F.col("__d").alias("node")))
         .distinct()
         .coalesce(num_partitions)
-        .localCheckpoint(eager=True)
+        .transform(loop_checkpoint)
     )
     n_total = nodes.count()
     if n_total == 0:
@@ -429,6 +431,6 @@ def pagerank_fixedpoint(
                 .alias("__r"),
             )
             .coalesce(num_partitions)
-            .localCheckpoint(eager=True)
+            .transform(loop_checkpoint)
         )
     return ranks.select("node", F.col("__r").alias("rank_fp"))

@@ -90,3 +90,79 @@ class TestCacheDiscipline:
         # re-action after release recomputes the shingle pipeline
         assert pairs.count() == n1
         release_tracked()
+
+
+class TestLoopCheckpoint:
+    """The durable-checkpoint swap point every iterative loop routes
+    through (cache.loop_checkpoint)."""
+
+    def test_local_by_default(self, spark):
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.cache import loop_checkpoint
+
+        df = spark.createDataFrame([Row(a=1), Row(a=2)])
+        out = loop_checkpoint(df)
+        assert {r["a"] for r in out.collect()} == {1, 2}
+        # lineage truncated: the optimized plan is a scan over
+        # checkpointed blocks, not the original LocalRelation
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "LogicalRDD" in plan
+
+    def test_invalid_mode_fails_loud(self, spark):
+        import pytest as _pytest
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.cache import loop_checkpoint
+
+        spark.conf.set("spark.graft.loop.checkpoint", "sometimes")
+        try:
+            with _pytest.raises(ValueError, match="auto|local|durable"):
+                loop_checkpoint(spark.createDataFrame([Row(a=1)]))
+        finally:
+            spark.conf.unset("spark.graft.loop.checkpoint")
+
+    def test_durable_without_dir_fails_loud(self, spark):
+        import pytest as _pytest
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.cache import loop_checkpoint
+
+        if spark.sparkContext.getCheckpointDir() is not None:
+            _pytest.skip("session already has a checkpoint dir")
+        spark.conf.set("spark.graft.loop.checkpoint", "durable")
+        try:
+            with _pytest.raises(RuntimeError, match="no checkpoint dir"):
+                loop_checkpoint(spark.createDataFrame([Row(a=1)]))
+        finally:
+            spark.conf.unset("spark.graft.loop.checkpoint")
+
+    def test_auto_goes_durable_with_dir_and_loops_still_converge(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.operators.graph import (
+            connected_components,
+        )
+
+        ckdir = str(tmp_path / "ck")
+        spark.sparkContext.setCheckpointDir(ckdir)
+        try:
+            edges = spark.createDataFrame(
+                [Row(src=1, dst=2), Row(src=2, dst=3), Row(src=9, dst=10)]
+            )
+            got = {
+                (r["id"], r["cluster_id"])
+                for r in connected_components(edges).collect()
+            }
+            assert got == {(1, 1), (2, 1), (3, 1), (9, 9), (10, 9)}
+            # durable blocks actually landed on the filesystem
+            found = any(files for _, _, files in os.walk(ckdir))
+            assert found
+        finally:
+            # later tests assume the local (default) behavior; the dir
+            # cannot be unset on a live context, so pin the mode
+            spark.conf.set("spark.graft.loop.checkpoint", "local")
