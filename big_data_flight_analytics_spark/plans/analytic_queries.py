@@ -364,7 +364,14 @@ def f2_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k_bucket")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            # exact decimal accumulation (events.value is a 2dp
+            # measure): order-free sum, one deterministic quotient —
+            # raw AVG over doubles under ROUND is the q12-class risk
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_value"),
         )
     )
 
@@ -376,7 +383,8 @@ WITH parsed AS (
 )
 SELECT k - k % 10 AS k_bucket,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(AVG(value), 4) AS avg_value
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*), 4) AS avg_value
 FROM parsed GROUP BY k_bucket
 """
 

@@ -49,19 +49,41 @@ HIGH_VALUE = 300_000.0
 # ---------------------------------------------------------------------------
 # Q1 — multi-measure hash agg + conditional count (A1, A2)
 # reference: batch_process.py:14-20
+# Exactness: averages accumulate on an exact integer grain, not raw
+# doubles — AVG over doubles is accumulation-order dependent, and
+# "ROUND absorbs the ulp wobble" is exactly the environment-specific
+# hash-gate risk that bit q12 on the driver host. avg_qty sums
+# integral quantities as int64; avg_revenue fixes the per-row product
+# at a 1e-4 grain with FLOOR (no rounding-mode ties: floor is
+# unambiguous, and the multiply/add feeding it are identical IEEE ops
+# in both engines), accumulated as DECIMAL so the sum is exact and
+# order-free at any scale. The quotient chain is then a fixed
+# left-to-right double expression, identical bits everywhere.
 # ---------------------------------------------------------------------------
 
 def q1_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
+    rev_fixed = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+        + F.lit(0.5)
+    ).cast("decimal(18,0)")
     return (
         li.groupBy(F.col("l_suppkey").alias("suppkey"))
         .agg(
             F.count(F.lit(1)).alias("n_items"),
             count_if(F.col("l_discount") > 0.05, "high_discount_items"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "avg_revenue"
-            ),
+            F.round(
+                F.sum(F.col("l_quantity").cast("long"))
+                * F.lit(1.0)
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(rev_fixed).cast("double")
+                / F.count(F.lit(1))
+                / F.lit(10000.0),
+                2,
+            ).alias("avg_revenue"),
         )
         .filter(F.col("n_items") > 50)
     )
@@ -71,8 +93,10 @@ Q1_SQL = f"""
 SELECT l_suppkey AS suppkey,
        COUNT(*) AS n_items,
        COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS high_discount_items,
-       ROUND(AVG(l_quantity), 4) AS avg_qty,
-       ROUND(AVG(l_extendedprice * (1 - l_discount)), 2) AS avg_revenue
+       ROUND(SUM(CAST(l_quantity AS BIGINT)) * 1.0 / COUNT(*), 4) AS avg_qty,
+       ROUND(CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000
+                                 + 0.5) AS DECIMAL(18,0))) AS DOUBLE)
+             / COUNT(*) / 10000.0, 2) AS avg_revenue
 FROM lineitem
 GROUP BY l_suppkey
 HAVING COUNT(*) > 50
@@ -194,7 +218,12 @@ def q4_weekly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
         count_if(F.col("o_orderstatus") == "F", "fulfilled"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        # exact decimal accumulation (order-free), double on the way
+        # out — the w3/a9 pattern; a raw double SUM under ROUND is the
+        # q12-class environment risk
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
     )
 
 
@@ -203,7 +232,8 @@ SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
        CAST(weekofyear(o_orderdate) AS INTEGER) AS week,
        COUNT(*) AS n_orders,
        COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS fulfilled,
-       ROUND(SUM(o_totalprice), 2) AS total_value
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_value
 FROM orders
 GROUP BY 1, 2
 """
@@ -216,14 +246,37 @@ GROUP BY 1, 2
 
 def q5_measure_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
+
+    # exact-grain averages (order-free accumulation; see Q1 banner):
+    # quantities are integral, money columns have <= 2 decimals, the
+    # revenue product is fixed at a 1e-4 grain with FLOOR
+    def dec_avg(col: str, dp: int):
+        return F.round(
+            F.sum(F.col(col).cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            dp,
+        )
+
+    rev_fixed = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+        + F.lit(0.5)
+    ).cast("decimal(18,0)")
     agg = li.agg(
-        F.round(F.avg("l_quantity"), 4).alias("quantity"),
-        F.round(F.avg("l_extendedprice"), 2).alias("extendedprice"),
-        F.round(F.avg("l_discount"), 4).alias("discount"),
-        F.round(F.avg("l_tax"), 4).alias("tax"),
-        F.round(F.avg(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        ),
+        F.round(
+            F.sum(F.col("l_quantity").cast("long"))
+            * F.lit(1.0)
+            / F.count(F.lit(1)),
+            4,
+        ).alias("quantity"),
+        dec_avg("l_extendedprice", 2).alias("extendedprice"),
+        dec_avg("l_discount", 4).alias("discount"),
+        dec_avg("l_tax", 4).alias("tax"),
+        F.round(
+            F.sum(rev_fixed).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(10000.0),
+            2,
+        ).alias("revenue"),
     )
     return unpivot(
         agg,
@@ -235,15 +288,26 @@ def q5_measure_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q5_SQL = """
-SELECT 'quantity' AS measure, ROUND(AVG(l_quantity), 4) AS avg_value FROM lineitem
+SELECT 'quantity' AS measure,
+       ROUND(SUM(CAST(l_quantity AS BIGINT)) * 1.0 / COUNT(*), 4)
+           AS avg_value FROM lineitem
 UNION ALL
-SELECT 'extendedprice', ROUND(AVG(l_extendedprice), 2) FROM lineitem
+SELECT 'extendedprice',
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*), 2) FROM lineitem
 UNION ALL
-SELECT 'discount', ROUND(AVG(l_discount), 4) FROM lineitem
+SELECT 'discount',
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*), 4) FROM lineitem
 UNION ALL
-SELECT 'tax', ROUND(AVG(l_tax), 4) FROM lineitem
+SELECT 'tax',
+       ROUND(CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*), 4) FROM lineitem
 UNION ALL
-SELECT 'revenue', ROUND(AVG(l_extendedprice * (1 - l_discount)), 2) FROM lineitem
+SELECT 'revenue',
+       ROUND(CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000
+                                 + 0.5) AS DECIMAL(18,0))) AS DOUBLE)
+             / COUNT(*) / 10000.0, 2) FROM lineitem
 """
 
 
@@ -291,7 +355,14 @@ def q7_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = bucketize(orders, "o_totalprice", PRICE_EDGES, PRICE_LABELS, out="price_bucket")
     return bucketed.groupBy("price_bucket").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        # exact decimal accumulation (see Q1 banner)
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            2,
+        ).alias("avg_price"),
     )
 
 
@@ -304,7 +375,8 @@ SELECT CASE
          WHEN o_totalprice >= 400000 THEN '400k+'
        END AS price_bucket,
        COUNT(*) AS n_orders,
-       ROUND(AVG(o_totalprice), 2) AS avg_price
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*), 2) AS avg_price
 FROM orders
 GROUP BY 1
 """
@@ -770,13 +842,17 @@ def k1_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = salted_group_agg(
         orders,
         ["o_custkey"],
+        # decimal partials: the whole point of the salt test is that
+        # the two-stage (salted) accumulation must equal the one-stage
+        # oracle — exact decimal sums make that an identity instead of
+        # a ROUND-masked float coincidence (q12-class risk)
         partial_aggs={
             "__n": F.count(F.lit(1)),
-            "__sum": F.sum("o_totalprice"),
+            "__sum": F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
         },
         combine_aggs={
             "n_orders": F.sum("__n"),
-            "total_value": F.round(F.sum("__sum"), 2),
+            "total_value": F.sum("__sum").cast("double"),
         },
     )
     return out.select(
@@ -787,7 +863,8 @@ def k1_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 K1_SQL = """
 SELECT o_custkey AS custkey,
        COUNT(*) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS total_value
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_value
 FROM orders
 GROUP BY 1
 """
