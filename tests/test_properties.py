@@ -779,3 +779,77 @@ class TestRepeatedSpansProperties:
                 cnt += 1
             want.add((doc, start, prev + n - 1, cnt))
         assert got == want
+
+
+class TestPageRankFixedPointProperties:
+    """Invariants of the int64 fixed-point PageRank on random graphs."""
+
+    def test_random_graphs_exact_and_bounded(self, spark):
+        import random
+
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.operators.graph import (
+            pagerank_fixedpoint,
+        )
+
+        scale = 10**12
+        for seed in (3, 17, 202):
+            rng = random.Random(seed)
+            n_nodes = rng.randrange(5, 40)
+            edges = [
+                (s, d)
+                for s, d in {
+                    (rng.randrange(n_nodes), rng.randrange(n_nodes))
+                    for _ in range(rng.randrange(10, 120))
+                }
+                if s != d
+            ]
+            if not edges:
+                continue
+            df = spark.createDataFrame(
+                [Row(src=s, dst=d) for s, d in edges]
+            )
+            ranks = {
+                r["node"]: r["rank_fp"]
+                for r in pagerank_fixedpoint(df, num_iter=4).collect()
+            }
+            nodes = {v for e in edges for v in e}
+            assert set(ranks) == nodes
+            # every rank in (0, scale]; floors only LOSE mass, so the
+            # total can never exceed one unit of rank
+            assert all(0 < v <= scale for v in ranks.values())
+            assert sum(ranks.values()) <= scale
+            # mass loss from flooring is bounded: <= ~1 unit per node
+            # per (contribution + dangling + damping) op per round
+            assert sum(ranks.values()) >= scale - 4 * 4 * len(nodes)
+
+
+class TestBatchedBpeProperties:
+    def test_random_corpora_batched_table_is_valid(self, spark):
+        import random
+
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.operators.bpe import (
+            learn_bpe_merges,
+            learn_bpe_merges_batched,
+        )
+
+        rng = random.Random(5)
+        words = ["".join(rng.choice("abcd") for _ in range(rng.randrange(2, 6)))
+                 for _ in range(30)]
+        texts = [
+            " ".join(rng.choice(words) for _ in range(rng.randrange(5, 15)))
+            for _ in range(6)
+        ]
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+        )
+        classic = learn_bpe_merges(docs, 6, min_count=2)
+        batched = learn_bpe_merges_batched(docs, 6, batch_k=3, min_count=2)
+        # no duplicate rules, and the first rule (an uncontended argmax)
+        # always agrees with classic
+        assert len(batched) == len(set(batched))
+        if classic and batched:
+            assert batched[0] == classic[0]
