@@ -2336,8 +2336,7 @@ WITH dv AS (
     -- nearest centroid per (vector, subspace); (dist, c) struct min =
     -- Spark's F.min(struct(d, c)) tie-break on the lowest centroid id
     SELECT s.vec_id AS neighbor_id, s.j,
-           (MIN({{'d': (list_dot_product(s.sv, s.sv)
-                        + list_dot_product(cb.centroid, cb.centroid))
+           (MIN({{'d': list_dot_product(cb.centroid, cb.centroid)
                        - (2.0 * list_dot_product(s.sv, cb.centroid)),
                   'c': cb.c}})).c AS c
     FROM subs s JOIN cb ON cb.j = s.j
