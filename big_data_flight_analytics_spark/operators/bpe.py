@@ -33,12 +33,13 @@ from big_data_flight_analytics_spark.operators.text import tokens
 
 END = "</w>"
 
-_VOCAB_SCHEMA = StructType(
-    [
-        StructField("syms", ArrayType(StringType()), False),
-        StructField("freq", LongType(), False),
-    ]
-)
+# Separator for the wrapped-string word form: every symbol rides as
+# "\x1fsym\x1f", so a merge of the ADJACENT pair (a, b) is the literal
+# replace "\x1fa\x1f\x1fb\x1f" -> "\x1fab\x1f" — string replace scans
+# left-to-right without overlap, which IS greedy BPE merging. The same
+# encoding drives the DuckDB oracle (plans/extension_queries._bpe_sql),
+# so Spark and the oracle execute literally the same algorithm.
+SEP = "\x1f"
 
 
 def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -46,7 +47,18 @@ def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     Words start as character sequences with the end-of-word marker —
     the standard formulation, so merges never cross word boundaries.
+    Tokens containing the internal separator (U+001F, a control char no
+    text corpus legitimately embeds) would corrupt the wrapped-string
+    merge encoding, so they fail loud in-plan rather than merging
+    wrongly.
     """
+    guard = F.assert_true(
+        ~F.contains(F.col("w"), F.lit(SEP)),
+        F.lit(
+            "word_vocab: token contains the U+001F separator reserved "
+            "by the BPE merge encoding"
+        ),
+    )
     words = docs.select(
         F.explode(tokens(text_col)).alias("w")
     ).filter(F.col("w") != "")
@@ -54,11 +66,24 @@ def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
         words.groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(
-            F.concat(
-                F.split(F.col("w"), ""), F.array(F.lit(END))
+            F.when(
+                guard.isNull(),
+                F.concat(F.split(F.col("w"), ""), F.array(F.lit(END))),
             ).alias("syms"),
             "freq",
         )
+    )
+
+
+def _wrap(syms) -> "F.Column":  # noqa: F821
+    """array<string> -> the sep-wrapped word string."""
+    return F.concat(F.lit(SEP), F.concat_ws(SEP + SEP, syms), F.lit(SEP))
+
+
+def _unwrap(ws) -> "F.Column":  # noqa: F821
+    """Inverse of ``_wrap`` (ws is a Column)."""
+    return F.split(
+        F.substr(ws, F.lit(2), F.length(ws) - 2), SEP + SEP
     )
 
 
@@ -79,37 +104,24 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
 
 
 def _merge_pair(vocab: DataFrame, a: str, b: str) -> DataFrame:
-    """Rewrite ``[.., a, b, ..] -> [.., ab, ..]`` in affected rows only.
+    """Rewrite ``[.., a, b, ..] -> [.., ab, ..]`` — fully native.
 
-    The scan is native (array_contains prefilter); the sequential
-    within-word merge runs as an Arrow-batched mapInPandas over the
-    small affected slice — the classic "python only where built-ins
-    can't express the semantics" boundary (left-to-right merging is
-    order-dependent, which transform() cannot do).
+    Left-to-right greedy merging looks like it needs imperative code
+    (it is order-dependent, which ``transform()`` cannot express), but
+    on the sep-wrapped string form it is ONE literal ``replace``:
+    ``replace`` scans left-to-right and never re-matches inside a
+    replacement, exactly the BPE merge semantics (equivalence to the
+    sequential rewrite pinned by TestBpe's reference differential).
+    Native string ops keep the whole learning loop JVM-side — the
+    former Arrow mapInPandas paid a python-worker round-trip per merge
+    round, the dominant per-round cost at small vocab sizes.
     """
-    merged = a + b
-
-    def apply(it):
-        for pdf in it:
-            out = []
-            for syms in pdf["syms"]:
-                syms = list(syms)
-                res = []
-                i = 0
-                while i < len(syms):
-                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                        res.append(merged)
-                        i += 2
-                    else:
-                        res.append(syms[i])
-                        i += 1
-                out.append(res)
-            pdf = pdf.assign(syms=out)
-            yield pdf
-
-    hit = F.array_contains("syms", a) & F.array_contains("syms", b)
-    affected = vocab.filter(hit).mapInPandas(apply, schema=_VOCAB_SCHEMA)
-    return vocab.filter(~hit).unionByName(affected)
+    pat = F.lit(SEP + a + SEP + SEP + b + SEP)
+    rep = F.lit(SEP + a + b + SEP)
+    return vocab.select(
+        _unwrap(F.replace(_wrap(F.col("syms")), pat, rep)).alias("syms"),
+        "freq",
+    )
 
 
 def learn_bpe_merges(
@@ -243,42 +255,25 @@ def tokenize_with_merges(
 def _merge_disjoint_pairs(
     vocab: DataFrame, pairs: list[tuple[str, str]]
 ) -> DataFrame:
-    """Apply several SYMBOL-DISJOINT merges in one pass over the vocab.
+    """Apply several SYMBOL-DISJOINT merges in one projection.
 
-    Disjointness (no symbol appears in two selected pairs) is what
-    makes a single left-to-right scan with a pair SET equivalent to
-    applying the pairs sequentially in any order — occurrences of
-    different pairs cannot overlap. One Arrow batch pass replaces
-    ``len(pairs)`` passes of ``_merge_pair``.
+    Disjointness (no symbol appears in two selected pairs) means the
+    pairs' occurrences cannot overlap, so a chain of literal replaces
+    over the sep-wrapped form equals applying the pairs sequentially in
+    any order (pinned by TestBpeBatched against per-pair application).
+    A merged symbol cannot spawn a false match for a later pair in the
+    chain: patterns align on the separator, merged symbols contain
+    none, and this round's pairs predate the round's new symbols.
+    Fully native — one map-only pass, no Python workers.
     """
-    pairset = set(pairs)
-
-    def apply(it):
-        for pdf in it:
-            out = []
-            for syms in pdf["syms"]:
-                syms = list(syms)
-                res = []
-                i = 0
-                while i < len(syms):
-                    if (
-                        i + 1 < len(syms)
-                        and (syms[i], syms[i + 1]) in pairset
-                    ):
-                        res.append(syms[i] + syms[i + 1])
-                        i += 2
-                    else:
-                        res.append(syms[i])
-                        i += 1
-                out.append(res)
-            yield pdf.assign(syms=out)
-
-    hit = None
+    ws = _wrap(F.col("syms"))
     for a, b in pairs:
-        h = F.array_contains("syms", a) & F.array_contains("syms", b)
-        hit = h if hit is None else (hit | h)
-    affected = vocab.filter(hit).mapInPandas(apply, schema=_VOCAB_SCHEMA)
-    return vocab.filter(~hit).unionByName(affected)
+        ws = F.replace(
+            ws,
+            F.lit(SEP + a + SEP + SEP + b + SEP),
+            F.lit(SEP + a + b + SEP),
+        )
+    return vocab.select(_unwrap(ws).alias("syms"), "freq")
 
 
 def learn_bpe_merges_batched(
