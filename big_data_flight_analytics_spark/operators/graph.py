@@ -372,7 +372,16 @@ def pagerank_fixedpoint(
     Same physical shape as ``pagerank``: per round one join + one agg,
     in-plan dangling mass via broadcast crossJoin, pinned loop
     partitioning, per-round localCheckpoint lineage truncation
-    (cluster swap point: durable ``checkpoint()``).
+    (via ``loop_checkpoint`` — durable on a cluster).
+
+    Measured negative result (r7): pinning the loop's shuffle width
+    with AQE disabled — the discipline that pays off for the
+    connected-components and BPE loops — REGRESSED this loop ~1.7x at
+    sf0.1. Checkpointed frames carry no size stats, so the static
+    planner demotes the rank->out-degree and contribution joins from
+    AQE's runtime broadcast conversion; at PageRank's frame sizes that
+    costs more than the per-round scheduling latency saves. Keep AQE
+    on here.
     """
     e = (
         edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
