@@ -38,7 +38,11 @@ ORACLES = {**RELATIONAL_ORACLES, **EXTENSION_ORACLES, **ANALYTIC_ORACLES}
 # bump every name that got a green row to N — run
 #   python tools/record_verified.py CORRECTNESS_r0N.json N
 # which rewrites verified_rounds.json. A name missing from the file is
-# treated as never-verified (round 0) and leads the order.
+# treated as never-verified (round 0) and leads the order. When a
+# query's plan or oracle is EDITED, its old green row no longer attests
+# the current code — run
+#   python tools/invalidate_verified.py name [...]
+# so the edited queries lead the next window like new entries.
 _VERIFIED_PATH = os.path.join(os.path.dirname(__file__), "verified_rounds.json")
 try:
     with open(_VERIFIED_PATH) as _fh:
