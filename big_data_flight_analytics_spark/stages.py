@@ -21,14 +21,18 @@ Shared frames deliberately bypass ``cache.tracked_persist`` bookkeeping:
 query will reuse. The ``shared_stages()`` exit unpersists everything it
 pinned.
 
-100-TB note: on a real cluster the same seam is where you would swap
-``persist()`` for writing the stage to the lake and re-reading it
-(lineage truncation + executor-loss resilience); the memo key becomes
-the dataset path.
+100-TB note: ``shared_stages(materialize_dir=...)`` IS that swap —
+each stage is written to the lake (parquet under a key-derived path)
+and re-read, giving lineage truncation, executor-loss resilience, and
+CROSS-RUN reuse: a second scope over the same dir finds the stage's
+``_SUCCESS`` marker and reads it instead of rebuilding. The default
+(no dir) stays ``persist()`` — right for a single-process pass.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 import threading
 import time
 from collections.abc import Callable, Hashable
@@ -52,12 +56,46 @@ def sharing_enabled() -> bool:
     return _registry() is not None
 
 
+def _stage_path(materialize_dir: str, key: Hashable) -> str:
+    # repr(key) is deterministic for the tuple-of-primitives keys the
+    # catalog uses; the digest keeps paths filesystem-safe and length-
+    # bounded. Cross-run reuse therefore requires the key's repr to be
+    # stable across processes — true for (str, int, float) tuples.
+    digest = hashlib.md5(repr(key).encode()).hexdigest()[:16]
+    return os.path.join(materialize_dir, f"stage_{digest}")
+
+
+def _materialize(df: DataFrame, path: str) -> DataFrame:
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def stage(key: Hashable, builder: Callable[[], DataFrame]) -> DataFrame:
     """Build (or reuse, inside ``shared_stages()``) the named stage."""
     shared = _registry()
     if shared is None:
         return builder()
     if key not in shared:
+        mat_dir = getattr(_TLS, "materialize_dir", None)
+        if mat_dir is not None:
+            path = _stage_path(mat_dir, key)
+            if os.path.exists(os.path.join(path, "_SUCCESS")):
+                # cross-run reuse: a previous scope (or job) already
+                # wrote this stage — read it, charge no build time
+                from big_data_flight_analytics_spark.session import (
+                    get_session,
+                )
+
+                shared[key] = get_session().read.parquet(path)
+                return shared[key]
+            collector = getattr(_TLS, "build_times", None)
+            t0 = time.time()
+            shared[key] = _materialize(builder(), path)
+            if collector is not None:
+                collector[key] = collector.get(key, 0.0) + (
+                    time.time() - t0
+                )
+            return shared[key]
         collector = getattr(_TLS, "build_times", None)
         if collector is None:
             shared[key] = builder().persist()
@@ -95,7 +133,10 @@ def stage(key: Hashable, builder: Callable[[], DataFrame]) -> DataFrame:
 
 
 @contextmanager
-def shared_stages(build_times: dict[Hashable, float] | None = None):
+def shared_stages(
+    build_times: dict[Hashable, float] | None = None,
+    materialize_dir: str | None = None,
+):
     """Scope within which ``stage()`` results are persisted and shared.
 
     ``build_times``: optional collector dict. When given, each stage is
@@ -103,19 +144,30 @@ def shared_stages(build_times: dict[Hashable, float] | None = None):
     under its key — consumers then time net-of-build. When omitted
     (default), stages stay lazy and build cost is paid by the first
     action that touches them.
+
+    ``materialize_dir``: lake mode — stages write to parquet under a
+    key-derived path in this dir and are re-read from it (always eager;
+    implies attribution when ``build_times`` is given). A stage already
+    on disk (``_SUCCESS`` present) is read, not rebuilt — cross-run
+    reuse, zero recorded build cost. The dir and its contents are the
+    caller's to clean up or keep (keeping them IS the feature).
     """
     prev = _registry()
     prev_times = getattr(_TLS, "build_times", None)
+    prev_mat = getattr(_TLS, "materialize_dir", None)
     mine: dict[Hashable, DataFrame] = {}
     _TLS.shared = mine
     _TLS.build_times = build_times
+    _TLS.materialize_dir = materialize_dir
     try:
         yield
     finally:
-        for df in mine.values():
-            try:
-                df.unpersist()
-            except Exception:  # noqa: BLE001 — stopped session; moot
-                pass
+        if materialize_dir is None:
+            for df in mine.values():
+                try:
+                    df.unpersist()
+                except Exception:  # noqa: BLE001 — stopped session; moot
+                    pass
         _TLS.shared = prev
         _TLS.build_times = prev_times
+        _TLS.materialize_dir = prev_mat

@@ -225,3 +225,78 @@ def test_repeated_marks_stage_shared_equals_isolated(spark):
         sh16 = sorted(tuple(r) for r in d16_excise_spans(spark, sf).collect())
     assert sh15 == iso15
     assert sh16 == iso16
+
+
+class TestLakeMaterialization:
+    """shared_stages(materialize_dir=...) — the cluster-mode seam where
+    persist() becomes write-to-lake + re-read."""
+
+    def test_stage_written_read_and_reused_across_scopes(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.stages import (
+            shared_stages,
+            stage,
+        )
+
+        lake = str(tmp_path / "lake")
+        builds = {"n": 0}
+
+        def builder():
+            builds["n"] += 1
+            return spark.createDataFrame([Row(a=1), Row(a=2)])
+
+        with shared_stages(materialize_dir=lake):
+            out1 = stage(("k", 1), builder)
+            assert {r["a"] for r in out1.collect()} == {1, 2}
+            # second ask in-scope: registry hit, no rebuild
+            stage(("k", 1), builder)
+        assert builds["n"] == 1
+        # files survived scope exit (keeping them IS the feature)
+        assert any(
+            f == "_SUCCESS"
+            for _, _, files in os.walk(lake)
+            for f in files
+        )
+        # a NEW scope over the same dir reads the lake, builds nothing
+        with shared_stages(materialize_dir=lake):
+            out2 = stage(("k", 1), builder)
+            assert {r["a"] for r in out2.collect()} == {1, 2}
+        assert builds["n"] == 1
+
+    def test_build_time_charged_only_on_first_run(self, spark, tmp_path):
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.stages import (
+            shared_stages,
+            stage,
+        )
+
+        lake = str(tmp_path / "lake2")
+        times1: dict = {}
+        with shared_stages(build_times=times1, materialize_dir=lake):
+            stage(("k", 2), lambda: spark.createDataFrame([Row(a=1)]))
+        assert ("k", 2) in times1 and times1[("k", 2)] > 0
+        times2: dict = {}
+        with shared_stages(build_times=times2, materialize_dir=lake):
+            stage(("k", 2), lambda: spark.createDataFrame([Row(a=1)]))
+        assert times2 == {}  # cross-run reuse: no build charged
+
+    def test_different_keys_different_paths(self, spark, tmp_path):
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.stages import (
+            shared_stages,
+            stage,
+        )
+
+        lake = str(tmp_path / "lake3")
+        with shared_stages(materialize_dir=lake):
+            a = stage(("x",), lambda: spark.createDataFrame([Row(a=1)]))
+            b = stage(("y",), lambda: spark.createDataFrame([Row(a=2)]))
+            assert a.first()["a"] == 1
+            assert b.first()["a"] == 2
