@@ -2475,8 +2475,10 @@ def t15_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_sql(k: int = BPE_MERGES) -> str:
-    """Unrolled greedy BPE as chained DuckDB CTEs (see T15 banner)."""
+def _bpe_rounds(k: int = BPE_MERGES) -> list:
+    """The shared CTE chain (v0 + k greedy rounds) both BPE oracles
+    compose: ``_bpe_sql`` (the t15 merge table) and ``_bpe_apply_sql``
+    (tokenization with the learned table)."""
     parts = [
         """WITH v0 AS MATERIALIZED (
   SELECT chr(31) || array_to_string(list_append(string_split(w, ''), '</w>'),
@@ -2505,12 +2507,76 @@ v{i} AS MATERIALIZED (
   FROM v{p}, t{i} t
 )"""
         )
-    body = ",\n".join(parts)
+    return parts
+
+
+def _bpe_sql(k: int = BPE_MERGES) -> str:
+    """Unrolled greedy BPE as chained DuckDB CTEs (see T15 banner)."""
+    body = ",\n".join(_bpe_rounds(k))
     finals = "\nUNION ALL\n".join(
         f"SELECT {i} AS merge_rank, a AS sym_a, b AS sym_b FROM t{i}"
         for i in range(1, k + 1)
     )
     return body + "\n" + finals
+
+
+def _bpe_apply_sql(k: int = BPE_MERGES) -> str:
+    """BPE apply-side oracle: tokenize documents with the K merges the
+    round chain just learned — per-doc token arrays in word order plus
+    counts, mirroring ``operators.bpe.tokenize_with_merges``.
+
+    r8 catalog candidate (the r7 freeze admits only t15); until then
+    the differential runs in pytest (TestBpeApplyOracle) so the apply
+    path is oracle-verified without spending a driver-window slot.
+    Docs whose text yields no words keep a row with an empty token
+    array (LEFT JOIN back to documents), matching the operator.
+    """
+    parts = list(_bpe_rounds(k))
+    parts.append(
+        """words AS (
+    SELECT doc_id, w, idx FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w,
+               generate_subscripts(
+                   regexp_split_to_array(trim(lower(text)), '\\s+'), 1
+               ) AS idx
+        FROM documents)
+    WHERE w <> ''
+),
+a0 AS (
+    SELECT doc_id, idx,
+           chr(31) || array_to_string(
+               list_append(string_split(w, ''), '</w>'),
+               chr(31)||chr(31)) || chr(31) AS ws
+    FROM words
+)"""
+    )
+    for i in range(1, k + 1):
+        parts.append(
+            f"""a{i} AS (
+    SELECT w.doc_id, w.idx,
+           replace(w.ws, chr(31)||t.a||chr(31)||chr(31)||t.b||chr(31),
+                   chr(31)||t.a||t.b||chr(31)) AS ws
+    FROM a{i - 1} w, t{i} t
+)"""
+        )
+    parts.append(
+        f"""toks AS (
+    SELECT doc_id,
+           flatten(list(string_split(trim(ws, chr(31)), chr(31)||chr(31))
+                        ORDER BY idx)) AS bpe_tokens
+    FROM a{k} GROUP BY doc_id
+)"""
+    )
+    body = ",\n".join(parts)
+    return (
+        body
+        + """
+SELECT d.doc_id,
+       COALESCE(t.bpe_tokens, []) AS bpe_tokens,
+       CAST(COALESCE(len(t.bpe_tokens), 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d LEFT JOIN toks t USING (doc_id)"""
+    )
 
 
 T15_SQL = _bpe_sql()

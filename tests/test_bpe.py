@@ -203,3 +203,49 @@ class TestBpeBatched:
             (tuple(r["syms"]), r["freq"]) for r in seq.collect()
         }
         assert multi == sequential
+
+
+class TestBpeApplyOracle:
+    """Apply-side DuckDB differential: tokenize_with_merges vs the
+    unrolled replace-chain SQL (`_bpe_apply_sql`) on real testdata.
+
+    This is the r8 catalog candidate's oracle, verified in pytest now
+    so promotion costs only a registration (the r7 breadth freeze
+    admits no second new entry)."""
+
+    def test_matches_duckdb_on_sf0001_documents(self, spark):
+        import duckdb
+        import os
+        import pytest as _pytest
+
+        sf = "/root/testdata/sf0.001"
+        if not os.path.exists(f"{sf}/documents.parquet"):
+            _pytest.skip("testdata not present")
+
+        from big_data_flight_analytics_spark.operators.bpe import (
+            learn_bpe_merges,
+            tokenize_with_merges,
+        )
+        from big_data_flight_analytics_spark.plans.extension_queries import (
+            BPE_MERGES,
+            _bpe_apply_sql,
+        )
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        merges = learn_bpe_merges(docs, BPE_MERGES, min_count=1)
+        got = {
+            r["doc_id"]: (list(r["bpe_tokens"]), r["n_bpe_tokens"])
+            for r in tokenize_with_merges(docs, merges).collect()
+        }
+
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf}/documents.parquet'"
+        )
+        want = {
+            int(r[0]): (list(r[1]), int(r[2]))
+            for r in con.sql(_bpe_apply_sql()).fetchall()
+        }
+        assert set(got) == set(want)
+        assert got == want
