@@ -1,0 +1,136 @@
+"""VariantType semi-structured fast path (Spark 4, SPARK-45891).
+
+Parse-once/extract-many parity with the string-path functions, NULL
+semantics for missing/mismatched/malformed input, and the f2 variant
+drop-in differential — including a DuckDB JSON-type oracle run (the
+r8 catalog candidate's oracle, pre-validated here)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from big_data_flight_analytics_spark.operators.semistructured import (
+    props_metrics_variant,
+    variant_fields,
+    with_variant,
+    with_variant_safe,
+)
+
+SF001 = "/root/testdata/sf0.01"
+
+
+class TestVariantBasics:
+    def _bags(self, spark):
+        return spark.createDataFrame(
+            [
+                Row(id=1, j='{"k": 5, "name": "a", "tags": [10, 20]}'),
+                Row(id=2, j='{"k": "not-a-number", "extra": true}'),
+                Row(id=3, j='{"nested": {"deep": 7}}'),
+            ]
+        )
+
+    def test_parse_once_extract_many(self, spark):
+        out = variant_fields(
+            with_variant(self._bags(spark), "j"),
+            "__variant",
+            {
+                "k": ("$.k", "long"),
+                "name": ("$.name", "string"),
+                "tag1": ("$.tags[1]", "long"),
+                "deep": ("$.nested.deep", "long"),
+            },
+        )
+        rows = {r["id"]: r for r in out.collect()}
+        assert (rows[1]["k"], rows[1]["name"], rows[1]["tag1"]) == (
+            5,
+            "a",
+            20,
+        )
+        # type mismatch and missing path -> NULL, not error
+        assert rows[2]["k"] is None and rows[2]["tag1"] is None
+        assert rows[3]["deep"] == 7
+
+    def test_malformed_json_null_vs_raise(self, spark):
+        bad = spark.createDataFrame([Row(j="{nope")])
+        assert (
+            with_variant_safe(bad, "j").filter("__variant IS NULL").count()
+            == 1
+        )
+        with pytest.raises(Exception):
+            with_variant(bad, "j").collect()
+
+    def test_strict_field_raises_on_type_mismatch(self, spark):
+        # strict mode = variant_get: a MISSING path is NULL in both
+        # modes (Spark semantics); strictness bites on cast failure
+        df = with_variant(
+            spark.createDataFrame([Row(j='{"a": {"b": 1}}')]), "j"
+        )
+        with pytest.raises(Exception):
+            variant_fields(
+                df, "__variant", {"a": ("!$.a", "long")}
+            ).collect()
+        ok = variant_fields(df, "__variant", {"b": ("!$.b", "long")})
+        assert ok.first()["b"] is None
+
+
+class TestF2VariantDropIn:
+    @pytest.mark.skipif(
+        not os.path.exists(f"{SF001}/events.parquet"),
+        reason="testdata not present",
+    )
+    def test_matches_f2_on_real_data(self, spark):
+        from big_data_flight_analytics_spark.plans.analytic_queries import (
+            f2_props_json,
+        )
+        from big_data_flight_analytics_spark.plans.tables import load
+
+        events = load(spark, SF001, "events")
+        via_variant = {
+            tuple(r) for r in props_metrics_variant(events).collect()
+        }
+        via_string = {
+            tuple(r) for r in f2_props_json(spark, SF001).collect()
+        }
+        assert via_variant == via_string
+
+    @pytest.mark.skipif(
+        not os.path.exists(f"{SF001}/events.parquet"),
+        reason="testdata not present",
+    )
+    def test_matches_duckdb_json_oracle(self, spark):
+        # the r8 catalog candidate's oracle: DuckDB's JSON type is the
+        # same parse-once representation; typed extraction mirrors
+        # try_variant_get's NULL-on-miss
+        import duckdb
+
+        from big_data_flight_analytics_spark.plans.tables import load
+
+        got = {
+            (r["k_bucket"], r["n_events"], r["avg_value"])
+            for r in props_metrics_variant(load(spark, SF001, "events")).collect()
+        }
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW events AS SELECT * FROM '{SF001}/events.parquet'"
+        )
+        want = {
+            (r[0], r[1], r[2])
+            for r in con.sql(
+                """
+                WITH parsed AS (
+                    SELECT TRY_CAST(json_extract_string(props, '$.k')
+                                    AS BIGINT) AS k, value
+                    FROM events
+                )
+                SELECT k - k % 10 AS k_bucket,
+                       CAST(COUNT(*) AS BIGINT) AS n_events,
+                       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                                  AS DOUBLE) / COUNT(*), 4) AS avg_value
+                FROM parsed GROUP BY k_bucket
+                """
+            ).fetchall()
+        }
+        assert got == want
