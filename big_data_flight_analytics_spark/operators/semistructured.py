@@ -10,7 +10,10 @@ for their JSON types.
 
 At 100 TB this is the difference between N full JSON parses per row
 and one: property bags in event streams are routinely 10-50 fields,
-and the parse is the dominant per-row cost. The operators stay fully
+and the parse is the dominant per-row cost. Measured on this host
+(200k rows, 20-field bag, 10 typed extractions, min-of-3): variant
+path 0.27 s vs get_json_object 0.52 s — ~2x, growing with extraction
+count since the string path re-parses per field. The operators stay fully
 native (no UDFs); schema evolution is free (new fields appear as new
 paths, no reader change).
 
