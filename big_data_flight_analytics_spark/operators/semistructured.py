@@ -99,3 +99,35 @@ def props_metrics_variant(events: DataFrame) -> DataFrame:
             ).alias("avg_value"),
         )
     )
+
+
+def bag_key_stats(df: DataFrame, json_col: str = "props") -> DataFrame:
+    """Schema discovery over heterogeneous JSON bags: per top-level
+    key, how many rows carry it, how many distinct values it takes,
+    and which variant types were observed.
+
+    Output: (key, n_rows, n_distinct_values, value_types array<string>
+    sorted). The exploration query a pipeline runs BEFORE committing to
+    a typed extraction schema — at 100 TB you cannot eyeball the bags.
+
+    Plan: one parse per row (variant), generator lateral join (no
+    shuffle), then a single hash aggregate on key; exact distinct via
+    countDistinct (swap for approx_count_distinct at extreme
+    cardinality — the trade is documented, not silently taken).
+    Malformed JSON rows parse to NULL variant and contribute no keys.
+    """
+    spark = df.sparkSession
+    ex = (
+        df.select(F.try_parse_json(F.col(json_col)).alias("__v"))
+        .lateralJoin(spark.tvf.variant_explode(F.col("__v").outer()))
+        .filter(F.col("key").isNotNull())
+    )
+    return ex.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(F.col("value").cast("string")).alias(
+            "n_distinct_values"
+        ),
+        F.sort_array(
+            F.collect_set(F.schema_of_variant(F.col("value")))
+        ).alias("value_types"),
+    )

@@ -134,3 +134,62 @@ class TestF2VariantDropIn:
             ).fetchall()
         }
         assert got == want
+
+
+class TestBagKeyStats:
+    def test_heterogeneous_bags(self, spark):
+        from big_data_flight_analytics_spark.operators.semistructured import (
+            bag_key_stats,
+        )
+
+        df = spark.createDataFrame(
+            [
+                Row(j='{"a": 1, "b": "x"}'),
+                Row(j='{"a": 2, "c": [1, 2]}'),
+                Row(j='{"a": 1}'),
+                Row(j="{malformed"),
+            ]
+        )
+        out = {r["key"]: r for r in bag_key_stats(df, "j").collect()}
+        assert set(out) == {"a", "b", "c"}
+        assert out["a"]["n_rows"] == 3
+        assert out["a"]["n_distinct_values"] == 2
+        assert out["a"]["value_types"] == ["BIGINT"]
+        assert out["c"]["value_types"] == ["ARRAY<BIGINT>"]
+
+    def test_matches_duckdb_json_each(self, spark):
+        import duckdb
+        import os
+        import pytest as _pytest
+
+        if not os.path.exists(f"{SF001}/events.parquet"):
+            _pytest.skip("testdata not present")
+
+        from big_data_flight_analytics_spark.operators.semistructured import (
+            bag_key_stats,
+        )
+        from big_data_flight_analytics_spark.plans.tables import load
+
+        got = {
+            (r["key"], r["n_rows"], r["n_distinct_values"])
+            for r in bag_key_stats(load(spark, SF001, "events")).collect()
+        }
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW events AS SELECT * FROM '{SF001}/events.parquet'"
+        )
+        want = {
+            (r[0], r[1], r[2])
+            for r in con.sql(
+                """
+                SELECT k AS key, COUNT(*) AS n_rows,
+                       COUNT(DISTINCT CAST(json_extract(props,
+                           '$."' || k || '"') AS VARCHAR))
+                           AS n_distinct_values
+                FROM (SELECT unnest(json_keys(props)) AS k, props
+                      FROM events)
+                GROUP BY 1
+                """
+            ).fetchall()
+        }
+        assert got == want
