@@ -16,10 +16,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from big_data_flight_analytics_spark.functions.vector import (
+    cosine_fixedpoint_from_nsq,
     cosine_from_norms,
     cosine_similarity,
     dot_product,
     l2_norm,
+    norm_sq_fixedpoint,
 )
 
 
@@ -143,6 +145,7 @@ def _bucket_scored_pairs(
     corpus_count: int | None,
     ordered: bool,
     probes: int = 1,
+    fp_scale: int | None = None,
 ) -> DataFrame:
     """Exact-cosine-scored same-bucket candidate pairs — the shared
     candidate-generation core of ``embedding_neardup_pairs`` (ordered
@@ -159,6 +162,14 @@ def _bucket_scored_pairs(
     candidate volume; duplicates are dropped before scoring reaches
     the caller (a pair's sim is identical from every probe).
     Requires ``probes * bits <= dim`` for independent probes.
+
+    ``fp_scale`` switches the similarity to the exact-grain fixed-point
+    form (``cosine_fixedpoint_from_nsq``): dot and squared norms are
+    int64 sums of FLOOR-scaled elementwise products, so the score —
+    and any rank boundary decided by it — is bit-identical across
+    engines AND engine versions (no double fold order, no ROUND).
+    ``dp`` is ignored in that mode. Used by the kNN-graph family,
+    where a rank-5 boundary flip changes every downstream edge.
     """
     if probes < 1:
         raise ValueError(f"probes must be >= 1, got {probes}")
@@ -174,12 +185,17 @@ def _bucket_scored_pairs(
         if ordered
         else F.col("vec_a") != F.col("vec_b")
     )
+    norm_expr = (
+        norm_sq_fixedpoint(F.col(vec_col), fp_scale)
+        if fp_scale is not None
+        else l2_norm(F.col(vec_col))
+    )
     frames = []
     for p in range(probes):
         sig = corpus.select(
             F.col(id_col),
             F.col(vec_col).alias("__v"),
-            l2_norm(F.col(vec_col)).alias("__n"),
+            norm_expr.alias("__n"),
             sign_bucket(vec_col, bits, offset=p * bits).alias("__bucket"),
         )
         a = sig.select(
@@ -203,14 +219,18 @@ def _bucket_scored_pairs(
         # windows (likeliest for the near-identical pairs this family
         # targets) must pay its dot product once, not once per probe
         cand = cand.dropDuplicates(["vec_a", "vec_b"])
-    return cand.select(
-        "vec_a",
-        "vec_b",
-        cosine_from_norms(
+    sim_expr = (
+        cosine_fixedpoint_from_nsq(
+            F.col("__va"), F.col("__vb"),
+            F.col("__na"), F.col("__nb"), fp_scale,
+        )
+        if fp_scale is not None
+        else cosine_from_norms(
             F.col("__va"), F.col("__vb"),
             F.col("__na"), F.col("__nb"), dp=dp,
-        ).alias("sim"),
+        )
     )
+    return cand.select("vec_a", "vec_b", sim_expr.alias("sim"))
 
 
 def kmeans_centroids(
@@ -435,6 +455,7 @@ def knn_graph(
     target_bucket_size: int = 256,
     corpus_count: int | None = None,
     probes: int = 1,
+    fp_scale: int | None = None,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor graph over the whole corpus.
 
@@ -460,10 +481,16 @@ def knn_graph(
     top-k window partitions by vector id — bounded partitions (bucket
     population), never corpus-wide. Ties at the k boundary break on
     neighbor id, so the graph is deterministic.
+
+    ``fp_scale`` (recommended for oracle-gated consumers, e.g. the
+    PageRank family) ranks by the exact-grain fixed-point cosine — the
+    k-boundary edge set then cannot flip with an oracle engine's
+    reduction fold order or ROUND version (see
+    ``cosine_fixedpoint_from_nsq``); ``dp`` is ignored in that mode.
     """
     scored = _bucket_scored_pairs(
         corpus, id_col, vec_col, bits, dp, target_bucket_size,
-        corpus_count, ordered=False, probes=probes,
+        corpus_count, ordered=False, probes=probes, fp_scale=fp_scale,
     )
     w = Window.partitionBy("vec_a").orderBy(
         F.col("sim").desc(), F.col("vec_b").asc()

@@ -1273,6 +1273,15 @@ KNN_PROBES = 2  # measured recall@5 vs exact kNN at sf0.01:
 #                 probes 1 -> 0.38, 2 -> 0.59, 4 -> 0.84, 8 -> 0.98
 #                 (near-isotropic synthetic vectors — the axis-sign
 #                 scheme's hardest case; see BASELINE.md)
+# Fixed-point similarity grain (round 8): the kNN edge set is decided
+# by cosine RANKING with a rank<=k cutoff, so a 1-ulp divergence in an
+# oracle engine's double fold order or ROUND version flips boundary
+# edges — the r7 driver-red signature on g1. FLOOR-scaling each
+# elementwise product to int64 before summation makes the score exact
+# and engine-version-independent (error < dim/scale = 6.4e-14; values
+# are |x| <= 0.58 over 64 dims, so per-term <= 3.4e14 and sums
+# <= 2.2e16 — ample int64 headroom).
+SIM_FP_SCALE = 10**15
 
 
 def v4_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1282,12 +1291,14 @@ def v4_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return stage(
-        ("knn_graph", sf_dir, KNN_K, NEARDUP_TARGET_BUCKET, KNN_PROBES),
+        ("knn_graph", sf_dir, KNN_K, NEARDUP_TARGET_BUCKET, KNN_PROBES,
+         SIM_FP_SCALE),
         lambda: knn_graph(
             load(spark, sf_dir, "embeddings"),
             k=KNN_K,
             target_bucket_size=NEARDUP_TARGET_BUCKET,
             probes=KNN_PROBES,
+            fp_scale=SIM_FP_SCALE,
         ),
     )
 
@@ -1330,15 +1341,23 @@ WITH params AS (
                COUNT(*) / {NEARDUP_TARGET_BUCKET}.0, 2.0))) AS INTEGER)) AS bits
     FROM embeddings
 ), sig AS (
-    -- CAST to DOUBLE[] matters: list_dot_product over FLOAT[]
-    -- accumulates in float, which diverges from Spark's double fold
-    -- by ~1e-6 on cancellation-heavy (low-sim) pairs — d5 never sees
-    -- them (threshold 0.4) but a kNN graph ranks ALL pairs. float x
-    -- float products are exact in double, so the double path is
-    -- bit-identical cross-engine (verified at sf0.1).
+    -- Fixed-point similarity (round 8): rank-deciding scores must not
+    -- depend on an engine version's double fold order or ROUND
+    -- implementation (the r7 driver-red signature). Each elementwise
+    -- product is FLOOR-scaled to an int64 grain BEFORE summation —
+    -- integer addition is associative-exact, and float*float is exact
+    -- in double, so dot and the squared norms are bit-identical in any
+    -- engine. CAST to DOUBLE[] keeps the per-element products the same
+    -- doubles Spark computes from float casts.
     -- Two DISJOINT sign windows (multi-probe): bucket0 over dims
     -- [1, bits], bucket1 over [bits+1, 2*bits].
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding,
+           CAST(list_sum(list_transform(
+               range(1, len(embedding) + 1),
+               i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                               * CAST(embedding[i] AS DOUBLE)
+                               * {SIM_FP_SCALE}.0) AS BIGINT)))
+               AS BIGINT) AS nsq,
            list_sum(list_transform(range(1, bits + 1),
                i -> CASE WHEN embedding[i] > 0
                          THEN (1 << (bits - i)) ELSE 0 END)) AS bucket0,
@@ -1348,19 +1367,25 @@ WITH params AS (
     FROM embeddings, params
 ), cand AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           a.embedding AS ea, b.embedding AS eb
+           a.embedding AS ea, b.embedding AS eb,
+           a.nsq AS na, b.nsq AS nb
     FROM sig a JOIN sig b ON a.bucket0 = b.bucket0 AND a.vec_id <> b.vec_id
     UNION
-    SELECT a.vec_id, b.vec_id, a.embedding, b.embedding
+    SELECT a.vec_id, b.vec_id, a.embedding, b.embedding, a.nsq, b.nsq
     FROM sig a JOIN sig b ON a.bucket1 = b.bucket1 AND a.vec_id <> b.vec_id
 ), scored AS (
+    -- exact int64 dot grain; final divide runs in double but every
+    -- input is an exact integer and sqrt/mul/div are correctly-rounded
+    -- IEEE-754 ops — bit-identical cross-engine, no ROUND anywhere
     SELECT vec_a, vec_b,
-           CASE WHEN sqrt(list_dot_product(ea, ea))
-                     * sqrt(list_dot_product(eb, eb)) = 0
-                THEN 0.0 ELSE ROUND(
-             list_dot_product(ea, eb) /
-             (sqrt(list_dot_product(ea, ea))
-              * sqrt(list_dot_product(eb, eb))), 4) END AS sim
+           CASE WHEN na <= 0 OR nb <= 0 THEN 0.0
+                ELSE CAST(CAST(list_sum(list_transform(
+                         range(1, len(ea) + 1),
+                         i -> CAST(FLOOR(ea[i] * eb[i]
+                                         * {SIM_FP_SCALE}.0) AS BIGINT)))
+                         AS BIGINT) AS DOUBLE)
+                     / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+           END AS sim
     FROM cand
 ), ranked AS (
     SELECT vec_a, vec_b, sim,
@@ -1430,6 +1455,23 @@ r{k} AS (
 
 
 G1_SQL = _pagerank_fp_sql(V4_SQL)
+
+
+# ---------------------------------------------------------------------------
+# G1_PROBE — bisect instrumentation for the g1 driver red (VERDICT r7
+# §Next-round 3b): v4's edge list (vec_a, vec_b, rank) WITHOUT the sim
+# column — exactly the edge set PageRank consumes. If g1 stays red
+# while this is green, the divergence is inside the (associative-exact
+# int64) PageRank chain; if THIS is red, it's the candidate set or the
+# ranking. Remove once g1 has a green driver row.
+# ---------------------------------------------------------------------------
+
+
+def g1_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return v4_knn_graph(spark, sf_dir).select("vec_a", "vec_b", "rank")
+
+
+G1_PROBE_SQL = f"SELECT vec_a, vec_b, rank FROM (\n{V4_SQL}\n)"
 
 
 # ---------------------------------------------------------------------------
@@ -2612,6 +2654,7 @@ EXTENSION_QUERIES = {
     "v4_knn_graph": v4_knn_graph,
     "v5_quantized_topk": v5_quantized_topk,
     "v6_pq_topk": v6_pq_topk,
+    "g1_probe": g1_probe,
     "g1_knn_pagerank": g1_knn_pagerank,
     "d13_semantic_prune": d13_semantic_prune,
     "d14_dedup_ensemble": d14_dedup_ensemble,
@@ -2654,6 +2697,7 @@ EXTENSION_ORACLES = {
     "v2_lsh_topk": V2_SQL,
     "d5_embedding_neardup": D5_SQL,
     "v4_knn_graph": V4_SQL,
+    "g1_probe": G1_PROBE_SQL,
     "g1_knn_pagerank": G1_SQL,
     "v5_quantized_topk": V5_SQL,
     "v6_pq_topk": V6_SQL,
