@@ -24,7 +24,9 @@ symbol-for-symbol against a reference implementation in pytest.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
 
@@ -32,6 +34,40 @@ from big_data_flight_analytics_spark.cache import loop_checkpoint
 from big_data_flight_analytics_spark.operators.text import tokens
 
 END = "</w>"
+
+
+@contextmanager
+def _loop_confs(spark: SparkSession, nparts: int):
+    """Pin AQE off + shuffle width to the tiny loop vocab, restored
+    unset-aware on exit.
+
+    SESSION-WIDE AND THEREFORE SINGLE-THREADED BY ASSUMPTION: Spark
+    has no per-plan switch for AQE or the post-shuffle partition
+    count, so the learner mutates the shared session conf for the
+    loop's duration — any query running CONCURRENTLY on the same
+    session would silently lose AQE and inherit the pinned width. The
+    catalog/bench runners execute queries sequentially, which is the
+    contract; do not call the BPE learners from a thread pool that
+    shares the session. Restore distinguishes explicitly-set values
+    from engine defaults (``conf.get(key, None)`` + ``unset``), so a
+    previously-unset conf goes back to unset instead of being pinned
+    to its default forever.
+    """
+    keys = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.shuffle.partitions": str(nparts),
+    }
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, v)
+        yield
+    finally:
+        for k, v0 in saved.items():
+            if v0 is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v0)
 
 # Separator for the wrapped-string word form: every symbol rides as
 # "\x1fsym\x1f", so a merge of the ADJACENT pair (a, b) is the literal
@@ -156,12 +192,8 @@ def learn_bpe_merges(
     # per-round time at sf0.1.
     spark = docs.sparkSession
     nparts = max(1, vocab.rdd.getNumPartitions())
-    aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
-    parts0 = spark.conf.get("spark.sql.shuffle.partitions")
     merges: list[tuple[str, str]] = []
-    try:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+    with _loop_confs(spark, nparts):
         for _ in range(n_merges):
             top = (
                 _pair_counts(vocab)
@@ -180,9 +212,6 @@ def learn_bpe_merges(
                 .coalesce(nparts)
                 .transform(loop_checkpoint)
             )
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe0)
-        spark.conf.set("spark.sql.shuffle.partitions", parts0)
     return merges
 
 
@@ -306,12 +335,8 @@ def learn_bpe_merges_batched(
     vocab = word_vocab(docs, text_col).transform(loop_checkpoint)
     spark = docs.sparkSession
     nparts = max(1, vocab.rdd.getNumPartitions())
-    aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
-    parts0 = spark.conf.get("spark.sql.shuffle.partitions")
     merges: list[tuple[str, str]] = []
-    try:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+    with _loop_confs(spark, nparts):
         while len(merges) < n_merges:
             # over-fetch: disjoint filtering can reject up to half the
             # scanned prefix (each kept pair blocks at most its own two
@@ -345,7 +370,4 @@ def learn_bpe_merges_batched(
                 .coalesce(nparts)
                 .transform(loop_checkpoint)
             )
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe0)
-        spark.conf.set("spark.sql.shuffle.partitions", parts0)
     return merges

@@ -86,7 +86,10 @@ def props_metrics_variant(events: DataFrame) -> DataFrame:
     ``f2_props_json`` so the two are drop-in interchangeable — the
     equality differential is the test contract.
     """
-    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    # NULL-on-malformed (try_parse_json): matches get_json_object's
+    # leniency and the oracle's json_extract — one bad row, one NULL
+    # bucket, never a dead scan
+    k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "long")
     return (
         events.select((k - k % 10).alias("k_bucket"), F.col("value"))
         .groupBy("k_bucket")

@@ -361,8 +361,11 @@ def f2_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on real data (tests/test_semistructured.py); the DuckDB oracle is
     # representation-agnostic (same values either way).
     events = load(spark, sf_dir, "events")
+    # try_parse_json, not parse_json: one malformed props row must
+    # contribute a NULL bucket (get_json_object's old semantics, and
+    # the DuckDB oracle's lenient json_extract), not kill the query
     k = F.try_variant_get(
-        F.parse_json(F.col("props")), "$.k", "long"
+        F.try_parse_json(F.col("props")), "$.k", "long"
     )
     return (
         events.select(

@@ -70,12 +70,45 @@ def _materialize(df: DataFrame, path: str) -> DataFrame:
     return df.sparkSession.read.parquet(path)
 
 
+def _timed_build(
+    key: Hashable,
+    collector: dict[Hashable, float],
+    build: Callable[[], DataFrame],
+) -> DataFrame:
+    """Run ``build()`` and record gross-minus-children seconds.
+
+    Stages NEST (dedup_clusters builds jaccard_pairs inside its own
+    builder). A child's whole build period sits inside the parent's
+    gross wall time, so recording both gross times would double-count
+    the child — and a consumer subtracting the collector delta would go
+    NEGATIVE when it triggers both builds. The stack tracks child gross
+    seconds per in-flight build; each stage records gross minus its
+    children. Shared by the persist and lake (materialize_dir) paths so
+    the bench's total = queries + stages invariant holds in both modes.
+    """
+    stack = getattr(_TLS, "_build_stack", None)
+    if stack is None:
+        stack = _TLS._build_stack = []
+    t0 = time.time()
+    stack.append(0.0)
+    try:
+        df = build()
+    finally:
+        gross = time.time() - t0
+        child_secs = stack.pop()
+        if stack:
+            stack[-1] += gross
+    collector[key] = collector.get(key, 0.0) + (gross - child_secs)
+    return df
+
+
 def stage(key: Hashable, builder: Callable[[], DataFrame]) -> DataFrame:
     """Build (or reuse, inside ``shared_stages()``) the named stage."""
     shared = _registry()
     if shared is None:
         return builder()
     if key not in shared:
+        collector = getattr(_TLS, "build_times", None)
         mat_dir = getattr(_TLS, "materialize_dir", None)
         if mat_dir is not None:
             path = _stage_path(mat_dir, key)
@@ -87,16 +120,13 @@ def stage(key: Hashable, builder: Callable[[], DataFrame]) -> DataFrame:
                 )
 
                 shared[key] = get_session().read.parquet(path)
-                return shared[key]
-            collector = getattr(_TLS, "build_times", None)
-            t0 = time.time()
-            shared[key] = _materialize(builder(), path)
-            if collector is not None:
-                collector[key] = collector.get(key, 0.0) + (
-                    time.time() - t0
+            elif collector is None:
+                shared[key] = _materialize(builder(), path)
+            else:
+                shared[key] = _timed_build(
+                    key, collector, lambda: _materialize(builder(), path)
                 )
             return shared[key]
-        collector = getattr(_TLS, "build_times", None)
         if collector is None:
             shared[key] = builder().persist()
         else:
@@ -105,30 +135,12 @@ def stage(key: Hashable, builder: Callable[[], DataFrame]) -> DataFrame:
             # query happens to run first — making per-query numbers
             # depend on catalog order. Materialize here, timed, so the
             # cost is reported as the stage's own.
-            #
-            # Stages NEST (dedup_clusters builds jaccard_pairs inside
-            # its own builder). A child's whole build period sits
-            # inside the parent's gross wall time, so recording both
-            # gross times would double-count the child — and a
-            # consumer subtracting the collector delta would go
-            # NEGATIVE when it triggers both builds. The stack tracks
-            # child gross seconds per in-flight build; each stage
-            # records gross minus its children.
-            stack = getattr(_TLS, "_build_stack", None)
-            if stack is None:
-                stack = _TLS._build_stack = []
-            t0 = time.time()
-            stack.append(0.0)
-            try:
+            def _build_persisted() -> DataFrame:
                 df = builder().persist()
                 df.count()
-            finally:
-                gross = time.time() - t0
-                child_secs = stack.pop()
-                if stack:
-                    stack[-1] += gross
-            collector[key] = collector.get(key, 0.0) + (gross - child_secs)
-            shared[key] = df
+                return df
+
+            shared[key] = _timed_build(key, collector, _build_persisted)
     return shared[key]
 
 

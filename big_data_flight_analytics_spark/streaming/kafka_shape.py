@@ -72,13 +72,19 @@ def to_kafka_wire(
         if df.isStreaming
         else F.monotonically_increasing_id()
     )
-    passthrough = (timestamp_col,) if timestamp_col else ()
-    kv = kafka_message_frame(df, key_col, passthrough=passthrough)
-    ts = (
-        F.col(timestamp_col).cast("timestamp")
-        if timestamp_col
-        else F.current_timestamp()
-    )
+    # The event-time column must stay INSIDE the JSON payload (so the
+    # value bytes really are what write_kafka would produce and the
+    # parse path reads a non-null timestamp); only a DUPLICATE of it
+    # rides as passthrough to become the Kafka record timestamp.
+    if timestamp_col:
+        src = df.withColumn(
+            "__wire_ts", F.col(timestamp_col).cast("timestamp")
+        )
+        kv = kafka_message_frame(src, key_col, passthrough=("__wire_ts",))
+        ts = F.col("__wire_ts")
+    else:
+        kv = kafka_message_frame(df, key_col)
+        ts = F.current_timestamp()
     return kv.select(
         F.col("key").cast("binary").alias("key"),
         F.col("value").cast("binary").alias("value"),

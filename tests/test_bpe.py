@@ -135,6 +135,35 @@ class TestBpe:
         )
         assert a == b and len(a) == 8
 
+    def test_loop_confs_restore_is_unset_aware(self, spark):
+        """The loop's session-conf pin must restore a previously-UNSET
+        conf to unset — not freeze the engine default as an explicit
+        value (ADVICE r7)."""
+        from big_data_flight_analytics_spark.operators.bpe import (
+            _loop_confs,
+        )
+
+        key = "spark.sql.adaptive.enabled"
+        before = spark.conf.get(key, None)
+        try:
+            spark.conf.unset(key)
+            with _loop_confs(spark, 3):
+                assert spark.conf.get(key) == "false"
+                assert (
+                    spark.conf.get("spark.sql.shuffle.partitions") == "3"
+                )
+            assert spark.conf.get(key, None) is None
+            # explicitly-set values restore to the explicit value
+            spark.conf.set(key, "true")
+            with _loop_confs(spark, 2):
+                assert spark.conf.get(key) == "false"
+            assert spark.conf.get(key, None) == "true"
+        finally:
+            if before is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, before)
+
 
 class TestBpeBatched:
     TEXTS = TestBpe.TEXTS

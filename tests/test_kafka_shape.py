@@ -90,6 +90,37 @@ class TestKafkaWireShape:
         assert payload["icao24"] == "ab0000"
         assert payload["timestamp"] == 1_700_000_000
 
+    def test_timestamp_col_stays_in_payload_and_sets_metadata(self, spark):
+        # timestamp_col must NOT be excluded from the JSON value: the
+        # value bytes have to stay byte-identical to write_kafka's
+        # framing (kafka_message_frame with no passthrough), and the
+        # parse path must read a non-null event time back. The event
+        # time additionally rides as the Kafka record timestamp.
+        from big_data_flight_analytics_spark.sources.writers import (
+            kafka_message_frame,
+        )
+
+        src = _opensky_rows(spark, 3).withColumn(
+            "event_time", F.timestamp_seconds(F.col("timestamp"))
+        )
+        wire = to_kafka_wire(
+            src, "icao24", "opensky", timestamp_col="event_time"
+        )
+        rows = wire.collect()
+        # metadata timestamp == the event-time column, not wall clock
+        assert {r["timestamp"].strftime("%s") for r in rows} == {
+            str(1_700_000_000 + i) for i in range(3)
+        }
+        # value bytes identical to the write_kafka framing
+        expect = {
+            r["value"]
+            for r in kafka_message_frame(src, "icao24").collect()
+        }
+        assert {bytes(r["value"]).decode() for r in rows} == expect
+        # and the payload still carries the event-time field
+        payload = json.loads(bytes(rows[0]["value"]).decode())
+        assert "event_time" in payload
+
     def test_contract_violation_fails_loud(self, spark):
         # a string-typed value column (what a mis-built test double or
         # a csv source would hand over) must not silently parse

@@ -77,6 +77,20 @@ class TestVariantBasics:
 
 
 class TestF2VariantDropIn:
+    def test_malformed_props_row_yields_null_bucket_not_error(self, spark):
+        # ingestion-grade leniency (ADVICE r7): one malformed props row
+        # must contribute a NULL bucket — get_json_object's historical
+        # semantics and the oracle's json_extract — never kill the scan
+        events = spark.createDataFrame(
+            [
+                Row(props='{"k": 7}', value=1.0),
+                Row(props="{malformed", value=2.0),
+            ]
+        )
+        rows = {r["k_bucket"]: r["n_events"]
+                for r in props_metrics_variant(events).collect()}
+        assert rows == {0: 1, None: 1}
+
     @pytest.mark.skipif(
         not os.path.exists(f"{SF001}/events.parquet"),
         reason="testdata not present",

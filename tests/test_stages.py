@@ -286,6 +286,43 @@ class TestLakeMaterialization:
             stage(("k", 2), lambda: spark.createDataFrame([Row(a=1)]))
         assert times2 == {}  # cross-run reuse: no build charged
 
+    def test_lake_mode_nested_attribution_no_double_count(
+        self, spark, tmp_path
+    ):
+        """Lake mode must use the same gross-minus-children accounting
+        as the persist path: a nested stage's build seconds appear once
+        (under the child), not twice — else total = queries + stages
+        breaks in bench attribution."""
+        import time as _time
+
+        from big_data_flight_analytics_spark.stages import (
+            shared_stages,
+            stage,
+        )
+
+        lake = str(tmp_path / "lake4")
+        times: dict = {}
+
+        def child():
+            _time.sleep(0.2)
+            return spark.range(4)
+
+        def parent():
+            inner = stage("child", child)
+            _time.sleep(0.05)
+            return inner.select((inner.id * 2).alias("id"))
+
+        with shared_stages(build_times=times, materialize_dir=lake):
+            t0 = _time.time()
+            stage("parent", parent)
+            wall = _time.time() - t0
+        assert set(times) == {"child", "parent"}
+        assert times["child"] >= 0.2
+        assert times["parent"] >= 0
+        # double-counted child gross would push the sum past wall by
+        # >= its 0.2 s sleep; net attribution keeps sum <= outer gross
+        assert sum(times.values()) <= wall + 0.05
+
     def test_different_keys_different_paths(self, spark, tmp_path):
         from pyspark.sql import Row
 
