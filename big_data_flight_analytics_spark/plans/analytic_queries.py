@@ -401,6 +401,72 @@ FROM parsed GROUP BY k_bucket
 
 
 # ---------------------------------------------------------------------------
+# F3 — bag-key schema discovery (the variant family's catalog
+# promotion, VERDICT r7 #5): per top-level JSON key, how many rows
+# carry it and how many distinct values it takes — the exploration
+# query a pipeline runs BEFORE committing to a typed extraction
+# schema. events.props is a homogeneous {"k": int} bag, so the query
+# first derives a genuinely heterogeneous bag in-plan
+# (to_json(struct(...)) drops NULL fields, making `big_value` a
+# conditionally-present key), then runs the real discovery operator:
+# parse-once variant + variant_explode lateral join (map-side, no
+# shuffle) + one hash aggregate. The oracle computes the same stats
+# relationally (conditional UNION ALL of key/value pairs) — no
+# engine JSON dependence at all, per the r8 form-robustness doctrine.
+# value_types stays pytest-gated (schema_of_variant strings have no
+# engine-neutral oracle form).
+# ---------------------------------------------------------------------------
+
+
+def f3_bag_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.semistructured import (
+        bag_key_stats,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    bag = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("event_type"),
+                F.col("user_id"),
+                F.when(F.col("value") > 50, F.col("value")).alias(
+                    "big_value"
+                ),
+                F.try_variant_get(
+                    F.try_parse_json(F.col("props")), "$.k", "long"
+                ).alias("k"),
+            )
+        ).alias("bag")
+    )
+    return bag_key_stats(bag, "bag").select(
+        "key", "n_rows", "n_distinct_values"
+    )
+
+
+F3_SQL = """
+WITH src AS (
+    SELECT event_type, user_id,
+           CASE WHEN value > 50 THEN value END AS big_value,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+), kv AS (
+    SELECT 'event_type' AS key, event_type AS v
+    FROM src WHERE event_type IS NOT NULL
+    UNION ALL
+    SELECT 'user_id', CAST(user_id AS VARCHAR)
+    FROM src WHERE user_id IS NOT NULL
+    UNION ALL
+    SELECT 'big_value', CAST(big_value AS VARCHAR)
+    FROM src WHERE big_value IS NOT NULL
+    UNION ALL
+    SELECT 'k', CAST(k AS VARCHAR) FROM src WHERE k IS NOT NULL
+)
+SELECT key, COUNT(*) AS n_rows, COUNT(DISTINCT v) AS n_distinct_values
+FROM kv GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # W3 — running total per key (cumulative analytic frame); W4 — lag
 # deltas per key. Classic ordered-analytics; DECIMAL accumulation for
 # the running sum so partial-order differences can't flip a rounding.
@@ -1613,6 +1679,7 @@ ANALYTIC_QUERIES = {
     "r4_pivot_order_status": r4_pivot_order_status,
     "v3_ivf_topk": v3_ivf_topk,
     "f2_props_json": f2_props_json,
+    "f3_bag_key_stats": f3_bag_key_stats,
     "w3_running_revenue": w3_running_revenue,
     "w4_order_gaps": w4_order_gaps,
     "j10_interval_join": j10_interval_join,
@@ -1641,6 +1708,7 @@ ANALYTIC_ORACLES = {
     "r4_pivot_order_status": R4_SQL,
     "v3_ivf_topk": V3_SQL,
     "f2_props_json": F2_SQL,
+    "f3_bag_key_stats": F3_SQL,
     "w3_running_revenue": W3_SQL,
     "w4_order_gaps": W4_SQL,
     "j10_interval_join": J10_SQL,

@@ -164,6 +164,8 @@ _TIE_BREAK = [
     "g1_knn_pagerank",
     "q14_dormant_high_balance",
     "t15_bpe_merges",
+    "f3_bag_key_stats",
+    "t16_bpe_tokenize",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

@@ -2504,17 +2504,29 @@ LEFT JOIN base_idx b USING (fingerprint)
 BPE_MERGES = 10
 
 
-def t15_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table as a (tiny) DataFrame stage — shared
+    between t15 (the table IS the result) and t16 (tokenization with
+    it), so a single-pass catalog run learns once. The table is
+    driver-side model state; framing it lets the generic ``stage()``
+    seam cache it like any other shared stage."""
     from big_data_flight_analytics_spark.operators.bpe import (
         learn_bpe_merges,
     )
 
-    docs = load(spark, sf_dir, "documents")
-    merges = learn_bpe_merges(docs, BPE_MERGES, min_count=1)
-    return spark.createDataFrame(
-        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
-        schema="merge_rank int, sym_a string, sym_b string",
-    )
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        merges = learn_bpe_merges(docs, BPE_MERGES, min_count=1)
+        return spark.createDataFrame(
+            [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+            schema="merge_rank int, sym_a string, sym_b string",
+        )
+
+    return stage(("bpe_merges", sf_dir, BPE_MERGES), build)
+
+
+def t15_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bpe_merge_table(spark, sf_dir)
 
 
 def _bpe_rounds(k: int = BPE_MERGES) -> list:
@@ -2624,9 +2636,40 @@ FROM documents d LEFT JOIN toks t USING (doc_id)"""
 T15_SQL = _bpe_sql()
 
 
+# ---------------------------------------------------------------------------
+# T16 — BPE apply side (tokenization) under the full oracle gate: the
+# production-volume half — learn the K-merge table (same chain as
+# t15), then tokenize every document with it. Spark side is the
+# Arrow-batched map-only ``tokenize_with_merges`` (merge table ships
+# by closure, per-batch word memoization, zero shuffle — the pass
+# that runs at corpus scale); oracle is the pre-validated
+# ``_bpe_apply_sql`` replace chain (TestBpeApplyOracle differential,
+# r7). Promotion per VERDICT r7 #6.
+# ---------------------------------------------------------------------------
+
+
+def t16_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.bpe import (
+        tokenize_with_merges,
+    )
+
+    # ten-row model-state collect (the merge table), not a data funnel
+    merges = [
+        (r["sym_a"], r["sym_b"])
+        for r in _bpe_merge_table(spark, sf_dir)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    return tokenize_with_merges(load(spark, sf_dir, "documents"), merges)
+
+
+T16_SQL = _bpe_apply_sql()
+
+
 EXTENSION_QUERIES = {
     "t1_text_stats": t1_text_stats,
     "t15_bpe_merges": t15_bpe_merges,
+    "t16_bpe_tokenize": t16_bpe_tokenize,
     "i2_dedup_delta": i2_dedup_delta,
     "t3_gopher_metrics": t3_gopher_metrics,
     "t4_tfidf_top_terms": t4_tfidf_top_terms,
@@ -2672,6 +2715,7 @@ EXTENSION_QUERIES = {
 EXTENSION_ORACLES = {
     "t1_text_stats": T1_SQL,
     "t15_bpe_merges": T15_SQL,
+    "t16_bpe_tokenize": T16_SQL,
     "i2_dedup_delta": I2_SQL,
     "t3_gopher_metrics": T3_SQL,
     "t4_tfidf_top_terms": T4_SQL,

@@ -234,6 +234,43 @@ class TestBpeBatched:
         assert multi == sequential
 
 
+class TestBpeMergeStageSharing:
+    def test_single_learn_serves_t15_and_t16_in_shared_scope(
+        self, spark, monkeypatch
+    ):
+        """In a single-pass (shared_stages) run, t15 and t16 must share
+        ONE merge-table learn — the stage() seam, not two sequential
+        learning loops."""
+        import os
+
+        import pytest as _pytest
+
+        sf = "/root/testdata/sf0.001"
+        if not os.path.exists(f"{sf}/documents.parquet"):
+            _pytest.skip("testdata not present")
+
+        import big_data_flight_analytics_spark.operators.bpe as bpe_mod
+        from big_data_flight_analytics_spark.plans.extension_queries import (
+            t15_bpe_merges,
+            t16_bpe_tokenize,
+        )
+        from big_data_flight_analytics_spark.stages import shared_stages
+
+        calls = {"n": 0}
+        real = bpe_mod.learn_bpe_merges
+
+        def counting(*a, **k):
+            calls["n"] += 1
+            return real(*a, **k)
+
+        monkeypatch.setattr(bpe_mod, "learn_bpe_merges", counting)
+        with shared_stages():
+            n_rules = t15_bpe_merges(spark, sf).count()
+            n_docs = t16_bpe_tokenize(spark, sf).count()
+        assert calls["n"] == 1
+        assert n_rules == 10 and n_docs == 500
+
+
 class TestBpeApplyOracle:
     """Apply-side DuckDB differential: tokenize_with_merges vs the
     unrolled replace-chain SQL (`_bpe_apply_sql`) on real testdata.
