@@ -16,6 +16,8 @@ is unaffected.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
@@ -78,3 +80,43 @@ def loop_checkpoint(df: DataFrame) -> DataFrame:
     if mode == "durable" or (mode == "auto" and has_dir):
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+@contextmanager
+def loop_confs(spark, nparts: int):
+    """Pin AQE off + shuffle width for a tiny-frame iterative loop,
+    restored unset-aware on exit.
+
+    The measured discipline for scheduling-bound loops (BPE, exact-grain
+    Lloyd): each round is a handful of kilobyte-scale shuffles, so task
+    startup — not data — is the round cost, and the session-default
+    width (32 here) multiplies it. Callers pass a DATA-PROPORTIONAL
+    ``nparts`` (the loop frame's own partition count), so the pin stays
+    correct at cluster scale. NOT for loops whose joins rely on AQE's
+    runtime broadcast conversion (the PageRank regression —
+    checkpointed frames have no stats): only use where every join is an
+    explicit ``broadcast()``.
+
+    SESSION-WIDE AND THEREFORE SINGLE-THREADED BY ASSUMPTION: Spark has
+    no per-plan switch for these confs — a concurrent query on the same
+    session would silently lose AQE for the loop's duration. The
+    catalog/bench runners execute sequentially, which is the contract.
+    Restore distinguishes explicitly-set values from engine defaults
+    (``conf.get(key, None)`` + ``unset``), so a previously-unset conf
+    goes back to unset instead of being pinned to its default forever.
+    """
+    keys = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.shuffle.partitions": str(nparts),
+    }
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, v)
+        yield
+    finally:
+        for k, v0 in saved.items():
+            if v0 is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v0)

@@ -24,50 +24,19 @@ symbol-for-symbol against a reference implementation in pytest.
 
 from __future__ import annotations
 
-from contextlib import contextmanager
-
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
 
-from big_data_flight_analytics_spark.cache import loop_checkpoint
+from big_data_flight_analytics_spark.cache import loop_checkpoint, loop_confs
 from big_data_flight_analytics_spark.operators.text import tokens
 
+# The tiny-loop conf pin lives in cache.loop_confs (shared with the
+# exact-grain Lloyd trainer); kept under the old private name for the
+# learner call sites and tests.
+_loop_confs = loop_confs
+
 END = "</w>"
-
-
-@contextmanager
-def _loop_confs(spark: SparkSession, nparts: int):
-    """Pin AQE off + shuffle width to the tiny loop vocab, restored
-    unset-aware on exit.
-
-    SESSION-WIDE AND THEREFORE SINGLE-THREADED BY ASSUMPTION: Spark
-    has no per-plan switch for AQE or the post-shuffle partition
-    count, so the learner mutates the shared session conf for the
-    loop's duration — any query running CONCURRENTLY on the same
-    session would silently lose AQE and inherit the pinned width. The
-    catalog/bench runners execute queries sequentially, which is the
-    contract; do not call the BPE learners from a thread pool that
-    shares the session. Restore distinguishes explicitly-set values
-    from engine defaults (``conf.get(key, None)`` + ``unset``), so a
-    previously-unset conf goes back to unset instead of being pinned
-    to its default forever.
-    """
-    keys = {
-        "spark.sql.adaptive.enabled": "false",
-        "spark.sql.shuffle.partitions": str(nparts),
-    }
-    saved = {k: spark.conf.get(k, None) for k in keys}
-    try:
-        for k, v in keys.items():
-            spark.conf.set(k, v)
-        yield
-    finally:
-        for k, v0 in saved.items():
-            if v0 is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v0)
 
 # Separator for the wrapped-string word form: every symbol rides as
 # "\x1fsym\x1f", so a merge of the ADJACENT pair (a, b) is the literal

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from big_data_flight_analytics_spark.cache import loop_checkpoint, loop_confs
 from big_data_flight_analytics_spark.functions.vector import (
     cosine_fixedpoint_from_nsq,
     cosine_from_norms,
@@ -893,6 +894,326 @@ def pq_topk(
             cosine_from_norms(
                 F.col("__qvec"), F.col("__cvec"),
                 F.col("__qn"), F.col("__cn"), dp=dp,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        reranked.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "sim")
+    )
+
+
+def kmeans_fixedpoint_subspaces(
+    corpus: DataFrame,
+    m: int = 8,
+    kcent: int = 16,
+    dim: int = 64,
+    n_iter: int = 4,
+    scale: int = 10**6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    grain_frame: DataFrame | None = None,
+) -> DataFrame:
+    """Engine-portable trained PQ codebooks: exact-grain Lloyd k-means.
+
+    Per (subspace j, centroid c), runs ``n_iter`` Lloyd rounds over the
+    corpus subvectors QUANTIZED to int64 grains (``FLOOR(x * scale)``),
+    so every rank-deciding quantity is exact integer arithmetic:
+
+    - distances are integer sums of squared grain differences —
+      associative, no fold-order dependence;
+    - assignment ties break on the lowest centroid id (min over
+      (dist, c) structs);
+    - the centroid update is ``FLOOR(CAST(sum AS DOUBLE) / n)`` per
+      dimension — sums are exact in double (|sum| << 2^53), the IEEE
+      divide is correctly rounded, and the floor of that identical
+      double is identical in any engine. (Plain integer division is
+      deliberately avoided: engines disagree on negative-operand
+      truncate-vs-floor, and grains are signed.)
+
+    Init = the ``kcent`` lowest-id vectors' subvectors (the same
+    deterministic seed as the min-id stub), so the whole training run —
+    unlike ``pq_codebooks_kmeans``'s MLlib fit — is a pure,
+    partition-invariant, ENGINE-PORTABLE function of the data: an
+    oracle can replay it as unrolled SQL CTE rounds and land on
+    bit-identical codebooks. That is what puts the trained-PQ path
+    under the driver hash gate (VERDICT r7 stretch).
+
+    Output: (j, c, cq array<long>) — centroid grains; divide by
+    ``scale`` for the double-space centroids.
+
+    Scale: each round is one broadcast join (corpus x kcent candidate
+    rows, map-side) + two hash aggregates over |corpus| x m rows; the
+    centroid table stays kcent x m rows, loop_checkpointed per round so
+    lineage never compounds. At 100 TB: identical shape, with the
+    corpus frame persisted once and the per-round shuffles linear in
+    corpus size (standard distributed Lloyd).
+    """
+    sub = dim // m
+    if sub * m != dim:
+        raise ValueError("dim must divide evenly into m subspaces")
+    grains = F.transform(
+        F.slice(F.col("__v"), F.col("j") * sub + 1, F.lit(sub)),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale))),
+    )
+    from big_data_flight_analytics_spark.cache import tracked_persist
+
+    # the grain frame feeds every Lloyd round (and, in pq_topk_trained,
+    # the encode stage after training): persist it once instead of
+    # re-scanning the corpus n_iter+1 times. ``grain_frame`` lets the
+    # caller hand in an already-persisted (id, j, vq) frame.
+    if grain_frame is not None:
+        e = grain_frame
+    else:
+        e = tracked_persist(
+            corpus.select(
+                F.col(id_col).alias("id"),
+                F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j"),
+                F.col(vec_col).alias("__v"),
+            ).select("id", "j", grains.alias("vq"))
+        )
+    cents = (
+        e.filter(F.col("id") < kcent)
+        .select("j", F.col("id").alias("c"), F.col("vq").alias("cq"))
+        .transform(loop_checkpoint)
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("vq"), F.col("cq"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # scheduling-bound tiny-frame loop: pin shuffle width to the grain
+    # frame's own (data-proportional) partition count and drop AQE for
+    # the loop's duration — every join here is an explicit broadcast(),
+    # so the PageRank AQE caveat does not apply (see cache.loop_confs)
+    nparts = max(1, e.rdd.getNumPartitions())
+    with loop_confs(corpus.sparkSession, nparts):
+        cents = _lloyd_rounds(e, cents, dist, sub, n_iter)
+    return cents
+
+
+def _lloyd_rounds(
+    e: DataFrame, cents: DataFrame, dist, sub: int, n_iter: int
+) -> DataFrame:
+    for _ in range(n_iter):
+        assigned = (
+            e.join(F.broadcast(cents), "j")
+            .select(
+                "id",
+                "j",
+                "vq",
+                F.struct(dist.alias("d"), F.col("c")).alias("__dc"),
+            )
+            .groupBy("id", "j")
+            .agg(
+                F.min("__dc").alias("__best"),
+                F.first("vq").alias("vq"),
+            )
+            .select("id", "j", F.col("__best.c").alias("c"), "vq")
+        )
+        means = (
+            assigned.groupBy("j", "c")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[
+                    F.sum(F.col("vq")[i]).alias(f"__s{i}")
+                    for i in range(sub)
+                ],
+            )
+            .select(
+                "j",
+                "c",
+                F.array(
+                    *[
+                        F.floor(
+                            F.col(f"__s{i}").cast("double") / F.col("__n")
+                        )
+                        for i in range(sub)
+                    ]
+                ).alias("__new"),
+            )
+        )
+        # empty cluster -> keep the previous centroid (left join)
+        cents = (
+            cents.join(means, ["j", "c"], "left")
+            .select(
+                "j",
+                "c",
+                F.coalesce(F.col("__new"), F.col("cq")).alias("cq"),
+            )
+            .transform(loop_checkpoint)
+        )
+    return cents
+
+
+def pq_topk_trained(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    m: int = 8,
+    kcent: int = 16,
+    expand: int = 4,
+    dim: int = 64,
+    n_iter: int = 4,
+    scale: int = 10**6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fp_scale: int = 10**15,
+) -> DataFrame:
+    """Trained-codebook PQ top-k with EVERY stage exact-grain.
+
+    The form-robust sibling of ``pq_topk``: codebooks come from
+    ``kmeans_fixedpoint_subspaces`` (engine-portable integer Lloyd),
+    and — unlike v6's double-dot ADC — every rank-deciding value here
+    is an exact int64 or a correctly-rounded function of exact int64s,
+    so no stage can diverge with an oracle engine's double fold order
+    or ROUND version (the r7 g1 failure class, eliminated by
+    construction):
+
+    - encode: integer grain distances to the trained grain centroids,
+      (dist, c) struct-min tie-break;
+    - ADC: the lookup table is the integer grain dot
+      ``sum(vq_i * cq_i)`` per (query, j, c); a candidate's score sums
+      its m lookups — integer addition, associative;
+    - normalization: exact fixed-point squared norms
+      (``norm_sq_fixedpoint`` at ``scale**2`` so units match the grain
+      dot), sqrt/divide correctly rounded from exact ints;
+    - rerank: ``cosine_fixedpoint_from_nsq`` at ``fp_scale`` — the
+      same contract as the kNN graph (v4).
+
+    Same candidate/rerank shape and shuffle budget as ``pq_topk``; the
+    training adds ``n_iter`` small join+agg rounds (see
+    ``kmeans_fixedpoint_subspaces``). Compression/recall trade is the
+    standard PQ one; recall vs the min-id stub is pinned in
+    ``TestPqTrainedExact``.
+    """
+    from big_data_flight_analytics_spark.cache import tracked_persist
+
+    sub = dim // m
+    if sub * m != dim:
+        raise ValueError("dim must divide evenly into m subspaces")
+    grains = F.transform(
+        F.slice(F.col("__v"), F.col("j") * sub + 1, F.lit(sub)),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale))),
+    )
+
+    def sub_grains(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j"),
+            F.col(vec_col).alias("__v"),
+        ).select(out_id, "j", grains.alias("vq"))
+
+    # one persisted grain frame serves the n_iter Lloyd rounds AND the
+    # encode stage — the corpus is scanned once for the whole query
+    corpus_grains = tracked_persist(sub_grains(corpus, "id"))
+    cb = F.broadcast(
+        kmeans_fixedpoint_subspaces(
+            corpus, m, kcent, dim, n_iter, scale, id_col, vec_col,
+            grain_frame=corpus_grains,
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("vq"), F.col("cq"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    codes = (
+        corpus_grains.withColumnRenamed("id", "neighbor_id")
+        .join(cb, "j")
+        .select(
+            "neighbor_id",
+            "j",
+            F.struct(dist.alias("d"), F.col("c")).alias("__dc"),
+        )
+        .groupBy("neighbor_id", "j")
+        .agg(F.min("__dc").alias("__best"))
+        .select("neighbor_id", "j", F.col("__best.c").alias("c"))
+    )
+    grain_dot = F.aggregate(
+        F.zip_with(F.col("vq"), F.col("cq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    lut = (
+        sub_grains(queries, "query_id")
+        .join(cb, "j")
+        .select("query_id", "j", "c", grain_dot.alias("__lut"))
+    )
+    partials = codes.join(F.broadcast(lut), ["j", "c"]).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    per_j = [
+        F.sum(F.when(F.col("j") == j, F.col("__lut"))).alias(f"__p{j}")
+        for j in range(m)
+    ]
+    adc = partials.groupBy("query_id", "neighbor_id").agg(*per_j)
+    score_int = F.col("__p0")
+    for j in range(1, m):
+        score_int = score_int + F.col(f"__p{j}")
+    nsq_scale = scale * scale
+    norms_c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        norm_sq_fixedpoint(F.col(vec_col), nsq_scale).alias("__cn"),
+    )
+    norms_q = queries.select(
+        F.col(id_col).alias("query_id"),
+        norm_sq_fixedpoint(F.col(vec_col), nsq_scale).alias("__qn"),
+    )
+    scored = (
+        adc.join(norms_c, "neighbor_id")
+        .join(F.broadcast(norms_q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.when(
+                (F.col("__cn") <= 0) | (F.col("__qn") <= 0), F.lit(0.0)
+            )
+            .otherwise(
+                score_int.cast("double")
+                / (
+                    F.sqrt(F.col("__cn").cast("double"))
+                    * F.sqrt(F.col("__qn").cast("double"))
+                )
+            )
+            .alias("__adc"),
+        )
+    )
+    w_cand = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("__rn", F.row_number().over(w_cand))
+        .filter(F.col("__rn") <= k * expand)
+        .select("query_id", "neighbor_id")
+    )
+    c_vec = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        norm_sq_fixedpoint(F.col(vec_col), fp_scale).alias("__cnsq"),
+    )
+    q_vec = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        norm_sq_fixedpoint(F.col(vec_col), fp_scale).alias("__qnsq"),
+    )
+    reranked = (
+        shortlist.join(c_vec, "neighbor_id")
+        .join(F.broadcast(q_vec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_fixedpoint_from_nsq(
+                F.col("__qvec"), F.col("__cvec"),
+                F.col("__qnsq"), F.col("__cnsq"), fp_scale,
             ).alias("sim"),
         )
     )

@@ -166,6 +166,7 @@ _TIE_BREAK = [
     "t15_bpe_merges",
     "f3_bag_key_stats",
     "t16_bpe_tokenize",
+    "v7_pq_trained_topk",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

@@ -2434,6 +2434,198 @@ SELECT query_id, neighbor_id, sim FROM (
 
 
 # ---------------------------------------------------------------------------
+# V7 — TRAINED-codebook PQ under the full hash gate (VERDICT r7
+# stretch): v6 gates the min-id stub codebooks; here the codebooks are
+# actually LEARNED — n_iter rounds of Lloyd k-means per subspace —
+# and the training is itself oracle-replayable because it runs on
+# int64 grains (operators/similarity.kmeans_fixedpoint_subspaces):
+# integer distances, struct-min tie-breaks, FLOOR(double-division)
+# centroid updates. Downstream, every rank-deciding value (integer
+# grain ADC, fixed-point norms, fixed-point rerank cosine) is exact —
+# the whole chain is form-robust by construction (no double fold
+# order, no ROUND, per the r8 doctrine). The oracle unrolls the Lloyd
+# rounds as MATERIALIZED CTEs over the same grains.
+# ---------------------------------------------------------------------------
+
+V7_M = 8
+V7_SUB = 64 // V7_M
+V7_KCENT = 16
+V7_EXPAND = 4
+V7_ITER = 4
+V7_SCALE = 10**6
+V7_NSQ_SCALE = V7_SCALE * V7_SCALE  # norm grain matching the ADC units
+V7_FP = 10**15  # rerank cosine grain (same contract as v4)
+
+
+def v7_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.similarity import (
+        pq_topk_trained,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return pq_topk_trained(
+        emb,
+        queries,
+        k=TOPK,
+        m=V7_M,
+        kcent=V7_KCENT,
+        expand=V7_EXPAND,
+        n_iter=V7_ITER,
+        scale=V7_SCALE,
+        fp_scale=V7_FP,
+    )
+
+
+def _pq_trained_sql() -> str:
+    """Unrolled exact-grain trained-PQ oracle (see V7 banner).
+
+    Mirrors ``pq_topk_trained`` stage-for-stage: grain table -> seeded
+    codebooks -> ``V7_ITER`` Lloyd rounds (assignment via ROW_NUMBER
+    over (int dist, c), update via FLOOR(CAST(sum AS DOUBLE)/n) —
+    matching Spark's min(struct) and floor-div constructions exactly)
+    -> integer encode/LUT/ADC -> fixed-point rerank. MATERIALIZED CTEs
+    keep DuckDB from re-inlining the chain per reference (the
+    pagerank-oracle lesson).
+    """
+    m, sub, kc, s = V7_M, V7_SUB, V7_KCENT, V7_SCALE
+    dist = (
+        f"list_sum(list_transform(range(1, {sub} + 1), "
+        "i -> (e.vq[i] - cb.cq[i]) * (e.vq[i] - cb.cq[i])))"
+    )
+    mean_elems = ", ".join(
+        f"CAST(FLOOR(CAST(SUM(vq[{i + 1}]) AS DOUBLE) / COUNT(*)) AS BIGINT)"
+        for i in range(sub)
+    )
+    per_j = ",\n           ".join(
+        f"SUM(CASE WHEN j = {j} THEN lutv END) AS p{j}" for j in range(m)
+    )
+    sum_pj = " + ".join(f"p{j}" for j in range(m))
+    parts = [
+        f"""WITH e AS MATERIALIZED (
+    SELECT vec_id AS id, CAST(u.j AS BIGINT) AS j,
+           list_transform(range(1, {sub} + 1),
+               i -> CAST(FLOOR(CAST(embedding[CAST(u.j AS BIGINT) * {sub} + i]
+                                    AS DOUBLE) * {s}.0) AS BIGINT)) AS vq
+    FROM embeddings, UNNEST(range({m})) AS u(j)
+),
+c0 AS MATERIALIZED (
+    SELECT j, id AS c, vq AS cq FROM e WHERE id < {kc}
+)"""
+    ]
+    for r in range(1, V7_ITER + 1):
+        parts.append(
+            f"""a{r} AS (
+    SELECT id, j, vq, c FROM (
+        SELECT e.id, e.j, e.vq, cb.c,
+               ROW_NUMBER() OVER (PARTITION BY e.id, e.j
+                   ORDER BY {dist} ASC, cb.c ASC) AS rn
+        FROM e JOIN c{r - 1} cb ON cb.j = e.j
+    ) WHERE rn = 1
+),
+m{r} AS (
+    SELECT j, c, list_value({mean_elems}) AS cq
+    FROM a{r} GROUP BY 1, 2
+),
+c{r} AS MATERIALIZED (
+    SELECT p.j, p.c, COALESCE(m.cq, p.cq) AS cq
+    FROM c{r - 1} p LEFT JOIN m{r} m ON m.j = p.j AND m.c = p.c
+)"""
+        )
+    t = V7_ITER
+    parts.append(
+        f"""codes AS (
+    SELECT id AS neighbor_id, j, c FROM (
+        SELECT e.id, e.j, cb.c,
+               ROW_NUMBER() OVER (PARTITION BY e.id, e.j
+                   ORDER BY {dist} ASC, cb.c ASC) AS rn
+        FROM e JOIN c{t} cb ON cb.j = e.j
+    ) WHERE rn = 1
+),
+lut AS (
+    SELECT e.id AS query_id, e.j, cb.c,
+           CAST(list_sum(list_transform(range(1, {sub} + 1),
+               i -> e.vq[i] * cb.cq[i])) AS BIGINT) AS lutv
+    FROM e JOIN c{t} cb ON cb.j = e.j
+    WHERE e.id < {N_QUERY_VECS}
+),
+partials AS (
+    SELECT l.query_id, co.neighbor_id, co.j, l.lutv
+    FROM codes co JOIN lut l ON l.j = co.j AND l.c = co.c
+    WHERE co.neighbor_id <> l.query_id
+),
+adc AS (
+    SELECT query_id, neighbor_id,
+           {per_j}
+    FROM partials GROUP BY 1, 2
+),
+nsq AS MATERIALIZED (
+    SELECT vec_id,
+           CAST(list_sum(list_transform(range(1, 64 + 1),
+               i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                               * CAST(embedding[i] AS DOUBLE)
+                               * {V7_NSQ_SCALE}.0) AS BIGINT)))
+               AS BIGINT) AS n2
+    FROM embeddings
+),
+scored0 AS (
+    SELECT a.query_id, a.neighbor_id,
+           CASE WHEN nc.n2 <= 0 OR nq.n2 <= 0 THEN 0.0
+                ELSE CAST(({sum_pj}) AS DOUBLE)
+                     / (sqrt(CAST(nc.n2 AS DOUBLE))
+                        * sqrt(CAST(nq.n2 AS DOUBLE))) END AS adc_score
+    FROM adc a
+    JOIN nsq nc ON nc.vec_id = a.neighbor_id
+    JOIN nsq nq ON nq.vec_id = a.query_id
+),
+short AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_score DESC,
+                                           neighbor_id ASC) AS rn
+        FROM scored0
+    ) WHERE rn <= {TOPK} * {V7_EXPAND}
+),
+nfp AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           CAST(list_sum(list_transform(range(1, 64 + 1),
+               i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                               * CAST(embedding[i] AS DOUBLE)
+                               * {V7_FP}.0) AS BIGINT)))
+               AS BIGINT) AS nf
+    FROM embeddings
+),
+scored AS (
+    SELECT sh.query_id, sh.neighbor_id,
+           CASE WHEN qv.nf <= 0 OR cv.nf <= 0 THEN 0.0
+                ELSE CAST(CAST(list_sum(list_transform(range(1, 64 + 1),
+                         i -> CAST(FLOOR(qv.v[i] * cv.v[i] * {V7_FP}.0)
+                                   AS BIGINT))) AS BIGINT) AS DOUBLE)
+                     / (sqrt(CAST(qv.nf AS DOUBLE))
+                        * sqrt(CAST(cv.nf AS DOUBLE))) END AS sim
+    FROM short sh
+    JOIN nfp cv ON cv.vec_id = sh.neighbor_id
+    JOIN nfp qv ON qv.vec_id = sh.query_id
+)"""
+    )
+    body = ",\n".join(parts)
+    return (
+        body
+        + f"""
+SELECT query_id, neighbor_id, sim FROM (
+    SELECT query_id, neighbor_id, sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id ASC) AS rn
+    FROM scored
+) WHERE rn <= {TOPK}"""
+    )
+
+
+V7_SQL = _pq_trained_sql()
+
+
+# ---------------------------------------------------------------------------
 # I2 — incremental dedup maintenance: the persisted fingerprint index
 # absorbs one new ingest batch with O(delta) work (delta-only shuffle +
 # one join against the index; the index never re-shuffles when stored
@@ -2697,6 +2889,7 @@ EXTENSION_QUERIES = {
     "v4_knn_graph": v4_knn_graph,
     "v5_quantized_topk": v5_quantized_topk,
     "v6_pq_topk": v6_pq_topk,
+    "v7_pq_trained_topk": v7_pq_trained_topk,
     "g1_probe": g1_probe,
     "g1_knn_pagerank": g1_knn_pagerank,
     "d13_semantic_prune": d13_semantic_prune,
@@ -2745,6 +2938,7 @@ EXTENSION_ORACLES = {
     "g1_knn_pagerank": G1_SQL,
     "v5_quantized_topk": V5_SQL,
     "v6_pq_topk": V6_SQL,
+    "v7_pq_trained_topk": V7_SQL,
     "d13_semantic_prune": D13_SQL,
     "d14_dedup_ensemble": D14_SQL,
     "d15_repeated_spans": D15_SQL,

@@ -634,6 +634,42 @@ class TestPqTopk:
         assert r_trained >= 0.6
         assert r_trained > r_stub + 0.1
 
+    @pytest.mark.skipif(
+        not os.path.exists(f"{SF001}/embeddings.parquet"),
+        reason="sf0.01 testdata not present",
+    )
+    def test_fixedpoint_trained_beats_stub_at_same_budget(self, spark):
+        """The ORACLE-GATED trained path (v7: exact-grain Lloyd +
+        integer ADC) must match the MLlib-trained recall contract:
+        beat the min-id stub at the same budget and clear the 0.6
+        floor. This is the recall half of the v7 promotion — the
+        driver hash gate covers exactness, this covers quality."""
+        from big_data_flight_analytics_spark.operators.similarity import (
+            pq_topk,
+            pq_topk_trained,
+        )
+
+        emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+        queries = emb.filter(emb.vec_id < 20)
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(emb, queries, k=3).collect()
+        }
+        trained = {
+            (r["query_id"], r["neighbor_id"])
+            for r in pq_topk_trained(
+                emb, queries, k=3, m=8, expand=8, n_iter=4
+            ).collect()
+        }
+        stub = {
+            (r["query_id"], r["neighbor_id"])
+            for r in pq_topk(emb, queries, k=3, m=8, expand=8).collect()
+        }
+        r_trained = len(trained & exact) / len(exact)
+        r_stub = len(stub & exact) / len(exact)
+        assert r_trained >= 0.6
+        assert r_trained > r_stub + 0.1
+
     def test_codes_compress_to_m_ints(self, spark):
         from pyspark.sql import Row
 
