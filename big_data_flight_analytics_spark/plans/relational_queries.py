@@ -1175,13 +1175,13 @@ GROUP BY 1, 2
 
 # ---------------------------------------------------------------------------
 # Q11 — correlated scalar subquery, decorrelated: lineitems priced at
-# their part's minimum (TPC-H Q2's min-cost-supplier shape). The
-# oracle keeps the literally correlated form (DuckDB decorrelates it
-# itself); the Spark side writes the decorrelation explicitly —
-# min-per-key aggregate + equi-join — which pins the single-shuffle
-# plan instead of trusting the optimizer's rewrite. Equality on the
-# raw DOUBLE is exact: both engines compare the same parquet values,
-# no arithmetic performed.
+# their part's minimum (TPC-H Q2's min-cost-supplier shape). BOTH
+# sides write the decorrelation explicitly — min-per-key aggregate +
+# equi-join — the Spark side to pin the single-shuffle plan, the
+# oracle (since r8) because q12 proved correlated forms are
+# driver-DuckDB-version-fragile. Equality on the raw DOUBLE is exact:
+# both engines compare the same parquet values, no arithmetic
+# performed.
 # ---------------------------------------------------------------------------
 
 
@@ -1201,22 +1201,29 @@ def q11_cheapest_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle decorrelated (round 8, proactive): q12 proved the driver's
+# DuckDB version can disagree with a correlated-scalar-subquery FORM
+# while local DuckDB passes bit-exact — so no oracle keeps one. Plain
+# pre-aggregated CTE join, semantically identical.
 Q11_SQL = """
+WITH mins AS (
+    SELECT l_partkey, MIN(l_extendedprice) AS cheapest_price
+    FROM lineitem GROUP BY 1
+)
 SELECT p_partkey, p_brand, l_suppkey,
        l_extendedprice AS cheapest_price
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE l_extendedprice = (
-    SELECT MIN(l2.l_extendedprice) FROM lineitem l2
-    WHERE l2.l_partkey = lineitem.l_partkey
-)
+FROM lineitem
+JOIN mins ON mins.l_partkey = lineitem.l_partkey
+JOIN part ON lineitem.l_partkey = p_partkey
+WHERE l_extendedprice = mins.cheapest_price
 """
 
 
 # ---------------------------------------------------------------------------
 # Q12 — small-quantity revenue by brand (TPC-H Q17 shape): lineitems
-# whose quantity falls below 20% of their part's average quantity. The
-# oracle keeps the textbook CORRELATED scalar subquery; the Spark plan
-# decorrelates it into one per-part aggregate + an equi-join — the
+# whose quantity falls below 20% of their part's average quantity.
+# BOTH sides use the decorrelated per-part-aggregate + equi-join form
+# (the oracle since r8 — see the note at Q12_SQL); in the Spark plan —
 # probe-side shuffle lands on the same l_partkey hash partitioning the
 # aggregate just produced, and the brand dim is a broadcast.
 # Determinism: ZERO float ops in the predicate. Quantities are
@@ -1321,18 +1328,23 @@ GROUP BY 1
 
 # ---------------------------------------------------------------------------
 # Q13 — dominant-supplier semi-join chain (TPC-H Q20 shape): suppliers
-# who carry more than 15% of some part's total lineitem quantity. The
-# oracle keeps the textbook nested form (IN + correlated HAVING); the
-# Spark plan decorrelates to two aggregates over the SAME
-# (l_partkey[, l_suppkey]) grouping — the pair agg's shuffle already
-# co-partitions the part totals join — then one semi join into the
-# supplier dim. Integral quantities keep both sums exact.
+# who carry more than 15% of some part's total lineitem quantity. Both
+# sides decorrelate to two aggregates over the SAME
+# (l_partkey[, l_suppkey]) grouping — in Spark the pair agg's shuffle
+# already co-partitions the window that attaches the part total — then
+# one semi join into the supplier dim. Since r8 the membership
+# predicate is EXACT INT64 (0.15 = 3/20 -> "20*pair > 3*total" over
+# long sums) and the oracle is a plain CTE join (no correlated HAVING,
+# no IN): q12 proved correlated forms AND float row-membership
+# arithmetic are the two driver-version fragility classes.
 # ---------------------------------------------------------------------------
 
 
 def q13_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_suppkey", "l_quantity"
+        "l_partkey",
+        "l_suppkey",
+        F.col("l_quantity").cast("long").alias("__qty"),
     )
     # ONE fact shuffle on l_partkey serves everything downstream:
     # HashPartitioning(partkey) satisfies the (partkey, suppkey) pair
@@ -1341,12 +1353,14 @@ def q13_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = (
         li.repartition("l_partkey")
         .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum("l_quantity").alias("__pair_qty"))
+        .agg(F.sum("__qty").alias("__pair_qty"))
     )
     w_part = Window.partitionBy("l_partkey")
     dominant = (
         pair.withColumn("__part_qty", F.sum("__pair_qty").over(w_part))
-        .filter(F.col("__pair_qty") > F.lit(0.15) * F.col("__part_qty"))
+        .filter(
+            F.lit(20) * F.col("__pair_qty") > F.lit(3) * F.col("__part_qty")
+        )
         .select("l_suppkey")
         .distinct()
     )
@@ -1357,14 +1371,19 @@ def q13_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q13_SQL = """
-SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (
-    SELECT l_suppkey FROM lineitem l
-    GROUP BY l_partkey, l_suppkey
-    HAVING SUM(l_quantity) > 0.15 * (
-        SELECT SUM(l2.l_quantity) FROM lineitem l2
-        WHERE l2.l_partkey = l.l_partkey
-    )
+WITH pair AS (
+    SELECT l_partkey, l_suppkey,
+           SUM(CAST(l_quantity AS BIGINT)) AS pq
+    FROM lineitem GROUP BY 1, 2
+), tot AS (
+    SELECT l_partkey, SUM(pq) AS tq FROM pair GROUP BY 1
+), dominant AS (
+    SELECT DISTINCT l_suppkey
+    FROM pair JOIN tot USING (l_partkey)
+    WHERE 20 * pq > 3 * tq
 )
+SELECT s_suppkey, s_name
+FROM supplier JOIN dominant ON s_suppkey = l_suppkey
 """
 
 
