@@ -1227,6 +1227,274 @@ def pq_topk_trained(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    coarse_k: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    kcent: int = 16,
+    expand: int = 4,
+    dim: int = 64,
+    coarse_iter: int = 3,
+    pq_iter: int = 3,
+    scale: int = 10**6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fp_scale: int = 10**15,
+) -> DataFrame:
+    """IVF-PQ: the FAISS-standard production ANN index, exact-grain.
+
+    Two trained quantizers compose (both via the engine-portable
+    integer Lloyd of ``kmeans_fixedpoint_subspaces``): a COARSE
+    quantizer partitions the corpus into ``coarse_k`` cells, and a
+    product quantizer encodes each vector's RESIDUAL (vector minus its
+    cell centroid — exact int64 grain subtraction) as ``m`` codes.
+    Queries probe only the ``nprobe`` nearest cells, so the candidate
+    scan touches ~nprobe/coarse_k of the corpus — the inverted-file
+    cut that makes PQ usable at corpus scale.
+
+    Scoring uses the inner-product ADC decomposition
+    ``dot(q, x) ~ dot(q, cell_centroid) + sum_j LUT[j, code_j]`` with
+    ``LUT[j, c] = dot(q_subvector_j, pq_centroid)`` — in the IP
+    formulation the lookup table is CELL-INDEPENDENT (m x kcent per
+    query), unlike L2-ADC's per-probe tables. Every term is an int64
+    grain dot, so candidate ranking is exact integer arithmetic
+    normalized by fixed-point norms; probe selection is integer L2
+    distance with (dist, cell) tie-break; the rerank is the v4
+    fixed-point cosine. The whole chain — both trainings included —
+    is an engine-portable pure function of the data, oracle-replayable
+    as unrolled CTEs (same doctrine as v7).
+
+    At 100 TB: train on a sample or the full corpus (both linear),
+    encode once (codes: m bytes-ish per vector + a cell id), store
+    codes bucketed by cell; per query the ADC join reads only the
+    probed cells' codes. The shuffles are the two Lloyd loops (tiny
+    centroid tables, broadcast joins), the encode aggregate, and the
+    per-(query, candidate) sum — all linear in corpus x m.
+    """
+    from big_data_flight_analytics_spark.cache import tracked_persist
+
+    sub = dim // m
+    if sub * m != dim:
+        raise ValueError("dim must divide evenly into m subspaces")
+    full_grains = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale))),
+    )
+    cg = tracked_persist(
+        corpus.select(F.col(id_col).alias("id"), full_grains.alias("vq"))
+    )
+    spark = corpus.sparkSession
+
+    def int_dist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def int_dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    # ---- coarse quantizer: Lloyd over FULL-vector grains (one
+    # "subspace" of width dim)
+    e1 = cg.select("id", F.lit(0).alias("j"), "vq")
+    init1 = (
+        e1.filter(F.col("id") < coarse_k)
+        .select("j", F.col("id").alias("c"), F.col("vq").alias("cq"))
+        .transform(loop_checkpoint)
+    )
+    dist_expr = int_dist(F.col("vq"), F.col("cq"))
+    nparts = max(1, cg.rdd.getNumPartitions())
+    with loop_confs(spark, nparts):
+        coarse = _lloyd_rounds(e1, init1, dist_expr, dim, coarse_iter)
+    coarse = F.broadcast(
+        coarse.select(F.col("c").alias("cell"), F.col("cq").alias("ccq"))
+    )
+
+    # ---- cell assignment + exact residual grains
+    assigned = (
+        cg.crossJoin(coarse)
+        .groupBy("id")
+        .agg(
+            F.min_by(
+                F.struct(F.col("cell"), F.col("ccq")),
+                F.struct(
+                    int_dist(F.col("vq"), F.col("ccq")).alias("d"),
+                    F.col("cell"),
+                ),
+            ).alias("__best"),
+            F.first("vq").alias("vq"),
+        )
+        .select(
+            "id",
+            F.col("__best.cell").alias("cell"),
+            F.zip_with(
+                F.col("vq"), F.col("__best.ccq"), lambda a, b: a - b
+            ).alias("rq"),
+        )
+    )
+    assigned = tracked_persist(assigned)
+
+    # ---- product quantizer: Lloyd over residual sub-grains
+    er = assigned.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j"),
+        F.slice(F.col("rq"), F.col("j") * sub + 1, F.lit(sub)).alias("vq"),
+    )
+    er = tracked_persist(er)
+    init2 = (
+        er.filter(F.col("id") < kcent)
+        .select("j", F.col("id").alias("c"), F.col("vq").alias("cq"))
+        .transform(loop_checkpoint)
+    )
+    with loop_confs(spark, nparts):
+        pqcb = _lloyd_rounds(er, init2, dist_expr, sub, pq_iter)
+    pqcb = F.broadcast(pqcb)
+
+    # ---- encode: per (vector, subspace), nearest residual centroid
+    codes = (
+        er.join(pqcb, "j")
+        .select(
+            "id",
+            "j",
+            F.struct(dist_expr.alias("d"), F.col("c")).alias("__dc"),
+        )
+        .groupBy("id", "j")
+        .agg(F.min("__dc").alias("__best"))
+        .select("id", "j", F.col("__best.c").alias("c"))
+        # corpus-sized x corpus-sized equi-join: SHUFFLE_HASH skips the
+        # SortMergeJoin's two sorts (same pin as u2/d13); the encode
+        # agg's (id, j) hash partitioning already clusters by id
+        .join(assigned.select("id", "cell").hint("SHUFFLE_HASH"), "id")
+        .withColumnRenamed("id", "neighbor_id")
+    )
+
+    # ---- query side: grains, probes, LUT, coarse dot
+    qg = tracked_persist(
+        queries.select(
+            F.col(id_col).alias("query_id"), full_grains.alias("vq")
+        )
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("__d").asc(), F.col("cell").asc()
+    )
+    probes = (
+        qg.crossJoin(coarse)
+        .select(
+            "query_id",
+            "cell",
+            int_dist(F.col("vq"), F.col("ccq")).alias("__d"),
+            int_dot(F.col("vq"), F.col("ccq")).alias("__qc"),
+        )
+        .withColumn("__rn", F.row_number().over(probe_w))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "cell", "__qc")
+    )
+    q_sub = qg.select(
+        "query_id",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j"),
+        F.slice(F.col("vq"), F.col("j") * sub + 1, F.lit(sub)).alias("qs"),
+    )
+    lut = q_sub.join(pqcb, "j").select(
+        "query_id",
+        "j",
+        "c",
+        int_dot(F.col("qs"), F.col("cq")).alias("__lut"),
+    )
+
+    # ---- ADC over probed cells only
+    cand = (
+        codes.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(lut), ["query_id", "j", "c"])
+    )
+    per_j = [
+        F.sum(F.when(F.col("j") == j, F.col("__lut"))).alias(f"__p{j}")
+        for j in range(m)
+    ]
+    adc = cand.groupBy("query_id", "neighbor_id").agg(
+        F.first("__qc").alias("__qc"), *per_j
+    )
+    score_int = F.col("__qc")
+    for j in range(m):
+        score_int = score_int + F.coalesce(
+            F.col(f"__p{j}"), F.lit(0).cast("long")
+        )
+    nsq_scale = scale * scale
+    norms_c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        norm_sq_fixedpoint(F.col(vec_col), nsq_scale).alias("__cn"),
+    )
+    norms_q = queries.select(
+        F.col(id_col).alias("query_id"),
+        norm_sq_fixedpoint(F.col(vec_col), nsq_scale).alias("__qn"),
+    )
+    scored = (
+        adc.join(norms_c, "neighbor_id")
+        .join(F.broadcast(norms_q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.when(
+                (F.col("__cn") <= 0) | (F.col("__qn") <= 0), F.lit(0.0)
+            )
+            .otherwise(
+                score_int.cast("double")
+                / (
+                    F.sqrt(F.col("__cn").cast("double"))
+                    * F.sqrt(F.col("__qn").cast("double"))
+                )
+            )
+            .alias("__adc"),
+        )
+    )
+    w_cand = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("__rn", F.row_number().over(w_cand))
+        .filter(F.col("__rn") <= k * expand)
+        .select("query_id", "neighbor_id")
+    )
+    c_vec = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        norm_sq_fixedpoint(F.col(vec_col), fp_scale).alias("__cnsq"),
+    )
+    q_vec = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        norm_sq_fixedpoint(F.col(vec_col), fp_scale).alias("__qnsq"),
+    )
+    reranked = (
+        shortlist.join(c_vec, "neighbor_id")
+        .join(F.broadcast(q_vec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_fixedpoint_from_nsq(
+                F.col("__qvec"), F.col("__cvec"),
+                F.col("__qnsq"), F.col("__cnsq"), fp_scale,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        reranked.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "sim")
+    )
+
+
 def pq_codebooks_kmeans(
     corpus: DataFrame,
     m: int = 4,

@@ -167,6 +167,7 @@ _TIE_BREAK = [
     "f3_bag_key_stats",
     "t16_bpe_tokenize",
     "v7_pq_trained_topk",
+    "v8_ivfpq_topk",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

@@ -2626,6 +2626,268 @@ V7_SQL = _pq_trained_sql()
 
 
 # ---------------------------------------------------------------------------
+# V8 — IVF-PQ (FAISS's production index shape): a trained COARSE
+# quantizer partitions the corpus into cells, a trained product
+# quantizer encodes each vector's RESIDUAL (exact int64 grain
+# subtraction), and queries probe only the nprobe nearest cells —
+# the inverted-file cut that makes PQ usable at corpus scale. Both
+# trainings are the exact-grain Lloyd (same operator as v7, m=1 for
+# the coarse pass), candidate scoring is the inner-product ADC
+# decomposition dot(q,x) ~ dot(q,cell) + sum_j LUT[j,code_j] with
+# every term an int64 grain dot (cell-independent LUT, unlike
+# L2-ADC), probe selection is integer L2 with (dist,cell) ties, and
+# the rerank is the v4 fixed-point cosine — the whole two-quantizer
+# chain is an engine-portable pure function of the data under the
+# hash gate.
+# ---------------------------------------------------------------------------
+
+V8_COARSE_K = 16
+V8_NPROBE = 4
+V8_M = 8
+V8_SUB = 64 // V8_M
+V8_KCENT = 16
+V8_CITER = 2  # recall plateaus at 2 rounds on this corpus (0.82 vs
+V8_PITER = 2  # 0.80 at 3/3, measured) and each round is ~1 s of
+#               scheduling-bound loop cost — BASELINE.md round-8
+V8_EXPAND = 4
+V8_SCALE = 10**6
+V8_NSQ_SCALE = V8_SCALE * V8_SCALE
+V8_FP = 10**15
+
+
+def v8_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return ivfpq_topk(
+        emb,
+        queries,
+        k=TOPK,
+        coarse_k=V8_COARSE_K,
+        nprobe=V8_NPROBE,
+        m=V8_M,
+        kcent=V8_KCENT,
+        expand=V8_EXPAND,
+        coarse_iter=V8_CITER,
+        pq_iter=V8_PITER,
+        scale=V8_SCALE,
+        fp_scale=V8_FP,
+    )
+
+
+def _lloyd_cte_rounds(e: str, pfx: str, sub: int, n_iter: int) -> list:
+    """CTE strings for ``n_iter`` exact-grain Lloyd rounds over the
+    (id, j, vq) CTE ``e`` seeded by ``{pfx}c0`` — the SQL mirror of
+    ``operators.similarity._lloyd_rounds`` (ROW_NUMBER over
+    (int dist, c) == Spark's min(struct); FLOOR(CAST(sum AS DOUBLE)/n)
+    == Spark's floor-of-double-division — see the v7 banner)."""
+    dist = (
+        f"list_sum(list_transform(range(1, {sub} + 1), "
+        "i -> (e.vq[i] - cb.cq[i]) * (e.vq[i] - cb.cq[i])))"
+    )
+    mean_elems = ", ".join(
+        f"CAST(FLOOR(CAST(SUM(vq[{i + 1}]) AS DOUBLE) / COUNT(*)) AS BIGINT)"
+        for i in range(sub)
+    )
+    parts = []
+    for r in range(1, n_iter + 1):
+        parts.append(
+            f"""{pfx}a{r} AS (
+    SELECT id, j, vq, c FROM (
+        SELECT e.id, e.j, e.vq, cb.c,
+               ROW_NUMBER() OVER (PARTITION BY e.id, e.j
+                   ORDER BY {dist} ASC, cb.c ASC) AS rn
+        FROM {e} e JOIN {pfx}c{r - 1} cb ON cb.j = e.j
+    ) WHERE rn = 1
+),
+{pfx}m{r} AS (
+    SELECT j, c, list_value({mean_elems}) AS cq
+    FROM {pfx}a{r} GROUP BY 1, 2
+),
+{pfx}c{r} AS MATERIALIZED (
+    SELECT p.j, p.c, COALESCE(m.cq, p.cq) AS cq
+    FROM {pfx}c{r - 1} p
+    LEFT JOIN {pfx}m{r} m ON m.j = p.j AND m.c = p.c
+)"""
+        )
+    return parts
+
+
+def _ivfpq_sql() -> str:
+    """Unrolled exact-grain IVF-PQ oracle (see V8 banner)."""
+    s = V8_SCALE
+    cdist = (
+        "list_sum(list_transform(range(1, 64 + 1), "
+        "i -> (g.vq[i] - co.ccq[i]) * (g.vq[i] - co.ccq[i])))"
+    )
+    pq_dist = (
+        f"list_sum(list_transform(range(1, {V8_SUB} + 1), "
+        "i -> (e2.vq[i] - cb.cq[i]) * (e2.vq[i] - cb.cq[i])))"
+    )
+    per_j = ",\n           ".join(
+        f"SUM(CASE WHEN j = {j} THEN lutv END) AS p{j}"
+        for j in range(V8_M)
+    )
+    sum_pj = " + ".join(["qc"] + [f"p{j}" for j in range(V8_M)])
+    parts = [
+        f"""WITH g AS MATERIALIZED (
+    SELECT vec_id AS id,
+           list_transform(range(1, 64 + 1),
+               i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {s}.0)
+                         AS BIGINT)) AS vq
+    FROM embeddings
+),
+e1 AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS j, vq FROM g),
+kcc0 AS MATERIALIZED (
+    SELECT j, id AS c, vq AS cq FROM e1 WHERE id < {V8_COARSE_K}
+)"""
+    ]
+    parts.extend(_lloyd_cte_rounds("e1", "kc", 64, V8_CITER))
+    parts.append(
+        f"""coarse AS MATERIALIZED (
+    SELECT c AS cell, cq AS ccq FROM kcc{V8_CITER}
+),
+asg AS MATERIALIZED (
+    SELECT id, cell,
+           list_transform(range(1, 64 + 1), i -> vq[i] - ccq[i]) AS rq
+    FROM (
+        SELECT g.id, co.cell, g.vq, co.ccq,
+               ROW_NUMBER() OVER (PARTITION BY g.id
+                   ORDER BY {cdist} ASC, co.cell ASC) AS rn
+        FROM g, coarse co
+    ) WHERE rn = 1
+),
+e2 AS MATERIALIZED (
+    SELECT id, CAST(u.j AS BIGINT) AS j,
+           rq[CAST(u.j * {V8_SUB} + 1 AS BIGINT) :
+              CAST((u.j + 1) * {V8_SUB} AS BIGINT)] AS vq
+    FROM asg, UNNEST(range({V8_M})) AS u(j)
+),
+pqc0 AS MATERIALIZED (
+    SELECT j, id AS c, vq AS cq FROM e2 WHERE id < {V8_KCENT}
+)"""
+    )
+    parts.extend(_lloyd_cte_rounds("e2", "pq", V8_SUB, V8_PITER))
+    parts.append(
+        f"""pqcb AS MATERIALIZED (SELECT j, c, cq FROM pqc{V8_PITER}),
+codes AS MATERIALIZED (
+    SELECT x.id AS neighbor_id, x.j, x.c, a.cell
+    FROM (
+        SELECT id, j, c FROM (
+            SELECT e2.id, e2.j, cb.c,
+                   ROW_NUMBER() OVER (PARTITION BY e2.id, e2.j
+                       ORDER BY {pq_dist} ASC, cb.c ASC) AS rn
+            FROM e2 JOIN pqcb cb ON cb.j = e2.j
+        ) WHERE rn = 1
+    ) x JOIN asg a ON a.id = x.id
+),
+probes AS (
+    SELECT query_id, cell, qc FROM (
+        SELECT g.id AS query_id, co.cell,
+               CAST(list_sum(list_transform(range(1, 64 + 1),
+                   i -> g.vq[i] * co.ccq[i])) AS BIGINT) AS qc,
+               ROW_NUMBER() OVER (PARTITION BY g.id
+                   ORDER BY {cdist} ASC, co.cell ASC) AS rn
+        FROM g, coarse co
+        WHERE g.id < {N_QUERY_VECS}
+    ) WHERE rn <= {V8_NPROBE}
+),
+qsub AS (
+    SELECT id AS query_id, CAST(u.j AS BIGINT) AS j,
+           vq[CAST(u.j * {V8_SUB} + 1 AS BIGINT) :
+              CAST((u.j + 1) * {V8_SUB} AS BIGINT)] AS qs
+    FROM g, UNNEST(range({V8_M})) AS u(j)
+    WHERE id < {N_QUERY_VECS}
+),
+lut AS (
+    SELECT q.query_id, q.j, cb.c,
+           CAST(list_sum(list_transform(range(1, {V8_SUB} + 1),
+               i -> q.qs[i] * cb.cq[i])) AS BIGINT) AS lutv
+    FROM qsub q JOIN pqcb cb ON cb.j = q.j
+),
+cand AS (
+    SELECT p.query_id, co.neighbor_id, co.j, l.lutv, p.qc
+    FROM codes co
+    JOIN probes p ON p.cell = co.cell
+    JOIN lut l ON l.query_id = p.query_id
+              AND l.j = co.j AND l.c = co.c
+    WHERE co.neighbor_id <> p.query_id
+),
+adc AS (
+    SELECT query_id, neighbor_id, CAST(MIN(qc) AS BIGINT) AS qc,
+           {per_j}
+    FROM cand GROUP BY 1, 2
+),
+nsq AS MATERIALIZED (
+    SELECT vec_id,
+           CAST(list_sum(list_transform(range(1, 64 + 1),
+               i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                               * CAST(embedding[i] AS DOUBLE)
+                               * {V8_NSQ_SCALE}.0) AS BIGINT)))
+               AS BIGINT) AS n2
+    FROM embeddings
+),
+scored0 AS (
+    SELECT a.query_id, a.neighbor_id,
+           CASE WHEN nc.n2 <= 0 OR nq.n2 <= 0 THEN 0.0
+                ELSE CAST(({sum_pj}) AS DOUBLE)
+                     / (sqrt(CAST(nc.n2 AS DOUBLE))
+                        * sqrt(CAST(nq.n2 AS DOUBLE))) END AS adc_score
+    FROM adc a
+    JOIN nsq nc ON nc.vec_id = a.neighbor_id
+    JOIN nsq nq ON nq.vec_id = a.query_id
+),
+short AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_score DESC,
+                                           neighbor_id ASC) AS rn
+        FROM scored0
+    ) WHERE rn <= {TOPK} * {V8_EXPAND}
+),
+nfp AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           CAST(list_sum(list_transform(range(1, 64 + 1),
+               i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                               * CAST(embedding[i] AS DOUBLE)
+                               * {V8_FP}.0) AS BIGINT)))
+               AS BIGINT) AS nf
+    FROM embeddings
+),
+scored AS (
+    SELECT sh.query_id, sh.neighbor_id,
+           CASE WHEN qv.nf <= 0 OR cv.nf <= 0 THEN 0.0
+                ELSE CAST(CAST(list_sum(list_transform(range(1, 64 + 1),
+                         i -> CAST(FLOOR(qv.v[i] * cv.v[i] * {V8_FP}.0)
+                                   AS BIGINT))) AS BIGINT) AS DOUBLE)
+                     / (sqrt(CAST(qv.nf AS DOUBLE))
+                        * sqrt(CAST(cv.nf AS DOUBLE))) END AS sim
+    FROM short sh
+    JOIN nfp cv ON cv.vec_id = sh.neighbor_id
+    JOIN nfp qv ON qv.vec_id = sh.query_id
+)"""
+    )
+    body = ",\n".join(parts)
+    return (
+        body
+        + f"""
+SELECT query_id, neighbor_id, sim FROM (
+    SELECT query_id, neighbor_id, sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id ASC) AS rn
+    FROM scored
+) WHERE rn <= {TOPK}"""
+    )
+
+
+V8_SQL = _ivfpq_sql()
+
+
+# ---------------------------------------------------------------------------
 # I2 — incremental dedup maintenance: the persisted fingerprint index
 # absorbs one new ingest batch with O(delta) work (delta-only shuffle +
 # one join against the index; the index never re-shuffles when stored
@@ -2890,6 +3152,7 @@ EXTENSION_QUERIES = {
     "v5_quantized_topk": v5_quantized_topk,
     "v6_pq_topk": v6_pq_topk,
     "v7_pq_trained_topk": v7_pq_trained_topk,
+    "v8_ivfpq_topk": v8_ivfpq_topk,
     "g1_probe": g1_probe,
     "g1_knn_pagerank": g1_knn_pagerank,
     "d13_semantic_prune": d13_semantic_prune,
@@ -2939,6 +3202,7 @@ EXTENSION_ORACLES = {
     "v5_quantized_topk": V5_SQL,
     "v6_pq_topk": V6_SQL,
     "v7_pq_trained_topk": V7_SQL,
+    "v8_ivfpq_topk": V8_SQL,
     "d13_semantic_prune": D13_SQL,
     "d14_dedup_ensemble": D14_SQL,
     "d15_repeated_spans": D15_SQL,

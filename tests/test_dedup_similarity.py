@@ -670,6 +670,45 @@ class TestPqTopk:
         assert r_trained >= 0.6
         assert r_trained > r_stub + 0.1
 
+    @pytest.mark.skipif(
+        not os.path.exists(f"{SF001}/embeddings.parquet"),
+        reason="sf0.01 testdata not present",
+    )
+    def test_ivfpq_residual_encoding_recall(self, spark):
+        """IVF-PQ (v8) recall contract: residual encoding must BEAT
+        whole-vector PQ at the same (m, kcent, expand) budget even
+        though it scans only nprobe/coarse_k of the corpus — the
+        FAISS rationale (residuals are smaller -> finer codebooks),
+        measured: 0.82 vs 0.60-ish on this corpus. Floor at 0.7."""
+        from big_data_flight_analytics_spark.operators.similarity import (
+            ivfpq_topk,
+            pq_topk_trained,
+        )
+
+        emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+        queries = emb.filter(emb.vec_id < 20)
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(emb, queries, k=3).collect()
+        }
+        ivfpq = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivfpq_topk(
+                emb, queries, k=3, nprobe=4, expand=8,
+                coarse_iter=2, pq_iter=2,
+            ).collect()
+        }
+        flat = {
+            (r["query_id"], r["neighbor_id"])
+            for r in pq_topk_trained(
+                emb, queries, k=3, m=8, expand=8, n_iter=4
+            ).collect()
+        }
+        r_ivfpq = len(ivfpq & exact) / len(exact)
+        r_flat = len(flat & exact) / len(exact)
+        assert r_ivfpq >= 0.7
+        assert r_ivfpq > r_flat
+
     def test_codes_compress_to_m_ints(self, spark):
         from pyspark.sql import Row
 
