@@ -428,3 +428,136 @@ def lexical_diversity(
             "hapax_frac"
         ),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: "list[str] | tuple[str, ...]",
+    k: int = 10,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1_tenths: int = 12,
+    b_hundredths: int = 75,
+    grain: int = 1_000_000,
+) -> DataFrame:
+    """Top-k documents for a fixed term set under BM25, exact-grain.
+
+    Classic Okapi BM25 (Robertson et al.; the Lucene ``1 +`` idf
+    variant so weights never go negative) with the scoring pipeline
+    restructured so every ranking decision is int64 arithmetic:
+
+    - tf normalization ``tf*(k1+1) / (tf + k1*(1-b) + k1*b*dl/avgdl)``
+      is an exact rational once multiplied through by ``1000*S``
+      (``S``=total corpus tokens, ``avgdl=S/N``): with ``k1=k1_tenths/10``
+      and ``b=b_hundredths/100``,
+      ``num = tf*(1000+100*k1_tenths)*S`` and
+      ``den = 1000*S*tf + k1_tenths*(100-b_hundredths)*S
+      + k1_tenths*b_hundredths*dl*N`` are both int64; the grain is the
+      exact integer quotient ``(num*grain) DIV den``.
+    - idf is ``FLOOR(grain * LN((2N+2)/(2*df+1)))``: numerator and
+      denominator are exact ints, the division and LN run on identical
+      doubles in any engine, and the coarse FLOOR grain absorbs any
+      sub-ulp libm wobble (the driver-proven T4 pattern, hardened).
+    - score = sum of ``idf_fp * tfnorm_fp`` — integer adds/multiplies,
+      associative, fold-order- and engine-version-independent. Ties
+      break on ``id_col``.
+
+    Plan (the 100 TB story): per-doc tf/dl come from ONE traversal of
+    the token array (an ``aggregate`` with len(terms)+1 accumulator
+    slots) behind an explode barrier so projection collapsing cannot
+    re-tokenize per extracted column (the shingle_expr lesson); corpus
+    stats are a single tiny global aggregate broadcast back
+    (crossJoin(broadcast) — the A4 scalar-subquery pattern); ranking is
+    TakeOrderedAndProject. No posting-list shuffle at all: scan +
+    one-row agg + map + top-k. int64 headroom: ``num*grain ~
+    2200*tf*S*1e6`` — fine through ~1e9 total corpus tokens; beyond
+    that drop ``grain`` or promote the quotient to DECIMAL(38,0).
+
+    Output: (id_col, matched, dl, score_fp), score_fp descending.
+    """
+    n = len(terms)
+    t = F.col(text_col)
+    toks = F.filter(tokens(text_col), lambda x: x != "")
+    acc0 = F.array(*([F.lit(0).cast("long")] * (n + 1)))
+
+    def _step(acc, x):
+        slots = [
+            acc[i] + F.when(x == F.lit(terms[i]), 1).otherwise(0)
+            for i in range(n)
+        ]
+        slots.append(acc[n] + 1)
+        return F.array(*slots)
+
+    counts = F.aggregate(toks, acc0, _step)
+    packed = F.struct(
+        *[counts[i].alias(f"tf{i}") for i in range(n)],
+        counts[n].alias("dl"),
+    )
+    # Generate (explode) is a projection-collapse barrier: the single
+    # `counts` aggregate evaluates exactly once per row no matter how
+    # many slots downstream projections extract.
+    per_doc = (
+        docs.filter(t.isNotNull() & (F.trim(t) != ""))
+        .select(F.col(id_col), F.explode(F.array(packed)).alias("_c"))
+        .select(id_col, "_c.*")
+    )
+
+    totals = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("s_tokens"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(n)
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(totals))
+
+    num_mult = 1000 + 100 * k1_tenths          # (k1+1) * 1000
+    den_k1 = k1_tenths * (100 - b_hundredths)  # k1*(1-b) * 1000
+    den_dl = k1_tenths * b_hundredths          # k1*b     * 1000
+    proj = [F.col(id_col)]
+    for i in range(n):
+        proj.append(
+            (
+                F.col(f"tf{i}") * F.lit(num_mult) * F.col("s_tokens")
+                * F.lit(grain)
+            ).alias(f"num{i}")
+        )
+        proj.append(
+            (
+                F.lit(1000) * F.col("s_tokens") * F.col(f"tf{i}")
+                + F.lit(den_k1) * F.col("s_tokens")
+                + F.lit(den_dl) * F.col("dl") * F.col("n_docs")
+            ).alias(f"den{i}")
+        )
+        proj.append(
+            F.floor(
+                F.lit(float(grain))
+                * F.log(
+                    (F.lit(2) * F.col("n_docs") + F.lit(2)).cast("double")
+                    / (F.lit(2) * F.col(f"df{i}") + F.lit(1)).cast("double")
+                )
+            ).alias(f"idf{i}")
+        )
+        proj.append((F.col(f"tf{i}") > 0).cast("long").alias(f"m{i}"))
+    proj.append(F.col("dl"))
+    scored = scored.select(*proj)
+
+    score = None
+    matched = None
+    for i in range(n):
+        term_score = F.expr(f"num{i} DIV den{i}") * F.col(f"idf{i}")
+        score = term_score if score is None else score + term_score
+        matched = F.col(f"m{i}") if matched is None else matched + F.col(f"m{i}")
+    return (
+        scored.select(
+            F.col(id_col),
+            matched.cast("long").alias("matched"),
+            F.col("dl").cast("long").alias("dl"),
+            score.cast("long").alias("score_fp"),
+        )
+        .filter(F.col("matched") > 0)
+        .orderBy(F.col("score_fp").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -168,6 +168,7 @@ _TIE_BREAK = [
     "t16_bpe_tokenize",
     "v7_pq_trained_topk",
     "v8_ivfpq_topk",
+    "t17_bm25_topk",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

@@ -3120,10 +3120,93 @@ def t16_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 T16_SQL = _bpe_apply_sql()
 
 
+# ---------------------------------------------------------------------------
+# T17 — BM25 retrieval under the full oracle gate: top-k documents for
+# a fixed query term set, the search-side capability the corpus
+# catalog lacked (TF-IDF t4 profiles documents; this RANKS them for a
+# query). Scoring is exact-grain end to end — the tf normalization is
+# an exact int64 rational (multiplied through by 1000*S), idf is
+# LN on identical exact-int ratios FLOOR-ed at a coarse grain (the
+# driver-proven T4 pattern), and the score sum is pure integer
+# arithmetic — so ranking can never flip across engines or versions.
+# Plan: scan + one-row broadcast agg + map + TakeOrderedAndProject;
+# zero posting-list shuffles (see operators/text.py::bm25_topk).
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("spark", "join", "window", "dup")
+BM25_TOPK = 10
+BM25_GRAIN = 1_000_000
+
+
+def t17_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.text import bm25_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return bm25_topk(docs, list(BM25_TERMS), k=BM25_TOPK, grain=BM25_GRAIN)
+
+
+def _bm25_sql() -> str:
+    """Mirror of bm25_topk's exact-grain arithmetic in plain CTE SQL
+    (no correlated subqueries — the r8 form-robustness doctrine)."""
+    g = BM25_GRAIN
+    tf_cols = ",\n           ".join(
+        f"CAST(len(list_filter(t, x -> x = '{term}')) AS BIGINT) AS tf{i}"
+        for i, term in enumerate(BM25_TERMS)
+    )
+    df_cols = ",\n           ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    score_terms = " + ".join(
+        f"((tf{i} * 2200 * s_tokens * {g}) // "
+        f"(1000 * s_tokens * tf{i} + 300 * s_tokens + 900 * dl * n_docs))"
+        f" * CAST(FLOOR({g} * LN(CAST(2 * n_docs + 2 AS DOUBLE) / "
+        f"CAST(2 * df{i} + 1 AS DOUBLE))) AS BIGINT)"
+        for i in range(len(BM25_TERMS))
+    )
+    matched = " + ".join(
+        f"CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END"
+        for i in range(len(BM25_TERMS))
+    )
+    return rf"""
+WITH tok AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+    WHERE text IS NOT NULL AND trim(text) <> ''
+), per_doc AS (
+    SELECT doc_id,
+           {tf_cols},
+           CAST(len(t) AS BIGINT) AS dl
+    FROM tok
+), totals AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS s_tokens,
+           {df_cols}
+    FROM per_doc
+), scored AS (
+    SELECT doc_id,
+           CAST({matched} AS BIGINT) AS matched,
+           dl,
+           CAST({score_terms} AS BIGINT) AS score_fp
+    FROM per_doc CROSS JOIN totals
+)
+SELECT doc_id, matched, dl, score_fp
+FROM scored WHERE matched > 0
+ORDER BY score_fp DESC, doc_id
+LIMIT {BM25_TOPK}
+"""
+
+
+T17_SQL = _bm25_sql()
+
+
 EXTENSION_QUERIES = {
     "t1_text_stats": t1_text_stats,
     "t15_bpe_merges": t15_bpe_merges,
     "t16_bpe_tokenize": t16_bpe_tokenize,
+    "t17_bm25_topk": t17_bm25_topk,
     "i2_dedup_delta": i2_dedup_delta,
     "t3_gopher_metrics": t3_gopher_metrics,
     "t4_tfidf_top_terms": t4_tfidf_top_terms,
@@ -3172,6 +3255,7 @@ EXTENSION_ORACLES = {
     "t1_text_stats": T1_SQL,
     "t15_bpe_merges": T15_SQL,
     "t16_bpe_tokenize": T16_SQL,
+    "t17_bm25_topk": T17_SQL,
     "i2_dedup_delta": I2_SQL,
     "t3_gopher_metrics": T3_SQL,
     "t4_tfidf_top_terms": T4_SQL,

@@ -437,3 +437,106 @@ class TestWeightedSample:
         )
         got = sorted(r["doc_id"] for r in weighted_sample(df, "w", 40).collect())
         assert got == want
+
+
+class TestBm25Topk:
+    """bm25_topk: exact-grain Okapi BM25 over a fixed term set."""
+
+    @staticmethod
+    def _py_bm25(texts, terms, grain=1_000_000, k1_tenths=12, b_hundredths=75):
+        """Independent integer-arithmetic replica of the scoring contract."""
+        import math
+
+        docs = [
+            (i, [w for w in t.strip().lower().split() if w])
+            for i, t in enumerate(texts)
+            if t is not None and t.strip()
+        ]
+        n_docs = len(docs)
+        s_tokens = sum(len(toks) for _, toks in docs)
+        dfs = {t: sum(1 for _, toks in docs if t in toks) for t in terms}
+        out = []
+        for i, toks in docs:
+            dl = len(toks)
+            score = 0
+            matched = 0
+            for t in terms:
+                tf = toks.count(t)
+                if tf:
+                    matched += 1
+                num = tf * (1000 + 100 * k1_tenths) * s_tokens * grain
+                den = (
+                    1000 * s_tokens * tf
+                    + k1_tenths * (100 - b_hundredths) * s_tokens
+                    + k1_tenths * b_hundredths * dl * n_docs
+                )
+                idf = math.floor(
+                    grain * math.log((2 * n_docs + 2) / (2 * dfs[t] + 1))
+                )
+                score += (num // den) * idf
+            if matched:
+                out.append((i, matched, dl, score))
+        out.sort(key=lambda r: (-r[3], r[0]))
+        return out
+
+    def test_matches_integer_reference(self, spark):
+        from big_data_flight_analytics_spark.operators.text import bm25_topk
+
+        texts = [
+            "spark join window spark fast",
+            "join join join table scan",
+            "window dup window",
+            "the a table scan row",
+            "dup dup spark",
+            "",
+            None,
+            "   ",
+        ]
+        terms = ["spark", "join", "dup"]
+        got = [
+            tuple(r)
+            for r in bm25_topk(_docs(spark, texts), terms, k=10).collect()
+        ]
+        assert got == self._py_bm25(texts, terms)
+
+    def test_rare_term_dominates_and_ties_break_on_id(self, spark):
+        from big_data_flight_analytics_spark.operators.text import bm25_topk
+
+        # 'rare' in one doc, 'common' everywhere: the rare-term doc
+        # must outrank same-length common-term docs; identical docs tie
+        # and break on doc_id ascending.
+        texts = ["common rare x", "common y z", "common y z", "common y z"]
+        rows = bm25_topk(
+            _docs(spark, texts), ["common", "rare"], k=4
+        ).collect()
+        assert rows[0]["doc_id"] == 0 and rows[0]["matched"] == 2
+        assert [r["doc_id"] for r in rows[1:]] == [1, 2, 3]
+        assert len({r["score_fp"] for r in rows[1:]}) == 1
+
+    def test_partition_invariance(self, spark):
+        from big_data_flight_analytics_spark.operators.text import bm25_topk
+
+        rng = random.Random(7)
+        vocab = ["spark", "join", "dup", "scan", "row", "agg", "the"]
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30)))
+            for _ in range(120)
+        ]
+        base = [
+            tuple(r)
+            for r in bm25_topk(_docs(spark, texts), ["spark", "dup"], k=15)
+            .collect()
+        ]
+        shuf = [
+            tuple(r)
+            for r in bm25_topk(
+                _docs(spark, texts).repartition(13), ["spark", "dup"], k=15
+            ).collect()
+        ]
+        assert base == shuf
+
+    def test_no_match_empty(self, spark):
+        from big_data_flight_analytics_spark.operators.text import bm25_topk
+
+        out = bm25_topk(_docs(spark, ["a b", "c d"]), ["zzz"], k=5)
+        assert out.count() == 0
