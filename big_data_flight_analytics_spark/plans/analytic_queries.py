@@ -467,6 +467,95 @@ FROM kv GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# F4 — parse-once / extract-many (the other half of the variant
+# family's catalog promotion, VERDICT r7 #5): ONE try_parse_json per
+# row feeding FIVE typed extractions through the module's
+# ``variant_fields`` API — top-level scalars, a NESTED path ($.m.k,
+# $.m.cents) and an array index ($.tags[1]) — then an exact-grain
+# aggregate. This is the shape that motivates VariantType at 100 TB:
+# the string path re-parses the bag once per extraction (5x the parse
+# cost here); the variant path parses once (measured ~2x at 10
+# extractions, operators/semistructured.py). events.props is a
+# homogeneous {"k": int} bag, so the bag is derived in-plan
+# (to_json(struct(...)) — null fields drop, exercising missing-path
+# NULLs), and the oracle recomputes relationally from the same source
+# columns — zero engine-JSON dependence (r8 form-robustness doctrine).
+# Measures stay integer end to end: cents as DECIMAL(18,2)*100 -> long
+# round-trips JSON exactly; counts/sums are int64.
+# ---------------------------------------------------------------------------
+
+
+def f4_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.semistructured import (
+        variant_fields,
+        with_variant_safe,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "long")
+    bag = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("event_type"),
+                F.col("user_id"),
+                F.struct(
+                    k.alias("k"),
+                    (F.col("value").cast("decimal(18,2)") * 100)
+                    .cast("long")
+                    .alias("cents"),
+                ).alias("m"),
+                F.array(
+                    F.col("event_type"),
+                    F.when(F.col("value") > 50, F.lit("big")).otherwise(
+                        F.lit("small")
+                    ),
+                ).alias("tags"),
+            )
+        ).alias("bag")
+    )
+    extracted = variant_fields(
+        with_variant_safe(bag, "bag", "__v"),
+        "__v",
+        {
+            "ev_type": ("$.event_type", "string"),
+            "uid": ("$.user_id", "long"),
+            "k": ("$.m.k", "long"),
+            "cents": ("$.m.cents", "long"),
+            "size_tag": ("$.tags[1]", "string"),
+        },
+    )
+    return (
+        extracted.groupBy("ev_type", "size_tag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.countDistinct("uid").cast("long").alias("n_users"),
+            F.sum((F.col("k") >= 50).cast("long")).cast("long").alias(
+                "n_high_k"
+            ),
+        )
+    )
+
+
+F4_SQL = """
+WITH src AS (
+    SELECT event_type AS ev_type,
+           user_id AS uid,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           CASE WHEN value > 50 THEN 'big' ELSE 'small' END AS size_tag
+    FROM events
+)
+SELECT ev_type, size_tag,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(COUNT(DISTINCT uid) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_k
+FROM src GROUP BY ev_type, size_tag
+"""
+
+
+# ---------------------------------------------------------------------------
 # W3 — running total per key (cumulative analytic frame); W4 — lag
 # deltas per key. Classic ordered-analytics; DECIMAL accumulation for
 # the running sum so partial-order differences can't flip a rounding.
@@ -1680,6 +1769,7 @@ ANALYTIC_QUERIES = {
     "v3_ivf_topk": v3_ivf_topk,
     "f2_props_json": f2_props_json,
     "f3_bag_key_stats": f3_bag_key_stats,
+    "f4_variant_extract": f4_variant_extract,
     "w3_running_revenue": w3_running_revenue,
     "w4_order_gaps": w4_order_gaps,
     "j10_interval_join": j10_interval_join,
@@ -1709,6 +1799,7 @@ ANALYTIC_ORACLES = {
     "v3_ivf_topk": V3_SQL,
     "f2_props_json": F2_SQL,
     "f3_bag_key_stats": F3_SQL,
+    "f4_variant_extract": F4_SQL,
     "w3_running_revenue": W3_SQL,
     "w4_order_gaps": W4_SQL,
     "j10_interval_join": J10_SQL,

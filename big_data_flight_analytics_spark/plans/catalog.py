@@ -169,6 +169,7 @@ _TIE_BREAK = [
     "v7_pq_trained_topk",
     "v8_ivfpq_topk",
     "t17_bm25_topk",
+    "f4_variant_extract",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

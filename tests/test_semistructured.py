@@ -207,3 +207,81 @@ class TestBagKeyStats:
             ).fetchall()
         }
         assert got == want
+
+
+class TestF4VariantExtract:
+    def test_catalog_entry_matches_string_path(self, spark):
+        """f4's variant extract-many pipeline must equal the same
+        aggregate computed straight from the source columns (no JSON
+        round-trip) — the drop-in contract that makes the variant fast
+        path safe to adopt."""
+        from pyspark.sql import functions as F
+
+        from big_data_flight_analytics_spark.plans.analytic_queries import (
+            f4_variant_extract,
+        )
+        from big_data_flight_analytics_spark.plans.tables import load
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            tuple(r)
+            for r in f4_variant_extract(spark, sf).collect()
+        }
+        ev = load(spark, sf, "events")
+        k = F.try_variant_get(
+            F.try_parse_json(F.col("props")), "$.k", "long"
+        )
+        direct = (
+            ev.select(
+                F.col("event_type").alias("ev_type"),
+                F.col("user_id").alias("uid"),
+                k.alias("k"),
+                (F.col("value").cast("decimal(18,2)") * 100)
+                .cast("long")
+                .alias("cents"),
+                F.when(F.col("value") > 50, F.lit("big"))
+                .otherwise(F.lit("small"))
+                .alias("size_tag"),
+            )
+            .groupBy("ev_type", "size_tag")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+                F.countDistinct("uid").cast("long").alias("n_users"),
+                F.sum((F.col("k") >= 50).cast("long"))
+                .cast("long")
+                .alias("n_high_k"),
+            )
+        )
+        assert got == {tuple(r) for r in direct.collect()}
+
+    def test_array_index_and_nested_path(self, spark):
+        """variant_fields navigates nested objects and array indices;
+        out-of-range indices and missing paths yield NULL."""
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.operators.semistructured import (
+            variant_fields,
+            with_variant_safe,
+        )
+
+        df = spark.createDataFrame(
+            [
+                Row(j='{"m": {"k": 7}, "tags": ["a", "b"]}'),
+                Row(j='{"m": {}, "tags": ["only"]}'),
+                Row(j='{"tags": []}'),
+            ]
+        )
+        out = variant_fields(
+            with_variant_safe(df, "j", "__v"),
+            "__v",
+            {
+                "k": ("$.m.k", "long"),
+                "t1": ("$.tags[1]", "string"),
+            },
+        ).select("k", "t1")
+        assert [tuple(r) for r in out.collect()] == [
+            (7, "b"),
+            (None, None),
+            (None, None),
+        ]
