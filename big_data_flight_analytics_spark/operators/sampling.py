@@ -191,3 +191,101 @@ def weighted_sample(
     return top_k(
         keyed, [F.col("__aes_key").desc(), F.col(id_col).asc()], k
     ).drop("__aes_key")
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_value: str,
+    *,
+    target_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    grain: int = 1_000_000,
+) -> DataFrame:
+    """DSIR-style importance weights from hashed-bigram features.
+
+    Data Selection via Importance Resampling (Xie et al., NeurIPS
+    2023): score every document by how much its hashed n-gram profile
+    looks like a TARGET domain versus the RAW corpus. Per md5 bucket b
+    of word bigrams, the weight is the add-one-smoothed log likelihood
+    ratio ``ln( ((cnt_t[b]+1)/(S_t+B)) / ((cnt_r[b]+1)/(S_r+B)) )``;
+    a document's score is the sum of its bigram-occurrence weights
+    (multiset — repeated bigrams count, per the paper's bag-of-hashed-
+    ngrams model). High scores = target-like; downstream selection is
+    a threshold/top-k over the score (t6/t10-style).
+
+    Exact-grain contract: bucket counts and totals are int64; each
+    weight is ``FLOOR(grain * LN(exact-int product ratio))`` — LN on
+    identical doubles (the driver-proven T4/T17 pattern) — and the
+    per-doc score is an integer SUM of bucket weights, associative and
+    engine-version-independent. int64 headroom: the ratio products are
+    ``(cnt+1)*(S+B) < ~1e13`` at sf0.1; past ~1e9 corpus tokens cast
+    to double BEFORE multiplying (still deterministic — same two
+    int64s round the same way) or promote to DECIMAL(38,0).
+
+    Plan (100 TB story): one bigram explode, ONE hash agg keyed on
+    n_buckets (256) fixed buckets with map-side partial combine +
+    conditional target counts (no second pass for the target
+    distribution), a one-row totals agg over 256 rows, weights
+    broadcast back to the exploded grams, one per-doc agg. Two real
+    shuffles, both map-combined; the weight table is O(n_buckets)
+    regardless of corpus size, so the broadcast never grows.
+
+    Output: (id_col, target_col, n_bigrams, dsir_fp) — one row per
+    document with >= 1 bigram.
+    """
+    from big_data_flight_analytics_spark.operators.text import (
+        ngram_multiset_expr,
+        tokens,
+    )
+
+    t = F.col(text_col)
+    toks = F.filter(tokens(text_col), lambda x: x != "")
+    grams = (
+        docs.filter(t.isNotNull() & (F.trim(t) != ""))
+        .select(
+            F.col(id_col),
+            F.col(target_col),
+            F.explode(ngram_multiset_expr(toks, 2)).alias("gram"),
+        )
+        .select(
+            id_col,
+            target_col,
+            md5_bucket(F.col("gram"), n_buckets).alias("bucket"),
+        )
+    )
+    is_target = (F.col(target_col) == target_value).cast("long")
+    bucket_counts = grams.groupBy("bucket").agg(
+        F.sum(is_target).alias("cnt_t"),
+        F.count(F.lit(1)).alias("cnt_r"),
+    )
+    totals = bucket_counts.agg(
+        F.sum("cnt_t").cast("long").alias("s_t"),
+        F.sum("cnt_r").cast("long").alias("s_r"),
+    )
+    weights = (
+        bucket_counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.floor(
+                F.lit(float(grain))
+                * F.log(
+                    (
+                        (F.col("cnt_t") + 1) * (F.col("s_r") + n_buckets)
+                    ).cast("double")
+                    / (
+                        (F.col("cnt_r") + 1) * (F.col("s_t") + n_buckets)
+                    ).cast("double")
+                )
+            ).alias("w_fp"),
+        )
+    )
+    return (
+        grams.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col, target_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("w_fp").cast("long").alias("dsir_fp"),
+        )
+    )

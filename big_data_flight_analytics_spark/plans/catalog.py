@@ -170,6 +170,7 @@ _TIE_BREAK = [
     "v8_ivfpq_topk",
     "t17_bm25_topk",
     "f4_variant_extract",
+    "t18_dsir_weights",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

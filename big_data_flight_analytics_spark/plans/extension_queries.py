@@ -3202,11 +3202,95 @@ LIMIT {BM25_TOPK}
 T17_SQL = _bm25_sql()
 
 
+# ---------------------------------------------------------------------------
+# T18 — DSIR importance weights under the full oracle gate (Xie et
+# al., NeurIPS 2023: Data Selection via Importance Resampling). Every
+# document scored by the add-one-smoothed log likelihood ratio of its
+# hashed-bigram profile between a TARGET domain (source='src0') and
+# the RAW corpus — the standard "make the corpus look like the target
+# domain" selection signal. All ranking-relevant arithmetic is exact:
+# md5-bucketed features (the t2/t6/d3 hash family, bit-identical
+# cross-engine), int64 bucket counts, FLOOR(grain*LN(exact-int
+# ratio)) weights, integer per-doc sums. Plan: one bigram explode,
+# one 256-bucket map-combined agg, O(256) weight broadcast, one
+# per-doc agg (see operators/sampling.py::dsir_weights).
+# ---------------------------------------------------------------------------
+
+DSIR_TARGET = "src0"
+DSIR_BUCKETS = 256
+DSIR_GRAIN = 1_000_000
+
+
+def t18_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.sampling import (
+        dsir_weights,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return dsir_weights(
+        docs, DSIR_TARGET, n_buckets=DSIR_BUCKETS, grain=DSIR_GRAIN
+    )
+
+
+def _dsir_sql() -> str:
+    # md5 hex -> int via ascii arithmetic (same decode as t2/t6/d3)
+    digit = (
+        "(CASE WHEN ascii(substr(h, {i}, 1)) < 58"
+        " THEN ascii(substr(h, {i}, 1)) - 48"
+        " ELSE ascii(substr(h, {i}, 1)) - 87 END)"
+    )
+    expr = digit.format(i=1)
+    for t in range(1, 4):
+        expr = f"({expr} * 16 + {digit.format(i=1 + t)})"
+    g, b = DSIR_GRAIN, DSIR_BUCKETS
+    return rf"""
+WITH tok AS (
+    SELECT doc_id, source,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+    WHERE text IS NOT NULL AND trim(text) <> ''
+), grams AS (
+    SELECT doc_id, source,
+           md5(unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1]))) AS h
+    FROM tok
+), bucketed AS (
+    SELECT doc_id, source, {expr} % {b} AS bucket FROM grams
+), bc AS (
+    SELECT bucket,
+           SUM(CASE WHEN source = '{DSIR_TARGET}' THEN 1 ELSE 0 END) AS cnt_t,
+           COUNT(*) AS cnt_r
+    FROM bucketed GROUP BY bucket
+), tot AS (
+    SELECT CAST(SUM(cnt_t) AS BIGINT) AS s_t,
+           CAST(SUM(cnt_r) AS BIGINT) AS s_r
+    FROM bc
+), w AS (
+    SELECT bucket,
+           CAST(FLOOR({g} * LN(
+               CAST((cnt_t + 1) * (s_r + {b}) AS DOUBLE)
+               / CAST((cnt_r + 1) * (s_t + {b}) AS DOUBLE))) AS BIGINT)
+           AS w_fp
+    FROM bc CROSS JOIN tot
+)
+SELECT doc_id, source,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(w_fp) AS BIGINT) AS dsir_fp
+FROM bucketed JOIN w USING (bucket)
+GROUP BY doc_id, source
+"""
+
+
+T18_SQL = _dsir_sql()
+
+
 EXTENSION_QUERIES = {
     "t1_text_stats": t1_text_stats,
     "t15_bpe_merges": t15_bpe_merges,
     "t16_bpe_tokenize": t16_bpe_tokenize,
     "t17_bm25_topk": t17_bm25_topk,
+    "t18_dsir_weights": t18_dsir_weights,
     "i2_dedup_delta": i2_dedup_delta,
     "t3_gopher_metrics": t3_gopher_metrics,
     "t4_tfidf_top_terms": t4_tfidf_top_terms,
@@ -3256,6 +3340,7 @@ EXTENSION_ORACLES = {
     "t15_bpe_merges": T15_SQL,
     "t16_bpe_tokenize": T16_SQL,
     "t17_bm25_topk": T17_SQL,
+    "t18_dsir_weights": T18_SQL,
     "i2_dedup_delta": I2_SQL,
     "t3_gopher_metrics": T3_SQL,
     "t4_tfidf_top_terms": T4_SQL,

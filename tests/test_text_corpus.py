@@ -540,3 +540,80 @@ class TestBm25Topk:
 
         out = bm25_topk(_docs(spark, ["a b", "c d"]), ["zzz"], k=5)
         assert out.count() == 0
+
+
+class TestDsirWeights:
+    """dsir_weights: hashed-bigram importance scores (DSIR)."""
+
+    def test_target_like_docs_score_higher(self, spark):
+        from big_data_flight_analytics_spark.operators.sampling import (
+            dsir_weights,
+        )
+
+        # target domain speaks "alpha beta"; raw background speaks
+        # "gamma delta". A held-out doc in target language must
+        # outscore a held-out doc in background language.
+        rows = [
+            Row(doc_id=i, source="tgt", text="alpha beta " * 10)
+            for i in range(5)
+        ] + [
+            Row(doc_id=10 + i, source="bg", text="gamma delta " * 10)
+            for i in range(20)
+        ] + [
+            Row(doc_id=100, source="bg", text="alpha beta alpha beta"),
+            Row(doc_id=101, source="bg", text="gamma delta gamma delta"),
+        ]
+        out = {
+            r["doc_id"]: r["dsir_fp"]
+            for r in dsir_weights(
+                spark.createDataFrame(rows), "tgt", n_buckets=64
+            ).collect()
+        }
+        assert out[100] > out[101]
+
+    def test_multiset_counting_scales_score(self, spark):
+        from big_data_flight_analytics_spark.operators.sampling import (
+            dsir_weights,
+        )
+
+        # doc 1 repeats the same bigram 3x as often as doc 0 -> its
+        # score is ~3x (exactly, in integer arithmetic: same single
+        # bucket weight summed 2 vs 6 times).
+        rows = [
+            Row(doc_id=0, source="bg", text="a b a"),      # 2 bigrams
+            Row(doc_id=1, source="bg", text="a b a b a b a"),  # 6
+            Row(doc_id=2, source="tgt", text="a b"),
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in dsir_weights(
+                spark.createDataFrame(rows), "tgt", n_buckets=64
+            ).collect()
+        }
+        assert out[0]["n_bigrams"] == 2 and out[1]["n_bigrams"] == 6
+        assert out[1]["dsir_fp"] == 3 * out[0]["dsir_fp"]
+
+    def test_partition_invariance(self, spark):
+        from big_data_flight_analytics_spark.operators.sampling import (
+            dsir_weights,
+        )
+
+        rng = random.Random(11)
+        vocab = ["spark", "join", "dup", "scan", "row", "agg"]
+        rows = [
+            Row(
+                doc_id=i,
+                source="tgt" if i % 5 == 0 else f"src{i % 3}",
+                text=" ".join(
+                    rng.choice(vocab) for _ in range(rng.randint(0, 25))
+                ),
+            )
+            for i in range(150)
+        ]
+        df = spark.createDataFrame(rows)
+        base = {tuple(r) for r in dsir_weights(df, "tgt").collect()}
+        shuf = {
+            tuple(r)
+            for r in dsir_weights(df.repartition(13), "tgt").collect()
+        }
+        assert base == shuf
