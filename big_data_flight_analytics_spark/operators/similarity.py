@@ -560,6 +560,135 @@ def semantic_prune(
     )
 
 
+def semdedup_kmeans(
+    corpus: DataFrame,
+    k: int = 16,
+    n_iter: int = 3,
+    threshold: float = 0.4,
+    dim: int = 64,
+    scale: int = 10**6,
+    fp_scale: int = 10**15,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-scoped SemDeDup (Abbas et al. 2023, arXiv:2303.09540).
+
+    The paper's actual formulation: k-means-cluster the embedding
+    space, then look for cosine near-duplicates ONLY within each
+    cluster — the cluster assignment replaces the sign-LSH bucket of
+    ``semantic_prune`` (d13) as the candidate scope. Clusters follow
+    data density where sign buckets cut axis-aligned planes, so at
+    equal candidate volume the cluster scope catches near-dups that
+    straddle a sign boundary. Keep-rule matches ``semantic_prune``'s
+    transitive lowest-id convention (see that docstring for why true
+    keep-first needs connected components instead).
+
+    Deterministic end-to-end, hence full-oracle-gateable: centroids
+    come from the exact-grain Lloyd trainer
+    (``kmeans_fixedpoint_subspaces`` with m=1 — integer distances,
+    struct-min ties, FLOOR(double-division) updates, min-id seed);
+    assignment is argmin over integer distances (ties to lowest
+    centroid id); the within-cluster similarity is fixed-point cosine
+    (``cosine_fixedpoint_from_nsq`` — no fold-order or ROUND-version
+    dependence). An oracle replays training as unrolled CTE rounds and
+    lands on the identical clustering and pair set.
+
+    Scale: training + assignment are the v7/v8 Lloyd shape (linear
+    per-round, kcent-row broadcast). The within-cluster self-join is
+    quadratic in cluster population, so ``k`` must grow ~n/target:
+    SemDeDup itself runs 50k clusters on LAION-440M for exactly this
+    reason; with k ~ n/256 the pair volume stays ~256x corpus rows.
+    The pruned-mark join is keyed on the unique vector id —
+    shuffle-hash, both sides corpus-scale (same rationale as
+    ``semantic_prune``).
+
+    Output: (id_col, cell, pruned) for EVERY corpus vector.
+    """
+    from big_data_flight_analytics_spark.cache import tracked_persist
+
+    grains = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale))),
+    )
+    e = tracked_persist(
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.lit(0).cast("long").alias("j"),
+            grains.alias("vq"),
+        )
+    )
+    cents = kmeans_fixedpoint_subspaces(
+        corpus, m=1, kcent=k, dim=dim, n_iter=n_iter, scale=scale,
+        id_col=id_col, vec_col=vec_col, grain_frame=e,
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("vq"), F.col("cq"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cells = (
+        e.join(F.broadcast(cents), "j")
+        .select(
+            "id", F.struct(dist.alias("d"), F.col("c")).alias("__dc")
+        )
+        .groupBy("id")
+        .agg(F.min("__dc").alias("__best"))
+        .select("id", F.col("__best.c").alias("cell"))
+    )
+    mem = tracked_persist(
+        cells.join(
+            corpus.select(
+                F.col(id_col).alias("id"), F.col(vec_col).alias("__e")
+            ),
+            "id",
+        ).select(
+            "id",
+            "cell",
+            "__e",
+            norm_sq_fixedpoint(F.col("__e"), fp_scale).alias("__nsq"),
+        )
+    )
+    a = mem.select(
+        "cell",
+        F.col("id").alias("__ia"),
+        F.col("__e").alias("__ea"),
+        F.col("__nsq").alias("__na"),
+    )
+    b = mem.select(
+        "cell",
+        F.col("id").alias("__ib"),
+        F.col("__e").alias("__eb"),
+        F.col("__nsq").alias("__nb"),
+    )
+    sim = cosine_fixedpoint_from_nsq(
+        F.col("__ea"), F.col("__eb"), F.col("__na"), F.col("__nb"), fp_scale
+    )
+    # shuffle-hash, not sort-merge: both sides are corpus-scale and the
+    # key has only k distinct values — sorting two corpus-sized
+    # relations buys nothing over a per-partition hash build, and the
+    # sort would spill first at scale. (Parallelism is bounded by k
+    # either way; that is the cluster scope's nature, and the k ~
+    # n/target growth rule restores it as the corpus grows.)
+    pruned = (
+        a.join(b.hint("shuffle_hash"), "cell")
+        .filter(F.col("__ia") < F.col("__ib"))
+        .filter(sim >= threshold)
+        .select(F.col("__ib").alias("id"))
+        .distinct()
+        .withColumn("__pruned", F.lit(True))
+    )
+    return (
+        cells.join(pruned.hint("shuffle_hash"), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cell",
+            F.coalesce(F.col("__pruned"), F.lit(False)).alias("pruned"),
+        )
+    )
+
+
 def quantize_vectors(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -171,6 +171,7 @@ _TIE_BREAK = [
     "t17_bm25_topk",
     "f4_variant_extract",
     "t18_dsir_weights",
+    "d18_semdedup_clusters",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

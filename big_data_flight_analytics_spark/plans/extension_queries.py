@@ -3285,12 +3285,117 @@ GROUP BY doc_id, source
 T18_SQL = _dsir_sql()
 
 
+# ---------------------------------------------------------------------------
+# D18 — cluster-scoped SemDeDup under the full oracle gate (Abbas et
+# al. 2023, arXiv:2303.09540 — the paper's actual k-means-cluster
+# formulation; d13 is the sign-LSH-scoped variant). Exact-grain Lloyd
+# k-means (the v7/v8 trainer with m=1) clusters the embedding space;
+# cosine near-dups are sought only within each cluster; the transitive
+# lowest-id keep-rule marks the pruned set. Every rank/membership
+# decision is engine-version-independent: integer Lloyd distances with
+# struct-min ties, FLOOR(double-division) centroid updates, and
+# fixed-point cosine (int64 grain dot + exact-int norms) against the
+# threshold. The oracle replays training as unrolled CTE rounds
+# (shared _lloyd_cte_rounds) and must land on the identical clustering
+# and pair set — that is what puts a trained-clustering dedup pass
+# under the hash gate.
+# ---------------------------------------------------------------------------
+
+D18_K = 16
+D18_ITER = 3
+D18_SCALE = 10**6
+
+
+def d18_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.similarity import (
+        semdedup_kmeans,
+    )
+
+    return semdedup_kmeans(
+        load(spark, sf_dir, "embeddings"),
+        k=D18_K,
+        n_iter=D18_ITER,
+        threshold=NEARDUP_SIM,
+        scale=D18_SCALE,
+        fp_scale=SIM_FP_SCALE,
+    )
+
+
+def _semdedup_sql() -> str:
+    s, fp, k, r = D18_SCALE, SIM_FP_SCALE, D18_K, D18_ITER
+    dist = (
+        "list_sum(list_transform(range(1, 64 + 1), "
+        "i -> (e.vq[i] - cb.cq[i]) * (e.vq[i] - cb.cq[i])))"
+    )
+    parts = [
+        f"""WITH g AS MATERIALIZED (
+    SELECT vec_id AS id,
+           list_transform(range(1, 64 + 1),
+               i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {s}.0)
+                         AS BIGINT)) AS vq
+    FROM embeddings
+),
+e1 AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS j, vq FROM g),
+kmc0 AS MATERIALIZED (
+    SELECT j, id AS c, vq AS cq FROM e1 WHERE id < {k}
+)"""
+    ]
+    parts.extend(_lloyd_cte_rounds("e1", "km", 64, r))
+    parts.append(
+        f"""cells AS MATERIALIZED (
+    SELECT id, cell FROM (
+        SELECT e.id, cb.c AS cell,
+               ROW_NUMBER() OVER (PARTITION BY e.id
+                   ORDER BY {dist} ASC, cb.c ASC) AS rn
+        FROM e1 e JOIN kmc{r} cb ON cb.j = e.j
+    ) WHERE rn = 1
+),
+v AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+           CAST(list_sum(list_transform(
+               range(1, len(embedding) + 1),
+               i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                               * CAST(embedding[i] AS DOUBLE)
+                               * {fp}.0) AS BIGINT)))
+               AS BIGINT) AS nsq
+    FROM embeddings
+),
+pruned AS (
+    SELECT DISTINCT pb.id AS pid
+    FROM cells pa JOIN cells pb
+      ON pa.cell = pb.cell AND pa.id < pb.id
+    JOIN v a ON a.vec_id = pa.id
+    JOIN v b ON b.vec_id = pb.id
+    WHERE CASE WHEN a.nsq <= 0 OR b.nsq <= 0 THEN 0.0
+               ELSE CAST(CAST(list_sum(list_transform(
+                        range(1, len(a.emb) + 1),
+                        i -> CAST(FLOOR(a.emb[i] * b.emb[i]
+                                        * {fp}.0) AS BIGINT)))
+                        AS BIGINT) AS DOUBLE)
+                    / (sqrt(CAST(a.nsq AS DOUBLE))
+                       * sqrt(CAST(b.nsq AS DOUBLE)))
+          END >= {NEARDUP_SIM}
+)"""
+    )
+    body = ",\n".join(parts)
+    return (
+        body
+        + """
+SELECT c.id AS vec_id, c.cell, (p.pid IS NOT NULL) AS pruned
+FROM cells c LEFT JOIN pruned p ON p.pid = c.id"""
+    )
+
+
+D18_SQL = _semdedup_sql()
+
+
 EXTENSION_QUERIES = {
     "t1_text_stats": t1_text_stats,
     "t15_bpe_merges": t15_bpe_merges,
     "t16_bpe_tokenize": t16_bpe_tokenize,
     "t17_bm25_topk": t17_bm25_topk,
     "t18_dsir_weights": t18_dsir_weights,
+    "d18_semdedup_clusters": d18_semdedup_clusters,
     "i2_dedup_delta": i2_dedup_delta,
     "t3_gopher_metrics": t3_gopher_metrics,
     "t4_tfidf_top_terms": t4_tfidf_top_terms,
@@ -3341,6 +3446,7 @@ EXTENSION_ORACLES = {
     "t16_bpe_tokenize": T16_SQL,
     "t17_bm25_topk": T17_SQL,
     "t18_dsir_weights": T18_SQL,
+    "d18_semdedup_clusters": D18_SQL,
     "i2_dedup_delta": I2_SQL,
     "t3_gopher_metrics": T3_SQL,
     "t4_tfidf_top_terms": T4_SQL,

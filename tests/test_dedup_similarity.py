@@ -786,3 +786,73 @@ class TestPqTrained:
         stub_recall = len(bf & stub) / len(bf)
         assert trained_recall >= 0.35  # measured 0.425; headroom for drift
         assert trained_recall > stub_recall
+
+
+class TestSemdedupKmeans:
+    """semdedup_kmeans: cluster-scoped SemDeDup (k-means candidate scope)."""
+
+    def test_within_cluster_neardups_pruned(self, spark):
+        from big_data_flight_analytics_spark.operators.similarity import (
+            semdedup_kmeans,
+        )
+
+        # seeds (min-id) land one per natural cluster: 0 in the x
+        # cluster, 1 in the y cluster. 2 dups 0, 3 dups 1, 4 is
+        # anti-x (cosine -1 vs 0: below any positive threshold).
+        rows = [
+            Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0]),
+            Row(vec_id=1, embedding=[0.0, 1.0, 0.0, 0.0]),
+            Row(vec_id=2, embedding=[0.99, 0.1, 0.0, 0.0]),
+            Row(vec_id=3, embedding=[0.1, 0.99, 0.0, 0.0]),
+            Row(vec_id=4, embedding=[-1.0, 0.0, 0.0, 0.0]),
+        ]
+        out = semdedup_kmeans(
+            spark.createDataFrame(rows),
+            k=2, n_iter=2, threshold=0.9, dim=4,
+        ).collect()
+        got = {r["vec_id"]: r["pruned"] for r in out}
+        assert got == {0: False, 1: False, 2: True, 3: True, 4: False}
+        cell = {r["vec_id"]: r["cell"] for r in out}
+        assert cell[0] == cell[2] and cell[1] == cell[3]
+        assert len(out) == 5  # every vector marked
+
+    def test_nothing_pruned_at_impossible_threshold(self, spark):
+        from big_data_flight_analytics_spark.operators.similarity import (
+            semdedup_kmeans,
+        )
+
+        out = semdedup_kmeans(
+            embeddings(spark), k=2, n_iter=2, threshold=0.99999, dim=4
+        ).collect()
+        assert {r["vec_id"] for r in out} == {0, 1, 2, 3, 4}
+        assert all(r["pruned"] is False for r in out)
+
+    def test_partition_invariance(self, spark):
+        import random
+
+        from big_data_flight_analytics_spark.operators.similarity import (
+            semdedup_kmeans,
+        )
+
+        rng = random.Random(7)
+        rows = [
+            Row(
+                vec_id=i,
+                embedding=[rng.uniform(-1, 1) for _ in range(8)],
+            )
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(rows)
+        base = {
+            tuple(r)
+            for r in semdedup_kmeans(
+                df, k=4, n_iter=3, threshold=0.8, dim=8
+            ).collect()
+        }
+        shuf = {
+            tuple(r)
+            for r in semdedup_kmeans(
+                df.repartition(13), k=4, n_iter=3, threshold=0.8, dim=8
+            ).collect()
+        }
+        assert base == shuf
