@@ -594,11 +594,19 @@ def semdedup_kmeans(
     lands on the identical clustering and pair set.
 
     Scale: training + assignment are the v7/v8 Lloyd shape (linear
-    per-round, kcent-row broadcast). The within-cluster self-join is
-    quadratic in cluster population, so ``k`` must grow ~n/target:
-    SemDeDup itself runs 50k clusters on LAION-440M for exactly this
-    reason; with k ~ n/256 the pair volume stays ~256x corpus rows.
-    The pruned-mark join is keyed on the unique vector id —
+    per-round, kcent-row broadcast) and cost ~n*k*(n_iter+1) distance
+    evaluations; the within-cluster self-join costs ~n^2/(2k) cosine
+    evaluations. Total is minimized near k ~ sqrt(n/(2*(n_iter+1))),
+    and MEASURED at 10x verbatim (n=20k, BASELINE.md round 8): k=16
+    took 43.5 s vs k=160 at 138 s — the assignment term dominates
+    well past the naive n/target rule, so grow k like sqrt(n), not n.
+    Two caps bound the pair join regardless: cluster population
+    n/k ~ sqrt(n) keeps per-cluster pair volume ~n*(n_iter+1)*2
+    (linear in corpus), and recall is k-insensitive for true
+    near-dups (identical/near-identical vectors co-cluster at any k —
+    measured: pruned set 18228 vs 18177 at k=16 vs 160). SemDeDup
+    itself runs 50k clusters on LAION-440M ~ the same sqrt-scale
+    ballpark. The pruned-mark join is keyed on the unique vector id —
     shuffle-hash, both sides corpus-scale (same rationale as
     ``semantic_prune``).
 
