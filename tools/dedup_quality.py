@@ -95,6 +95,111 @@ def main() -> None:
         "threshold. The ensemble query (d14) exists precisely because "
         "the three methods' pair sets complement rather than nest."
     )
+    semantic_section(spark, sf_dir)
+
+
+def semantic_section(spark, sf_dir: str) -> None:
+    """Embedding-space candidate-scope quality (d13 LSH vs d18 k-means).
+
+    Ground truth: the EXHAUSTIVE all-pairs transitive prune — a vector
+    is prunable iff ANY lower-id vector in the whole corpus is
+    cosine-similar above the threshold (what an unbounded scope would
+    mark). Both operators restrict the candidate scope (sign-LSH
+    buckets / k-means clusters), so their pruned sets are subsets of
+    truth: precision is 1.0 by construction and RECALL measures what
+    the scope restriction costs — the semantic-dedup analog of the
+    text table above.
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    from big_data_flight_analytics_spark.functions.vector import (
+        cosine_fixedpoint_from_nsq,
+        norm_sq_fixedpoint,
+    )
+    from big_data_flight_analytics_spark.plans.extension_queries import (
+        NEARDUP_SIM,
+        SIM_FP_SCALE,
+        d13_semantic_prune,
+        d18_semdedup_clusters,
+    )
+    from big_data_flight_analytics_spark.plans.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").alias("__e"),
+        norm_sq_fixedpoint(F.col("embedding"), SIM_FP_SCALE).alias("__n"),
+    ).cache()
+    lo = v.select(
+        F.col("vec_id").alias("__ia"),
+        F.col("__e").alias("__ea"),
+        F.col("__n").alias("__na"),
+    )
+    hi = v.select(
+        F.col("vec_id").alias("__ib"),
+        F.col("__e").alias("__eb"),
+        F.col("__n").alias("__nb"),
+    )
+    t0 = time.time()
+    # measurement-only O(n^2) scan: the point is an UNRESTRICTED truth
+    # set, which no catalog query would ever run at corpus scale
+    truth = {
+        r["__ib"]
+        for r in lo.crossJoin(hi)
+        .filter(F.col("__ia") < F.col("__ib"))
+        .filter(
+            cosine_fixedpoint_from_nsq(
+                F.col("__ea"), F.col("__eb"), F.col("__na"), F.col("__nb"),
+                SIM_FP_SCALE,
+            )
+            >= NEARDUP_SIM
+        )
+        .select("__ib")
+        .distinct()
+        .collect()
+    }
+    t_truth = time.time() - t0
+    print()
+    print("# Semantic-dedup candidate-scope quality (embedding space)")
+    print()
+    print(
+        f"Ground truth: exhaustive all-pairs transitive prune at cosine >= "
+        f"{NEARDUP_SIM} — **{len(truth)} prunable vectors** "
+        f"({t_truth:.1f}s, measurement-only O(n^2) scan). Scoped methods "
+        f"mark subsets of this (precision 1.0 by construction); recall "
+        f"is the scope restriction's cost."
+    )
+    print()
+    print("| method | scope | pruned | recall | sec |")
+    print("|---|---|---|---|---|")
+    for name, scope, fn in (
+        ("d13_semantic_prune", "sign-LSH buckets", d13_semantic_prune),
+        ("d18_semdedup_clusters", "k-means clusters", d18_semdedup_clusters),
+    ):
+        t0 = time.time()
+        got = {
+            r["vec_id"]
+            for r in fn(spark, sf_dir).filter("pruned").collect()
+        }
+        dt = time.time() - t0
+        extra = got - truth
+        rec = len(got & truth) / len(truth) if truth else float("nan")
+        print(
+            f"| {name} | {scope} | {len(got)} | {rec:.3f} | {dt:.1f} |"
+        )
+        assert not extra, f"{name} pruned outside truth: {sorted(extra)[:5]}"
+    print()
+    print(
+        "Interpretation: both scopes use the same fixed-point cosine "
+        "and threshold, so every divergence from truth is a missed "
+        "CANDIDATE pair (two similar vectors that landed in different "
+        "buckets/clusters), never a scoring difference. Clusters "
+        "follow data density where sign buckets cut axis-aligned "
+        "planes — compare the recall column to see what that buys on "
+        "this corpus."
+    )
 
 
 if __name__ == "__main__":
