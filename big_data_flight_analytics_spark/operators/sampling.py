@@ -202,6 +202,7 @@ def dsir_weights(
     id_col: str = "doc_id",
     n_buckets: int = 256,
     grain: int = 1_000_000,
+    _product_bound: int = 1 << 62,
 ) -> DataFrame:
     """DSIR-style importance weights from hashed-bigram features.
 
@@ -264,20 +265,46 @@ def dsir_weights(
         F.sum("cnt_t").cast("long").alias("s_t"),
         F.sum("cnt_r").cast("long").alias("s_r"),
     )
+    # overflow guard BEFORE any int64 product can wrap (the
+    # rolling_zscore pattern): cnt_t <= cnt_r and s_t <= s_r, so
+    # (cnt_r+1)*(s_r+B) bounds both the numerator and denominator
+    # products. Checked in double (1e-16 relative error absorbed by
+    # the 2x headroom to 2^63); assert_true returns NULL when the
+    # bound holds, so anchoring on .isNull() keeps the check inside
+    # codegen with zero effect on passing rows. Remedy per docstring:
+    # cast to double before multiplying, or promote to DECIMAL(38,0).
+    bound_ok = F.assert_true(
+        F.coalesce(
+            (F.col("cnt_r") + 1).cast("double")
+            * (F.col("s_r") + n_buckets).cast("double"),
+            F.lit(0.0),
+        )
+        <= F.lit(float(_product_bound)),
+        F.lit(
+            "dsir_weights: (cnt+1)*(S+B) exceeds 2^62 — int64 would "
+            "wrap; cast to double before multiplying or promote to "
+            "DECIMAL (see docstring)"
+        ),
+    )
     weights = (
         bucket_counts.crossJoin(F.broadcast(totals))
         .select(
             "bucket",
-            F.floor(
-                F.lit(float(grain))
-                * F.log(
-                    (
-                        (F.col("cnt_t") + 1) * (F.col("s_r") + n_buckets)
-                    ).cast("double")
-                    / (
-                        (F.col("cnt_r") + 1) * (F.col("s_t") + n_buckets)
-                    ).cast("double")
-                )
+            F.when(
+                bound_ok.isNull(),
+                F.floor(
+                    F.lit(float(grain))
+                    * F.log(
+                        (
+                            (F.col("cnt_t") + 1)
+                            * (F.col("s_r") + n_buckets)
+                        ).cast("double")
+                        / (
+                            (F.col("cnt_r") + 1)
+                            * (F.col("s_t") + n_buckets)
+                        ).cast("double")
+                    )
+                ),
             ).alias("w_fp"),
         )
     )

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import random
 
+import pytest
 from pyspark.sql import Row
 
 from big_data_flight_analytics_spark.operators.sampling import (
@@ -617,3 +618,18 @@ class TestDsirWeights:
             for r in dsir_weights(df.repartition(13), "tgt").collect()
         }
         assert base == shuf
+
+    def test_overflow_guard_fails_loud(self, spark):
+        from big_data_flight_analytics_spark.operators.sampling import (
+            dsir_weights,
+        )
+
+        rows = [
+            Row(doc_id=0, source="bg", text="a b c d"),
+            Row(doc_id=1, source="tgt", text="a b"),
+        ]
+        df = spark.createDataFrame(rows)
+        with pytest.raises(Exception, match="exceeds 2\\^62"):
+            dsir_weights(df, "tgt", _product_bound=1).collect()
+        # and untouched data still passes with the real bound
+        assert dsir_weights(df, "tgt").count() == 2
