@@ -697,6 +697,84 @@ def semdedup_kmeans(
     )
 
 
+def embedding_index_delta(
+    base: DataFrame,
+    delta: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int | None = None,
+    target_bucket_size: int = 256,
+    base_count: int | None = None,
+    fp_scale: int = 10**15,
+) -> DataFrame:
+    """Dedup ONE arriving embedding batch against a persisted base
+    corpus: the ``incremental.dedup_delta`` ingest contract (i2) in
+    embedding space.
+
+    The 100 TB ingest pattern: the base corpus's sign-LSH signatures
+    are the persisted index (at scale, stored BUCKETED by the bucket
+    id so this operator never re-shuffles the base); each arriving
+    batch is signed with the INDEX's bucket scheme (``bits`` fixed at
+    index-build time — pass it, or let it derive from the base count
+    like ``embedding_neardup_pairs``), broadcast against the base
+    postings, and every delta vector whose bucket holds a base vector
+    with fixed-point cosine >= ``threshold`` is marked a known
+    near-dup of the lowest qualifying base id. Work per refresh is one
+    base-side map + O(|delta| x bucket population) pair scores — the
+    base is never rescanned quadratically and never shuffled.
+
+    Every decision is engine-version-independent (the d18/v4
+    doctrine): md5-free sign buckets, ``cosine_fixedpoint_from_nsq``
+    scoring, MIN over qualifying base ids.
+
+    Output: one row per DELTA vector — (id_col, matched_base_id
+    nullable, dup_of_index). Recall is bounded by the single-window
+    bucket scheme exactly as for d5/d13 (the multi-probe lever applies
+    unchanged if the index stores additional windows).
+    """
+    if bits is None:
+        n = base_count if base_count is not None else base.count()
+        bits = adaptive_bits(n, target_bucket_size)
+
+    def sig(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"__{tag}_id"),
+            sign_bucket(vec_col, bits).alias("bucket"),
+            F.col(vec_col).alias(f"__{tag}_e"),
+            norm_sq_fixedpoint(F.col(vec_col), fp_scale).alias(
+                f"__{tag}_n"
+            ),
+        )
+
+    b, d = sig(base, "b"), sig(delta, "d")
+    matches = (
+        b.join(F.broadcast(d), "bucket")
+        .filter(
+            cosine_fixedpoint_from_nsq(
+                F.col("__b_e"), F.col("__d_e"),
+                F.col("__b_n"), F.col("__d_n"), fp_scale,
+            )
+            >= threshold
+        )
+        .groupBy("__d_id")
+        .agg(F.min("__b_id").alias("matched_base_id"))
+    )
+    return (
+        delta.select(id_col)
+        .join(
+            F.broadcast(matches.withColumnRenamed("__d_id", id_col)),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            "matched_base_id",
+            F.col("matched_base_id").isNotNull().alias("dup_of_index"),
+        )
+    )
+
+
 def quantize_vectors(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -172,6 +172,7 @@ _TIE_BREAK = [
     "f4_variant_extract",
     "t18_dsir_weights",
     "d18_semdedup_clusters",
+    "i3_embedding_delta",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

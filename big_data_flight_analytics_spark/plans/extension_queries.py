@@ -3389,6 +3389,78 @@ FROM cells c LEFT JOIN pruned p ON p.pid = c.id"""
 D18_SQL = _semdedup_sql()
 
 
+# ---------------------------------------------------------------------------
+# I3 — incremental embedding dedup under the full oracle gate: the i2
+# ingest contract (persisted index absorbs one arriving batch with
+# O(delta) work) in embedding space. Documents-style 80/20 split of
+# the embeddings table: the 80% base acts as the persisted sign-LSH
+# index (bucket scheme fixed by the BASE count — the index's scheme,
+# not the union's), the 20% delta is the arrival batch; every delta
+# vector is marked against the lowest base vector in its bucket with
+# fixed-point cosine >= threshold. All rank/membership arithmetic is
+# exact (sign buckets, int64 grain dot/norms — the d18/v4 doctrine).
+# Plan: base map-side signatures + broadcast delta + one small agg —
+# the base never shuffles (at 100 TB it is stored bucketed by the
+# bucket id), which is what makes per-batch ingest dedup affordable.
+# ---------------------------------------------------------------------------
+
+
+def i3_embedding_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.similarity import (
+        embedding_index_delta,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    return embedding_index_delta(
+        base,
+        delta,
+        threshold=NEARDUP_SIM,
+        target_bucket_size=NEARDUP_TARGET_BUCKET,
+        fp_scale=SIM_FP_SCALE,
+    )
+
+
+I3_SQL = f"""
+WITH params AS (
+    SELECT GREATEST(1, CAST(CEIL(LOG2(GREATEST(
+               COUNT(*) / {NEARDUP_TARGET_BUCKET}.0, 2.0))) AS INTEGER)) AS bits
+    FROM embeddings WHERE vec_id % 5 <> 0
+), sig AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+           CAST(list_sum(list_transform(
+               range(1, len(embedding) + 1),
+               i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                               * CAST(embedding[i] AS DOUBLE)
+                               * {SIM_FP_SCALE}.0) AS BIGINT)))
+               AS BIGINT) AS nsq,
+           list_sum(list_transform(range(1, bits + 1),
+               i -> CASE WHEN embedding[i] > 0
+                         THEN (1 << (bits - i)) ELSE 0 END)) AS bucket
+    FROM embeddings, params
+), m AS (
+    SELECT d.vec_id, MIN(b.vec_id) AS matched_base_id
+    FROM sig d JOIN sig b ON b.bucket = d.bucket
+    WHERE d.vec_id % 5 = 0 AND b.vec_id % 5 <> 0
+      AND CASE WHEN b.nsq <= 0 OR d.nsq <= 0 THEN 0.0
+               ELSE CAST(CAST(list_sum(list_transform(
+                        range(1, len(b.emb) + 1),
+                        i -> CAST(FLOOR(b.emb[i] * d.emb[i]
+                                        * {SIM_FP_SCALE}.0) AS BIGINT)))
+                        AS BIGINT) AS DOUBLE)
+                    / (sqrt(CAST(b.nsq AS DOUBLE))
+                       * sqrt(CAST(d.nsq AS DOUBLE)))
+          END >= {NEARDUP_SIM}
+    GROUP BY 1
+)
+SELECT d.vec_id, m.matched_base_id,
+       m.matched_base_id IS NOT NULL AS dup_of_index
+FROM (SELECT vec_id FROM embeddings WHERE vec_id % 5 = 0) d
+LEFT JOIN m ON m.vec_id = d.vec_id
+"""
+
+
 EXTENSION_QUERIES = {
     "t1_text_stats": t1_text_stats,
     "t15_bpe_merges": t15_bpe_merges,
@@ -3396,6 +3468,7 @@ EXTENSION_QUERIES = {
     "t17_bm25_topk": t17_bm25_topk,
     "t18_dsir_weights": t18_dsir_weights,
     "d18_semdedup_clusters": d18_semdedup_clusters,
+    "i3_embedding_delta": i3_embedding_delta,
     "i2_dedup_delta": i2_dedup_delta,
     "t3_gopher_metrics": t3_gopher_metrics,
     "t4_tfidf_top_terms": t4_tfidf_top_terms,
@@ -3447,6 +3520,7 @@ EXTENSION_ORACLES = {
     "t17_bm25_topk": T17_SQL,
     "t18_dsir_weights": T18_SQL,
     "d18_semdedup_clusters": D18_SQL,
+    "i3_embedding_delta": I3_SQL,
     "i2_dedup_delta": I2_SQL,
     "t3_gopher_metrics": T3_SQL,
     "t4_tfidf_top_terms": T4_SQL,

@@ -856,3 +856,75 @@ class TestSemdedupKmeans:
             ).collect()
         }
         assert base == shuf
+
+
+class TestEmbeddingIndexDelta:
+    """embedding_index_delta: ingest-batch dedup against a base index."""
+
+    def test_delta_marked_against_base(self, spark):
+        from big_data_flight_analytics_spark.operators.similarity import (
+            embedding_index_delta,
+        )
+
+        base = spark.createDataFrame([
+            Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0]),
+            Row(vec_id=2, embedding=[0.99, 0.05, 0.0, 0.0]),  # dup of 1
+            Row(vec_id=3, embedding=[0.0, 1.0, 0.0, 0.0]),
+        ])
+        delta = spark.createDataFrame([
+            Row(vec_id=10, embedding=[0.98, 0.1, 0.0, 0.0]),   # ~1 and ~2
+            Row(vec_id=11, embedding=[0.0, 0.0, 1.0, 0.0]),    # novel
+        ])
+        got = {
+            r["vec_id"]: (r["matched_base_id"], r["dup_of_index"])
+            for r in embedding_index_delta(
+                base, delta, threshold=0.9, bits=1
+            ).collect()
+        }
+        # lowest qualifying base id wins; novel vector unmarked
+        assert got == {10: (1, True), 11: (None, False)}
+
+    def test_base_never_marked_and_every_delta_row_present(self, spark):
+        from big_data_flight_analytics_spark.operators.similarity import (
+            embedding_index_delta,
+        )
+
+        base = embeddings(spark)
+        delta = embeddings(spark).withColumn(
+            "vec_id", F.col("vec_id") + 100
+        )
+        out = embedding_index_delta(
+            base, delta, threshold=0.99999, bits=1
+        ).collect()
+        # output is exactly the delta ids (the base is index, not input)
+        assert {r["vec_id"] for r in out} == {100, 101, 102, 103, 104}
+        # identical vectors: cosine == 1.0 >= threshold -> all known
+        assert all(r["dup_of_index"] for r in out)
+
+    def test_partition_invariance(self, spark):
+        import random
+
+        from big_data_flight_analytics_spark.operators.similarity import (
+            embedding_index_delta,
+        )
+
+        rng = random.Random(3)
+        rows = [
+            Row(
+                vec_id=i,
+                embedding=[rng.uniform(-1, 1) for _ in range(8)],
+            )
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows)
+        base = df.filter("vec_id % 5 != 0")
+        delta = df.filter("vec_id % 5 = 0")
+        run = lambda b, d: {
+            tuple(r)
+            for r in embedding_index_delta(
+                b, d, threshold=0.6
+            ).collect()
+        }
+        assert run(base, delta) == run(
+            base.repartition(13), delta.repartition(7)
+        )
