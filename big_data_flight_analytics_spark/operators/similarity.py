@@ -707,6 +707,7 @@ def embedding_index_delta(
     target_bucket_size: int = 256,
     base_count: int | None = None,
     fp_scale: int = 10**15,
+    probes: int = 1,
 ) -> DataFrame:
     """Dedup ONE arriving embedding batch against a persisted base
     corpus: the ``incremental.dedup_delta`` ingest contract (i2) in
@@ -729,28 +730,43 @@ def embedding_index_delta(
     scoring, MIN over qualifying base ids.
 
     Output: one row per DELTA vector — (id_col, matched_base_id
-    nullable, dup_of_index). Recall is bounded by the single-window
-    bucket scheme exactly as for d5/d13 (the multi-probe lever applies
-    unchanged if the index stores additional windows).
+    nullable, dup_of_index). Recall is bounded by the bucket scheme
+    exactly as for d5/d13; ``probes`` > 1 is the same recall lever as
+    ``_bucket_scored_pairs`` — the index stores one signature column
+    per DISJOINT sign window (dims [p*bits, (p+1)*bits)), a base-dup
+    straddling one window's boundary is recovered by another, and the
+    result stays deterministic (MIN over the unioned qualifying set;
+    duplicate cross-window pairs are dropped before scoring).
     """
+    if probes < 1:
+        raise ValueError(f"probes must be >= 1, got {probes}")
     if bits is None:
         n = base_count if base_count is not None else base.count()
         bits = adaptive_bits(n, target_bucket_size)
 
-    def sig(df: DataFrame, tag: str) -> DataFrame:
+    def sig(df: DataFrame, tag: str, p: int) -> DataFrame:
         return df.select(
             F.col(id_col).alias(f"__{tag}_id"),
-            sign_bucket(vec_col, bits).alias("bucket"),
+            sign_bucket(vec_col, bits, offset=p * bits).alias("bucket"),
             F.col(vec_col).alias(f"__{tag}_e"),
             norm_sq_fixedpoint(F.col(vec_col), fp_scale).alias(
                 f"__{tag}_n"
             ),
         )
 
-    b, d = sig(base, "b"), sig(delta, "d")
+    frames = [
+        sig(base, "b", p)
+        .join(F.broadcast(sig(delta, "d", p)), "bucket")
+        .select("__b_id", "__d_id", "__b_e", "__d_e", "__b_n", "__d_n")
+        for p in range(probes)
+    ]
+    cand = frames[0]
+    for f in frames[1:]:
+        cand = cand.unionByName(f)
+    if probes > 1:
+        cand = cand.dropDuplicates(["__b_id", "__d_id"])
     matches = (
-        b.join(F.broadcast(d), "bucket")
-        .filter(
+        cand.filter(
             cosine_fixedpoint_from_nsq(
                 F.col("__b_e"), F.col("__d_e"),
                 F.col("__b_n"), F.col("__d_n"), fp_scale,

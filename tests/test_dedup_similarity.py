@@ -928,3 +928,43 @@ class TestEmbeddingIndexDelta:
         assert run(base, delta) == run(
             base.repartition(13), delta.repartition(7)
         )
+
+    def test_multiprobe_recall_monotone(self, spark):
+        """probes is the recall lever: vs brute-force truth, probes=4
+        must recover at least as many known-dups as probes=1, and the
+        probes=1 result must be a subset (same scoring, wider scope)."""
+        import random
+
+        from big_data_flight_analytics_spark.operators.similarity import (
+            embedding_index_delta,
+        )
+
+        rng = random.Random(19)
+        base_rows = [
+            Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(16)])
+            for i in range(150)
+        ]
+        # deltas = perturbed copies of base vectors: every one has a
+        # true near-dup, so truth recall is exactly the bucket hit rate
+        delta_rows = [
+            Row(
+                vec_id=1000 + i,
+                embedding=[x + rng.uniform(-0.05, 0.05) for x in r.embedding],
+            )
+            for i, r in enumerate(base_rows)
+        ]
+        base = spark.createDataFrame(base_rows)
+        delta = spark.createDataFrame(delta_rows)
+
+        def known(p):
+            return {
+                r["vec_id"]
+                for r in embedding_index_delta(
+                    base, delta, threshold=0.9, bits=3, probes=p
+                ).collect()
+                if r["dup_of_index"]
+            }
+
+        k1, k4 = known(1), known(4)
+        assert k1 <= k4          # scope widens, scoring identical
+        assert len(k4) > len(k1) # and actually recovers boundary pairs
