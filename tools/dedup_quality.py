@@ -200,6 +200,93 @@ def semantic_section(spark, sf_dir: str) -> None:
         "planes — compare the recall column to see what that buys on "
         "this corpus."
     )
+    delta_section(spark, sf_dir)
+
+
+def delta_section(spark, sf_dir: str) -> None:
+    """Ingest-dedup (i3) recall vs probes, against brute-force truth.
+
+    Same contract as the scoped table above, on the i3 catalog split
+    (80% base index / 20% arriving delta): truth = every delta vector
+    with ANY base vector at fixed-point cosine >= threshold
+    (measurement-only O(base x delta) scan); each probe count is a
+    strict subset (asserted), recall is the bucket-scheme's hit rate.
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    from big_data_flight_analytics_spark.functions.vector import (
+        cosine_fixedpoint_from_nsq,
+        norm_sq_fixedpoint,
+    )
+    from big_data_flight_analytics_spark.operators.similarity import (
+        embedding_index_delta,
+    )
+    from big_data_flight_analytics_spark.plans.extension_queries import (
+        NEARDUP_SIM,
+        NEARDUP_TARGET_BUCKET,
+        SIM_FP_SCALE,
+    )
+    from big_data_flight_analytics_spark.plans.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").cache()
+    base = emb.filter("vec_id % 5 != 0")
+    delta = emb.filter("vec_id % 5 = 0")
+
+    def side(df, t):
+        return df.select(
+            F.col("vec_id").alias(f"{t}_id"),
+            F.col("embedding").alias(f"{t}_e"),
+            norm_sq_fixedpoint(F.col("embedding"), SIM_FP_SCALE).alias(
+                f"{t}_n"
+            ),
+        )
+
+    t0 = time.time()
+    truth = {
+        r[0]
+        for r in side(base, "b")
+        .crossJoin(side(delta, "d"))
+        .filter(
+            cosine_fixedpoint_from_nsq(
+                F.col("b_e"), F.col("d_e"), F.col("b_n"), F.col("d_n"),
+                SIM_FP_SCALE,
+            )
+            >= NEARDUP_SIM
+        )
+        .select("d_id")
+        .distinct()
+        .collect()
+    }
+    t_truth = time.time() - t0
+    print()
+    print("# Ingest-dedup (i3) recall vs probes")
+    print()
+    print(
+        f"Truth: {len(truth)} delta vectors with a base near-dup at "
+        f"cosine >= {NEARDUP_SIM} ({t_truth:.1f}s brute force). The "
+        f"catalog entry runs probes=1; the lever is the index storing "
+        f"more sign windows."
+    )
+    print()
+    print("| probes | known | recall | sec |")
+    print("|---|---|---|---|")
+    for p in (1, 2, 4):
+        t0 = time.time()
+        got = {
+            r["vec_id"]
+            for r in embedding_index_delta(
+                base, delta, threshold=NEARDUP_SIM,
+                target_bucket_size=NEARDUP_TARGET_BUCKET,
+                fp_scale=SIM_FP_SCALE, probes=p,
+            ).collect()
+            if r["dup_of_index"]
+        }
+        dt = time.time() - t0
+        assert got <= truth, f"probes={p} marked outside truth"
+        rec = len(got) / len(truth) if truth else float("nan")
+        print(f"| {p} | {len(got)} | {rec:.3f} | {dt:.1f} |")
 
 
 if __name__ == "__main__":
