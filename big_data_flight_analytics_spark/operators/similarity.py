@@ -107,6 +107,7 @@ def embedding_neardup_pairs(
     dp: int = 4,
     target_bucket_size: int = 256,
     corpus_count: int | None = None,
+    probes: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, sim >= threshold).
 
@@ -132,7 +133,7 @@ def embedding_neardup_pairs(
     """
     return _bucket_scored_pairs(
         corpus, id_col, vec_col, bits, dp, target_bucket_size,
-        corpus_count, ordered=True,
+        corpus_count, ordered=True, probes=probes,
     ).filter(F.col("sim") >= threshold)
 
 

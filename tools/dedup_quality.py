@@ -174,8 +174,23 @@ def semantic_section(spark, sf_dir: str) -> None:
     print()
     print("| method | scope | pruned | recall | sec |")
     print("|---|---|---|---|---|")
+    from big_data_flight_analytics_spark.operators.similarity import (
+        semantic_prune,
+    )
+
+    def prune_probes2(spark, sf_dir):
+        # the d13 operator with the probes lever engaged (NOT the
+        # catalog entry, which stays single-probe like its oracle)
+        return semantic_prune(
+            load(sf_dir=sf_dir, spark=spark, name="embeddings"),
+            threshold=NEARDUP_SIM,
+            target_bucket_size=128,
+            probes=2,
+        )
+
     for name, scope, fn in (
         ("d13_semantic_prune", "sign-LSH buckets", d13_semantic_prune),
+        ("d13 @ probes=2", "2 disjoint sign windows", prune_probes2),
         ("d18_semdedup_clusters", "k-means clusters", d18_semdedup_clusters),
     ):
         t0 = time.time()
