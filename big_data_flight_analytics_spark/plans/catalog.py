@@ -145,7 +145,6 @@ _TIE_BREAK = [
     "i2_dedup_delta",
     "ts3_rolling_zscore",
     "b4_top_paths",
-    "q12_probe",
     "q12_small_quantity_revenue",
     "v5_quantized_topk",
     "h2_cdc_snapshot",
@@ -160,7 +159,6 @@ _TIE_BREAK = [
     "d17_source_dedup_report",
     "s7_windowed_topk",
     "v6_pq_topk",
-    "g1_probe",
     "g1_knn_pagerank",
     "q14_dormant_high_balance",
     "t15_bpe_merges",

@@ -1451,27 +1451,19 @@ r{k} AS (
 )"""
         )
     body = ",\n".join(parts)
-    return f"{body}\nSELECT node, r AS rank_fp FROM r{num_iter}"
+    # CAST to BIGINT (round 9): the iterated integer sums propagate
+    # HUGEINT through the CTE chain and the driver's pandas
+    # canonicalizer mis-hashes int128 output columns (VERDICT r8 —
+    # the probe with an INT output was green over the same edges
+    # while the raw-sum output was red). Driver-safe envelope is
+    # BIGINT/DOUBLE/VARCHAR/DATE/TS/BOOLEAN only.
+    return (
+        f"{body}\n"
+        f"SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r{num_iter}"
+    )
 
 
 G1_SQL = _pagerank_fp_sql(V4_SQL)
-
-
-# ---------------------------------------------------------------------------
-# G1_PROBE — bisect instrumentation for the g1 driver red (VERDICT r7
-# §Next-round 3b): v4's edge list (vec_a, vec_b, rank) WITHOUT the sim
-# column — exactly the edge set PageRank consumes. If g1 stays red
-# while this is green, the divergence is inside the (associative-exact
-# int64) PageRank chain; if THIS is red, it's the candidate set or the
-# ranking. Remove once g1 has a green driver row.
-# ---------------------------------------------------------------------------
-
-
-def g1_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return v4_knn_graph(spark, sf_dir).select("vec_a", "vec_b", "rank")
-
-
-G1_PROBE_SQL = f"SELECT vec_a, vec_b, rank FROM (\n{V4_SQL}\n)"
 
 
 # ---------------------------------------------------------------------------
@@ -3028,16 +3020,22 @@ def _bpe_sql(k: int = BPE_MERGES) -> str:
     return body + "\n" + finals
 
 
-def _bpe_apply_sql(k: int = BPE_MERGES) -> str:
+def _bpe_apply_sql(k: int = BPE_MERGES, as_string: bool = False) -> str:
     """BPE apply-side oracle: tokenize documents with the K merges the
     round chain just learned — per-doc token arrays in word order plus
     counts, mirroring ``operators.bpe.tokenize_with_merges``.
 
-    r8 catalog candidate (the r7 freeze admits only t15); until then
-    the differential runs in pytest (TestBpeApplyOracle) so the apply
-    path is oracle-verified without spending a driver-window slot.
     Docs whose text yields no words keep a row with an empty token
     array (LEFT JOIN back to documents), matching the operator.
+
+    ``as_string=True`` (the T16 catalog form, round 9) emits the token
+    list joined with ' ' instead of the raw LIST column: the driver's
+    pandas canonicalizer cannot sort list-typed columns (r8 `err` row —
+    ``TypeError: unhashable type: 'list'``), so catalog outputs must
+    stay scalar. The join is lossless for the hash gate (tokens never
+    contain whitespace: words are split on \\s+ first). The array form
+    remains for the pytest differential (TestBpeApplyOracle) and
+    library callers.
     """
     parts = list(_bpe_rounds(k))
     parts.append(
@@ -3077,11 +3075,16 @@ a0 AS (
 )"""
     )
     body = ",\n".join(parts)
+    token_col = (
+        "array_to_string(COALESCE(t.bpe_tokens, []), ' ') AS tokens"
+        if as_string
+        else "COALESCE(t.bpe_tokens, []) AS bpe_tokens"
+    )
     return (
         body
-        + """
+        + f"""
 SELECT d.doc_id,
-       COALESCE(t.bpe_tokens, []) AS bpe_tokens,
+       {token_col},
        CAST(COALESCE(len(t.bpe_tokens), 0) AS BIGINT) AS n_bpe_tokens
 FROM documents d LEFT JOIN toks t USING (doc_id)"""
     )
@@ -3099,6 +3102,12 @@ T15_SQL = _bpe_sql()
 # that runs at corpus scale); oracle is the pre-validated
 # ``_bpe_apply_sql`` replace chain (TestBpeApplyOracle differential,
 # r7). Promotion per VERDICT r7 #6.
+#
+# Catalog output is SCALAR-only (round 9): the driver's pandas
+# canonicalizer crashes on list columns, so the entry projects
+# array_join(bpe_tokens, ' ') — lossless for the hash gate since
+# tokens never contain whitespace. Library callers keep the array
+# form via tokenize_with_merges directly.
 # ---------------------------------------------------------------------------
 
 
@@ -3114,10 +3123,16 @@ def t16_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("merge_rank")
         .collect()
     ]
-    return tokenize_with_merges(load(spark, sf_dir, "documents"), merges)
+    return tokenize_with_merges(
+        load(spark, sf_dir, "documents"), merges
+    ).select(
+        "doc_id",
+        F.array_join("bpe_tokens", " ").alias("tokens"),
+        "n_bpe_tokens",
+    )
 
 
-T16_SQL = _bpe_apply_sql()
+T16_SQL = _bpe_apply_sql(as_string=True)
 
 
 # ---------------------------------------------------------------------------
@@ -3498,7 +3513,6 @@ EXTENSION_QUERIES = {
     "v6_pq_topk": v6_pq_topk,
     "v7_pq_trained_topk": v7_pq_trained_topk,
     "v8_ivfpq_topk": v8_ivfpq_topk,
-    "g1_probe": g1_probe,
     "g1_knn_pagerank": g1_knn_pagerank,
     "d13_semantic_prune": d13_semantic_prune,
     "d14_dedup_ensemble": d14_dedup_ensemble,
@@ -3546,7 +3560,6 @@ EXTENSION_ORACLES = {
     "v2_lsh_topk": V2_SQL,
     "d5_embedding_neardup": D5_SQL,
     "v4_knn_graph": V4_SQL,
-    "g1_probe": G1_PROBE_SQL,
     "g1_knn_pagerank": G1_SQL,
     "v5_quantized_topk": V5_SQL,
     "v6_pq_topk": V6_SQL,

@@ -1265,13 +1265,14 @@ def q12_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Oracle deliberately decorrelated (round 8): the correlated-scalar-
-# subquery form was the ONLY such shape in the driver window and the
-# only hash-red entry two rounds running, while passing bit-exact on
-# local DuckDB 1.0.0 at three scales — a planner/decorrelation
-# divergence across DuckDB versions, not arithmetic (the predicate is
-# pure int64). The plain pre-aggregated CTE join below is semantically
-# identical and has no planner-dependent form left.
+# Oracle output is CAST ... AS BIGINT on the sum (round 9): three
+# rounds of hash-red on this entry had ONE cause — DuckDB types
+# SUM(BIGINT) as HUGEINT (int128), and the driver's pandas
+# canonicalizer mis-hashes int128 columns (VERDICT r8: the r8 probe
+# run isolated it — a bare integer GROUP BY with a raw SUM was red
+# while the identical query with cast outputs was green). Only
+# {BIGINT, DOUBLE, VARCHAR, DATE/TIMESTAMP, BOOLEAN} output columns
+# are driver-safe; tools/selfcheck.py now enforces this envelope.
 Q12_SQL = """
 WITH st AS (
     SELECT l_partkey,
@@ -1282,46 +1283,12 @@ WITH st AS (
 )
 SELECT p_brand,
        COUNT(*) AS n_items,
-       SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
-           AS revenue_cents
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_cents
 FROM lineitem l
 JOIN st ON st.l_partkey = l.l_partkey
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE 5 * CAST(l.l_quantity AS BIGINT) * st.n < st.s
-GROUP BY 1
-"""
-
-
-# ---------------------------------------------------------------------------
-# Q12_PROBE — bisect instrumentation for the two-round-standing q12
-# driver red (VERDICT r7 §Next-round 3a). Emits the per-part
-# (qty_sum, n_items, cents_sum) stats for a bounded key slice — pure
-# int64, single aggregation, no join, no predicate. If q12 stays red
-# while this is green, the divergence is in the join/predicate stage,
-# not the stats or the cents grain; if THIS is red, the driver's
-# engine disagrees on a bare integer GROUP BY and nothing on this
-# side can cure it. Remove once q12 has a green driver row.
-# ---------------------------------------------------------------------------
-
-
-def q12_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem").filter(F.col("l_partkey") <= 200)
-    return li.groupBy("l_partkey").agg(
-        F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"),
-        F.count(F.lit(1)).alias("n_items"),
-        F.sum(
-            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
-        ).alias("cents_sum"),
-    )
-
-
-Q12_PROBE_SQL = """
-SELECT l_partkey,
-       SUM(CAST(l_quantity AS BIGINT)) AS qty_sum,
-       COUNT(*) AS n_items,
-       SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cents_sum
-FROM lineitem
-WHERE l_partkey <= 200
 GROUP BY 1
 """
 
@@ -1569,7 +1536,6 @@ GROUP BY 1
 
 
 RELATIONAL_QUERIES = {
-    "q12_probe": q12_probe,
     "q12_small_quantity_revenue": q12_small_quantity_revenue,
     "q13_dominant_suppliers": q13_dominant_suppliers,
     "u2_activity_reconciliation": u2_activity_reconciliation,
@@ -1632,7 +1598,6 @@ RELATIONAL_ORACLES = {
     "a7_price_percentiles": A7_SQL,
     "s3_sliding_window_users": S3_SQL,
     "q11_cheapest_suppliers": Q11_SQL,
-    "q12_probe": Q12_PROBE_SQL,
     "q12_small_quantity_revenue": Q12_SQL,
     "q13_dominant_suppliers": Q13_SQL,
     "u2_activity_reconciliation": U2_SQL,

@@ -44,3 +44,96 @@ class TestCatalogIntegrity:
         # growth-only guard: round 6 closed at 83 entries; losing
         # entries (a bad merge, an accidental deletion) must fail loud
         assert len(QUERIES) >= 83
+
+
+class TestDriverOutputEnvelope:
+    """Round-9 recurrence guard for the r6-r8 driver-red class.
+
+    The driver's oracle gate canonicalizes results through pandas,
+    which mis-hashes DuckDB HUGEINT (int128) columns and crashes on
+    list columns — so catalog outputs must stay inside the scalar
+    envelope {ints<=64, DOUBLE, DECIMAL, VARCHAR, DATE/TS, BOOLEAN}.
+    The scan is binding-only (DuckDB ``.types`` on the relation), so
+    it covers every oracle without executing one.
+    """
+
+    def test_every_oracle_output_schema_is_driver_safe(self):
+        import os
+
+        import duckdb
+        import pytest as _pytest
+
+        from big_data_flight_analytics_spark.plans.envelope import (
+            duckdb_type_problems,
+        )
+        from big_data_flight_analytics_spark.plans.tables import TABLES
+
+        sf = "/root/testdata/sf0.001"
+        if not os.path.exists(f"{sf}/documents.parquet"):
+            _pytest.skip("testdata not present")
+        con = duckdb.connect()
+        for t in TABLES:
+            con.sql(
+                f"CREATE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+            )
+        offenders = {}
+        for name, sql in ORACLES.items():
+            rel = con.sql(sql)  # binds only; nothing executes
+            probs = duckdb_type_problems(rel.columns, rel.types)
+            if probs:
+                offenders[name] = probs
+        assert not offenders, offenders
+
+    def test_guard_catches_seeded_hugeint_offender(self):
+        import duckdb
+
+        from big_data_flight_analytics_spark.plans.envelope import (
+            duckdb_type_problems,
+        )
+
+        con = duckdb.connect()
+        # the exact shape that burned rounds 6-8: a raw SUM(BIGINT)
+        bad = con.sql(
+            "SELECT SUM(CAST(range AS BIGINT)) AS s FROM range(3)"
+        )
+        assert duckdb_type_problems(bad.columns, bad.types) == [
+            "s: HUGEINT"
+        ]
+        good = con.sql(
+            "SELECT CAST(SUM(CAST(range AS BIGINT)) AS BIGINT) AS s"
+            " FROM range(3)"
+        )
+        assert duckdb_type_problems(good.columns, good.types) == []
+        listy = con.sql("SELECT [1, 2] AS l")
+        assert duckdb_type_problems(listy.columns, listy.types) == [
+            "l: INTEGER[]"
+        ]
+
+    def test_guard_catches_spark_array_output(self):
+        from pyspark.sql.types import (
+            ArrayType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from big_data_flight_analytics_spark.plans.envelope import (
+            spark_schema_problems,
+        )
+
+        bad = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("bpe_tokens", ArrayType(StringType())),
+            ]
+        )
+        assert spark_schema_problems(bad) == ["bpe_tokens: array"]
+        good = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("tokens", StringType()),
+            ]
+        )
+        assert spark_schema_problems(good) == []

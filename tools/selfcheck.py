@@ -26,6 +26,10 @@ import duckdb  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 from big_data_flight_analytics_spark.cache import release_tracked  # noqa: E402
+from big_data_flight_analytics_spark.plans.envelope import (  # noqa: E402
+    duckdb_type_problems,
+    spark_schema_problems,
+)
 from big_data_flight_analytics_spark.plans.tables import TABLES  # noqa: E402
 from big_data_flight_analytics_spark.session import get_session  # noqa: E402
 
@@ -79,6 +83,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            sschema = sdf.schema
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
@@ -103,6 +108,18 @@ def main() -> int:
             results[name] = {"status": "fail", "err": f"duckdb: {e}"[:500]}
             continue
         problems = []
+        # Driver output-type envelope (r9 guard; see plans/envelope.py):
+        # the driver's pandas canonicalizer mis-hashes HUGEINT and
+        # crashes on list/struct/map columns, so violations here WILL
+        # produce driver reds even when values match bit-exact locally.
+        env = [
+            f"spark non-scalar output {p}"
+            for p in spark_schema_problems(sschema)
+        ] + [
+            f"oracle driver-unsafe output {p}"
+            for p in duckdb_type_problems(dcols, rel.types)
+        ]
+        problems.extend(env)
         if sorted(scols) != sorted(dcols):
             problems.append(f"columns differ: spark={sorted(scols)} duck={sorted(dcols)}")
         if len(srows) != len(drows):
