@@ -87,6 +87,29 @@ def sign_bucket(vec_col: str = "embedding", bits: int = 4, offset: int = 0):
     return bucket
 
 
+def _probe_dim_guard(vec_col: str, need: int, op: str):
+    """In-plan guard: the highest sign-window dimension must exist.
+
+    ``sign_bucket`` reads past-end components as bit 0, so an
+    oversized ``probes * bits`` silently collapses the outer windows
+    into duplicates of each other — the promised recall quietly never
+    materializes. assert_true returns NULL when the bound holds
+    (raises otherwise), so anchoring the last probe's bucket on
+    ``.isNull()`` keeps the check inside codegen with zero effect on
+    passing rows and zero extra jobs. NULL vectors pass through
+    (coalesce) — they bucket to 0 exactly as before the guard.
+    """
+    return F.assert_true(
+        F.coalesce(F.size(F.col(vec_col)) >= F.lit(need), F.lit(True)),
+        F.lit(
+            f"{op}: probes*bits={need} exceeds the vector dimension — "
+            "sign windows past the end read as bit 0 and duplicate "
+            "each other, silently losing the promised recall; lower "
+            "probes or bits"
+        ),
+    )
+
+
 def adaptive_bits(n: int, target_bucket_size: int = 256) -> int:
     """Sign-LSH bit width for an ``n``-row corpus: enough buckets that
     the mean population is ~``target_bucket_size``. Deterministic in
@@ -194,11 +217,18 @@ def _bucket_scored_pairs(
     )
     frames = []
     for p in range(probes):
+        bucket = sign_bucket(vec_col, bits, offset=p * bits)
+        if p == probes - 1:
+            # the outermost window's top dimension bounds them all
+            guard = _probe_dim_guard(
+                vec_col, probes * bits, "_bucket_scored_pairs"
+            )
+            bucket = F.when(guard.isNull(), bucket)
         sig = corpus.select(
             F.col(id_col),
             F.col(vec_col).alias("__v"),
             norm_expr.alias("__n"),
-            sign_bucket(vec_col, bits, offset=p * bits).alias("__bucket"),
+            bucket.alias("__bucket"),
         )
         a = sig.select(
             F.col(id_col).alias("vec_a"), F.col("__v").alias("__va"),
@@ -746,9 +776,15 @@ def embedding_index_delta(
         bits = adaptive_bits(n, target_bucket_size)
 
     def sig(df: DataFrame, tag: str, p: int) -> DataFrame:
+        bucket = sign_bucket(vec_col, bits, offset=p * bits)
+        if p == probes - 1:
+            guard = _probe_dim_guard(
+                vec_col, probes * bits, "embedding_index_delta"
+            )
+            bucket = F.when(guard.isNull(), bucket)
         return df.select(
             F.col(id_col).alias(f"__{tag}_id"),
-            sign_bucket(vec_col, bits, offset=p * bits).alias("bucket"),
+            bucket.alias("bucket"),
             F.col(vec_col).alias(f"__{tag}_e"),
             norm_sq_fixedpoint(F.col(vec_col), fp_scale).alias(
                 f"__{tag}_n"
@@ -1213,6 +1249,21 @@ def kmeans_fixedpoint_subspaces(
         .select("j", F.col("id").alias("c"), F.col("vq").alias("cq"))
         .transform(loop_checkpoint)
     )
+    # ``id < kcent`` is "the kcent lowest-id vectors" ONLY for dense
+    # 0-based id spaces (true of this engine's vec_id contract and
+    # required for the oracle's identical seed); with offset or sparse
+    # ids the codebook would silently shrink or go empty and every
+    # downstream centroid/assignment would be degenerate with no
+    # error. The seed frame is loop_checkpointed (materialized) and
+    # kcent*m rows tiny, so the count is effectively free.
+    n_seed = cents.count()
+    if n_seed != kcent * m:
+        raise ValueError(
+            f"kmeans_fixedpoint_subspaces: seed selected {n_seed} rows, "
+            f"expected kcent*m = {kcent * m} — ids must be dense and "
+            "0-based for the id<kcent seed (re-key the corpus with a "
+            "dense id, or lower kcent below the corpus size)"
+        )
     dist = F.aggregate(
         F.zip_with(
             F.col("vq"), F.col("cq"), lambda a, b: (a - b) * (a - b)

@@ -516,14 +516,37 @@ def bm25_topk(
     num_mult = 1000 + 100 * k1_tenths          # (k1+1) * 1000
     den_k1 = k1_tenths * (100 - b_hundredths)  # k1*(1-b) * 1000
     den_dl = k1_tenths * b_hundredths          # k1*b     * 1000
+    # overflow guard BEFORE any int64 product can wrap (the
+    # dsir_weights/rolling_zscore pattern): tf_i <= dl bounds every
+    # per-term numerator by dl*num_mult*s_tokens*grain, checked in
+    # double (1e-16 relative error absorbed by the 2x headroom to
+    # 2^63). Spark's non-ANSI int64 wraps SILENTLY while DuckDB
+    # raises, so past ~1e9 corpus tokens the two sides would diverge
+    # quietly-wrong vs loud — this makes Spark fail loud too.
+    # assert_true returns NULL when the bound holds; anchoring num0 on
+    # .isNull() keeps the check inside codegen with zero effect on
+    # passing rows. Remedy per docstring: drop `grain` or promote the
+    # quotient to DECIMAL(38,0).
+    bound_ok = F.assert_true(
+        F.col("dl").cast("double") * F.lit(float(num_mult))
+        * F.col("s_tokens").cast("double") * F.lit(float(grain))
+        <= F.lit(float(1 << 62)),
+        F.lit(
+            "bm25_topk: dl*(k1+1)*1000*s_tokens*grain exceeds 2^62 — "
+            "int64 would wrap; lower `grain` or promote to DECIMAL "
+            "(see docstring)"
+        ),
+    )
     proj = [F.col(id_col)]
     for i in range(n):
-        proj.append(
-            (
-                F.col(f"tf{i}") * F.lit(num_mult) * F.col("s_tokens")
-                * F.lit(grain)
-            ).alias(f"num{i}")
+        num_expr = (
+            F.col(f"tf{i}") * F.lit(num_mult) * F.col("s_tokens")
+            * F.lit(grain)
         )
+        # one anchored guard per row is enough (bound is tf-independent)
+        if i == 0:
+            num_expr = F.when(bound_ok.isNull(), num_expr)
+        proj.append(num_expr.alias(f"num{i}"))
         proj.append(
             (
                 F.lit(1000) * F.col("s_tokens") * F.col(f"tf{i}")

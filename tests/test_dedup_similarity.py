@@ -968,3 +968,96 @@ class TestEmbeddingIndexDelta:
         k1, k4 = known(1), known(4)
         assert k1 <= k4          # scope widens, scoring identical
         assert len(k4) > len(k1) # and actually recovers boundary pairs
+
+
+class TestGuards:
+    """Round-9 fail-loud guards (ADVICE r8): silent-degradation paths
+    must raise instead."""
+
+    def test_oversized_probes_raises_in_plan(self, spark):
+        from big_data_flight_analytics_spark.operators.similarity import (
+            embedding_index_delta,
+            embedding_neardup_pairs,
+        )
+
+        base = spark.createDataFrame([
+            Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0]),
+            Row(vec_id=2, embedding=[0.9, 0.1, 0.0, 0.0]),
+        ])
+        delta = spark.createDataFrame(
+            [Row(vec_id=10, embedding=[0.95, 0.05, 0.0, 0.0])]
+        )
+        # probes*bits = 3*2 = 6 > dim 4: windows past the end would
+        # silently duplicate each other — must fail loud instead
+        with pytest.raises(Exception, match="exceeds the vector dim"):
+            embedding_index_delta(
+                base, delta, threshold=0.5, bits=2, probes=3
+            ).collect()
+        with pytest.raises(Exception, match="exceeds the vector dim"):
+            embedding_neardup_pairs(
+                base.union(delta), threshold=0.5, bits=2, probes=3
+            ).collect()
+        # boundary probes*bits == dim stays legal
+        assert (
+            embedding_index_delta(
+                base, delta, threshold=0.5, bits=2, probes=2
+            ).count()
+            == 1
+        )
+
+    def test_kmeans_seed_requires_dense_ids(self, spark):
+        from big_data_flight_analytics_spark.operators.similarity import (
+            kmeans_fixedpoint_subspaces,
+        )
+
+        rows = [
+            Row(vec_id=i, embedding=[float(i % 3), 1.0, 0.0, float(i)])
+            for i in range(8)
+        ]
+        # offset id space: id < kcent selects NOTHING -> empty codebook
+        shifted = spark.createDataFrame(rows).withColumn(
+            "vec_id", F.col("vec_id") + 1000
+        )
+        with pytest.raises(ValueError, match="seed selected 0 rows"):
+            kmeans_fixedpoint_subspaces(
+                shifted, dim=4, m=2, kcent=2, n_iter=1
+            )
+        # dense 0-based ids: full codebook, no error
+        dense = spark.createDataFrame(rows)
+        cents = kmeans_fixedpoint_subspaces(
+            dense, dim=4, m=2, kcent=2, n_iter=1
+        )
+        assert cents.count() == 4  # kcent * m
+
+
+class TestBm25OverflowGuard:
+    def test_overflow_grain_raises_not_wraps(self, spark):
+        from big_data_flight_analytics_spark.operators.text import bm25_topk
+
+        docs = spark.createDataFrame([
+            Row(doc_id=1, text="spark join spark window shuffle"),
+            Row(doc_id=2, text="window join window dup scan"),
+        ])
+        # sane grain: works
+        assert bm25_topk(docs, ["spark", "join"], k=2).count() == 2
+        # absurd grain: dl*(k1+1)*1000*s_tokens*grain > 2^62. Under
+        # ANSI (Spark 4 default) the raw multiply itself fails loud;
+        # the in-plan guard exists for non-ANSI deployments, where
+        # int64 WRAPS SILENTLY (while DuckDB raises) and the two
+        # engines would diverge quietly-wrong vs loud.
+        with pytest.raises(
+            Exception, match="exceeds 2\\^62|ARITHMETIC_OVERFLOW"
+        ):
+            bm25_topk(
+                docs, ["spark", "join"], k=2, grain=10**17
+            ).collect()
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        try:
+            # non-ANSI: every multiply wraps silently — only the
+            # guard stands between this and a wrong answer
+            with pytest.raises(Exception, match="exceeds 2\\^62"):
+                bm25_topk(
+                    docs, ["spark", "join"], k=2, grain=10**17
+                ).collect()
+        finally:
+            spark.conf.unset("spark.sql.ansi.enabled")
