@@ -1206,16 +1206,25 @@ NEARDUP_SIM = 0.4
 # useful; at sf0.1 (2000 vecs) this derives bits=4 — the same width the
 # 10x scaling study validated — and keeps growing with log2(corpus).
 NEARDUP_TARGET_BUCKET = 128
+# Two disjoint sign windows (round 9, VERDICT r8 #7): the measured
+# price/benefit curve says probes=2 DOMINATES the single-window
+# config — d13 recall vs exhaustive truth 0.184 -> 0.351 (1.9x) at
+# ~5% runtime cost, i3's curve 0.194 -> 0.369 (DEDUP_QUALITY.md).
+# The catalog showcases the config we'd recommend at 100 TB; the
+# probes lever stays exposed for callers who want 1 or 4.
+NEARDUP_PROBES = 2
 
 
 def _embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """d5's pair frame as a shareable stage (d13 marks from it)."""
     return stage(
-        ("embedding_pairs", sf_dir, NEARDUP_SIM, NEARDUP_TARGET_BUCKET),
+        ("embedding_pairs", sf_dir, NEARDUP_SIM, NEARDUP_TARGET_BUCKET,
+         NEARDUP_PROBES),
         lambda: embedding_neardup_pairs(
             load(spark, sf_dir, "embeddings"),
             threshold=NEARDUP_SIM,
             target_bucket_size=NEARDUP_TARGET_BUCKET,
+            probes=NEARDUP_PROBES,
         ),
     )
 
@@ -1229,28 +1238,44 @@ def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # params mirrors operators/similarity.adaptive_bits: bits =
-# max(1, ceil(log2(max(n / target, 2)))); bucket = the same
-# first-``bits``-signs big-endian integer sign_bucket() builds.
+# max(1, ceil(log2(max(n / target, 2)))); bucket0/bucket1 are the same
+# big-endian sign integers sign_bucket() builds over the two disjoint
+# windows [1, bits] and [bits+1, 2*bits]; UNION dedupes cross-window
+# pairs before scoring, mirroring _bucket_scored_pairs' dropDuplicates.
 D5_SQL = f"""
 WITH params AS (
     SELECT GREATEST(1, CAST(CEIL(LOG2(GREATEST(
                COUNT(*) / {NEARDUP_TARGET_BUCKET}.0, 2.0))) AS INTEGER)) AS bits
     FROM embeddings
-), sig AS (
+), sig AS MATERIALIZED (
+    -- MATERIALIZED: referenced four times below; DuckDB would
+    -- otherwise inline and recompute the signatures per reference
     SELECT vec_id, embedding,
            list_sum(list_transform(range(1, bits + 1),
                i -> CASE WHEN embedding[i] > 0
-                         THEN (1 << (bits - i)) ELSE 0 END)) AS bucket
+                         THEN (1 << (bits - i)) ELSE 0 END)) AS bucket0,
+           list_sum(list_transform(range(1, bits + 1),
+               i -> CASE WHEN embedding[bits + i] > 0
+                         THEN (1 << (bits - i)) ELSE 0 END)) AS bucket1
     FROM embeddings, params
+), cand AS (
+    -- dedupe cross-window pairs on the ID pair only (arrays rejoin
+    -- after), mirroring _bucket_scored_pairs' dropDuplicates
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM sig a JOIN sig b ON a.bucket0 = b.bucket0 AND a.vec_id < b.vec_id
+    UNION
+    SELECT a.vec_id, b.vec_id
+    FROM sig a JOIN sig b ON a.bucket1 = b.bucket1 AND a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+SELECT vec_a, vec_b,
        CASE WHEN sqrt(list_dot_product(a.embedding, a.embedding))
                    * sqrt(list_dot_product(b.embedding, b.embedding)) = 0
               THEN 0.0 ELSE ROUND(
          list_dot_product(a.embedding, b.embedding) /
          (sqrt(list_dot_product(a.embedding, a.embedding))
           * sqrt(list_dot_product(b.embedding, b.embedding))), 4) END AS sim
-FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+FROM cand JOIN sig a ON a.vec_id = cand.vec_a
+          JOIN sig b ON b.vec_id = cand.vec_b
 WHERE CASE WHEN sqrt(list_dot_product(a.embedding, a.embedding))
                    * sqrt(list_dot_product(b.embedding, b.embedding)) = 0
               THEN 0.0 ELSE ROUND(
@@ -3434,15 +3459,23 @@ def i3_embedding_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=NEARDUP_SIM,
         target_bucket_size=NEARDUP_TARGET_BUCKET,
         fp_scale=SIM_FP_SCALE,
+        probes=NEARDUP_PROBES,
     )
 
 
+# Two disjoint index windows (probes=2, round 9 — the measured
+# dominant config: recall 0.194 -> 0.369 at ~2x candidate volume,
+# DEDUP_QUALITY.md). cand UNIONs the per-window equi-joins (dedupe
+# before scoring, mirroring the operator); MIN over the unioned
+# qualifying set is window-order-independent.
 I3_SQL = f"""
 WITH params AS (
     SELECT GREATEST(1, CAST(CEIL(LOG2(GREATEST(
                COUNT(*) / {NEARDUP_TARGET_BUCKET}.0, 2.0))) AS INTEGER)) AS bits
     FROM embeddings WHERE vec_id % 5 <> 0
-), sig AS (
+), sig AS MATERIALIZED (
+    -- MATERIALIZED: referenced four times; DuckDB would otherwise
+    -- inline and recompute the signature transforms per reference
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
            CAST(list_sum(list_transform(
                range(1, len(embedding) + 1),
@@ -3452,13 +3485,26 @@ WITH params AS (
                AS BIGINT) AS nsq,
            list_sum(list_transform(range(1, bits + 1),
                i -> CASE WHEN embedding[i] > 0
-                         THEN (1 << (bits - i)) ELSE 0 END)) AS bucket
+                         THEN (1 << (bits - i)) ELSE 0 END)) AS bucket0,
+           list_sum(list_transform(range(1, bits + 1),
+               i -> CASE WHEN embedding[bits + i] > 0
+                         THEN (1 << (bits - i)) ELSE 0 END)) AS bucket1
     FROM embeddings, params
-), m AS (
-    SELECT d.vec_id, MIN(b.vec_id) AS matched_base_id
-    FROM sig d JOIN sig b ON b.bucket = d.bucket
+), cand AS (
+    -- dedupe cross-window pairs on the ID pair only (arrays rejoin
+    -- after), mirroring the operator's dropDuplicates-before-score
+    SELECT d.vec_id AS did, b.vec_id AS bid
+    FROM sig d JOIN sig b ON b.bucket0 = d.bucket0
     WHERE d.vec_id % 5 = 0 AND b.vec_id % 5 <> 0
-      AND CASE WHEN b.nsq <= 0 OR d.nsq <= 0 THEN 0.0
+    UNION
+    SELECT d.vec_id, b.vec_id
+    FROM sig d JOIN sig b ON b.bucket1 = d.bucket1
+    WHERE d.vec_id % 5 = 0 AND b.vec_id % 5 <> 0
+), m AS (
+    SELECT did AS vec_id, MIN(bid) AS matched_base_id
+    FROM cand JOIN sig d ON d.vec_id = cand.did
+              JOIN sig b ON b.vec_id = cand.bid
+    WHERE CASE WHEN b.nsq <= 0 OR d.nsq <= 0 THEN 0.0
                ELSE CAST(CAST(list_sum(list_transform(
                         range(1, len(b.emb) + 1),
                         i -> CAST(FLOOR(b.emb[i] * d.emb[i]
