@@ -109,6 +109,30 @@ def main() -> None:
             ks = str(k)
             stage_builds[ks] = round(min(stage_builds.get(ks, v), v), 3)
 
+    print(
+        emit_artifacts(timings, stage_builds, errors, sf_val, n_runs)
+    )
+    if not timings:
+        raise SystemExit(1)
+
+
+def emit_artifacts(
+    timings: dict[str, float],
+    stage_builds: dict[str, float],
+    errors: dict[str, str],
+    sf_val,
+    n_runs: int,
+    detail_path: str | None = None,
+) -> str:
+    """Write BENCH_DETAIL.json, return the compact final-line summary.
+
+    The driver captures only the TAIL of stdout (~2 KB), and the full
+    per-query map outgrew that (103 queries ≈ 6 KB → BENCH_r06 parsed
+    as null). The FINAL line is therefore a compact summary that
+    always fits; the per-query/stages detail goes to the sidecar file.
+    Invariant: value == sum(queries) + sum(stages). Contract pinned by
+    tests/test_compact.py::TestBenchEmitter.
+    """
     total = round(sum(timings.values()) + sum(stage_builds.values()), 3)
     detail = {
         "metric": "total_catalog_seconds",
@@ -126,14 +150,10 @@ def main() -> None:
         # cross-round total comparisons can't silently absorb breakage.
         detail["errors"] = errors
         detail["invalid"] = True
-    # The driver captures only the TAIL of stdout (~2 KB), and the full
-    # per-query map outgrew that (103 queries ≈ 6 KB → BENCH_r06 parsed
-    # as null). The FINAL line is therefore a compact summary that
-    # always fits; the per-query/stages detail goes to a sidecar file.
-    # Invariant preserved: value == sum(queries) + sum(stages).
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    if detail_path is None:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     summary = {
@@ -148,9 +168,7 @@ def main() -> None:
     if errors:
         summary["n_errors"] = len(errors)
         summary["invalid"] = True
-    print(json.dumps(summary))
-    if not timings:
-        raise SystemExit(1)
+    return json.dumps(summary)
 
 
 if __name__ == "__main__":

@@ -43,6 +43,20 @@ class ParquetUpsertSink:
     def _old(self) -> str:
         return self.path + ".old"
 
+    # batch-replay marker (used by the exactly-once index sinks): a
+    # ``_last_batch`` file written INSIDE the staging dir, atomic with
+    # the data it describes; ``_``-prefixed, invisible to parquet
+    @staticmethod
+    def _marker(dirpath: str) -> str:
+        return os.path.join(dirpath, "_last_batch")
+
+    def _last_batch(self) -> int:
+        try:
+            with open(self._marker(self.path)) as fh:
+                return int(fh.read())
+        except (OSError, ValueError):
+            return -1
+
     def _recover(self) -> None:
         """Roll forward/clean up after a crash mid-swap.
 
@@ -194,6 +208,142 @@ class Scd2Sink(ParquetUpsertSink):
         return spark.read.parquet(self.path)
 
 
+class EmbeddingIndexSink(ParquetUpsertSink):
+    """Streaming i3: continuously maintained embedding near-dup index.
+
+    ``foreachBatch`` target closing the loop between the batch ingest
+    contract (``operators.similarity.embedding_index_delta``, catalog
+    i3) and the streaming engine: each arriving micro-batch of vectors
+    is marked against the persisted sign-LSH base index with O(batch)
+    work — the base is never rescanned quadratically — and (with
+    ``absorb_novel``, the default) the batch's novel vectors join the
+    index so later arrivals dedup against them too.
+
+    State:
+    - ``path`` — the base corpus parquet (id, vector), swap-replaced
+      per batch with the inherited crash-safe rename discipline plus
+      the ``_last_batch`` marker (written inside staging, atomic with
+      the data it describes);
+    - ``path + ".decisions"/batch=N/`` — that batch's match decisions
+      (id, matched_base_id, dup_of_index), written BEFORE the base
+      swap: a crash between the two leaves the marker un-advanced, so
+      the replayed batch overwrites the same partition dir and redoes
+      the swap — exactly-once end to end (the DedupIndexSink pattern).
+
+    ``bits`` is REQUIRED: the bucket scheme is fixed at index-build
+    time (the ``embedding_index_delta`` contract) — deriving it per
+    batch from a growing base would silently re-shard the index.
+    Intra-batch near-dups are both marked novel (each batch is judged
+    against the index as it stood, exactly like the batch operator);
+    smaller triggers give finer granularity.
+
+    At 100 TB the shape holds: the base side is stored bucketed by
+    signature (map-only per batch), decisions land in an append-only
+    log table, and novel-absorption compacts on a cadence — this sink
+    is the same contract with parquet-dir state for tests/local runs.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        bits: int,
+        threshold: float = 0.4,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        fp_scale: int = 10**15,
+        probes: int = 1,
+        absorb_novel: bool = True,
+    ) -> None:
+        super().__init__(path, key_col=id_col, version_col="__none")
+        self.bits = bits
+        self.threshold = threshold
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.fp_scale = fp_scale
+        self.probes = probes
+        self.absorb_novel = absorb_novel
+
+    @property
+    def _decisions(self) -> str:
+        return self.path + ".decisions"
+
+    def initialize(self, base_df: DataFrame) -> None:
+        """Build the index from an existing base corpus (marker -1:
+        every real batch id is newer)."""
+        self._recover()
+        base_df.select(self.id_col, self.vec_col).write.mode(
+            "overwrite"
+        ).parquet(self._staging)
+        with open(self._marker(self._staging), "w") as fh:
+            fh.write("-1")
+        if os.path.exists(self.path):
+            os.rename(self.path, self._old)
+        os.rename(self._staging, self.path)
+        if os.path.exists(self._old):
+            shutil.rmtree(self._old)
+
+    def merge(self, batch_df: DataFrame, batch_id: int) -> None:
+        from big_data_flight_analytics_spark.operators.similarity import (
+            embedding_index_delta,
+        )
+
+        self._recover()
+        if os.path.exists(self.path) and batch_id <= self._last_batch():
+            return  # replay of an already-folded batch
+        spark = batch_df.sparkSession
+        batch = batch_df.select(self.id_col, self.vec_col)
+        if os.path.exists(self.path):
+            base = spark.read.parquet(self.path)
+            decisions = embedding_index_delta(
+                base,
+                batch,
+                threshold=self.threshold,
+                id_col=self.id_col,
+                vec_col=self.vec_col,
+                bits=self.bits,
+                fp_scale=self.fp_scale,
+                probes=self.probes,
+            )
+        else:
+            # no index yet: the first batch founds it — all novel
+            base = batch.limit(0)
+            decisions = batch.select(
+                self.id_col,
+                F.lit(None).cast("long").alias("matched_base_id"),
+                F.lit(False).alias("dup_of_index"),
+            )
+        decisions.write.mode("overwrite").parquet(
+            os.path.join(self._decisions, f"batch={batch_id}")
+        )
+        updated = base
+        if self.absorb_novel:
+            novel = batch.join(
+                spark.read.parquet(
+                    os.path.join(self._decisions, f"batch={batch_id}")
+                )
+                .filter(~F.col("dup_of_index"))
+                .select(self.id_col),
+                self.id_col,
+            )
+            updated = base.unionByName(novel)
+        updated.write.mode("overwrite").parquet(self._staging)
+        with open(self._marker(self._staging), "w") as fh:
+            fh.write(str(batch_id))
+        if os.path.exists(self.path):
+            os.rename(self.path, self._old)
+        os.rename(self._staging, self.path)
+        if os.path.exists(self._old):
+            shutil.rmtree(self._old)
+
+    def read(self, spark) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+    def decisions(self, spark) -> DataFrame:
+        """All per-batch match decisions, with the ``batch`` column
+        from partition discovery."""
+        return spark.read.parquet(self._decisions)
+
+
 class DedupIndexSink(ParquetUpsertSink):
     """Continuously maintained exact-dedup index: streaming i2.
 
@@ -216,17 +366,6 @@ class DedupIndexSink(ParquetUpsertSink):
         super().__init__(path, key_col="fingerprint", version_col="__none")
         self.id_col = id_col
         self.text_col = text_col
-
-    @staticmethod
-    def _marker(dirpath: str) -> str:
-        return os.path.join(dirpath, "_last_batch")
-
-    def _last_batch(self) -> int:
-        try:
-            with open(self._marker(self.path)) as fh:
-                return int(fh.read())
-        except (OSError, ValueError):
-            return -1
 
     def merge(self, batch_df: DataFrame, batch_id: int) -> None:
         from big_data_flight_analytics_spark.operators.incremental import (

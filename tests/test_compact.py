@@ -118,3 +118,50 @@ class TestCompactParquet:
         assert os.path.getmtime(
             os.path.join(path, files_before[0])
         ) == mtime  # not rewritten
+
+
+class TestBenchEmitter:
+    """bench.py's compact-final-line contract (VERDICT r8 #9): the
+    driver tail-captures ~2 KB of stdout, so the FINAL printed line
+    must stay a small valid-JSON summary regardless of catalog size,
+    with the full per-query map in the sidecar file and the invariant
+    value == sum(queries) + sum(stages)."""
+
+    def test_summary_line_compact_and_consistent(self, tmp_path):
+        import json
+
+        from bench import emit_artifacts
+
+        # a catalog twice today's size must still fit the tail capture
+        timings = {f"q{i:03d}_some_longish_name": 0.123 for i in range(250)}
+        stages = {"('knn_graph', '/x', 5)": 1.5}
+        out = emit_artifacts(
+            timings, stages, {}, 0.1, 2,
+            detail_path=str(tmp_path / "BENCH_DETAIL.json"),
+        )
+        assert "\n" not in out and len(out) < 500
+        summary = json.loads(out)
+        assert summary["metric"] == "total_catalog_seconds"
+        assert summary["unit"] == "sec"
+        assert summary["n_queries"] == 250
+        assert "queries" not in summary  # the big map stays out
+        detail = json.loads((tmp_path / "BENCH_DETAIL.json").read_text())
+        assert summary["value"] == detail["value"]
+        assert round(
+            sum(detail["queries"].values()) + sum(detail["stages"].values()),
+            3,
+        ) == detail["value"]
+
+    def test_errors_flag_the_artifact_invalid(self, tmp_path):
+        import json
+
+        from bench import emit_artifacts
+
+        out = emit_artifacts(
+            {"q1": 1.0}, {}, {"q2": "Boom"}, 0.01, 2,
+            detail_path=str(tmp_path / "BENCH_DETAIL.json"),
+        )
+        summary = json.loads(out)
+        assert summary["invalid"] is True and summary["n_errors"] == 1
+        detail = json.loads((tmp_path / "BENCH_DETAIL.json").read_text())
+        assert detail["invalid"] is True and detail["errors"] == {"q2": "Boom"}

@@ -186,3 +186,185 @@ class TestDedupIndexSink:
         again = sorted(tuple(r) for r in sink.read(spark).collect())
         assert first == again
         assert first[0][2] == 2  # dup_count not inflated by the replay
+
+
+class TestEmbeddingIndexSink:
+    """Streaming embedding ingest-dedup == the batch i3 operator."""
+
+    BITS = 2
+
+    @staticmethod
+    def _vec(rng, dim=8):
+        return [rng.uniform(-1, 1) for _ in range(dim)]
+
+    def _frames(self, spark):
+        import random
+
+        from pyspark.sql import Row
+
+        rng = random.Random(17)
+        base_rows = [
+            Row(vec_id=i, embedding=self._vec(rng)) for i in range(40)
+        ]
+        # half the deltas are jittered copies of base vectors (dups),
+        # half are fresh
+        delta_rows = []
+        for i in range(20):
+            if i % 2 == 0:
+                src = base_rows[i]["embedding"]
+                delta_rows.append(
+                    Row(
+                        vec_id=100 + i,
+                        embedding=[x + rng.uniform(-0.01, 0.01) for x in src],
+                    )
+                )
+            else:
+                delta_rows.append(Row(vec_id=100 + i, embedding=self._vec(rng)))
+        return (
+            spark.createDataFrame(base_rows),
+            spark.createDataFrame(delta_rows),
+        )
+
+    @staticmethod
+    def _replay_files(spark, d, delta, n_files=2):
+        rows = delta.collect()
+        per = (len(rows) + n_files - 1) // n_files
+        for i in range(n_files):
+            chunk = rows[i * per:(i + 1) * per]
+            p = str(d / f"b{i}.parquet")
+            spark.createDataFrame(chunk, delta.schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(p + ".dir")
+            src = next(
+                f
+                for f in os.listdir(p + ".dir")
+                if f.endswith(".parquet") and not f.startswith("_")
+            )
+            os.rename(os.path.join(p + ".dir", src), p)
+            os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    def _run_stream(self, spark, tmp_path, sink, delta):
+        replay = tmp_path / "arrivals"
+        replay.mkdir()
+        self._replay_files(spark, replay, delta)
+        stream = (
+            spark.readStream.schema(delta.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(replay))
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def test_frozen_index_decisions_equal_batch_operator(
+        self, spark, tmp_path
+    ):
+        """absorb_novel=False: each delta row is judged independently
+        against the fixed base, so ANY micro-batch split must equal
+        one batch-operator call on the full delta."""
+        from big_data_flight_analytics_spark.operators.similarity import (
+            embedding_index_delta,
+        )
+        from big_data_flight_analytics_spark.streaming.sinks import (
+            EmbeddingIndexSink,
+        )
+
+        base, delta = self._frames(spark)
+        sink = EmbeddingIndexSink(
+            str(tmp_path / "index"),
+            bits=self.BITS,
+            threshold=0.9,
+            absorb_novel=False,
+        )
+        sink.initialize(base)
+        self._run_stream(spark, tmp_path, sink, delta)
+
+        got = {
+            r["vec_id"]: (r["matched_base_id"], r["dup_of_index"])
+            for r in sink.decisions(spark).collect()
+        }
+        want = {
+            r["vec_id"]: (r["matched_base_id"], r["dup_of_index"])
+            for r in embedding_index_delta(
+                base, delta, threshold=0.9, bits=self.BITS
+            ).collect()
+        }
+        assert got == want
+        assert any(v[1] for v in want.values())  # dups actually found
+        assert not all(v[1] for v in want.values())  # and novels too
+        # frozen index: the base store is unchanged
+        assert sink.read(spark).count() == base.count()
+
+    def test_absorbing_index_equals_sequential_fold(self, spark, tmp_path):
+        """absorb_novel=True: streaming == folding the batch operator
+        over the same micro-batch sequence (novels join the index)."""
+        from big_data_flight_analytics_spark.operators.similarity import (
+            embedding_index_delta,
+        )
+        from big_data_flight_analytics_spark.streaming.sinks import (
+            EmbeddingIndexSink,
+        )
+
+        base, delta = self._frames(spark)
+        sink = EmbeddingIndexSink(
+            str(tmp_path / "index"), bits=self.BITS, threshold=0.9
+        )
+        sink.initialize(base)
+        self._run_stream(spark, tmp_path, sink, delta)
+
+        # reference: sequential fold with the batch operator
+        rows = delta.collect()
+        per = (len(rows) + 1) // 2
+        fold_base = base
+        want = {}
+        for i in range(2):
+            chunk = spark.createDataFrame(rows[i * per:(i + 1) * per],
+                                          delta.schema)
+            dec = embedding_index_delta(
+                fold_base, chunk, threshold=0.9, bits=self.BITS
+            )
+            for r in dec.collect():
+                want[r["vec_id"]] = (r["matched_base_id"], r["dup_of_index"])
+            fold_base = fold_base.unionByName(
+                chunk.join(
+                    dec.filter(~F.col("dup_of_index")).select("vec_id"),
+                    "vec_id",
+                )
+            )
+        got = {
+            r["vec_id"]: (r["matched_base_id"], r["dup_of_index"])
+            for r in sink.decisions(spark).collect()
+        }
+        assert got == want
+        assert sink.read(spark).count() == fold_base.count()
+
+    def test_replayed_batch_is_a_noop(self, spark, tmp_path):
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.streaming.sinks import (
+            EmbeddingIndexSink,
+        )
+
+        base = spark.createDataFrame(
+            [Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0])]
+        )
+        batch = spark.createDataFrame([
+            Row(vec_id=10, embedding=[0.99, 0.01, 0.0, 0.0]),  # dup
+            Row(vec_id=11, embedding=[0.0, 1.0, 0.0, 0.0]),    # novel
+        ])
+        sink = EmbeddingIndexSink(
+            str(tmp_path / "index"), bits=1, threshold=0.9
+        )
+        sink.initialize(base)
+        sink.merge(batch, 0)
+        first_base = sorted(r["vec_id"] for r in sink.read(spark).collect())
+        sink.merge(batch, 0)  # at-least-once replay
+        assert sorted(
+            r["vec_id"] for r in sink.read(spark).collect()
+        ) == first_base  # novel not absorbed twice
+        assert first_base == [1, 11]
+        assert sink.decisions(spark).count() == 2
