@@ -584,3 +584,99 @@ def bm25_topk(
         .orderBy(F.col("score_fp").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    grain: int = 1_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Self-trained bigram-LM negative log-likelihood per document —
+    the CCNet-style perplexity quality filter: documents whose token
+    transitions are unlike the corpus (boilerplate, gibberish, wrong
+    register) score a high per-token NLL and can be filtered or
+    bucketed on it.
+
+    Model: add-one-smoothed bigram LM trained on the corpus itself.
+    ``P(b|a) = (c2(a,b) + 1) / (c1(a) + V)`` with ``c2`` the corpus
+    bigram count, ``c1(a)`` the bigram-head count, ``V`` the distinct
+    vocabulary size. Per-bigram log-probs are FLOOR-ed to an integer
+    ``grain`` (the driver-proven T4/T17 pattern: LN on identical
+    exact-int ratios, coarse grain absorbing sub-ulp libm wobble), so
+    every rank-deciding sum is pure int64 — engine-independent.
+    Headroom: |per-bigram| <= grain * ln(2^63) ~ 4.4e7, so even a
+    1e9-token document sums to < 2^56.
+
+    Plan (the 100 TB story): ONE aggregation of the exploded bigram
+    frame to per-(doc, a, b) multiplicities m; the global ``c2``/``c1``
+    tables derive FROM that frame (shuffles keyed on (a,b) and (a) —
+    map-side partials make them vocabulary-, not corpus-, sized);
+    scoring rejoins the count tables on the same keys (AQE broadcasts
+    them while they fit; at corpus scale they are co-partitioned
+    shuffle joins — deliberately NOT pinned broadcast, the model table
+    grows with the vocabulary). ``V`` enters as a one-row broadcast
+    (the A4 scalar pattern). Docs with fewer than two tokens keep a
+    row with ``n_bigrams = 0`` (left join back).
+
+    Output: (id_col, n_bigrams, nll_fp, avg_nll_fp) — ``nll_fp``
+    the summed negative log-prob at ``grain``, ``avg_nll_fp`` its
+    integer mean per bigram (the cross-length comparable score).
+    """
+    t = F.col(text_col)
+    toks = F.filter(tokens(text_col), lambda x: x != "")
+    tok = docs.filter(t.isNotNull() & (F.trim(t) != "")).select(
+        F.col(id_col), toks.alias("__t")
+    )
+    big = tok.filter(F.size("__t") >= 2).select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.slice("__t", 1, F.size("__t") - 1),
+                F.slice("__t", 2, F.size("__t") - 1),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("__ab"),
+    ).select(id_col, F.col("__ab.a").alias("a"), F.col("__ab.b").alias("b"))
+    pair = big.groupBy(id_col, "a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    c2 = pair.groupBy("a", "b").agg(F.sum("m").cast("long").alias("c2"))
+    c1 = pair.groupBy("a").agg(F.sum("m").cast("long").alias("c1"))
+    vocab = (
+        tok.select(F.explode("__t").alias("__w"))
+        .agg(F.count_distinct("__w").cast("long").alias("v"))
+    )
+    logp = F.floor(
+        F.lit(float(grain))
+        * F.log(
+            (F.col("c2") + 1).cast("double")
+            / (F.col("c1") + F.col("v")).cast("double")
+        )
+    ).cast("long")
+    scored = (
+        pair.join(c2, ["a", "b"])
+        .join(c1, "a")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.sum("m").cast("long").alias("n_bigrams"),
+            (-F.sum(F.col("m") * logp)).cast("long").alias("nll_fp"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("nll_fp", F.lit(0)).cast("long").alias("nll_fp"),
+            F.when(
+                F.coalesce("n_bigrams", F.lit(0)) > 0,
+                F.expr("nll_fp DIV n_bigrams"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("avg_nll_fp"),
+        )
+    )

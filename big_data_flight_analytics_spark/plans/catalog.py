@@ -171,6 +171,7 @@ _TIE_BREAK = [
     "t18_dsir_weights",
     "d18_semdedup_clusters",
     "i3_embedding_delta",
+    "t19_lm_perplexity",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

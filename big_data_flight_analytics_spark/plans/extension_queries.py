@@ -3326,6 +3326,84 @@ T18_SQL = _dsir_sql()
 
 
 # ---------------------------------------------------------------------------
+# T19 — self-trained bigram-LM perplexity scoring under the full
+# oracle gate (round 9): the CCNet-style quality filter (Wenzek et
+# al. 2020 — LM perplexity against the corpus register) the text
+# family lacked: t3/t8 score surface stats, t18 reweights toward a
+# target; this scores each document by how UNLIKE the corpus its
+# token transitions are (add-one bigram NLL). All rank-deciding sums
+# are exact int64 over FLOOR-grained log-probs (the driver-proven
+# T4/T17 LN-on-exact-int-ratios pattern). Plan: one bigram explode ->
+# per-(doc,a,b) multiplicities; the c2/c1 model tables derive from
+# that frame and rejoin on their own keys (vocabulary-sized, NOT
+# pinned broadcast — at 100 TB they are co-partitioned shuffle
+# joins); V is a one-row broadcast scalar.
+# ---------------------------------------------------------------------------
+
+T19_GRAIN = 1_000_000
+
+
+def t19_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.text import (
+        bigram_lm_score,
+    )
+
+    return bigram_lm_score(
+        load(spark, sf_dir, "documents"), grain=T19_GRAIN
+    )
+
+
+def _lm_perplexity_sql() -> str:
+    g = T19_GRAIN
+    return rf"""
+WITH tok AS MATERIALIZED (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+    WHERE text IS NOT NULL AND trim(text) <> ''
+), pair AS MATERIALIZED (
+    SELECT doc_id, a, b, CAST(COUNT(*) AS BIGINT) AS m
+    FROM (
+        SELECT doc_id, t[i] AS a, t[i + 1] AS b
+        FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2
+    )
+    GROUP BY 1, 2, 3
+), c2 AS (
+    SELECT a, b, CAST(SUM(m) AS BIGINT) AS c2 FROM pair GROUP BY 1, 2
+), c1 AS (
+    SELECT a, CAST(SUM(m) AS BIGINT) AS c1 FROM pair GROUP BY 1
+), vocab AS (
+    SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+    FROM (SELECT unnest(t) AS w FROM tok)
+), scored AS (
+    SELECT p.doc_id,
+           CAST(SUM(p.m) AS BIGINT) AS n_bigrams,
+           CAST(-SUM(p.m * CAST(FLOOR({g} * LN(
+                    CAST(c2.c2 + 1 AS DOUBLE)
+                    / CAST(c1.c1 + vocab.v AS DOUBLE))) AS BIGINT))
+                AS BIGINT) AS nll_fp
+    FROM pair p
+    JOIN c2 ON c2.a = p.a AND c2.b = p.b
+    JOIN c1 ON c1.a = p.a
+    CROSS JOIN vocab
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(s.nll_fp, 0) AS BIGINT) AS nll_fp,
+       CAST(CASE WHEN COALESCE(s.n_bigrams, 0) > 0
+                 THEN s.nll_fp // s.n_bigrams ELSE 0 END
+            AS BIGINT) AS avg_nll_fp
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+T19_SQL = _lm_perplexity_sql()
+
+
+# ---------------------------------------------------------------------------
 # D18 — cluster-scoped SemDeDup under the full oracle gate (Abbas et
 # al. 2023, arXiv:2303.09540 — the paper's actual k-means-cluster
 # formulation; d13 is the sign-LSH-scoped variant). Exact-grain Lloyd
@@ -3528,6 +3606,7 @@ EXTENSION_QUERIES = {
     "t16_bpe_tokenize": t16_bpe_tokenize,
     "t17_bm25_topk": t17_bm25_topk,
     "t18_dsir_weights": t18_dsir_weights,
+    "t19_lm_perplexity": t19_lm_perplexity,
     "d18_semdedup_clusters": d18_semdedup_clusters,
     "i3_embedding_delta": i3_embedding_delta,
     "i2_dedup_delta": i2_dedup_delta,
@@ -3579,6 +3658,7 @@ EXTENSION_ORACLES = {
     "t16_bpe_tokenize": T16_SQL,
     "t17_bm25_topk": T17_SQL,
     "t18_dsir_weights": T18_SQL,
+    "t19_lm_perplexity": T19_SQL,
     "d18_semdedup_clusters": D18_SQL,
     "i3_embedding_delta": I3_SQL,
     "i2_dedup_delta": I2_SQL,

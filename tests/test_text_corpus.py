@@ -633,3 +633,82 @@ class TestDsirWeights:
             dsir_weights(df, "tgt", _product_bound=1).collect()
         # and untouched data still passes with the real bound
         assert dsir_weights(df, "tgt").count() == 2
+
+
+class TestBigramLmScore:
+    """t19: self-trained add-one bigram-LM NLL vs a python reference."""
+
+    @staticmethod
+    def _reference(texts, grain=1_000_000):
+        import math
+        from collections import Counter
+
+        toks = {i: t.lower().split() for i, t in texts.items()}
+        c2, c1 = Counter(), Counter()
+        vocab = set()
+        for ws in toks.values():
+            vocab.update(ws)
+            for a, b in zip(ws, ws[1:]):
+                c2[(a, b)] += 1
+                c1[a] += 1
+        v = len(vocab)
+        out = {}
+        for i, ws in toks.items():
+            if len(ws) < 2:
+                out[i] = (0, 0, 0)
+                continue
+            nll = 0
+            for a, b in zip(ws, ws[1:]):
+                nll -= math.floor(
+                    grain * math.log((c2[(a, b)] + 1) / (c1[a] + v))
+                )
+            n = len(ws) - 1
+            out[i] = (n, nll, nll // n)
+        return out
+
+    def test_matches_python_reference(self, spark):
+        from big_data_flight_analytics_spark.operators.text import (
+            bigram_lm_score,
+        )
+
+        texts = {
+            1: "the cat sat on the mat",
+            2: "the cat sat on the cat",
+            3: "zq xv qqq zq xv",   # rare transitions -> high NLL
+            4: "single",            # no bigrams
+            5: "the cat sat on the mat the cat sat",
+        }
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in texts.items()]
+        )
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["nll_fp"], r["avg_nll_fp"])
+            for r in bigram_lm_score(docs).collect()
+        }
+        assert got == self._reference(texts)
+        # the quality signal points the right way: the gibberish doc's
+        # per-bigram NLL exceeds the in-register docs'
+        assert got[3][2] > got[1][2] and got[3][2] > got[5][2]
+
+    def test_partition_invariance_and_empty_docs(self, spark):
+        from big_data_flight_analytics_spark.operators.text import (
+            bigram_lm_score,
+        )
+
+        rng = random.Random(11)
+        words = ["alpha", "beta", "gamma", "delta", "eps"]
+        rows = [
+            Row(
+                doc_id=i,
+                text=" ".join(rng.choice(words) for _ in range(rng.randint(0, 12))),
+            )
+            for i in range(120)
+        ]
+        rows.append(Row(doc_id=999, text=None))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        run = lambda d: sorted(tuple(r) for r in bigram_lm_score(d).collect())
+        a = run(docs)
+        assert a == run(docs.repartition(13))
+        by_id = {r[0]: r for r in a}
+        assert by_id[999] == (999, 0, 0, 0)  # null text keeps a zero row
+        assert len(a) == 121
