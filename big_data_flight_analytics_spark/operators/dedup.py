@@ -363,7 +363,6 @@ def minhash_lsh_pairs(
     emitted pairs stay exact.
     """
     assert num_perm % bands == 0
-    rows = num_perm // bands
     # Empty-shingle docs (< n tokens) are excluded STRUCTURALLY: the
     # posting explode emits no rows for an empty array, so they get no
     # signature, no band, and no candidates — no sentinel bucket, and no
@@ -375,19 +374,48 @@ def minhash_lsh_pairs(
     # persist to run the shingle pipeline once (same rationale,
     # measurement, and release contract as ngram_jaccard_pairs)
     sh = tracked_persist(sh)
-    # signature via explode + hash-agg: ONE md5 per shingle occurrence,
-    # two 28-bit ints parsed from its hex, and all num_perm permutations
-    # derived as (h1 + j*h2) mod p — integer min buffers instead of
-    # per-permutation md5 strings (no array lambdas either: projection
-    # collapsing re-derives the shingle array under each lambda,
-    # measured 4x slower). One shuffle on the doc id. Shingle arrays are
-    # distinct-element, so the min over posting rows equals the min over
-    # the array.
+    posting = _minhash_band_posting(sh, id_col, num_perm, bands)
+
+    if max_band_df is not None:
+        posting = _cap_bucket_population(posting, ["band_key"], max_band_df)
+
+    a = posting.select(F.col(id_col).alias("doc_a"), "band_key")
+    b = posting.select(F.col(id_col).alias("doc_b"), "band_key")
+    candidates = (
+        a.join(b, "band_key").filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # verify ONLY the candidates: exact Jaccard over full shingle arrays
+    # — candidate-count work, not the full inverted-index pair join
+    return _verify_jaccard(candidates, sh, id_col, threshold)
+
+
+def _minhash_band_posting(
+    sh: DataFrame, id_col: str, num_perm: int, bands: int
+) -> DataFrame:
+    """(id, band_key) posting rows from a shingle frame — the shared
+    signature pipeline of ``minhash_lsh_pairs`` and
+    ``minhash_index_delta`` (a signature depends only on the doc's own
+    shingles, so split and joint computation agree exactly).
+
+    Signature via explode + hash-agg: ONE md5 per shingle occurrence,
+    two 28-bit ints parsed from its hex, and all num_perm permutations
+    derived as (h1 + j*h2) mod p — integer min buffers instead of
+    per-permutation md5 strings (no array lambdas either: projection
+    collapsing re-derives the shingle array under each lambda,
+    measured 4x slower). One shuffle on the doc id. Shingle arrays are
+    distinct-element, so the min over posting rows equals the min over
+    the array. conv() parses the hex halves in one call each (the
+    equivalent 7-digit ascii chain compiles to a much larger codegen
+    unit); the oracle SQL keeps the ascii arithmetic — only the VALUES
+    must match, and both are exactly the integer value of the hex
+    chars. All band keys emit in one select + one explode — a single
+    pass over the aggregate instead of a bands-way union re-running it
+    per branch.
+    """
+    rows = num_perm // bands
     posting_sh = sh.select(F.col(id_col), F.explode("shingles").alias("__sh"))
-    # conv() parses the hex halves in one call each (the equivalent
-    # 7-digit ascii chain compiles to a much larger codegen unit); the
-    # oracle SQL keeps the ascii arithmetic — only the VALUES must
-    # match, and both are exactly the integer value of the hex chars.
     hh = posting_sh.select(
         F.col(id_col), F.md5("__sh").alias("__h")
     ).select(
@@ -403,8 +431,6 @@ def minhash_lsh_pairs(
             for j in range(num_perm)
         ]
     )
-    # all band keys in one select + one explode — a single pass over the
-    # aggregate instead of a ``bands``-way union re-running it per branch
     band_structs = [
         F.md5(
             F.concat_ws(
@@ -415,23 +441,84 @@ def minhash_lsh_pairs(
         )
         for bi in range(bands)
     ]
-    posting = sig.select(
+    return sig.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("band_key")
     )
 
-    if max_band_df is not None:
-        posting = _cap_bucket_population(posting, ["band_key"], max_band_df)
 
-    a = posting.select(F.col(id_col).alias("doc_a"), "band_key")
-    b = posting.select(F.col(id_col).alias("doc_b"), "band_key")
+def minhash_index_delta(
+    base: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.2,
+    max_band_df: int | None = None,
+) -> DataFrame:
+    """Near-dup-mark ONE arriving document batch against a persisted
+    MinHash band index: the ingest contract (i2 exact / i3 embedding)
+    in text-Jaccard space — the trio's missing member.
+
+    The 100 TB ingest pattern: the base corpus's (id, band_key)
+    postings are the persisted index (stored BUCKETED by band_key so
+    this operator never re-shuffles the base); each arriving batch is
+    signed with the SAME permutation scheme (MinHash parameters are
+    data-independent, so split and joint signing agree exactly),
+    broadcast against the base postings, candidates are verified with
+    exact n-gram Jaccard — base shingles are fetched only for
+    candidate ids — and every delta doc with a qualifying base doc is
+    marked a known near-dup of the lowest such base id. Work per
+    refresh: one delta-side map + O(candidates) verifies; the base is
+    never rescanned quadratically.
+
+    ``max_band_df`` caps BASE band buckets (the index side — bucket
+    population is an index-build-time property), the same recall-only
+    hot-bucket trade as ``minhash_lsh_pairs``.
+
+    Output: one row per DELTA doc — (id_col, matched_base_id nullable,
+    dup_of_index), mirroring ``embedding_index_delta``.
+    """
+    assert num_perm % bands == 0
+    sh_b = tracked_persist(_shingled(base, id_col, text_col, n))
+    sh_d = tracked_persist(_shingled(delta, id_col, text_col, n))
+    post_b = _minhash_band_posting(sh_b, id_col, num_perm, bands)
+    if max_band_df is not None:
+        post_b = _cap_bucket_population(post_b, ["band_key"], max_band_df)
+    post_d = _minhash_band_posting(sh_d, id_col, num_perm, bands)
     candidates = (
-        a.join(b, "band_key").filter(F.col("doc_a") < F.col("doc_b"))
+        post_b.select(F.col(id_col).alias("doc_a"), "band_key")
+        .join(
+            F.broadcast(
+                post_d.select(F.col(id_col).alias("doc_b"), "band_key")
+            ),
+            "band_key",
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # verify ONLY the candidates: exact Jaccard over full shingle arrays
-    # — candidate-count work, not the full inverted-index pair join
-    return _verify_jaccard(candidates, sh, id_col, threshold)
+    # ids are disjoint across base/delta (ingest contract), so one
+    # unioned shingle frame serves both verify sides
+    verified = _verify_jaccard(
+        candidates, sh_b.unionByName(sh_d), id_col, threshold
+    )
+    matches = verified.groupBy("doc_b").agg(
+        F.min("doc_a").alias("matched_base_id")
+    )
+    return (
+        delta.select(id_col)
+        .join(
+            F.broadcast(matches.withColumnRenamed("doc_b", id_col)),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            "matched_base_id",
+            F.col("matched_base_id").isNotNull().alias("dup_of_index"),
+        )
+    )
 
 
 def _hex_digit(h: Column, i: int) -> Column:

@@ -172,6 +172,7 @@ _TIE_BREAK = [
     "d18_semdedup_clusters",
     "i3_embedding_delta",
     "t19_lm_perplexity",
+    "i4_minhash_delta",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

@@ -978,11 +978,12 @@ def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _d3_sql() -> str:
-    """MinHash oracle: one md5 per shingle, two 28-bit ints from the hex
-    via ascii arithmetic, permutations (h1 + j*h2) mod 2^31-1, banded
-    candidates with the hot-bucket cap, exact-Jaccard verify — the
-    literal SQL restatement of operators/dedup.minhash_lsh_pairs."""
+def _minhash_sig_ctes() -> str:
+    """The shared MinHash signature CTE chain (toks -> ... -> bands):
+    one md5 per shingle, two 28-bit ints from the hex via ascii
+    arithmetic, permutations (h1 + j*h2) mod 2^31-1, banded keys — the
+    literal SQL restatement of operators/dedup._minhash_band_posting,
+    consumed by both the d3 pair oracle and the i4 ingest oracle."""
     digit = (
         "(CASE WHEN ascii(substr(h, {i}, 1)) < 58"
         " THEN ascii(substr(h, {i}, 1)) - 48"
@@ -1006,8 +1007,7 @@ def _d3_sql() -> str:
         )
         for bi in range(4)
     )
-    return rf"""
-WITH toks AS (
+    return rf"""toks AS (
     SELECT doc_id,
            regexp_split_to_array(trim(lower(text)), '\s+') AS t
     FROM documents
@@ -1018,7 +1018,11 @@ WITH toks AS (
                    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
            ELSE [] END AS shingles
     FROM toks
-), ne AS (
+), ne AS MATERIALIZED (
+    -- MATERIALIZED (here and bands): referenced two/three times by
+    -- the consumers; DuckDB inlines CTEs by default, so the whole
+    -- tokenize+shingle(+signature) chain would re-evaluate per
+    -- reference (the _pagerank_fp_sql lesson)
     SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0
 ), posting AS (
     SELECT doc_id, unnest(shingles) AS s FROM ne
@@ -1033,9 +1037,17 @@ WITH toks AS (
     SELECT doc_id,
            {mins}
     FROM hh GROUP BY doc_id
-), bands AS (
+), bands AS MATERIALIZED (
     SELECT doc_id, unnest([{band_exprs}]) AS band_key FROM sigs
-), small AS (
+)"""
+
+
+def _d3_sql() -> str:
+    """MinHash pair oracle: shared signature chain + banded candidates
+    with the hot-bucket cap + exact-Jaccard verify — the literal SQL
+    restatement of operators/dedup.minhash_lsh_pairs."""
+    return rf"""
+WITH {_minhash_sig_ctes()}, small AS (
     SELECT band_key FROM bands GROUP BY band_key HAVING COUNT(*) <= {MAX_BAND_DF}
 ), capped AS (
     SELECT doc_id, band_key FROM bands JOIN small USING (band_key)
@@ -3600,6 +3612,73 @@ LEFT JOIN m ON m.vec_id = d.vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# I4 — incremental MinHash near-dup ingest under the full oracle gate
+# (round 9): the last member of the ingest trio — i2 marks arriving
+# docs against an exact-fingerprint index, i3 against an embedding
+# sign-LSH index, i4 against a MinHash BAND index (text-Jaccard
+# near-dups, the Lee et al. 2022 dedup regime at ingest time). Same
+# 80/20 split contract as i3. MinHash parameters are data-independent,
+# so base and delta sign separately yet agree exactly with joint
+# signing — which is what lets the base postings persist as the index.
+# The hot-bucket cap applies to the BASE side only (bucket population
+# is an index-build-time property). Plan: delta postings broadcast
+# into the (at scale, band_key-bucketed) base postings; exact-Jaccard
+# verify touches only candidate ids; one small agg. O(delta) per
+# batch, the base never rescans.
+# ---------------------------------------------------------------------------
+
+
+def i4_minhash_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.dedup import (
+        minhash_index_delta,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    return minhash_index_delta(
+        base,
+        delta,
+        threshold=JACCARD_THRESHOLD,
+        max_band_df=MAX_BAND_DF,
+    )
+
+
+def _i4_sql() -> str:
+    return rf"""
+WITH {_minhash_sig_ctes()}, bsmall AS (
+    SELECT band_key FROM bands WHERE doc_id % 5 <> 0
+    GROUP BY band_key HAVING COUNT(*) <= {MAX_BAND_DF}
+), cand AS (
+    SELECT DISTINCT b.doc_id AS doc_a, d.doc_id AS doc_b
+    FROM bands b JOIN bsmall USING (band_key)
+                 JOIN bands d ON d.band_key = b.band_key
+    WHERE b.doc_id % 5 <> 0 AND d.doc_id % 5 = 0
+), verified AS (
+    SELECT doc_a, doc_b,
+           ROUND(
+               len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+               (len(sa.shingles) + len(sb.shingles)
+                - len(list_intersect(sa.shingles, sb.shingles))), 4) AS jaccard
+    FROM cand
+    JOIN ne sa ON sa.doc_id = doc_a
+    JOIN ne sb ON sb.doc_id = doc_b
+), m AS (
+    SELECT doc_b AS doc_id, MIN(doc_a) AS matched_base_id
+    FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+    GROUP BY 1
+)
+SELECT d.doc_id, m.matched_base_id,
+       m.matched_base_id IS NOT NULL AS dup_of_index
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+LEFT JOIN m USING (doc_id)
+"""
+
+
+I4_SQL = _i4_sql()
+
+
 EXTENSION_QUERIES = {
     "t1_text_stats": t1_text_stats,
     "t15_bpe_merges": t15_bpe_merges,
@@ -3609,6 +3688,7 @@ EXTENSION_QUERIES = {
     "t19_lm_perplexity": t19_lm_perplexity,
     "d18_semdedup_clusters": d18_semdedup_clusters,
     "i3_embedding_delta": i3_embedding_delta,
+    "i4_minhash_delta": i4_minhash_delta,
     "i2_dedup_delta": i2_dedup_delta,
     "t3_gopher_metrics": t3_gopher_metrics,
     "t4_tfidf_top_terms": t4_tfidf_top_terms,
@@ -3661,6 +3741,7 @@ EXTENSION_ORACLES = {
     "t19_lm_perplexity": T19_SQL,
     "d18_semdedup_clusters": D18_SQL,
     "i3_embedding_delta": I3_SQL,
+    "i4_minhash_delta": I4_SQL,
     "i2_dedup_delta": I2_SQL,
     "t3_gopher_metrics": T3_SQL,
     "t4_tfidf_top_terms": T4_SQL,

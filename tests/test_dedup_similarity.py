@@ -1061,3 +1061,106 @@ class TestBm25OverflowGuard:
                 ).collect()
         finally:
             spark.conf.unset("spark.sql.ansi.enabled")
+
+
+class TestMinHashIndexDelta:
+    """minhash_index_delta: ingest-batch near-dup marking against a
+    persisted MinHash band index (the i2/i3 contract in Jaccard space)."""
+
+    def test_delta_marked_against_base_lowest_id_wins(self, spark):
+        from big_data_flight_analytics_spark.operators.dedup import (
+            minhash_index_delta,
+        )
+
+        # base holds docs 1, 2, 4; arriving batch holds the ws/case dup
+        # of 1 (doc 3), the exact dup of 1 (doc 5), and a novel doc
+        base = corpus(spark).filter("doc_id in (1, 2, 4)")
+        delta = corpus(spark).filter("doc_id in (3, 5)").unionByName(
+            spark.createDataFrame(
+                [Row(doc_id=9, text="wholly novel sentence with many fresh tokens inside")]
+            )
+        )
+        got = {
+            r["doc_id"]: (r["matched_base_id"], r["dup_of_index"])
+            for r in minhash_index_delta(
+                base, delta, threshold=0.3
+            ).collect()
+        }
+        assert got == {3: (1, True), 5: (1, True), 9: (None, False)}
+
+    def test_split_signing_equals_joint_pairs(self, spark):
+        """The index contract: signing base and delta separately must
+        mark exactly the docs that the joint pair operator pairs across
+        the split, with the same lowest-base-id assignment."""
+        import random
+
+        from big_data_flight_analytics_spark.operators.dedup import (
+            minhash_index_delta,
+        )
+
+        rng = random.Random(11)
+        vocab = "alpha bravo charlie delta echo foxtrot golf hotel".split()
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(12)) for _ in range(30)
+        ]
+        # ids 100.. are perturbed copies of ids 0.. -> real near-dups
+        rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+        rows += [
+            Row(doc_id=100 + i, text=t.replace(vocab[0], vocab[1], 1))
+            for i, t in enumerate(texts)
+        ]
+        df = spark.createDataFrame(rows)
+        base = df.filter("doc_id < 100")
+        delta = df.filter("doc_id >= 100")
+
+        joint = minhash_lsh_pairs(df, threshold=0.3).collect()
+        want = {}
+        for r in joint:
+            a, b = r["doc_a"], r["doc_b"]
+            if a < 100 and b >= 100:
+                want[b] = min(want.get(b, a), a)
+        got = {
+            r["doc_id"]: r["matched_base_id"]
+            for r in minhash_index_delta(
+                base, delta, threshold=0.3
+            ).collect()
+            if r["dup_of_index"]
+        }
+        assert got == want
+
+    def test_band_cap_applies_to_base_side_only(self, spark):
+        from big_data_flight_analytics_spark.operators.dedup import (
+            minhash_index_delta,
+        )
+
+        # 12 identical base docs: every base band bucket has population
+        # 12, so the cap empties the index -> the arriving identical doc
+        # goes unmatched. Without the cap it matches the lowest base id.
+        base = spark.createDataFrame(
+            [Row(doc_id=i, text="a b c d e f g h i j") for i in range(12)]
+        )
+        delta = spark.createDataFrame(
+            [Row(doc_id=50, text="a b c d e f g h i j")]
+        )
+        capped = minhash_index_delta(
+            base, delta, threshold=0.3, max_band_df=10
+        ).collect()
+        assert capped == [Row(doc_id=50, matched_base_id=None, dup_of_index=False)]
+        open_ = minhash_index_delta(base, delta, threshold=0.3).collect()
+        assert open_ == [Row(doc_id=50, matched_base_id=0, dup_of_index=True)]
+
+    def test_partition_invariance(self, spark):
+        from big_data_flight_analytics_spark.operators.dedup import (
+            minhash_index_delta,
+        )
+
+        docs = corpus(spark)
+        base = docs.filter("doc_id <= 3")
+        delta = docs.filter("doc_id > 3")
+        run = lambda b, d: sorted(
+            tuple(r)
+            for r in minhash_index_delta(b, d, threshold=0.3).collect()
+        )
+        assert run(base, delta) == run(
+            base.repartition(13), delta.repartition(7)
+        )
