@@ -208,19 +208,20 @@ class Scd2Sink(ParquetUpsertSink):
         return spark.read.parquet(self.path)
 
 
-class EmbeddingIndexSink(ParquetUpsertSink):
-    """Streaming i3: continuously maintained embedding near-dup index.
+class IndexDeltaSink(ParquetUpsertSink):
+    """Shared machinery of the streaming ingest-dedup index sinks.
 
-    ``foreachBatch`` target closing the loop between the batch ingest
-    contract (``operators.similarity.embedding_index_delta``, catalog
-    i3) and the streaming engine: each arriving micro-batch of vectors
-    is marked against the persisted sign-LSH base index with O(batch)
-    work — the base is never rescanned quadratically — and (with
-    ``absorb_novel``, the default) the batch's novel vectors join the
-    index so later arrivals dedup against them too.
+    ``foreachBatch`` target closing the loop between a batch ingest
+    contract (an ``*_index_delta`` operator: mark one arriving batch
+    against a persisted base index with O(batch) work — the base is
+    never rescanned quadratically) and the streaming engine. With
+    ``absorb_novel`` (the default) the batch's novel rows join the
+    index so later arrivals dedup against them too. Subclasses supply
+    ``_mark(base, batch)`` — the batch operator call — and the payload
+    column the index stores next to the id.
 
     State:
-    - ``path`` — the base corpus parquet (id, vector), swap-replaced
+    - ``path`` — the base corpus parquet (id, payload), swap-replaced
       per batch with the inherited crash-safe rename discipline plus
       the ``_last_batch`` marker (written inside staging, atomic with
       the data it describes);
@@ -230,38 +231,29 @@ class EmbeddingIndexSink(ParquetUpsertSink):
       the replayed batch overwrites the same partition dir and redoes
       the swap — exactly-once end to end (the DedupIndexSink pattern).
 
-    ``bits`` is REQUIRED: the bucket scheme is fixed at index-build
-    time (the ``embedding_index_delta`` contract) — deriving it per
-    batch from a growing base would silently re-shard the index.
     Intra-batch near-dups are both marked novel (each batch is judged
     against the index as it stood, exactly like the batch operator);
     smaller triggers give finer granularity.
 
     At 100 TB the shape holds: the base side is stored bucketed by
-    signature (map-only per batch), decisions land in an append-only
-    log table, and novel-absorption compacts on a cadence — this sink
-    is the same contract with parquet-dir state for tests/local runs.
+    its index key (map-only per batch), decisions land in an
+    append-only log table, and novel-absorption compacts on a cadence
+    — this sink is the same contract with parquet-dir state for
+    tests/local runs.
     """
 
     def __init__(
-        self,
-        path: str,
-        bits: int,
-        threshold: float = 0.4,
-        id_col: str = "vec_id",
-        vec_col: str = "embedding",
-        fp_scale: int = 10**15,
-        probes: int = 1,
-        absorb_novel: bool = True,
+        self, path: str, id_col: str, payload_col: str, absorb_novel: bool
     ) -> None:
         super().__init__(path, key_col=id_col, version_col="__none")
-        self.bits = bits
-        self.threshold = threshold
         self.id_col = id_col
-        self.vec_col = vec_col
-        self.fp_scale = fp_scale
-        self.probes = probes
+        self.payload_col = payload_col
         self.absorb_novel = absorb_novel
+
+    def _mark(self, base: DataFrame, batch: DataFrame) -> DataFrame:
+        """Batch-operator call: (id, matched_base_id, dup_of_index)
+        for every batch row, judged against ``base``."""
+        raise NotImplementedError
 
     @property
     def _decisions(self) -> str:
@@ -271,7 +263,7 @@ class EmbeddingIndexSink(ParquetUpsertSink):
         """Build the index from an existing base corpus (marker -1:
         every real batch id is newer)."""
         self._recover()
-        base_df.select(self.id_col, self.vec_col).write.mode(
+        base_df.select(self.id_col, self.payload_col).write.mode(
             "overwrite"
         ).parquet(self._staging)
         with open(self._marker(self._staging), "w") as fh:
@@ -283,33 +275,22 @@ class EmbeddingIndexSink(ParquetUpsertSink):
             shutil.rmtree(self._old)
 
     def merge(self, batch_df: DataFrame, batch_id: int) -> None:
-        from big_data_flight_analytics_spark.operators.similarity import (
-            embedding_index_delta,
-        )
-
         self._recover()
         if os.path.exists(self.path) and batch_id <= self._last_batch():
             return  # replay of an already-folded batch
         spark = batch_df.sparkSession
-        batch = batch_df.select(self.id_col, self.vec_col)
+        batch = batch_df.select(self.id_col, self.payload_col)
         if os.path.exists(self.path):
             base = spark.read.parquet(self.path)
-            decisions = embedding_index_delta(
-                base,
-                batch,
-                threshold=self.threshold,
-                id_col=self.id_col,
-                vec_col=self.vec_col,
-                bits=self.bits,
-                fp_scale=self.fp_scale,
-                probes=self.probes,
-            )
+            decisions = self._mark(base, batch)
         else:
             # no index yet: the first batch founds it — all novel
             base = batch.limit(0)
             decisions = batch.select(
                 self.id_col,
-                F.lit(None).cast("long").alias("matched_base_id"),
+                F.lit(None)
+                .cast(batch.schema[self.id_col].dataType)
+                .alias("matched_base_id"),
                 F.lit(False).alias("dup_of_index"),
             )
         decisions.write.mode("overwrite").parquet(
@@ -342,6 +323,101 @@ class EmbeddingIndexSink(ParquetUpsertSink):
         """All per-batch match decisions, with the ``batch`` column
         from partition discovery."""
         return spark.read.parquet(self._decisions)
+
+
+class EmbeddingIndexSink(IndexDeltaSink):
+    """Streaming i3: continuously maintained embedding near-dup index
+    (``operators.similarity.embedding_index_delta`` per micro-batch).
+
+    ``bits`` is REQUIRED: the bucket scheme is fixed at index-build
+    time (the ``embedding_index_delta`` contract) — deriving it per
+    batch from a growing base would silently re-shard the index.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        bits: int,
+        threshold: float = 0.4,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        fp_scale: int = 10**15,
+        probes: int = 1,
+        absorb_novel: bool = True,
+    ) -> None:
+        super().__init__(path, id_col, vec_col, absorb_novel)
+        self.bits = bits
+        self.threshold = threshold
+        self.vec_col = vec_col
+        self.fp_scale = fp_scale
+        self.probes = probes
+
+    def _mark(self, base: DataFrame, batch: DataFrame) -> DataFrame:
+        from big_data_flight_analytics_spark.operators.similarity import (
+            embedding_index_delta,
+        )
+
+        return embedding_index_delta(
+            base,
+            batch,
+            threshold=self.threshold,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            bits=self.bits,
+            fp_scale=self.fp_scale,
+            probes=self.probes,
+        )
+
+
+class MinHashIndexSink(IndexDeltaSink):
+    """Streaming i4: continuously maintained MinHash near-dup index
+    (``operators.dedup.minhash_index_delta`` per micro-batch) —
+    text-Jaccard near-dup marking at ingest time.
+
+    The MinHash parameters (n, num_perm, bands) are fixed at
+    index-build time: signatures are data-independent given the
+    scheme, which is exactly what lets batches sign themselves and
+    still agree with joint signing — but only under ONE scheme.
+    ``max_band_df`` caps BASE band buckets (an index-build-time
+    property), the recall-only hot-bucket trade.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        threshold: float = 0.2,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n: int = 3,
+        num_perm: int = 16,
+        bands: int = 4,
+        max_band_df: int | None = None,
+        absorb_novel: bool = True,
+    ) -> None:
+        super().__init__(path, id_col, text_col, absorb_novel)
+        self.threshold = threshold
+        self.text_col = text_col
+        self.n = n
+        self.num_perm = num_perm
+        self.bands = bands
+        self.max_band_df = max_band_df
+
+    def _mark(self, base: DataFrame, batch: DataFrame) -> DataFrame:
+        from big_data_flight_analytics_spark.operators.dedup import (
+            minhash_index_delta,
+        )
+
+        return minhash_index_delta(
+            base,
+            batch,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            n=self.n,
+            num_perm=self.num_perm,
+            bands=self.bands,
+            threshold=self.threshold,
+            max_band_df=self.max_band_df,
+        )
 
 
 class DedupIndexSink(ParquetUpsertSink):

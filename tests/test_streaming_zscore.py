@@ -188,6 +188,44 @@ class TestDedupIndexSink:
         assert first[0][2] == 2  # dup_count not inflated by the replay
 
 
+def _replay_files(spark, d, delta, n_files=2):
+    """Split ``delta`` into n single-parquet files with increasing
+    mtimes so maxFilesPerTrigger=1 replays them as ordered batches."""
+    rows = delta.collect()
+    per = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = rows[i * per:(i + 1) * per]
+        p = str(d / f"b{i}.parquet")
+        spark.createDataFrame(chunk, delta.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p + ".dir")
+        src = next(
+            f
+            for f in os.listdir(p + ".dir")
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        os.rename(os.path.join(p + ".dir", src), p)
+        os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+
+
+def _run_stream(spark, tmp_path, sink, delta):
+    replay = tmp_path / "arrivals"
+    replay.mkdir()
+    _replay_files(spark, replay, delta)
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(replay))
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
 class TestEmbeddingIndexSink:
     """Streaming embedding ingest-dedup == the batch i3 operator."""
 
@@ -225,40 +263,8 @@ class TestEmbeddingIndexSink:
             spark.createDataFrame(delta_rows),
         )
 
-    @staticmethod
-    def _replay_files(spark, d, delta, n_files=2):
-        rows = delta.collect()
-        per = (len(rows) + n_files - 1) // n_files
-        for i in range(n_files):
-            chunk = rows[i * per:(i + 1) * per]
-            p = str(d / f"b{i}.parquet")
-            spark.createDataFrame(chunk, delta.schema).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(p + ".dir")
-            src = next(
-                f
-                for f in os.listdir(p + ".dir")
-                if f.endswith(".parquet") and not f.startswith("_")
-            )
-            os.rename(os.path.join(p + ".dir", src), p)
-            os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
-
     def _run_stream(self, spark, tmp_path, sink, delta):
-        replay = tmp_path / "arrivals"
-        replay.mkdir()
-        self._replay_files(spark, replay, delta)
-        stream = (
-            spark.readStream.schema(delta.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(str(replay))
-        )
-        q = (
-            stream.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", str(tmp_path / "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
+        _run_stream(spark, tmp_path, sink, delta)
 
     def test_frozen_index_decisions_equal_batch_operator(
         self, spark, tmp_path
@@ -365,6 +371,142 @@ class TestEmbeddingIndexSink:
         sink.merge(batch, 0)  # at-least-once replay
         assert sorted(
             r["vec_id"] for r in sink.read(spark).collect()
+        ) == first_base  # novel not absorbed twice
+        assert first_base == [1, 11]
+        assert sink.decisions(spark).count() == 2
+
+
+class TestMinHashIndexSink:
+    """Streaming MinHash ingest-dedup == the batch i4 operator."""
+
+    def _frames(self, spark):
+        import random
+
+        from pyspark.sql import Row
+
+        rng = random.Random(23)
+        vocab = "alpha bravo charlie delta echo foxtrot golf hotel".split()
+        base_rows = [
+            Row(doc_id=i, text=" ".join(rng.choice(vocab) for _ in range(12)))
+            for i in range(40)
+        ]
+        # half the deltas are one-word-perturbed copies (near-dups),
+        # half are fresh random texts
+        delta_rows = []
+        for i in range(20):
+            if i % 2 == 0:
+                delta_rows.append(
+                    Row(
+                        doc_id=100 + i,
+                        text=base_rows[i]["text"].replace(
+                            vocab[0], vocab[1], 1
+                        ),
+                    )
+                )
+            else:
+                delta_rows.append(
+                    Row(
+                        doc_id=100 + i,
+                        text=" ".join(
+                            rng.choice(vocab) for _ in range(12)
+                        ),
+                    )
+                )
+        return (
+            spark.createDataFrame(base_rows),
+            spark.createDataFrame(delta_rows),
+        )
+
+    def test_frozen_index_decisions_equal_batch_operator(
+        self, spark, tmp_path
+    ):
+        from big_data_flight_analytics_spark.operators.dedup import (
+            minhash_index_delta,
+        )
+        from big_data_flight_analytics_spark.streaming.sinks import (
+            MinHashIndexSink,
+        )
+
+        base, delta = self._frames(spark)
+        sink = MinHashIndexSink(
+            str(tmp_path / "index"), threshold=0.3, absorb_novel=False
+        )
+        sink.initialize(base)
+        _run_stream(spark, tmp_path, sink, delta)
+
+        got = {
+            r["doc_id"]: (r["matched_base_id"], r["dup_of_index"])
+            for r in sink.decisions(spark).collect()
+        }
+        want = {
+            r["doc_id"]: (r["matched_base_id"], r["dup_of_index"])
+            for r in minhash_index_delta(
+                base, delta, threshold=0.3
+            ).collect()
+        }
+        assert got == want
+        assert any(v[1] for v in want.values())      # dups actually found
+        assert not all(v[1] for v in want.values())  # and novels too
+        assert sink.read(spark).count() == base.count()  # frozen
+
+    def test_absorbing_index_equals_sequential_fold(self, spark, tmp_path):
+        from big_data_flight_analytics_spark.operators.dedup import (
+            minhash_index_delta,
+        )
+        from big_data_flight_analytics_spark.streaming.sinks import (
+            MinHashIndexSink,
+        )
+
+        base, delta = self._frames(spark)
+        sink = MinHashIndexSink(str(tmp_path / "index"), threshold=0.3)
+        sink.initialize(base)
+        _run_stream(spark, tmp_path, sink, delta)
+
+        rows = delta.collect()
+        per = (len(rows) + 1) // 2
+        fold_base = base
+        want = {}
+        for i in range(2):
+            chunk = spark.createDataFrame(
+                rows[i * per:(i + 1) * per], delta.schema
+            )
+            dec = minhash_index_delta(fold_base, chunk, threshold=0.3)
+            for r in dec.collect():
+                want[r["doc_id"]] = (r["matched_base_id"], r["dup_of_index"])
+            fold_base = fold_base.unionByName(
+                chunk.join(
+                    dec.filter(~F.col("dup_of_index")).select("doc_id"),
+                    "doc_id",
+                )
+            )
+        got = {
+            r["doc_id"]: (r["matched_base_id"], r["dup_of_index"])
+            for r in sink.decisions(spark).collect()
+        }
+        assert got == want
+        assert sink.read(spark).count() == fold_base.count()
+
+    def test_replayed_batch_is_a_noop(self, spark, tmp_path):
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.streaming.sinks import (
+            MinHashIndexSink,
+        )
+
+        base = spark.createDataFrame(
+            [Row(doc_id=1, text="the quick brown fox jumps over the lazy dog")]
+        )
+        batch = spark.createDataFrame([
+            Row(doc_id=10, text="the quick brown fox jumps over the lazy cat"),
+            Row(doc_id=11, text="entirely different words with fresh tokens"),
+        ])
+        sink = MinHashIndexSink(str(tmp_path / "index"), threshold=0.3)
+        sink.initialize(base)
+        sink.merge(batch, 0)
+        first_base = sorted(r["doc_id"] for r in sink.read(spark).collect())
+        sink.merge(batch, 0)  # at-least-once replay
+        assert sorted(
+            r["doc_id"] for r in sink.read(spark).collect()
         ) == first_base  # novel not absorbed twice
         assert first_base == [1, 11]
         assert sink.decisions(spark).count() == 2
