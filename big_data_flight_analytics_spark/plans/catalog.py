@@ -173,6 +173,7 @@ _TIE_BREAK = [
     "i3_embedding_delta",
     "t19_lm_perplexity",
     "i4_minhash_delta",
+    "g2_knn_triangles",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

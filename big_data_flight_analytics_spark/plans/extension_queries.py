@@ -1504,6 +1504,83 @@ G1_SQL = _pagerank_fp_sql(V4_SQL)
 
 
 # ---------------------------------------------------------------------------
+# G2 — kNN-graph triangles + local clustering coefficient (round 9):
+# the graph-quality counterpart to g1's centrality. Near-dup
+# neighborhoods are cliquish (lcc -> 1), topical hubs are star-like
+# (lcc -> 0) — a curation signal over the SAME shared v4 graph stage.
+# Degree-oriented wedge closing (node-iterator++) bounds wedge work by
+# sum(out_deg choose 2), out_deg <= O(sqrt(m)) — the hub that would
+# explode under naive enumeration generates zero wedges. Exact integer
+# counts; the lcc division is one correctly-rounded double op on exact
+# int inputs, so the full hash gate applies.
+# ---------------------------------------------------------------------------
+
+
+def g2_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.graph import (
+        triangle_clustering,
+    )
+
+    g = v4_knn_graph(spark, sf_dir)
+    return triangle_clustering(
+        g.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+    )
+
+
+def _g2_sql(edges_sql: str) -> str:
+    """Literal SQL restatement of operators/graph.triangle_clustering
+    over the v4 edge SQL. Orientation spelled as the same boolean
+    algebra as the Spark plan (no row-value comparisons — zero
+    cross-engine comparison-semantics surface)."""
+    return f"""
+WITH edges AS MATERIALIZED (
+    SELECT DISTINCT vec_a AS s, vec_b AS d FROM ( {edges_sql} )
+), und AS MATERIALIZED (
+    SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
+    FROM edges WHERE s <> d
+), deg AS MATERIALIZED (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+    GROUP BY 1
+), oriented AS MATERIALIZED (
+    SELECT CASE WHEN da.degree < db.degree
+                  OR (da.degree = db.degree AND a < b)
+                THEN a ELSE b END AS u,
+           CASE WHEN da.degree < db.degree
+                  OR (da.degree = db.degree AND a < b)
+                THEN b ELSE a END AS v,
+           CASE WHEN da.degree < db.degree
+                  OR (da.degree = db.degree AND a < b)
+                THEN db.degree ELSE da.degree END AS dv
+    FROM und JOIN deg da ON da.node = und.a
+             JOIN deg db ON db.node = und.b
+), tri AS MATERIALIZED (
+    SELECT w1.u, w1.v AS x, w2.v AS y
+    FROM oriented w1
+    JOIN oriented w2 ON w1.u = w2.u
+    JOIN oriented c ON c.u = w1.v AND c.v = w2.v
+    WHERE w1.dv < w2.dv OR (w1.dv = w2.dv AND w1.v < w2.v)
+), per_node AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+    FROM (SELECT u AS node FROM tri
+          UNION ALL SELECT x FROM tri
+          UNION ALL SELECT y FROM tri)
+    GROUP BY 1
+)
+SELECT deg.node, deg.degree,
+       CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN deg.degree < 2 THEN 0.0
+            ELSE CAST(2 * COALESCE(p.triangles, 0) AS DOUBLE)
+                 / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
+       END AS lcc
+FROM deg LEFT JOIN per_node p USING (node)
+"""
+
+
+G2_SQL = _g2_sql(V4_SQL)
+
+
+# ---------------------------------------------------------------------------
 # D14 — dedup-method ensemble: the union of the three text near-dup
 # detectors (n-gram Jaccard, MinHash-LSH, SimHash) with per-method
 # provenance flags — the agreement/complementarity report a curation
@@ -3719,6 +3796,7 @@ EXTENSION_QUERIES = {
     "v7_pq_trained_topk": v7_pq_trained_topk,
     "v8_ivfpq_topk": v8_ivfpq_topk,
     "g1_knn_pagerank": g1_knn_pagerank,
+    "g2_knn_triangles": g2_knn_triangles,
     "d13_semantic_prune": d13_semantic_prune,
     "d14_dedup_ensemble": d14_dedup_ensemble,
     "d15_repeated_spans": d15_repeated_spans,
@@ -3768,6 +3846,7 @@ EXTENSION_ORACLES = {
     "d5_embedding_neardup": D5_SQL,
     "v4_knn_graph": V4_SQL,
     "g1_knn_pagerank": G1_SQL,
+    "g2_knn_triangles": G2_SQL,
     "v5_quantized_topk": V5_SQL,
     "v6_pq_topk": V6_SQL,
     "v7_pq_trained_topk": V7_SQL,

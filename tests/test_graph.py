@@ -293,3 +293,103 @@ class TestPageRankFixedPoint:
 
         df = spark.createDataFrame([Row(src=1, dst=2)]).filter("src > 99")
         assert pagerank_fixedpoint(df).collect() == []
+
+
+class TestTriangleClustering:
+    """triangle_clustering vs itertools brute force + invariances."""
+
+    @staticmethod
+    def _brute(edge_list):
+        import itertools
+
+        und = {tuple(sorted(e)) for e in edge_list if e[0] != e[1]}
+        nodes = {n for e in und for n in e}
+        tri = {n: 0 for n in nodes}
+        for c in itertools.combinations(sorted(nodes), 3):
+            if all(
+                tuple(sorted(p)) in und
+                for p in itertools.combinations(c, 2)
+            ):
+                for n in c:
+                    tri[n] += 1
+        deg = {n: sum(1 for e in und if n in e) for n in nodes}
+        return sorted(
+            (
+                n,
+                deg[n],
+                tri[n],
+                0.0 if deg[n] < 2 else 2 * tri[n] / (deg[n] * (deg[n] - 1)),
+            )
+            for n in nodes
+        )
+
+    def test_k4_pendant_and_parallel_edges(self, spark):
+        from big_data_flight_analytics_spark.operators.graph import (
+            triangle_clustering,
+        )
+        from pyspark.sql import Row
+
+        # K4 plus a pendant, with reversed duplicates and a self-loop
+        # that must all be ignored by symmetrize/distinct
+        edges = [(a, b) for a in range(4) for b in range(4) if a != b]
+        edges += [(4, 0), (0, 4), (2, 2)]
+        df = spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
+        got = sorted(tuple(r) for r in triangle_clustering(df).collect())
+        assert got == self._brute(edges)
+        # K4 members close 3 triangles each; the pendant closes none
+        assert got[4] == (4, 1, 0, 0.0)
+
+    def test_random_graph_matches_brute_force(self, spark):
+        import random
+
+        from big_data_flight_analytics_spark.operators.graph import (
+            triangle_clustering,
+        )
+        from pyspark.sql import Row
+
+        rng = random.Random(7)
+        edges = list(
+            {
+                (rng.randrange(30), rng.randrange(30))
+                for _ in range(150)
+            }
+        )
+        df = spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
+        got = sorted(tuple(r) for r in triangle_clustering(df).collect())
+        assert got == self._brute(edges)
+        assert any(r[2] > 0 for r in got)  # the graph really has triangles
+
+    def test_partition_invariance(self, spark):
+        import random
+
+        from big_data_flight_analytics_spark.operators.graph import (
+            triangle_clustering,
+        )
+        from pyspark.sql import Row
+
+        rng = random.Random(13)
+        edges = [
+            Row(src=rng.randrange(40), dst=rng.randrange(40))
+            for _ in range(200)
+        ]
+        df = spark.createDataFrame(edges)
+        a = sorted(tuple(r) for r in triangle_clustering(df).collect())
+        b = sorted(
+            tuple(r)
+            for r in triangle_clustering(df.repartition(13)).collect()
+        )
+        assert a == b
+
+    def test_triangle_free_graph_all_zero(self, spark):
+        from big_data_flight_analytics_spark.operators.graph import (
+            triangle_clustering,
+        )
+        from pyspark.sql import Row
+
+        # a path: 0-1-2-3 — wedges exist, no triangle closes
+        df = spark.createDataFrame(
+            [Row(src=i, dst=i + 1) for i in range(3)]
+        )
+        got = sorted(tuple(r) for r in triangle_clustering(df).collect())
+        assert [r[2] for r in got] == [0, 0, 0, 0]
+        assert [r[3] for r in got] == [0.0, 0.0, 0.0, 0.0]

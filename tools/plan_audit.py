@@ -48,8 +48,51 @@ JOIN_KINDS = (
 )
 
 
+def _elide_repeated_cache_builds(plan: str) -> str:
+    """Keep each cached relation's build subtree ONCE.
+
+    ``executedPlan().toString()`` re-prints a cached relation's child
+    plan at EVERY reference (with re-aliased attr ids and even
+    re-aliased column names under consumer projections), so a query
+    that persists a 2x/3x-referenced frame (the documented
+    tracked_persist discipline) would have its build shuffles/joins/
+    scans counted per reference — a ~12-shuffle triangle query audited
+    as 191 shuffles. Dedup key: the id-normalized CONTENT of the build
+    subtree itself — alias-proof, and it also merges byte-identical
+    builds cached twice (counting those once is the honest cost)."""
+    lines = plan.splitlines()
+    depths = [re.match(r"^[\s:|+-]*", ln).end() for ln in lines]
+    keep = [True] * len(lines)
+    seen: set[str] = set()
+    i = 0
+    while i < len(lines):
+        if "InMemoryRelation" in lines[i]:
+            j = i + 1
+            while j < len(lines) and depths[j] > depths[i]:
+                j += 1
+            # references re-alias both attr IDS and NAMES deep into
+            # the re-printed subtree, and the tree-drawing prefix and
+            # plan_ids vary with nesting position; strip all three so
+            # the key is the operator/expression SKELETON
+            key = re.sub(
+                r"[A-Za-z_][A-Za-z0-9_]*#\d+L?|plan_id=\d+", "@",
+                "\n".join(ln[d:] for ln, d in
+                           zip(lines[i + 1:j], depths[i + 1:j])),
+            )
+            if key in seen:
+                for k in range(i + 1, j):
+                    keep[k] = False
+            else:
+                seen.add(key)
+            # scan continues INSIDE the subtree: nested cached
+            # relations (a cache built over another cache) dedup too
+        i += 1
+    return "\n".join(ln for ln, k in zip(lines, keep) if k)
+
+
 def audit(name: str, plan: str) -> tuple[dict, list[str]]:
     errors = []
+    plan = _elide_repeated_cache_builds(plan)
     shuffles = len(re.findall(r"Exchange (hash|range)partitioning", plan))
     joins: dict[str, int] = {}
     for kind in JOIN_KINDS:
