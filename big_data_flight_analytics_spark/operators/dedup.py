@@ -857,3 +857,135 @@ def excise_repeated_spans(
             ),
         )
     )
+
+
+def sparse_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    grain: int = 100,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All doc pairs (a < b) with tf-idf COSINE >= threshold — the
+    sparse-vector similarity join (news-style near-dup / same-story
+    detection; complements d2's set Jaccard, d4's frequency SimHash,
+    d5's dense-embedding cosine).
+
+    Exact-grain scoring under the LN doctrine (DESIGN.md #6): idf is
+    ``FLOOR(grain * LN((N+1)/(df+1))) + grain`` (sklearn-smoothed, so
+    weights never hit 0) computed once per TERM — a small key domain
+    with exact-int LN inputs, identical doubles in any engine. Weights
+    ``w = tf * idf_fp`` and all dots/norms are int64 sums of int64
+    products; the final cosine is correctly-rounded IEEE double ops on
+    exact ints (the v4 pattern), so the pair set is decided
+    deterministically cross-engine.
+
+    Overflow discipline (the bm25/dsir pattern): every weight is
+    guarded ``w < 2^31`` in-plan (fail-loud assert_true; remedy:
+    lower ``grain``), making each product < 2^62; the norm SUM is
+    double-checked against 2^62 with a parallel double accumulation
+    (1e-16 relative error absorbed by the 2x headroom), and every dot
+    is then bounded by Cauchy-Schwarz: dot <= sqrt(na*nb) <=
+    max(na, nb) < 2^62 — no further guard needed because all weights
+    are non-negative, so every partial sum is <= the total.
+
+    ``max_df`` (scale lever, the d2 contract): terms in more than
+    ``max_df`` docs are dropped from CANDIDATE GENERATION only — a hot
+    term in d docs contributes d*(d-1)/2 candidates and almost no idf
+    signal. Cosine is then computed on the FULL weight vectors of the
+    candidates, so emitted values are exact (precision 1.0; recall
+    trade only).
+
+    Plan: tf agg on (doc, term); df agg on term (shuffle-joined back —
+    the term dimension is corpus-sized, never broadcast); one-row N
+    broadcast; capped posting self-join for candidates; verify joins
+    against the persisted weight frame. Output: doc_a, doc_b, cos.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    idf = dfreq.crossJoin(F.broadcast(n)).select(
+        "term",
+        (
+            F.floor(
+                F.lit(grain)
+                * F.log(
+                    (F.col("n_docs") + F.lit(1)).cast("double")
+                    / (F.col("df") + F.lit(1)).cast("double")
+                )
+            ).cast("long")
+            + F.lit(grain)
+        ).alias("idf_fp"),
+    )
+    w_raw = F.col("tf") * F.col("idf_fp")
+    # fail loud BEFORE any product can exceed int64: w < 2^31 makes
+    # every w*w and wa*wb < 2^62. assert_true returns NULL on pass, so
+    # anchoring via coalesce keeps the guard inside codegen for free.
+    guard = F.assert_true(
+        w_raw < F.lit(2**31),
+        F.lit(
+            "sparse_cosine_pairs: tf*idf_fp >= 2^31 — products would "
+            "overflow int64; lower `grain` (or pre-trim giant docs)"
+        ),
+    )
+    weights = tracked_persist(
+        tf.join(idf, "term").select(
+            F.col(id_col),
+            "term",
+            F.coalesce(w_raw, guard.cast("long"), w_raw).alias("w"),
+        )
+    )
+    norms = weights.groupBy(id_col).agg(
+        F.sum(F.col("w") * F.col("w")).alias("nsq"),
+        F.sum((F.col("w") * F.col("w")).cast("double")).alias("__nsqd"),
+    )
+    norm_guard = F.assert_true(
+        F.col("__nsqd") < F.lit(float(2**62)),
+        F.lit(
+            "sparse_cosine_pairs: doc norm^2 approaches 2^63 — the "
+            "int64 sum would wrap silently; lower `grain`"
+        ),
+    )
+    norms = norms.select(
+        F.col(id_col),
+        F.coalesce(F.col("nsq"), norm_guard.cast("long"), F.col("nsq")).alias(
+            "nsq"
+        ),
+    )
+    posting = weights.select(F.col(id_col), "term")
+    if max_df is not None:
+        posting = _cap_bucket_population(posting, ["term"], max_df)
+    candidates = (
+        posting.select(F.col(id_col).alias("doc_a"), "term")
+        .join(posting.select(F.col(id_col).alias("doc_b"), "term"), "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    wa = weights.select(
+        F.col(id_col).alias("doc_a"), "term", F.col("w").alias("wa")
+    )
+    wb = weights.select(
+        F.col(id_col).alias("doc_b"), "term", F.col("w").alias("wb")
+    )
+    dots = (
+        candidates.join(wa, "doc_a")
+        .join(wb, ["doc_b", "term"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("doc_a"), F.col("nsq").alias("na"))
+    nb = norms.select(F.col(id_col).alias("doc_b"), F.col("nsq").alias("nb"))
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

@@ -178,19 +178,22 @@ def semantic_section(spark, sf_dir: str) -> None:
         semantic_prune,
     )
 
-    def prune_probes2(spark, sf_dir):
-        # the d13 operator with the probes lever engaged (NOT the
-        # catalog entry, which stays single-probe like its oracle)
+    def prune_probes1(spark, sf_dir):
+        # the single-window counterfactual: the catalog entry was
+        # promoted to probes=2 in round 9 (the measured dominant
+        # config); this row shows what the promotion bought
         return semantic_prune(
             load(sf_dir=sf_dir, spark=spark, name="embeddings"),
             threshold=NEARDUP_SIM,
             target_bucket_size=128,
-            probes=2,
+            probes=1,
         )
 
     for name, scope, fn in (
-        ("d13_semantic_prune", "sign-LSH buckets", d13_semantic_prune),
-        ("d13 @ probes=2", "2 disjoint sign windows", prune_probes2),
+        ("d13_semantic_prune", "2 disjoint sign windows (probes=2)",
+         d13_semantic_prune),
+        ("d13 @ probes=1", "single sign window (pre-r9 config)",
+         prune_probes1),
         ("d18_semdedup_clusters", "k-means clusters", d18_semdedup_clusters),
     ):
         t0 = time.time()
@@ -216,6 +219,7 @@ def semantic_section(spark, sf_dir: str) -> None:
         "this corpus."
     )
     delta_section(spark, sf_dir)
+    minhash_delta_section(spark, sf_dir)
 
 
 def delta_section(spark, sf_dir: str) -> None:
@@ -281,8 +285,8 @@ def delta_section(spark, sf_dir: str) -> None:
     print(
         f"Truth: {len(truth)} delta vectors with a base near-dup at "
         f"cosine >= {NEARDUP_SIM} ({t_truth:.1f}s brute force). The "
-        f"catalog entry runs probes=1; the lever is the index storing "
-        f"more sign windows."
+        f"catalog entry runs probes=2 (promoted round 9); the lever "
+        f"is the index storing more sign windows."
     )
     print()
     print("| probes | known | recall | sec |")
@@ -302,6 +306,100 @@ def delta_section(spark, sf_dir: str) -> None:
         assert got <= truth, f"probes={p} marked outside truth"
         rec = len(got) / len(truth) if truth else float("nan")
         print(f"| {p} | {len(got)} | {rec:.3f} | {dt:.1f} |")
+
+
+def minhash_delta_section(spark, sf_dir: str) -> None:
+    """Ingest-dedup (i4) recall vs the band scheme, against exact truth.
+
+    Truth: every delta doc (doc_id %% 5 == 0) with ANY base doc at
+    exact n-gram Jaccard >= threshold — an UNCAPPED posting join
+    (measurement-only; no band buckets, no max_df). i4's exact verify
+    makes its precision 1.0 by construction (asserted); recall is the
+    banding scheme's collision rate at the corpus's actual similarity
+    levels, and (num_perm, bands) is the lever — more bands at fixed
+    rows/band buy recall with index size, the classical
+    1-(1-j^r)^b curve.
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    from big_data_flight_analytics_spark.operators.dedup import (
+        _shingled,
+        minhash_index_delta,
+    )
+    from big_data_flight_analytics_spark.plans.extension_queries import (
+        JACCARD_THRESHOLD,
+        MAX_BAND_DF,
+    )
+    from big_data_flight_analytics_spark.plans.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.filter("doc_id % 5 != 0")
+    delta = docs.filter("doc_id % 5 = 0")
+
+    def posting(df, t):
+        sh = _shingled(df, "doc_id", "text", 3).filter(
+            F.size("shingles") > 0
+        )
+        return sh.select(
+            F.col("doc_id").alias(f"{t}_id"),
+            F.size("shingles").alias(f"{t}_n"),
+            F.explode("shingles").alias("s"),
+        )
+
+    t0 = time.time()
+    common = (
+        posting(base, "b")
+        .join(posting(delta, "d"), "s")
+        .groupBy("b_id", "d_id", "b_n", "d_n")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    truth = {
+        r[0]
+        for r in common.filter(
+            F.col("c")
+            >= JACCARD_THRESHOLD * (F.col("b_n") + F.col("d_n") - F.col("c"))
+        )
+        .select("d_id")
+        .distinct()
+        .collect()
+    }
+    t_truth = time.time() - t0
+    print()
+    print("# Ingest-dedup (i4) recall vs the MinHash band scheme")
+    print()
+    print(
+        f"Truth: {len(truth)} delta docs with a base doc at exact "
+        f"n-gram Jaccard >= {JACCARD_THRESHOLD} ({t_truth:.1f}s, "
+        f"uncapped posting join). The catalog entry runs num_perm=16 /"
+        f" bands=4 (4 rows/band) with the max_band_df={MAX_BAND_DF} "
+        f"hot-bucket cap."
+    )
+    print()
+    print("| num_perm | bands | rows/band | known | recall | sec |")
+    print("|---|---|---|---|---|---|")
+    for num_perm, bands in ((16, 4), (16, 8), (32, 8)):
+        t0 = time.time()
+        got = {
+            r["doc_id"]
+            for r in minhash_index_delta(
+                base,
+                delta,
+                num_perm=num_perm,
+                bands=bands,
+                threshold=JACCARD_THRESHOLD,
+                max_band_df=MAX_BAND_DF,
+            ).collect()
+            if r["dup_of_index"]
+        }
+        dt = time.time() - t0
+        assert got <= truth, f"({num_perm},{bands}) marked outside truth"
+        rec = len(got) / len(truth) if truth else float("nan")
+        print(
+            f"| {num_perm} | {bands} | {num_perm // bands} "
+            f"| {len(got)} | {rec:.3f} | {dt:.1f} |"
+        )
 
 
 if __name__ == "__main__":
