@@ -866,11 +866,20 @@ def sparse_cosine_pairs(
     threshold: float = 0.5,
     grain: int = 100,
     max_df: int | None = None,
+    ngram: int = 1,
 ) -> DataFrame:
     """All doc pairs (a < b) with tf-idf COSINE >= threshold — the
     sparse-vector similarity join (news-style near-dup / same-story
     detection; complements d2's set Jaccard, d4's frequency SimHash,
     d5's dense-embedding cosine).
+
+    ``ngram`` sets the TERM space: 1 = whitespace unigrams; n>1 =
+    n-gram phrases WITH multiplicity (``ngram_multiset_expr`` — tf is
+    the signal, so d2's ``array_distinct`` shingles would be wrong
+    here). Phrase terms matter when the unigram vocabulary is tiny
+    relative to the corpus (every doc shares every word and idf
+    carries no signal — exactly the shape of template-generated or
+    boilerplate-heavy corpora).
 
     Exact-grain scoring under the LN doctrine (DESIGN.md #6): idf is
     ``FLOOR(grain * LN((N+1)/(df+1))) + grain`` (sklearn-smoothed, so
@@ -902,8 +911,13 @@ def sparse_cosine_pairs(
     broadcast; capped posting self-join for candidates; verify joins
     against the persisted weight frame. Output: doc_a, doc_b, cos.
     """
+    term_arr = (
+        tokens(text_col)
+        if ngram == 1
+        else ngram_multiset_expr(tokens(text_col), ngram)
+    )
     toks = df.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+        F.col(id_col), F.explode(term_arr).alias("term")
     ).where(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -924,7 +938,11 @@ def sparse_cosine_pairs(
     w_raw = F.col("tf") * F.col("idf_fp")
     # fail loud BEFORE any product can exceed int64: w < 2^31 makes
     # every w*w and wa*wb < 2^62. assert_true returns NULL on pass, so
-    # anchoring via coalesce keeps the guard inside codegen for free.
+    # anchoring the weight on .isNull() (the bm25_topk idiom) forces
+    # the check to evaluate per row inside codegen with zero effect on
+    # passing rows. (A coalesce(w, guard, w) anchor is DEAD here —
+    # w_raw is never NULL, so coalesce short-circuits before the
+    # guard; the ADVICE r9 finding.)
     guard = F.assert_true(
         w_raw < F.lit(2**31),
         F.lit(
@@ -936,7 +954,7 @@ def sparse_cosine_pairs(
         tf.join(idf, "term").select(
             F.col(id_col),
             "term",
-            F.coalesce(w_raw, guard.cast("long"), w_raw).alias("w"),
+            F.when(guard.isNull(), w_raw).alias("w"),
         )
     )
     norms = weights.groupBy(id_col).agg(
@@ -952,9 +970,7 @@ def sparse_cosine_pairs(
     )
     norms = norms.select(
         F.col(id_col),
-        F.coalesce(F.col("nsq"), norm_guard.cast("long"), F.col("nsq")).alias(
-            "nsq"
-        ),
+        F.when(norm_guard.isNull(), F.col("nsq")).alias("nsq"),
     )
     posting = weights.select(F.col(id_col), "term")
     if max_df is not None:

@@ -174,6 +174,7 @@ _TIE_BREAK = [
     "t19_lm_perplexity",
     "i4_minhash_delta",
     "g2_knn_triangles",
+    "d19_sparse_cosine",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

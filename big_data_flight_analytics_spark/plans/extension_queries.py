@@ -3756,6 +3756,103 @@ LEFT JOIN m USING (doc_id)
 I4_SQL = _i4_sql()
 
 
+# ---------------------------------------------------------------------------
+# D19 — sparse tf-idf cosine pairs (operators/dedup.sparse_cosine_pairs).
+# The sparse-VECTOR similarity join: complements d2 (set Jaccard — ignores
+# term frequency), d4 (SimHash — lossy projection) and d5 (dense embedding
+# cosine). Terms are 3-gram PHRASES with multiplicity: the synthetic corpus
+# has only ~31 distinct unigrams (every doc contains nearly every word, so
+# unigram idf carries zero signal — the boilerplate-corpus shape the
+# operator docstring calls out); the trigram space is ~27k terms at sf0.1
+# with max df 25. The cosine distribution is strongly bimodal (background
+# <= ~0.10, planted near-dups >= ~0.98), so THRESHOLD=0.5 sits in the gap
+# and membership is decided far from any double-rounding boundary.
+# max_df mirrors d2's MAX_SHINGLE_DF ethos: hot phrases are dropped from
+# CANDIDATE GENERATION only (cosine is then exact over full vectors), so
+# the cap is a recall-only lever and the oracle mirrors it exactly.
+# ---------------------------------------------------------------------------
+
+D19_NGRAM = 3
+D19_GRAIN = 100
+D19_MAX_DF = 10
+D19_COS_THRESHOLD = 0.5
+
+
+def d19_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.dedup import (
+        sparse_cosine_pairs,
+    )
+
+    return sparse_cosine_pairs(
+        load(spark, sf_dir, "documents"),
+        threshold=D19_COS_THRESHOLD,
+        grain=D19_GRAIN,
+        max_df=D19_MAX_DF,
+        ngram=D19_NGRAM,
+    )
+
+
+# Mirror of sparse_cosine_pairs at ngram=3. idf_fp = FLOOR(grain *
+# LN((N+1)/(df+1))) + grain on exact-int inputs (the t17/t18/t19 LN
+# doctrine); weights and all dot/norm sums are int64 (< 2^62 by the
+# in-plan guard, so DuckDB's HUGEINT accumulation and Spark's int64
+# agree exactly); the final cosine is correctly-rounded IEEE double
+# ops on exact ints (the v4 pattern) — bit-identical cross-engine.
+D19_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS t
+    FROM documents
+), grams AS (
+    SELECT doc_id, unnest(CASE WHEN len(t) >= {D19_NGRAM} THEN
+        list_transform(range(1, len(t) - 1),
+            i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+        ELSE [] END) AS term
+    FROM toks
+), tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf
+    FROM grams WHERE term != '' GROUP BY 1, 2
+), dfq AS (
+    SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), nd AS (
+    SELECT COUNT(*) AS n_docs FROM documents
+), idf AS (
+    SELECT term,
+           CAST(FLOOR({D19_GRAIN} * LN((n_docs + 1) * 1.0 / (df + 1)))
+                AS BIGINT) + {D19_GRAIN} AS idf_fp
+    FROM dfq, nd
+), weights AS (
+    SELECT doc_id, tf.term, CAST(tf * idf_fp AS BIGINT) AS w
+    FROM tf JOIN idf ON tf.term = idf.term
+), norms AS (
+    SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS nsq
+    FROM weights GROUP BY 1
+), rare AS (
+    SELECT term FROM weights GROUP BY term HAVING COUNT(*) <= {D19_MAX_DF}
+), capped AS (
+    SELECT doc_id, term FROM weights JOIN rare USING (term)
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM capped a JOIN capped b ON a.term = b.term AND a.doc_id < b.doc_id
+), dots AS (
+    SELECT doc_a, doc_b, CAST(SUM(wa.w * wb.w) AS BIGINT) AS dot
+    FROM cand
+    JOIN weights wa ON wa.doc_id = doc_a
+    JOIN weights wb ON wb.doc_id = doc_b AND wb.term = wa.term
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(dot AS DOUBLE) /
+       (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cos
+FROM dots
+JOIN norms na ON na.doc_id = doc_a
+JOIN norms nb ON nb.doc_id = doc_b
+WHERE CAST(dot AS DOUBLE) /
+      (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+      >= {D19_COS_THRESHOLD}
+"""
+
+
 EXTENSION_QUERIES = {
     "t1_text_stats": t1_text_stats,
     "t15_bpe_merges": t15_bpe_merges,
@@ -3766,6 +3863,7 @@ EXTENSION_QUERIES = {
     "d18_semdedup_clusters": d18_semdedup_clusters,
     "i3_embedding_delta": i3_embedding_delta,
     "i4_minhash_delta": i4_minhash_delta,
+    "d19_sparse_cosine": d19_sparse_cosine,
     "i2_dedup_delta": i2_dedup_delta,
     "t3_gopher_metrics": t3_gopher_metrics,
     "t4_tfidf_top_terms": t4_tfidf_top_terms,
@@ -3820,6 +3918,7 @@ EXTENSION_ORACLES = {
     "d18_semdedup_clusters": D18_SQL,
     "i3_embedding_delta": I3_SQL,
     "i4_minhash_delta": I4_SQL,
+    "d19_sparse_cosine": D19_SQL,
     "i2_dedup_delta": I2_SQL,
     "t3_gopher_metrics": T3_SQL,
     "t4_tfidf_top_terms": T4_SQL,

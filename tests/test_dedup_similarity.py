@@ -1164,3 +1164,161 @@ class TestMinHashIndexDelta:
         assert run(base, delta) == run(
             base.repartition(13), delta.repartition(7)
         )
+
+
+class TestSparseCosinePairs:
+    """sparse_cosine_pairs: exact-grain tf-idf cosine similarity join
+    (d19). Differential vs a pure-Python mirror of the same fixed-point
+    formula, cap precision semantics, and both overflow guards."""
+
+    @staticmethod
+    def _py_pairs(texts, threshold, grain, ngram):
+        """Pure-Python mirror (no cap): doc -> tf over ngram terms,
+        idf_fp = floor(grain*ln((N+1)/(df+1))) + grain, int64 weights,
+        cosine from exact-int dot/norms."""
+        import math
+        from collections import Counter
+
+        def terms(text):
+            toks = text.strip().lower().split()
+            if ngram == 1:
+                return toks
+            return [
+                " ".join(toks[i : i + ngram])
+                for i in range(len(toks) - ngram + 1)
+            ]
+
+        tf = {d: Counter(terms(t)) for d, t in texts.items()}
+        n = len(texts)
+        df = Counter(term for c in tf.values() for term in c)
+        idf = {
+            t: math.floor(grain * math.log((n + 1) / (d + 1))) + grain
+            for t, d in df.items()
+        }
+        w = {
+            d: {t: c * idf[t] for t, c in cnt.items()}
+            for d, cnt in tf.items()
+        }
+        out = {}
+        ids = sorted(texts)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                shared = set(w[a]) & set(w[b])
+                if not shared:
+                    continue
+                dot = sum(w[a][t] * w[b][t] for t in shared)
+                na = sum(v * v for v in w[a].values())
+                nb = sum(v * v for v in w[b].values())
+                cos = float(dot) / (math.sqrt(float(na)) * math.sqrt(float(nb)))
+                if cos >= threshold:
+                    out[(a, b)] = cos
+        return out
+
+    def test_differential_vs_python_mirror(self, spark):
+        from big_data_flight_analytics_spark.operators.dedup import (
+            sparse_cosine_pairs,
+        )
+
+        texts = {
+            1: "the quick brown fox jumps over the lazy dog",
+            2: "the quick brown fox jumps over the lazy cat",
+            3: "The  Quick  Brown Fox jumps over the lazy dog",
+            4: "completely different words entirely unrelated content here",
+            5: "the quick brown fox jumps over the lazy dog",
+            6: "quick brown dog naps under the busy fox all day",
+        }
+        df = spark.createDataFrame(
+            [Row(doc_id=d, text=t) for d, t in texts.items()]
+        )
+        for ngram, thr in [(1, 0.5), (2, 0.3), (3, 0.3)]:
+            want = self._py_pairs(texts, thr, 100, ngram)
+            got = {
+                (r["doc_a"], r["doc_b"]): r["cos"]
+                for r in sparse_cosine_pairs(
+                    df, threshold=thr, grain=100, ngram=ngram
+                ).collect()
+            }
+            assert set(got) == set(want), f"ngram={ngram}"
+            for k in want:
+                assert abs(got[k] - want[k]) < 1e-12, (ngram, k)
+
+    def test_identical_docs_near_one_unrelated_absent(self, spark):
+        from big_data_flight_analytics_spark.operators.dedup import (
+            sparse_cosine_pairs,
+        )
+
+        got = {
+            (r["doc_a"], r["doc_b"]): r["cos"]
+            for r in sparse_cosine_pairs(
+                corpus(spark), threshold=0.5, ngram=2
+            ).collect()
+        }
+        # 1/3/5 identical after lower+ws-normalize -> cos ~ 1.0
+        for pair in [(1, 3), (1, 5), (3, 5)]:
+            assert pair in got and got[pair] > 0.999
+        # doc 4 shares no bigram with anything
+        assert not any(4 in p for p in got)
+
+    def test_max_df_trades_recall_never_precision(self, spark):
+        from big_data_flight_analytics_spark.operators.dedup import (
+            sparse_cosine_pairs,
+        )
+
+        df = corpus(spark)
+        full = {
+            (r["doc_a"], r["doc_b"]): r["cos"]
+            for r in sparse_cosine_pairs(
+                df, threshold=0.5, ngram=2
+            ).collect()
+        }
+        # cap=2: bigrams shared by the 3 identical docs (df=3) are
+        # dropped from candidate generation, so their pairs vanish --
+        # but every emitted pair is in the uncapped set WITH THE SAME
+        # cosine (cap never touches the scoring vectors)
+        capped = {
+            (r["doc_a"], r["doc_b"]): r["cos"]
+            for r in sparse_cosine_pairs(
+                df, threshold=0.5, ngram=2, max_df=2
+            ).collect()
+        }
+        assert set(capped) <= set(full)
+        for k, v in capped.items():
+            assert abs(v - full[k]) < 1e-15
+
+    def test_weight_guard_fires_not_wraps(self, spark):
+        from big_data_flight_analytics_spark.operators.dedup import (
+            sparse_cosine_pairs,
+        )
+
+        df = corpus(spark)
+        # grain = 2^31: even a zero-idf term has w = tf*grain >= 2^31.
+        # The product itself stays far below int64, so ANSI mode can't
+        # save us -- only the in-plan guard stands between this and
+        # silently wrong cosines at bigger grains.
+        with pytest.raises(Exception, match="tf\\*idf_fp >= 2\\^31"):
+            sparse_cosine_pairs(df, threshold=0.5, grain=2**31).collect()
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        try:
+            with pytest.raises(Exception, match="tf\\*idf_fp >= 2\\^31"):
+                sparse_cosine_pairs(
+                    df, threshold=0.5, grain=2**31
+                ).collect()
+        finally:
+            spark.conf.unset("spark.sql.ansi.enabled")
+
+    def test_norm_guard_fires_below_weight_guard(self, spark):
+        from big_data_flight_analytics_spark.operators.dedup import (
+            sparse_cosine_pairs,
+        )
+
+        # Two tf=1 terms, each in BOTH docs (df = N so ln-term = 0 and
+        # idf_fp = grain exactly): grain = 2^31 - 1 slips under the
+        # per-weight guard, but nsq = 2*(2^31-1)^2 > 2^62 must trip the
+        # parallel double-accumulated norm guard.
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="aa bb"), Row(doc_id=2, text="aa bb")]
+        )
+        with pytest.raises(Exception, match="norm\\^2 approaches 2\\^63"):
+            sparse_cosine_pairs(
+                df, threshold=0.5, grain=2**31 - 1
+            ).collect()
