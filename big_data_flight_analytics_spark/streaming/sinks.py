@@ -221,15 +221,26 @@ class IndexDeltaSink(ParquetUpsertSink):
     column the index stores next to the id.
 
     State:
-    - ``path`` — the base corpus parquet (id, payload), swap-replaced
-      per batch with the inherited crash-safe rename discipline plus
-      the ``_last_batch`` marker (written inside staging, atomic with
-      the data it describes);
+    - ``path`` — the base corpus parquet (id, payload). Rewritten
+      ONLY when the batch actually changes it (``absorb_novel`` on
+      AND the batch has novel rows, or the very first batch founding
+      the index) via the inherited crash-safe rename discipline plus
+      the in-dir ``_last_batch`` marker (written inside staging,
+      atomic with the swap — a replay after a completed swap must
+      not re-mark against the already-absorbed base);
+    - ``path + ".batchmark"`` — sidecar replay marker advanced
+      (atomic ``os.replace``) when the base is NOT rewritten
+      (``absorb_novel=False``, all-dup batch, empty batch): per-batch
+      I/O stays O(batch) — decisions partition + one tiny file —
+      never an O(index) base rewrite. Safe without the swap because a
+      replayed batch recomputes identical decisions against the
+      unchanged base. ``_last_batch`` is the max of both markers;
     - ``path + ".decisions"/batch=N/`` — that batch's match decisions
-      (id, matched_base_id, dup_of_index), written BEFORE the base
-      swap: a crash between the two leaves the marker un-advanced, so
-      the replayed batch overwrites the same partition dir and redoes
-      the swap — exactly-once end to end (the DedupIndexSink pattern).
+      (id, matched_base_id, dup_of_index), written BEFORE the marker
+      advance: a crash between the two leaves the marker un-advanced,
+      so the replayed batch overwrites the same partition dir and
+      redoes the rest — exactly-once end to end (the DedupIndexSink
+      pattern).
 
     Intra-batch near-dups are both marked novel (each batch is judged
     against the index as it stood, exactly like the batch operator);
@@ -259,10 +270,35 @@ class IndexDeltaSink(ParquetUpsertSink):
     def _decisions(self) -> str:
         return self.path + ".decisions"
 
+    @property
+    def _side_marker(self) -> str:
+        return self.path + ".batchmark"
+
+    def _last_batch(self) -> int:
+        # max of the in-dir marker (advanced by base swaps) and the
+        # sidecar (advanced by no-rewrite batches) — whichever path a
+        # batch took, a replay of it must short-circuit
+        side = -1
+        try:
+            with open(self._side_marker) as fh:
+                side = int(fh.read())
+        except (OSError, ValueError):
+            pass
+        return max(super()._last_batch(), side)
+
+    def _advance_side_marker(self, batch_id: int) -> None:
+        tmp = self._side_marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(batch_id))
+        os.replace(tmp, self._side_marker)
+
     def initialize(self, base_df: DataFrame) -> None:
         """Build the index from an existing base corpus (marker -1:
         every real batch id is newer)."""
         self._recover()
+        for stale in (self._side_marker, self._side_marker + ".tmp"):
+            if os.path.exists(stale):
+                os.remove(stale)
         base_df.select(self.id_col, self.payload_col).write.mode(
             "overwrite"
         ).parquet(self._staging)
@@ -280,10 +316,8 @@ class IndexDeltaSink(ParquetUpsertSink):
             return  # replay of an already-folded batch
         spark = batch_df.sparkSession
         batch = batch_df.select(self.id_col, self.payload_col)
-        if os.path.exists(self.path):
-            base = spark.read.parquet(self.path)
-            decisions = self._mark(base, batch)
-        else:
+        founding = not os.path.exists(self.path)
+        if founding:
             # no index yet: the first batch founds it — all novel
             base = batch.limit(0)
             decisions = batch.select(
@@ -293,17 +327,24 @@ class IndexDeltaSink(ParquetUpsertSink):
                 .alias("matched_base_id"),
                 F.lit(False).alias("dup_of_index"),
             )
-        decisions.write.mode("overwrite").parquet(
-            os.path.join(self._decisions, f"batch={batch_id}")
-        )
+        else:
+            base = spark.read.parquet(self.path)
+            decisions = self._mark(base, batch)
+        dec_dir = os.path.join(self._decisions, f"batch={batch_id}")
+        decisions.write.mode("overwrite").parquet(dec_dir)
+        dec = spark.read.parquet(dec_dir)
+        absorbing = self.absorb_novel and not dec.filter(
+            ~F.col("dup_of_index")
+        ).isEmpty()
+        if not founding and not absorbing:
+            # base untouched — O(batch) I/O: decisions partition plus
+            # the sidecar marker; no O(index) rewrite
+            self._advance_side_marker(batch_id)
+            return
         updated = base
-        if self.absorb_novel:
+        if absorbing:
             novel = batch.join(
-                spark.read.parquet(
-                    os.path.join(self._decisions, f"batch={batch_id}")
-                )
-                .filter(~F.col("dup_of_index"))
-                .select(self.id_col),
+                dec.filter(~F.col("dup_of_index")).select(self.id_col),
                 self.id_col,
             )
             updated = base.unionByName(novel)

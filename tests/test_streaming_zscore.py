@@ -510,3 +510,132 @@ class TestMinHashIndexSink:
         ) == first_base  # novel not absorbed twice
         assert first_base == [1, 11]
         assert sink.decisions(spark).count() == 2
+
+
+class TestIndexDeltaSinkBatchIO:
+    """ADVICE r9: per-batch I/O must be O(batch), never an O(index)
+    base rewrite when nothing is absorbed. The base parquet files
+    (names + inodes + mtimes) must be untouched across a frozen-index
+    batch, an all-dup batch, and an empty batch — while exactly-once
+    replay semantics survive the no-rewrite path."""
+
+    @staticmethod
+    def _base_snapshot(path):
+        return sorted(
+            (f, os.stat(os.path.join(path, f)).st_ino,
+             os.stat(os.path.join(path, f)).st_mtime_ns)
+            for f in os.listdir(path)
+            if not f.startswith("_")
+        )
+
+    @staticmethod
+    def _sink(tmp_path, spark, absorb_novel):
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.streaming.sinks import (
+            MinHashIndexSink,
+        )
+
+        base = spark.createDataFrame([
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="pack my box with five dozen liquor jugs"),
+        ])
+        sink = MinHashIndexSink(
+            str(tmp_path / "index"), threshold=0.3,
+            absorb_novel=absorb_novel,
+        )
+        sink.initialize(base)
+        return sink
+
+    def test_frozen_index_batch_leaves_base_files_untouched(
+        self, spark, tmp_path
+    ):
+        from pyspark.sql import Row
+
+        sink = self._sink(tmp_path, spark, absorb_novel=False)
+        before = self._base_snapshot(sink.path)
+        batch = spark.createDataFrame([
+            Row(doc_id=10, text="the quick brown fox jumps over the lazy cat"),
+            Row(doc_id=11, text="entirely different words with fresh tokens"),
+        ])
+        sink.merge(batch, 0)
+        assert self._base_snapshot(sink.path) == before
+        assert sink.decisions(spark).count() == 2  # decisions still land
+        assert sink._last_batch() == 0  # replay marker advanced sidecar-side
+
+    def test_all_dup_absorbing_batch_leaves_base_files_untouched(
+        self, spark, tmp_path
+    ):
+        from pyspark.sql import Row
+
+        sink = self._sink(tmp_path, spark, absorb_novel=True)
+        before = self._base_snapshot(sink.path)
+        batch = spark.createDataFrame([
+            Row(doc_id=10, text="the quick brown fox jumps over the lazy dog"),
+        ])
+        sink.merge(batch, 0)
+        dec = sink.decisions(spark).collect()
+        assert [r["dup_of_index"] for r in dec] == [True]
+        assert self._base_snapshot(sink.path) == before  # nothing absorbed
+        assert sink._last_batch() == 0
+
+    def test_empty_batch_leaves_base_files_untouched(self, spark, tmp_path):
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        sink = self._sink(tmp_path, spark, absorb_novel=True)
+        before = self._base_snapshot(sink.path)
+        empty = spark.createDataFrame(
+            [],
+            StructType([
+                StructField("doc_id", LongType()),
+                StructField("text", StringType()),
+            ]),
+        )
+        sink.merge(empty, 0)
+        assert self._base_snapshot(sink.path) == before
+        assert sink._last_batch() == 0
+
+    def test_replay_after_sidecar_advance_is_a_noop(self, spark, tmp_path):
+        from pyspark.sql import Row
+
+        sink = self._sink(tmp_path, spark, absorb_novel=False)
+        batch = spark.createDataFrame([
+            Row(doc_id=10, text="the quick brown fox jumps over the lazy cat"),
+        ])
+        sink.merge(batch, 0)
+        first = sink.decisions(spark).collect()
+        sink.merge(batch, 0)  # at-least-once replay: sidecar short-circuits
+        assert sink.decisions(spark).collect() == first
+        # a later ABSORBING batch still works and advances past the sidecar
+        novel = spark.createDataFrame([
+            Row(doc_id=20, text="entirely different words with fresh tokens"),
+        ])
+        sink.absorb_novel = True
+        sink.merge(novel, 1)
+        assert sorted(
+            r["doc_id"] for r in sink.read(spark).collect()
+        ) == [1, 2, 20]
+        assert sink._last_batch() == 1
+
+    def test_initialize_resets_stale_sidecar(self, spark, tmp_path):
+        from pyspark.sql import Row
+
+        sink = self._sink(tmp_path, spark, absorb_novel=False)
+        batch = spark.createDataFrame([
+            Row(doc_id=10, text="the quick brown fox jumps over the lazy cat"),
+        ])
+        sink.merge(batch, 7)
+        assert sink._last_batch() == 7
+        # rebuild the index: old sidecar must not mask fresh batch ids
+        base2 = spark.createDataFrame([
+            Row(doc_id=3, text="sphinx of black quartz judge my vow"),
+        ])
+        sink.initialize(base2)
+        assert sink._last_batch() == -1
+        sink.merge(batch, 0)  # would be skipped if the stale marker survived
+        assert sink.decisions(spark).filter("batch = 0").count() == 1
