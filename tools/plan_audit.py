@@ -70,12 +70,17 @@ def _elide_repeated_cache_builds(plan: str) -> str:
             j = i + 1
             while j < len(lines) and depths[j] > depths[i]:
                 j += 1
-            # references re-alias both attr IDS and NAMES deep into
-            # the re-printed subtree, and the tree-drawing prefix and
-            # plan_ids vary with nesting position; strip all three so
-            # the key is the operator/expression SKELETON
+            # re-prints of the SAME cache keep their original attr
+            # names below the InMemoryRelation line (only the header /
+            # consumer InMemoryTableScan lines re-alias — measured,
+            # incl. the self-join DeduplicateRelations case); the
+            # tree-drawing prefix, expr IDS, and plan_ids DO vary with
+            # nesting position. So strip ids but KEEP column names:
+            # two genuinely distinct builds differing only in which
+            # columns they read must stay distinct audit entries
+            # (ADVICE r9 — an all-@ key collapsed them).
             key = re.sub(
-                r"[A-Za-z_][A-Za-z0-9_]*#\d+L?|plan_id=\d+", "@",
+                r"#\d+L?|plan_id=\d+", "#@",
                 "\n".join(ln[d:] for ln, d in
                            zip(lines[i + 1:j], depths[i + 1:j])),
             )
@@ -132,6 +137,11 @@ def main() -> int:
     print("| query | shuffles | joins | scan widths | global windows |")
     print("|---|---|---|---|---|")
     for name, fn in QUERIES.items():
+        # audit each query COLD: leftover caches from earlier catalog
+        # entries otherwise match into this plan (CacheManager matches
+        # canonicalized subtrees), making scan widths/shuffle counts
+        # depend on catalog ORDER — which rotates every round
+        spark.catalog.clearCache()
         df = fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         info, errors = audit(name, plan)
