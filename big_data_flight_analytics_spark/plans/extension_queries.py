@@ -3792,12 +3792,16 @@ def d19_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Mirror of sparse_cosine_pairs at ngram=3. idf_fp = FLOOR(grain *
+# Mirror of sparse_cosine_pairs. idf_fp = FLOOR(grain *
 # LN((N+1)/(df+1))) + grain on exact-int inputs (the t17/t18/t19 LN
 # doctrine); weights and all dot/norm sums are int64 (< 2^62 by the
 # in-plan guard, so DuckDB's HUGEINT accumulation and Spark's int64
 # agree exactly); the final cosine is correctly-rounded IEEE double
 # ops on exact ints (the v4 pattern) — bit-identical cross-engine.
+# The gram expression and its range bound are BOTH derived from
+# D19_NGRAM (ADVICE r10: a hardcoded trigram expansion would silently
+# desync from the Spark plan if the constant moved).
+_D19_GRAM_EXPR = " || ' ' || ".join(f"t[i + {k}]" for k in range(D19_NGRAM))
 D19_SQL = rf"""
 WITH toks AS (
     SELECT doc_id,
@@ -3805,8 +3809,8 @@ WITH toks AS (
     FROM documents
 ), grams AS (
     SELECT doc_id, unnest(CASE WHEN len(t) >= {D19_NGRAM} THEN
-        list_transform(range(1, len(t) - 1),
-            i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+        list_transform(range(1, len(t) - {D19_NGRAM - 2}),
+            i -> {_D19_GRAM_EXPR})
         ELSE [] END) AS term
     FROM toks
 ), tf AS (
