@@ -1244,26 +1244,45 @@ def kmeans_fixedpoint_subspaces(
                 F.col(vec_col).alias("__v"),
             ).select("id", "j", grains.alias("vq"))
         )
-    cents = (
-        e.filter(F.col("id") < kcent)
-        .select("j", F.col("id").alias("c"), F.col("vq").alias("cq"))
-        .transform(loop_checkpoint)
-    )
     # ``id < kcent`` is "the kcent lowest-id vectors" ONLY for dense
     # 0-based id spaces (true of this engine's vec_id contract and
     # required for the oracle's identical seed); with offset or sparse
     # ids the codebook would silently shrink or go empty and every
     # downstream centroid/assignment would be degenerate with no
-    # error. The seed frame is loop_checkpointed (materialized) and
-    # kcent*m rows tiny, so the count is effectively free.
-    n_seed = cents.count()
-    if n_seed != kcent * m:
-        raise ValueError(
-            f"kmeans_fixedpoint_subspaces: seed selected {n_seed} rows, "
-            f"expected kcent*m = {kcent * m} — ids must be dense and "
-            "0-based for the id<kcent seed (re-key the corpus with a "
-            "dense id, or lower kcent below the corpus size)"
+    # error. Guard IN-PLAN (zero extra jobs — an eager seeds.count()
+    # here cost the v7/v8/d18 trio ~3 s/round, r10 residual): left-join
+    # the expected (c, j) seed grid against the actual seed rows, so a
+    # missing id surfaces as a NULL that assert_true turns into a
+    # loud failure during the checkpoint materialization that already
+    # happens. (Duplicate ids remain the vec_id contract's promise —
+    # they'd corrupt every v*-family oracle long before this seed.)
+    expected = (
+        corpus.sparkSession.range(kcent)
+        .select(
+            F.col("id").alias("c"),
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j"),
         )
+    )
+    seed_rows = e.filter(F.col("id") < kcent).select(
+        "j", F.col("id").alias("c"), F.col("vq").alias("__cq")
+    )
+    seed_guard = F.assert_true(
+        F.col("__cq").isNotNull(),
+        F.lit(
+            f"kmeans_fixedpoint_subspaces: seed is missing ids below "
+            f"kcent={kcent} — ids must be dense and 0-based for the "
+            "id<kcent seed (re-key the corpus with a dense id, or "
+            "lower kcent below the corpus size)"
+        ),
+    )
+    cents = (
+        expected.join(F.broadcast(seed_rows), ["j", "c"], "left")
+        # assert_true is NULL on pass (raises otherwise): anchoring cq
+        # on guard.isNull() keeps the check in codegen, cost-free on
+        # passing rows (the d19 anchor pattern)
+        .select("j", "c", F.when(seed_guard.isNull(), F.col("__cq")).alias("cq"))
+        .transform(loop_checkpoint)
+    )
     dist = F.aggregate(
         F.zip_with(
             F.col("vq"), F.col("cq"), lambda a, b: (a - b) * (a - b)

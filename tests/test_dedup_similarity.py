@@ -1018,7 +1018,9 @@ class TestGuards:
         shifted = spark.createDataFrame(rows).withColumn(
             "vec_id", F.col("vec_id") + 1000
         )
-        with pytest.raises(ValueError, match="seed selected 0 rows"):
+        # the guard is in-plan (assert_true, zero extra jobs): it fires
+        # as a Spark-side error during the seed checkpoint
+        with pytest.raises(Exception, match="ids must be dense"):
             kmeans_fixedpoint_subspaces(
                 shifted, dim=4, m=2, kcent=2, n_iter=1
             )
