@@ -294,6 +294,81 @@ def containment_overlap(
     )
 
 
+def containment_decon_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_pct: int = 50,
+) -> DataFrame:
+    """Normalized-containment decontamination: corpus docs containing
+    at least ``threshold_pct`` percent of a benchmark item's distinct
+    n-gram shingles.
+
+    The score is the ASYMMETRIC containment |A∩B| / |A| with A the
+    BENCHMARK item's shingle set — the quantity that catches a short
+    eval item quoted inside a long training document, where both
+    symmetric Jaccard (|A∩B| / |A∪B| ≈ 0 because the document
+    dominates the union — d2/d3's measure) and a raw shared-shingle
+    floor (d7's ``min_shared``, which can't distinguish 3-of-80 from
+    3-of-4) stay silent.
+
+    Determinism: membership is decided by the INTEGER cross-multiply
+    ``n_shared * 100 >= threshold_pct * |A|`` (exact in int64 — no
+    float threshold compare to flip between engines); the reported
+    ``containment`` double is one correctly-rounded IEEE divide of
+    exact ints, rounded to 4dp for display only.
+
+    Scale design (same as ``containment_overlap``): a benchmark is
+    small by nature, so its shingle posting AND sizes broadcast; the
+    corpus posting streams past map-side — no corpus shuffle for the
+    probe, one shuffle for the per-pair aggregate. A shared-shingle
+    bucket is bounded by the benchmark's size, so no ``max_df`` cap is
+    needed. If the benchmark ever outgrows broadcast, band its posting
+    with ``_minhash_band_posting`` and verify exactly as here.
+
+    Output: bench_doc, corpus_doc, n_shared, containment. Pairs where
+    the two ids coincide are NOT excluded — callers framing bench items
+    as slices of corpus docs filter self-matches themselves.
+    """
+    bsh = _shingled(benchmark, id_col, text_col, n)
+    bench_sizes = F.broadcast(
+        bsh.select(
+            F.col(id_col).alias("bench_doc"),
+            F.size("shingles").alias("__bsz"),
+        )
+    )
+    bench_posting = F.broadcast(
+        bsh.select(
+            F.col(id_col).alias("bench_doc"), F.explode("shingles").alias("sh")
+        )
+    )
+    corpus_posting = _shingled(corpus, id_col, text_col, n).select(
+        F.col(id_col).alias("corpus_doc"), F.explode("shingles").alias("sh")
+    )
+    shared = (
+        corpus_posting.join(bench_posting, "sh")
+        .groupBy("bench_doc", "corpus_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(bench_sizes, "bench_doc")
+        .filter(
+            F.col("n_shared") * F.lit(100)
+            >= F.lit(threshold_pct) * F.col("__bsz")
+        )
+        .select(
+            "bench_doc",
+            "corpus_doc",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("__bsz"), 4).alias(
+                "containment"
+            ),
+        )
+    )
+
+
 def _cap_bucket_population(
     posting: DataFrame, keys: list[str], cap: int
 ) -> DataFrame:

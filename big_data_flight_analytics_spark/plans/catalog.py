@@ -175,6 +175,7 @@ _TIE_BREAK = [
     "i4_minhash_delta",
     "g2_knn_triangles",
     "d19_sparse_cosine",
+    "d20_containment_decon",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

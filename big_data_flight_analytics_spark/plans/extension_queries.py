@@ -1825,6 +1825,102 @@ HAVING COUNT(*) >= {MIN_SHARED}
 
 
 # ---------------------------------------------------------------------------
+# D20 — normalized-containment decontamination: short-benchmark-in-long-
+# document eval leakage. Benchmark items are 12-token MID-SLICES of
+# every 50th document (deterministic, in-plan), so a near-dup of the
+# source doc elsewhere in the corpus "contains the benchmark" exactly
+# the way a quoted eval item does — while its symmetric Jaccard vs the
+# tiny slice is far below any d2/d3 threshold. Membership by integer
+# cross-multiply (n_shared*100 >= pct*|bench|); containment double is
+# display-only.
+# ---------------------------------------------------------------------------
+
+D20_SLICE_START = 5  # 1-based token position
+D20_SLICE_LEN = 12
+D20_BENCH_EVERY = 50
+D20_PCT = 50
+D20_NGRAM = 3
+
+
+def d20_containment_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.dedup import (
+        containment_decon_pairs,
+    )
+    from big_data_flight_analytics_spark.operators.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    bench = (
+        docs.select("doc_id", tokens("text").alias("__tk"))
+        .filter(F.col("doc_id") % D20_BENCH_EVERY == 0)
+        .filter(F.size("__tk") >= D20_SLICE_START + D20_SLICE_LEN - 1)
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.slice("__tk", D20_SLICE_START, D20_SLICE_LEN)
+            ).alias("text"),
+        )
+    )
+    return (
+        containment_decon_pairs(
+            docs, bench, n=D20_NGRAM, threshold_pct=D20_PCT
+        )
+        # bench items are slices OF corpus docs: the source doc trivially
+        # contains its own slice — real decon flags everything else
+        .filter(F.col("corpus_doc") != F.col("bench_doc"))
+    )
+
+
+# Gram expression and range bound derived from D20_NGRAM (the d19
+# lesson — never hardcode the expansion next to an interpolated bound).
+_D20_GRAM_EXPR = " || ' ' || ".join(
+    f"tk[i + {k}]" for k in range(D20_NGRAM)
+)
+_D20_BGRAM_EXPR = " || ' ' || ".join(
+    f"btk[i + {k}]" for k in range(D20_NGRAM)
+)
+D20_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+    FROM documents
+), bench AS (
+    SELECT doc_id AS bench_doc,
+           tk[{D20_SLICE_START}:{D20_SLICE_START + D20_SLICE_LEN - 1}] AS btk
+    FROM toks
+    WHERE doc_id % {D20_BENCH_EVERY} = 0
+      AND len(tk) >= {D20_SLICE_START + D20_SLICE_LEN - 1}
+), bsh AS (
+    SELECT bench_doc,
+           list_distinct(CASE WHEN len(btk) >= {D20_NGRAM} THEN
+               list_transform(range(1, len(btk) - {D20_NGRAM - 2}),
+                   i -> {_D20_BGRAM_EXPR})
+           ELSE [] END) AS s
+    FROM bench
+), bsz AS (
+    SELECT bench_doc, len(s) AS bsz FROM bsh
+), bp AS (
+    SELECT bench_doc, unnest(s) AS g FROM bsh
+), csh AS (
+    SELECT doc_id AS corpus_doc,
+           list_distinct(CASE WHEN len(tk) >= {D20_NGRAM} THEN
+               list_transform(range(1, len(tk) - {D20_NGRAM - 2}),
+                   i -> {_D20_GRAM_EXPR})
+           ELSE [] END) AS s
+    FROM toks
+), cp AS (
+    SELECT corpus_doc, unnest(s) AS g FROM csh
+)
+SELECT bench_doc, corpus_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_shared,
+       ROUND(COUNT(*) * 1.0 / ANY_VALUE(bsz), 4) AS containment
+FROM bp JOIN cp USING (g) JOIN bsz USING (bench_doc)
+WHERE corpus_doc != bench_doc
+GROUP BY bench_doc, corpus_doc
+HAVING COUNT(*) * 100 >= {D20_PCT} * ANY_VALUE(bsz)
+"""
+
+
+# ---------------------------------------------------------------------------
 # D6 — dedup clustering: connected components over the D2 near-dup pair
 # graph. Pairs -> transitive clusters -> canonical doc per cluster; the
 # last stage of a dedup pipeline. Oracle: recursive CTE reachability
@@ -3906,6 +4002,7 @@ EXTENSION_QUERIES = {
     "d17_source_dedup_report": d17_source_dedup_report,
     "d6_dedup_clusters": d6_dedup_clusters,
     "d7_decontamination": d7_decontamination,
+    "d20_containment_decon": d20_containment_decon,
     "d8_curated_corpus": d8_curated_corpus,
     "m1_multimodal_features": m1_multimodal_features,
     "m2_frame_sample": m2_frame_sample,
@@ -3961,6 +4058,7 @@ EXTENSION_ORACLES = {
     "d17_source_dedup_report": D17_SQL,
     "d6_dedup_clusters": D6_SQL,
     "d7_decontamination": D7_SQL,
+    "d20_containment_decon": D20_SQL,
     "d8_curated_corpus": D8_SQL,
     "m1_multimodal_features": M1_SQL,
     "m2_frame_sample": M2_SQL,

@@ -1324,3 +1324,85 @@ class TestSparseCosinePairs:
             sparse_cosine_pairs(
                 df, threshold=0.5, grain=2**31 - 1
             ).collect()
+
+
+class TestContainmentDecon:
+    """d20: normalized asymmetric containment |A∩B|/|A| — the
+    short-benchmark-in-long-document leakage that symmetric Jaccard
+    structurally misses."""
+
+    BENCH = "the quick brown fox jumps over the lazy dog tonight"
+
+    def _frames(self, spark):
+        from pyspark.sql import Row
+
+        filler = " ".join(f"filler{i} token{i} pad{i}" for i in range(40))
+        corpus = spark.createDataFrame([
+            # long doc QUOTING the benchmark verbatim mid-document
+            Row(doc_id=10, text=f"{filler} {self.BENCH} {filler}"),
+            # unrelated long doc
+            Row(doc_id=11, text=" ".join(f"alpha{i} beta{i}" for i in range(60))),
+            # partial quote: 5 of the benchmark's 8 trigrams
+            Row(doc_id=12, text=f"{filler} the quick brown fox jumps over the lazy {filler}"),
+        ])
+        bench = spark.createDataFrame([Row(doc_id=0, text=self.BENCH)])
+        return corpus, bench
+
+    def test_planted_short_in_long_contamination_caught(self, spark):
+        from big_data_flight_analytics_spark.operators.dedup import (
+            containment_decon_pairs,
+        )
+
+        corpus, bench = self._frames(spark)
+        got = {
+            r["corpus_doc"]: (r["n_shared"], r["containment"])
+            for r in containment_decon_pairs(
+                corpus, bench, threshold_pct=90
+            ).collect()
+        }
+        # the 10-token benchmark has 8 distinct trigrams, all present
+        # in doc 10's quote
+        assert got == {10: (8, 1.0)}
+
+    def test_symmetric_jaccard_misses_the_same_pair(self, spark):
+        """The reason d20 exists: the quoting doc's Jaccard vs the tiny
+        benchmark is far below any dedup threshold."""
+        from big_data_flight_analytics_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+
+        corpus, bench = self._frames(spark)
+        both = bench.select(
+            (F.col("doc_id") + 1000).alias("doc_id"), "text"
+        ).unionByName(corpus)
+        pairs = ngram_jaccard_pairs(both, threshold=0.2).collect()
+        assert not any(
+            {r["doc_a"], r["doc_b"]} == {1000, 10} for r in pairs
+        )
+
+    def test_threshold_is_integer_exact(self, spark):
+        from big_data_flight_analytics_spark.operators.dedup import (
+            containment_decon_pairs,
+        )
+
+        corpus, bench = self._frames(spark)
+        # doc 12 shares exactly 6 of 8 trigrams (75%): "the quick brown
+        # fox jumps over the lazy" has trigrams t1..t6 of the benchmark
+        at75 = containment_decon_pairs(corpus, bench, threshold_pct=75)
+        got = {r["corpus_doc"] for r in at75.collect()}
+        assert got == {10, 12}
+        at76 = containment_decon_pairs(corpus, bench, threshold_pct=76)
+        assert {r["corpus_doc"] for r in at76.collect()} == {10}
+
+    def test_empty_benchmark_yields_no_pairs(self, spark):
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.operators.dedup import (
+            containment_decon_pairs,
+        )
+
+        corpus, _ = self._frames(spark)
+        short_bench = spark.createDataFrame(
+            [Row(doc_id=0, text="two tokens")]  # < n: zero shingles
+        )
+        assert containment_decon_pairs(corpus, short_bench).count() == 0
