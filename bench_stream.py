@@ -107,6 +107,130 @@ def _lookups(spark, sf_dir: str):
     return ac, fl
 
 
+def build_delta_feed(
+    spark, sf_dir: str, workdir: str, table: str, cols: list[str], key: str
+) -> tuple[str, int]:
+    """JSON-lines replay of a table's delta side (key % 5 == 0) —
+    the ingest-sink benches stream the same 20% the i3/i4 batch
+    operators mark. Cached across runs like the OpenSky feed."""
+    from big_data_flight_analytics_spark.plans.tables import load
+
+    src_dir = os.path.join(workdir, f"feed_{table}")
+    meta = os.path.join(workdir, f"feed_{table}_meta.json")
+    if os.path.exists(meta):
+        with open(meta) as fh:
+            cached = json.load(fh)
+        if cached.get("sf_dir") == sf_dir:
+            return src_dir, cached["rows"]
+    shutil.rmtree(src_dir, ignore_errors=True)
+    frame = load(spark, sf_dir, table).filter(F.col(key) % 5 == 0).select(cols)
+    rows = frame.count()
+    frame.select(F.to_json(F.struct(*frame.columns)).alias("value")).repartition(
+        N_INPUT_FILES
+    ).write.mode("overwrite").text(src_dir)
+    with open(meta, "w") as fh:
+        json.dump({"sf_dir": sf_dir, "rows": rows}, fh)
+    return src_dir, rows
+
+
+def _run_index_sink(
+    spark, src_dir: str, schema: str, sink, checkpoint: str
+) -> float:
+    """availableNow foreachBatch run of an ingest index sink; the sink
+    must already be initialize()d with its base corpus."""
+    shutil.rmtree(checkpoint, ignore_errors=True)
+    raw = (
+        spark.readStream.option("maxFilesPerTrigger", FILES_PER_TRIGGER)
+        .text(src_dir)
+    )
+    parsed = raw.select(F.from_json("value", schema).alias("r")).select("r.*")
+    t0 = time.time()
+    q = (
+        parsed.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return time.time() - t0
+
+
+def _index_sink_pipelines(spark, sf_dir: str, workdir: str) -> dict[str, float]:
+    """rows/s for the two streaming ingest-dedup index sinks in
+    ABSORBING mode (the expensive one: novel rows re-enter the base,
+    so later batches dedup against them too). Base = the i3/i4 80%
+    split; the streamed delta is the same 20% those catalog entries
+    mark in one batch."""
+    from big_data_flight_analytics_spark.operators.similarity import (
+        adaptive_bits,
+    )
+    from big_data_flight_analytics_spark.plans.extension_queries import (
+        JACCARD_THRESHOLD,
+        MAX_BAND_DF,
+        NEARDUP_PROBES,
+        NEARDUP_SIM,
+        NEARDUP_TARGET_BUCKET,
+        SIM_FP_SCALE,
+    )
+    from big_data_flight_analytics_spark.plans.tables import load
+    from big_data_flight_analytics_spark.streaming.sinks import (
+        EmbeddingIndexSink,
+        MinHashIndexSink,
+    )
+
+    out: dict[str, float] = {}
+
+    doc_feed, doc_rows = build_delta_feed(
+        spark, sf_dir, workdir, "documents", ["doc_id", "text"], "doc_id"
+    )
+    mh_path = os.path.join(workdir, "minhash_index")
+    for leftover in (mh_path, mh_path + ".decisions"):
+        shutil.rmtree(leftover, ignore_errors=True)
+    mh_sink = MinHashIndexSink(
+        mh_path,
+        threshold=JACCARD_THRESHOLD,
+        max_band_df=MAX_BAND_DF,
+        absorb_novel=True,
+    )
+    mh_sink.initialize(
+        load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 != 0)
+    )
+    secs = _run_index_sink(
+        spark,
+        doc_feed,
+        "doc_id long, text string",
+        mh_sink,
+        os.path.join(workdir, "ckpt_s6_minhash_index"),
+    )
+    out["s6_minhash_index_sink"] = round(doc_rows / secs, 1)
+
+    emb_feed, emb_rows = build_delta_feed(
+        spark, sf_dir, workdir, "embeddings", ["vec_id", "embedding"], "vec_id"
+    )
+    emb_path = os.path.join(workdir, "embedding_index")
+    for leftover in (emb_path, emb_path + ".decisions"):
+        shutil.rmtree(leftover, ignore_errors=True)
+    base = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 != 0)
+    emb_sink = EmbeddingIndexSink(
+        emb_path,
+        bits=adaptive_bits(base.count(), NEARDUP_TARGET_BUCKET),
+        threshold=NEARDUP_SIM,
+        fp_scale=SIM_FP_SCALE,
+        probes=NEARDUP_PROBES,
+        absorb_novel=True,
+    )
+    emb_sink.initialize(base)
+    secs = _run_index_sink(
+        spark,
+        emb_feed,
+        "vec_id long, embedding array<float>",
+        emb_sink,
+        os.path.join(workdir, "ckpt_s7_embedding_index"),
+    )
+    out["s7_embedding_index_sink"] = round(emb_rows / secs, 1)
+    return out
+
+
 def _run(spark, src_dir: str, build, checkpoint: str, mode: str = "append") -> float:
     shutil.rmtree(checkpoint, ignore_errors=True)
     raw = (
@@ -202,6 +326,12 @@ def main() -> None:
         )
         pipelines[name] = round(rows / secs, 1)
 
+    # reported separately: the sinks stream the 20% delta (not the full
+    # feed) and pay per-batch index maintenance, so their rows/s is a
+    # different quantity than the per-event pipelines' — folding them
+    # into the min would misread as a pipeline regression
+    index_sinks = _index_sink_pipelines(spark, sf_dir, workdir)
+
     try:
         sf_val: float | str = float(sf)
     except ValueError:
@@ -213,6 +343,7 @@ def main() -> None:
                 "value": min(pipelines.values()),
                 "unit": "rows/sec",
                 "pipelines": pipelines,
+                "index_sinks": index_sinks,
                 "rows": rows,
                 "sf": sf_val,
             }
