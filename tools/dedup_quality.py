@@ -45,10 +45,15 @@ def main() -> None:
     truth = pair_set(d2_ngram_jaccard(spark, sf_dir))
     t_truth = time.time() - t0
 
+    from big_data_flight_analytics_spark.plans.extension_queries import (
+        d19_sparse_cosine,
+    )
+
     methods = {
         "d3_minhash_lsh": d3_minhash_lsh,
         "d4_simhash": d4_simhash,
         "d10_winnow_jaccard": d10_winnow_jaccard,
+        "d19_sparse_cosine": d19_sparse_cosine,
     }
 
     print("# Dedup-method quality vs exact n-gram Jaccard (d2)")
@@ -93,9 +98,118 @@ def main() -> None:
         "expected behavior, not a defect: its extra pairs are "
         "frequency-profile near-dups that n-gram Jaccard scores below "
         "threshold. The ensemble query (d14) exists precisely because "
-        "the three methods' pair sets complement rather than nest."
+        "the three methods' pair sets complement rather than nest. "
+        "d19 (trigram tf-idf cosine) also scores a different measure — "
+        "WEIGHTED overlap, where rare shared trigrams dominate — and "
+        "its `max_df` candidate cap drops pairs whose every shared "
+        "trigram is common, so read its two columns as: precision = "
+        "how often high tf-idf cosine implies high plain Jaccard, "
+        "recall = how much of the Jaccard set survives idf weighting "
+        "plus the cap."
     )
+    containment_section(spark, sf_dir)
     semantic_section(spark, sf_dir)
+
+
+def containment_section(spark, sf_dir: str) -> None:
+    """d20: planted short-in-long contamination — the case the
+    symmetric-Jaccard methods structurally miss.
+
+    Plants the d20 benchmark items (12-token mid-slices of every 50th
+    doc) and checks which detectors flag a corpus doc that contains
+    one: d20's normalized containment vs d2's symmetric Jaccard
+    between the SLICE and the containing doc."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from big_data_flight_analytics_spark.operators.dedup import (
+        containment_decon_pairs,
+        ngram_jaccard_pairs,
+    )
+    from big_data_flight_analytics_spark.operators.text import tokens
+    from big_data_flight_analytics_spark.plans.extension_queries import (
+        D20_BENCH_EVERY,
+        D20_NGRAM,
+        D20_PCT,
+        D20_SLICE_LEN,
+        D20_SLICE_START,
+        JACCARD_THRESHOLD,
+    )
+    from big_data_flight_analytics_spark.plans.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    bench = (
+        docs.select("doc_id", tokens("text").alias("__tk"))
+        .filter(F.col("doc_id") % D20_BENCH_EVERY == 0)
+        .filter(F.size("__tk") >= D20_SLICE_START + D20_SLICE_LEN - 1)
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.slice("__tk", D20_SLICE_START, D20_SLICE_LEN)
+            ).alias("text"),
+        )
+    )
+    n_bench = bench.count()
+    t0 = time.time()
+    caught = [
+        (r["bench_doc"], r["corpus_doc"])
+        for r in containment_decon_pairs(
+            docs, bench, n=D20_NGRAM, threshold_pct=D20_PCT
+        )
+        .filter(F.col("corpus_doc") != F.col("bench_doc"))
+        .collect()
+    ]
+    t_d20 = time.time() - t0
+    # what symmetric Jaccard sees for the SAME (slice, containing-doc)
+    # pairs: union slice (ids shifted clear of doc ids) with the docs,
+    # score everything above zero, and read off the caught pairs'
+    # symmetric values
+    shift = 10_000_000
+    both = bench.select(
+        (F.col("doc_id") + shift).alias("doc_id"), "text"
+    ).unionByName(docs.select("doc_id", "text"))
+    sym = {
+        (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"])): r[
+            "jaccard"
+        ]
+        for r in ngram_jaccard_pairs(
+            both, n=D20_NGRAM, threshold=0.0
+        ).collect()
+    }
+    jac_of_caught = sorted(
+        sym.get((min(b + shift, c), max(b + shift, c)), 0.0)
+        for b, c in caught
+    )
+    med = jac_of_caught[len(jac_of_caught) // 2] if jac_of_caught else 0.0
+    below = {
+        t: sum(1 for j in jac_of_caught if j < t) for t in (0.2, 0.5, 0.8)
+    }
+    print()
+    print("# Containment decontamination (d20) vs symmetric Jaccard")
+    print()
+    print(
+        f"Benchmark items: {n_bench} planted 12-token mid-slices "
+        f"(the d20 catalog framing). d20 flags corpus docs containing "
+        f">= {D20_PCT}% of a slice's trigrams: **{len(caught)} "
+        f"contaminated (bench, doc) pairs** ({t_d20:.1f}s). The SAME "
+        f"slice-vs-doc pairs scored with symmetric Jaccard: "
+        f"min {jac_of_caught[0] if jac_of_caught else 0:.3f} / "
+        f"median {med:.3f} / "
+        f"max {jac_of_caught[-1] if jac_of_caught else 0:.3f} — "
+        f"{below[0.2]} of {len(caught)} fall below a 0.2 near-dup "
+        f"threshold, {below[0.5]} below 0.5, {below[0.8]} below 0.8. "
+        f"Caveat for this corpus: documents are short (25-90 "
+        f"trigrams), so a 10-trigram contained slice still registers "
+        f"a nonzero Jaccard that d2's permissive "
+        f"{JACCARD_THRESHOLD} catalog threshold happens to clear; at "
+        f"real document lengths the union term grows with the "
+        f"document while the intersection stays bounded by the slice, "
+        f"driving symmetric Jaccard toward 0 — the asymmetric "
+        f"|A∩B|/|A| is length-invariant (see "
+        f"`TestContainmentDecon::test_symmetric_jaccard_misses_the_"
+        f"same_pair` for the constructed long-doc case)."
+    )
 
 
 def semantic_section(spark, sf_dir: str) -> None:
