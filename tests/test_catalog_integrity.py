@@ -137,3 +137,49 @@ class TestDriverOutputEnvelope:
             ]
         )
         assert spark_schema_problems(good) == []
+
+
+class TestSparkOutputEnvelopeSweep:
+    """Spark-side complement of the DuckDB sweep above (r10 stretch):
+    builds every catalog query's analyzed schema at sf0.001 (no
+    action on the result) and asserts the driver envelope — catches a
+    future t16-class slip (an ArrayType column reaching the driver)
+    even in rounds where selfcheck runs on a subset. Operators with
+    in-construction training loops (BPE, Lloyd) do run their tiny
+    sf0.001 jobs; the RESULT frame is never executed.
+    """
+
+    def test_every_query_schema_is_driver_safe(self, spark):
+        import os
+
+        import pytest as _pytest
+
+        from big_data_flight_analytics_spark.plans.envelope import (
+            spark_schema_problems,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        if not os.path.exists(f"{sf}/documents.parquet"):
+            _pytest.skip("testdata not present")
+        offenders = {}
+        for name, fn in QUERIES.items():
+            probs = spark_schema_problems(fn(spark, sf).schema)
+            if probs:
+                offenders[name] = probs
+        assert not offenders, offenders
+
+    def test_sweep_fails_on_seeded_array_query(self, spark):
+        """The sweep must actually fire: a query returning the raw
+        bpe_tokens array (the exact r9 t16 slip) is flagged."""
+        from pyspark.sql import functions as F
+
+        from big_data_flight_analytics_spark.plans.envelope import (
+            spark_schema_problems,
+        )
+
+        bad = spark.range(3).select(
+            "id", F.split(F.lit("a b c"), " ").alias("bpe_tokens")
+        )
+        assert spark_schema_problems(bad.schema) == [
+            "bpe_tokens: array"
+        ]
