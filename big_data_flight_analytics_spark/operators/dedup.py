@@ -985,15 +985,32 @@ def sparse_cosine_pairs(
     the term dimension is corpus-sized, never broadcast); one-row N
     broadcast; capped posting self-join for candidates; verify joins
     against the persisted weight frame. Output: doc_a, doc_b, cos.
+
+    Term identity is a 60-bit md5-derived int64 (feature hashing),
+    not the term string: every downstream shuffle, SMJ sort buffer,
+    and the persisted weight frame carry 8 bytes instead of a phrase
+    string (measured: the 30x-corpus run OOMed 32-way on string terms
+    and fits after hashing). A collision merges two terms' tf/df
+    IDENTICALLY in both engines — the oracle mirrors the same md5
+    slice — and the expected collision count is ~n_terms^2 / 2^61
+    (<< 1 below a billion distinct terms), so the trade is size, not
+    determinism.
     """
     term_arr = (
         tokens(text_col)
         if ngram == 1
         else ngram_multiset_expr(tokens(text_col), ngram)
     )
-    toks = df.select(
-        F.col(id_col), F.explode(term_arr).alias("term")
-    ).where(F.col("term") != "")
+    toks = (
+        df.select(F.col(id_col), F.explode(term_arr).alias("__t"))
+        .where(F.col("__t") != "")
+        .select(
+            F.col(id_col),
+            F.conv(F.substring(F.md5("__t"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("term"),
+        )
+    )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))

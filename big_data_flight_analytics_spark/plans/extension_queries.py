@@ -3910,7 +3910,11 @@ WITH toks AS (
         ELSE [] END) AS term
     FROM toks
 ), tf AS (
-    SELECT doc_id, term, COUNT(*) AS tf
+    -- term identity = 60-bit md5 slice, mirroring the Spark plan's
+    -- feature hashing (collisions merge identically in both engines)
+    SELECT doc_id,
+           CAST(('0x' || substring(md5(term), 1, 15)) AS BIGINT) AS term,
+           COUNT(*) AS tf
     FROM grams WHERE term != '' GROUP BY 1, 2
 ), dfq AS (
     SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
