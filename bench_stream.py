@@ -228,6 +228,42 @@ def _index_sink_pipelines(spark, sf_dir: str, workdir: str) -> dict[str, float]:
         os.path.join(workdir, "ckpt_s7_embedding_index"),
     )
     out["s7_embedding_index_sink"] = round(emb_rows / secs, 1)
+
+    # s8: stateless decontamination at ingest (streaming d20) — the
+    # benchmark is the d20 catalog framing (12-token mid-slices)
+    from big_data_flight_analytics_spark.operators.text import tokens
+    from big_data_flight_analytics_spark.plans.extension_queries import (
+        D20_BENCH_EVERY,
+        D20_SLICE_LEN,
+        D20_SLICE_START,
+    )
+    from big_data_flight_analytics_spark.streaming.sinks import (
+        ContaminationLogSink,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    bench = (
+        docs.select("doc_id", tokens("text").alias("__tk"))
+        .filter(F.col("doc_id") % D20_BENCH_EVERY == 0)
+        .filter(F.size("__tk") >= D20_SLICE_START + D20_SLICE_LEN - 1)
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.slice("__tk", D20_SLICE_START, D20_SLICE_LEN)
+            ).alias("text"),
+        )
+    )
+    contam_path = os.path.join(workdir, "contamination_log")
+    shutil.rmtree(contam_path, ignore_errors=True)
+    contam_sink = ContaminationLogSink(contam_path, bench)
+    secs = _run_index_sink(
+        spark,
+        doc_feed,
+        "doc_id long, text string",
+        contam_sink,
+        os.path.join(workdir, "ckpt_s8_contamination"),
+    )
+    out["s8_contamination_log"] = round(doc_rows / secs, 1)
     return out
 
 

@@ -461,6 +461,71 @@ class MinHashIndexSink(IndexDeltaSink):
         )
 
 
+class ContaminationLogSink:
+    """Decontamination at ingest: every arriving micro-batch of
+    documents is containment-marked against a FIXED benchmark set
+    (``operators.dedup.containment_decon_pairs`` per batch — the
+    streaming face of d20, completing the ingest story next to the
+    i2/i3/i4 index sinks).
+
+    Stateless by construction: the benchmark never changes and
+    flagged pairs depend only on the batch's own rows, so each batch's
+    decisions land in their own ``path/batch=N`` partition and a
+    replayed batch simply overwrites the same directory with identical
+    content — exactly-once with NO replay marker and NO base store to
+    swap. Per-batch work is O(batch postings): the benchmark's shingle
+    postings and sizes broadcast (cached once on the driver-side
+    DataFrame), the batch streams past map-side, one small aggregate.
+
+    At 100 TB ingest the same shape holds: the decisions log is an
+    append-only table partitioned by batch; downstream consumers
+    anti-join flagged corpus_doc ids before training-set assembly.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        benchmark: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n: int = 3,
+        threshold_pct: int = 50,
+    ) -> None:
+        self.path = path
+        self.id_col = id_col
+        self.text_col = text_col
+        self.n = n
+        self.threshold_pct = threshold_pct
+        # the benchmark is re-read per micro-batch (every batch joins
+        # against it): persist once so batches pay broadcast cost only
+        self.benchmark = benchmark.select(id_col, text_col).persist()
+
+    def merge(self, batch_df: DataFrame, batch_id: int) -> None:
+        from big_data_flight_analytics_spark.operators.dedup import (
+            containment_decon_pairs,
+        )
+
+        flagged = containment_decon_pairs(
+            batch_df.select(self.id_col, self.text_col),
+            self.benchmark,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            n=self.n,
+            threshold_pct=self.threshold_pct,
+        )
+        flagged.write.mode("overwrite").parquet(
+            os.path.join(self.path, f"batch={batch_id}")
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.merge(batch_df, batch_id)
+
+    def flagged(self, spark) -> DataFrame:
+        """All per-batch contamination decisions, with the ``batch``
+        column from partition discovery."""
+        return spark.read.parquet(self.path)
+
+
 class DedupIndexSink(ParquetUpsertSink):
     """Continuously maintained exact-dedup index: streaming i2.
 

@@ -639,3 +639,70 @@ class TestIndexDeltaSinkBatchIO:
         assert sink._last_batch() == -1
         sink.merge(batch, 0)  # would be skipped if the stale marker survived
         assert sink.decisions(spark).filter("batch = 0").count() == 1
+
+
+class TestContaminationLogSink:
+    """Streaming d20: per-batch containment marking against a fixed
+    benchmark == the batch operator on the full delta (stateless), and
+    replay is idempotent with no marker machinery."""
+
+    BENCH = "the quick brown fox jumps over the lazy dog tonight"
+
+    def _frames(self, spark):
+        from pyspark.sql import Row
+
+        filler = " ".join(f"filler{i} token{i} pad{i}" for i in range(40))
+        docs = spark.createDataFrame([
+            Row(doc_id=10, text=f"{filler} {self.BENCH} {filler}"),
+            Row(doc_id=11, text=" ".join(f"alpha{i} beta{i}" for i in range(60))),
+            Row(doc_id=12, text=f"{filler} the quick brown fox jumps over the lazy {filler}"),
+            Row(doc_id=13, text=f"start {self.BENCH} end"),
+        ])
+        bench = spark.createDataFrame([Row(doc_id=0, text=self.BENCH)])
+        return docs, bench
+
+    def test_stream_equals_batch_operator(self, spark, tmp_path):
+        from big_data_flight_analytics_spark.operators.dedup import (
+            containment_decon_pairs,
+        )
+        from big_data_flight_analytics_spark.streaming.sinks import (
+            ContaminationLogSink,
+        )
+
+        docs, bench = self._frames(spark)
+        sink = ContaminationLogSink(
+            str(tmp_path / "contamination"), bench, threshold_pct=90
+        )
+        _run_stream(spark, tmp_path, sink, docs)
+        got = {
+            (r["bench_doc"], r["corpus_doc"]): r["containment"]
+            for r in sink.flagged(spark).collect()
+        }
+        want = {
+            (r["bench_doc"], r["corpus_doc"]): r["containment"]
+            for r in containment_decon_pairs(
+                docs, bench, threshold_pct=90
+            ).collect()
+        }
+        assert got == want
+        assert {c for _, c in got} == {10, 13}  # both quoting docs
+
+    def test_replay_is_idempotent_without_markers(self, spark, tmp_path):
+        from big_data_flight_analytics_spark.streaming.sinks import (
+            ContaminationLogSink,
+        )
+
+        docs, bench = self._frames(spark)
+        sink = ContaminationLogSink(
+            str(tmp_path / "contamination"), bench, threshold_pct=90
+        )
+        sink.merge(docs, 0)
+        first = sorted(
+            (r["bench_doc"], r["corpus_doc"], r["containment"])
+            for r in sink.flagged(spark).collect()
+        )
+        sink.merge(docs, 0)  # at-least-once replay: same partition dir
+        assert sorted(
+            (r["bench_doc"], r["corpus_doc"], r["containment"])
+            for r in sink.flagged(spark).collect()
+        ) == first
