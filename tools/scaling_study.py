@@ -47,6 +47,11 @@ QUERIES = [
     "s5_session_windows",
     "m2_frame_sample",
     "t7_winnow_fingerprints",
+    "t19_lm_perplexity",
+    "i4_minhash_delta",
+    "g2_knn_triangles",
+    "d19_sparse_cosine",
+    "d20_containment_decon",
 ]
 
 # (table, primary key, other key columns shifted in lockstep).
