@@ -788,6 +788,43 @@ def repeated_window_marks(
     )
 
 
+def contaminated_window_marks(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Positions whose length-n token window appears ANYWHERE in the
+    benchmark set — the decontamination form of
+    ``repeated_window_marks`` (membership in the benchmark's gram set
+    replaces corpus-frequency as the mark criterion).
+
+    Feeding these marks to ``excise_repeated_spans`` removes the
+    quoted eval material and keeps the rest of the document — the
+    surgical alternative to dropping every doc d20 flags (Lee et al.
+    2022 excise rather than delete for exactly this reason: the novel
+    remainder is still good training data).
+
+    Scale: the benchmark gram set is small by nature and broadcasts;
+    the corpus position stream joins map-side — no corpus shuffle
+    here at all (the excision's anti-join shuffles on the doc id
+    downstream). Runs shorter than ``n`` tokens inside a document
+    match no window and are not marked: n is the excision grain.
+    Output: (id_col, pos).
+    """
+    gram_hashes = F.transform(
+        ngram_multiset_expr(tokens(text_col), n), lambda g: F.md5(g)
+    )
+    bench_grams = F.broadcast(
+        benchmark.select(F.explode(gram_hashes).alias("__g")).distinct()
+    )
+    pos = corpus.select(
+        F.col(id_col), F.posexplode(gram_hashes).alias("pos", "__g")
+    )
+    return pos.join(bench_grams, "__g").select(id_col, "pos")
+
+
 def repeated_spans(
     docs: DataFrame,
     n: int = 8,

@@ -176,6 +176,7 @@ _TIE_BREAK = [
     "g2_knn_triangles",
     "d19_sparse_cosine",
     "d20_containment_decon",
+    "d21_decon_excise",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

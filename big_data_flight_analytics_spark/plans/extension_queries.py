@@ -1842,14 +1842,13 @@ D20_PCT = 50
 D20_NGRAM = 3
 
 
-def d20_containment_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from big_data_flight_analytics_spark.operators.dedup import (
-        containment_decon_pairs,
-    )
+def d20_bench_slices(docs: DataFrame) -> DataFrame:
+    """The planted benchmark set shared by d20/d21 and bench_stream's
+    s8: 12-token mid-slices of every ``D20_BENCH_EVERY``-th document
+    (deterministic, in-plan)."""
     from big_data_flight_analytics_spark.operators.text import tokens
 
-    docs = load(spark, sf_dir, "documents")
-    bench = (
+    return (
         docs.select("doc_id", tokens("text").alias("__tk"))
         .filter(F.col("doc_id") % D20_BENCH_EVERY == 0)
         .filter(F.size("__tk") >= D20_SLICE_START + D20_SLICE_LEN - 1)
@@ -1860,9 +1859,17 @@ def d20_containment_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("text"),
         )
     )
+
+
+def d20_containment_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.dedup import (
+        containment_decon_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
     return (
         containment_decon_pairs(
-            docs, bench, n=D20_NGRAM, threshold_pct=D20_PCT
+            docs, d20_bench_slices(docs), n=D20_NGRAM, threshold_pct=D20_PCT
         )
         # bench items are slices OF corpus docs: the source doc trivially
         # contains its own slice — real decon flags everything else
@@ -1917,6 +1924,94 @@ FROM bp JOIN cp USING (g) JOIN bsz USING (bench_doc)
 WHERE corpus_doc != bench_doc
 GROUP BY bench_doc, corpus_doc
 HAVING COUNT(*) * 100 >= {D20_PCT} * ANY_VALUE(bsz)
+"""
+
+
+# ---------------------------------------------------------------------------
+# D21 — decontamination EXCISION: the action half of d20 (as d16 is to
+# d15). Tokens covered by any length-n window that appears in the
+# benchmark set are removed; the novel remainder is rejoined in order
+# (Lee et al. 2022 excise rather than drop — the rest of the document
+# is still good training data). Same planted benchmark as d20; window
+# n=6 so the 12-token slices carry 7 windows each. Runs shorter than
+# n tokens are below the excision grain and stay.
+# ---------------------------------------------------------------------------
+
+D21_N = 6
+
+
+def d21_decon_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.dedup import (
+        contaminated_window_marks,
+        excise_repeated_spans,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    marks = contaminated_window_marks(
+        docs, d20_bench_slices(docs), n=D21_N
+    )
+    return excise_repeated_spans(docs, n=D21_N, marks=marks)
+
+
+_D21_GRAM = " || ' ' || ".join(f"t[i + {j}]" for j in range(D21_N)).replace(
+    "t[i + 0]", "t[i]"
+)
+_D21_BGRAM = " || ' ' || ".join(
+    f"btk[i + {j}]" for j in range(D21_N)
+).replace("btk[i + 0]", "btk[i]")
+
+D21_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, text,
+           CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+           END AS t
+    FROM documents
+), base AS (
+    SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+           t[CAST(u.i AS BIGINT) + 1] AS tok
+    FROM toks, UNNEST(range(len(t))) AS u(i)
+), bench AS (
+    SELECT t[{D20_SLICE_START}:{D20_SLICE_START + D20_SLICE_LEN - 1}] AS btk
+    FROM toks
+    WHERE doc_id % {D20_BENCH_EVERY} = 0
+      AND len(t) >= {D20_SLICE_START + D20_SLICE_LEN - 1}
+), bgrams AS (
+    SELECT DISTINCT unnest(CASE WHEN len(btk) >= {D21_N} THEN
+        list_transform(range(1, len(btk) - {D21_N - 2}),
+            i -> md5({_D21_BGRAM}))
+    ELSE [] END) AS g
+    FROM bench
+), grams AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= {D21_N} THEN
+               list_transform(range(1, len(t) - {D21_N - 2}),
+                   i -> md5({_D21_GRAM}))
+           ELSE [] END AS h
+    FROM toks
+), gpos AS (
+    SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+           h[CAST(u.i AS BIGINT) + 1] AS g
+    FROM grams, UNNEST(range(len(h))) AS u(i)
+), marked AS (
+    SELECT p.doc_id, p.pos FROM gpos p JOIN bgrams USING (g)
+), covered AS (
+    SELECT DISTINCT m.doc_id, CAST(u.j AS BIGINT) AS pos
+    FROM marked m, UNNEST(range(m.pos, m.pos + {D21_N})) AS u(j)
+), kept AS (
+    SELECT b.doc_id, b.pos, b.tok
+    FROM base b ANTI JOIN covered c USING (doc_id, pos)
+), rebuilt AS (
+    SELECT doc_id,
+           string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       CAST(len(t.t) AS BIGINT) - COALESCE(r.n_kept, 0) AS n_removed
+FROM toks t LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
@@ -4007,6 +4102,7 @@ EXTENSION_QUERIES = {
     "d6_dedup_clusters": d6_dedup_clusters,
     "d7_decontamination": d7_decontamination,
     "d20_containment_decon": d20_containment_decon,
+    "d21_decon_excise": d21_decon_excise,
     "d8_curated_corpus": d8_curated_corpus,
     "m1_multimodal_features": m1_multimodal_features,
     "m2_frame_sample": m2_frame_sample,
@@ -4063,6 +4159,7 @@ EXTENSION_ORACLES = {
     "d6_dedup_clusters": D6_SQL,
     "d7_decontamination": D7_SQL,
     "d20_containment_decon": D20_SQL,
+    "d21_decon_excise": D21_SQL,
     "d8_curated_corpus": D8_SQL,
     "m1_multimodal_features": M1_SQL,
     "m2_frame_sample": M2_SQL,

@@ -1406,3 +1406,62 @@ class TestContainmentDecon:
             [Row(doc_id=0, text="two tokens")]  # < n: zero shingles
         )
         assert containment_decon_pairs(corpus, short_bench).count() == 0
+
+
+class TestContaminationExcision:
+    """d21: tokens covered by any benchmark-set n-gram window are
+    excised; the novel remainder survives in order."""
+
+    BENCH = "q1 q2 q3 q4 q5 q6 q7 q8"  # 8 tokens, n=6 -> 3 windows
+
+    def _frames(self, spark):
+        from pyspark.sql import Row
+
+        corpus = spark.createDataFrame([
+            # full verbatim quote mid-document
+            Row(doc_id=10, text=f"aa bb cc {self.BENCH} dd ee"),
+            # 5-token partial quote: below the n=6 excision grain
+            Row(doc_id=11, text="aa bb q1 q2 q3 q4 q5 dd ee"),
+            # untouched
+            Row(doc_id=12, text="xx yy zz ww vv uu tt ss"),
+        ])
+        bench = spark.createDataFrame([Row(doc_id=0, text=self.BENCH)])
+        return corpus, bench
+
+    def _excise(self, spark):
+        from big_data_flight_analytics_spark.operators.dedup import (
+            contaminated_window_marks,
+            excise_repeated_spans,
+        )
+
+        corpus, bench = self._frames(spark)
+        marks = contaminated_window_marks(corpus, bench, n=6)
+        return {
+            r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+            for r in excise_repeated_spans(corpus, n=6, marks=marks).collect()
+        }
+
+    def test_verbatim_quote_excised_remainder_kept(self, spark):
+        out = self._excise(spark)
+        assert out[10] == ("aa bb cc dd ee", 5, 8)
+
+    def test_partial_quote_below_grain_survives(self, spark):
+        out = self._excise(spark)
+        assert out[11] == ("aa bb q1 q2 q3 q4 q5 dd ee", 9, 0)
+
+    def test_clean_doc_untouched(self, spark):
+        out = self._excise(spark)
+        assert out[12] == ("xx yy zz ww vv uu tt ss", 8, 0)
+
+    def test_marks_are_window_starts_of_bench_grams(self, spark):
+        from big_data_flight_analytics_spark.operators.dedup import (
+            contaminated_window_marks,
+        )
+
+        corpus, bench = self._frames(spark)
+        got = {
+            (r["doc_id"], r["pos"])
+            for r in contaminated_window_marks(corpus, bench, n=6).collect()
+        }
+        # doc 10: quote starts at token 3; bench has 3 windows -> starts 3,4,5
+        assert got == {(10, 3), (10, 4), (10, 5)}
