@@ -59,3 +59,75 @@ class TestGeoBoxPrefilter:
         pa = {(r["pid"], r["sid"]) for r in a.collect()}
         pb = {(r["pid"], r["sid"]) for r in b.collect()}
         assert pa == pb and len(pa) > 0
+
+
+class TestCrossEngineHashContract:
+    """The md5-slice int64 key every hash-gated pipeline leans on
+    (d19 term hashing, the MinHash signature halves) must compute
+    IDENTICALLY in Spark and DuckDB — this pins the contract on
+    adversarial inputs (unicode, hex-looking strings, long phrases,
+    leading-zero digests) rather than trusting the catalog's corpus
+    to exercise it."""
+
+    STRINGS = [
+        "hello world",
+        "",
+        "a",
+        "the quick brown fox jumps over the lazy dog",
+        "naïve café — über-token 日本語 текст",
+        "0123456789abcdef",  # hex-looking
+        "deadbeef deadbeef deadbeef",
+        " ".join(f"tok{i}" for i in range(50)),
+        "ключ значение пара",
+        "tab\tand\nnewline",
+    ]
+
+    def test_md5_slice_int64_identical(self, spark):
+        import duckdb
+
+        from pyspark.sql import Row, functions as F
+
+        df = spark.createDataFrame([Row(s=s) for s in self.STRINGS])
+        got_spark = {
+            r["s"]: r["h"]
+            for r in df.select(
+                "s",
+                F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
+                .cast("long")
+                .alias("h"),
+            ).collect()
+        }
+        con = duckdb.connect()
+        for s in self.STRINGS:
+            want = con.execute(
+                "SELECT CAST(('0x' || substring(md5(?), 1, 15)) AS BIGINT)",
+                [s],
+            ).fetchone()[0]
+            assert got_spark[s] == want, s
+
+    def test_leading_zero_digest_parses(self, spark):
+        """A digest whose first hex chars are zeros must not desync
+        (conv drops leading zeros; the cast form must agree)."""
+        import hashlib
+
+        import duckdb
+
+        from pyspark.sql import Row, functions as F
+
+        # brute-force a string whose md5 starts with '00'
+        probe = next(
+            f"probe{i}"
+            for i in range(100000)
+            if hashlib.md5(f"probe{i}".encode()).hexdigest().startswith("00")
+        )
+        df = spark.createDataFrame([Row(s=probe)])
+        got = df.select(
+            F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h")
+        ).collect()[0]["h"]
+        want = duckdb.connect().execute(
+            "SELECT CAST(('0x' || substring(md5(?), 1, 15)) AS BIGINT)",
+            [probe],
+        ).fetchone()[0]
+        assert got == want
