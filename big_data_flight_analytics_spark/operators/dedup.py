@@ -521,6 +521,38 @@ def _minhash_band_posting(
     )
 
 
+def minhash_index_frame(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, shingles, bands) — the PERSISTED MinHash index payload.
+
+    Precomputing both the shingle set (the verify side) and the band
+    keys (the candidate side) once at index build/absorb time is what
+    makes a streaming refresh O(batch): without it every micro-batch
+    re-tokenizes, re-shingles, and re-signs the WHOLE base corpus just
+    to mark a handful of arriving rows. Shingle-less docs (< n tokens)
+    keep an empty bands array — they can never collide, matching the
+    from-text pipeline which emits no signature for them.
+    """
+    sh = _shingled(docs, id_col, text_col, n)
+    posting = _minhash_band_posting(sh, id_col, num_perm, bands)
+    per_doc = posting.groupBy(id_col).agg(
+        F.collect_list("band_key").alias("bands")
+    )
+    return sh.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        "shingles",
+        F.coalesce(
+            F.col("bands"), F.array().cast("array<string>")
+        ).alias("bands"),
+    )
+
+
 def minhash_index_delta(
     base: DataFrame,
     delta: DataFrame,
@@ -531,6 +563,7 @@ def minhash_index_delta(
     bands: int = 4,
     threshold: float = 0.2,
     max_band_df: int | None = None,
+    base_index: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup-mark ONE arriving document batch against a persisted
     MinHash band index: the ingest contract (i2 exact / i3 embedding)
@@ -554,11 +587,26 @@ def minhash_index_delta(
 
     Output: one row per DELTA doc — (id_col, matched_base_id nullable,
     dup_of_index), mirroring ``embedding_index_delta``.
+
+    ``base_index`` (the O(batch) refresh path): a precomputed
+    ``minhash_index_frame`` — (id, shingles, bands) — replaces the
+    from-text base pipeline entirely, so a refresh does NO base-side
+    tokenize/shingle/md5 work at all: base postings come from
+    exploding the stored bands, verify shingles from the stored
+    arrays. This is what "the base postings are the persisted index"
+    means operationally; ``MinHashIndexSink`` maintains exactly this
+    frame. ``base`` is ignored when ``base_index`` is given.
     """
     assert num_perm % bands == 0
-    sh_b = tracked_persist(_shingled(base, id_col, text_col, n))
+    if base_index is not None:
+        sh_b = tracked_persist(base_index.select(F.col(id_col), "shingles"))
+        post_b = base_index.select(
+            F.col(id_col), F.explode("bands").alias("band_key")
+        )
+    else:
+        sh_b = tracked_persist(_shingled(base, id_col, text_col, n))
+        post_b = _minhash_band_posting(sh_b, id_col, num_perm, bands)
     sh_d = tracked_persist(_shingled(delta, id_col, text_col, n))
-    post_b = _minhash_band_posting(sh_b, id_col, num_perm, bands)
     if max_band_df is not None:
         post_b = _cap_bucket_population(post_b, ["band_key"], max_band_df)
     post_d = _minhash_band_posting(sh_d, id_col, num_perm, bands)

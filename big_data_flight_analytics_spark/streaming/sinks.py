@@ -263,8 +263,19 @@ class IndexDeltaSink(ParquetUpsertSink):
 
     def _mark(self, base: DataFrame, batch: DataFrame) -> DataFrame:
         """Batch-operator call: (id, matched_base_id, dup_of_index)
-        for every batch row, judged against ``base``."""
+        for every batch row, judged against ``base``. ``base`` is the
+        STORED index frame (whatever ``_prepare`` produces); ``batch``
+        is the raw (id, payload) arrival."""
         raise NotImplementedError
+
+    def _prepare(self, rows: DataFrame) -> DataFrame:
+        """Raw (id, payload) rows -> the stored index representation.
+
+        Default: identity. Subclasses override when the index persists
+        a PRECOMPUTED form (e.g. MinHash shingles+bands) so refreshes
+        never redo base-side work — _prepare runs on the founding
+        corpus and on each batch's novel rows only: O(batch)."""
+        return rows
 
     @property
     def _decisions(self) -> str:
@@ -299,9 +310,9 @@ class IndexDeltaSink(ParquetUpsertSink):
         for stale in (self._side_marker, self._side_marker + ".tmp"):
             if os.path.exists(stale):
                 os.remove(stale)
-        base_df.select(self.id_col, self.payload_col).write.mode(
-            "overwrite"
-        ).parquet(self._staging)
+        self._prepare(
+            base_df.select(self.id_col, self.payload_col)
+        ).write.mode("overwrite").parquet(self._staging)
         with open(self._marker(self._staging), "w") as fh:
             fh.write("-1")
         if os.path.exists(self.path):
@@ -319,7 +330,7 @@ class IndexDeltaSink(ParquetUpsertSink):
         founding = not os.path.exists(self.path)
         if founding:
             # no index yet: the first batch founds it — all novel
-            base = batch.limit(0)
+            base = self._prepare(batch).limit(0)
             decisions = batch.select(
                 self.id_col,
                 F.lit(None)
@@ -343,9 +354,11 @@ class IndexDeltaSink(ParquetUpsertSink):
             return
         updated = base
         if absorbing:
-            novel = batch.join(
-                dec.filter(~F.col("dup_of_index")).select(self.id_col),
-                self.id_col,
+            novel = self._prepare(
+                batch.join(
+                    dec.filter(~F.col("dup_of_index")).select(self.id_col),
+                    self.id_col,
+                )
             )
             updated = base.unionByName(novel)
         updated.write.mode("overwrite").parquet(self._staging)
@@ -421,6 +434,14 @@ class MinHashIndexSink(IndexDeltaSink):
     still agree with joint signing — but only under ONE scheme.
     ``max_band_df`` caps BASE band buckets (an index-build-time
     property), the recall-only hot-bucket trade.
+
+    The store is the PRECOMPUTED ``minhash_index_frame``
+    (id, shingles, bands), not raw text: a refresh does zero base-side
+    tokenize/shingle/md5 work — base postings come from exploding the
+    stored bands, verify shingles from the stored arrays, and only the
+    batch (plus its novel rows, when absorbing) pays the signature
+    pipeline. That is what makes per-trigger cost O(batch +
+    candidates) instead of O(base).
     """
 
     def __init__(
@@ -443,14 +464,28 @@ class MinHashIndexSink(IndexDeltaSink):
         self.bands = bands
         self.max_band_df = max_band_df
 
+    def _prepare(self, rows: DataFrame) -> DataFrame:
+        from big_data_flight_analytics_spark.operators.dedup import (
+            minhash_index_frame,
+        )
+
+        return minhash_index_frame(
+            rows,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            n=self.n,
+            num_perm=self.num_perm,
+            bands=self.bands,
+        )
+
     def _mark(self, base: DataFrame, batch: DataFrame) -> DataFrame:
         from big_data_flight_analytics_spark.operators.dedup import (
             minhash_index_delta,
         )
 
         return minhash_index_delta(
-            base,
-            batch,
+            base=None,
+            delta=batch,
             id_col=self.id_col,
             text_col=self.text_col,
             n=self.n,
@@ -458,6 +493,7 @@ class MinHashIndexSink(IndexDeltaSink):
             bands=self.bands,
             threshold=self.threshold,
             max_band_df=self.max_band_df,
+            base_index=base,
         )
 
 

@@ -706,3 +706,49 @@ class TestContaminationLogSink:
             (r["bench_doc"], r["corpus_doc"], r["containment"])
             for r in sink.flagged(spark).collect()
         ) == first
+
+
+class TestMinHashIndexFramePath:
+    """The O(batch) refresh contract: marking against a precomputed
+    (id, shingles, bands) index frame equals the from-text pipeline."""
+
+    def test_base_index_path_equals_from_text(self, spark):
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.operators.dedup import (
+            minhash_index_delta,
+            minhash_index_frame,
+        )
+
+        import random
+        rng = random.Random(31)
+        vocab = "alpha bravo charlie delta echo foxtrot golf hotel".split()
+        base = spark.createDataFrame([
+            Row(doc_id=i, text=" ".join(rng.choices(vocab, k=12)))
+            for i in range(30)
+        ])
+        base_rows = base.collect()
+        delta = spark.createDataFrame(
+            [Row(doc_id=100 + i, text=" ".join(rng.choices(vocab, k=12)))
+             for i in range(10)]
+            + [Row(doc_id=200, text="xx")]  # shingle-less delta doc
+            + [Row(doc_id=201, text=base_rows[3]["text"])]  # exact dup
+        )
+        want = {
+            r["doc_id"]: (r["matched_base_id"], r["dup_of_index"])
+            for r in minhash_index_delta(
+                base, delta, threshold=0.3, max_band_df=50
+            ).collect()
+        }
+        got = {
+            r["doc_id"]: (r["matched_base_id"], r["dup_of_index"])
+            for r in minhash_index_delta(
+                None,
+                delta,
+                threshold=0.3,
+                max_band_df=50,
+                base_index=minhash_index_frame(base),
+            ).collect()
+        }
+        assert got == want
+        assert any(v[1] for v in want.values())  # dups actually found
