@@ -728,6 +728,40 @@ def semdedup_kmeans(
     )
 
 
+def embedding_index_frame(
+    corpus: DataFrame,
+    bits: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fp_scale: int = 10**15,
+    probes: int = 1,
+) -> DataFrame:
+    """(id, vec, nsq, buckets) — the PERSISTED embedding-index payload.
+
+    Precomputes what ``embedding_index_delta`` otherwise derives from
+    the raw base vectors on EVERY refresh: the fixed-point squared
+    norm (a full-dim aggregate per vector — the dominant base-side map
+    cost) and one sign bucket per disjoint probe window. With these
+    stored, a refresh touches base vectors only for the candidate
+    pairs it actually scores — per-trigger work O(batch + candidates).
+    The probe-dim guard runs here (index build time), where the
+    bits/probes scheme is fixed.
+    """
+    if probes < 1:
+        raise ValueError(f"probes must be >= 1, got {probes}")
+    guard = _probe_dim_guard(vec_col, probes * bits, "embedding_index_frame")
+    buckets = [
+        sign_bucket(vec_col, bits, offset=p * bits) for p in range(probes)
+    ]
+    buckets[-1] = F.when(guard.isNull(), buckets[-1])
+    return corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm_sq_fixedpoint(F.col(vec_col), fp_scale).alias("nsq"),
+        F.array(*[b.cast("long") for b in buckets]).alias("buckets"),
+    )
+
+
 def embedding_index_delta(
     base: DataFrame,
     delta: DataFrame,
@@ -739,6 +773,7 @@ def embedding_index_delta(
     base_count: int | None = None,
     fp_scale: int = 10**15,
     probes: int = 1,
+    base_index: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup ONE arriving embedding batch against a persisted base
     corpus: the ``incremental.dedup_delta`` ingest contract (i2) in
@@ -772,6 +807,12 @@ def embedding_index_delta(
     if probes < 1:
         raise ValueError(f"probes must be >= 1, got {probes}")
     if bits is None:
+        if base_index is not None:
+            raise ValueError(
+                "embedding_index_delta: pass the index's `bits` with "
+                "base_index — the bucket scheme is fixed at build time "
+                "and must not re-derive from a growing base"
+            )
         n = base_count if base_count is not None else base.count()
         bits = adaptive_bits(n, target_bucket_size)
 
@@ -791,8 +832,19 @@ def embedding_index_delta(
             ),
         )
 
+    def sig_from_index(p: int) -> DataFrame:
+        # the O(batch) refresh path: norms and per-window buckets come
+        # from the persisted ``embedding_index_frame`` — no base-side
+        # per-vector arithmetic at refresh time
+        return base_index.select(
+            F.col(id_col).alias("__b_id"),
+            F.element_at("buckets", p + 1).alias("bucket"),
+            F.col(vec_col).alias("__b_e"),
+            F.col("nsq").alias("__b_n"),
+        )
+
     frames = [
-        sig(base, "b", p)
+        (sig_from_index(p) if base_index is not None else sig(base, "b", p))
         .join(F.broadcast(sig(delta, "d", p)), "bucket")
         .select("__b_id", "__d_id", "__b_e", "__d_e", "__b_n", "__d_n")
         for p in range(probes)

@@ -386,6 +386,12 @@ class EmbeddingIndexSink(IndexDeltaSink):
     ``bits`` is REQUIRED: the bucket scheme is fixed at index-build
     time (the ``embedding_index_delta`` contract) — deriving it per
     batch from a growing base would silently re-shard the index.
+
+    The store is the PRECOMPUTED ``embedding_index_frame``
+    (id, vec, nsq, buckets): refreshes skip the base-side norm and
+    bucket arithmetic entirely and touch base vectors only for the
+    candidate pairs they score — per-trigger cost O(batch +
+    candidates), the same contract as MinHashIndexSink's.
     """
 
     def __init__(
@@ -406,20 +412,35 @@ class EmbeddingIndexSink(IndexDeltaSink):
         self.fp_scale = fp_scale
         self.probes = probes
 
+    def _prepare(self, rows: DataFrame) -> DataFrame:
+        from big_data_flight_analytics_spark.operators.similarity import (
+            embedding_index_frame,
+        )
+
+        return embedding_index_frame(
+            rows,
+            bits=self.bits,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            fp_scale=self.fp_scale,
+            probes=self.probes,
+        )
+
     def _mark(self, base: DataFrame, batch: DataFrame) -> DataFrame:
         from big_data_flight_analytics_spark.operators.similarity import (
             embedding_index_delta,
         )
 
         return embedding_index_delta(
-            base,
-            batch,
+            base=None,
+            delta=batch,
             threshold=self.threshold,
             id_col=self.id_col,
             vec_col=self.vec_col,
             bits=self.bits,
             fp_scale=self.fp_scale,
             probes=self.probes,
+            base_index=base,
         )
 
 

@@ -752,3 +752,78 @@ class TestMinHashIndexFramePath:
         }
         assert got == want
         assert any(v[1] for v in want.values())  # dups actually found
+
+
+class TestEmbeddingIndexFramePath:
+    """The O(batch) refresh contract in embedding space: marking
+    against a precomputed (id, vec, nsq, buckets) frame equals the
+    from-vectors pipeline, probes > 1 included."""
+
+    def test_base_index_path_equals_from_vectors(self, spark):
+        import random
+
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.operators.similarity import (
+            embedding_index_delta,
+            embedding_index_frame,
+        )
+
+        rng = random.Random(41)
+
+        def vec():
+            return [rng.uniform(-1, 1) for _ in range(8)]
+
+        base_rows = [Row(vec_id=i, embedding=vec()) for i in range(40)]
+        delta_rows = [
+            Row(vec_id=100 + i,
+                embedding=[x + rng.uniform(-0.01, 0.01)
+                           for x in base_rows[i]["embedding"]])
+            for i in range(10)
+        ] + [Row(vec_id=200 + i, embedding=vec()) for i in range(10)]
+        base = spark.createDataFrame(base_rows)
+        delta = spark.createDataFrame(delta_rows)
+        for probes in (1, 2):
+            want = {
+                r["vec_id"]: (r["matched_base_id"], r["dup_of_index"])
+                for r in embedding_index_delta(
+                    base, delta, threshold=0.9, bits=2, probes=probes
+                ).collect()
+            }
+            got = {
+                r["vec_id"]: (r["matched_base_id"], r["dup_of_index"])
+                for r in embedding_index_delta(
+                    None,
+                    delta,
+                    threshold=0.9,
+                    bits=2,
+                    probes=probes,
+                    base_index=embedding_index_frame(
+                        base, bits=2, probes=probes
+                    ),
+                ).collect()
+            }
+            assert got == want, f"probes={probes}"
+            assert any(v[1] for v in want.values())
+            assert not all(v[1] for v in want.values())
+
+    def test_base_index_requires_explicit_bits(self, spark):
+        import pytest as _pytest
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.operators.similarity import (
+            embedding_index_delta,
+            embedding_index_frame,
+        )
+
+        base = spark.createDataFrame(
+            [Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0])]
+        )
+        delta = spark.createDataFrame(
+            [Row(vec_id=1, embedding=[0.0, 1.0, 0.0, 0.0])]
+        )
+        with _pytest.raises(ValueError, match="fixed at build time"):
+            embedding_index_delta(
+                None, delta,
+                base_index=embedding_index_frame(base, bits=1),
+            )
