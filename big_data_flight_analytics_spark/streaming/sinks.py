@@ -220,21 +220,32 @@ class IndexDeltaSink(ParquetUpsertSink):
     ``_mark(base, batch)`` — the batch operator call — and the payload
     column the index stores next to the id.
 
-    State:
-    - ``path`` — the base corpus parquet (id, payload). Rewritten
-      ONLY when the batch actually changes it (``absorb_novel`` on
-      AND the batch has novel rows, or the very first batch founding
-      the index) via the inherited crash-safe rename discipline plus
-      the in-dir ``_last_batch`` marker (written inside staging,
-      atomic with the swap — a replay after a completed swap must
-      not re-mark against the already-absorbed base);
+    State (the store is APPEND-ONLY between compactions — no batch
+    ever rewrites data it did not produce):
+    - ``path`` — the base index store: root parquet files (founding
+      corpus / last compaction) plus one ``delta-<batchid>`` subdir
+      per absorbing batch. Reads use ``recursiveFileLookup`` (no
+      partition columns; ``_``-prefixed files stay invisible). An
+      absorbing batch writes ONLY its own novel rows to a sibling
+      staging dir, then ``os.rename``s it into the store as
+      ``delta-<batchid>`` — the dir name IS the replay marker, so
+      data and marker land in one atomic rename (a replay after a
+      completed absorb must not re-mark against the already-absorbed
+      base). Per-absorb I/O is O(novel rows), never O(index);
+    - compaction: every ``compact_every_n_batches`` delta subdirs the
+      whole store is rewritten into flat root files (inherited
+      crash-safe staging+swap; the in-dir ``_last_batch`` marker,
+      written inside staging, carries the highest folded batch id
+      forward because the delta names it replaces disappear). This is
+      the ONLY O(index) write and it is deliberate and rare;
     - ``path + ".batchmark"`` — sidecar replay marker advanced
-      (atomic ``os.replace``) when the base is NOT rewritten
+      (atomic ``os.replace``) when the store is NOT touched
       (``absorb_novel=False``, all-dup batch, empty batch): per-batch
-      I/O stays O(batch) — decisions partition + one tiny file —
-      never an O(index) base rewrite. Safe without the swap because a
-      replayed batch recomputes identical decisions against the
-      unchanged base. ``_last_batch`` is the max of both markers;
+      I/O stays O(batch) — decisions partition + one tiny file. Safe
+      without any store change because a replayed batch recomputes
+      identical decisions against the unchanged base.
+      ``_last_batch`` is the max of the root marker, the sidecar, and
+      the delta-dir names;
     - ``path + ".decisions"/batch=N/`` — that batch's match decisions
       (id, matched_base_id, dup_of_index), written BEFORE the marker
       advance: a crash between the two leaves the marker un-advanced,
@@ -248,18 +259,26 @@ class IndexDeltaSink(ParquetUpsertSink):
 
     At 100 TB the shape holds: the base side is stored bucketed by
     its index key (map-only per batch), decisions land in an
-    append-only log table, and novel-absorption compacts on a cadence
-    — this sink is the same contract with parquet-dir state for
-    tests/local runs.
+    append-only log table, novel rows append as new partitions, and
+    compaction runs on the same cadence — this sink is the same
+    contract with parquet-dir state for tests/local runs.
     """
 
+    DELTA_PREFIX = "delta-"
+
     def __init__(
-        self, path: str, id_col: str, payload_col: str, absorb_novel: bool
+        self,
+        path: str,
+        id_col: str,
+        payload_col: str,
+        absorb_novel: bool,
+        compact_every_n_batches: int = 16,
     ) -> None:
         super().__init__(path, key_col=id_col, version_col="__none")
         self.id_col = id_col
         self.payload_col = payload_col
         self.absorb_novel = absorb_novel
+        self.compact_every_n_batches = compact_every_n_batches
 
     def _mark(self, base: DataFrame, batch: DataFrame) -> DataFrame:
         """Batch-operator call: (id, matched_base_id, dup_of_index)
@@ -285,17 +304,49 @@ class IndexDeltaSink(ParquetUpsertSink):
     def _side_marker(self) -> str:
         return self.path + ".batchmark"
 
+    @property
+    def _append_stage(self) -> str:
+        return self.path + ".appendstage"
+
+    def _delta_batch_ids(self) -> list[int]:
+        if not os.path.isdir(self.path):
+            return []
+        ids = []
+        for name in os.listdir(self.path):
+            if name.startswith(self.DELTA_PREFIX):
+                try:
+                    ids.append(int(name[len(self.DELTA_PREFIX):]))
+                except ValueError:
+                    pass
+        return ids
+
     def _last_batch(self) -> int:
-        # max of the in-dir marker (advanced by base swaps) and the
-        # sidecar (advanced by no-rewrite batches) — whichever path a
-        # batch took, a replay of it must short-circuit
+        # max of the in-dir marker (advanced by founding/compaction
+        # swaps), the sidecar (advanced by no-rewrite batches), and
+        # the appended delta-dir names (advanced by absorbing batches)
+        # — whichever path a batch took, a replay must short-circuit
         side = -1
         try:
             with open(self._side_marker) as fh:
                 side = int(fh.read())
         except (OSError, ValueError):
             pass
-        return max(super()._last_batch(), side)
+        return max(super()._last_batch(), side, *self._delta_batch_ids(), -1)
+
+    def _read_store(self, spark) -> DataFrame:
+        # flat root files + delta-<batchid> subdirs; recursive lookup
+        # (no partition columns to infer, markers are ``_``-hidden)
+        return spark.read.option("recursiveFileLookup", "true").parquet(
+            self.path
+        )
+
+    def _recover(self) -> None:
+        super()._recover()
+        # a crash between the append-stage write and its rename into
+        # the store leaves the stage behind; the un-advanced marker
+        # means the batch replays in full, so just drop the leftovers
+        if os.path.exists(self._append_stage):
+            shutil.rmtree(self._append_stage)
 
     def _advance_side_marker(self, batch_id: int) -> None:
         tmp = self._side_marker + ".tmp"
@@ -339,39 +390,69 @@ class IndexDeltaSink(ParquetUpsertSink):
                 F.lit(False).alias("dup_of_index"),
             )
         else:
-            base = spark.read.parquet(self.path)
+            base = self._read_store(spark)
             decisions = self._mark(base, batch)
         dec_dir = os.path.join(self._decisions, f"batch={batch_id}")
         decisions.write.mode("overwrite").parquet(dec_dir)
         dec = spark.read.parquet(dec_dir)
+        if founding:
+            # the first batch founds the store's flat root files via
+            # the inherited crash-safe staging+swap
+            self._prepare(batch).write.mode("overwrite").parquet(
+                self._staging
+            )
+            with open(self._marker(self._staging), "w") as fh:
+                fh.write(str(batch_id))
+            os.rename(self._staging, self.path)
+            return
         absorbing = self.absorb_novel and not dec.filter(
             ~F.col("dup_of_index")
         ).isEmpty()
-        if not founding and not absorbing:
-            # base untouched — O(batch) I/O: decisions partition plus
-            # the sidecar marker; no O(index) rewrite
+        if not absorbing:
+            # store untouched — O(batch) I/O: decisions partition plus
+            # the sidecar marker; no O(index) write at all
             self._advance_side_marker(batch_id)
             return
-        updated = base
-        if absorbing:
-            novel = self._prepare(
-                batch.join(
-                    dec.filter(~F.col("dup_of_index")).select(self.id_col),
-                    self.id_col,
-                )
+        # absorb APPEND-ONLY: write just the novel rows to a sibling
+        # stage, then one atomic rename into the store — the dir name
+        # carries the batch id, so data + replay marker land together
+        # and existing base files are never rewritten
+        novel = self._prepare(
+            batch.join(
+                dec.filter(~F.col("dup_of_index")).select(self.id_col),
+                self.id_col,
             )
-            updated = base.unionByName(novel)
-        updated.write.mode("overwrite").parquet(self._staging)
+        )
+        novel.write.mode("overwrite").parquet(self._append_stage)
+        os.rename(
+            self._append_stage,
+            os.path.join(self.path, f"{self.DELTA_PREFIX}{batch_id}"),
+        )
+        if (
+            self.compact_every_n_batches
+            and len(self._delta_batch_ids()) >= self.compact_every_n_batches
+        ):
+            self.compact(spark)
+
+    def compact(self, spark) -> None:
+        """Fold the delta subdirs into flat root files — the one
+        deliberate O(index) rewrite, run every
+        ``compact_every_n_batches`` absorbing batches (or manually on
+        a maintenance cadence). Crash-safe via the inherited
+        staging+swap; the in-dir marker carries the highest folded
+        batch id since the delta names it replaces disappear."""
+        folded = self._last_batch()
+        self._read_store(spark).write.mode("overwrite").parquet(
+            self._staging
+        )
         with open(self._marker(self._staging), "w") as fh:
-            fh.write(str(batch_id))
-        if os.path.exists(self.path):
-            os.rename(self.path, self._old)
+            fh.write(str(folded))
+        os.rename(self.path, self._old)
         os.rename(self._staging, self.path)
-        if os.path.exists(self._old):
-            shutil.rmtree(self._old)
+        shutil.rmtree(self._old)
 
     def read(self, spark) -> DataFrame:
-        return spark.read.parquet(self.path)
+        return self._read_store(spark)
 
     def decisions(self, spark) -> DataFrame:
         """All per-batch match decisions, with the ``batch`` column
@@ -404,8 +485,11 @@ class EmbeddingIndexSink(IndexDeltaSink):
         fp_scale: int = 10**15,
         probes: int = 1,
         absorb_novel: bool = True,
+        compact_every_n_batches: int = 16,
     ) -> None:
-        super().__init__(path, id_col, vec_col, absorb_novel)
+        super().__init__(
+            path, id_col, vec_col, absorb_novel, compact_every_n_batches
+        )
         self.bits = bits
         self.threshold = threshold
         self.vec_col = vec_col
@@ -476,8 +560,11 @@ class MinHashIndexSink(IndexDeltaSink):
         bands: int = 4,
         max_band_df: int | None = None,
         absorb_novel: bool = True,
+        compact_every_n_batches: int = 16,
     ) -> None:
-        super().__init__(path, id_col, text_col, absorb_novel)
+        super().__init__(
+            path, id_col, text_col, absorb_novel, compact_every_n_batches
+        )
         self.threshold = threshold
         self.text_col = text_col
         self.n = n
@@ -576,6 +663,12 @@ class ContaminationLogSink:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         self.merge(batch_df, batch_id)
+
+    def close(self) -> None:
+        """Release the benchmark frame persisted in ``__init__`` —
+        call once the stream is stopped (the sink pins executor
+        storage for its whole lifetime otherwise)."""
+        self.benchmark.unpersist()
 
     def flagged(self, spark) -> DataFrame:
         """All per-batch contamination decisions, with the ``batch``
