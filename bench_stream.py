@@ -151,7 +151,13 @@ def _run_index_sink(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        # timed out: the elapsed time would be a lie and the live
+        # stream would bleed into the next sink's run (ADVICE r11)
+        q.stop()
+        raise RuntimeError(
+            f"index-sink stream on {src_dir} exceeded the 600s deadline"
+        )
     return time.time() - t0
 
 
@@ -230,29 +236,16 @@ def _index_sink_pipelines(spark, sf_dir: str, workdir: str) -> dict[str, float]:
     out["s7_embedding_index_sink"] = round(emb_rows / secs, 1)
 
     # s8: stateless decontamination at ingest (streaming d20) — the
-    # benchmark is the d20 catalog framing (12-token mid-slices)
-    from big_data_flight_analytics_spark.operators.text import tokens
+    # benchmark is the d20 catalog framing, via the SAME constructor
+    # the catalog query uses so they can never desync (ADVICE r11)
     from big_data_flight_analytics_spark.plans.extension_queries import (
-        D20_BENCH_EVERY,
-        D20_SLICE_LEN,
-        D20_SLICE_START,
+        d20_bench_slices,
     )
     from big_data_flight_analytics_spark.streaming.sinks import (
         ContaminationLogSink,
     )
 
-    docs = load(spark, sf_dir, "documents")
-    bench = (
-        docs.select("doc_id", tokens("text").alias("__tk"))
-        .filter(F.col("doc_id") % D20_BENCH_EVERY == 0)
-        .filter(F.size("__tk") >= D20_SLICE_START + D20_SLICE_LEN - 1)
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ", F.slice("__tk", D20_SLICE_START, D20_SLICE_LEN)
-            ).alias("text"),
-        )
-    )
+    bench = d20_bench_slices(load(spark, sf_dir, "documents"))
     contam_path = os.path.join(workdir, "contamination_log")
     shutil.rmtree(contam_path, ignore_errors=True)
     contam_sink = ContaminationLogSink(contam_path, bench)
@@ -282,7 +275,11 @@ def _run(spark, src_dir: str, build, checkpoint: str, mode: str = "append") -> f
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(
+            f"pipeline stream on {src_dir} exceeded the 600s deadline"
+        )
     return time.time() - t0
 
 

@@ -836,9 +836,28 @@ def embedding_index_delta(
         # the O(batch) refresh path: norms and per-window buckets come
         # from the persisted ``embedding_index_frame`` — no base-side
         # per-vector arithmetic at refresh time
+        bucket = F.element_at("buckets", p + 1)
+        if p == probes - 1:
+            # stored-scheme drift guard (ADVICE r11): a frame built
+            # under a different probes count signs the delta under one
+            # scheme while base buckets live under another — near-zero
+            # recall with no error (element_at past the end is NULL
+            # and just drops candidates). bits itself is not cheaply
+            # recoverable from the frame, but a probes mismatch is;
+            # same zero-job in-plan anchor as _probe_dim_guard.
+            guard = F.assert_true(
+                F.size("buckets") == F.lit(probes),
+                F.lit(
+                    "embedding_index_delta: base_index stores a probes "
+                    f"count different from the requested {probes} — the "
+                    "bucket scheme is fixed at index-build time; pass "
+                    "the bits/probes the frame was built with"
+                ),
+            )
+            bucket = F.when(guard.isNull(), bucket)
         return base_index.select(
             F.col(id_col).alias("__b_id"),
-            F.element_at("buckets", p + 1).alias("bucket"),
+            bucket.alias("bucket"),
             F.col(vec_col).alias("__b_e"),
             F.col("nsq").alias("__b_n"),
         )
@@ -1303,11 +1322,13 @@ def kmeans_fixedpoint_subspaces(
     # downstream centroid/assignment would be degenerate with no
     # error. Guard IN-PLAN (zero extra jobs — an eager seeds.count()
     # here cost the v7/v8/d18 trio ~3 s/round, r10 residual): left-join
-    # the expected (c, j) seed grid against the actual seed rows, so a
-    # missing id surfaces as a NULL that assert_true turns into a
-    # loud failure during the checkpoint materialization that already
-    # happens. (Duplicate ids remain the vec_id contract's promise —
-    # they'd corrupt every v*-family oracle long before this seed.)
+    # the expected (c, j) seed grid against the actual seed rows
+    # aggregated per (j, c), so a missing id surfaces as a NULL count
+    # and a DUPLICATE id (which would silently fan the grid out into
+    # duplicate centroid rows) as count > 1 — either way assert_true
+    # fails loud during the checkpoint materialization that already
+    # happens. The aggregate is kcent x m rows on the broadcast side,
+    # once, pre-loop — not a per-round cost (ADVICE r11).
     expected = (
         corpus.sparkSession.range(kcent)
         .select(
@@ -1315,16 +1336,22 @@ def kmeans_fixedpoint_subspaces(
             F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j"),
         )
     )
-    seed_rows = e.filter(F.col("id") < kcent).select(
-        "j", F.col("id").alias("c"), F.col("vq").alias("__cq")
+    seed_rows = (
+        e.filter(F.col("id") < kcent)
+        .groupBy(F.col("j"), F.col("id").alias("c"))
+        .agg(
+            F.min("vq").alias("__cq"),
+            F.count(F.lit(1)).alias("__nc"),
+        )
     )
     seed_guard = F.assert_true(
-        F.col("__cq").isNotNull(),
+        F.coalesce(F.col("__nc"), F.lit(0)) == F.lit(1),
         F.lit(
-            f"kmeans_fixedpoint_subspaces: seed is missing ids below "
-            f"kcent={kcent} — ids must be dense and 0-based for the "
-            "id<kcent seed (re-key the corpus with a dense id, or "
-            "lower kcent below the corpus size)"
+            f"kmeans_fixedpoint_subspaces: every id below kcent={kcent} "
+            "must appear exactly once in the seed — ids must be dense, "
+            "0-based and unique for the id<kcent seed (re-key the "
+            "corpus with a dense unique id, or lower kcent below the "
+            "corpus size)"
         ),
     )
     cents = (

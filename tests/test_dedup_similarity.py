@@ -1031,6 +1031,23 @@ class TestGuards:
         )
         assert cents.count() == 4  # kcent * m
 
+    def test_kmeans_seed_rejects_duplicate_ids(self, spark):
+        """ADVICE r11: duplicate seed ids would fan the expected (j,c)
+        grid out into duplicate centroid rows — must fail loud."""
+        from big_data_flight_analytics_spark.operators.similarity import (
+            kmeans_fixedpoint_subspaces,
+        )
+
+        rows = [
+            Row(vec_id=i, embedding=[float(i % 3), 1.0, 0.0, float(i)])
+            for i in range(8)
+        ]
+        dup = spark.createDataFrame(rows).unionByName(
+            spark.createDataFrame(rows[:1])  # vec_id 0 appears twice
+        )
+        with pytest.raises(Exception, match="exactly once"):
+            kmeans_fixedpoint_subspaces(dup, dim=4, m=2, kcent=2, n_iter=1)
+
 
 class TestBm25OverflowGuard:
     def test_overflow_grain_raises_not_wraps(self, spark):

@@ -896,3 +896,27 @@ class TestEmbeddingIndexFramePath:
                 None, delta,
                 base_index=embedding_index_frame(base, bits=1),
             )
+
+    def test_base_index_probes_mismatch_fails_loud(self, spark):
+        """ADVICE r11: a frame built under a different probes count
+        must raise, not silently drop candidates to near-zero recall."""
+        import pytest as _pytest
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.operators.similarity import (
+            embedding_index_delta,
+            embedding_index_frame,
+        )
+
+        base = spark.createDataFrame(
+            [Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0])]
+        )
+        delta = spark.createDataFrame(
+            [Row(vec_id=1, embedding=[0.99, 0.01, 0.0, 0.0])]
+        )
+        frame = embedding_index_frame(base, bits=1, probes=1)
+        with _pytest.raises(Exception, match="probes"):
+            embedding_index_delta(
+                None, delta, threshold=0.9, bits=1, probes=2,
+                base_index=frame,
+            ).collect()

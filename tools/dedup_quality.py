@@ -127,29 +127,18 @@ def containment_section(spark, sf_dir: str) -> None:
         containment_decon_pairs,
         ngram_jaccard_pairs,
     )
-    from big_data_flight_analytics_spark.operators.text import tokens
     from big_data_flight_analytics_spark.plans.extension_queries import (
-        D20_BENCH_EVERY,
         D20_NGRAM,
         D20_PCT,
-        D20_SLICE_LEN,
-        D20_SLICE_START,
         JACCARD_THRESHOLD,
+        d20_bench_slices,
     )
     from big_data_flight_analytics_spark.plans.tables import load
 
     docs = load(spark, sf_dir, "documents")
-    bench = (
-        docs.select("doc_id", tokens("text").alias("__tk"))
-        .filter(F.col("doc_id") % D20_BENCH_EVERY == 0)
-        .filter(F.size("__tk") >= D20_SLICE_START + D20_SLICE_LEN - 1)
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ", F.slice("__tk", D20_SLICE_START, D20_SLICE_LEN)
-            ).alias("text"),
-        )
-    )
+    # the SAME constructor the catalog query and bench_stream use, so
+    # the quality report can never desync from them (ADVICE r11)
+    bench = d20_bench_slices(docs)
     n_bench = bench.count()
     t0 = time.time()
     caught = [
