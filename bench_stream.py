@@ -241,8 +241,12 @@ def _index_sink_pipelines(spark, sf_dir: str, workdir: str) -> dict[str, float]:
     from big_data_flight_analytics_spark.plans.extension_queries import (
         d20_bench_slices,
     )
+    from big_data_flight_analytics_spark.plans.extension_queries import (
+        D21_N,
+    )
     from big_data_flight_analytics_spark.streaming.sinks import (
         ContaminationLogSink,
+        ExcisionSink,
     )
 
     bench = d20_bench_slices(load(spark, sf_dir, "documents"))
@@ -257,6 +261,26 @@ def _index_sink_pipelines(spark, sf_dir: str, workdir: str) -> dict[str, float]:
         os.path.join(workdir, "ckpt_s8_contamination"),
     )
     out["s8_contamination_log"] = round(doc_rows / secs, 1)
+    contam_sink.close()
+
+    # s9: excision at ingest (streaming d21) — same feed/benchmark,
+    # but every batch doc is rewritten with the quoted spans excised
+    excise_path = os.path.join(workdir, "excision_log")
+    shutil.rmtree(excise_path, ignore_errors=True)
+    excise_sink = ExcisionSink(
+        excise_path,
+        d20_bench_slices(load(spark, sf_dir, "documents")),
+        n=D21_N,
+    )
+    secs = _run_index_sink(
+        spark,
+        doc_feed,
+        "doc_id long, text string",
+        excise_sink,
+        os.path.join(workdir, "ckpt_s9_excision"),
+    )
+    out["s9_excision"] = round(doc_rows / secs, 1)
+    excise_sink.close()
     return out
 
 

@@ -605,25 +605,22 @@ class MinHashIndexSink(IndexDeltaSink):
         )
 
 
-class ContaminationLogSink:
-    """Decontamination at ingest: every arriving micro-batch of
-    documents is containment-marked against a FIXED benchmark set
-    (``operators.dedup.containment_decon_pairs`` per batch — the
-    streaming face of d20, completing the ingest story next to the
-    i2/i3/i4 index sinks).
+class StatelessBenchmarkSink:
+    """Shared machinery of the at-ingest decontamination sinks: each
+    arriving micro-batch is judged against a FIXED benchmark set and
+    the per-batch output lands in its own ``path/batch=N`` partition.
 
-    Stateless by construction: the benchmark never changes and
-    flagged pairs depend only on the batch's own rows, so each batch's
-    decisions land in their own ``path/batch=N`` partition and a
-    replayed batch simply overwrites the same directory with identical
-    content — exactly-once with NO replay marker and NO base store to
-    swap. Per-batch work is O(batch postings): the benchmark's shingle
-    postings and sizes broadcast (cached once on the driver-side
-    DataFrame), the batch streams past map-side, one small aggregate.
+    Stateless by construction: the benchmark never changes and the
+    output depends only on the batch's own rows, so a replayed batch
+    simply overwrites the same directory with identical content —
+    exactly-once with NO replay marker and NO base store to swap.
+    Per-batch work is O(batch postings): the benchmark's gram side
+    broadcasts (persisted once on the driver-side DataFrame), the
+    batch streams past map-side.
 
-    At 100 TB ingest the same shape holds: the decisions log is an
-    append-only table partitioned by batch; downstream consumers
-    anti-join flagged corpus_doc ids before training-set assembly.
+    At 100 TB ingest the same shape holds: the output log is an
+    append-only table partitioned by batch. Subclasses supply
+    ``_transform(batch)``.
     """
 
     def __init__(
@@ -633,31 +630,23 @@ class ContaminationLogSink:
         id_col: str = "doc_id",
         text_col: str = "text",
         n: int = 3,
-        threshold_pct: int = 50,
     ) -> None:
         self.path = path
         self.id_col = id_col
         self.text_col = text_col
         self.n = n
-        self.threshold_pct = threshold_pct
         # the benchmark is re-read per micro-batch (every batch joins
         # against it): persist once so batches pay broadcast cost only
         self.benchmark = benchmark.select(id_col, text_col).persist()
 
-    def merge(self, batch_df: DataFrame, batch_id: int) -> None:
-        from big_data_flight_analytics_spark.operators.dedup import (
-            containment_decon_pairs,
-        )
+    def _transform(self, batch: DataFrame) -> DataFrame:
+        """(id, text) batch -> the rows this sink logs for it."""
+        raise NotImplementedError
 
-        flagged = containment_decon_pairs(
-            batch_df.select(self.id_col, self.text_col),
-            self.benchmark,
-            id_col=self.id_col,
-            text_col=self.text_col,
-            n=self.n,
-            threshold_pct=self.threshold_pct,
-        )
-        flagged.write.mode("overwrite").parquet(
+    def merge(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._transform(
+            batch_df.select(self.id_col, self.text_col)
+        ).write.mode("overwrite").parquet(
             os.path.join(self.path, f"batch={batch_id}")
         )
 
@@ -670,10 +659,106 @@ class ContaminationLogSink:
         storage for its whole lifetime otherwise)."""
         self.benchmark.unpersist()
 
+    def log(self, spark) -> DataFrame:
+        """All per-batch output, with the ``batch`` column from
+        partition discovery."""
+        return spark.read.parquet(self.path)
+
+
+class ContaminationLogSink(StatelessBenchmarkSink):
+    """Decontamination at ingest: every arriving micro-batch of
+    documents is containment-marked against the fixed benchmark
+    (``operators.dedup.containment_decon_pairs`` per batch — the
+    streaming face of d20, completing the ingest story next to the
+    i2/i3/i4 index sinks). Downstream consumers anti-join flagged
+    corpus_doc ids before training-set assembly.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        benchmark: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n: int = 3,
+        threshold_pct: int = 50,
+    ) -> None:
+        super().__init__(path, benchmark, id_col, text_col, n)
+        self.threshold_pct = threshold_pct
+
+    def _transform(self, batch: DataFrame) -> DataFrame:
+        from big_data_flight_analytics_spark.operators.dedup import (
+            containment_decon_pairs,
+        )
+
+        return containment_decon_pairs(
+            batch,
+            self.benchmark,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            n=self.n,
+            threshold_pct=self.threshold_pct,
+        )
+
     def flagged(self, spark) -> DataFrame:
         """All per-batch contamination decisions, with the ``batch``
         column from partition discovery."""
-        return spark.read.parquet(self.path)
+        return self.log(spark)
+
+
+class ExcisionSink(StatelessBenchmarkSink):
+    """Decontamination EXCISION at ingest: the d21 face of s8. Every
+    arriving micro-batch is marked against the fixed benchmark
+    (``contaminated_window_marks``) and rewritten with the quoted
+    material excised (``excise_repeated_spans``), emitting
+    (id, clean_text, n_kept, n_removed) for every batch document —
+    cleaned text ready for training-set assembly, the novel remainder
+    kept (Lee et al. 2022 excise-not-drop).
+
+    Stateless exactly like ContaminationLogSink: both operators are
+    per-document functions of (batch row, fixed benchmark) — marking
+    joins the batch's position stream against the broadcast benchmark
+    grams, excision anti-joins within the batch — so per-batch
+    partitions stay idempotent under replay with no marker machinery.
+    ``n`` here is the excision window grain (d21's D21_N, default 6),
+    not the containment shingle width.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        benchmark: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n: int = 6,
+    ) -> None:
+        super().__init__(path, benchmark, id_col, text_col, n)
+
+    def _transform(self, batch: DataFrame) -> DataFrame:
+        from big_data_flight_analytics_spark.operators.dedup import (
+            contaminated_window_marks,
+            excise_repeated_spans,
+        )
+
+        marks = contaminated_window_marks(
+            batch,
+            self.benchmark,
+            n=self.n,
+            id_col=self.id_col,
+            text_col=self.text_col,
+        )
+        return excise_repeated_spans(
+            batch,
+            n=self.n,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            marks=marks,
+        )
+
+    def cleaned(self, spark) -> DataFrame:
+        """All per-batch cleaned documents, with the ``batch`` column
+        from partition discovery."""
+        return self.log(spark)
 
 
 class DedupIndexSink(ParquetUpsertSink):

@@ -777,6 +777,76 @@ class TestContaminationLogSink:
         ) == first
 
 
+class TestExcisionSink:
+    """Streaming d21 (s9): per-batch excision against a fixed
+    benchmark == the batch operator on the full delta (stateless),
+    replay idempotent with no marker machinery."""
+
+    BENCH = "the quick brown fox jumps over the lazy dog tonight"
+
+    def _frames(self, spark):
+        from pyspark.sql import Row
+
+        filler = " ".join(f"filler{i} token{i} pad{i}" for i in range(10))
+        docs = spark.createDataFrame([
+            Row(doc_id=10, text=f"{filler} {self.BENCH} {filler}"),
+            Row(doc_id=11, text=" ".join(
+                f"alpha{i} beta{i}" for i in range(30))),
+            Row(doc_id=12, text=self.BENCH),  # fully quoted
+            Row(doc_id=13, text=f"start middle {self.BENCH} end close"),
+        ])
+        bench = spark.createDataFrame([Row(doc_id=0, text=self.BENCH)])
+        return docs, bench
+
+    def test_stream_equals_batch_operator(self, spark, tmp_path):
+        from big_data_flight_analytics_spark.operators.dedup import (
+            contaminated_window_marks,
+            excise_repeated_spans,
+        )
+        from big_data_flight_analytics_spark.streaming.sinks import (
+            ExcisionSink,
+        )
+
+        docs, bench = self._frames(spark)
+        sink = ExcisionSink(str(tmp_path / "excised"), bench, n=6)
+        _run_stream(spark, tmp_path, sink, docs)
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+            for r in sink.cleaned(spark).collect()
+        }
+        marks = contaminated_window_marks(docs, bench, n=6)
+        want = {
+            r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+            for r in excise_repeated_spans(
+                docs, n=6, marks=marks
+            ).collect()
+        }
+        assert got == want
+        assert got[11][2] == 0          # untouched doc survives whole
+        assert got[12] == ("", 0, 10)   # fully-quoted doc excised empty
+        assert got[10][2] == 10         # quoted slice gone, filler kept
+        assert self.BENCH not in got[13][0] and "start" in got[13][0]
+
+    def test_replay_is_idempotent_without_markers(self, spark, tmp_path):
+        from big_data_flight_analytics_spark.streaming.sinks import (
+            ExcisionSink,
+        )
+
+        docs, bench = self._frames(spark)
+        sink = ExcisionSink(str(tmp_path / "excised"), bench, n=6)
+        sink.merge(docs, 0)
+        first = sorted(
+            (r["doc_id"], r["clean_text"], r["n_kept"], r["n_removed"])
+            for r in sink.cleaned(spark).collect()
+        )
+        sink.merge(docs, 0)  # at-least-once replay: same partition dir
+        assert sorted(
+            (r["doc_id"], r["clean_text"], r["n_kept"], r["n_removed"])
+            for r in sink.cleaned(spark).collect()
+        ) == first
+        sink.close()
+
+
 class TestMinHashIndexFramePath:
     """The O(batch) refresh contract: marking against a precomputed
     (id, shingles, bands) index frame equals the from-text pipeline."""
