@@ -1,0 +1,209 @@
+"""Hashed char-n-gram language / domain identification (t20).
+
+The one LLM-pipeline stage the catalog lacked: score every document
+against K reference class profiles (languages, domains, sources) and
+pick the most likely class — the classic n-gram language-ID heuristic
+(Cavnar & Trenkle-style character n-grams) re-expressed in the t18
+DSIR machinery so it runs corpus-size-independent and lands under the
+exact-value hash gate:
+
+- features are CHARACTER n-grams (default trigrams) of the
+  lowercased/trimmed text, hashed into ``n_buckets`` md5 buckets —
+  the same ``md5_bucket`` family as t2/t6/t18, so one hash governs
+  all sampling/weighting decisions;
+- per class c and bucket b, the profile weight is the add-one-
+  smoothed log-likelihood ratio of the class against the POOLED
+  reference background,
+  ``ln( ((cnt_c[b]+1)/(S_c+B)) / ((cnt_all[b]+1)/(S_all+B)) )``,
+  stored as the FLOOR-scaled int64 ``w_fp`` (the t18 exact-grain
+  contract: LN on identical doubles built from exact-int cross
+  products, so every engine floors the same value);
+- a document's score for class c is the integer SUM of its gram-
+  occurrence weights (multiset — repeated grams count); the predicted
+  class is the argmax, tie-broken deterministically to the smallest
+  label via min over ``struct(-score, label)``.
+
+Scale (the 100 TB story): the profile table is K x n_buckets rows no
+matter the corpus size — it broadcasts forever. Classification is one
+char-gram explode, a broadcast join multiplying each gram by K
+(K = number of classes, single digits), and two map-side-combined
+aggregates (per (doc, class), then per doc). No corpus-keyed shuffle
+other than the per-doc aggregate; nothing grows with the reference
+corpus after profile build.
+
+Caveat: character positions are code points in both Spark and DuckDB,
+so the oracle mirror is exact for any text both engines count the
+same way (all engine testdata is ASCII).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from big_data_flight_analytics_spark.operators.sampling import md5_bucket
+
+LANGID_NGRAM = 3
+LANGID_BUCKETS = 256
+LANGID_GRAIN = 1_000_000
+
+
+def char_ngram_expr(text_col: str, n: int = LANGID_NGRAM) -> Column:
+    """Character n-gram MULTISET of the canonical (lower/trim) text.
+
+    Multiset because term frequency is the langid signal (a doc using
+    'th ' fifty times is more English than one using it once). Texts
+    shorter than ``n`` characters (or NULL) yield an empty array —
+    ``F.sequence`` would count backwards on a negative span, so the
+    guard is explicit.
+    """
+    s = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
+    return F.when(
+        F.length(s) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - (n - 1)),
+            lambda i: F.substring(s, i, n),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def langid_profiles(
+    reference: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    n: int = LANGID_NGRAM,
+    n_buckets: int = LANGID_BUCKETS,
+    grain: int = LANGID_GRAIN,
+    _product_bound: int = 1 << 62,
+) -> DataFrame:
+    """Class profiles from a labeled reference corpus.
+
+    Output: the FULL (label x bucket) grid — K x ``n_buckets`` rows of
+    (label_col, bucket, w_fp) — so classification is a plain broadcast
+    join with no missing-bucket special case (add-one smoothing covers
+    buckets a class never produced).
+
+    The int64 cross products are bounded by
+    ``(cnt_all+1) * (S_all+B)`` (every class count <= the background
+    count); the t18 assert_true bound guard fails loud before a wrap
+    could corrupt a weight. Past ~2^31 reference grams, cast the
+    factors to double before multiplying (still deterministic — same
+    two int64s round the same way) or promote to DECIMAL(38,0).
+    """
+    grams = reference.select(
+        F.col(label_col),
+        F.explode(char_ngram_expr(text_col, n)).alias("__g"),
+    ).select(
+        label_col, md5_bucket(F.col("__g"), n_buckets).alias("bucket")
+    )
+    counts = grams.groupBy(label_col, "bucket").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    label_totals = counts.groupBy(label_col).agg(
+        F.sum("__c").cast("long").alias("__s_c")
+    )
+    bucket_totals = counts.groupBy("bucket").agg(
+        F.sum("__c").cast("long").alias("__c_all")
+    )
+    grand_total = counts.agg(F.sum("__c").cast("long").alias("__s_all"))
+    grid = (
+        counts.select(label_col)
+        .distinct()
+        .crossJoin(
+            reference.sparkSession.range(n_buckets).select(
+                F.col("id").cast("long").alias("bucket")
+            )
+        )
+    )
+    bound_ok = F.assert_true(
+        F.coalesce(
+            (F.col("__c_all") + 1).cast("double")
+            * (F.col("__s_all") + n_buckets).cast("double"),
+            F.lit(0.0),
+        )
+        <= F.lit(float(_product_bound)),
+        F.lit(
+            "langid_profiles: (cnt+1)*(S+B) exceeds 2^62 — int64 would "
+            "wrap; cast to double before multiplying or promote to "
+            "DECIMAL (see docstring)"
+        ),
+    )
+    return (
+        grid.join(F.broadcast(counts), [label_col, "bucket"], "left")
+        .join(F.broadcast(bucket_totals), "bucket", "left")
+        .join(F.broadcast(label_totals), label_col)
+        .crossJoin(F.broadcast(grand_total))
+        .select(
+            label_col,
+            "bucket",
+            F.when(
+                bound_ok.isNull(),
+                F.floor(
+                    F.lit(float(grain))
+                    * F.log(
+                        (
+                            (F.coalesce(F.col("__c"), F.lit(0)) + 1)
+                            * (F.col("__s_all") + n_buckets)
+                        ).cast("double")
+                        / (
+                            (F.coalesce(F.col("__c_all"), F.lit(0)) + 1)
+                            * (F.col("__s_c") + n_buckets)
+                        ).cast("double")
+                    )
+                ),
+            )
+            .cast("long")
+            .alias("w_fp"),
+        )
+    )
+
+
+def langid_hashed_ngrams(
+    docs: DataFrame,
+    profiles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "label",
+    n: int = LANGID_NGRAM,
+    n_buckets: int = LANGID_BUCKETS,
+) -> DataFrame:
+    """Classify every document against the profile table.
+
+    ``profiles`` must be the full grid ``langid_profiles`` emits (or a
+    stored copy of it — the table is tiny and persists naturally as
+    model state, the t15/t16 pattern). ``n``/``n_buckets`` must match
+    the profile build; they are data-independent, so batches and
+    stored profiles agree by construction.
+
+    Output: (id_col, pred_<label_col>, llr_fp, n_grams) — one row per
+    document with >= 1 char n-gram. Ties (identical integer scores)
+    break to the SMALLEST label: min over struct(-llr, label), exactly
+    mirrored by the oracle's ORDER BY llr DESC, label ASC ranking.
+    """
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(char_ngram_expr(text_col, n)).alias("__g"),
+    ).select(id_col, md5_bucket(F.col("__g"), n_buckets).alias("bucket"))
+    scores = (
+        grams.join(F.broadcast(profiles), "bucket")
+        .groupBy(id_col, label_col)
+        .agg(
+            F.sum("w_fp").cast("long").alias("__llr"),
+            F.count(F.lit(1)).cast("long").alias("__n"),
+        )
+    )
+    best = scores.groupBy(id_col).agg(
+        F.min(
+            F.struct(
+                (-F.col("__llr")).alias("__neg"),
+                F.col(label_col).alias("__lbl"),
+            )
+        ).alias("__best"),
+        F.max("__n").alias("n_grams"),
+    )
+    return best.select(
+        id_col,
+        F.col("__best.__lbl").alias(f"pred_{label_col}"),
+        (-F.col("__best.__neg")).cast("long").alias("llr_fp"),
+        "n_grams",
+    )

@@ -177,6 +177,7 @@ _TIE_BREAK = [
     "d19_sparse_cosine",
     "d20_containment_decon",
     "d21_decon_excise",
+    "t20_langid",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

@@ -2016,6 +2016,131 @@ FROM toks t LEFT JOIN rebuilt r USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
+# T20 — hashed char-n-gram language ID: per-doc integer LLR against K
+# reference class profiles (operators/langid.py — the t18 DSIR
+# machinery pointed at classification). The labeled reference slice is
+# every T20_REF_EVERY-th doc (its `lang` column); every held-out doc
+# is scored against all K profiles and argmax-classified, tie-broken
+# to the smallest label. Profile table is K x T20_BUCKETS rows —
+# corpus-size-independent broadcast. On the engine's synthetic corpus
+# the lang labels are text-independent, so accuracy is chance — the
+# planted-language truth study (separable vocabularies, accuracy 1.0)
+# lives in tests/test_langid.py.
+# ---------------------------------------------------------------------------
+
+T20_NGRAM = 3
+T20_BUCKETS = 256
+T20_GRAIN = 1_000_000
+T20_REF_EVERY = 10
+
+
+def t20_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.langid import (
+        langid_hashed_ngrams,
+        langid_profiles,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    ref = docs.filter(
+        (F.col("doc_id") % T20_REF_EVERY == 0) & F.col("lang").isNotNull()
+    ).select("lang", "text")
+    profiles = langid_profiles(
+        ref,
+        label_col="lang",
+        n=T20_NGRAM,
+        n_buckets=T20_BUCKETS,
+        grain=T20_GRAIN,
+    )
+    held = docs.filter(F.col("doc_id") % T20_REF_EVERY != 0)
+    pred = langid_hashed_ngrams(
+        held,
+        profiles,
+        label_col="lang",
+        n=T20_NGRAM,
+        n_buckets=T20_BUCKETS,
+    )
+    return pred.join(held.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "pred_lang", "llr_fp", "n_grams"
+    )
+
+
+T20_SQL = rf"""
+WITH norm AS (
+    SELECT doc_id, lang, trim(lower(text)) AS s
+    FROM documents
+    WHERE text IS NOT NULL
+), ref AS (
+    SELECT lang AS label, s FROM norm
+    WHERE doc_id % {T20_REF_EVERY} = 0 AND lang IS NOT NULL
+      AND len(s) >= {T20_NGRAM}
+), refg AS (
+    SELECT label,
+           unnest(list_transform(range(1, len(s) - {T20_NGRAM - 2}),
+                                 i -> s[i:i + {T20_NGRAM - 1}])) AS g
+    FROM ref
+), refb AS (
+    SELECT label,
+           CAST(('0x' || substring(md5(g), 1, 4)) AS BIGINT)
+               % {T20_BUCKETS} AS bucket
+    FROM refg
+), cnt AS (
+    SELECT label, bucket, CAST(COUNT(*) AS BIGINT) AS c
+    FROM refb GROUP BY label, bucket
+), stot AS (
+    SELECT label, CAST(SUM(c) AS BIGINT) AS s_c FROM cnt GROUP BY label
+), btot AS (
+    SELECT bucket, CAST(SUM(c) AS BIGINT) AS c_all FROM cnt GROUP BY bucket
+), tot AS (
+    SELECT CAST(SUM(c) AS BIGINT) AS s_all FROM cnt
+), grid AS (
+    SELECT l.label, b.bucket
+    FROM (SELECT DISTINCT label FROM cnt) l
+    CROSS JOIN (SELECT unnest(range({T20_BUCKETS})) AS bucket) b
+), w AS (
+    SELECT g.label, g.bucket,
+           CAST(FLOOR({T20_GRAIN} * LN(
+               CAST((COALESCE(c.c, 0) + 1)
+                    * (t.s_all + {T20_BUCKETS}) AS DOUBLE)
+               / CAST((COALESCE(bt.c_all, 0) + 1)
+                    * (st.s_c + {T20_BUCKETS}) AS DOUBLE)
+           )) AS BIGINT) AS w_fp
+    FROM grid g
+    LEFT JOIN cnt c ON c.label = g.label AND c.bucket = g.bucket
+    LEFT JOIN btot bt ON bt.bucket = g.bucket
+    JOIN stot st ON st.label = g.label
+    CROSS JOIN tot t
+), held AS (
+    SELECT doc_id, lang, s FROM norm
+    WHERE doc_id % {T20_REF_EVERY} <> 0 AND len(s) >= {T20_NGRAM}
+), hg AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(s) - {T20_NGRAM - 2}),
+                                 i -> s[i:i + {T20_NGRAM - 1}])) AS g
+    FROM held
+), hb AS (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5(g), 1, 4)) AS BIGINT)
+               % {T20_BUCKETS} AS bucket
+    FROM hg
+), sc AS (
+    SELECT doc_id, label,
+           CAST(SUM(w_fp) AS BIGINT) AS llr_fp,
+           CAST(COUNT(*) AS BIGINT) AS n_grams
+    FROM hb JOIN w USING (bucket)
+    GROUP BY doc_id, label
+), ranked AS (
+    SELECT doc_id, label, llr_fp, n_grams,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY llr_fp DESC, label ASC) AS rn
+    FROM sc
+)
+SELECT h.doc_id, h.lang, r.label AS pred_lang, r.llr_fp, r.n_grams
+FROM ranked r JOIN held h USING (doc_id)
+WHERE r.rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # D6 — dedup clustering: connected components over the D2 near-dup pair
 # graph. Pairs -> transitive clusters -> canonical doc per cluster; the
 # last stage of a dedup pipeline. Oracle: recursive CTE reachability
@@ -4103,6 +4228,7 @@ EXTENSION_QUERIES = {
     "d7_decontamination": d7_decontamination,
     "d20_containment_decon": d20_containment_decon,
     "d21_decon_excise": d21_decon_excise,
+    "t20_langid": t20_langid,
     "d8_curated_corpus": d8_curated_corpus,
     "m1_multimodal_features": m1_multimodal_features,
     "m2_frame_sample": m2_frame_sample,
@@ -4160,6 +4286,7 @@ EXTENSION_ORACLES = {
     "d7_decontamination": D7_SQL,
     "d20_containment_decon": D20_SQL,
     "d21_decon_excise": D21_SQL,
+    "t20_langid": T20_SQL,
     "d8_curated_corpus": D8_SQL,
     "m1_multimodal_features": M1_SQL,
     "m2_frame_sample": M2_SQL,

@@ -1,0 +1,127 @@
+"""t20: hashed char-n-gram language ID — planted-language truth study
+plus edge semantics.
+
+The engine's synthetic corpus has text-independent lang labels, so the
+catalog entry only proves determinism; THIS file proves the classifier
+works — three planted pseudo-languages with separable character
+distributions, trained on half the docs, must classify the held-out
+half perfectly.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from big_data_flight_analytics_spark.operators.langid import (
+    char_ngram_expr,
+    langid_hashed_ngrams,
+    langid_profiles,
+)
+
+# Disjoint syllable inventories: each pseudo-language reuses its own
+# char trigrams and never the others' — separable by construction,
+# the way real languages separate (th/er/on vs sch/ein/ung vs que/los).
+LANG_SYLLABLES = {
+    "aaa": ["pato", "keti", "lumo", "sira", "veno"],
+    "bbb": ["xyzq", "wvxz", "qzyx", "zxqv", "yqzw"],
+    "ccc": ["brgr", "krzd", "trfd", "drbl", "grtk"],
+}
+
+
+def _docs(spark, per_lang=30, words=12, seed=11):
+    rng = random.Random(seed)
+    rows = []
+    i = 0
+    for lang, syl in sorted(LANG_SYLLABLES.items()):
+        for _ in range(per_lang):
+            text = " ".join(rng.choice(syl) for _ in range(words))
+            rows.append(Row(doc_id=i, lang=lang, text=text))
+            i += 1
+    return spark.createDataFrame(rows)
+
+
+class TestPlantedLanguages:
+    def test_heldout_accuracy_is_perfect(self, spark):
+        docs = _docs(spark)
+        ref = docs.filter(F.col("doc_id") % 2 == 0).select(
+            F.col("lang").alias("label"), "text"
+        )
+        held = docs.filter(F.col("doc_id") % 2 != 0)
+        pred = langid_hashed_ngrams(held, langid_profiles(ref))
+        scored = pred.join(held.select("doc_id", "lang"), "doc_id")
+        n = scored.count()
+        correct = scored.filter(F.col("pred_label") == F.col("lang")).count()
+        assert n == 45  # 15 held-out docs per language
+        assert correct == n  # separable languages: accuracy 1.0
+
+    def test_profiles_are_a_full_grid(self, spark):
+        docs = _docs(spark, per_lang=5)
+        prof = langid_profiles(
+            docs.select(F.col("lang").alias("label"), "text"), n_buckets=64
+        )
+        assert prof.count() == 3 * 64
+        assert prof.filter(F.col("w_fp").isNull()).count() == 0
+
+    def test_deterministic_tie_breaks_to_smallest_label(self, spark):
+        # two classes with IDENTICAL reference text -> identical
+        # profiles -> every doc ties -> smallest label must win
+        ref = spark.createDataFrame([
+            Row(label="zz_lang", text="pato keti lumo sira"),
+            Row(label="aa_lang", text="pato keti lumo sira"),
+        ])
+        doc = spark.createDataFrame([Row(doc_id=1, text="keti lumo pato")])
+        got = langid_hashed_ngrams(doc, langid_profiles(ref)).collect()
+        assert got[0]["pred_label"] == "aa_lang"
+
+
+class TestCharNgramExpr:
+    @pytest.mark.parametrize(
+        "text,want",
+        [
+            ("abcd", ["abc", "bcd"]),
+            ("  AbC  ", ["abc"]),  # trim + lower canonicalization
+            ("ab", []),  # below the gram width
+            ("", []),
+            (None, []),
+        ],
+    )
+    def test_grams(self, spark, text, want):
+        got = (
+            spark.createDataFrame([Row(text=text)], "text string")
+            .select(char_ngram_expr("text").alias("g"))
+            .collect()[0]["g"]
+        )
+        assert got == want
+
+    def test_multiset_repetition_scales_the_score(self, spark):
+        # term frequency is the signal: a doc repeating a class's
+        # grams 3x scores 3x the single occurrence (integer sum)
+        ref = spark.createDataFrame([
+            Row(label="a", text="pato pato pato keti"),
+            Row(label="b", text="xyzq wvxz qzyx zxqv"),
+        ])
+        prof = langid_profiles(ref)
+        one = langid_hashed_ngrams(
+            spark.createDataFrame([Row(doc_id=1, text="pato")]), prof
+        ).collect()[0]
+        three = langid_hashed_ngrams(
+            spark.createDataFrame([Row(doc_id=1, text="patopatopato")]), prof
+        ).collect()[0]
+        assert one["pred_label"] == "a" and three["pred_label"] == "a"
+        assert three["n_grams"] == 10 and one["n_grams"] == 2
+
+    def test_gramless_docs_are_excluded(self, spark):
+        ref = spark.createDataFrame(
+            [Row(label="a", text="pato keti"), Row(label="b", text="xyzq")]
+        )
+        docs = spark.createDataFrame([
+            Row(doc_id=1, text="pato keti lumo"),
+            Row(doc_id=2, text="ab"),
+            Row(doc_id=3, text=None),
+        ])
+        got = langid_hashed_ngrams(docs, langid_profiles(ref)).collect()
+        assert [r["doc_id"] for r in got] == [1]
