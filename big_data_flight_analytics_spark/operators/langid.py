@@ -48,16 +48,24 @@ LANGID_BUCKETS = 256
 LANGID_GRAIN = 1_000_000
 
 
-def char_ngram_expr(text_col: str, n: int = LANGID_NGRAM) -> Column:
-    """Character n-gram MULTISET of the canonical (lower/trim) text.
+def _canonical(text_col: str) -> Column:
+    """The module's canonical text form: lowercased, trimmed, NULL->''."""
+    return F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
 
-    Multiset because term frequency is the langid signal (a doc using
-    'th ' fifty times is more English than one using it once). Texts
-    shorter than ``n`` characters (or NULL) yield an empty array —
-    ``F.sequence`` would count backwards on a negative span, so the
-    guard is explicit.
+
+def _grams_of(s: Column, n: int) -> Column:
+    """Char n-gram MULTISET of an ALREADY-CANONICAL string column.
+
+    Callers must project the canonical string into its own column
+    first: expressions inside a ``transform`` lambda are re-evaluated
+    per element (no CSE across the lambda boundary), so an inline
+    lower(trim(text)) argument turns the gram build O(len^2) per doc
+    — measured 2.1x slower on the sf0.1 corpus.
+
+    Multiset because term frequency is the langid signal. Strings
+    shorter than ``n`` yield an empty array — ``F.sequence`` would
+    count backwards on a negative span, so the guard is explicit.
     """
-    s = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
     return F.when(
         F.length(s) >= n,
         F.transform(
@@ -65,6 +73,16 @@ def char_ngram_expr(text_col: str, n: int = LANGID_NGRAM) -> Column:
             lambda i: F.substring(s, i, n),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def char_ngram_expr(text_col: str, n: int = LANGID_NGRAM) -> Column:
+    """Character n-gram MULTISET of the canonical (lower/trim) text.
+
+    Convenience single-expression form (tests, ad-hoc use). The
+    operators below use the two-step ``_canonical`` projection +
+    ``_grams_of`` instead — see ``_grams_of`` for why.
+    """
+    return _grams_of(_canonical(text_col), n)
 
 
 def langid_profiles(
@@ -90,11 +108,16 @@ def langid_profiles(
     factors to double before multiplying (still deterministic — same
     two int64s round the same way) or promote to DECIMAL(38,0).
     """
-    grams = reference.select(
-        F.col(label_col),
-        F.explode(char_ngram_expr(text_col, n)).alias("__g"),
-    ).select(
-        label_col, md5_bucket(F.col("__g"), n_buckets).alias("bucket")
+    grams = (
+        reference.select(
+            F.col(label_col), _canonical(text_col).alias("__s")
+        )
+        .select(
+            label_col, F.explode(_grams_of(F.col("__s"), n)).alias("__g")
+        )
+        .select(
+            label_col, md5_bucket(F.col("__g"), n_buckets).alias("bucket")
+        )
     )
     counts = grams.groupBy(label_col, "bucket").agg(
         F.count(F.lit(1)).alias("__c")
@@ -180,10 +203,11 @@ def langid_hashed_ngrams(
     break to the SMALLEST label: min over struct(-llr, label), exactly
     mirrored by the oracle's ORDER BY llr DESC, label ASC ranking.
     """
-    grams = docs.select(
-        F.col(id_col),
-        F.explode(char_ngram_expr(text_col, n)).alias("__g"),
-    ).select(id_col, md5_bucket(F.col("__g"), n_buckets).alias("bucket"))
+    grams = (
+        docs.select(F.col(id_col), _canonical(text_col).alias("__s"))
+        .select(id_col, F.explode(_grams_of(F.col("__s"), n)).alias("__g"))
+        .select(id_col, md5_bucket(F.col("__g"), n_buckets).alias("bucket"))
+    )
     scores = (
         grams.join(F.broadcast(profiles), "bucket")
         .groupBy(id_col, label_col)
