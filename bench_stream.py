@@ -281,6 +281,45 @@ def _index_sink_pipelines(spark, sf_dir: str, workdir: str) -> dict[str, float]:
     )
     out["s9_excision"] = round(doc_rows / secs, 1)
     excise_sink.close()
+
+    # s10: language ID at ingest (streaming t20) — profiles trained
+    # once on the t20 reference slice, every batch doc classified
+    from big_data_flight_analytics_spark.operators.langid import (
+        langid_profiles,
+    )
+    from big_data_flight_analytics_spark.plans.extension_queries import (
+        T20_BUCKETS,
+        T20_GRAIN,
+        T20_NGRAM,
+        T20_REF_EVERY,
+    )
+    from big_data_flight_analytics_spark.streaming.sinks import (
+        LanguageLogSink,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    profiles = langid_profiles(
+        docs.filter(
+            (F.col("doc_id") % T20_REF_EVERY == 0) & F.col("lang").isNotNull()
+        ).select(F.col("lang").alias("label"), "text"),
+        n=T20_NGRAM,
+        n_buckets=T20_BUCKETS,
+        grain=T20_GRAIN,
+    )
+    lang_path = os.path.join(workdir, "language_log")
+    shutil.rmtree(lang_path, ignore_errors=True)
+    lang_sink = LanguageLogSink(
+        lang_path, profiles, n=T20_NGRAM, n_buckets=T20_BUCKETS
+    )
+    secs = _run_index_sink(
+        spark,
+        doc_feed,
+        "doc_id long, text string",
+        lang_sink,
+        os.path.join(workdir, "ckpt_s10_langid"),
+    )
+    out["s10_langid"] = round(doc_rows / secs, 1)
+    lang_sink.close()
     return out
 
 

@@ -761,6 +761,67 @@ class ExcisionSink(StatelessBenchmarkSink):
         return self.log(spark)
 
 
+class LanguageLogSink(StatelessBenchmarkSink):
+    """Language/domain ID at ingest (streaming t20): every arriving
+    micro-batch is classified against a FIXED profile table
+    (``operators.langid.langid_hashed_ngrams`` per batch), logging
+    (id, pred_<label>, llr_fp, n_grams) per batch partition — routing
+    arriving documents to language/domain shards at ingest time.
+
+    The fixed side here is the PROFILE table (K x n_buckets rows of
+    int64 LLR weights — model state like the BPE merge table), not a
+    benchmark corpus: profiles are trained once by
+    ``langid_profiles`` on a labeled reference set and broadcast to
+    every batch. Same stateless exactly-once contract as the other
+    ingest log sinks: predictions depend only on the batch's own rows
+    and the never-changing profiles, so per-batch partitions are
+    idempotent under replay with no marker machinery. ``n`` and
+    ``n_buckets`` must match the profile build (both are
+    data-independent, so stored profiles and batches agree by
+    construction).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        profiles: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        label_col: str = "label",
+        n: int = 3,
+        n_buckets: int = 256,
+    ) -> None:
+        self.path = path
+        self.id_col = id_col
+        self.text_col = text_col
+        self.label_col = label_col
+        self.n = n
+        self.n_buckets = n_buckets
+        # deliberately NOT super().__init__: the fixed side is the
+        # profile grid, persisted whole (no id/text projection)
+        self.benchmark = profiles.persist()
+
+    def _transform(self, batch: DataFrame) -> DataFrame:
+        from big_data_flight_analytics_spark.operators.langid import (
+            langid_hashed_ngrams,
+        )
+
+        return langid_hashed_ngrams(
+            batch,
+            self.benchmark,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            label_col=self.label_col,
+            n=self.n,
+            n_buckets=self.n_buckets,
+        )
+
+    def predictions(self, spark) -> DataFrame:
+        """All per-batch classifications, with the ``batch`` column
+        from partition discovery."""
+        return self.log(spark)
+
+
 class DedupIndexSink(ParquetUpsertSink):
     """Continuously maintained exact-dedup index: streaming i2.
 

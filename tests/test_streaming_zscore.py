@@ -847,6 +847,94 @@ class TestExcisionSink:
         sink.close()
 
 
+class TestLanguageLogSink:
+    """Streaming t20 (s10): per-batch classification against a fixed
+    profile table == the batch operator on the full delta (stateless),
+    replay idempotent with no marker machinery."""
+
+    def _frames(self, spark):
+        import random
+
+        from pyspark.sql import Row
+
+        syll = {
+            "aaa": ["pato", "keti", "lumo", "sira"],
+            "bbb": ["xyzq", "wvxz", "qzyx", "zxqv"],
+        }
+        rng = random.Random(7)
+        ref_rows, doc_rows = [], []
+        for lang, s in sorted(syll.items()):
+            for i in range(10):
+                ref_rows.append(Row(
+                    label=lang,
+                    text=" ".join(rng.choice(s) for _ in range(10)),
+                ))
+        for i in range(20):
+            lang = "aaa" if i % 2 == 0 else "bbb"
+            doc_rows.append(Row(
+                doc_id=i,
+                text=" ".join(rng.choice(syll[lang]) for _ in range(10)),
+            ))
+        return (
+            spark.createDataFrame(ref_rows),
+            spark.createDataFrame(doc_rows),
+        )
+
+    def test_stream_equals_batch_operator_and_classifies(
+        self, spark, tmp_path
+    ):
+        from big_data_flight_analytics_spark.operators.langid import (
+            langid_hashed_ngrams,
+            langid_profiles,
+        )
+        from big_data_flight_analytics_spark.streaming.sinks import (
+            LanguageLogSink,
+        )
+
+        ref, docs = self._frames(spark)
+        profiles = langid_profiles(ref)
+        sink = LanguageLogSink(str(tmp_path / "langlog"), profiles)
+        _run_stream(spark, tmp_path, sink, docs)
+        got = {
+            r["doc_id"]: (r["pred_label"], r["llr_fp"], r["n_grams"])
+            for r in sink.predictions(spark).collect()
+        }
+        want = {
+            r["doc_id"]: (r["pred_label"], r["llr_fp"], r["n_grams"])
+            for r in langid_hashed_ngrams(docs, profiles).collect()
+        }
+        assert got == want
+        # the planted languages actually separate at ingest
+        assert all(
+            got[i][0] == ("aaa" if i % 2 == 0 else "bbb") for i in got
+        )
+        sink.close()
+
+    def test_replay_is_idempotent_without_markers(self, spark, tmp_path):
+        from big_data_flight_analytics_spark.operators.langid import (
+            langid_profiles,
+        )
+        from big_data_flight_analytics_spark.streaming.sinks import (
+            LanguageLogSink,
+        )
+
+        ref, docs = self._frames(spark)
+        sink = LanguageLogSink(
+            str(tmp_path / "langlog"), langid_profiles(ref)
+        )
+        sink.merge(docs, 0)
+        first = sorted(
+            (r["doc_id"], r["pred_label"], r["llr_fp"])
+            for r in sink.predictions(spark).collect()
+        )
+        sink.merge(docs, 0)  # at-least-once replay: same partition dir
+        assert sorted(
+            (r["doc_id"], r["pred_label"], r["llr_fp"])
+            for r in sink.predictions(spark).collect()
+        ) == first
+        sink.close()
+
+
 class TestMinHashIndexFramePath:
     """The O(batch) refresh contract: marking against a precomputed
     (id, shingles, bands) index frame equals the from-text pipeline."""
