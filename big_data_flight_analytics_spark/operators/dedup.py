@@ -521,6 +521,130 @@ def _minhash_band_posting(
     )
 
 
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 16,
+) -> DataFrame:
+    """(id, n_shingles, sig) — the full MinHash signature ARRAY plus
+    the exact shingle-set size, per document.
+
+    Same permutation family as ``_minhash_band_posting`` (one md5 per
+    shingle, two 28-bit hex ints, perms (h1 + j*h2) mod 2^31-1) but
+    keeping every slot instead of banding them away: slot-level
+    agreement between two signatures estimates Jaccard, and with the
+    exact sizes stored alongside, containment (see
+    ``sketch_containment_pairs``). Shingle-less docs (< n tokens) are
+    structurally absent, exactly like the banded pipeline.
+    """
+    sh = _shingled(df, id_col, text_col, n)
+    hh = (
+        sh.select(F.col(id_col), F.explode("shingles").alias("__sh"))
+        .select(F.col(id_col), F.md5("__sh").alias("__h"))
+        .select(
+            F.col(id_col),
+            F.conv(F.substring("__h", 1, 7), 16, 10)
+            .cast("long")
+            .alias("__h1"),
+            F.conv(F.substring("__h", 8, 7), 16, 10)
+            .cast("long")
+            .alias("__h2"),
+        )
+    )
+    sig = hh.groupBy(id_col).agg(
+        # shingle arrays are distinct-element, so COUNT(*) over the
+        # exploded rows IS the exact set size
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        *[
+            F.min(
+                (F.col("__h1") + F.lit(j) * F.col("__h2")) % MINHASH_P
+            ).alias(f"__s{j}")
+            for j in range(num_perm)
+        ],
+    )
+    return sig.select(
+        F.col(id_col),
+        "n_shingles",
+        F.array(*[F.col(f"__s{j}") for j in range(num_perm)]).alias("sig"),
+    )
+
+
+def sketch_containment_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 32,
+    threshold_pct: int = 50,
+) -> DataFrame:
+    """Estimated-containment decontamination SCREEN from MinHash
+    sketches — the zero-shuffle scale path in front of d20's exact
+    posting join.
+
+    ``containment_decon_pairs`` computes |A∩B|/|A| exactly, which
+    costs a posting join keyed on shingles. At 100 TB the screening
+    form is this: sign the benchmark once (small by contract),
+    broadcast the K sketches + exact sizes, and score every corpus
+    document map-side against all of them — no shuffle touches the
+    corpus beyond its own one signature aggregate. Survivors then go
+    through the exact verify at candidate count, not corpus count.
+
+    Estimator (Broder): slot agreement m of ``num_perm`` estimates
+    Jaccard J ~= m/num_perm; with exact sizes sa=|A| (benchmark),
+    sb=|B|, containment |A∩B|/|A| = J(sa+sb)/((1+J)sa), so the flag
+    rule cross-multiplies to INTEGERS —
+    ``100*m*(sa+sb) >= pct*(num_perm+m)*sa`` — engine-independent
+    exactly like d20's membership rule (no floats decide a row).
+    ``est_pct`` = FLOOR of the same ratio for reporting. The estimate
+    is noisy at small set sizes (a 12-token slice has ~10 shingles):
+    the screen trades exactness for the zero-shuffle plan, and its
+    precision/recall against the exact operator is measured in
+    DEDUP_QUALITY.md.
+
+    Output: (bench_doc, corpus_doc, n_match, bench_size, corpus_size,
+    est_pct) for flagged pairs; zero-agreement pairs never flag.
+    """
+    b = minhash_signatures(benchmark, id_col, text_col, n, num_perm).select(
+        F.col(id_col).alias("bench_doc"),
+        F.col("n_shingles").alias("bench_size"),
+        F.col("sig").alias("__bsig"),
+    )
+    c = minhash_signatures(corpus, id_col, text_col, n, num_perm).select(
+        F.col(id_col).alias("corpus_doc"),
+        F.col("n_shingles").alias("corpus_size"),
+        F.col("sig").alias("__csig"),
+    )
+    m = F.aggregate(
+        F.zip_with(
+            "__bsig", "__csig", lambda x, y: (x == y).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    num = F.lit(100) * F.col("n_match") * (
+        F.col("bench_size") + F.col("corpus_size")
+    )
+    den = (F.lit(num_perm) + F.col("n_match")) * F.col("bench_size")
+    return (
+        c.crossJoin(F.broadcast(b))
+        .withColumn("n_match", m)
+        .filter(num >= F.lit(threshold_pct) * den)
+        .select(
+            "bench_doc",
+            "corpus_doc",
+            "n_match",
+            "bench_size",
+            "corpus_size",
+            F.floor(num.cast("double") / den.cast("double"))
+            .cast("long")
+            .alias("est_pct"),
+        )
+    )
+
+
 def minhash_index_frame(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -178,6 +178,7 @@ _TIE_BREAK = [
     "d20_containment_decon",
     "d21_decon_excise",
     "t20_langid",
+    "d22_sketch_containment",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

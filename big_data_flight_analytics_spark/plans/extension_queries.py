@@ -2016,6 +2016,121 @@ FROM toks t LEFT JOIN rebuilt r USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
+# D22 — sketch-containment screen: MinHash-estimated containment
+# (Broder estimator + exact set sizes, integer cross-multiply flag
+# rule) over the d20 benchmark framing. The zero-shuffle scale path:
+# benchmark sketches broadcast, every corpus doc scored map-side —
+# the screening pass whose survivors d20's exact posting join then
+# verifies at candidate count. Estimator noise at slice-sized sets is
+# the documented trade (precision/recall vs exact d20 in
+# DEDUP_QUALITY.md).
+# ---------------------------------------------------------------------------
+
+D22_PERMS = 32
+
+
+def d22_sketch_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.dedup import (
+        sketch_containment_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        sketch_containment_pairs(
+            docs,
+            d20_bench_slices(docs),
+            n=D20_NGRAM,
+            num_perm=D22_PERMS,
+            threshold_pct=D20_PCT,
+        )
+        # a slice's own source doc trivially contains it (d20 rule)
+        .filter(F.col("corpus_doc") != F.col("bench_doc"))
+    )
+
+
+def _d22_sql() -> str:
+    mins = ",\n           ".join(
+        f"MIN((CAST(h1 AS BIGINT) + {j} * CAST(h2 AS BIGINT))"
+        f" % 2147483647) AS s{j}"
+        for j in range(D22_PERMS)
+    )
+    match_terms = "\n             + ".join(
+        f"(CASE WHEN c.s{j} = b.s{j} THEN 1 ELSE 0 END)"
+        for j in range(D22_PERMS)
+    )
+    gram = "t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]"
+    bgram = "bt[i] || ' ' || bt[i + 1] || ' ' || bt[i + 2]"
+    return rf"""
+WITH toks AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS t
+    FROM documents
+), cse AS (
+    SELECT doc_id AS corpus_doc,
+           CASE WHEN len(t) >= {D20_NGRAM} THEN
+               list_distinct(list_transform(range(1, len(t) - {D20_NGRAM - 2}),
+                   i -> {gram}))
+           ELSE [] END AS s
+    FROM toks
+), cpost AS (
+    SELECT corpus_doc, md5(unnest(s)) AS h
+    FROM cse WHERE len(s) > 0
+), chh AS (
+    SELECT corpus_doc,
+           CAST(('0x' || substring(h, 1, 7)) AS BIGINT) AS h1,
+           CAST(('0x' || substring(h, 8, 7)) AS BIGINT) AS h2
+    FROM cpost
+), csig AS MATERIALIZED (
+    SELECT corpus_doc, CAST(COUNT(*) AS BIGINT) AS corpus_size,
+           {mins}
+    FROM chh GROUP BY corpus_doc
+), bsl AS (
+    SELECT doc_id AS bench_doc,
+           t[{D20_SLICE_START}:{D20_SLICE_START + D20_SLICE_LEN - 1}] AS bt
+    FROM toks
+    WHERE doc_id % {D20_BENCH_EVERY} = 0
+      AND len(t) >= {D20_SLICE_START + D20_SLICE_LEN - 1}
+), bse AS (
+    SELECT bench_doc,
+           CASE WHEN len(bt) >= {D20_NGRAM} THEN
+               list_distinct(list_transform(range(1, len(bt) - {D20_NGRAM - 2}),
+                   i -> {bgram}))
+           ELSE [] END AS s
+    FROM bsl
+), bpost AS (
+    SELECT bench_doc, md5(unnest(s)) AS h
+    FROM bse WHERE len(s) > 0
+), bhh AS (
+    SELECT bench_doc,
+           CAST(('0x' || substring(h, 1, 7)) AS BIGINT) AS h1,
+           CAST(('0x' || substring(h, 8, 7)) AS BIGINT) AS h2
+    FROM bpost
+), bsig AS MATERIALIZED (
+    SELECT bench_doc, CAST(COUNT(*) AS BIGINT) AS bench_size,
+           {mins}
+    FROM bhh GROUP BY bench_doc
+), scored AS (
+    SELECT b.bench_doc, c.corpus_doc,
+           CAST({match_terms} AS BIGINT) AS n_match,
+           b.bench_size, c.corpus_size
+    FROM csig c CROSS JOIN bsig b
+    WHERE c.corpus_doc <> b.bench_doc
+)
+SELECT bench_doc, corpus_doc, n_match, bench_size, corpus_size,
+       CAST(FLOOR(
+           CAST(100 * n_match * (bench_size + corpus_size) AS DOUBLE)
+           / CAST(({D22_PERMS} + n_match) * bench_size AS DOUBLE)
+       ) AS BIGINT) AS est_pct
+FROM scored
+WHERE 100 * n_match * (bench_size + corpus_size)
+      >= {D20_PCT} * ({D22_PERMS} + n_match) * bench_size
+"""
+
+
+D22_SQL = _d22_sql()
+
+
+# ---------------------------------------------------------------------------
 # T20 — hashed char-n-gram language ID: per-doc integer LLR against K
 # reference class profiles (operators/langid.py — the t18 DSIR
 # machinery pointed at classification). The labeled reference slice is
@@ -4229,6 +4344,7 @@ EXTENSION_QUERIES = {
     "d20_containment_decon": d20_containment_decon,
     "d21_decon_excise": d21_decon_excise,
     "t20_langid": t20_langid,
+    "d22_sketch_containment": d22_sketch_containment,
     "d8_curated_corpus": d8_curated_corpus,
     "m1_multimodal_features": m1_multimodal_features,
     "m2_frame_sample": m2_frame_sample,
@@ -4287,6 +4403,7 @@ EXTENSION_ORACLES = {
     "d20_containment_decon": D20_SQL,
     "d21_decon_excise": D21_SQL,
     "t20_langid": T20_SQL,
+    "d22_sketch_containment": D22_SQL,
     "d8_curated_corpus": D8_SQL,
     "m1_multimodal_features": M1_SQL,
     "m2_frame_sample": M2_SQL,

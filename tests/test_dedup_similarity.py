@@ -1425,6 +1425,106 @@ class TestContainmentDecon:
         assert containment_decon_pairs(corpus, short_bench).count() == 0
 
 
+class TestSketchContainment:
+    """d22: MinHash-estimated containment screen — Broder estimator +
+    exact set sizes, integer cross-multiply flag rule."""
+
+    BENCH = "the quick brown fox jumps over the lazy dog tonight"
+
+    def _frames(self, spark):
+        filler = " ".join(f"filler{i} token{i} pad{i}" for i in range(40))
+        corpus = spark.createDataFrame([
+            Row(doc_id=10, text=f"{filler} {self.BENCH} {filler}"),
+            Row(doc_id=11, text=" ".join(
+                f"alpha{i} beta{i}" for i in range(60))),
+            Row(doc_id=12, text=self.BENCH),  # the slice verbatim
+        ])
+        bench = spark.createDataFrame([Row(doc_id=0, text=self.BENCH)])
+        return corpus, bench
+
+    def test_verbatim_copy_estimates_full_containment(self, spark):
+        from big_data_flight_analytics_spark.operators.dedup import (
+            sketch_containment_pairs,
+        )
+
+        corpus, bench = self._frames(spark)
+        got = {
+            r["corpus_doc"]: r
+            for r in sketch_containment_pairs(
+                corpus, bench, num_perm=32, threshold_pct=50
+            ).collect()
+        }
+        # doc 12 IS the benchmark: every slot agrees, J-hat = 1, and
+        # with sa == sb the estimator gives exactly 100%
+        r12 = got[12]
+        assert r12["n_match"] == 32
+        assert r12["bench_size"] == r12["corpus_size"] == 8
+        assert r12["est_pct"] == 100
+        # the unrelated doc shares no shingles: zero agreement is
+        # possible only by hash collision of minima — not here
+        assert 11 not in got
+
+    def test_flag_rule_matches_estimator_algebra(self, spark):
+        """The integer rule must equal the float form
+        m(sa+sb)/((n+m)sa) >= pct/100 on every emitted row."""
+        from big_data_flight_analytics_spark.operators.dedup import (
+            sketch_containment_pairs,
+        )
+
+        corpus, bench = self._frames(spark)
+        rows = sketch_containment_pairs(
+            corpus, bench, num_perm=32, threshold_pct=50
+        ).collect()
+        assert rows
+        for r in rows:
+            est = (
+                r["n_match"] * (r["bench_size"] + r["corpus_size"])
+                / ((32 + r["n_match"]) * r["bench_size"])
+            )
+            assert est >= 0.5
+            assert r["est_pct"] == int(est * 100 // 1)
+
+    def test_signatures_carry_exact_sizes(self, spark):
+        from big_data_flight_analytics_spark.operators.dedup import (
+            minhash_signatures,
+        )
+
+        corpus, _ = self._frames(spark)
+        got = {
+            r["doc_id"]: (r["n_shingles"], len(r["sig"]))
+            for r in minhash_signatures(corpus, num_perm=8).collect()
+        }
+        # 10-token benchmark text -> 8 distinct trigrams (doc 12)
+        assert got[12] == (8, 8)
+        # shingle-less docs are structurally absent
+        short = spark.createDataFrame([Row(doc_id=1, text="two tokens")])
+        assert minhash_signatures(short).count() == 0
+
+    def test_screen_is_a_superset_of_exact_on_planted_pairs(self, spark):
+        """The screen's purpose: exact-d20-flagged pairs should
+        survive the sketch screen at a LOWER screen threshold (screen
+        loose, verify exact)."""
+        from big_data_flight_analytics_spark.operators.dedup import (
+            containment_decon_pairs,
+            sketch_containment_pairs,
+        )
+
+        corpus, bench = self._frames(spark)
+        exact = {
+            (r["bench_doc"], r["corpus_doc"])
+            for r in containment_decon_pairs(
+                corpus, bench, threshold_pct=90
+            ).collect()
+        }
+        screened = {
+            (r["bench_doc"], r["corpus_doc"])
+            for r in sketch_containment_pairs(
+                corpus, bench, num_perm=32, threshold_pct=25
+            ).collect()
+        }
+        assert exact and exact <= screened
+
+
 class TestContaminationExcision:
     """d21: tokens covered by any benchmark-set n-gram window are
     excised; the novel remainder survives in order."""
