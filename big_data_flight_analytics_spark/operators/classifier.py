@@ -1,0 +1,173 @@
+"""In-engine quality classifier: batch perceptron over hashed n-gram
+features, trained distributed under the exact-value hash gate (t21).
+
+The LLM-pipeline stage this covers: a fasttext-style linear quality
+filter (the DCLM / FineWeb-Edu shape — hashed bag-of-ngrams features,
+linear decision) trained INSIDE the engine on labeled documents, then
+applied to the whole corpus. Logistic loss needs a sigmoid (EXP is not
+proven engine-identical the way LN is), so training uses the batch
+PERCEPTRON: per round, sum y*x over the currently-misclassified docs
+and add it to the weights — every quantity an int64, which makes the
+trained model a pure, engine-portable function of the data (the
+kmeans/pagerank doctrine applied to supervised learning) and lets the
+DuckDB oracle replay training as unrolled CTE rounds.
+
+Plan per round (the 100 TB shape):
+- the weight table is ``n_buckets`` rows no matter the corpus — it
+  broadcasts forever;
+- margins: one broadcast join feature-rows x weights + one doc-keyed
+  aggregate (map-side combined);
+- gradient: one semi-join of feature rows against misclassified doc
+  ids + one bucket-keyed aggregate to <= n_buckets rows.
+Two corpus-keyed shuffles per round, both map-combined; the feature
+frame is built once and persisted (one corpus pass total).
+
+int64 bounds: |w_b| grows by at most the corpus's total gram count per
+round; a doc's margin is bounded by its gram count times max|w|.
+Past ~1e9 labeled grams, scale counts down (feature clipping) or
+promote the margin sum to DECIMAL(38,0) — the in-plan guard below
+fails loud before a wrap could corrupt a decision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from big_data_flight_analytics_spark.cache import tracked_persist
+from big_data_flight_analytics_spark.operators.sampling import md5_bucket
+
+W_BOUND = 1 << 40  # per-round guard: far under int64, far over real data
+
+
+def _weight_guard(n_iter: int, bound: int = W_BOUND):
+    return F.assert_true(
+        F.coalesce(F.abs(F.col("w")) <= F.lit(bound), F.lit(True)),
+        F.lit(
+            "perceptron_quality: |w| exceeded 2^40 — margin sums could "
+            f"wrap int64 within {n_iter} rounds at this feature scale; "
+            "clip feature counts or promote margins to DECIMAL(38,0)"
+        ),
+    )
+
+
+def perceptron_quality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    n_iter: int = 4,
+    _w_bound: int = W_BOUND,
+) -> DataFrame:
+    """Train + apply the hashed-bigram batch perceptron.
+
+    Features: md5-hashed word-bigram bucket COUNTS (multiset — the
+    dsir/t18 feature family). Label (self-supervised, derivable by
+    both engines from the text alone): y = +1 iff the doc's lexical
+    diversity is at least 1/2 (2 * distinct tokens >= total tokens),
+    else -1 — the Gopher-style repetition axis, so the classifier
+    learns to spot repetitive/boilerplate documents from their hashed
+    bigram profile. Callers with real labels join them in instead and
+    everything downstream is unchanged.
+
+    Training: w_1[b] = sum over ALL docs of y*x_b (round 1 against
+    w_0 = 0 marks every doc misclassified — margin <= 0); rounds
+    2..n_iter add sum(y*x) over docs with margin <= 0 under the
+    current w. No learning rate: integer updates keep every engine
+    bit-identical.
+
+    Output: one row per document with >= 1 bigram —
+    (id_col, label, margin, pred), pred = +1 iff final margin > 0.
+    """
+    from big_data_flight_analytics_spark.operators.text import (
+        ngram_multiset_expr,
+        tokens,
+    )
+
+    t = F.col(text_col)
+    toks = F.filter(tokens(text_col), lambda x: x != "")
+    base = docs.filter(t.isNotNull() & (F.trim(t) != "")).select(
+        F.col(id_col),
+        # 2*distinct >= total — integer compare, engine-identical
+        F.when(
+            F.size(F.array_distinct(toks)) * 2 >= F.size(toks), F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("y"),
+        F.explode(ngram_multiset_expr(toks, 2)).alias("__g"),
+    )
+    feat = tracked_persist(
+        base.groupBy(
+            id_col, "y", md5_bucket(F.col("__g"), n_buckets).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        # hash(id) satisfies ClusteredDistribution(id, y), so every
+        # round's margin aggregate rides THIS partitioning instead of
+        # reshuffling the feature frame per round — one shuffle at
+        # build buys n_iter margin passes with zero Exchange
+        .repartition(id_col)
+    )
+    # round 1: w_0 = 0 -> every margin is 0 -> every doc misclassified
+    w = feat.groupBy("bucket").agg(
+        F.sum(F.col("y") * F.col("x")).cast("long").alias("w")
+    )
+
+    def margins(weights: DataFrame) -> DataFrame:
+        guard = _weight_guard(n_iter, _w_bound)
+        guarded = weights.select(
+            "bucket", F.when(guard.isNull(), F.col("w")).alias("w")
+        )
+        return (
+            feat.join(F.broadcast(guarded), "bucket", "left")
+            .groupBy(id_col, "y")
+            .agg(
+                F.sum(F.col("x") * F.coalesce(F.col("w"), F.lit(0)))
+                .cast("long")
+                .alias("margin")
+            )
+        )
+
+    from big_data_flight_analytics_spark.cache import (
+        loop_checkpoint,
+        loop_confs,
+    )
+
+    # scheduling-bound tiny-frame loop with every join an explicit
+    # broadcast() — the BPE/Lloyd loop_confs contract applies (the
+    # PageRank AQE caveat does not)
+    nparts = max(1, feat.rdd.getNumPartitions())
+    with loop_confs(docs.sparkSession, nparts):
+        for _ in range(n_iter - 1):
+            mis = margins(w).filter(F.col("margin") <= 0).select(id_col)
+            grad = (
+                # misclassified ids are at most one row per doc —
+                # broadcast them so the gradient semi-join never
+                # reshuffles feat
+                feat.join(F.broadcast(mis), id_col)
+                .groupBy("bucket")
+                .agg(
+                    F.sum(F.col("y") * F.col("x"))
+                    .cast("long")
+                    .alias("__g")
+                )
+            )
+            w = loop_checkpoint(
+                w.join(grad, "bucket", "full")
+                .select(
+                    "bucket",
+                    (
+                        F.coalesce(F.col("w"), F.lit(0))
+                        + F.coalesce(F.col("__g"), F.lit(0))
+                    ).alias("w"),
+                )
+            )
+    return margins(w).select(
+        id_col,
+        F.col("y").alias("label"),
+        "margin",
+        F.when(F.col("margin") > 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("pred"),
+    )

@@ -179,6 +179,7 @@ _TIE_BREAK = [
     "d21_decon_excise",
     "t20_langid",
     "d22_sketch_containment",
+    "t21_perceptron_quality",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

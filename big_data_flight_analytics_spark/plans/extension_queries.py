@@ -2016,6 +2016,95 @@ FROM toks t LEFT JOIN rebuilt r USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
+# T21 — in-engine quality classifier under the hash gate: batch
+# perceptron over md5-hashed word-bigram bucket counts
+# (operators/classifier.py). Training is all-int64 (no learning rate,
+# no sigmoid — EXP is not engine-proven the way LN is), so the trained
+# model is a pure function of the data and the oracle replays training
+# as unrolled CTE rounds (the pagerank/Lloyd doctrine for supervised
+# learning). Self-supervised label: lexical diversity >= 1/2 — the
+# Gopher repetition axis; real labels drop in unchanged.
+# ---------------------------------------------------------------------------
+
+T21_BUCKETS = 256
+T21_ITER = 4
+
+
+def t21_perceptron_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.classifier import (
+        perceptron_quality,
+    )
+
+    return perceptron_quality(
+        load(spark, sf_dir, "documents"),
+        n_buckets=T21_BUCKETS,
+        n_iter=T21_ITER,
+    )
+
+
+def _t21_sql() -> str:
+    b = T21_BUCKETS
+    head = rf"""
+WITH tok AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+    WHERE text IS NOT NULL AND trim(text) <> ''
+), lab AS (
+    SELECT doc_id,
+           CASE WHEN 2 * len(list_distinct(t)) >= len(t)
+                THEN 1 ELSE -1 END AS y,
+           t
+    FROM tok
+), grams AS (
+    SELECT doc_id, y,
+           md5(unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1]))) AS h
+    FROM lab
+), feat AS MATERIALIZED (
+    SELECT doc_id, y,
+           CAST(('0x' || substring(h, 1, 4)) AS BIGINT) % {b} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM grams GROUP BY doc_id, y, bucket
+), w1 AS MATERIALIZED (
+    SELECT bucket, CAST(SUM(y * x) AS BIGINT) AS w FROM feat GROUP BY bucket
+)"""
+    rounds = []
+    for r in range(2, T21_ITER + 1):
+        rounds.append(rf""", m{r} AS MATERIALIZED (
+    SELECT doc_id, y,
+           CAST(SUM(x * COALESCE(w, 0)) AS BIGINT) AS margin
+    FROM feat LEFT JOIN w{r - 1} USING (bucket)
+    GROUP BY doc_id, y
+), g{r} AS (
+    SELECT bucket, CAST(SUM(y * x) AS BIGINT) AS g
+    FROM feat
+    JOIN (SELECT doc_id FROM m{r} WHERE margin <= 0) mis USING (doc_id)
+    GROUP BY bucket
+), w{r} AS MATERIALIZED (
+    SELECT COALESCE(a.bucket, c.bucket) AS bucket,
+           COALESCE(a.w, 0) + COALESCE(c.g, 0) AS w
+    FROM w{r - 1} a FULL JOIN g{r} c ON a.bucket = c.bucket
+)""")
+    n = T21_ITER
+    tail = rf""", mf AS (
+    SELECT doc_id, y,
+           CAST(SUM(x * COALESCE(w, 0)) AS BIGINT) AS margin
+    FROM feat LEFT JOIN w{n} USING (bucket)
+    GROUP BY doc_id, y
+)
+SELECT doc_id, y AS label, margin,
+       CAST(CASE WHEN margin > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
+FROM mf
+"""
+    return head + "".join(rounds) + tail
+
+
+T21_SQL = _t21_sql()
+
+
+# ---------------------------------------------------------------------------
 # D22 — sketch-containment screen: MinHash-estimated containment
 # (Broder estimator + exact set sizes, integer cross-multiply flag
 # rule) over the d20 benchmark framing. The zero-shuffle scale path:
@@ -4345,6 +4434,7 @@ EXTENSION_QUERIES = {
     "d21_decon_excise": d21_decon_excise,
     "t20_langid": t20_langid,
     "d22_sketch_containment": d22_sketch_containment,
+    "t21_perceptron_quality": t21_perceptron_quality,
     "d8_curated_corpus": d8_curated_corpus,
     "m1_multimodal_features": m1_multimodal_features,
     "m2_frame_sample": m2_frame_sample,
@@ -4404,6 +4494,7 @@ EXTENSION_ORACLES = {
     "d21_decon_excise": D21_SQL,
     "t20_langid": T20_SQL,
     "d22_sketch_containment": D22_SQL,
+    "t21_perceptron_quality": T21_SQL,
     "d8_curated_corpus": D8_SQL,
     "m1_multimodal_features": M1_SQL,
     "m2_frame_sample": M2_SQL,

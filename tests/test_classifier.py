@@ -1,0 +1,88 @@
+"""t21: batch-perceptron quality classifier — planted separable truth,
+label semantics, guard behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from big_data_flight_analytics_spark.operators.classifier import (
+    perceptron_quality,
+)
+
+
+def _planted(spark, per_class=20):
+    """Separable by construction: repetitive docs (one word repeated —
+    diversity 1/n, label -1) use one vocabulary; diverse docs (12
+    distinct words per doc drawn from a SHARED 30-word pool, label +1)
+    use another. Both classes share bigrams within themselves and none
+    across, so the class signal accumulates in class-owned buckets and
+    a working perceptron must reach accuracy 1.0."""
+    pool = [f"fresh{k}" for k in range(30)]
+    rows = []
+    for i in range(per_class):
+        rows.append(Row(
+            doc_id=i,
+            text=" ".join([f"boiler{i % 5}"] * 12),  # 1 distinct / 12
+        ))
+        rows.append(Row(
+            doc_id=100 + i,
+            text=" ".join(pool[(i + j) % 30] for j in range(12)),
+        ))
+    return spark.createDataFrame(rows)
+
+
+class TestPerceptronQuality:
+    def test_planted_separable_reaches_perfect_accuracy(self, spark):
+        docs = _planted(spark)
+        out = perceptron_quality(docs, n_iter=4).collect()
+        assert len(out) == 40
+        assert all(r["pred"] == r["label"] for r in out)
+        # both classes present — the win isn't a constant prediction
+        assert {r["label"] for r in out} == {1, -1}
+
+    def test_label_rule_is_the_diversity_boundary(self, spark):
+        docs = spark.createDataFrame([
+            # 2 distinct of 4 tokens: 2*2 >= 4 -> +1 (boundary inclusive)
+            Row(doc_id=1, text="a b a b"),
+            # 2 distinct of 5: 4 < 5 -> -1
+            Row(doc_id=2, text="a b a b a"),
+        ])
+        got = {
+            r["doc_id"]: r["label"]
+            for r in perceptron_quality(docs, n_iter=1).collect()
+        }
+        assert got == {1: 1, 2: -1}
+
+    def test_gramless_and_empty_docs_are_excluded(self, spark):
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="single"),
+                Row(doc_id=2, text="   "),
+                Row(doc_id=3, text=None),
+                Row(doc_id=4, text="two tokens here now"),
+            ],
+            "doc_id long, text string",
+        )
+        got = [r["doc_id"] for r in perceptron_quality(docs).collect()]
+        assert got == [4]
+
+    def test_weight_guard_fires_on_configured_bound(self, spark):
+        docs = _planted(spark, per_class=5)
+        with pytest.raises(Exception, match="margin sums could"):
+            perceptron_quality(docs, n_iter=2, _w_bound=1).collect()
+
+    def test_training_is_input_order_invariant(self, spark):
+        docs = _planted(spark)
+        a = {
+            (r["doc_id"], r["margin"])
+            for r in perceptron_quality(docs, n_iter=3).collect()
+        }
+        b = {
+            (r["doc_id"], r["margin"])
+            for r in perceptron_quality(
+                docs.orderBy(F.rand(7)).repartition(7), n_iter=3
+            ).collect()
+        }
+        assert a == b
