@@ -85,30 +85,21 @@ def char_ngram_expr(text_col: str, n: int = LANGID_NGRAM) -> Column:
     return _grams_of(_canonical(text_col), n)
 
 
-def langid_profiles(
+def langid_count_frame(
     reference: DataFrame,
     label_col: str = "label",
     text_col: str = "text",
     n: int = LANGID_NGRAM,
     n_buckets: int = LANGID_BUCKETS,
-    grain: int = LANGID_GRAIN,
-    _product_bound: int = 1 << 62,
 ) -> DataFrame:
-    """Class profiles from a labeled reference corpus.
-
-    Output: the FULL (label x bucket) grid — K x ``n_buckets`` rows of
-    (label_col, bucket, w_fp) — so classification is a plain broadcast
-    join with no missing-bucket special case (add-one smoothing covers
-    buckets a class never produced).
-
-    The int64 cross products are bounded by
-    ``(cnt_all+1) * (S_all+B)`` (every class count <= the background
-    count); the t18 assert_true bound guard fails loud before a wrap
-    could corrupt a weight. Past ~2^31 reference grams, cast the
-    factors to double before multiplying (still deterministic — same
-    two int64s round the same way) or promote to DECIMAL(38,0).
-    """
-    grams = (
+    """Sparse (label_col, bucket, cnt) gram-bucket counts — the
+    PERSISTED profile state. Counts are ADDITIVE, which is what makes
+    the i5 ingest contract work: an arriving labeled batch's counts
+    fold into the stored frame with one tiny full-outer sum
+    (``langid_counts_fold``) and the weight grid re-derives from
+    counts alone in O(K x n_buckets) — the reference corpus is never
+    rescanned."""
+    return (
         reference.select(
             F.col(label_col), _canonical(text_col).alias("__s")
         )
@@ -118,9 +109,44 @@ def langid_profiles(
         .select(
             label_col, md5_bucket(F.col("__g"), n_buckets).alias("bucket")
         )
+        .groupBy(label_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    counts = grams.groupBy(label_col, "bucket").agg(
-        F.count(F.lit(1)).alias("__c")
+
+
+def langid_counts_fold(
+    base_counts: DataFrame,
+    delta_counts: DataFrame,
+    label_col: str = "label",
+) -> DataFrame:
+    """Fold an arriving batch's counts into the stored count frame:
+    one full-outer join over <= 2 x K x n_buckets sparse rows —
+    O(delta + stored-state), corpus-independent."""
+    b = base_counts.select(label_col, "bucket", F.col("cnt").alias("__b"))
+    d = delta_counts.select(label_col, "bucket", F.col("cnt").alias("__d"))
+    return b.join(d, [label_col, "bucket"], "full").select(
+        label_col,
+        "bucket",
+        (
+            F.coalesce(F.col("__b"), F.lit(0))
+            + F.coalesce(F.col("__d"), F.lit(0))
+        ).alias("cnt"),
+    )
+
+
+def langid_profiles_from_counts(
+    counts: DataFrame,
+    label_col: str = "label",
+    n_buckets: int = LANGID_BUCKETS,
+    grain: int = LANGID_GRAIN,
+    _product_bound: int = 1 << 62,
+) -> DataFrame:
+    """Weight grid from a (label, bucket, cnt) count frame — shared by
+    the from-scratch path and the i5 incremental fold (identical
+    weights by construction: the grid is a pure function of counts).
+    See ``langid_profiles`` for the output contract."""
+    counts = counts.select(
+        label_col, "bucket", F.col("cnt").alias("__c")
     )
     label_totals = counts.groupBy(label_col).agg(
         F.sum("__c").cast("long").alias("__s_c")
@@ -133,7 +159,7 @@ def langid_profiles(
         counts.select(label_col)
         .distinct()
         .crossJoin(
-            reference.sparkSession.range(n_buckets).select(
+            counts.sparkSession.range(n_buckets).select(
                 F.col("id").cast("long").alias("bucket")
             )
         )
@@ -178,6 +204,43 @@ def langid_profiles(
             .cast("long")
             .alias("w_fp"),
         )
+    )
+
+
+def langid_profiles(
+    reference: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    n: int = LANGID_NGRAM,
+    n_buckets: int = LANGID_BUCKETS,
+    grain: int = LANGID_GRAIN,
+    _product_bound: int = 1 << 62,
+) -> DataFrame:
+    """Class profiles from a labeled reference corpus.
+
+    Output: the FULL (label x bucket) grid — K x ``n_buckets`` rows of
+    (label_col, bucket, w_fp) — so classification is a plain broadcast
+    join with no missing-bucket special case (add-one smoothing covers
+    buckets a class never produced).
+
+    The int64 cross products are bounded by
+    ``(cnt_all+1) * (S_all+B)`` (every class count <= the background
+    count); the t18 assert_true bound guard fails loud before a wrap
+    could corrupt a weight. Past ~2^31 reference grams, cast the
+    factors to double before multiplying (still deterministic — same
+    two int64s round the same way) or promote to DECIMAL(38,0).
+
+    Composition of ``langid_count_frame`` + ``langid_profiles_from_
+    counts``: persist the count frame instead of the weights to get
+    the i5 ingest contract (fold arriving labeled batches with
+    ``langid_counts_fold``, re-derive weights in O(K x n_buckets)).
+    """
+    return langid_profiles_from_counts(
+        langid_count_frame(reference, label_col, text_col, n, n_buckets),
+        label_col=label_col,
+        n_buckets=n_buckets,
+        grain=grain,
+        _product_bound=_product_bound,
     )
 
 

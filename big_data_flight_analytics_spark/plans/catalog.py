@@ -180,6 +180,7 @@ _TIE_BREAK = [
     "t20_langid",
     "d22_sketch_containment",
     "t21_perceptron_quality",
+    "i5_langid_profile_delta",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

@@ -2268,8 +2268,10 @@ def t20_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-T20_SQL = rf"""
-WITH norm AS (
+# shared profile-build CTE chain (norm -> ... -> w): consumed by the
+# t20 classification oracle AND the i5 incremental-fold oracle (which
+# must equal the from-scratch weights this chain computes)
+_T20_PROFILE_CTES = rf"""norm AS (
     SELECT doc_id, lang, trim(lower(text)) AS s
     FROM documents
     WHERE text IS NOT NULL
@@ -2313,7 +2315,10 @@ WITH norm AS (
     LEFT JOIN btot bt ON bt.bucket = g.bucket
     JOIN stot st ON st.label = g.label
     CROSS JOIN tot t
-), held AS (
+)"""
+
+T20_SQL = rf"""
+WITH {_T20_PROFILE_CTES}, held AS (
     SELECT doc_id, lang, s FROM norm
     WHERE doc_id % {T20_REF_EVERY} <> 0 AND len(s) >= {T20_NGRAM}
 ), hg AS (
@@ -2341,6 +2346,58 @@ WITH norm AS (
 SELECT h.doc_id, h.lang, r.label AS pred_lang, r.llr_fp, r.n_grams
 FROM ranked r JOIN held h USING (doc_id)
 WHERE r.rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# I5 — incremental langid profile update: the i1-i4 ingest contract
+# applied to the t20 model state. The persisted state is the SPARSE
+# count frame (label, bucket, cnt) — counts are additive, so an
+# arriving labeled batch folds in with one full-outer sum over
+# <= 2 x K x 256 rows and the weight grid re-derives from counts in
+# O(K x 256), never rescanning the reference corpus. The entry splits
+# the t20 reference slice 80/20, folds the 20% delta into the 80%
+# base counts, and must produce weights BIT-IDENTICAL to training
+# from scratch on the union — which is exactly what the oracle
+# computes (the shared t20 profile chain).
+# ---------------------------------------------------------------------------
+
+
+def i5_langid_profile_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.langid import (
+        langid_count_frame,
+        langid_counts_fold,
+        langid_profiles_from_counts,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    labeled = docs.filter(
+        (F.col("doc_id") % T20_REF_EVERY == 0) & F.col("lang").isNotNull()
+    )
+    base_counts = langid_count_frame(
+        labeled.filter(F.col("doc_id") % (5 * T20_REF_EVERY) != 0),
+        label_col="lang",
+        n=T20_NGRAM,
+        n_buckets=T20_BUCKETS,
+    )
+    delta_counts = langid_count_frame(
+        labeled.filter(F.col("doc_id") % (5 * T20_REF_EVERY) == 0),
+        label_col="lang",
+        n=T20_NGRAM,
+        n_buckets=T20_BUCKETS,
+    )
+    return langid_profiles_from_counts(
+        langid_counts_fold(base_counts, delta_counts, label_col="lang"),
+        label_col="lang",
+        n_buckets=T20_BUCKETS,
+        grain=T20_GRAIN,
+    )
+
+
+I5_LANGID_SQL = rf"""
+WITH {_T20_PROFILE_CTES}
+SELECT g.label AS lang, g.bucket, g.w_fp
+FROM w g
 """
 
 
@@ -4435,6 +4492,7 @@ EXTENSION_QUERIES = {
     "t20_langid": t20_langid,
     "d22_sketch_containment": d22_sketch_containment,
     "t21_perceptron_quality": t21_perceptron_quality,
+    "i5_langid_profile_delta": i5_langid_profile_delta,
     "d8_curated_corpus": d8_curated_corpus,
     "m1_multimodal_features": m1_multimodal_features,
     "m2_frame_sample": m2_frame_sample,
@@ -4495,6 +4553,7 @@ EXTENSION_ORACLES = {
     "t20_langid": T20_SQL,
     "d22_sketch_containment": D22_SQL,
     "t21_perceptron_quality": T21_SQL,
+    "i5_langid_profile_delta": I5_LANGID_SQL,
     "d8_curated_corpus": D8_SQL,
     "m1_multimodal_features": M1_SQL,
     "m2_frame_sample": M2_SQL,

@@ -78,6 +78,83 @@ class TestPlantedLanguages:
         assert got[0]["pred_label"] == "aa_lang"
 
 
+class TestProfileDelta:
+    """i5: the count frame is additive — folding an arriving labeled
+    batch must reproduce from-scratch training bit-identically."""
+
+    def test_fold_equals_scratch(self, spark):
+        from big_data_flight_analytics_spark.operators.langid import (
+            langid_count_frame,
+            langid_counts_fold,
+            langid_profiles,
+            langid_profiles_from_counts,
+        )
+
+        docs = _docs(spark)
+        ref = docs.select(F.col("lang").alias("label"), "text", "doc_id")
+        base = ref.filter(F.col("doc_id") % 3 != 0)
+        delta = ref.filter(F.col("doc_id") % 3 == 0)
+        folded = langid_profiles_from_counts(
+            langid_counts_fold(
+                langid_count_frame(base), langid_count_frame(delta)
+            )
+        )
+        scratch = langid_profiles(ref)
+        got = {
+            (r["label"], r["bucket"]): r["w_fp"] for r in folded.collect()
+        }
+        want = {
+            (r["label"], r["bucket"]): r["w_fp"] for r in scratch.collect()
+        }
+        assert got == want
+
+    def test_new_label_arrives_only_in_delta(self, spark):
+        from big_data_flight_analytics_spark.operators.langid import (
+            langid_count_frame,
+            langid_counts_fold,
+            langid_profiles_from_counts,
+        )
+
+        base = spark.createDataFrame(
+            [Row(label="aaa", text="pato keti lumo sira")]
+        )
+        delta = spark.createDataFrame(
+            [Row(label="zzz", text="xyzq wvxz qzyx")]
+        )
+        prof = langid_profiles_from_counts(
+            langid_counts_fold(
+                langid_count_frame(base), langid_count_frame(delta)
+            ),
+            n_buckets=32,
+        )
+        assert prof.count() == 2 * 32  # the grid grew with the class
+        assert {r["label"] for r in prof.select("label").distinct().collect()} == {
+            "aaa", "zzz",
+        }
+
+    def test_empty_delta_is_identity(self, spark):
+        from big_data_flight_analytics_spark.operators.langid import (
+            langid_count_frame,
+            langid_counts_fold,
+        )
+
+        base = spark.createDataFrame(
+            [Row(label="aaa", text="pato keti lumo sira")]
+        )
+        empty = spark.createDataFrame([], "label string, text string")
+        folded = langid_counts_fold(
+            langid_count_frame(base), langid_count_frame(empty)
+        )
+        got = {
+            (r["label"], r["bucket"]): r["cnt"] for r in folded.collect()
+        }
+        want = {
+            (r["label"], r["bucket"]): r["cnt"]
+            for r in langid_count_frame(base).collect()
+        }
+        assert got == want
+
+
 class TestCharNgramExpr:
     @pytest.mark.parametrize(
         "text,want",
