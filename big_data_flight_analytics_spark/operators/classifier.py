@@ -18,7 +18,12 @@ Plan per round (the 100 TB shape):
 - margins: one broadcast join feature-rows x weights + one doc-keyed
   aggregate (map-side combined);
 - gradient: one semi-join of feature rows against misclassified doc
-  ids + one bucket-keyed aggregate to <= n_buckets rows.
+  ids + one bucket-keyed aggregate to <= n_buckets rows. The
+  misclassified set is O(corpus) rows in early rounds (round 2 can
+  be nearly every doc), so it is NEVER broadcast — the semi-join
+  rides the hash(id) partitioning both sides already carry (feat by
+  construction; mis because the margin groupBy preserved it), so no
+  side reshuffles.
 Two corpus-keyed shuffles per round, both map-combined; the feature
 frame is built once and persisted (one corpus pass total).
 
@@ -71,9 +76,12 @@ def perceptron_quality(
     everything downstream is unchanged.
 
     Training: w_1[b] = sum over ALL docs of y*x_b (round 1 against
-    w_0 = 0 marks every doc misclassified — margin <= 0); rounds
-    2..n_iter add sum(y*x) over docs with margin <= 0 under the
-    current w. No learning rate: integer updates keep every engine
+    w_0 = 0 gives every doc y*margin = 0 <= 0 — misclassified for
+    BOTH labels); rounds 2..n_iter add sum(y*x) over docs the
+    current w misclassifies under the standard perceptron rule
+    y*(w.x) <= 0, so false positives (y=-1, margin > 0) get
+    corrective negative updates and correctly-classified docs never
+    reinforce. No learning rate: integer updates keep every engine
     bit-identical.
 
     Output: one row per document with >= 1 bigram —
@@ -108,7 +116,7 @@ def perceptron_quality(
         # build buys n_iter margin passes with zero Exchange
         .repartition(id_col)
     )
-    # round 1: w_0 = 0 -> every margin is 0 -> every doc misclassified
+    # round 1: w_0 = 0 -> y*margin = 0 <= 0 -> every doc misclassified
     w = feat.groupBy("bucket").agg(
         F.sum(F.col("y") * F.col("x")).cast("long").alias("w")
     )
@@ -139,12 +147,20 @@ def perceptron_quality(
     nparts = max(1, feat.rdd.getNumPartitions())
     with loop_confs(docs.sparkSession, nparts):
         for _ in range(n_iter - 1):
-            mis = margins(w).filter(F.col("margin") <= 0).select(id_col)
+            # standard perceptron rule: doc is misclassified iff
+            # y*(w.x) <= 0 (sign(margin) != y, with 0 counted wrong)
+            mis = (
+                margins(w)
+                .filter(F.col("y") * F.col("margin") <= 0)
+                .select(id_col)
+            )
             grad = (
-                # misclassified ids are at most one row per doc —
-                # broadcast them so the gradient semi-join never
-                # reshuffles feat
-                feat.join(F.broadcast(mis), id_col)
+                # mis can be nearly the whole corpus in early rounds —
+                # never broadcast it; both sides are hash(id)
+                # partitioned (feat by construction, mis because the
+                # margin groupBy rode feat's partitioning), so this
+                # semi-join is Exchange-free
+                feat.join(mis, id_col, "left_semi")
                 .groupBy("bucket")
                 .agg(
                     F.sum(F.col("y") * F.col("x"))

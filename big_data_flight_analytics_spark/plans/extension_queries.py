@@ -2080,7 +2080,7 @@ WITH tok AS (
 ), g{r} AS (
     SELECT bucket, CAST(SUM(y * x) AS BIGINT) AS g
     FROM feat
-    JOIN (SELECT doc_id FROM m{r} WHERE margin <= 0) mis USING (doc_id)
+    JOIN (SELECT doc_id FROM m{r} WHERE y * margin <= 0) mis USING (doc_id)
     GROUP BY bucket
 ), w{r} AS MATERIALIZED (
     SELECT COALESCE(a.bucket, c.bucket) AS bucket,

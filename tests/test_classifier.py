@@ -73,6 +73,41 @@ class TestPerceptronQuality:
         with pytest.raises(Exception, match="margin sums could"):
             perceptron_quality(docs, n_iter=2, _w_bound=1).collect()
 
+    def test_false_positive_negative_is_corrected(self, spark):
+        """A y=-1 doc whose bigrams overlap the positive class starts
+        round 2 as a FALSE POSITIVE (margin > 0). The unsigned rule
+        `margin <= 0` can never select it for an update (its weights
+        would stay wrong forever); the standard rule y*(w.x) <= 0
+        must correct it.
+
+        Arithmetic (no bucket collisions): neg doc "a b a b a" has
+        x = {ab:2, ba:2}; each of the 3 pos docs "a b Xi a b Yi" has
+        x = {ab:2, bXi:1, Xia:1, bYi:1}. Round-1 w[ab] = 2*3-2 = 4,
+        w[ba] = -2 -> neg margin = 2*4-2*2 = 4 > 0 (false positive).
+        One corrective update (-2 on ab and ba) flips it to
+        2*2-2*4 = -4 < 0 while every positive stays > 0."""
+        docs = spark.createDataFrame(
+            [Row(doc_id=0, text="a b a b a")]
+            + [
+                Row(doc_id=1 + i, text=f"a b p{i} a b q{i}")
+                for i in range(3)
+            ]
+        )
+        out = {
+            r["doc_id"]: r
+            for r in perceptron_quality(
+                docs, n_iter=3, n_buckets=4096
+            ).collect()
+        }
+        assert out[0]["label"] == -1
+        assert all(out[1 + i]["label"] == 1 for i in range(3))
+        # the false positive is corrected AND the positives survive
+        assert out[0]["pred"] == -1, (
+            "y=-1 false positive was never corrected — the "
+            "misclassification rule is ignoring the label sign"
+        )
+        assert all(r["pred"] == r["label"] for r in out.values())
+
     def test_training_is_input_order_invariant(self, spark):
         docs = _planted(spark)
         a = {
