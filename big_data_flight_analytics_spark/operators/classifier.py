@@ -27,6 +27,12 @@ Plan per round (the 100 TB shape):
 Two corpus-keyed shuffles per round, both map-combined; the feature
 frame is built once and persisted (one corpus pass total).
 
+The train/apply split mirrors the langid (t20/s10) model-state
+contract: ``perceptron_weights`` trains once and the weight table
+persists as model state; ``perceptron_apply`` scores any batch of
+documents against a stored table — the stateless, broadcast-join-only
+shape the s11 ingest sink runs per micro-batch.
+
 int64 bounds: |w_b| grows by at most the corpus's total gram count per
 round; a doc's margin is bounded by its gram count times max|w|.
 Past ~1e9 labeled grams, scale counts down (feature clipping) or
@@ -56,36 +62,20 @@ def _weight_guard(n_iter: int, bound: int = W_BOUND):
     )
 
 
-def perceptron_quality(
+def perceptron_features(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 256,
-    n_iter: int = 4,
-    _w_bound: int = W_BOUND,
 ) -> DataFrame:
-    """Train + apply the hashed-bigram batch perceptron.
-
-    Features: md5-hashed word-bigram bucket COUNTS (multiset — the
-    dsir/t18 feature family). Label (self-supervised, derivable by
-    both engines from the text alone): y = +1 iff the doc's lexical
-    diversity is at least 1/2 (2 * distinct tokens >= total tokens),
-    else -1 — the Gopher-style repetition axis, so the classifier
-    learns to spot repetitive/boilerplate documents from their hashed
-    bigram profile. Callers with real labels join them in instead and
-    everything downstream is unchanged.
-
-    Training: w_1[b] = sum over ALL docs of y*x_b (round 1 against
-    w_0 = 0 gives every doc y*margin = 0 <= 0 — misclassified for
-    BOTH labels); rounds 2..n_iter add sum(y*x) over docs the
-    current w misclassifies under the standard perceptron rule
-    y*(w.x) <= 0, so false positives (y=-1, margin > 0) get
-    corrective negative updates and correctly-classified docs never
-    reinforce. No learning rate: integer updates keep every engine
-    bit-identical.
-
-    Output: one row per document with >= 1 bigram —
-    (id_col, label, margin, pred), pred = +1 iff final margin > 0.
+    """(id_col, y, bucket, x): md5-hashed word-bigram bucket COUNTS
+    (multiset — the dsir/t18 feature family) plus the self-supervised
+    label. Label (derivable by both engines from the text alone):
+    y = +1 iff the doc's lexical diversity is at least 1/2
+    (2 * distinct tokens >= total tokens), else -1 — the Gopher-style
+    repetition axis. Callers with real labels join them in instead and
+    everything downstream is unchanged. Docs with no bigram (empty /
+    single-token / NULL text) produce no rows.
     """
     from big_data_flight_analytics_spark.operators.text import (
         ngram_multiset_expr,
@@ -105,52 +95,57 @@ def perceptron_quality(
         .alias("y"),
         F.explode(ngram_multiset_expr(toks, 2)).alias("__g"),
     )
-    feat = tracked_persist(
-        base.groupBy(
-            id_col, "y", md5_bucket(F.col("__g"), n_buckets).alias("bucket")
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("x"))
-        # hash(id) satisfies ClusteredDistribution(id, y), so every
-        # round's margin aggregate rides THIS partitioning instead of
-        # reshuffling the feature frame per round — one shuffle at
-        # build buys n_iter margin passes with zero Exchange
-        .repartition(id_col)
+    return base.groupBy(
+        id_col, "y", md5_bucket(F.col("__g"), n_buckets).alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+
+
+def _margins(
+    feat: DataFrame, weights: DataFrame, id_col: str, n_iter: int, bound: int
+) -> DataFrame:
+    """(id_col, y, margin) under ``weights``, guard evaluated in-plan."""
+    guard = _weight_guard(n_iter, bound)
+    guarded = weights.select(
+        "bucket", F.when(guard.isNull(), F.col("w")).alias("w")
     )
-    # round 1: w_0 = 0 -> y*margin = 0 <= 0 -> every doc misclassified
-    w = feat.groupBy("bucket").agg(
-        F.sum(F.col("y") * F.col("x")).cast("long").alias("w")
+    return (
+        feat.join(F.broadcast(guarded), "bucket", "left")
+        .groupBy(id_col, "y")
+        .agg(
+            F.sum(F.col("x") * F.coalesce(F.col("w"), F.lit(0)))
+            .cast("long")
+            .alias("margin")
+        )
     )
 
-    def margins(weights: DataFrame) -> DataFrame:
-        guard = _weight_guard(n_iter, _w_bound)
-        guarded = weights.select(
-            "bucket", F.when(guard.isNull(), F.col("w")).alias("w")
-        )
-        return (
-            feat.join(F.broadcast(guarded), "bucket", "left")
-            .groupBy(id_col, "y")
-            .agg(
-                F.sum(F.col("x") * F.coalesce(F.col("w"), F.lit(0)))
-                .cast("long")
-                .alias("margin")
-            )
-        )
 
+def _train(
+    feat: DataFrame,
+    id_col: str,
+    n_iter: int,
+    _w_bound: int,
+) -> DataFrame:
+    """The training loop over a PERSISTED, hash(id)-partitioned
+    feature frame; returns the final (bucket, w) weight table."""
     from big_data_flight_analytics_spark.cache import (
         loop_checkpoint,
         loop_confs,
     )
 
+    # round 1: w_0 = 0 -> y*margin = 0 <= 0 -> every doc misclassified
+    w = feat.groupBy("bucket").agg(
+        F.sum(F.col("y") * F.col("x")).cast("long").alias("w")
+    )
     # scheduling-bound tiny-frame loop with every join an explicit
     # broadcast() — the BPE/Lloyd loop_confs contract applies (the
     # PageRank AQE caveat does not)
     nparts = max(1, feat.rdd.getNumPartitions())
-    with loop_confs(docs.sparkSession, nparts):
+    with loop_confs(feat.sparkSession, nparts):
         for _ in range(n_iter - 1):
             # standard perceptron rule: doc is misclassified iff
             # y*(w.x) <= 0 (sign(margin) != y, with 0 counted wrong)
             mis = (
-                margins(w)
+                _margins(feat, w, id_col, n_iter, _w_bound)
                 .filter(F.col("y") * F.col("margin") <= 0)
                 .select(id_col)
             )
@@ -178,7 +173,11 @@ def perceptron_quality(
                     ).alias("w"),
                 )
             )
-    return margins(w).select(
+    return w
+
+
+def _finalize(margins: DataFrame, id_col: str) -> DataFrame:
+    return margins.select(
         id_col,
         F.col("y").alias("label"),
         "margin",
@@ -187,3 +186,79 @@ def perceptron_quality(
         .cast("long")
         .alias("pred"),
     )
+
+
+def perceptron_weights(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    n_iter: int = 4,
+    _w_bound: int = W_BOUND,
+) -> DataFrame:
+    """Train only: the (bucket, w) weight table — model state to
+    persist (the t15 merge-table / t20 profile pattern) and apply to
+    any later batch with ``perceptron_apply``. <= n_buckets rows no
+    matter the corpus. ``n_buckets``/``n_iter`` are part of the model:
+    stored weights only score documents featurized with the same
+    ``n_buckets``."""
+    feat = tracked_persist(
+        perceptron_features(docs, id_col, text_col, n_buckets)
+        # hash(id) satisfies ClusteredDistribution(id, y), so every
+        # round's margin aggregate rides THIS partitioning instead of
+        # reshuffling the feature frame per round — one shuffle at
+        # build buys n_iter margin passes with zero Exchange
+        .repartition(id_col)
+    )
+    return _train(feat, id_col, n_iter, _w_bound)
+
+
+def perceptron_apply(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    _w_bound: int = W_BOUND,
+) -> DataFrame:
+    """Score documents against a stored weight table — stateless, one
+    corpus pass: featurize, broadcast-join the <= n_buckets weight
+    rows, one doc-keyed margin aggregate. The per-micro-batch shape
+    the s11 ingest sink runs. Output matches ``perceptron_quality``:
+    (id_col, label, margin, pred), pred = +1 iff margin > 0."""
+    feat = perceptron_features(docs, id_col, text_col, n_buckets)
+    return _finalize(_margins(feat, weights, id_col, 1, _w_bound), id_col)
+
+
+def perceptron_quality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    n_iter: int = 4,
+    _w_bound: int = W_BOUND,
+) -> DataFrame:
+    """Train + apply the hashed-bigram batch perceptron on one corpus
+    (the t21 catalog entry): ``perceptron_weights`` then the final
+    margin pass, sharing ONE persisted feature frame so the corpus is
+    featurized exactly once.
+
+    Training: w_1[b] = sum over ALL docs of y*x_b (round 1 against
+    w_0 = 0 gives every doc y*margin = 0 <= 0 — misclassified for
+    BOTH labels); rounds 2..n_iter add sum(y*x) over docs the
+    current w misclassifies under the standard perceptron rule
+    y*(w.x) <= 0, so false positives (y=-1, margin > 0) get
+    corrective negative updates and correctly-classified docs never
+    reinforce. No learning rate: integer updates keep every engine
+    bit-identical.
+
+    Output: one row per document with >= 1 bigram —
+    (id_col, label, margin, pred), pred = +1 iff final margin > 0.
+    """
+    feat = tracked_persist(
+        perceptron_features(docs, id_col, text_col, n_buckets).repartition(
+            id_col
+        )
+    )
+    w = _train(feat, id_col, n_iter, _w_bound)
+    return _finalize(_margins(feat, w, id_col, n_iter, _w_bound), id_col)

@@ -873,3 +873,189 @@ class DedupIndexSink(ParquetUpsertSink):
 
     def read(self, spark) -> DataFrame:
         return spark.read.parquet(self.path)
+
+
+class QualityScoreSink(StatelessBenchmarkSink):
+    """Quality scoring at ingest (streaming t21, s11): every arriving
+    micro-batch is scored against a FIXED perceptron weight table
+    (``operators.classifier.perceptron_apply`` per batch), logging
+    (id, label, margin, pred) per batch partition — the apply half of
+    the t21 train/apply split, so low-quality documents are flagged
+    the moment they arrive instead of in a later corpus pass.
+
+    The fixed side is the WEIGHT table (<= n_buckets rows of int64
+    weights — model state like the t20 profiles and the BPE merge
+    table), trained once by ``perceptron_weights`` on a labeled
+    reference set and broadcast to every batch. Same stateless
+    exactly-once contract as the other ingest log sinks: scores depend
+    only on the batch's own rows and the never-changing weights, so
+    per-batch partitions are idempotent under replay with no marker
+    machinery. ``n_buckets`` must match the weight build (it is
+    data-independent, so stored weights and batches agree by
+    construction).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        weights: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n_buckets: int = 256,
+    ) -> None:
+        self.path = path
+        self.id_col = id_col
+        self.text_col = text_col
+        self.n_buckets = n_buckets
+        # deliberately NOT super().__init__: the fixed side is the
+        # weight table, persisted whole (no id/text projection)
+        self.benchmark = weights.persist()
+
+    def _transform(self, batch: DataFrame) -> DataFrame:
+        from big_data_flight_analytics_spark.operators.classifier import (
+            perceptron_apply,
+        )
+
+        return perceptron_apply(
+            batch,
+            self.benchmark,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            n_buckets=self.n_buckets,
+        )
+
+    def scores(self, spark) -> DataFrame:
+        """All per-batch quality scores, with the ``batch`` column
+        from partition discovery."""
+        return self.log(spark)
+
+
+class IngestPipelineSink:
+    """Composed single-pass ingest (s12): ONE ``foreachBatch`` target
+    running every arriving micro-batch through all four LLM-ingest
+    faces over ONE shared source scan and ONE canonical-text
+    projection:
+
+    1. near-dup marking + index fold — ``MinHashIndexSink`` (the i4
+       contract: O(batch) against the persisted index, novel rows
+       absorbed append-only);
+    2. decontamination excision — ``ExcisionSink`` (d21: benchmark
+       spans excised, cleaned text logged);
+    3. language/domain ID — ``LanguageLogSink`` (t20 profiles);
+    4. quality scoring — ``QualityScoreSink`` (t21 stored weights).
+
+    Running these as four separate streams reads and canonicalizes the
+    arriving data four times; at 100 TB ingest the source scan IS the
+    dominant cost, so the composition persists one
+    (id, lower(trim(text))) projection per micro-batch and every stage
+    consumes the cached frame. Substituting the canonical string for
+    the raw text is a semantic no-op: every stage's first step is the
+    same lower/trim canonicalization (``text.tokens``,
+    ``langid._canonical``, the classifier's token filter), which is
+    idempotent — pinned by the stream==batch differential tests.
+
+    Exactly-once composes per stage, each in its existing layout: the
+    dedup index keeps its delta-dir/marker replay protocol (a replayed
+    batch short-circuits), and the three stateless logs overwrite
+    their own ``batch=N`` partitions with identical content (the
+    shared projection is a pure function of the batch). A crash
+    mid-composition replays the whole batch: completed stages redo
+    idempotently, incomplete ones complete.
+
+    The stage outputs land in sibling stores under ``path``:
+    ``dedup_index`` (+ ``.decisions``), ``excised``, ``langid``,
+    ``quality`` — the same tables the standalone sinks produce, so
+    downstream training-set assembly (anti-join dups, take clean_text,
+    route by language, filter by quality) is unchanged.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        benchmark: DataFrame,
+        profiles: DataFrame,
+        weights: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        minhash_kwargs: dict | None = None,
+        excise_n: int = 6,
+        langid_n: int = 3,
+        langid_buckets: int = 256,
+        quality_buckets: int = 256,
+    ) -> None:
+        self.id_col = id_col
+        self.text_col = text_col
+        # sub-sinks all see the shared canonical frame under the
+        # ORIGINAL text column name, so their stores/logs keep the
+        # standalone schemas
+        self.dedup = MinHashIndexSink(
+            os.path.join(path, "dedup_index"),
+            id_col=id_col,
+            text_col=text_col,
+            **(minhash_kwargs or {}),
+        )
+        self.excise = ExcisionSink(
+            os.path.join(path, "excised"),
+            benchmark,
+            id_col=id_col,
+            text_col=text_col,
+            n=excise_n,
+        )
+        self.langid = LanguageLogSink(
+            os.path.join(path, "langid"),
+            profiles,
+            id_col=id_col,
+            text_col=text_col,
+            n=langid_n,
+            n_buckets=langid_buckets,
+        )
+        self.quality = QualityScoreSink(
+            os.path.join(path, "quality"),
+            weights,
+            id_col=id_col,
+            text_col=text_col,
+            n_buckets=quality_buckets,
+        )
+
+    def initialize(self, base_df: DataFrame) -> None:
+        """Found the dedup index from an existing base corpus (the
+        stateless stages have no state to found)."""
+        self.dedup.initialize(base_df)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        # ONE scan of the arriving batch, ONE canonical projection —
+        # persisted so all four stages reuse it instead of re-reading
+        # (and re-lowercasing) the source
+        shared = batch_df.select(
+            F.col(self.id_col),
+            F.lower(F.trim(F.col(self.text_col))).alias(self.text_col),
+        ).persist()
+        try:
+            # materialize the cache on the stage that scans it first
+            self.dedup(shared, batch_id)
+            self.excise(shared, batch_id)
+            self.langid(shared, batch_id)
+            self.quality(shared, batch_id)
+        finally:
+            shared.unpersist()
+
+    def close(self) -> None:
+        """Release the fixed frames the stateless stages persist."""
+        self.excise.close()
+        self.langid.close()
+        self.quality.close()
+
+    def decisions(self, spark) -> DataFrame:
+        return self.dedup.decisions(spark)
+
+    def index(self, spark) -> DataFrame:
+        return self.dedup.read(spark)
+
+    def cleaned(self, spark) -> DataFrame:
+        return self.excise.cleaned(spark)
+
+    def predictions(self, spark) -> DataFrame:
+        return self.langid.predictions(spark)
+
+    def scores(self, spark) -> DataFrame:
+        return self.quality.scores(spark)

@@ -108,6 +108,27 @@ class TestPerceptronQuality:
         )
         assert all(r["pred"] == r["label"] for r in out.values())
 
+    def test_train_apply_split_equals_combined(self, spark):
+        """perceptron_apply(docs, perceptron_weights(docs)) must equal
+        perceptron_quality(docs) — the s11 stored-weights path and the
+        t21 catalog entry are the same model."""
+        from big_data_flight_analytics_spark.operators.classifier import (
+            perceptron_apply,
+            perceptron_weights,
+        )
+
+        docs = _planted(spark)
+        w = perceptron_weights(docs, n_iter=3)
+        split = {
+            r["doc_id"]: (r["label"], r["margin"], r["pred"])
+            for r in perceptron_apply(docs, w).collect()
+        }
+        combined = {
+            r["doc_id"]: (r["label"], r["margin"], r["pred"])
+            for r in perceptron_quality(docs, n_iter=3).collect()
+        }
+        assert split == combined
+
     def test_training_is_input_order_invariant(self, spark):
         docs = _planted(spark)
         a = {

@@ -1,0 +1,378 @@
+"""s11/s12: quality scoring at ingest and the composed single-pass
+ingest pipeline.
+
+The differential contract: one IngestPipelineSink run over a replayed
+arrival stream must equal the FOUR batch operators applied per batch
+on the RAW text — dedup-mark (i4 sequential folds), excision (d21),
+langid (t20), quality scoring (t21 apply). The arriving fixture text
+is deliberately MIXED-CASE: the composed sink substitutes one shared
+lower(trim(text)) projection for the raw text, and these tests pin
+that the substitution is a semantic no-op (every stage's own
+canonicalization is idempotent).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+JACCARD = 0.3
+BENCH = "the quick brown fox jumps over the lazy dog tonight"
+
+
+def _replay_files(spark, d, delta, n_files=2):
+    """Split ``delta`` into n single-parquet files with increasing
+    mtimes so maxFilesPerTrigger=1 replays them as ordered batches."""
+    rows = delta.collect()
+    per = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = rows[i * per:(i + 1) * per]
+        p = str(d / f"b{i}.parquet")
+        spark.createDataFrame(chunk, delta.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p + ".dir")
+        src = next(
+            f
+            for f in os.listdir(p + ".dir")
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        os.rename(os.path.join(p + ".dir", src), p)
+        os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+
+
+def _run_stream(spark, tmp_path, sink, delta):
+    replay = tmp_path / "arrivals"
+    replay.mkdir()
+    _replay_files(spark, replay, delta)
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(replay))
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def _fixtures(spark):
+    """(base, delta, bench, profiles_ref, quality_ref): a corpus with
+    all four ingest signals planted. Delta text is mixed-case."""
+    import random
+
+    rng = random.Random(31)
+    vocab = "alpha bravo charlie delta echo foxtrot golf hotel".split()
+    base = spark.createDataFrame([
+        Row(doc_id=i, text=" ".join(rng.choice(vocab) for _ in range(12)))
+        for i in range(20)
+    ])
+    base_rows = base.collect()
+
+    syll = {
+        "aaa": ["pato", "keti", "lumo", "sira"],
+        "bbb": ["xyzq", "wvxz", "qzyx", "zxqv"],
+    }
+    profiles_ref = spark.createDataFrame([
+        Row(label=lang, text=" ".join(rng.choice(s) for _ in range(10)))
+        for lang, s in sorted(syll.items())
+        for _ in range(10)
+    ])
+
+    pool = [f"fresh{k}" for k in range(30)]
+    quality_ref = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=" ".join([f"boiler{i % 5}"] * 12))
+            for i in range(20)
+        ]
+        + [
+            Row(
+                doc_id=100 + i,
+                text=" ".join(pool[(i + j) % 30] for j in range(12)),
+            )
+            for i in range(20)
+        ]
+    )
+
+    delta_rows = []
+    for i in range(4):  # near-dups of the base (dedup signal)
+        delta_rows.append(Row(
+            doc_id=200 + i,
+            text=base_rows[i]["text"].replace(vocab[0], vocab[1], 1).upper(),
+        ))
+    filler = " ".join(f"filler{i} token{i} pad{i}" for i in range(10))
+    delta_rows.append(  # quotes the benchmark (excision signal)
+        Row(doc_id=210, text=f"{filler} {BENCH.title()} {filler}")
+    )
+    delta_rows.append(Row(doc_id=211, text=BENCH.upper()))  # fully quoted
+    for i in range(3):  # repetitive docs (quality -1 signal)
+        delta_rows.append(Row(
+            doc_id=220 + i, text=" ".join([f"Boiler{i}"] * 12)
+        ))
+    for i in range(3):  # diverse docs (quality +1 signal)
+        delta_rows.append(Row(
+            doc_id=230 + i,
+            text=" ".join(pool[(i + j) % 30] for j in range(12)).title(),
+        ))
+    for i in range(4):  # planted-language docs (langid signal)
+        lang = "aaa" if i % 2 == 0 else "bbb"
+        delta_rows.append(Row(
+            doc_id=240 + i,
+            text=" ".join(rng.choice(syll[lang]) for _ in range(10)).upper(),
+        ))
+    bench = spark.createDataFrame([Row(doc_id=0, text=BENCH)])
+    return base, spark.createDataFrame(delta_rows), bench, profiles_ref, \
+        quality_ref
+
+
+def _build_sink(spark, tmp_path, base, bench, profiles_ref, quality_ref):
+    from big_data_flight_analytics_spark.operators.classifier import (
+        perceptron_weights,
+    )
+    from big_data_flight_analytics_spark.operators.langid import (
+        langid_profiles,
+    )
+    from big_data_flight_analytics_spark.streaming.sinks import (
+        IngestPipelineSink,
+    )
+
+    profiles = langid_profiles(profiles_ref)
+    weights = perceptron_weights(quality_ref)
+    sink = IngestPipelineSink(
+        str(tmp_path / "ingest"),
+        benchmark=bench,
+        profiles=profiles,
+        weights=weights,
+        minhash_kwargs={"threshold": JACCARD},
+    )
+    sink.initialize(base)
+    return sink, profiles, weights
+
+
+class TestQualityScoreSink:
+    """Streaming t21 apply (s11): per-batch scoring against a fixed
+    weight table == the batch apply on the full delta (stateless),
+    replay idempotent with no marker machinery."""
+
+    def _frames(self, spark):
+        pool = [f"fresh{k}" for k in range(30)]
+        ref = spark.createDataFrame(
+            [
+                Row(doc_id=i, text=" ".join([f"boiler{i % 5}"] * 12))
+                for i in range(20)
+            ]
+            + [
+                Row(
+                    doc_id=100 + i,
+                    text=" ".join(pool[(i + j) % 30] for j in range(12)),
+                )
+                for i in range(20)
+            ]
+        )
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=500 + i, text=" ".join([f"boiler{i % 5}"] * 12))
+                for i in range(6)
+            ]
+            + [
+                Row(
+                    doc_id=600 + i,
+                    text=" ".join(pool[(2 * i + j) % 30] for j in range(12)),
+                )
+                for i in range(6)
+            ]
+        )
+        return ref, docs
+
+    def test_stream_equals_batch_apply_and_separates(self, spark, tmp_path):
+        from big_data_flight_analytics_spark.operators.classifier import (
+            perceptron_apply,
+            perceptron_weights,
+        )
+        from big_data_flight_analytics_spark.streaming.sinks import (
+            QualityScoreSink,
+        )
+
+        ref, docs = self._frames(spark)
+        weights = perceptron_weights(ref)
+        sink = QualityScoreSink(str(tmp_path / "quality"), weights)
+        _run_stream(spark, tmp_path, sink, docs)
+        got = {
+            r["doc_id"]: (r["label"], r["margin"], r["pred"])
+            for r in sink.scores(spark).collect()
+        }
+        want = {
+            r["doc_id"]: (r["label"], r["margin"], r["pred"])
+            for r in perceptron_apply(docs, weights).collect()
+        }
+        assert got == want
+        # the planted classes actually separate at ingest
+        assert all(got[500 + i][2] == -1 for i in range(6))
+        assert all(got[600 + i][2] == 1 for i in range(6))
+        sink.close()
+
+    def test_replay_is_idempotent_without_markers(self, spark, tmp_path):
+        from big_data_flight_analytics_spark.operators.classifier import (
+            perceptron_weights,
+        )
+        from big_data_flight_analytics_spark.streaming.sinks import (
+            QualityScoreSink,
+        )
+
+        ref, docs = self._frames(spark)
+        sink = QualityScoreSink(
+            str(tmp_path / "quality"), perceptron_weights(ref)
+        )
+        sink.merge(docs, 0)
+        first = sorted(
+            (r["doc_id"], r["margin"], r["pred"])
+            for r in sink.scores(spark).collect()
+        )
+        sink.merge(docs, 0)  # at-least-once replay: same partition dir
+        assert sorted(
+            (r["doc_id"], r["margin"], r["pred"])
+            for r in sink.scores(spark).collect()
+        ) == first
+        sink.close()
+
+
+class TestIngestPipelineSink:
+    """Composed single-pass ingest == the four batch operators applied
+    per batch on the raw text, each stage in its own exactly-once
+    layout."""
+
+    def test_all_stages_equal_batch_operators(self, spark, tmp_path):
+        from big_data_flight_analytics_spark.operators.classifier import (
+            perceptron_apply,
+        )
+        from big_data_flight_analytics_spark.operators.dedup import (
+            contaminated_window_marks,
+            excise_repeated_spans,
+            minhash_index_delta,
+        )
+        from big_data_flight_analytics_spark.operators.langid import (
+            langid_hashed_ngrams,
+        )
+
+        base, delta, bench, profiles_ref, quality_ref = _fixtures(spark)
+        sink, profiles, weights = _build_sink(
+            spark, tmp_path, base, bench, profiles_ref, quality_ref
+        )
+        _run_stream(spark, tmp_path, sink, delta)
+
+        # stage 1 — dedup decisions == sequential batch folds on raw
+        # text (absorbing: batch 2 is judged against base + batch 1's
+        # novels, exactly like the standalone i4 sink)
+        rows = delta.collect()
+        per = (len(rows) + 1) // 2
+        fold_base = base
+        want_dec = {}
+        for i in range(2):
+            chunk = spark.createDataFrame(
+                rows[i * per:(i + 1) * per], delta.schema
+            )
+            dec = minhash_index_delta(fold_base, chunk, threshold=JACCARD)
+            for r in dec.collect():
+                want_dec[r["doc_id"]] = (
+                    r["matched_base_id"], r["dup_of_index"]
+                )
+            fold_base = fold_base.unionByName(
+                chunk.join(
+                    dec.filter(~F.col("dup_of_index")).select("doc_id"),
+                    "doc_id",
+                )
+            )
+        got_dec = {
+            r["doc_id"]: (r["matched_base_id"], r["dup_of_index"])
+            for r in sink.decisions(spark).collect()
+        }
+        assert got_dec == want_dec
+        assert any(v[1] for v in got_dec.values())      # dups found
+        assert not all(v[1] for v in got_dec.values())  # novels too
+        assert sink.index(spark).count() == fold_base.count()
+
+        # stage 2 — excision == batch d21 on the raw delta
+        got_cln = {
+            r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+            for r in sink.cleaned(spark).collect()
+        }
+        want_cln = {
+            r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+            for r in excise_repeated_spans(
+                delta,
+                n=6,
+                marks=contaminated_window_marks(delta, bench, n=6),
+            ).collect()
+        }
+        assert got_cln == want_cln
+        assert got_cln[211][0] == ""       # fully-quoted doc emptied
+        assert got_cln[210][2] == 10       # quoted slice excised
+        assert got_cln[230][2] == 0        # clean doc untouched
+
+        # stage 3 — langid == batch t20 on the raw delta
+        got_lang = {
+            r["doc_id"]: (r["pred_label"], r["llr_fp"], r["n_grams"])
+            for r in sink.predictions(spark).collect()
+        }
+        want_lang = {
+            r["doc_id"]: (r["pred_label"], r["llr_fp"], r["n_grams"])
+            for r in langid_hashed_ngrams(delta, profiles).collect()
+        }
+        assert got_lang == want_lang
+        assert all(
+            got_lang[240 + i][0] == ("aaa" if i % 2 == 0 else "bbb")
+            for i in range(4)
+        )
+
+        # stage 4 — quality == batch t21 apply on the raw delta
+        got_q = {
+            r["doc_id"]: (r["label"], r["margin"], r["pred"])
+            for r in sink.scores(spark).collect()
+        }
+        want_q = {
+            r["doc_id"]: (r["label"], r["margin"], r["pred"])
+            for r in perceptron_apply(delta, weights).collect()
+        }
+        assert got_q == want_q
+        assert all(got_q[220 + i][2] == -1 for i in range(3))
+        assert all(got_q[230 + i][2] == 1 for i in range(3))
+        sink.close()
+
+    def test_replayed_batch_is_a_noop_in_every_stage(self, spark, tmp_path):
+        base, delta, bench, profiles_ref, quality_ref = _fixtures(spark)
+        sink, _, _ = _build_sink(
+            spark, tmp_path, base, bench, profiles_ref, quality_ref
+        )
+        sink(delta, 0)
+
+        def snapshot():
+            return (
+                sorted(
+                    (r["doc_id"], r["matched_base_id"], r["dup_of_index"])
+                    for r in sink.decisions(spark).collect()
+                ),
+                sorted(r["doc_id"] for r in sink.index(spark).collect()),
+                sorted(
+                    (r["doc_id"], r["clean_text"], r["n_removed"])
+                    for r in sink.cleaned(spark).collect()
+                ),
+                sorted(
+                    (r["doc_id"], r["pred_label"], r["llr_fp"])
+                    for r in sink.predictions(spark).collect()
+                ),
+                sorted(
+                    (r["doc_id"], r["margin"], r["pred"])
+                    for r in sink.scores(spark).collect()
+                ),
+            )
+
+        first = snapshot()
+        sink(delta, 0)  # at-least-once replay of the whole composition
+        assert snapshot() == first
+        # the dedup index did not re-absorb novels
+        assert len(first[1]) == len(set(first[1]))
+        sink.close()
