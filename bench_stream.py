@@ -185,6 +185,7 @@ def _index_sink_pipelines(spark, sf_dir: str, workdir: str) -> dict[str, float]:
     )
 
     out: dict[str, float] = {}
+    stage_secs: dict[str, float] = {}
 
     doc_feed, doc_rows = build_delta_feed(
         spark, sf_dir, workdir, "documents", ["doc_id", "text"], "doc_id"
@@ -209,6 +210,7 @@ def _index_sink_pipelines(spark, sf_dir: str, workdir: str) -> dict[str, float]:
         os.path.join(workdir, "ckpt_s6_minhash_index"),
     )
     out["s6_minhash_index_sink"] = round(doc_rows / secs, 1)
+    stage_secs["s6"] = secs
 
     emb_feed, emb_rows = build_delta_feed(
         spark, sf_dir, workdir, "embeddings", ["vec_id", "embedding"], "vec_id"
@@ -280,6 +282,7 @@ def _index_sink_pipelines(spark, sf_dir: str, workdir: str) -> dict[str, float]:
         os.path.join(workdir, "ckpt_s9_excision"),
     )
     out["s9_excision"] = round(doc_rows / secs, 1)
+    stage_secs["s9"] = secs
     excise_sink.close()
 
     # s10: language ID at ingest (streaming t20) — profiles trained
@@ -298,6 +301,11 @@ def _index_sink_pipelines(spark, sf_dir: str, workdir: str) -> dict[str, float]:
     )
 
     docs = load(spark, sf_dir, "documents")
+    # model-state tables (profiles, weights) are trained once and
+    # MATERIALIZED before the runs — the streams measure per-batch
+    # scoring, not one-time training replayed into the first batch
+    # (the ac/fl lookup treatment; applied to s10 as of r13 so the
+    # s10/s11 stages and the composed s12 are measured alike)
     profiles = langid_profiles(
         docs.filter(
             (F.col("doc_id") % T20_REF_EVERY == 0) & F.col("lang").isNotNull()
@@ -305,7 +313,7 @@ def _index_sink_pipelines(spark, sf_dir: str, workdir: str) -> dict[str, float]:
         n=T20_NGRAM,
         n_buckets=T20_BUCKETS,
         grain=T20_GRAIN,
-    )
+    ).localCheckpoint()
     lang_path = os.path.join(workdir, "language_log")
     shutil.rmtree(lang_path, ignore_errors=True)
     lang_sink = LanguageLogSink(
@@ -319,7 +327,92 @@ def _index_sink_pipelines(spark, sf_dir: str, workdir: str) -> dict[str, float]:
         os.path.join(workdir, "ckpt_s10_langid"),
     )
     out["s10_langid"] = round(doc_rows / secs, 1)
+    stage_secs["s10"] = secs
     lang_sink.close()
+
+    # s11: quality scoring at ingest (streaming t21 apply) — weights
+    # trained once on the 80% base split, every batch doc scored
+    from big_data_flight_analytics_spark.cache import release_tracked
+    from big_data_flight_analytics_spark.operators.classifier import (
+        perceptron_weights,
+    )
+    from big_data_flight_analytics_spark.plans.extension_queries import (
+        T21_BUCKETS,
+        T21_ITER,
+    )
+    from big_data_flight_analytics_spark.streaming.sinks import (
+        QualityScoreSink,
+    )
+
+    weights = perceptron_weights(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        n_buckets=T21_BUCKETS,
+        n_iter=T21_ITER,
+    ).localCheckpoint()
+    release_tracked()  # training's feature frame is done with
+    quality_path = os.path.join(workdir, "quality_log")
+    shutil.rmtree(quality_path, ignore_errors=True)
+    quality_sink = QualityScoreSink(
+        quality_path, weights, n_buckets=T21_BUCKETS
+    )
+    secs = _run_index_sink(
+        spark,
+        doc_feed,
+        "doc_id long, text string",
+        quality_sink,
+        os.path.join(workdir, "ckpt_s11_quality"),
+    )
+    out["s11_quality_score"] = round(doc_rows / secs, 1)
+    stage_secs["s11"] = secs
+    quality_sink.close()
+
+    # s12: the composed single-pass ingest pipeline — the SAME four
+    # faces (dedup-mark/absorb, excision, langid, quality) in ONE
+    # foreachBatch over one shared scan + canonical projection.
+    # s12_speedup_vs_separate = (sum of the four standalone stage
+    # times) / (composed time): >1 means the composition beats
+    # running the faces as separate streams on the same arrivals.
+    from big_data_flight_analytics_spark.streaming.sinks import (
+        IngestPipelineSink,
+    )
+
+    pipe_path = os.path.join(workdir, "ingest_pipeline")
+    shutil.rmtree(pipe_path, ignore_errors=True)
+    pipe_sink = IngestPipelineSink(
+        pipe_path,
+        benchmark=d20_bench_slices(docs),
+        profiles=profiles,
+        weights=weights,
+        minhash_kwargs={
+            "threshold": JACCARD_THRESHOLD,
+            "max_band_df": MAX_BAND_DF,
+            "absorb_novel": True,
+        },
+        excise_n=D21_N,
+        langid_n=T20_NGRAM,
+        langid_buckets=T20_BUCKETS,
+        quality_buckets=T21_BUCKETS,
+    )
+    pipe_sink.initialize(docs.filter(F.col("doc_id") % 5 != 0))
+    secs = _run_index_sink(
+        spark,
+        doc_feed,
+        "doc_id long, text string",
+        pipe_sink,
+        os.path.join(workdir, "ckpt_s12_ingest_pipeline"),
+    )
+    out["s12_ingest_pipeline"] = round(doc_rows / secs, 1)
+    out["s12_speedup_vs_separate"] = round(
+        (
+            stage_secs["s6"]
+            + stage_secs["s9"]
+            + stage_secs["s10"]
+            + stage_secs["s11"]
+        )
+        / secs,
+        2,
+    )
+    pipe_sink.close()
     return out
 
 
