@@ -181,6 +181,8 @@ _TIE_BREAK = [
     "d22_sketch_containment",
     "t21_perceptron_quality",
     "i5_langid_profile_delta",
+    "a11_histogram_quantiles",
+    "i6_histogram_delta",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

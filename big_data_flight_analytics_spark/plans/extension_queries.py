@@ -2402,6 +2402,98 @@ FROM w g
 
 
 # ---------------------------------------------------------------------------
+# A11/I6 — mergeable exact-grain histogram quantiles: single-pass
+# distribution stats under the ingest contract (operators/sketches.py).
+# a7's exact percentiles sort the corpus; the 100 TB answer is a
+# mergeable sketch — a fixed-grain integer histogram whose state is
+# O(value_range/grain) rows no matter the corpus, built with one
+# map-combined groupBy and folded incrementally (counts are additive).
+# Unlike t-digest/KLL the bucket answers are exact integers, so the
+# operator stays under the DuckDB hash gate. I6 is the fold proof:
+# 80/20 split histograms folded together must produce quantiles
+# BIT-IDENTICAL to one pass over the full table — the oracle for both
+# entries is the same from-scratch SQL.
+# ---------------------------------------------------------------------------
+
+A11_GRAIN_CENTS = 100_000  # $1,000 buckets over o_totalprice cents
+A11_QS = (1, 5, 25, 50, 75, 90, 95, 99)
+
+
+def _order_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dollars -> integer cents: FLOOR(x*100 + 0.5) is the same IEEE
+    # double op chain in both engines — exact for TPC-H price ranges
+    return load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+
+
+def a11_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.sketches import (
+        fixed_grain_histogram,
+        histogram_quantiles,
+    )
+
+    hist = fixed_grain_histogram(
+        _order_cents(spark, sf_dir), "cents", A11_GRAIN_CENTS
+    )
+    return histogram_quantiles(hist, A11_GRAIN_CENTS, A11_QS).select(
+        "q", "target_rank", "bucket", F.col("lo").alias("lo_cents")
+    )
+
+
+def i6_histogram_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.sketches import (
+        fixed_grain_histogram,
+        histogram_fold,
+        histogram_quantiles,
+    )
+
+    cents = _order_cents(spark, sf_dir)
+    base = fixed_grain_histogram(
+        cents.filter(F.col("o_orderkey") % 5 != 0), "cents", A11_GRAIN_CENTS
+    )
+    delta = fixed_grain_histogram(
+        cents.filter(F.col("o_orderkey") % 5 == 0), "cents", A11_GRAIN_CENTS
+    )
+    return histogram_quantiles(
+        histogram_fold(base, delta), A11_GRAIN_CENTS, A11_QS
+    ).select("q", "target_rank", "bucket", F.col("lo").alias("lo_cents"))
+
+
+A11_SQL = rf"""
+WITH c AS (
+    SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders WHERE o_totalprice IS NOT NULL
+), h AS (
+    SELECT CAST(FLOOR(CAST(cents AS DOUBLE) / {A11_GRAIN_CENTS}) AS BIGINT)
+               AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM c GROUP BY 1
+), tot AS (
+    SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM h
+), cum AS (
+    SELECT bucket,
+           CAST(SUM(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum
+    FROM h
+), tq AS (
+    SELECT CAST(q AS BIGINT) AS q,
+           CAST(FLOOR(CAST(q * total + 99 AS DOUBLE) / 100) AS BIGINT)
+               AS target_rank
+    FROM (SELECT UNNEST([{", ".join(str(q) for q in A11_QS)}]) AS q)
+    CROSS JOIN tot
+)
+SELECT tq.q, tq.target_rank,
+       CAST(MIN(c2.bucket) AS BIGINT) AS bucket,
+       CAST(MIN(c2.bucket) * {A11_GRAIN_CENTS} AS BIGINT) AS lo_cents
+FROM tq JOIN cum c2 ON c2.cum >= tq.target_rank
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # D6 — dedup clustering: connected components over the D2 near-dup pair
 # graph. Pairs -> transitive clusters -> canonical doc per cluster; the
 # last stage of a dedup pipeline. Oracle: recursive CTE reachability
@@ -4493,6 +4585,8 @@ EXTENSION_QUERIES = {
     "d22_sketch_containment": d22_sketch_containment,
     "t21_perceptron_quality": t21_perceptron_quality,
     "i5_langid_profile_delta": i5_langid_profile_delta,
+    "a11_histogram_quantiles": a11_histogram_quantiles,
+    "i6_histogram_delta": i6_histogram_delta,
     "d8_curated_corpus": d8_curated_corpus,
     "m1_multimodal_features": m1_multimodal_features,
     "m2_frame_sample": m2_frame_sample,
@@ -4554,6 +4648,8 @@ EXTENSION_ORACLES = {
     "d22_sketch_containment": D22_SQL,
     "t21_perceptron_quality": T21_SQL,
     "i5_langid_profile_delta": I5_LANGID_SQL,
+    "a11_histogram_quantiles": A11_SQL,
+    "i6_histogram_delta": A11_SQL,
     "d8_curated_corpus": D8_SQL,
     "m1_multimodal_features": M1_SQL,
     "m2_frame_sample": M2_SQL,

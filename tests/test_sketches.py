@@ -1,0 +1,79 @@
+"""a11/i6: mergeable exact-grain histogram sketch — fold contract,
+quantile rank semantics, negative/NULL/empty edges."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Row
+
+from big_data_flight_analytics_spark.operators.sketches import (
+    fixed_grain_histogram,
+    histogram_fold,
+    histogram_quantiles,
+)
+
+
+def _vals(spark, values):
+    return spark.createDataFrame(
+        [Row(v=int(x)) if x is not None else Row(v=None) for x in values],
+        "v long",
+    )
+
+
+def _hist_map(df):
+    return {r["bucket"]: r["cnt"] for r in df.collect()}
+
+
+def _q_map(df):
+    return {
+        r["q"]: (r["target_rank"], r["bucket"], r["lo"]) for r in df.collect()
+    }
+
+
+class TestHistogramSketch:
+    def test_fold_of_any_split_equals_full_pass(self, spark):
+        rng = random.Random(13)
+        values = [rng.randint(-5000, 5000) for _ in range(3000)]
+        full = fixed_grain_histogram(_vals(spark, values), "v", 100)
+        chunks = [values[i::3] for i in range(3)]
+        folded = fixed_grain_histogram(_vals(spark, chunks[0]), "v", 100)
+        for c in chunks[1:]:
+            folded = histogram_fold(
+                folded, fixed_grain_histogram(_vals(spark, c), "v", 100)
+            )
+        assert _hist_map(folded) == _hist_map(full)
+        # and the folded sketch answers quantiles identically
+        assert _q_map(histogram_quantiles(folded, 100)) == _q_map(
+            histogram_quantiles(full, 100)
+        )
+
+    def test_fold_is_commutative(self, spark):
+        a = fixed_grain_histogram(_vals(spark, [1, 2, 300]), "v", 100)
+        b = fixed_grain_histogram(_vals(spark, [150, -20]), "v", 100)
+        assert _hist_map(histogram_fold(a, b)) == _hist_map(
+            histogram_fold(b, a)
+        )
+
+    def test_quantile_is_min_bucket_reaching_ceil_rank(self, spark):
+        # 10 values 0..9, grain 5 -> bucket 0 holds ranks 1-5, bucket 1
+        # holds 6-10. q50 targets ceil(5.0)=5 -> bucket 0; q51 targets
+        # ceil(5.1)=6 -> bucket 1 (lower-bound convention, 0 counted in)
+        hist = fixed_grain_histogram(_vals(spark, range(10)), "v", 5)
+        got = _q_map(histogram_quantiles(hist, 5, qs=(50, 51, 100)))
+        assert got[50] == (5, 0, 0)
+        assert got[51] == (6, 1, 5)
+        assert got[100] == (10, 1, 5)
+
+    def test_negative_values_bucket_by_floor_not_truncate(self, spark):
+        # -1 with grain 5 must land in bucket -1 (floor(-0.2) = -1),
+        # not bucket 0 (truncation) — the signed-division trap
+        hist = fixed_grain_histogram(_vals(spark, [-1, -5, -6, 4]), "v", 5)
+        assert _hist_map(hist) == {-1: 2, -2: 1, 0: 1}
+
+    def test_nulls_are_excluded_and_empty_input_yields_no_rows(self, spark):
+        hist = fixed_grain_histogram(_vals(spark, [None, None, 7]), "v", 5)
+        assert _hist_map(hist) == {1: 1}
+        empty = fixed_grain_histogram(_vals(spark, []), "v", 5)
+        assert empty.count() == 0
+        assert histogram_quantiles(empty, 5).count() == 0
