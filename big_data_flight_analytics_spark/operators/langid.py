@@ -31,9 +31,18 @@ aggregates (per (doc, class), then per doc). No corpus-keyed shuffle
 other than the per-doc aggregate; nothing grows with the reference
 corpus after profile build.
 
-Caveat: character positions are code points in both Spark and DuckDB,
-so the oracle mirror is exact for any text both engines count the
-same way (all engine testdata is ASCII).
+Caveat — measured cross-engine boundary (tests/test_unicode_parity.py):
+character positions are code points in both Spark and DuckDB, and the
+canonical chain (lower/trim/length/substring/md5/``\s+`` split) is
+bit-exact across engines for combining marks, precomposed accents,
+Greek/Cyrillic, CJK, Hangul, emoji (surrogates/modifiers/ZWJ),
+ligatures, fullwidth forms, and NBSP/ideographic spaces. It diverges
+on exactly two character classes, because Spark ``lower`` applies the
+FULL (contextual, one-to-many) Unicode case mapping while DuckDB's is
+the SIMPLE one-to-one mapping: word-final Greek capital sigma (ς vs
+σ) and dotted capital I U+0130 (``i``+U+0307 vs ``i``). Oracles are
+exact for any text free of those two; each engine alone remains
+deterministic on them.
 """
 
 from __future__ import annotations

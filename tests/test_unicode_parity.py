@@ -1,0 +1,181 @@
+"""Cross-engine unicode parity study (r12 verdict stretch #8).
+
+The hash-gate oracles mirror Spark's lower/trim/length/substring/md5
+chain in DuckDB. All engine testdata is ASCII, where the chains are
+trivially identical; this suite measures WHERE the agreement actually
+ends on non-ASCII text and pins the boundary both ways:
+
+AGREES (pinned to stay equal): code-point lengths, UTF-8 md5 bytes,
+``\\s+`` tokenization, and char-trigram multisets for combining marks,
+precomposed accents, Greek/Cyrillic, CJK (incl. no-space scripts),
+Hangul, emoji with surrogate pairs / skin-tone modifiers / ZWJ
+sequences, ligatures, fullwidth forms, and NBSP/ideographic spaces
+(neither engine's ``\\s`` matches them — agreement by shared RE2/Java
+ASCII-class behavior).
+
+DIVERGES (pinned to keep diverging, so an engine upgrade that heals
+it surfaces here): Spark ``lower`` is Java/ICU FULL case mapping —
+context-sensitive and one-to-many; DuckDB ``lower`` is utf8proc
+SIMPLE one-to-one mapping. Exactly two character classes differ:
+
+1. Greek capital sigma in word-final position: Spark emits the final
+   form (ς), DuckDB the medial (σ). Same length, different bytes.
+2. Dotted capital I (U+0130, Turkish İ): Spark expands to ``i`` +
+   combining dot (U+0307) — TWO code points; DuckDB maps to plain
+   ``i`` — ONE. Lengths, grams, and hashes all shift.
+
+Operational boundary (documented in operators/langid.py): every
+text-family oracle is exact for text free of word-final Σ and U+0130.
+Corpora containing them still produce deterministic results in each
+engine — only the cross-engine differential weakens, and only on the
+affected documents.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_flight_analytics_spark.operators.langid import (
+    LANGID_BUCKETS,
+    _canonical,
+    _grams_of,
+)
+
+AGREE_CASES = {
+    "ascii": "Hello World",
+    "accent_pre": "café au lait",          # precomposed é
+    "accent_comb": "café au lait",        # e + combining acute
+    "sharp_s": "STRASSE straße",           # ß lowers to itself
+    "greek_medial": "Ελληνικά "
+                    "κείμενο",
+    "cyrillic": "русский "
+                "текст",
+    "cjk_no_spaces": "中文文本没有空格",
+    "japanese": "日本語のテキスト",
+    "korean": "한국어 텍스트",
+    "emoji_modifier": "hello \U0001f44b\U0001f3fd world \U0001f30d",
+    "emoji_zwj": "\U0001f468‍\U0001f469‍\U0001f467 family",
+    "ligature": "ﬃ ligature",
+    "fullwidth": "Ｓｐａｒｋ "
+                 "ＦＵＬＬ",
+    "nbsp_not_split": "a b c",
+    "ideographic_space_not_split": "a　b c",
+}
+DIVERGE_CASES = {
+    # word-final capital sigma: full mapping emits ς, simple emits σ
+    "greek_final_sigma": "ΟΔΥΣΣΕΥΣ",
+    # U+0130: full mapping expands to i + U+0307, simple maps to i
+    "turkish_dotted_I": "İstanbul Iı İi",
+}
+
+
+@pytest.fixture(scope="module")
+def parity(spark):
+    """(name -> (len, canon, md5, ntok, trigrams)) per engine."""
+    rows = sorted({**AGREE_CASES, **DIVERGE_CASES}.items())
+    df = spark.createDataFrame(rows, "name string, text string")
+    canon = df.select("name", _canonical("text").alias("s"))
+    got_s = {}
+    for r in canon.select(
+        "name",
+        F.length("s").alias("L"),
+        F.col("s").alias("c"),
+        F.md5("s").alias("h"),
+        F.size(
+            F.filter(F.split(F.col("s"), r"\s+"), lambda x: x != "")
+        ).alias("ntok"),
+        F.sort_array(_grams_of(F.col("s"), 3)).alias("g3"),
+    ).collect():
+        got_s[r["name"]] = (r["L"], r["c"], r["h"], r["ntok"], r["g3"])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(name VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    got_d = {}
+    for name, L, c, h, ntok, g3 in con.sql(r"""
+        WITH n AS (SELECT name, trim(lower(coalesce(text, ''))) AS s FROM t)
+        SELECT name, len(s), s, md5(s),
+               len(list_filter(regexp_split_to_array(s, '\s+'),
+                               x -> x <> '')),
+               list_sort(CASE WHEN len(s) >= 3 THEN
+                   list_transform(range(1, len(s) - 1), i -> s[i:i + 2])
+                   ELSE [] END)
+        FROM n
+    """).fetchall():
+        got_d[name] = (L, c, h, ntok, list(g3))
+    return got_s, got_d
+
+
+class TestUnicodeParity:
+    def test_agreement_set_is_bit_exact(self, parity):
+        got_s, got_d = parity
+        diffs = {
+            k: (got_s[k], got_d[k])
+            for k in AGREE_CASES
+            if got_s[k] != got_d[k]
+        }
+        assert diffs == {}, (
+            "previously-agreeing unicode classes now diverge "
+            f"(engine upgrade?): {diffs}"
+        )
+
+    def test_divergence_set_still_diverges_as_documented(self, parity):
+        got_s, got_d = parity
+        s, d = got_s["greek_final_sigma"], got_d["greek_final_sigma"]
+        # same code-point length, different final character bytes
+        assert s[0] == d[0]
+        assert s[1].endswith("ς") and d[1].endswith("σ")
+        assert s[2] != d[2]  # md5 differs -> hash gate would catch it
+        s, d = got_s["turkish_dotted_I"], got_d["turkish_dotted_I"]
+        # full mapping expands U+0130 -> 2 code points; simple -> 1
+        assert s[0] == d[0] + 2  # the fixture has two U+0130
+        assert "i̇" in s[1] and "i̇" not in d[1]
+        assert s[4] != d[4]  # trigram multisets shift with the length
+
+    def test_gram_hash_buckets_agree_on_the_agreement_set(
+        self, spark, parity
+    ):
+        """The full langid feature chain (canonical -> trigram -> md5
+        -> bucket) matches cross-engine on every agreeing class — the
+        end-to-end contract the t20/i5 oracles rely on."""
+        rows = sorted(AGREE_CASES.items())
+        df = spark.createDataFrame(rows, "name string, text string")
+        from big_data_flight_analytics_spark.operators.sampling import (
+            md5_bucket,
+        )
+
+        canon = df.select("name", _canonical("text").alias("s"))
+        got_s = {
+            (r["name"], r["bucket"]): r["n"]
+            for r in canon.select(
+                "name", F.explode(_grams_of(F.col("s"), 3)).alias("g")
+            )
+            .groupBy(
+                "name", md5_bucket(F.col("g"), LANGID_BUCKETS).alias("bucket")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(name VARCHAR, text VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        got_d = {
+            (name, bucket): n
+            for name, bucket, n in con.sql(rf"""
+                WITH n AS (
+                    SELECT name, trim(lower(coalesce(text, ''))) AS s FROM t
+                ), g AS (
+                    SELECT name,
+                           unnest(list_transform(range(1, len(s) - 1),
+                                                 i -> s[i:i + 2])) AS g
+                    FROM n WHERE len(s) >= 3
+                )
+                SELECT name,
+                       CAST(('0x' || substring(md5(g), 1, 4)) AS BIGINT)
+                           % {LANGID_BUCKETS} AS bucket,
+                       COUNT(*) AS n
+                FROM g GROUP BY 1, 2
+            """).fetchall()
+        }
+        assert got_s == got_d
