@@ -2402,14 +2402,14 @@ FROM w g
 
 
 # ---------------------------------------------------------------------------
-# A11/I6 — mergeable exact-grain histogram quantiles: single-pass
+# A11 — mergeable exact-grain histogram quantiles: single-pass
 # distribution stats under the ingest contract (operators/sketches.py).
 # a7's exact percentiles sort the corpus; the 100 TB answer is a
 # mergeable sketch — a fixed-grain integer histogram whose state is
 # O(value_range/grain) rows no matter the corpus, built with one
 # map-combined groupBy and folded incrementally (counts are additive).
 # Unlike t-digest/KLL the bucket answers are exact integers, so the
-# operator stays under the DuckDB hash gate. I6 is the fold proof:
+# operator stays under the DuckDB hash gate. I6 — the fold proof:
 # 80/20 split histograms folded together must produce quantiles
 # BIT-IDENTICAL to one pass over the full table — the oracle for both
 # entries is the same from-scratch SQL.

@@ -36,8 +36,15 @@ from big_data_flight_analytics_spark.session import get_session  # noqa: E402
 # queries where a full-width scan is the point (whole-row profiling)
 FULL_SCAN_OK = {"p1_profile_orders"}
 # tiny-side unpartitioned windows that are intended (driver-scale
-# frames: per-partition offsets, centroid postings)
-GLOBAL_WINDOW_OK = {"w5_balance_quartiles"}
+# frames: per-partition offsets, centroid postings; a11/i6's
+# cumulative sum runs over the histogram SKETCH — O(value_range/grain)
+# rows, corpus-size-independent by construction, see
+# operators/sketches.py)
+GLOBAL_WINDOW_OK = {
+    "w5_balance_quartiles",
+    "a11_histogram_quantiles",
+    "i6_histogram_delta",
+}
 
 JOIN_KINDS = (
     "BroadcastHashJoin",
