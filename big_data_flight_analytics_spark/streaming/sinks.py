@@ -1059,3 +1059,94 @@ class IngestPipelineSink:
 
     def scores(self, spark) -> DataFrame:
         return self.quality.scores(spark)
+
+    def assembled(self, spark) -> DataFrame:
+        """Training-set assembly over the four stage outputs: one row
+        per ingested NOVEL document (near-dups of the index are
+        dropped), carrying the excised clean text, the predicted
+        language/domain, and the quality score — the table a training
+        run actually reads. Gramless documents (too short to classify
+        or score) survive with NULL language/quality columns; fully
+        excised ones carry clean_text = ''. All four inputs are
+        id-keyed logs partitioned by batch, so at scale this is three
+        co-keyed joins over append-only tables — no state rescans."""
+        keep = self.decisions(spark).filter(
+            ~F.col("dup_of_index")
+        ).select(self.id_col)
+        cln = self.cleaned(spark).select(
+            self.id_col, "clean_text", "n_kept", "n_removed"
+        )
+        lang_col = f"pred_{self.langid.label_col}"
+        lang = self.predictions(spark).select(
+            self.id_col, lang_col, "llr_fp"
+        )
+        q = self.scores(spark).select(
+            self.id_col,
+            F.col("margin").alias("quality_margin"),
+            F.col("pred").alias("quality_pred"),
+        )
+        return (
+            cln.join(keep, self.id_col)
+            .join(lang, self.id_col, "left")
+            .join(q, self.id_col, "left")
+        )
+
+
+class HistogramSink(ParquetUpsertSink):
+    """Continuously maintained histogram sketch: the streaming face of
+    i6 (``operators.sketches``). Each micro-batch's values fold into
+    the persisted fixed-grain histogram with one tiny full-outer sum —
+    O(delta + state) per trigger, and the state is O(value_range/grain)
+    rows no matter how much has streamed through, so rewriting it per
+    batch is deliberate and cheap (unlike the corpus-sized index
+    stores, which must append). Distribution stats (quantiles, counts)
+    are then answerable at any moment without rescanning history.
+
+    Exactly-once: folding is NOT idempotent (a replayed batch would
+    double-count), so the sink uses the DedupIndexSink protocol — the
+    ``_last_batch`` marker written inside the staging dir, atomic with
+    the folded data it describes; replayed batch ids short-circuit.
+    """
+
+    def __init__(self, path: str, value_col: str, grain: int) -> None:
+        super().__init__(path, key_col="bucket", version_col="__none")
+        self.value_col = value_col
+        self.grain = grain
+
+    def merge(self, batch_df: DataFrame, batch_id: int) -> None:
+        from big_data_flight_analytics_spark.operators.sketches import (
+            fixed_grain_histogram,
+            histogram_fold,
+        )
+
+        self._recover()
+        if os.path.exists(self.path) and batch_id <= self._last_batch():
+            return  # replay of an already-folded batch
+        spark = batch_df.sparkSession
+        delta = fixed_grain_histogram(batch_df, self.value_col, self.grain)
+        if os.path.exists(self.path):
+            updated = histogram_fold(spark.read.parquet(self.path), delta)
+        else:
+            updated = delta
+        updated.write.mode("overwrite").parquet(self._staging)
+        with open(self._marker(self._staging), "w") as fh:
+            fh.write(str(batch_id))
+        if os.path.exists(self.path):
+            os.rename(self.path, self._old)
+        os.rename(self._staging, self.path)
+        if os.path.exists(self._old):
+            shutil.rmtree(self._old)
+
+    def read(self, spark) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+    def quantiles(self, spark, qs=None) -> DataFrame:
+        """Exact-grain quantiles from the current sketch state."""
+        from big_data_flight_analytics_spark.operators.sketches import (
+            DEFAULT_QS,
+            histogram_quantiles,
+        )
+
+        return histogram_quantiles(
+            self.read(spark), self.grain, qs or DEFAULT_QS
+        )

@@ -376,3 +376,118 @@ class TestIngestPipelineSink:
         # the dedup index did not re-absorb novels
         assert len(first[1]) == len(set(first[1]))
         sink.close()
+
+
+class TestIngestPipelineAssembly:
+    """The training-set view: novel docs only, clean text + language +
+    quality joined; gramless docs survive with NULL scores."""
+
+    def test_assembled_equals_manual_joins_and_drops_dups(
+        self, spark, tmp_path
+    ):
+        base, delta, bench, profiles_ref, quality_ref = _fixtures(spark)
+        sink, _, _ = _build_sink(
+            spark, tmp_path, base, bench, profiles_ref, quality_ref
+        )
+        _run_stream(spark, tmp_path, sink, delta)
+
+        out = {r["doc_id"]: r for r in sink.assembled(spark).collect()}
+        dups = {
+            r["doc_id"]
+            for r in sink.decisions(spark).collect()
+            if r["dup_of_index"]
+        }
+        all_ids = {r["doc_id"] for r in delta.collect()}
+        assert dups, "fixture must plant near-dups"
+        assert set(out) == all_ids - dups
+        # every surviving row carries the per-stage values verbatim
+        cln = {
+            r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+            for r in sink.cleaned(spark).collect()
+        }
+        lang = {
+            r["doc_id"]: (r["pred_label"], r["llr_fp"])
+            for r in sink.predictions(spark).collect()
+        }
+        q = {
+            r["doc_id"]: (r["margin"], r["pred"])
+            for r in sink.scores(spark).collect()
+        }
+        for i, r in out.items():
+            assert (r["clean_text"], r["n_kept"], r["n_removed"]) == cln[i]
+            if i in lang:
+                assert (r["pred_label"], r["llr_fp"]) == lang[i]
+            else:
+                assert r["pred_label"] is None
+            if i in q:
+                assert (r["quality_margin"], r["quality_pred"]) == q[i]
+            else:
+                assert r["quality_pred"] is None
+        # the fully-quoted doc survives dedup but is excised empty —
+        # and being gramless after excision is fine: the signals are
+        # computed on ARRIVAL text, so it still carries lang/quality
+        assert out[211]["clean_text"] == ""
+        sink.close()
+
+
+class TestHistogramSink:
+    """Streaming i6: per-batch folds == one batch histogram over all
+    arrivals; fold replay is marker-guarded (NOT idempotent by
+    content, unlike the stateless log sinks)."""
+
+    def _delta(self, spark):
+        import random
+
+        rng = random.Random(41)
+        return spark.createDataFrame(
+            [(i, rng.randint(-2000, 2000)) for i in range(400)],
+            "row_id long, v long",
+        )
+
+    def test_stream_folds_equal_batch_histogram(self, spark, tmp_path):
+        from big_data_flight_analytics_spark.operators.sketches import (
+            fixed_grain_histogram,
+            histogram_quantiles,
+        )
+        from big_data_flight_analytics_spark.streaming.sinks import (
+            HistogramSink,
+        )
+
+        delta = self._delta(spark)
+        sink = HistogramSink(str(tmp_path / "hist"), "v", 100)
+        _run_stream(spark, tmp_path, sink, delta)
+        got = {r["bucket"]: r["cnt"] for r in sink.read(spark).collect()}
+        want = {
+            r["bucket"]: r["cnt"]
+            for r in fixed_grain_histogram(delta, "v", 100).collect()
+        }
+        assert got == want
+        got_q = {
+            r["q"]: (r["target_rank"], r["bucket"], r["lo"])
+            for r in sink.quantiles(spark).collect()
+        }
+        want_q = {
+            r["q"]: (r["target_rank"], r["bucket"], r["lo"])
+            for r in histogram_quantiles(
+                fixed_grain_histogram(delta, "v", 100), 100
+            ).collect()
+        }
+        assert got_q == want_q
+
+    def test_replayed_batch_does_not_double_count(self, spark, tmp_path):
+        from big_data_flight_analytics_spark.streaming.sinks import (
+            HistogramSink,
+        )
+
+        delta = self._delta(spark)
+        sink = HistogramSink(str(tmp_path / "hist"), "v", 100)
+        sink.merge(delta, 0)
+        first = {r["bucket"]: r["cnt"] for r in sink.read(spark).collect()}
+        sink.merge(delta, 0)  # at-least-once replay: must short-circuit
+        assert {
+            r["bucket"]: r["cnt"] for r in sink.read(spark).collect()
+        } == first
+        sink.merge(delta, 1)  # a genuinely new batch still folds
+        assert {
+            r["bucket"]: r["cnt"] for r in sink.read(spark).collect()
+        } == {b: 2 * c for b, c in first.items()}
