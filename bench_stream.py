@@ -413,6 +413,33 @@ def _index_sink_pipelines(spark, sf_dir: str, workdir: str) -> dict[str, float]:
         2,
     )
     pipe_sink.close()
+
+    # s13: continuously folded histogram sketch (streaming i6) — the
+    # orders delta streams through and each batch folds into the
+    # O(value_range/grain) sketch state
+    from big_data_flight_analytics_spark.streaming.sinks import (
+        HistogramSink,
+    )
+
+    ord_feed, ord_rows = build_delta_feed(
+        spark,
+        sf_dir,
+        workdir,
+        "orders",
+        ["o_orderkey", "o_totalprice"],
+        "o_orderkey",
+    )
+    hist_path = os.path.join(workdir, "histogram_sketch")
+    shutil.rmtree(hist_path, ignore_errors=True)
+    hist_sink = HistogramSink(hist_path, "o_totalprice", 1000)
+    secs = _run_index_sink(
+        spark,
+        ord_feed,
+        "o_orderkey long, o_totalprice double",
+        hist_sink,
+        os.path.join(workdir, "ckpt_s13_histogram"),
+    )
+    out["s13_histogram_sink"] = round(ord_rows / secs, 1)
     return out
 
 
