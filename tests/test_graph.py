@@ -393,3 +393,68 @@ class TestTriangleClustering:
         got = sorted(tuple(r) for r in triangle_clustering(df).collect())
         assert [r[2] for r in got] == [0, 0, 0, 0]
         assert [r[3] for r in got] == [0.0, 0.0, 0.0, 0.0]
+
+
+class TestPageRankDefinitionalTruth:
+    """The fixed-point reference above mirrors the implementation
+    op-for-op, which (like the r12 perceptron bug) would also mirror a
+    definitional mistake. This test derives truth from the TEXTBOOK
+    definition instead: float power iteration with damping d=0.85,
+    uniform teleport, dangling mass redistributed uniformly —
+    independent of the engine's integer formulation. The fixed-point
+    ranks (descaled) must approximate it to the floor-loss bound."""
+
+    def test_fixedpoint_tracks_textbook_power_iteration(self, spark):
+        import random
+
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.operators.graph import (
+            pagerank_fixedpoint,
+        )
+
+        rng = random.Random(11)
+        edges = [
+            (s, d)
+            for s, d in {
+                (rng.randrange(30), rng.randrange(30)) for _ in range(120)
+            }
+            if s != d
+        ]
+        nodes = sorted({n for e in edges for n in e})
+        n = len(nodes)
+        out = {}
+        for s, d in set(edges):
+            out.setdefault(s, set()).add(d)
+        d_f = 0.85
+        rank = {v: 1.0 / n for v in nodes}
+        for _ in range(8):
+            dang = sum(r for v, r in rank.items() if v not in out)
+            nxt = {v: 0.0 for v in nodes}
+            for s, ds in out.items():
+                for t in ds:
+                    nxt[t] += rank[s] / len(ds)
+            rank = {
+                v: (1 - d_f) / n + d_f * (nxt[v] + dang / n) for v in nodes
+            }
+        scale = 10**12
+        got = {
+            r["node"]: r["rank_fp"] / scale
+            for r in pagerank_fixedpoint(
+                spark.createDataFrame(
+                    [Row(src=s, dst=d) for s, d in edges]
+                ),
+                num_iter=8,
+                scale=scale,
+            ).collect()
+        }
+        assert set(got) == set(nodes)
+        # every DIV floors away < 1 rank unit; 8 iterations over <= n
+        # inbound sums keep the accumulated floor loss far under 1e-6
+        # at scale 1e12 for a 30-node graph
+        for v in nodes:
+            assert abs(got[v] - rank[v]) < 1e-6, (v, got[v], rank[v])
+        # and the induced ranking agrees (the property g1 consumes)
+        assert sorted(nodes, key=lambda v: (-got[v], v)) == sorted(
+            nodes, key=lambda v: (-rank[v], v)
+        )

@@ -712,3 +712,57 @@ class TestBigramLmScore:
         by_id = {r[0]: r for r in a}
         assert by_id[999] == (999, 0, 0, 0)  # null text keeps a zero row
         assert len(a) == 121
+
+
+class TestBm25DefinitionalTruth:
+    """_py_bm25 above replicates the integer-grain contract; like the
+    r12 perceptron bug, a definitional mistake would survive that
+    mirror. Truth here is the TEXTBOOK Okapi BM25 (float, k1=1.2,
+    b=0.75, the +0.5-smoothed idf ln((N - df + 0.5)/(df + 0.5) + 1)):
+    the engine's integer-grain ranking must induce the same order on a
+    fixture with distinct float scores."""
+
+    def test_integer_grain_ranking_matches_float_okapi(self, spark):
+        import math
+
+        from big_data_flight_analytics_spark.operators.text import bm25_topk
+
+        texts = [
+            "spark join window spark fast spark",
+            "join join join table scan",
+            "window dup window scan scan window",
+            "the a table scan row here",
+            "dup dup spark dup",
+            "spark alone",
+        ]
+        terms = ["spark", "join", "dup", "window"]
+        docs = [(i, t.split()) for i, t in enumerate(texts)]
+        n = len(docs)
+        avgdl = sum(len(tk) for _, tk in docs) / n
+        dfs = {t: sum(1 for _, tk in docs if t in tk) for t in terms}
+        k1, b = 1.2, 0.75
+
+        def score(toks):
+            s = 0.0
+            for t in terms:
+                tf = toks.count(t)
+                if not tf:
+                    continue
+                idf = math.log((n - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1)
+                s += idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * len(toks) / avgdl)
+                )
+            return s
+
+        want = [
+            i
+            for i, _ in sorted(
+                ((i, score(tk)) for i, tk in docs if score(tk) > 0),
+                key=lambda r: (-r[1], r[0]),
+            )
+        ]
+        got = [
+            r["doc_id"]
+            for r in bm25_topk(_docs(spark, texts), terms, k=10).collect()
+        ]
+        assert got == want
