@@ -766,3 +766,125 @@ class TestBm25DefinitionalTruth:
             for r in bm25_topk(_docs(spark, texts), terms, k=10).collect()
         ]
         assert got == want
+
+
+class TestBigramLmDefinitionalTruth:
+    """Truth from the textbook definition (float add-one-smoothed
+    bigram LM trained on the corpus itself), not from the engine's
+    integer formulation: the descaled nll_fp must sit within the
+    accumulated floor-loss bound of the float NLL for every doc."""
+
+    def test_fixedpoint_nll_tracks_float_lm(self, spark):
+        import math
+
+        from big_data_flight_analytics_spark.operators.text import (
+            bigram_lm_score,
+        )
+
+        texts = [
+            "the cat sat on the mat",
+            "the cat sat on the cat",
+            "dog dog dog dog",
+            "a completely different sentence here",
+            "the mat sat",
+            "single",
+        ]
+        toks = [t.split() for t in texts]
+        c2, c1 = {}, {}
+        for tk in toks:
+            for a, b in zip(tk, tk[1:]):
+                c2[(a, b)] = c2.get((a, b), 0) + 1
+                c1[a] = c1.get(a, 0) + 1
+        v = len({w for tk in toks for w in tk})
+        want = {}
+        for i, tk in enumerate(toks):
+            pairs = list(zip(tk, tk[1:]))
+            want[i] = (
+                -sum(
+                    math.log((c2[(a, b)] + 1) / (c1[a] + v))
+                    for a, b in pairs
+                ),
+                len(pairs),
+            )
+        grain = 1_000_000
+        got = {
+            r["doc_id"]: (r["nll_fp"], r["n_bigrams"])
+            for r in bigram_lm_score(_docs(spark, texts), grain).collect()
+        }
+        for i, (nll, nb) in want.items():
+            assert got[i][1] == nb
+            # each of the nb per-bigram floors loses < 1 grain unit
+            assert 0 <= got[i][0] - nll * grain <= nb + 1, (
+                i, got[i][0] / grain, nll
+            )
+
+
+class TestDsirDefinitionalTruth:
+    """Truth from the paper's definition (Xie et al. 2023: add-one-
+    smoothed LLR of hashed-bigram profiles, target vs raw corpus),
+    replicated in pure-Python floats with an independent md5 bucketer:
+    the descaled dsir_fp must sit within the per-bucket floor-loss
+    bound of the float score for every doc."""
+
+    def test_fixedpoint_score_tracks_float_llr(self, spark):
+        import hashlib
+        import math
+
+        from big_data_flight_analytics_spark.operators.sampling import (
+            dsir_weights,
+        )
+
+        n_buckets, grain = 64, 1_000_000
+        rows = [
+            Row(doc_id=i, source="tgt", text="alpha beta gamma alpha beta")
+            for i in range(4)
+        ] + [
+            Row(doc_id=10 + i, source="bg",
+                text="delta epsilon zeta delta epsilon")
+            for i in range(8)
+        ] + [
+            Row(doc_id=100, source="bg", text="alpha beta alpha"),
+            Row(doc_id=101, source="bg", text="delta epsilon delta"),
+        ]
+
+        def bucket(g):
+            return int(hashlib.md5(g.encode()).hexdigest()[:4], 16) % \
+                n_buckets
+
+        cnt_t, cnt_r = {}, {}
+        per_doc = {}
+        for r in rows:
+            tk = r.text.split()
+            bs = [bucket(f"{a} {b}") for a, b in zip(tk, tk[1:])]
+            per_doc[r.doc_id] = bs
+            for b in bs:
+                cnt_r[b] = cnt_r.get(b, 0) + 1
+                if r.source == "tgt":
+                    cnt_t[b] = cnt_t.get(b, 0) + 1
+        s_t, s_r = sum(cnt_t.values()), sum(cnt_r.values())
+
+        def w(b):
+            return math.log(
+                ((cnt_t.get(b, 0) + 1) / (s_t + n_buckets))
+                / ((cnt_r.get(b, 0) + 1) / (s_r + n_buckets))
+            )
+
+        want = {i: sum(w(b) for b in bs) for i, bs in per_doc.items()}
+        got = {
+            r["doc_id"]: (r["dsir_fp"], r["n_bigrams"])
+            for r in dsir_weights(
+                spark.createDataFrame(rows), "tgt", n_buckets=n_buckets,
+                grain=grain,
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for i, bs in per_doc.items():
+            fp, nb = got[i]
+            assert nb == len(bs)
+            # each bucket weight floors away < 1 grain unit, summed
+            # with multiplicity -> total downward drift < nb (+1 slack)
+            assert -(nb + 1) <= fp - want[i] * grain <= 1, (
+                i, fp / grain, want[i]
+            )
+        # and the definitional separation the operator exists for
+        assert got[100][0] > got[101][0]
