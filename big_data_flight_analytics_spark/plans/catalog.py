@@ -183,6 +183,7 @@ _TIE_BREAK = [
     "i5_langid_profile_delta",
     "a11_histogram_quantiles",
     "i6_histogram_delta",
+    "a12_grouped_quantiles",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

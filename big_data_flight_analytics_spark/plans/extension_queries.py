@@ -2463,6 +2463,73 @@ def i6_histogram_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("q", "target_rank", "bucket", F.col("lo").alias("lo_cents"))
 
 
+# A12 — grouped histogram quantiles: the per-key form of a11 (the
+# "p99 per tenant" production ask). Same sketch machinery with the
+# group key threaded through: state is O(groups x buckets), the fold
+# key is (group, bucket), and the cumulative window is PARTITIONED by
+# group — it scales with group count instead of being the documented
+# single global window. Grouped by o_orderpriority over the same
+# cents/grain framing as a11; oracle mirrors with PARTITION BY.
+
+
+def a12_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.sketches import (
+        fixed_grain_histogram,
+        histogram_quantiles,
+    )
+
+    cents = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    hist = fixed_grain_histogram(
+        cents, "cents", A11_GRAIN_CENTS, group_cols=("priority",)
+    )
+    return histogram_quantiles(
+        hist, A11_GRAIN_CENTS, A11_QS, group_cols=("priority",)
+    ).select(
+        "priority", "q", "target_rank", "bucket",
+        F.col("lo").alias("lo_cents"),
+    )
+
+
+A12_SQL = rf"""
+WITH c AS (
+    SELECT o_orderpriority AS priority,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders WHERE o_totalprice IS NOT NULL
+), h AS (
+    SELECT priority,
+           CAST(FLOOR(CAST(cents AS DOUBLE) / {A11_GRAIN_CENTS}) AS BIGINT)
+               AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM c GROUP BY 1, 2
+), tot AS (
+    SELECT priority, CAST(SUM(cnt) AS BIGINT) AS total
+    FROM h GROUP BY priority
+), cum AS (
+    SELECT priority, bucket,
+           CAST(SUM(cnt) OVER (PARTITION BY priority ORDER BY bucket)
+                AS BIGINT) AS cum
+    FROM h
+), tq AS (
+    SELECT priority, CAST(q AS BIGINT) AS q,
+           CAST(FLOOR(CAST(q * total + 99 AS DOUBLE) / 100) AS BIGINT)
+               AS target_rank
+    FROM (SELECT UNNEST([{", ".join(str(q) for q in A11_QS)}]) AS q)
+    CROSS JOIN tot
+)
+SELECT tq.priority, tq.q, tq.target_rank,
+       CAST(MIN(c2.bucket) AS BIGINT) AS bucket,
+       CAST(MIN(c2.bucket) * {A11_GRAIN_CENTS} AS BIGINT) AS lo_cents
+FROM tq JOIN cum c2
+  ON c2.priority = tq.priority AND c2.cum >= tq.target_rank
+GROUP BY 1, 2, 3
+"""
+
+
 A11_SQL = rf"""
 WITH c AS (
     SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
@@ -4587,6 +4654,7 @@ EXTENSION_QUERIES = {
     "i5_langid_profile_delta": i5_langid_profile_delta,
     "a11_histogram_quantiles": a11_histogram_quantiles,
     "i6_histogram_delta": i6_histogram_delta,
+    "a12_grouped_quantiles": a12_grouped_quantiles,
     "d8_curated_corpus": d8_curated_corpus,
     "m1_multimodal_features": m1_multimodal_features,
     "m2_frame_sample": m2_frame_sample,
@@ -4650,6 +4718,7 @@ EXTENSION_ORACLES = {
     "i5_langid_profile_delta": I5_LANGID_SQL,
     "a11_histogram_quantiles": A11_SQL,
     "i6_histogram_delta": A11_SQL,
+    "a12_grouped_quantiles": A12_SQL,
     "d8_curated_corpus": D8_SQL,
     "m1_multimodal_features": M1_SQL,
     "m2_frame_sample": M2_SQL,

@@ -6,6 +6,7 @@ from __future__ import annotations
 import random
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from big_data_flight_analytics_spark.operators.sketches import (
     fixed_grain_histogram,
@@ -77,3 +78,74 @@ class TestHistogramSketch:
         empty = fixed_grain_histogram(_vals(spark, []), "v", 5)
         assert empty.count() == 0
         assert histogram_quantiles(empty, 5).count() == 0
+
+
+class TestGroupedHistogramSketch:
+    """a12: the per-key sketch — grouped fold==full, per-group
+    quantile independence, and equivalence with the ungrouped form on
+    a single group."""
+
+    def _grouped(self, spark, rows):
+        return spark.createDataFrame(rows, "g string, v long")
+
+    def test_grouped_fold_equals_full_pass(self, spark):
+        import random
+
+        rng = random.Random(17)
+        rows = [
+            (rng.choice(["a", "b", "c"]), rng.randint(-1000, 1000))
+            for _ in range(2000)
+        ]
+        df = self._grouped(spark, rows)
+        full = fixed_grain_histogram(df, "v", 100, group_cols=("g",))
+        halves = [rows[0::2], rows[1::2]]
+        folded = histogram_fold(
+            fixed_grain_histogram(
+                self._grouped(spark, halves[0]), "v", 100, group_cols=("g",)
+            ),
+            fixed_grain_histogram(
+                self._grouped(spark, halves[1]), "v", 100, group_cols=("g",)
+            ),
+            group_cols=("g",),
+        )
+        key = lambda df_: {  # noqa: E731
+            (r["g"], r["bucket"]): r["cnt"] for r in df_.collect()
+        }
+        assert key(folded) == key(full)
+        qk = lambda df_: {  # noqa: E731
+            (r["g"], r["q"]): (r["target_rank"], r["bucket"], r["lo"])
+            for r in df_.collect()
+        }
+        assert qk(
+            histogram_quantiles(folded, 100, group_cols=("g",))
+        ) == qk(histogram_quantiles(full, 100, group_cols=("g",)))
+
+    def test_groups_are_independent_and_match_ungrouped(self, spark):
+        # each group's quantiles must equal the ungrouped operator run
+        # on that group's rows alone
+        rows = [("a", v) for v in range(10)] + [
+            ("b", v) for v in (5, 5, 5, 100, 200)
+        ]
+        df = self._grouped(spark, rows)
+        grouped = {
+            (r["g"], r["q"]): (r["target_rank"], r["bucket"], r["lo"])
+            for r in histogram_quantiles(
+                fixed_grain_histogram(df, "v", 5, group_cols=("g",)),
+                5,
+                qs=(50, 100),
+                group_cols=("g",),
+            ).collect()
+        }
+        for g in ("a", "b"):
+            solo = {
+                r["q"]: (r["target_rank"], r["bucket"], r["lo"])
+                for r in histogram_quantiles(
+                    fixed_grain_histogram(
+                        df.filter(F.col("g") == g), "v", 5
+                    ),
+                    5,
+                    qs=(50, 100),
+                ).collect()
+            }
+            for q, want in solo.items():
+                assert grouped[(g, q)] == want
