@@ -1108,10 +1108,17 @@ class HistogramSink(ParquetUpsertSink):
     the folded data it describes; replayed batch ids short-circuit.
     """
 
-    def __init__(self, path: str, value_col: str, grain: int) -> None:
+    def __init__(
+        self,
+        path: str,
+        value_col: str,
+        grain: int,
+        group_cols: tuple[str, ...] = (),
+    ) -> None:
         super().__init__(path, key_col="bucket", version_col="__none")
         self.value_col = value_col
         self.grain = grain
+        self.group_cols = tuple(group_cols)
 
     def merge(self, batch_df: DataFrame, batch_id: int) -> None:
         from big_data_flight_analytics_spark.operators.sketches import (
@@ -1123,9 +1130,13 @@ class HistogramSink(ParquetUpsertSink):
         if os.path.exists(self.path) and batch_id <= self._last_batch():
             return  # replay of an already-folded batch
         spark = batch_df.sparkSession
-        delta = fixed_grain_histogram(batch_df, self.value_col, self.grain)
+        delta = fixed_grain_histogram(
+            batch_df, self.value_col, self.grain, self.group_cols
+        )
         if os.path.exists(self.path):
-            updated = histogram_fold(spark.read.parquet(self.path), delta)
+            updated = histogram_fold(
+                spark.read.parquet(self.path), delta, self.group_cols
+            )
         else:
             updated = delta
         updated.write.mode("overwrite").parquet(self._staging)
@@ -1141,12 +1152,13 @@ class HistogramSink(ParquetUpsertSink):
         return spark.read.parquet(self.path)
 
     def quantiles(self, spark, qs=None) -> DataFrame:
-        """Exact-grain quantiles from the current sketch state."""
+        """Exact-grain quantiles from the current sketch state (per
+        group, if the sink is grouped)."""
         from big_data_flight_analytics_spark.operators.sketches import (
             DEFAULT_QS,
             histogram_quantiles,
         )
 
         return histogram_quantiles(
-            self.read(spark), self.grain, qs or DEFAULT_QS
+            self.read(spark), self.grain, qs or DEFAULT_QS, self.group_cols
         )

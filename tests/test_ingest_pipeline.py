@@ -491,3 +491,41 @@ class TestHistogramSink:
         assert {
             r["bucket"]: r["cnt"] for r in sink.read(spark).collect()
         } == {b: 2 * c for b, c in first.items()}
+
+    def test_grouped_sink_folds_per_group(self, spark, tmp_path):
+        from big_data_flight_analytics_spark.operators.sketches import (
+            fixed_grain_histogram,
+        )
+        from big_data_flight_analytics_spark.streaming.sinks import (
+            HistogramSink,
+        )
+
+        import random
+
+        rng = random.Random(43)
+        delta = spark.createDataFrame(
+            [
+                (i, rng.choice(["x", "y"]), rng.randint(0, 500))
+                for i in range(200)
+            ],
+            "row_id long, g string, v long",
+        )
+        sink = HistogramSink(
+            str(tmp_path / "ghist"), "v", 50, group_cols=("g",)
+        )
+        _run_stream(spark, tmp_path, sink, delta)
+        got = {
+            (r["g"], r["bucket"]): r["cnt"]
+            for r in sink.read(spark).collect()
+        }
+        want = {
+            (r["g"], r["bucket"]): r["cnt"]
+            for r in fixed_grain_histogram(
+                delta, "v", 50, group_cols=("g",)
+            ).collect()
+        }
+        assert got == want
+        assert {g for g, _ in got} == {"x", "y"}
+        # per-group quantiles come straight off the folded state
+        qrows = sink.quantiles(spark, qs=(50,)).collect()
+        assert {r["g"] for r in qrows} == {"x", "y"}
