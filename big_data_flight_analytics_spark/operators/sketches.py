@@ -1,5 +1,13 @@
-"""Mergeable exact-grain histogram sketch: single-pass distribution
-stats under the incremental ingest contract (a11/i6/a12).
+"""Mergeable sketches: single-pass distribution stats under the
+incremental ingest contract.
+
+Two families live here:
+
+* the exact-grain HISTOGRAM sketch (a11/i6/a12) — quantiles from a
+  fixed-grain integer histogram;
+* the KMV (k-minimum-values) DISTINCT sketch (a13/i7) — distinct
+  counts from the k smallest 60-bit value hashes (Bar-Yossef et al.
+  2002; the Theta-sketch family's deterministic core).
 
 The 100 TB answer for quantiles is a mergeable sketch, not a sort:
 one corpus pass builds per-partition partial histograms that combine
@@ -151,4 +159,127 @@ def histogram_quantiles(
             "bucket",
             (F.col("bucket") * F.lit(grain)).cast("long").alias("lo"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch (a13/i7): k smallest distinct 60-bit hashes.
+# ---------------------------------------------------------------------------
+
+# 60-bit hash space: conv(substring(md5(x),1,15),16,10) — the house
+# cross-engine hash (t20/d19 pattern: DuckDB mirrors it with
+# CAST('0x'||substring(md5(x),1,15) AS BIGINT)). 60 bits keep birthday
+# collisions negligible (~N^2/2^61) while every derived quantity stays
+# inside exact int64/decimal arithmetic in BOTH engines.
+KMV_HASH_SCALE = 1 << 60  # 1152921504606846976
+
+
+def _kmv_hash(value_col: str):
+    return F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    k: int,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(*group_cols, rank, h): the k smallest DISTINCT 60-bit hashes
+    of ``value_col`` per group — the persisted sketch state
+    (<= k rows per group, corpus-size-independent). NULL values carry
+    no cardinality information and are excluded.
+
+    Scale shape: ONE corpus-sized shuffle. Rows first pass a
+    per-(group, upstream-partition) prune — dense_rank over each cell
+    keeps only that cell's k smallest distinct hashes, so at most
+    k x n_partitions candidate values (plus their duplicates) survive
+    to the sketch-sized distinct + final ranking. The global k
+    smallest distinct hashes are each among their own cell's k
+    smallest, so the prune is lossless under ANY partitioning — the
+    output is partitioning-invariant (pinned by test). The ungrouped
+    final window is the documented sketch-sized global-window class
+    (w5/a11): O(k x n_partitions) rows regardless of corpus."""
+    gcols = list(group_cols)
+    hashed = df.filter(F.col(value_col).isNotNull()).select(
+        *gcols, _kmv_hash(value_col).alias("h")
+    )
+    cell = Window.partitionBy(*gcols, "__pid").orderBy("h")
+    cand = (
+        hashed.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__dr", F.dense_rank().over(cell))
+        .filter(F.col("__dr") <= k)
+        .select(*gcols, "h")
+        .distinct()
+    )
+    w = (Window.partitionBy(*gcols) if gcols else Window).orderBy("h")
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(*gcols, "rank", "h")
+    )
+
+
+def kmv_fold(
+    base: DataFrame,
+    delta: DataFrame,
+    k: int,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Fold a delta sketch into the stored one: set-union of the two
+    hash sets, keep the k smallest — O(state) work over <= 2k rows per
+    group, corpus-independent. The fold is associative, commutative,
+    AND idempotent (union of sets): re-folding an already-absorbed
+    delta is a no-op, so a replayed micro-batch cannot corrupt the
+    state — unlike the additive histogram fold, which needs replay
+    markers (streaming/sinks.py HistogramSink)."""
+    gcols = list(group_cols)
+    u = (
+        base.select(*gcols, "h")
+        .union(delta.select(*gcols, "h"))
+        .distinct()
+    )
+    w = (Window.partitionBy(*gcols) if gcols else Window).orderBy("h")
+    return (
+        u.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(*gcols, "rank", "h")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame,
+    k: int,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(*group_cols, sketch_n, kth_hash, n_distinct_est) from the
+    sketch state. With fewer than k distinct values the sketch IS the
+    distinct set (estimate = sketch_n, exact); at capacity the
+    unbiased KMV estimator is (k-1) * 2^60 / h_(k), evaluated with
+    EXACT integer arithmetic both engines reproduce bit-identically:
+    Spark DECIMAL(38,0) `div` == DuckDB HUGEINT `//` (truncating
+    integral division; all operands positive). Relative error ~
+    1/sqrt(k-2). GREATEST(kth_hash, 1) guards the 2^-60 h=0 corner
+    without changing any realizable estimate (h=0 would make rank-1
+    smaller anyway). Runs on sketch-sized input only."""
+    gcols = list(group_cols)
+    aggs = [
+        F.coalesce(F.max("rank"), F.lit(0)).cast("long").alias("sketch_n"),
+        F.max("h").cast("long").alias("kth_hash"),
+    ]
+    agg = sketch.groupBy(*gcols).agg(*aggs) if gcols else sketch.agg(*aggs)
+    est_at_capacity = F.expr(
+        f"CAST(CAST({k - 1} AS DECIMAL(38,0))"
+        f" * CAST({KMV_HASH_SCALE} AS DECIMAL(38,0)) AS DECIMAL(38,0))"
+        " div GREATEST(kth_hash, 1)"
+    ).cast("long")
+    return agg.select(
+        *gcols,
+        "sketch_n",
+        "kth_hash",
+        F.when(F.col("sketch_n") < k, F.col("sketch_n"))
+        .otherwise(est_at_capacity)
+        .cast("long")
+        .alias("n_distinct_est"),
     )

@@ -184,6 +184,8 @@ _TIE_BREAK = [
     "a11_histogram_quantiles",
     "i6_histogram_delta",
     "a12_grouped_quantiles",
+    "a13_kmv_distinct",
+    "i7_kmv_delta",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

@@ -2561,6 +2561,107 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# A13 — KMV distinct sketch: single-pass mergeable distinct counts
+# (operators/sketches.py kmv_*). a6-style exact COUNT(DISTINCT) shuffles
+# every distinct value; the 100 TB answer is the k-minimum-values sketch
+# — state is the k smallest 60-bit value hashes (<= k rows per group,
+# corpus-size-independent), built with one pruned shuffle and folded
+# incrementally (set union, idempotent). The estimator (k-1)*2^60/h_(k)
+# is EXACT integer arithmetic both engines reproduce bit-identically
+# (Spark DECIMAL div == DuckDB HUGEINT //), so the sketch sits under
+# the hash gate; n_exact rides along to show accuracy (~1/sqrt(k-2)).
+# I7 — the fold proof: 80/20 split sketches folded together must equal
+# the from-scratch sketch STATE bit-for-bit (same oracle replays one
+# pass over the union). Streaming face: KMVSink (s14).
+# ---------------------------------------------------------------------------
+
+A13_K = 128
+
+
+def a13_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"), "o_custkey"
+    )
+    sketch = kmv_sketch(orders, "o_custkey", A13_K, group_cols=("priority",))
+    est = kmv_estimate(sketch, A13_K, group_cols=("priority",))
+    exact = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .groupBy("priority")
+        .agg(F.countDistinct("o_custkey").cast("long").alias("n_exact"))
+    )
+    return est.join(F.broadcast(exact), "priority").select(
+        "priority", "sketch_n", "kth_hash", "n_distinct_est", "n_exact"
+    )
+
+
+def i7_kmv_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.sketches import (
+        kmv_fold,
+        kmv_sketch,
+    )
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    base = kmv_sketch(
+        orders.filter(F.col("o_orderkey") % 5 != 0), "o_custkey", A13_K
+    )
+    delta = kmv_sketch(
+        orders.filter(F.col("o_orderkey") % 5 == 0), "o_custkey", A13_K
+    )
+    return kmv_fold(base, delta, A13_K).select("rank", "h")
+
+
+A13_SQL = rf"""
+WITH hv AS (
+    SELECT o_orderpriority AS priority,
+           CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+                AS BIGINT) AS h
+    FROM orders WHERE o_custkey IS NOT NULL
+), d AS (
+    SELECT DISTINCT priority, h FROM hv
+), r AS (
+    SELECT priority, h,
+           ROW_NUMBER() OVER (PARTITION BY priority ORDER BY h) AS rnk
+    FROM d
+), s AS (
+    SELECT priority,
+           CAST(MAX(rnk) AS BIGINT) AS sketch_n,
+           CAST(MAX(h) AS BIGINT) AS kth_hash
+    FROM r WHERE rnk <= {A13_K} GROUP BY priority
+), ex AS (
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact
+    FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+)
+SELECT s.priority, s.sketch_n, s.kth_hash,
+       CAST(CASE WHEN s.sketch_n < {A13_K} THEN s.sketch_n
+                 ELSE ({A13_K - 1}::HUGEINT
+                       * {1 << 60}::HUGEINT)
+                      // GREATEST(s.kth_hash, 1)
+            END AS BIGINT) AS n_distinct_est,
+       ex.n_exact
+FROM s JOIN ex USING (priority)
+"""
+
+
+I7_KMV_SQL = rf"""
+WITH d AS (
+    SELECT DISTINCT
+           CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+                AS BIGINT) AS h
+    FROM orders WHERE o_custkey IS NOT NULL
+), r AS (
+    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rnk FROM d
+)
+SELECT CAST(rnk AS BIGINT) AS "rank", h FROM r WHERE rnk <= {A13_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # D6 — dedup clustering: connected components over the D2 near-dup pair
 # graph. Pairs -> transitive clusters -> canonical doc per cluster; the
 # last stage of a dedup pipeline. Oracle: recursive CTE reachability
@@ -4655,6 +4756,8 @@ EXTENSION_QUERIES = {
     "a11_histogram_quantiles": a11_histogram_quantiles,
     "i6_histogram_delta": i6_histogram_delta,
     "a12_grouped_quantiles": a12_grouped_quantiles,
+    "a13_kmv_distinct": a13_kmv_distinct,
+    "i7_kmv_delta": i7_kmv_delta,
     "d8_curated_corpus": d8_curated_corpus,
     "m1_multimodal_features": m1_multimodal_features,
     "m2_frame_sample": m2_frame_sample,
@@ -4719,6 +4822,8 @@ EXTENSION_ORACLES = {
     "a11_histogram_quantiles": A11_SQL,
     "i6_histogram_delta": A11_SQL,
     "a12_grouped_quantiles": A12_SQL,
+    "a13_kmv_distinct": A13_SQL,
+    "i7_kmv_delta": I7_KMV_SQL,
     "d8_curated_corpus": D8_SQL,
     "m1_multimodal_features": M1_SQL,
     "m2_frame_sample": M2_SQL,

@@ -149,3 +149,138 @@ class TestGroupedHistogramSketch:
             }
             for q, want in solo.items():
                 assert grouped[(g, q)] == want
+
+
+class TestKMVSketch:
+    """a13/i7: the KMV distinct sketch — fold contract, partitioning
+    invariance, exact-under-k, estimator accuracy, replay idempotence."""
+
+    def _ids(self, spark, values, parts=None):
+        df = spark.createDataFrame(
+            [(int(v),) if v is not None else (None,) for v in values],
+            "v long",
+        )
+        return df.repartition(parts) if parts else df
+
+    def _state(self, df):
+        return {(r["rank"], r["h"]) for r in df.collect()}
+
+    def test_fold_of_any_split_equals_full_pass(self, spark):
+        from big_data_flight_analytics_spark.operators.sketches import (
+            kmv_fold,
+            kmv_sketch,
+        )
+
+        values = [v % 700 for v in range(3000)]  # dupes on purpose
+        full = kmv_sketch(self._ids(spark, values), "v", 64)
+        chunks = [values[i::3] for i in range(3)]
+        folded = kmv_sketch(self._ids(spark, chunks[0]), "v", 64)
+        for c in chunks[1:]:
+            folded = kmv_fold(
+                folded, kmv_sketch(self._ids(spark, c), "v", 64), 64
+            )
+        assert self._state(folded) == self._state(full)
+
+    def test_sketch_is_partitioning_invariant(self, spark):
+        from big_data_flight_analytics_spark.operators.sketches import (
+            kmv_sketch,
+        )
+
+        values = list(range(500))
+        a = kmv_sketch(self._ids(spark, values, parts=2), "v", 32)
+        b = kmv_sketch(self._ids(spark, values, parts=13), "v", 32)
+        assert self._state(a) == self._state(b)
+
+    def test_under_capacity_sketch_is_exact(self, spark):
+        from big_data_flight_analytics_spark.operators.sketches import (
+            kmv_estimate,
+            kmv_sketch,
+        )
+
+        est = kmv_estimate(
+            kmv_sketch(self._ids(spark, [1, 2, 3, 2, 1, None]), "v", 64),
+            64,
+        ).collect()[0]
+        assert est["sketch_n"] == 3
+        assert est["n_distinct_est"] == 3
+
+    def test_duplicates_do_not_change_the_sketch(self, spark):
+        from big_data_flight_analytics_spark.operators.sketches import (
+            kmv_sketch,
+        )
+
+        uniq = list(range(200))
+        assert self._state(
+            kmv_sketch(self._ids(spark, uniq * 5), "v", 32)
+        ) == self._state(kmv_sketch(self._ids(spark, uniq), "v", 32))
+
+    def test_estimator_accuracy_definitional(self, spark):
+        # definitional truth: the Bar-Yossef estimator (k-1)*2^60/h_(k)
+        # on 5000 distinct values with k=256 must land within 4 std
+        # (~4/sqrt(k-2) = 25%) of the true cardinality — the sketch is
+        # deterministic given md5, so this pins real accuracy, not luck
+        from big_data_flight_analytics_spark.operators.sketches import (
+            kmv_estimate,
+            kmv_sketch,
+        )
+
+        n = 5000
+        est = kmv_estimate(
+            kmv_sketch(self._ids(spark, range(n)), "v", 256), 256
+        ).collect()[0]
+        assert est["sketch_n"] == 256
+        assert abs(est["n_distinct_est"] - n) / n < 0.25
+
+    def test_fold_is_idempotent_under_replay(self, spark):
+        # the s14 exactly-once story: re-folding an already-absorbed
+        # delta is a set-union no-op — no replay markers needed
+        from big_data_flight_analytics_spark.operators.sketches import (
+            kmv_fold,
+            kmv_sketch,
+        )
+
+        base = kmv_sketch(self._ids(spark, range(300)), "v", 32)
+        delta = kmv_sketch(self._ids(spark, range(250, 400)), "v", 32)
+        once = kmv_fold(base, delta, 32)
+        twice = kmv_fold(once, delta, 32)
+        assert self._state(twice) == self._state(once)
+
+    def test_grouped_matches_ungrouped_per_group(self, spark):
+        from big_data_flight_analytics_spark.operators.sketches import (
+            kmv_estimate,
+            kmv_sketch,
+        )
+
+        rows = [("a", v) for v in range(300)] + [
+            ("b", v) for v in range(40)
+        ]
+        df = spark.createDataFrame(rows, "g string, v long")
+        grouped = {
+            r["g"]: (r["sketch_n"], r["kth_hash"], r["n_distinct_est"])
+            for r in kmv_estimate(
+                kmv_sketch(df, "v", 64, group_cols=("g",)),
+                64,
+                group_cols=("g",),
+            ).collect()
+        }
+        for g in ("a", "b"):
+            solo = kmv_estimate(
+                kmv_sketch(df.filter(F.col("g") == g), "v", 64), 64
+            ).collect()[0]
+            assert grouped[g] == (
+                solo["sketch_n"],
+                solo["kth_hash"],
+                solo["n_distinct_est"],
+            )
+
+    def test_empty_input_estimates_zero(self, spark):
+        from big_data_flight_analytics_spark.operators.sketches import (
+            kmv_estimate,
+            kmv_sketch,
+        )
+
+        est = kmv_estimate(
+            kmv_sketch(self._ids(spark, []), "v", 16), 16
+        ).collect()[0]
+        assert est["sketch_n"] == 0
+        assert est["n_distinct_est"] == 0

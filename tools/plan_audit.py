@@ -44,6 +44,9 @@ GLOBAL_WINDOW_OK = {
     "w5_balance_quartiles",
     "a11_histogram_quantiles",
     "i6_histogram_delta",
+    # i7's ungrouped final ranking runs over the PRUNED candidate set —
+    # O(k x n_partitions) rows regardless of corpus (kmv_sketch doc)
+    "i7_kmv_delta",
 }
 
 JOIN_KINDS = (
