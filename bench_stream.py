@@ -120,7 +120,7 @@ def build_delta_feed(
     if os.path.exists(meta):
         with open(meta) as fh:
             cached = json.load(fh)
-        if cached.get("sf_dir") == sf_dir:
+        if cached.get("sf_dir") == sf_dir and cached.get("cols") == cols:
             return src_dir, cached["rows"]
     shutil.rmtree(src_dir, ignore_errors=True)
     frame = load(spark, sf_dir, table).filter(F.col(key) % 5 == 0).select(cols)
@@ -129,7 +129,7 @@ def build_delta_feed(
         N_INPUT_FILES
     ).write.mode("overwrite").text(src_dir)
     with open(meta, "w") as fh:
-        json.dump({"sf_dir": sf_dir, "rows": rows}, fh)
+        json.dump({"sf_dir": sf_dir, "cols": cols, "rows": rows}, fh)
     return src_dir, rows
 
 
@@ -426,7 +426,7 @@ def _index_sink_pipelines(spark, sf_dir: str, workdir: str) -> dict[str, float]:
         sf_dir,
         workdir,
         "orders",
-        ["o_orderkey", "o_totalprice"],
+        ["o_orderkey", "o_totalprice", "o_custkey"],
         "o_orderkey",
     )
     hist_path = os.path.join(workdir, "histogram_sketch")
@@ -435,11 +435,28 @@ def _index_sink_pipelines(spark, sf_dir: str, workdir: str) -> dict[str, float]:
     secs = _run_index_sink(
         spark,
         ord_feed,
-        "o_orderkey long, o_totalprice double",
+        "o_orderkey long, o_totalprice double, o_custkey long",
         hist_sink,
         os.path.join(workdir, "ckpt_s13_histogram"),
     )
     out["s13_histogram_sink"] = round(ord_rows / secs, 1)
+
+    # s14: continuously folded KMV distinct sketch (streaming i7) —
+    # same orders delta; each batch's custkey hashes set-union into the
+    # k-row state (idempotent fold: exactly-once without markers)
+    from big_data_flight_analytics_spark.streaming.sinks import KMVSink
+
+    kmv_path = os.path.join(workdir, "kmv_sketch")
+    shutil.rmtree(kmv_path, ignore_errors=True)
+    kmv_sink = KMVSink(kmv_path, "o_custkey", 128)
+    secs = _run_index_sink(
+        spark,
+        ord_feed,
+        "o_orderkey long, o_totalprice double, o_custkey long",
+        kmv_sink,
+        os.path.join(workdir, "ckpt_s14_kmv"),
+    )
+    out["s14_kmv_sink"] = round(ord_rows / secs, 1)
     return out
 
 

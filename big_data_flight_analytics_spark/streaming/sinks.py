@@ -1162,3 +1162,68 @@ class HistogramSink(ParquetUpsertSink):
         return histogram_quantiles(
             self.read(spark), self.grain, qs or DEFAULT_QS, self.group_cols
         )
+
+
+class KMVSink(ParquetUpsertSink):
+    """Continuously maintained KMV distinct-count sketch: the streaming
+    face of i7 (``operators.sketches`` kmv_*). Each micro-batch is
+    sketched on its own (bounded: one pruned shuffle over the batch)
+    and set-union-folded into the persisted k-smallest-hashes state —
+    O(delta + k) per trigger, state <= k rows per group no matter how
+    much has streamed through. Distinct-count estimates are then
+    answerable at any moment without rescanning history.
+
+    Exactly-once WITHOUT replay markers: the KMV fold is IDEMPOTENT
+    (set union + prune), so a replayed micro-batch re-folds to the
+    byte-identical state — the algebra itself is the replay guard,
+    unlike HistogramSink's additive fold, which must short-circuit
+    replayed batch ids via the ``_last_batch`` marker. Crash atomicity
+    still comes from the staging/rename swap (complete store visible
+    at every instant; ``_recover`` rolls a mid-swap crash forward).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        value_col: str,
+        k: int,
+        group_cols: tuple[str, ...] = (),
+    ) -> None:
+        super().__init__(path, key_col="h", version_col="__none")
+        self.value_col = value_col
+        self.k = k
+        self.group_cols = tuple(group_cols)
+
+    def merge(self, batch_df: DataFrame, batch_id: int) -> None:
+        from big_data_flight_analytics_spark.operators.sketches import (
+            kmv_fold,
+            kmv_sketch,
+        )
+
+        self._recover()
+        spark = batch_df.sparkSession
+        delta = kmv_sketch(
+            batch_df, self.value_col, self.k, self.group_cols
+        )
+        if os.path.exists(self.path):
+            updated = kmv_fold(
+                spark.read.parquet(self.path),
+                delta,
+                self.k,
+                self.group_cols,
+            )
+        else:
+            updated = delta
+        self._write_and_swap(updated)
+
+    def read(self, spark) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+    def estimate(self, spark) -> DataFrame:
+        """(sketch_n, kth_hash, n_distinct_est) from the current state
+        (per group, if the sink is grouped)."""
+        from big_data_flight_analytics_spark.operators.sketches import (
+            kmv_estimate,
+        )
+
+        return kmv_estimate(self.read(spark), self.k, self.group_cols)

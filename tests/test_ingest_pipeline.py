@@ -529,3 +529,63 @@ class TestHistogramSink:
         # per-group quantiles come straight off the folded state
         qrows = sink.quantiles(spark, qs=(50,)).collect()
         assert {r["g"] for r in qrows} == {"x", "y"}
+
+
+class TestKMVSink:
+    """Streaming i7: per-batch set-union folds == one batch sketch
+    over all arrivals; replay is safe by ALGEBRA (idempotent fold),
+    not by marker — the contrast with HistogramSink."""
+
+    def _delta(self, spark):
+        import random
+
+        rng = random.Random(47)
+        return spark.createDataFrame(
+            [(i, rng.randint(0, 5000)) for i in range(400)],
+            "row_id long, v long",
+        )
+
+    def test_stream_folds_equal_batch_sketch(self, spark, tmp_path):
+        from big_data_flight_analytics_spark.operators.sketches import (
+            kmv_sketch,
+        )
+        from big_data_flight_analytics_spark.streaming.sinks import KMVSink
+
+        delta = self._delta(spark)
+        sink = KMVSink(str(tmp_path / "kmv"), "v", 64)
+        _run_stream(spark, tmp_path, sink, delta)
+        got = {(r["rank"], r["h"]) for r in sink.read(spark).collect()}
+        want = {
+            (r["rank"], r["h"])
+            for r in kmv_sketch(delta, "v", 64).collect()
+        }
+        assert got == want
+
+    def test_replayed_batch_is_a_noop_without_markers(self, spark, tmp_path):
+        from big_data_flight_analytics_spark.streaming.sinks import KMVSink
+
+        delta = self._delta(spark)
+        sink = KMVSink(str(tmp_path / "kmv"), "v", 64)
+        sink.merge(delta, 0)
+        first = {(r["rank"], r["h"]) for r in sink.read(spark).collect()}
+        sink.merge(delta, 0)  # at-least-once replay: set union no-op
+        assert {
+            (r["rank"], r["h"]) for r in sink.read(spark).collect()
+        } == first
+
+    def test_estimate_tracks_arrivals(self, spark, tmp_path):
+        from big_data_flight_analytics_spark.streaming.sinks import KMVSink
+
+        sink = KMVSink(str(tmp_path / "kmv"), "v", 64)
+        small = spark.createDataFrame(
+            [(i, i) for i in range(10)], "row_id long, v long"
+        )
+        sink.merge(small, 0)
+        est = sink.estimate(spark).collect()[0]
+        assert est["sketch_n"] == 10 and est["n_distinct_est"] == 10
+        more = spark.createDataFrame(
+            [(i, i) for i in range(5, 40)], "row_id long, v long"
+        )
+        sink.merge(more, 1)
+        est = sink.estimate(spark).collect()[0]
+        assert est["sketch_n"] == 40 and est["n_distinct_est"] == 40
