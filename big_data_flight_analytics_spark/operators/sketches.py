@@ -283,3 +283,96 @@ def kmv_estimate(
         .cast("long")
         .alias("n_distinct_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (a14/i8): fixed-size additive frequency grid.
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 3
+
+
+def _cms_bucket(value, j: int, width: int):
+    """Row-j bucket for a value: salted 60-bit md5 hash mod width.
+    The salt prefix makes the depth rows independent hash functions;
+    both engines reproduce the hash (house md5 pattern) and the mod
+    (non-negative operands) bit-identically."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{j}:"), value.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def cms_sketch(
+    df: DataFrame, value_col: str, width: int, depth: int = CMS_DEPTH
+) -> DataFrame:
+    """(row_j, bucket, cnt): the count-min grid (Cormode & Muthukrishnan
+    2005) — depth x width int64 counters, the persisted sketch state.
+    Point-frequency estimates min over the depth rows; overestimates
+    only (collisions add, never subtract), error <= 2N/width with
+    probability 1 - (1/2)^depth.
+
+    Scale shape: one map-side-combined groupBy over the posexploded
+    (row, bucket) pairs — each task emits <= depth x width partial rows
+    no matter the corpus; state is corpus-size-independent. Folds
+    additively (histogram_fold class: NOT idempotent — streaming faces
+    need replay markers)."""
+    v = F.col(value_col)
+    grid = F.array(*[_cms_bucket(v, j, width) for j in range(depth)])
+    return (
+        df.filter(v.isNotNull())
+        .select(F.posexplode(grid).alias("row_j", "bucket"))
+        .select(F.col("row_j").cast("long").alias("row_j"), "bucket")
+        .groupBy("row_j", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_fold(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a delta grid into the stored one: full-outer sum on
+    (row_j, bucket) — O(depth x width), corpus-independent, associative
+    and commutative (counts are additive)."""
+    b = base.select("row_j", "bucket", F.col("cnt").alias("__b"))
+    d = delta.select("row_j", "bucket", F.col("cnt").alias("__d"))
+    return b.join(d, ["row_j", "bucket"], "full").select(
+        "row_j",
+        "bucket",
+        (
+            F.coalesce(F.col("__b"), F.lit(0))
+            + F.coalesce(F.col("__d"), F.lit(0))
+        ).alias("cnt"),
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    width: int,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """(value_col, n_cms) for each query value: min over the value's
+    depth bucket counters (0 when a counter was never touched — only
+    possible for values absent from the sketched corpus). Sketch-sized
+    work: queries x depth probe rows joined against the broadcast
+    depth x width grid."""
+    v = F.col(value_col)
+    grid = F.array(*[_cms_bucket(v, j, width) for j in range(depth)])
+    probes = queries.select(
+        value_col, F.posexplode(grid).alias("row_j", "bucket")
+    ).select(value_col, F.col("row_j").cast("long").alias("row_j"), "bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["row_j", "bucket"], "left")
+        .groupBy(value_col)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("n_cms")
+        )
+    )

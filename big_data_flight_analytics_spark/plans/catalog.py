@@ -186,6 +186,8 @@ _TIE_BREAK = [
     "a12_grouped_quantiles",
     "a13_kmv_distinct",
     "i7_kmv_delta",
+    "a14_cms_heavy_terms",
+    "i8_cms_delta",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

@@ -2662,6 +2662,119 @@ SELECT CAST(rnk AS BIGINT) AS "rank", h FROM r WHERE rnk <= {A13_K}
 
 
 # ---------------------------------------------------------------------------
+# A14 — count-min heavy hitters: the frequency member of the mergeable
+# sketch trio (a11 quantiles, a13 distinct, a14 frequencies;
+# operators/sketches.py cms_*). Exact top-k term counting shuffles the
+# whole vocabulary; the CMS grid is depth x width int64 counters no
+# matter the corpus, folds additively, and answers point-frequency
+# probes with min-over-rows — overestimates only, error <= 2N/width
+# w.p. 1-(1/2)^depth. The entry counts whitespace tokens over
+# documents (Zipfian — the sketch's home turf), takes the exact top
+# 20 (deterministic ties on the term string), and probes the grid for
+# each: n_cms >= n_exact is the CMS guarantee, visible per row. Salted
+# md5 bucket hashes and integer mins keep both engines bit-identical.
+# I8 — the fold proof: 80/20 doc split grids folded together must
+# equal the from-scratch grid STATE bit-for-bit.
+# ---------------------------------------------------------------------------
+
+A14_CMS_WIDTH = 1024
+A14_TOPK = 20
+
+
+def _doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.text import tokens
+
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(tokens("text")).alias("term"))
+    )
+
+
+def a14_cms_heavy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    terms = _doc_terms(spark, sf_dir)
+    exact_top = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("term").asc())
+        .limit(A14_TOPK)
+    )
+    grid = cms_sketch(terms, "term", A14_CMS_WIDTH)
+    est = cms_estimate(grid, exact_top, "term", A14_CMS_WIDTH)
+    return est.join(F.broadcast(exact_top), "term").select(
+        "term", "n_exact", "n_cms"
+    )
+
+
+def i8_cms_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.sketches import (
+        cms_fold,
+        cms_sketch,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    from big_data_flight_analytics_spark.operators.text import tokens
+
+    def terms_of(side: DataFrame) -> DataFrame:
+        return side.select(F.explode(tokens("text")).alias("term"))
+
+    base = cms_sketch(
+        terms_of(docs.filter(F.col("doc_id") % 5 != 0)), "term", A14_CMS_WIDTH
+    )
+    delta = cms_sketch(
+        terms_of(docs.filter(F.col("doc_id") % 5 == 0)), "term", A14_CMS_WIDTH
+    )
+    return cms_fold(base, delta).select("row_j", "bucket", "cnt")
+
+
+_A14_POSTING = r"""
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+    FROM documents WHERE text IS NOT NULL
+"""
+
+_A14_GRID = rf"""
+    SELECT CAST(j.j AS BIGINT) AS row_j,
+           CAST(('0x' || substring(md5(CAST(j.j AS VARCHAR) || ':' || p.term),
+                                   1, 15)) AS BIGINT) % {A14_CMS_WIDTH}
+               AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM posting p CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS j) j
+    GROUP BY 1, 2
+"""
+
+A14_SQL = rf"""
+WITH posting AS ({_A14_POSTING}),
+exact AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS n_exact
+    FROM posting GROUP BY term
+    ORDER BY n_exact DESC, term ASC LIMIT {A14_TOPK}
+),
+cms AS ({_A14_GRID}),
+probes AS (
+    SELECT e.term, e.n_exact, CAST(j.j AS BIGINT) AS row_j,
+           CAST(('0x' || substring(md5(CAST(j.j AS VARCHAR) || ':' || e.term),
+                                   1, 15)) AS BIGINT) % {A14_CMS_WIDTH}
+               AS bucket
+    FROM exact e CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS j) j
+)
+SELECT p.term, p.n_exact,
+       CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS n_cms
+FROM probes p LEFT JOIN cms c USING (row_j, bucket)
+GROUP BY p.term, p.n_exact
+"""
+
+I8_CMS_SQL = rf"""
+WITH posting AS ({_A14_POSTING})
+{_A14_GRID}
+"""
+
+
+# ---------------------------------------------------------------------------
 # D6 — dedup clustering: connected components over the D2 near-dup pair
 # graph. Pairs -> transitive clusters -> canonical doc per cluster; the
 # last stage of a dedup pipeline. Oracle: recursive CTE reachability
@@ -4758,6 +4871,8 @@ EXTENSION_QUERIES = {
     "a12_grouped_quantiles": a12_grouped_quantiles,
     "a13_kmv_distinct": a13_kmv_distinct,
     "i7_kmv_delta": i7_kmv_delta,
+    "a14_cms_heavy_terms": a14_cms_heavy_terms,
+    "i8_cms_delta": i8_cms_delta,
     "d8_curated_corpus": d8_curated_corpus,
     "m1_multimodal_features": m1_multimodal_features,
     "m2_frame_sample": m2_frame_sample,
@@ -4824,6 +4939,8 @@ EXTENSION_ORACLES = {
     "a12_grouped_quantiles": A12_SQL,
     "a13_kmv_distinct": A13_SQL,
     "i7_kmv_delta": I7_KMV_SQL,
+    "a14_cms_heavy_terms": A14_SQL,
+    "i8_cms_delta": I8_CMS_SQL,
     "d8_curated_corpus": D8_SQL,
     "m1_multimodal_features": M1_SQL,
     "m2_frame_sample": M2_SQL,

@@ -284,3 +284,90 @@ class TestKMVSketch:
         ).collect()[0]
         assert est["sketch_n"] == 0
         assert est["n_distinct_est"] == 0
+
+
+class TestCountMinSketch:
+    """a14/i8: the count-min grid — fold contract, overestimate
+    guarantee, exact-when-unambiguous, absent-value zero."""
+
+    def _terms(self, spark, words):
+        return spark.createDataFrame([(w,) for w in words], "term string")
+
+    def _grid(self, df):
+        return {(r["row_j"], r["bucket"]): r["cnt"] for r in df.collect()}
+
+    def test_fold_of_any_split_equals_full_pass(self, spark):
+        from big_data_flight_analytics_spark.operators.sketches import (
+            cms_fold,
+            cms_sketch,
+        )
+
+        words = [f"w{i % 37}" for i in range(1500)]
+        full = cms_sketch(self._terms(spark, words), "term", 64)
+        folded = cms_fold(
+            cms_sketch(self._terms(spark, words[0::2]), "term", 64),
+            cms_sketch(self._terms(spark, words[1::2]), "term", 64),
+        )
+        assert self._grid(folded) == self._grid(full)
+
+    def test_estimates_never_undercount(self, spark):
+        # the CMS guarantee: min-over-rows >= true count, always
+        from big_data_flight_analytics_spark.operators.sketches import (
+            cms_estimate,
+            cms_sketch,
+        )
+
+        import random
+
+        rng = random.Random(53)
+        words = [f"t{rng.randint(0, 200)}" for _ in range(3000)]
+        df = self._terms(spark, words)
+        truth = {}
+        for w in words:
+            truth[w] = truth.get(w, 0) + 1
+        grid = cms_sketch(df, "term", 32)  # tiny width forces collisions
+        queries = self._terms(spark, sorted(truth))
+        got = {
+            r["term"]: r["n_cms"]
+            for r in cms_estimate(grid, queries, "term", 32).collect()
+        }
+        assert all(got[w] >= c for w, c in truth.items())
+
+    def test_wide_grid_is_exact_for_planted_heavy_hitter(self, spark):
+        from big_data_flight_analytics_spark.operators.sketches import (
+            cms_estimate,
+            cms_sketch,
+        )
+
+        # 3 distinct terms in a 1024-wide grid: collision probability
+        # across all 3 rows is negligible and the layout deterministic,
+        # so the heavy hitter's estimate is its exact count
+        words = ["heavy"] * 500 + ["light", "rare"]
+        grid = cms_sketch(self._terms(spark, words), "term", 1024)
+        got = {
+            r["term"]: r["n_cms"]
+            for r in cms_estimate(
+                grid, self._terms(spark, ["heavy", "absent"]), "term", 1024
+            ).collect()
+        }
+        assert got["heavy"] == 500
+        assert got["absent"] == 0  # untouched counters -> zero
+
+    def test_state_is_bounded_by_depth_times_width(self, spark):
+        from big_data_flight_analytics_spark.operators.sketches import (
+            cms_sketch,
+        )
+
+        words = [f"u{i}" for i in range(5000)]  # vocab >> width
+        grid = cms_sketch(self._terms(spark, words), "term", 16)
+        rows = grid.collect()
+        assert len(rows) <= 3 * 16
+        from collections import Counter
+
+        per_row = Counter(r["row_j"] for r in rows)
+        assert all(v <= 16 for v in per_row.values())
+        # every row's counters sum to the corpus size (additive grid)
+        sums = {}
+        for r in rows:
+            sums[r["row_j"]] = sums.get(r["row_j"], 0) + r["cnt"]
+        assert sums == {0: 5000, 1: 5000, 2: 5000}
