@@ -93,3 +93,96 @@ def anti_join(
     if broadcast_other:
         right = F.broadcast(right)
     return fact.join(right, fact_key, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# J11: Bloom-filter semi join — pre-filter the fact side BEFORE the
+# shuffle when the key set is too big to broadcast raw.
+# ---------------------------------------------------------------------------
+
+BLOOM_DEPTH = 2
+
+
+def bloom_filter_words(
+    keys: DataFrame, key_col: str, m_bits: int, depth: int = BLOOM_DEPTH
+) -> DataFrame:
+    """(word_idx, word): a deterministic Bloom bitset over the key set,
+    packed as int64 words carrying 32 meaningful bits each (bit 63
+    shifts overflow DuckDB's checked ``<<``, and 32-bit masks keep
+    every word positive in both engines). Bit positions are salted
+    60-bit md5 hashes mod m_bits (the house cross-engine hash), so the
+    filter is reproducible anywhere. Size: <= m_bits/32 rows no matter
+    how many keys — the broadcastable summary of an un-broadcastable
+    key set."""
+    from big_data_flight_analytics_spark.operators.sketches import (
+        _cms_bucket,
+    )
+
+    k = F.col(key_col)
+    positions = keys.filter(k.isNotNull()).select(
+        F.explode(
+            F.array(*[_cms_bucket(k, j, m_bits) for j in range(depth)])
+        ).alias("pos")
+    )
+    return (
+        positions.select(
+            F.expr("pos div 32").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
+            ).alias("__mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__mask").alias("word"))
+    )
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    fact_key: str,
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int,
+    depth: int = BLOOM_DEPTH,
+) -> DataFrame:
+    """Fact rows whose key MIGHT be in ``keys``: a superset of the true
+    semi join (no false negatives, ever; false-positive rate
+    (1 - e^(-depth*n/m))^depth). The exact join over the survivors
+    removes false positives downstream.
+
+    100 TB shape: this is the move when the key set is too large to
+    broadcast as a hash relation but its fixed-size bitset is not —
+    each probe is ``depth`` broadcast joins against the <= m/32-row
+    word table plus a bit test, entirely map-side, so the fact side
+    sheds non-matching rows BEFORE any shuffle. (Catalyst's own runtime
+    bloom pushdown covers some of these plans; the explicit operator
+    makes the pre-filter deterministic, engine-replayable, and
+    available to foreachBatch/streaming code paths the optimizer can't
+    see.)"""
+    from big_data_flight_analytics_spark.operators.sketches import (
+        _cms_bucket,
+    )
+
+    words = bloom_filter_words(keys, key_col, m_bits, depth)
+    out = fact
+    for j in range(depth):
+        w = F.broadcast(
+            words.select(
+                F.col("word_idx").alias(f"__wi{j}"),
+                F.col("word").alias(f"__w{j}"),
+            )
+        )
+        out = (
+            out.withColumn(f"__pos{j}", _cms_bucket(F.col(fact_key), j, m_bits))
+            .join(
+                w,
+                F.expr(f"__pos{j} div 32") == F.col(f"__wi{j}"),
+                "left",
+            )
+            .filter(
+                F.expr(
+                    f"(shiftright(__w{j}, CAST(__pos{j} % 32 AS INT)) & 1) = 1"
+                )
+            )
+            .drop(f"__pos{j}", f"__wi{j}", f"__w{j}")
+        )
+    return out

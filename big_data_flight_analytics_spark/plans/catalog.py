@@ -188,6 +188,7 @@ _TIE_BREAK = [
     "i7_kmv_delta",
     "a14_cms_heavy_terms",
     "i8_cms_delta",
+    "j11_bloom_semi_join",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

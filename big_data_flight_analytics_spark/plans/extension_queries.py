@@ -2775,6 +2775,98 @@ WITH posting AS ({_A14_POSTING})
 
 
 # ---------------------------------------------------------------------------
+# J11 — Bloom-filter semi join (operators/joins.py bloom_semi_join):
+# the pre-shuffle fact filter for key sets too big to broadcast raw.
+# Urgent orders' keys become a fixed m-bit bitset (packed 32 bits per
+# int64 word — <= m/32 rows however many keys); lineitem probes it
+# with two map-side broadcast joins + bit tests and only the
+# survivors reach the exact join that removes false positives. The
+# entry reports, per returnflag, how many rows the bloom passed vs
+# truly matched — n_false_positives is the measured fp cost, and
+# n_bloom_candidates >= n_true_matches is the no-false-negative
+# guarantee, visible per row. Salted md5 positions and integer bit
+# ops replay bit-identically in DuckDB.
+# ---------------------------------------------------------------------------
+
+J11_BLOOM_BITS = 1 << 17
+
+
+def j11_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.joins import (
+        bloom_semi_join,
+    )
+
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    cand = bloom_semi_join(
+        li, "l_orderkey", urgent, "o_orderkey", J11_BLOOM_BITS
+    )
+    flagged = cand.join(
+        urgent.withColumnRenamed("o_orderkey", "l_orderkey")
+        .distinct()
+        .withColumn("__hit", F.lit(1)),
+        "l_orderkey",
+        "left",
+    )
+    return flagged.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bloom_candidates"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+        .cast("long")
+        .alias("n_true_matches"),
+        F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_positives"),
+    )
+
+
+J11_SQL = rf"""
+WITH urgent AS (
+    SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+), pos AS (
+    SELECT CAST(('0x' || substring(
+               md5(CAST(j.j AS VARCHAR) || ':'
+                   || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+               % {J11_BLOOM_BITS} AS p
+    FROM urgent CROSS JOIN (SELECT UNNEST([0, 1]) AS j) j
+), words AS (
+    SELECT p // 32 AS word_idx,
+           bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS word
+    FROM pos GROUP BY 1
+), probe AS (
+    SELECT l_orderkey, l_returnflag,
+           CAST(('0x' || substring(md5('0:' || CAST(l_orderkey AS VARCHAR)),
+                                   1, 15)) AS BIGINT)
+               % {J11_BLOOM_BITS} AS p0,
+           CAST(('0x' || substring(md5('1:' || CAST(l_orderkey AS VARCHAR)),
+                                   1, 15)) AS BIGINT)
+               % {J11_BLOOM_BITS} AS p1
+    FROM lineitem
+), cand AS (
+    SELECT pr.l_orderkey, pr.l_returnflag
+    FROM probe pr
+    JOIN words w0 ON w0.word_idx = pr.p0 // 32
+                 AND ((w0.word >> CAST(pr.p0 % 32 AS INTEGER)) & 1) = 1
+    JOIN words w1 ON w1.word_idx = pr.p1 // 32
+                 AND ((w1.word >> CAST(pr.p1 % 32 AS INTEGER)) & 1) = 1
+), hits AS (
+    SELECT DISTINCT o_orderkey FROM urgent
+)
+SELECT c.l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_bloom_candidates,
+       CAST(SUM(CASE WHEN h.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_true_matches,
+       CAST(SUM(CASE WHEN h.o_orderkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_positives
+FROM cand c LEFT JOIN hits h ON h.o_orderkey = c.l_orderkey
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # D6 — dedup clustering: connected components over the D2 near-dup pair
 # graph. Pairs -> transitive clusters -> canonical doc per cluster; the
 # last stage of a dedup pipeline. Oracle: recursive CTE reachability
@@ -4873,6 +4965,7 @@ EXTENSION_QUERIES = {
     "i7_kmv_delta": i7_kmv_delta,
     "a14_cms_heavy_terms": a14_cms_heavy_terms,
     "i8_cms_delta": i8_cms_delta,
+    "j11_bloom_semi_join": j11_bloom_semi_join,
     "d8_curated_corpus": d8_curated_corpus,
     "m1_multimodal_features": m1_multimodal_features,
     "m2_frame_sample": m2_frame_sample,
@@ -4941,6 +5034,7 @@ EXTENSION_ORACLES = {
     "i7_kmv_delta": I7_KMV_SQL,
     "a14_cms_heavy_terms": A14_SQL,
     "i8_cms_delta": I8_CMS_SQL,
+    "j11_bloom_semi_join": J11_SQL,
     "d8_curated_corpus": D8_SQL,
     "m1_multimodal_features": M1_SQL,
     "m2_frame_sample": M2_SQL,
