@@ -457,6 +457,23 @@ def _index_sink_pipelines(spark, sf_dir: str, workdir: str) -> dict[str, float]:
         os.path.join(workdir, "ckpt_s14_kmv"),
     )
     out["s14_kmv_sink"] = round(ord_rows / secs, 1)
+
+    # s15: continuously folded count-min grid (streaming i8) — same
+    # orders delta; per-customer order frequencies fold additively
+    # into the depth x width state (marker-guarded exactly-once)
+    from big_data_flight_analytics_spark.streaming.sinks import CMSSink
+
+    cms_path = os.path.join(workdir, "cms_sketch")
+    shutil.rmtree(cms_path, ignore_errors=True)
+    cms_sink = CMSSink(cms_path, "o_custkey", 1024)
+    secs = _run_index_sink(
+        spark,
+        ord_feed,
+        "o_orderkey long, o_totalprice double, o_custkey long",
+        cms_sink,
+        os.path.join(workdir, "ckpt_s15_cms"),
+    )
+    out["s15_cms_sink"] = round(ord_rows / secs, 1)
     return out
 
 

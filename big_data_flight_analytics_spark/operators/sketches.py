@@ -376,3 +376,67 @@ def cms_estimate(
             .alias("n_cms")
         )
     )
+
+
+def kmv_set_overlap(
+    sketch_a: DataFrame, sketch_b: DataFrame, k: int
+) -> DataFrame:
+    """One row of set-algebra estimates from two KMV sketches (the
+    Theta-sketch use case: audience overlap between corpora that never
+    co-shuffle): (sketch_n, kth_hash, n_union_est, n_both,
+    n_intersect_est).
+
+    The folded union sketch's k smallest hashes are a uniform sample
+    of A ∪ B; ``n_both`` of them appearing in BOTH input sketches
+    estimates the Jaccard fraction, so |A ∩ B| ~= n_both * |A ∪ B| /
+    sketch_n — evaluated with the same exact DECIMAL-div arithmetic as
+    the cardinality estimator (bit-identical cross-engine). Under
+    capacity the union sketch IS the union set and every figure is
+    exact. All inputs are sketch-sized; every join broadcasts."""
+    union = kmv_fold(sketch_a, sketch_b, k)
+    a = sketch_a.select("h", F.lit(1).alias("__a"))
+    b = sketch_b.select("h", F.lit(1).alias("__b"))
+    marked = union.join(F.broadcast(a), "h", "left").join(
+        F.broadcast(b), "h", "left"
+    )
+    agg = marked.agg(
+        F.coalesce(F.max("rank"), F.lit(0)).cast("long").alias("sketch_n"),
+        F.max("h").cast("long").alias("kth_hash"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__a").isNotNull() & F.col("__b").isNotNull(), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_both"),
+    )
+    union_est = F.expr(
+        f"CAST(CAST({k - 1} AS DECIMAL(38,0))"
+        f" * CAST({KMV_HASH_SCALE} AS DECIMAL(38,0)) AS DECIMAL(38,0))"
+        " div GREATEST(kth_hash, 1)"
+    ).cast("long")
+    with_union = agg.select(
+        "sketch_n",
+        "kth_hash",
+        "n_both",
+        F.when(F.col("sketch_n") < k, F.col("sketch_n"))
+        .otherwise(union_est)
+        .cast("long")
+        .alias("n_union_est"),
+    )
+    return with_union.select(
+        "sketch_n",
+        "kth_hash",
+        "n_union_est",
+        "n_both",
+        F.expr(
+            "CAST(CAST(n_both AS DECIMAL(38,0))"
+            " * CAST(n_union_est AS DECIMAL(38,0)) AS DECIMAL(38,0))"
+            " div GREATEST(sketch_n, 1)"
+        )
+        .cast("long")
+        .alias("n_intersect_est"),
+    )

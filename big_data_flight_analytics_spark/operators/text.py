@@ -680,3 +680,67 @@ def bigram_lm_score(
             .alias("avg_nll_fp"),
         )
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    divisor: int = 8,
+) -> DataFrame:
+    """Content-defined chunking at token granularity: a chunk boundary
+    falls AFTER every token whose 60-bit md5 hash is 0 mod ``divisor``
+    (expected chunk length = divisor tokens). Boundaries depend only on
+    local content, so inserting or deleting tokens perturbs ONLY the
+    chunk containing the edit — downstream chunks keep their exact
+    fingerprints (pinned by test). Fixed-size chunking (chunk_tokens)
+    shifts every subsequent chunk instead; CDC is what makes chunk-level
+    dedup survive near-duplicate documents with insertions — the same
+    reason backup systems chunk this way (Rabin/Gear CDC), applied at
+    token grain so both engines replay it exactly.
+
+    Output: (id_col, chunk_id, n_tokens, chunk_fp) with chunk_id the
+    0-based chunk ordinal and chunk_fp = md5 of the space-joined chunk
+    tokens. Scale shape: one posexplode + a per-document window + one
+    grouped fold — everything partitioned by document, no global state.
+    Empty/NULL texts emit nothing."""
+    toks = docs.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(
+        id_col, F.posexplode(tokens(text_col)).alias("idx", "tok")
+    )
+    boundary = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+        % divisor
+        == 0
+    ).cast("long")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = toks.select(
+        id_col,
+        "idx",
+        "tok",
+        F.coalesce(F.sum(boundary).over(w), F.lit(0))
+        .cast("long")
+        .alias("chunk_id"),
+    )
+    return (
+        chunked.groupBy(id_col, "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("idx", "tok"))
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                )
+            ).alias("chunk_fp"),
+        )
+    )

@@ -189,6 +189,9 @@ _TIE_BREAK = [
     "a14_cms_heavy_terms",
     "i8_cms_delta",
     "j11_bloom_semi_join",
+    "a15_sketch_overlap",
+    "t22_cdc_chunks",
+    "d23_cdc_dedup",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

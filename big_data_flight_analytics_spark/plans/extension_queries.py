@@ -2775,6 +2775,196 @@ WITH posting AS ({_A14_POSTING})
 
 
 # ---------------------------------------------------------------------------
+# T22 — content-defined chunking (operators/text.py cdc_chunks):
+# boundaries fall after tokens whose md5 is 0 mod the divisor, so an
+# insertion perturbs only its own chunk and every other chunk keeps
+# its exact fingerprint — the property that makes chunk-level dedup
+# survive near-duplicate documents with edits (Rabin/Gear CDC at
+# token grain; t13's fixed-size chunks shift wholesale instead).
+# D23 — chunk-level dedup over the t22 fingerprints: per document,
+# how many of its chunks appear in at least one other document (an
+# inverted-index join on chunk_fp, never all-pairs).
+# ---------------------------------------------------------------------------
+
+T22_DIVISOR = 8
+
+
+def t22_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.text import cdc_chunks
+
+    return cdc_chunks(
+        load(spark, sf_dir, "documents"), divisor=T22_DIVISOR
+    ).select("doc_id", "chunk_id", "n_tokens", "chunk_fp")
+
+
+def d23_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.text import cdc_chunks
+
+    chunks = cdc_chunks(
+        load(spark, sf_dir, "documents"), divisor=T22_DIVISOR
+    )
+    fp_docs = chunks.groupBy("chunk_fp").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    return (
+        chunks.join(fp_docs, "chunk_fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_chunks"),
+        )
+    )
+
+
+_T22_CHUNKS = rf"""
+t AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+    FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), toks AS (
+    SELECT doc_id, UNNEST(range(0, len(a))) AS idx, UNNEST(a) AS tok
+    FROM t
+), b AS (
+    SELECT doc_id, idx, tok,
+           CASE WHEN CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT)
+                     % {T22_DIVISOR} = 0
+                THEN 1 ELSE 0 END AS is_b
+    FROM toks
+), c AS (
+    SELECT doc_id, idx, tok,
+           CAST(COALESCE(SUM(is_b) OVER (
+               PARTITION BY doc_id ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS chunk_id
+    FROM b
+), g AS (
+    SELECT doc_id, chunk_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           md5(string_agg(tok, ' ' ORDER BY idx)) AS chunk_fp
+    FROM c GROUP BY 1, 2
+)
+"""
+
+T22_SQL = rf"""
+WITH {_T22_CHUNKS}
+SELECT doc_id, chunk_id, n_tokens, chunk_fp FROM g
+"""
+
+D23_SQL = rf"""
+WITH {_T22_CHUNKS},
+fp AS (
+    SELECT chunk_fp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM g GROUP BY chunk_fp
+)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN fp.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared_chunks
+FROM g JOIN fp USING (chunk_fp)
+GROUP BY g.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# A15 — KMV set-operation estimates (operators/sketches.py
+# kmv_set_overlap): the Theta-sketch use case. Two corpora's key sets
+# are sketched independently (never co-shuffled); union cardinality
+# comes from the folded sketch and intersection from the fraction of
+# union-sample hashes present in BOTH sketches — |A∩B| ~= n_both *
+# |A∪B| / k in the same exact DECIMAL-div arithmetic as a13. The
+# entry overlaps URGENT-order customers with HIGH-order customers and
+# carries the exact figures alongside (cheap at test scale; at 100 TB
+# you would skip them — that is the point of the sketch).
+# ---------------------------------------------------------------------------
+
+
+def a15_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.sketches import (
+        kmv_set_overlap,
+        kmv_sketch,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_custkey"
+    )
+    side_a = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    side_b = orders.filter(F.col("o_orderpriority") == "2-HIGH")
+    ov = kmv_set_overlap(
+        kmv_sketch(side_a, "o_custkey", A13_K),
+        kmv_sketch(side_b, "o_custkey", A13_K),
+        A13_K,
+    )
+    au = side_a.filter(F.col("o_custkey").isNotNull()).select(
+        "o_custkey"
+    ).distinct()
+    bu = side_b.filter(F.col("o_custkey").isNotNull()).select(
+        "o_custkey"
+    ).distinct()
+    exact = au.unionByName(bu).distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_union")
+    ).crossJoin(
+        au.join(bu, "o_custkey").agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact_intersect")
+        )
+    )
+    return ov.crossJoin(F.broadcast(exact))
+
+
+_A15_SIDE = r"""
+    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rnk
+    FROM (
+        SELECT DISTINCT
+               CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)),
+                                       1, 15)) AS BIGINT) AS h
+        FROM orders
+        WHERE o_orderpriority = '{prio}' AND o_custkey IS NOT NULL
+    )
+"""
+
+A15_SQL = rf"""
+WITH ra AS ({_A15_SIDE.format(prio="1-URGENT")}),
+sa AS (SELECT h FROM ra WHERE rnk <= {A13_K}),
+rb AS ({_A15_SIDE.format(prio="2-HIGH")}),
+sb AS (SELECT h FROM rb WHERE rnk <= {A13_K}),
+ru AS (
+    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rnk
+    FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+), un AS (SELECT h, rnk FROM ru WHERE rnk <= {A13_K}),
+agg AS (
+    SELECT CAST(COALESCE(MAX(un.rnk), 0) AS BIGINT) AS sketch_n,
+           CAST(MAX(un.h) AS BIGINT) AS kth_hash,
+           CAST(SUM(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+    FROM un LEFT JOIN sa ON sa.h = un.h LEFT JOIN sb ON sb.h = un.h
+), est AS (
+    SELECT sketch_n, kth_hash, n_both,
+           CAST(CASE WHEN sketch_n < {A13_K} THEN sketch_n
+                     ELSE ({A13_K - 1}::HUGEINT * {1 << 60}::HUGEINT)
+                          // GREATEST(kth_hash, 1)
+                END AS BIGINT) AS n_union_est
+    FROM agg
+), ex AS (
+    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact_union
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_custkey IS NOT NULL
+), ix AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_intersect
+    FROM (SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderpriority = '1-URGENT' AND o_custkey IS NOT NULL)
+    JOIN (SELECT DISTINCT o_custkey AS c2 FROM orders
+          WHERE o_orderpriority = '2-HIGH' AND o_custkey IS NOT NULL)
+      ON o_custkey = c2
+)
+SELECT est.sketch_n, est.kth_hash, est.n_union_est, est.n_both,
+       CAST((est.n_both::HUGEINT * est.n_union_est::HUGEINT)
+            // GREATEST(est.sketch_n, 1) AS BIGINT) AS n_intersect_est,
+       ex.n_exact_union, ix.n_exact_intersect
+FROM est CROSS JOIN ex CROSS JOIN ix
+"""
+
+
+# ---------------------------------------------------------------------------
 # J11 — Bloom-filter semi join (operators/joins.py bloom_semi_join):
 # the pre-shuffle fact filter for key sets too big to broadcast raw.
 # Urgent orders' keys become a fixed m-bit bitset (packed 32 bits per
@@ -4966,6 +5156,9 @@ EXTENSION_QUERIES = {
     "a14_cms_heavy_terms": a14_cms_heavy_terms,
     "i8_cms_delta": i8_cms_delta,
     "j11_bloom_semi_join": j11_bloom_semi_join,
+    "a15_sketch_overlap": a15_sketch_overlap,
+    "t22_cdc_chunks": t22_cdc_chunks,
+    "d23_cdc_dedup": d23_cdc_dedup,
     "d8_curated_corpus": d8_curated_corpus,
     "m1_multimodal_features": m1_multimodal_features,
     "m2_frame_sample": m2_frame_sample,
@@ -5035,6 +5228,9 @@ EXTENSION_ORACLES = {
     "a14_cms_heavy_terms": A14_SQL,
     "i8_cms_delta": I8_CMS_SQL,
     "j11_bloom_semi_join": J11_SQL,
+    "a15_sketch_overlap": A15_SQL,
+    "t22_cdc_chunks": T22_SQL,
+    "d23_cdc_dedup": D23_SQL,
     "d8_curated_corpus": D8_SQL,
     "m1_multimodal_features": M1_SQL,
     "m2_frame_sample": M2_SQL,

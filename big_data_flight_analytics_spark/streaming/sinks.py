@@ -1227,3 +1227,63 @@ class KMVSink(ParquetUpsertSink):
         )
 
         return kmv_estimate(self.read(spark), self.k, self.group_cols)
+
+
+class CMSSink(ParquetUpsertSink):
+    """Continuously maintained count-min frequency grid: the streaming
+    face of i8 (``operators.sketches`` cms_*). Each micro-batch's
+    values fold additively into the persisted depth x width counter
+    grid — O(delta + grid) per trigger, state corpus-size-independent
+    — so point-frequency estimates ("how often has this term streamed
+    past?") are answerable at any moment without rescanning history.
+
+    Exactly-once: the CMS fold is additive, NOT idempotent (a replayed
+    batch would double-count), so like HistogramSink it uses the
+    ``_last_batch`` marker protocol — written inside the staging dir,
+    atomic with the folded grid it describes; replayed batch ids
+    short-circuit. (Contrast KMVSink, whose set-union fold needs no
+    marker.)
+    """
+
+    def __init__(self, path: str, value_col: str, width: int) -> None:
+        super().__init__(path, key_col="bucket", version_col="__none")
+        self.value_col = value_col
+        self.width = width
+
+    def merge(self, batch_df: DataFrame, batch_id: int) -> None:
+        from big_data_flight_analytics_spark.operators.sketches import (
+            cms_fold,
+            cms_sketch,
+        )
+
+        self._recover()
+        if os.path.exists(self.path) and batch_id <= self._last_batch():
+            return  # replay of an already-folded batch
+        spark = batch_df.sparkSession
+        delta = cms_sketch(batch_df, self.value_col, self.width)
+        if os.path.exists(self.path):
+            updated = cms_fold(spark.read.parquet(self.path), delta)
+        else:
+            updated = delta
+        updated.write.mode("overwrite").parquet(self._staging)
+        with open(self._marker(self._staging), "w") as fh:
+            fh.write(str(batch_id))
+        if os.path.exists(self.path):
+            os.rename(self.path, self._old)
+        os.rename(self._staging, self.path)
+        if os.path.exists(self._old):
+            shutil.rmtree(self._old)
+
+    def read(self, spark) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+    def estimate(self, spark, queries: DataFrame) -> DataFrame:
+        """(value, n_cms) point-frequency estimates for the query
+        values against the current grid state."""
+        from big_data_flight_analytics_spark.operators.sketches import (
+            cms_estimate,
+        )
+
+        return cms_estimate(
+            self.read(spark), queries, self.value_col, self.width
+        )

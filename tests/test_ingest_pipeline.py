@@ -589,3 +589,75 @@ class TestKMVSink:
         sink.merge(more, 1)
         est = sink.estimate(spark).collect()[0]
         assert est["sketch_n"] == 40 and est["n_distinct_est"] == 40
+
+
+class TestCMSSink:
+    """Streaming i8: per-batch additive folds == one batch grid over
+    all arrivals; replay is marker-guarded (additive fold, the
+    HistogramSink class — contrast TestKMVSink)."""
+
+    def _delta(self, spark):
+        return spark.createDataFrame(
+            [(i, f"w{i % 23}") for i in range(400)],
+            "row_id long, term string",
+        )
+
+    def test_stream_folds_equal_batch_grid(self, spark, tmp_path):
+        from big_data_flight_analytics_spark.operators.sketches import (
+            cms_sketch,
+        )
+        from big_data_flight_analytics_spark.streaming.sinks import CMSSink
+
+        delta = self._delta(spark)
+        sink = CMSSink(str(tmp_path / "cms"), "term", 64)
+        _run_stream(spark, tmp_path, sink, delta)
+        got = {
+            (r["row_j"], r["bucket"]): r["cnt"]
+            for r in sink.read(spark).collect()
+        }
+        want = {
+            (r["row_j"], r["bucket"]): r["cnt"]
+            for r in cms_sketch(delta, "term", 64).collect()
+        }
+        assert got == want
+
+    def test_replayed_batch_does_not_double_count(self, spark, tmp_path):
+        from big_data_flight_analytics_spark.streaming.sinks import CMSSink
+
+        delta = self._delta(spark)
+        sink = CMSSink(str(tmp_path / "cms"), "term", 64)
+        sink.merge(delta, 0)
+        first = {
+            (r["row_j"], r["bucket"]): r["cnt"]
+            for r in sink.read(spark).collect()
+        }
+        sink.merge(delta, 0)  # at-least-once replay: must short-circuit
+        assert {
+            (r["row_j"], r["bucket"]): r["cnt"]
+            for r in sink.read(spark).collect()
+        } == first
+        sink.merge(delta, 1)  # a genuinely new batch still folds
+        assert {
+            (r["row_j"], r["bucket"]): r["cnt"]
+            for r in sink.read(spark).collect()
+        } == {k: 2 * c for k, c in first.items()}
+
+    def test_estimates_track_streamed_frequencies(self, spark, tmp_path):
+        from big_data_flight_analytics_spark.streaming.sinks import CMSSink
+
+        sink = CMSSink(str(tmp_path / "cms"), "term", 1024)
+        sink.merge(
+            spark.createDataFrame(
+                [(i, "hot") for i in range(90)] + [(99, "cold")],
+                "row_id long, term string",
+            ),
+            0,
+        )
+        q = spark.createDataFrame(
+            [("hot",), ("cold",), ("absent",)], "term string"
+        )
+        got = {
+            r["term"]: r["n_cms"]
+            for r in sink.estimate(spark, q).collect()
+        }
+        assert got["hot"] == 90 and got["cold"] == 1 and got["absent"] == 0

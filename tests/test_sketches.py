@@ -371,3 +371,47 @@ class TestCountMinSketch:
         for r in rows:
             sums[r["row_j"]] = sums.get(r["row_j"], 0) + r["cnt"]
         assert sums == {0: 5000, 1: 5000, 2: 5000}
+
+
+class TestKMVSetOverlap:
+    """a15: set-algebra estimates from two KMV sketches."""
+
+    def _sk(self, spark, values, k=64):
+        from big_data_flight_analytics_spark.operators.sketches import (
+            kmv_sketch,
+        )
+
+        df = spark.createDataFrame([(int(v),) for v in values], "v long")
+        return kmv_sketch(df, "v", k)
+
+    def _ov(self, spark, a, b, k=64):
+        from big_data_flight_analytics_spark.operators.sketches import (
+            kmv_set_overlap,
+        )
+
+        return kmv_set_overlap(
+            self._sk(spark, a, k), self._sk(spark, b, k), k
+        ).collect()[0]
+
+    def test_under_capacity_everything_is_exact(self, spark):
+        got = self._ov(spark, range(0, 30), range(20, 45))
+        assert got["sketch_n"] == 45  # |union| exactly
+        assert got["n_union_est"] == 45
+        assert got["n_both"] == 10  # 20..29
+        assert got["n_intersect_est"] == 10
+
+    def test_self_overlap_is_total(self, spark):
+        got = self._ov(spark, range(500), range(500))
+        assert got["n_both"] == got["sketch_n"] == 64
+        assert got["n_intersect_est"] == got["n_union_est"]
+
+    def test_disjoint_sets_estimate_near_zero_intersection(self, spark):
+        got = self._ov(spark, range(0, 400), range(1000, 1400))
+        assert got["n_both"] == 0
+        assert got["n_intersect_est"] == 0
+
+    def test_estimates_track_truth_at_capacity(self, spark):
+        # |A|=|B|=600, |A∩B|=200, |A∪B|=1000; k=256 -> ~6% std error
+        got = self._ov(spark, range(0, 600), range(400, 1000), k=256)
+        assert abs(got["n_union_est"] - 1000) / 1000 < 0.25
+        assert abs(got["n_intersect_est"] - 200) / 200 < 0.45

@@ -888,3 +888,80 @@ class TestDsirDefinitionalTruth:
             )
         # and the definitional separation the operator exists for
         assert got[100][0] > got[101][0]
+
+
+class TestCdcChunks:
+    """t22/d23: content-defined chunking — the shift-robustness
+    property that motivates CDC over fixed-size chunking, plus edge
+    semantics."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_insertion_perturbs_only_the_edited_chunk(self, spark):
+        from big_data_flight_analytics_spark.operators.text import (
+            cdc_chunks,
+            chunk_tokens,
+        )
+
+        import random
+
+        rng = random.Random(61)
+        words = [f"w{rng.randint(0, 500)}" for _ in range(400)]
+        original = " ".join(words)
+        # insert two tokens near the front: every later CDC chunk must
+        # keep its exact fingerprint
+        edited = " ".join(words[:5] + ["INSERTED", "TOKENS"] + words[5:])
+        df = self._docs(spark, [(1, original), (2, edited)])
+        chunks = cdc_chunks(df, divisor=8).collect()
+        fps = {1: set(), 2: set()}
+        for r in chunks:
+            fps[r["doc_id"]].add(r["chunk_fp"])
+        shared = fps[1] & fps[2]
+        n1 = len(fps[1])
+        # all but the edited chunk survive (one boundary chunk changed,
+        # possibly its neighbor if the insertion created a boundary)
+        assert len(shared) >= n1 - 2
+        # contrast: fixed-size chunking shifts wholesale — nearly
+        # nothing downstream of the edit survives
+        fixed = chunk_tokens(df, chunk_size=8, overlap=0)
+        ffps = {1: set(), 2: set()}
+        for r in fixed.select(
+            "doc_id", F.md5("chunk_text").alias("fp")
+        ).collect():
+            ffps[r["doc_id"]].add(r["fp"])
+        assert len(ffps[1] & ffps[2]) < len(shared)
+
+    def test_chunks_partition_the_token_stream(self, spark):
+        from big_data_flight_analytics_spark.operators.text import (
+            cdc_chunks,
+        )
+
+        text = " ".join(f"t{i}" for i in range(100))
+        got = cdc_chunks(self._docs(spark, [(7, text)]), divisor=4).collect()
+        assert sum(r["n_tokens"] for r in got) == 100
+        ids = sorted(r["chunk_id"] for r in got)
+        assert ids == list(range(len(ids)))  # dense 0-based ordinals
+
+    def test_empty_and_null_texts_emit_nothing(self, spark):
+        from big_data_flight_analytics_spark.operators.text import (
+            cdc_chunks,
+        )
+
+        df = self._docs(spark, [(1, ""), (2, None), (3, "  "), (4, "ok")])
+        got = cdc_chunks(df, divisor=8).collect()
+        assert {r["doc_id"] for r in got} == {4}
+
+    def test_identical_docs_share_every_chunk(self, spark):
+        from big_data_flight_analytics_spark.operators.text import (
+            cdc_chunks,
+        )
+
+        text = " ".join(f"x{i % 40}" for i in range(200))
+        df = self._docs(spark, [(1, text), (2, text)])
+        per_doc = {}
+        for r in cdc_chunks(df, divisor=8).collect():
+            per_doc.setdefault(r["doc_id"], set()).add(
+                (r["chunk_id"], r["chunk_fp"])
+            )
+        assert per_doc[1] == per_doc[2]

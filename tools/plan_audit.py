@@ -44,9 +44,10 @@ GLOBAL_WINDOW_OK = {
     "w5_balance_quartiles",
     "a11_histogram_quantiles",
     "i6_histogram_delta",
-    # i7's ungrouped final ranking runs over the PRUNED candidate set —
+    # i7/a15's ungrouped final rankings run over PRUNED candidate sets —
     # O(k x n_partitions) rows regardless of corpus (kmv_sketch doc)
     "i7_kmv_delta",
+    "a15_sketch_overlap",
 }
 
 JOIN_KINDS = (
