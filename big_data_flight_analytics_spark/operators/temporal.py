@@ -347,3 +347,67 @@ def rolling_zscore(
             bound_ok.isNull() & (n >= min_periods) & (var_num > 0), z
         ),
     )
+
+
+def ohlc_bars(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    step_s: int = 3600,
+) -> DataFrame:
+    """Per-(key, time-bucket) OHLC resampling bars: open/close are the
+    values at the earliest/latest observation in the bucket (ties
+    broken by ``id_col``, so the selection is total-ordered and
+    deterministic), high/low the extremes, plus the observation count.
+    Selection-only semantics — no float arithmetic happens, so double
+    values hash bit-exactly cross-engine regardless of summation order.
+
+    Plan shape: ONE exchange. Both endpoint ranks and the grouped
+    extremes share the (key, bucket) hash partitioning — Spark plans a
+    single shuffle, two in-partition sorts, one partial-agg-free
+    hash aggregate. Scales with keys x buckets, no global state."""
+    us = _micros(ts_col)
+    bucket = F.floor(us / F.lit(step_s * 1_000_000.0)).cast("long")
+    base = events.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col).alias("key"),
+        bucket.alias("bucket"),
+        us.alias("__us"),
+        F.col(id_col).alias("__id"),
+        F.col(value_col).alias("v"),
+    )
+    w_open = Window.partitionBy("key", "bucket").orderBy(
+        F.col("__us").asc(), F.col("__id").asc()
+    )
+    w_close = Window.partitionBy("key", "bucket").orderBy(
+        F.col("__us").desc(), F.col("__id").desc()
+    )
+    ranked = base.select(
+        "key",
+        "bucket",
+        "v",
+        F.row_number().over(w_open).alias("__ra"),
+        F.row_number().over(w_close).alias("__rd"),
+    )
+    return (
+        ranked.groupBy("key", "bucket")
+        .agg(
+            F.min(F.when(F.col("__ra") == 1, F.col("v"))).alias("open"),
+            F.max("v").alias("high"),
+            F.min("v").alias("low"),
+            F.min(F.when(F.col("__rd") == 1, F.col("v"))).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+        )
+        .select(
+            F.col("key").alias(key_col),
+            (F.col("bucket") * F.lit(step_s)).cast("long").alias(
+                "bucket_start_s"
+            ),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_obs",
+        )
+    )

@@ -1825,3 +1825,51 @@ ANALYTIC_ORACLES = {
     "b5_conversion_latency": B5_SQL,
     "s7_windowed_topk": S7_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# TS4 — OHLC resampling bars (operators/temporal.py ohlc_bars): the
+# canonical time-series downsampling shape (open/high/low/close per
+# key and bucket). Selection-only semantics — endpoint values are
+# PICKED by a total order (time, then event_id), never computed — so
+# raw doubles hash bit-exactly cross-engine with zero rounding
+# choreography. Plan: ONE exchange shared by both endpoint ranks and
+# the grouped extremes.
+# ---------------------------------------------------------------------------
+
+TS4_STEP_S = 6 * 3600
+
+
+def ts4_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.temporal import ohlc_bars
+
+    return ohlc_bars(load(spark, sf_dir, "events"), step_s=TS4_STEP_S)
+
+
+TS4_SQL = f"""
+WITH base AS (
+    SELECT event_type AS key,
+           CAST(FLOOR(epoch_us(ts) / ({TS4_STEP_S} * 1000000.0)) AS BIGINT)
+               AS bucket,
+           epoch_us(ts) AS us, event_id, value AS v
+    FROM events WHERE value IS NOT NULL
+), ranked AS (
+    SELECT key, bucket, v,
+           ROW_NUMBER() OVER (PARTITION BY key, bucket
+                              ORDER BY us ASC, event_id ASC) AS ra,
+           ROW_NUMBER() OVER (PARTITION BY key, bucket
+                              ORDER BY us DESC, event_id DESC) AS rd
+    FROM base
+)
+SELECT key AS event_type,
+       CAST(bucket * {TS4_STEP_S} AS BIGINT) AS bucket_start_s,
+       MIN(CASE WHEN ra = 1 THEN v END) AS open,
+       MAX(v) AS high,
+       MIN(v) AS low,
+       MIN(CASE WHEN rd = 1 THEN v END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_obs
+FROM ranked GROUP BY 1, 2
+"""
+
+ANALYTIC_QUERIES["ts4_ohlc_bars"] = ts4_ohlc_bars
+ANALYTIC_ORACLES["ts4_ohlc_bars"] = TS4_SQL

@@ -192,6 +192,7 @@ _TIE_BREAK = [
     "a15_sketch_overlap",
     "t22_cdc_chunks",
     "d23_cdc_dedup",
+    "ts4_ohlc_bars",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

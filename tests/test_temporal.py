@@ -576,3 +576,72 @@ class TestRunningZscoreOverflowGuard:
         )
         with _pytest.raises(OverflowError, match="n \\* expanding"):
             list(fn((1,), [big], FakeState()))
+
+
+class TestOhlcBars:
+    """ts4: OHLC resampling — deterministic endpoint selection,
+    single-observation buckets, null exclusion."""
+
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, event_type string, ts timestamp, value double"
+        )
+
+    def test_endpoints_and_extremes(self, spark):
+        from datetime import datetime
+
+        from big_data_flight_analytics_spark.operators.temporal import (
+            ohlc_bars,
+        )
+
+        t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+        rows = [
+            (1, "a", t(0), 5.0),   # open
+            (2, "a", t(10), 9.0),  # high
+            (3, "a", t(20), 1.0),  # low
+            (4, "a", t(30), 4.0),  # close
+        ]
+        got = ohlc_bars(self._ev(spark, rows), step_s=60).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r["open"], r["high"], r["low"], r["close"], r["n_obs"]) == (
+            5.0, 9.0, 1.0, 4.0, 4,
+        )
+
+    def test_same_timestamp_ties_break_on_event_id(self, spark):
+        from datetime import datetime
+
+        from big_data_flight_analytics_spark.operators.temporal import (
+            ohlc_bars,
+        )
+
+        ts = datetime(2024, 1, 1)
+        rows = [(2, "a", ts, 7.0), (1, "a", ts, 3.0), (3, "a", ts, 5.0)]
+        r = ohlc_bars(self._ev(spark, rows), step_s=60).collect()[0]
+        assert r["open"] == 3.0 and r["close"] == 5.0  # ids 1 and 3
+
+    def test_single_observation_bucket_collapses(self, spark):
+        from datetime import datetime
+
+        from big_data_flight_analytics_spark.operators.temporal import (
+            ohlc_bars,
+        )
+
+        rows = [(1, "a", datetime(2024, 1, 1), 2.5)]
+        r = ohlc_bars(self._ev(spark, rows), step_s=60).collect()[0]
+        assert r["open"] == r["high"] == r["low"] == r["close"] == 2.5
+        assert r["n_obs"] == 1
+
+    def test_null_values_are_excluded(self, spark):
+        from datetime import datetime
+
+        from big_data_flight_analytics_spark.operators.temporal import (
+            ohlc_bars,
+        )
+
+        rows = [
+            (1, "a", datetime(2024, 1, 1), None),
+            (2, "a", datetime(2024, 1, 1, 0, 0, 5), 1.0),
+        ]
+        r = ohlc_bars(self._ev(spark, rows), step_s=60).collect()[0]
+        assert r["open"] == 1.0 and r["n_obs"] == 1
