@@ -186,3 +186,32 @@ def bloom_semi_join(
             .drop(f"__pos{j}", f"__wi{j}", f"__w{j}")
         )
     return out
+
+
+def fuzzy_blocked_join(
+    left: DataFrame,
+    right: DataFrame,
+    block_cols: Sequence[str],
+    fuzzy_left: str,
+    fuzzy_right: str,
+    max_dist: int | None = None,
+) -> DataFrame:
+    """Entity-resolution join: equi-join on the BLOCKING columns (the
+    stable attributes two records of the same entity agree on), then
+    verify the dirty field with Levenshtein edit distance — appended as
+    ``lev``; rows above ``max_dist`` are dropped when a bound is given.
+
+    This is the classic blocking+matching shape: the O(n^2) fuzzy
+    comparison only ever runs INSIDE blocks (the equi-join shuffles on
+    the block key like any join; Levenshtein is evaluated post-match,
+    row-at-a-time in codegen — both Spark and DuckDB implement the
+    textbook unit-cost DP, so distances replay bit-identically).
+    Callers pick blocks selective enough to bound block sizes; skewed
+    blocks are the k1/k2 salting territory."""
+    keys = list(block_cols)
+    out = left.join(right, keys).withColumn(
+        "lev", F.levenshtein(F.col(fuzzy_left), F.col(fuzzy_right))
+    )
+    if max_dist is not None:
+        out = out.filter(F.col("lev") <= max_dist)
+    return out

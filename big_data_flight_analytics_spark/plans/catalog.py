@@ -193,6 +193,7 @@ _TIE_BREAK = [
     "t22_cdc_chunks",
     "d23_cdc_dedup",
     "ts4_ohlc_bars",
+    "j12_fuzzy_match",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

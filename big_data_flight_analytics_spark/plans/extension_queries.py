@@ -2866,6 +2866,83 @@ GROUP BY g.doc_id
 
 
 # ---------------------------------------------------------------------------
+# J12 — fuzzy blocked match (operators/joins.py fuzzy_blocked_join):
+# the entity-resolution shape — equi-join on the stable attributes two
+# records of one entity agree on (blocking), verify the dirty field
+# with Levenshtein (matching). A second "dirty catalog" is derived
+# deterministically from part names (word 2 vowel-stripped — a typo
+# generator both engines replay); blocking on the four clean words
+# keeps the fuzzy comparison inside blocks, and the edit distance is
+# the textbook unit-cost DP in both engines, so every pair's ``lev``
+# hashes bit-exactly. ``matched`` flags the <= 4 recoveries — colors
+# with 5+ vowels honestly exceed the bound and stay visible as misses.
+# ---------------------------------------------------------------------------
+
+J12_MAX_DIST = 2
+
+
+def j12_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.joins import (
+        fuzzy_blocked_join,
+    )
+
+    w = F.split(F.col("p_name"), " ")
+    counts = (
+        load(spark, sf_dir, "part")
+        .select(
+            F.element_at(w, 1).alias("adj"),
+            F.element_at(w, 2).alias("noun"),
+        )
+        .groupBy("adj", "noun")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    dirty = (
+        counts.select(
+            F.regexp_replace(F.col("adj"), "[aeiou]", "").alias("adj_dirty"),
+            "noun",
+            "n_rows",
+        )
+        .groupBy("adj_dirty", "noun")
+        .agg(F.sum("n_rows").cast("long").alias("n_rows"))
+    )
+    clean = counts.select(F.col("adj").alias("adj_clean"), "noun").distinct()
+    pairs = fuzzy_blocked_join(
+        dirty, clean, ["noun"], "adj_dirty", "adj_clean"
+    )
+    return pairs.select(
+        "noun",
+        "adj_dirty",
+        "adj_clean",
+        F.col("lev").cast("long").alias("lev"),
+        (F.col("lev") <= J12_MAX_DIST).alias("matched"),
+        "n_rows",
+    )
+
+
+J12_SQL = rf"""
+WITH named AS (
+    SELECT string_split(p_name, ' ')[1] AS adj,
+           string_split(p_name, ' ')[2] AS noun
+    FROM part
+), counts AS (
+    SELECT adj, noun, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM named GROUP BY 1, 2
+), dirty AS (
+    SELECT regexp_replace(adj, '[aeiou]', '', 'g') AS adj_dirty, noun,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows
+    FROM counts GROUP BY 1, 2
+), clean AS (
+    SELECT DISTINCT adj AS adj_clean, noun FROM counts
+)
+SELECT d.noun, d.adj_dirty, c.adj_clean,
+       CAST(levenshtein(d.adj_dirty, c.adj_clean) AS BIGINT) AS lev,
+       levenshtein(d.adj_dirty, c.adj_clean) <= {J12_MAX_DIST} AS matched,
+       d.n_rows
+FROM dirty d JOIN clean c USING (noun)
+"""
+
+
+# ---------------------------------------------------------------------------
 # A15 — KMV set-operation estimates (operators/sketches.py
 # kmv_set_overlap): the Theta-sketch use case. Two corpora's key sets
 # are sketched independently (never co-shuffled); union cardinality
@@ -5159,6 +5236,7 @@ EXTENSION_QUERIES = {
     "a15_sketch_overlap": a15_sketch_overlap,
     "t22_cdc_chunks": t22_cdc_chunks,
     "d23_cdc_dedup": d23_cdc_dedup,
+    "j12_fuzzy_match": j12_fuzzy_match,
     "d8_curated_corpus": d8_curated_corpus,
     "m1_multimodal_features": m1_multimodal_features,
     "m2_frame_sample": m2_frame_sample,
@@ -5231,6 +5309,7 @@ EXTENSION_ORACLES = {
     "a15_sketch_overlap": A15_SQL,
     "t22_cdc_chunks": T22_SQL,
     "d23_cdc_dedup": D23_SQL,
+    "j12_fuzzy_match": J12_SQL,
     "d8_curated_corpus": D8_SQL,
     "m1_multimodal_features": M1_SQL,
     "m2_frame_sample": M2_SQL,

@@ -82,3 +82,80 @@ class TestBloomSemiJoin:
         got = bloom_semi_join(facts, "k", keys, "key", 1 << 16)
         assert set(got.columns) == {"k", "payload"}
         assert got.filter(F.col("k") == 2).count() == 1
+
+
+class TestFuzzyBlockedJoin:
+    """j12: blocking + Levenshtein matching."""
+
+    def test_comparison_stays_inside_blocks(self, spark):
+        from big_data_flight_analytics_spark.operators.joins import (
+            fuzzy_blocked_join,
+        )
+
+        a = spark.createDataFrame(
+            [("widget", "cold"), ("bolt", "cold")], "noun string, x string"
+        )
+        b = spark.createDataFrame(
+            [("widget", "cld"), ("rod", "cld")], "noun string, y string"
+        )
+        got = fuzzy_blocked_join(a, b, ["noun"], "x", "y").collect()
+        assert len(got) == 1  # only the widget block pairs up
+        assert got[0]["noun"] == "widget" and got[0]["lev"] == 1
+
+    def test_max_dist_filters_and_distance_is_textbook(self, spark):
+        from big_data_flight_analytics_spark.operators.joins import (
+            fuzzy_blocked_join,
+        )
+
+        a = spark.createDataFrame(
+            [("k", "kitten")], "blk string, x string"
+        )
+        b = spark.createDataFrame(
+            [("k", "sitting"), ("k", "kitten")], "blk string, y string"
+        )
+        all_pairs = {
+            (r["y"], r["lev"])
+            for r in fuzzy_blocked_join(a, b, ["blk"], "x", "y").collect()
+        }
+        assert all_pairs == {("sitting", 3), ("kitten", 0)}
+        kept = fuzzy_blocked_join(
+            a, b, ["blk"], "x", "y", max_dist=2
+        ).collect()
+        assert [r["y"] for r in kept] == ["kitten"]
+
+    def test_vowel_stripped_names_recover_their_originals(self, spark):
+        from pyspark.sql import functions as FF
+
+        from big_data_flight_analytics_spark.operators.joins import (
+            fuzzy_blocked_join,
+        )
+
+        adjs = ["cold", "small", "large", "blue", "green", "red"]
+        clean = spark.createDataFrame(
+            [("widget", a) for a in adjs], "noun string, adj string"
+        )
+        dirty = clean.select(
+            "noun",
+            FF.regexp_replace("adj", "[aeiou]", "").alias("adj_dirty"),
+            FF.col("adj").alias("truth"),
+        )
+        pairs = fuzzy_blocked_join(
+            dirty, clean, ["noun"], "adj_dirty", "adj", max_dist=2
+        )
+        rows = pairs.collect()
+        got = {(r["adj_dirty"], r["adj"]) for r in rows}
+        # every dirty form recovers its own original within distance 2
+        for a in adjs:
+            stripped = "".join(ch for ch in a if ch not in "aeiou")
+            assert (stripped, a) in got
+        # ambiguous candidates exist (cld~red at 2 — real entity
+        # resolution), but the TRUE original is always the strict
+        # minimum-distance match for its dirty form
+        best = {}
+        for r in rows:
+            cur = best.get(r["adj_dirty"])
+            if cur is None or r["lev"] < cur[1]:
+                best[r["adj_dirty"]] = (r["adj"], r["lev"])
+        for a in adjs:
+            stripped = "".join(ch for ch in a if ch not in "aeiou")
+            assert best[stripped][0] == a
