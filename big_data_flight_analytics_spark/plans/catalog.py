@@ -194,6 +194,7 @@ _TIE_BREAK = [
     "d23_cdc_dedup",
     "ts4_ohlc_bars",
     "j12_fuzzy_match",
+    "a16_quantile_binning",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

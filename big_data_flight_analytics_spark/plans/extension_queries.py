@@ -2866,6 +2866,99 @@ GROUP BY g.doc_id
 
 
 # ---------------------------------------------------------------------------
+# A16 — quantile binning via the histogram sketch (the sketch->APPLY
+# pattern, completing a11's lifecycle: build -> fold (i6) -> stream
+# (s13) -> apply): quartile boundaries come off the O(buckets) sketch,
+# pivot to ONE broadcast row, and every order bins map-side with three
+# integer comparisons — no sort, no second shuffle over the corpus.
+# This is the feature-engineering shape (Spark ML's QuantileDiscretizer
+# fit/transform) expressed as two declarative passes whose arithmetic
+# both engines replay bit-exactly. Output: bin populations per order
+# priority (bin = # of quartile lower-bounds <= value, 0..3).
+# ---------------------------------------------------------------------------
+
+
+def a16_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.sketches import (
+        fixed_grain_histogram,
+        histogram_quantiles,
+    )
+
+    cents = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    hist = fixed_grain_histogram(cents, "cents", A11_GRAIN_CENTS)
+    bounds = (
+        histogram_quantiles(hist, A11_GRAIN_CENTS, (25, 50, 75))
+        .groupBy()
+        .pivot("q", [25, 50, 75])
+        .agg(F.first("lo"))
+        .select(
+            F.col("25").alias("q25_lo"),
+            F.col("50").alias("q50_lo"),
+            F.col("75").alias("q75_lo"),
+        )
+    )
+    binned = cents.crossJoin(F.broadcast(bounds)).select(
+        "priority",
+        (
+            (F.col("cents") >= F.col("q25_lo")).cast("long")
+            + (F.col("cents") >= F.col("q50_lo")).cast("long")
+            + (F.col("cents") >= F.col("q75_lo")).cast("long")
+        ).alias("bin"),
+    )
+    return binned.groupBy("priority", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+
+
+A16_SQL = rf"""
+WITH c AS (
+    SELECT o_orderpriority AS priority,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders WHERE o_totalprice IS NOT NULL
+), h AS (
+    SELECT CAST(FLOOR(CAST(cents AS DOUBLE) / {A11_GRAIN_CENTS}) AS BIGINT)
+               AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM c GROUP BY 1
+), tot AS (
+    SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM h
+), cum AS (
+    SELECT bucket,
+           CAST(SUM(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum
+    FROM h
+), tq AS (
+    SELECT CAST(q AS BIGINT) AS q,
+           CAST(FLOOR(CAST(q * total + 99 AS DOUBLE) / 100) AS BIGINT)
+               AS target_rank
+    FROM (SELECT UNNEST([25, 50, 75]) AS q) CROSS JOIN tot
+), qb AS (
+    SELECT tq.q,
+           CAST(MIN(c2.bucket) * {A11_GRAIN_CENTS} AS BIGINT) AS lo
+    FROM tq JOIN cum c2 ON c2.cum >= tq.target_rank
+    GROUP BY tq.q
+), bounds AS (
+    SELECT MIN(CASE WHEN q = 25 THEN lo END) AS q25_lo,
+           MIN(CASE WHEN q = 50 THEN lo END) AS q50_lo,
+           MIN(CASE WHEN q = 75 THEN lo END) AS q75_lo
+    FROM qb
+)
+SELECT c.priority,
+       CAST((CASE WHEN c.cents >= b.q25_lo THEN 1 ELSE 0 END)
+          + (CASE WHEN c.cents >= b.q50_lo THEN 1 ELSE 0 END)
+          + (CASE WHEN c.cents >= b.q75_lo THEN 1 ELSE 0 END)
+            AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM c CROSS JOIN bounds b
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # J12 — fuzzy blocked match (operators/joins.py fuzzy_blocked_join):
 # the entity-resolution shape — equi-join on the stable attributes two
 # records of one entity agree on (blocking), verify the dirty field
@@ -5237,6 +5330,7 @@ EXTENSION_QUERIES = {
     "t22_cdc_chunks": t22_cdc_chunks,
     "d23_cdc_dedup": d23_cdc_dedup,
     "j12_fuzzy_match": j12_fuzzy_match,
+    "a16_quantile_binning": a16_quantile_binning,
     "d8_curated_corpus": d8_curated_corpus,
     "m1_multimodal_features": m1_multimodal_features,
     "m2_frame_sample": m2_frame_sample,
@@ -5310,6 +5404,7 @@ EXTENSION_ORACLES = {
     "t22_cdc_chunks": T22_SQL,
     "d23_cdc_dedup": D23_SQL,
     "j12_fuzzy_match": J12_SQL,
+    "a16_quantile_binning": A16_SQL,
     "d8_curated_corpus": D8_SQL,
     "m1_multimodal_features": M1_SQL,
     "m2_frame_sample": M2_SQL,

@@ -44,6 +44,9 @@ GLOBAL_WINDOW_OK = {
     "w5_balance_quartiles",
     "a11_histogram_quantiles",
     "i6_histogram_delta",
+    # a16 reuses a11's ungrouped quantile pass (same sketch-sized
+    # cumulative window) to derive its broadcast bin boundaries
+    "a16_quantile_binning",
     # i7/a15's ungrouped final rankings run over PRUNED candidate sets —
     # O(k x n_partitions) rows regardless of corpus (kmv_sketch doc)
     "i7_kmv_delta",
