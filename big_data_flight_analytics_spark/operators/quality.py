@@ -138,3 +138,41 @@ def constraint_report(
         "checked",
         (v == 0).alias("passed"),
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    k: int = 5,
+    l_div: int = 3,
+) -> DataFrame:
+    """Per quasi-identifier group: re-identification risk metrics —
+    ``group_n`` (the group's k: how many records share this QI
+    combination) and ``l_distinct`` (distinct sensitive values — the l
+    of l-diversity), with ``meets_k`` / ``meets_l`` flags. Groups below
+    k are re-identifiable by linking the quasi-identifiers; groups
+    below l leak the sensitive attribute even when k holds (everyone
+    in the group shares it). The release decision is the caller's —
+    this is the audit, the governance counterpart of the PII scrub
+    (text.scrub_pii removes direct identifiers; k-anonymity measures
+    the indirect ones).
+
+    One map-combined groupBy over the quasi columns; NULL QI values
+    form their own groups (both engines agree on GROUP BY NULL
+    semantics). Scales with group count, not corpus."""
+    gcols = list(quasi_cols)
+    return (
+        df.groupBy(*gcols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("group_n"),
+            F.countDistinct(sensitive_col).cast("long").alias("l_distinct"),
+        )
+        .select(
+            *gcols,
+            "group_n",
+            "l_distinct",
+            (F.col("group_n") >= k).alias("meets_k"),
+            (F.col("l_distinct") >= l_div).alias("meets_l"),
+        )
+    )

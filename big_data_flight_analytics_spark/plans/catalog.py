@@ -195,6 +195,7 @@ _TIE_BREAK = [
     "ts4_ohlc_bars",
     "j12_fuzzy_match",
     "a16_quantile_binning",
+    "p3_k_anonymity",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

@@ -1535,11 +1535,59 @@ GROUP BY 1
 """
 
 
+
+# ---------------------------------------------------------------------------
+# P3 — k-anonymity / l-diversity audit (operators/quality.py
+# k_anonymity_report): the governance counterpart of the t9 PII scrub.
+# scrub_pii removes DIRECT identifiers; this measures the INDIRECT
+# ones — per quasi-identifier group (nation x market segment), how
+# many customers share the combination (the group's k) and how many
+# distinct sensitive values it holds (the l; account balance at $1000
+# grain). One map-combined groupBy; scales with group count.
+# ---------------------------------------------------------------------------
+
+P3_K = 5
+P3_L = 3
+
+
+def p3_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.quality import (
+        k_anonymity_report,
+    )
+
+    customers = load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+    )
+    return k_anonymity_report(
+        customers,
+        ["c_nationkey", "c_mktsegment"],
+        "bal_bucket",
+        k=P3_K,
+        l_div=P3_L,
+    )
+
+
+P3_SQL = f"""
+SELECT c_nationkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS group_n,
+       CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT))
+            AS BIGINT) AS l_distinct,
+       COUNT(*) >= {P3_K} AS meets_k,
+       COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) >= {P3_L}
+           AS meets_l
+FROM customer
+GROUP BY 1, 2
+"""
+
+
 RELATIONAL_QUERIES = {
     "q12_small_quantity_revenue": q12_small_quantity_revenue,
     "q13_dominant_suppliers": q13_dominant_suppliers,
     "u2_activity_reconciliation": u2_activity_reconciliation,
     "p2_constraint_report": p2_constraint_report,
+    "p3_k_anonymity": p3_k_anonymity,
     "q14_dormant_high_balance": q14_dormant_high_balance,
     "q1_supplier_stats": q1_supplier_stats,
     "q2_status_priority_delays": q2_status_priority_delays,
@@ -1602,5 +1650,6 @@ RELATIONAL_ORACLES = {
     "q13_dominant_suppliers": Q13_SQL,
     "u2_activity_reconciliation": U2_SQL,
     "p2_constraint_report": P2_SQL,
+    "p3_k_anonymity": P3_SQL,
     "q14_dormant_high_balance": Q14_SQL,
 }

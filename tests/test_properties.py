@@ -853,3 +853,43 @@ class TestBatchedBpeProperties:
         assert len(batched) == len(set(batched))
         if classic and batched:
             assert batched[0] == classic[0]
+
+
+class TestKAnonymityReport:
+    """p3: per-QI-group k and l metrics."""
+
+    def test_group_sizes_and_diversity(self, spark):
+        from big_data_flight_analytics_spark.operators.quality import (
+            k_anonymity_report,
+        )
+
+        rows = (
+            [("us", "a", 1)] * 5          # k=5, l=1 -> meets_k only
+            + [("us", "b", i) for i in range(3)]  # k=3, l=3 -> meets_l only
+            + [("de", "a", 7)]            # k=1, l=1 -> neither
+        )
+        df = spark.createDataFrame(rows, "nat string, seg string, s long")
+        got = {
+            (r["nat"], r["seg"]): (
+                r["group_n"], r["l_distinct"], r["meets_k"], r["meets_l"]
+            )
+            for r in k_anonymity_report(
+                df, ["nat", "seg"], "s", k=5, l_div=3
+            ).collect()
+        }
+        assert got[("us", "a")] == (5, 1, True, False)
+        assert got[("us", "b")] == (3, 3, False, True)
+        assert got[("de", "a")] == (1, 1, False, False)
+
+    def test_null_quasi_identifiers_form_their_own_group(self, spark):
+        from big_data_flight_analytics_spark.operators.quality import (
+            k_anonymity_report,
+        )
+
+        df = spark.createDataFrame(
+            [(None, "a", 1), (None, "a", 2), ("us", "a", 1)],
+            "nat string, seg string, s long",
+        )
+        got = k_anonymity_report(df, ["nat", "seg"], "s", k=2).collect()
+        by_nat = {r["nat"]: r["group_n"] for r in got}
+        assert by_nat[None] == 2 and by_nat["us"] == 1
