@@ -474,6 +474,31 @@ def _index_sink_pipelines(spark, sf_dir: str, workdir: str) -> dict[str, float]:
         os.path.join(workdir, "ckpt_s15_cms"),
     )
     out["s15_cms_sink"] = round(ord_rows / secs, 1)
+
+    # s16: continuously folded OHLC bars (streaming i9) — the events
+    # delta streams through and each batch's mergeable bar state folds
+    # into the per-(key, bucket) store (marker-guarded exactly-once)
+    from big_data_flight_analytics_spark.streaming.sinks import OHLCSink
+
+    ev_feed, ev_rows = build_delta_feed(
+        spark,
+        sf_dir,
+        workdir,
+        "events",
+        ["event_id", "event_type", "ts", "value"],
+        "event_id",
+    )
+    ohlc_path = os.path.join(workdir, "ohlc_bars")
+    shutil.rmtree(ohlc_path, ignore_errors=True)
+    ohlc_sink = OHLCSink(ohlc_path, step_s=6 * 3600)
+    secs = _run_index_sink(
+        spark,
+        ev_feed,
+        "event_id long, event_type string, ts timestamp, value double",
+        ohlc_sink,
+        os.path.join(workdir, "ckpt_s16_ohlc"),
+    )
+    out["s16_ohlc_sink"] = round(ev_rows / secs, 1)
     return out
 
 

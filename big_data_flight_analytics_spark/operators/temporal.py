@@ -349,6 +349,99 @@ def rolling_zscore(
     )
 
 
+def ohlc_state(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    step_s: int = 3600,
+) -> DataFrame:
+    """Mergeable per-(key, bucket) OHLC state: endpoint values WITH
+    their selection keys — (first_us, first_id, open), (last_us,
+    last_id, close) — plus high/low/n_obs. Selection rides Spark's
+    lexicographic struct min/max ((us, id, v): ids are unique, so the
+    value field never decides an ordering), which makes the whole
+    build ONE map-combined groupBy — no window, no sort. Carrying the
+    endpoint keys is exactly what makes the aggregate MERGEABLE:
+    disjoint row subsets fold by re-selecting min/max over their
+    endpoint structs (ohlc_fold), the i1-contract for resampling."""
+    us = _micros(ts_col)
+    bucket = F.floor(us / F.lit(step_s * 1_000_000.0)).cast("long")
+    base = events.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col).alias("key"),
+        bucket.alias("bucket"),
+        us.alias("__us"),
+        F.col(id_col).alias("__id"),
+        F.col(value_col).alias("v"),
+    )
+    return base.groupBy("key", "bucket").agg(
+        F.min(F.struct("__us", "__id", "v")).alias("__o"),
+        F.max(F.struct("__us", "__id", "v")).alias("__c"),
+        F.max("v").alias("high"),
+        F.min("v").alias("low"),
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+    ).select(
+        "key",
+        "bucket",
+        F.col("__o.__us").alias("first_us"),
+        F.col("__o.__id").alias("first_id"),
+        F.col("__o.v").alias("open"),
+        "high",
+        "low",
+        F.col("__c.__us").alias("last_us"),
+        F.col("__c.__id").alias("last_id"),
+        F.col("__c.v").alias("close"),
+        "n_obs",
+    )
+
+
+def ohlc_fold(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold two disjoint-subset OHLC states: re-select the earliest
+    (first_us, first_id) / latest (last_us, last_id) endpoints across
+    parts, combine extremes, sum counts — O(state), associative and
+    commutative, NOT idempotent (n_obs is additive: streaming faces
+    are marker-guarded, the HistogramSink class)."""
+    u = base.unionByName(delta)
+    return u.groupBy("key", "bucket").agg(
+        F.min(F.struct("first_us", "first_id", "open")).alias("__o"),
+        F.max(F.struct("last_us", "last_id", "close")).alias("__c"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.sum("n_obs").cast("long").alias("n_obs"),
+    ).select(
+        "key",
+        "bucket",
+        F.col("__o.first_us").alias("first_us"),
+        F.col("__o.first_id").alias("first_id"),
+        F.col("__o.open").alias("open"),
+        "high",
+        "low",
+        F.col("__c.last_us").alias("last_us"),
+        F.col("__c.last_id").alias("last_id"),
+        F.col("__c.close").alias("close"),
+        "n_obs",
+    )
+
+
+def ohlc_finalize(
+    state: DataFrame, key_col: str = "event_type", step_s: int = 3600
+) -> DataFrame:
+    """Public bar columns off the mergeable state (endpoint selection
+    keys dropped)."""
+    return state.select(
+        F.col("key").alias(key_col),
+        (F.col("bucket") * F.lit(step_s)).cast("long").alias(
+            "bucket_start_s"
+        ),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_obs",
+    )
+
+
 def ohlc_bars(
     events: DataFrame,
     key_col: str = "event_type",
@@ -359,55 +452,13 @@ def ohlc_bars(
 ) -> DataFrame:
     """Per-(key, time-bucket) OHLC resampling bars: open/close are the
     values at the earliest/latest observation in the bucket (ties
-    broken by ``id_col``, so the selection is total-ordered and
-    deterministic), high/low the extremes, plus the observation count.
+    broken by ``id_col``), high/low the extremes, plus the count.
     Selection-only semantics — no float arithmetic happens, so double
-    values hash bit-exactly cross-engine regardless of summation order.
-
-    Plan shape: ONE exchange. Both endpoint ranks and the grouped
-    extremes share the (key, bucket) hash partitioning — Spark plans a
-    single shuffle, two in-partition sorts, one partial-agg-free
-    hash aggregate. Scales with keys x buckets, no global state."""
-    us = _micros(ts_col)
-    bucket = F.floor(us / F.lit(step_s * 1_000_000.0)).cast("long")
-    base = events.filter(F.col(value_col).isNotNull()).select(
-        F.col(key_col).alias("key"),
-        bucket.alias("bucket"),
-        us.alias("__us"),
-        F.col(id_col).alias("__id"),
-        F.col(value_col).alias("v"),
-    )
-    w_open = Window.partitionBy("key", "bucket").orderBy(
-        F.col("__us").asc(), F.col("__id").asc()
-    )
-    w_close = Window.partitionBy("key", "bucket").orderBy(
-        F.col("__us").desc(), F.col("__id").desc()
-    )
-    ranked = base.select(
-        "key",
-        "bucket",
-        "v",
-        F.row_number().over(w_open).alias("__ra"),
-        F.row_number().over(w_close).alias("__rd"),
-    )
-    return (
-        ranked.groupBy("key", "bucket")
-        .agg(
-            F.min(F.when(F.col("__ra") == 1, F.col("v"))).alias("open"),
-            F.max("v").alias("high"),
-            F.min("v").alias("low"),
-            F.min(F.when(F.col("__rd") == 1, F.col("v"))).alias("close"),
-            F.count(F.lit(1)).cast("long").alias("n_obs"),
-        )
-        .select(
-            F.col("key").alias(key_col),
-            (F.col("bucket") * F.lit(step_s)).cast("long").alias(
-                "bucket_start_s"
-            ),
-            "open",
-            "high",
-            "low",
-            "close",
-            "n_obs",
-        )
+    values hash bit-exactly cross-engine regardless of summation
+    order. Built on the mergeable state (ohlc_state/ohlc_fold): ONE
+    map-combined groupBy, no window, no sort."""
+    return ohlc_finalize(
+        ohlc_state(events, key_col, ts_col, value_col, id_col, step_s),
+        key_col,
+        step_s,
     )

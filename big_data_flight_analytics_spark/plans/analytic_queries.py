@@ -1873,3 +1873,31 @@ FROM ranked GROUP BY 1, 2
 
 ANALYTIC_QUERIES["ts4_ohlc_bars"] = ts4_ohlc_bars
 ANALYTIC_ORACLES["ts4_ohlc_bars"] = TS4_SQL
+
+
+# I9 — OHLC fold proof: ohlc_state carries endpoint selection keys
+# precisely so disjoint subsets MERGE (re-select min/max endpoint
+# structs, combine extremes, sum counts) — 80/20 event split folded
+# must equal the one-pass bars bit-for-bit; same from-scratch oracle
+# as ts4. Extends the incremental contract (i1-i8) to resampling.
+
+
+def i9_ohlc_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.temporal import (
+        ohlc_finalize,
+        ohlc_fold,
+        ohlc_state,
+    )
+
+    events = load(spark, sf_dir, "events")
+    base = ohlc_state(
+        events.filter(F.col("event_id") % 5 != 0), step_s=TS4_STEP_S
+    )
+    delta = ohlc_state(
+        events.filter(F.col("event_id") % 5 == 0), step_s=TS4_STEP_S
+    )
+    return ohlc_finalize(ohlc_fold(base, delta), step_s=TS4_STEP_S)
+
+
+ANALYTIC_QUERIES["i9_ohlc_delta"] = i9_ohlc_delta
+ANALYTIC_ORACLES["i9_ohlc_delta"] = TS4_SQL

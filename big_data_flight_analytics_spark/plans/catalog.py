@@ -196,6 +196,7 @@ _TIE_BREAK = [
     "j12_fuzzy_match",
     "a16_quantile_binning",
     "p3_k_anonymity",
+    "i9_ohlc_delta",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

@@ -1287,3 +1287,74 @@ class CMSSink(ParquetUpsertSink):
         return cms_estimate(
             self.read(spark), queries, self.value_col, self.width
         )
+
+
+class OHLCSink(ParquetUpsertSink):
+    """Continuously maintained OHLC bars: the streaming face of i9
+    (``operators.temporal`` ohlc_*). Each micro-batch builds its own
+    mergeable bar state (one map-combined groupBy over the batch) and
+    folds into the persisted per-(key, bucket) state — O(delta +
+    touched buckets) per trigger; live bars (including the still-open
+    current bucket) are answerable at any moment without rescanning
+    history. The fold re-selects endpoint structs and sums counts, so
+    it is NOT idempotent (n_obs is additive) — replays short-circuit
+    via the ``_last_batch`` marker, the HistogramSink protocol.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        key_col: str = "event_type",
+        ts_col: str = "ts",
+        value_col: str = "value",
+        id_col: str = "event_id",
+        step_s: int = 3600,
+    ) -> None:
+        super().__init__(path, key_col="bucket", version_col="__none")
+        self.key_col = key_col
+        self.ts_col = ts_col
+        self.value_col = value_col
+        self.id_col = id_col
+        self.step_s = step_s
+
+    def merge(self, batch_df: DataFrame, batch_id: int) -> None:
+        from big_data_flight_analytics_spark.operators.temporal import (
+            ohlc_fold,
+            ohlc_state,
+        )
+
+        self._recover()
+        if os.path.exists(self.path) and batch_id <= self._last_batch():
+            return  # replay of an already-folded batch
+        spark = batch_df.sparkSession
+        delta = ohlc_state(
+            batch_df,
+            self.key_col,
+            self.ts_col,
+            self.value_col,
+            self.id_col,
+            self.step_s,
+        )
+        if os.path.exists(self.path):
+            updated = ohlc_fold(spark.read.parquet(self.path), delta)
+        else:
+            updated = delta
+        updated.write.mode("overwrite").parquet(self._staging)
+        with open(self._marker(self._staging), "w") as fh:
+            fh.write(str(batch_id))
+        if os.path.exists(self.path):
+            os.rename(self.path, self._old)
+        os.rename(self._staging, self.path)
+        if os.path.exists(self._old):
+            shutil.rmtree(self._old)
+
+    def read(self, spark) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+    def bars(self, spark) -> DataFrame:
+        """Public OHLC bar columns off the current state."""
+        from big_data_flight_analytics_spark.operators.temporal import (
+            ohlc_finalize,
+        )
+
+        return ohlc_finalize(self.read(spark), self.key_col, self.step_s)

@@ -661,3 +661,79 @@ class TestCMSSink:
             for r in sink.estimate(spark, q).collect()
         }
         assert got["hot"] == 90 and got["cold"] == 1 and got["absent"] == 0
+
+
+class TestOHLCSink:
+    """Streaming i9: per-batch mergeable-state folds == one batch pass
+    over all arrivals; replay marker-guarded (additive n_obs)."""
+
+    def _delta(self, spark):
+        from datetime import datetime, timedelta
+
+        base = datetime(2024, 3, 1)
+        return spark.createDataFrame(
+            [
+                (
+                    i,
+                    "a" if i % 3 else "b",
+                    base + timedelta(seconds=37 * i),
+                    float((i * 7919) % 100),
+                )
+                for i in range(300)
+            ],
+            "event_id long, event_type string, ts timestamp, value double",
+        )
+
+    def _bars(self, df):
+        return {
+            (r["event_type"], r["bucket_start_s"]): (
+                r["open"], r["high"], r["low"], r["close"], r["n_obs"]
+            )
+            for r in df.collect()
+        }
+
+    def test_stream_folds_equal_batch_bars(self, spark, tmp_path):
+        from big_data_flight_analytics_spark.operators.temporal import (
+            ohlc_bars,
+        )
+        from big_data_flight_analytics_spark.streaming.sinks import OHLCSink
+
+        delta = self._delta(spark)
+        sink = OHLCSink(str(tmp_path / "ohlc"), step_s=600)
+        _run_stream(spark, tmp_path, sink, delta)
+        assert self._bars(sink.bars(spark)) == self._bars(
+            ohlc_bars(delta, step_s=600)
+        )
+
+    def test_replayed_batch_does_not_double_count(self, spark, tmp_path):
+        from big_data_flight_analytics_spark.streaming.sinks import OHLCSink
+
+        delta = self._delta(spark)
+        sink = OHLCSink(str(tmp_path / "ohlc"), step_s=600)
+        sink.merge(delta, 0)
+        first = self._bars(sink.bars(spark))
+        sink.merge(delta, 0)  # at-least-once replay: must short-circuit
+        assert self._bars(sink.bars(spark)) == first
+
+    def test_open_bucket_keeps_updating_across_batches(self, spark, tmp_path):
+        from datetime import datetime
+
+        from big_data_flight_analytics_spark.streaming.sinks import OHLCSink
+
+        sink = OHLCSink(str(tmp_path / "ohlc"), step_s=3600)
+        mk = lambda eid, sec, v: (  # noqa: E731
+            eid, "a", datetime(2024, 3, 1, 0, 0, sec), float(v)
+        )
+        schema = "event_id long, event_type string, ts timestamp, value double"
+        sink.merge(spark.createDataFrame([mk(1, 10, 5.0)], schema), 0)
+        sink.merge(
+            spark.createDataFrame(
+                [mk(2, 5, 9.0), mk(3, 50, 2.0)], schema
+            ),
+            1,
+        )
+        r = sink.bars(spark).collect()[0]
+        # batch-2 row at second 5 re-opens the bar; second 50 closes it
+        assert (r["open"], r["high"], r["low"], r["close"], r["n_obs"]) == (
+            9.0, 9.0, 2.0, 2.0, 3,
+        )

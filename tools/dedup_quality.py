@@ -548,6 +548,7 @@ def semantic_section(spark, sf_dir: str) -> None:
     )
     delta_section(spark, sf_dir)
     minhash_delta_section(spark, sf_dir)
+    cdc_edit_robustness_section(spark, sf_dir)
 
 
 def delta_section(spark, sf_dir: str) -> None:
@@ -819,6 +820,121 @@ def minhash_delta_section(spark, sf_dir: str) -> None:
             f"| {num_perm} | {bands} | {num_perm // bands} "
             f"| {len(got)} | {rec:.3f} | {dt:.1f} |"
         )
+
+
+def cdc_edit_robustness_section(spark, sf_dir: str) -> None:
+    """t22/d23 chunk-survival under edits vs fixed-size chunking.
+
+    Protocol: every 10th document gets a near-duplicate twin with K
+    tokens inserted at 20% depth (deterministic). For each chunking
+    scheme, measure what fraction of the ORIGINAL's chunk fingerprints
+    the edited twin still carries (survival = what chunk-level dedup
+    can still catch). CDC boundaries depend only on local content, so
+    survival should stay high as K grows; fixed-size chunks shift
+    wholesale after the edit point, so their survival caps near the
+    edit depth.
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    from big_data_flight_analytics_spark.operators.text import (
+        cdc_chunks,
+        chunk_tokens,
+        tokens,
+    )
+    from big_data_flight_analytics_spark.plans.tables import load
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 10 == 0) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .cache()
+    )
+
+    print()
+    print("# CDC chunk survival under insertions (t22/d23 vs fixed-size)")
+    print()
+    print(
+        "Every 10th doc gets a twin with K tokens inserted at 20% "
+        "depth; survival = fraction of the original's chunk "
+        "fingerprints the twin still carries (what chunk-grain dedup "
+        "still catches). CDC divisor 8 vs fixed chunk_size 8."
+    )
+    print()
+    print("| K inserted | cdc survival | fixed survival | cdc sec | fixed sec |")
+    print("|---|---|---|---|---|")
+
+    def survival(chunks_fn, df_orig, df_edit):
+        a = chunks_fn(df_orig).select(
+            "doc_id", F.col("chunk_fp").alias("fp")
+        )
+        b = chunks_fn(df_edit).select(
+            "doc_id", F.col("chunk_fp").alias("fp")
+        )
+        per = (
+            a.join(b.withColumn("__hit", F.lit(1)), ["doc_id", "fp"], "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("hit"),
+            )
+            .agg(F.sum("hit").alias("h"), F.sum("n").alias("n"))
+            .collect()[0]
+        )
+        return per["h"] / per["n"] if per["n"] else float("nan")
+
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    for k in (2, 7, 8):
+        ins = F.array(*[F.lit(f"zzins{i}") for i in range(k)])
+        cut = F.floor(F.size(toks) * 0.2).cast("int")
+        edited = docs.select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.concat(
+                    F.slice(toks, 1, cut),
+                    ins,
+                    F.slice(
+                        toks, cut + 1, F.size(toks) - cut
+                    ),
+                ),
+            ).alias("text"),
+        )
+        t0 = time.time()
+        cdc_s = survival(
+            lambda d: cdc_chunks(d, divisor=8), docs, edited
+        )
+        t_cdc = time.time() - t0
+        t0 = time.time()
+        fix_s = survival(
+            lambda d: chunk_tokens(d, chunk_size=8, overlap=0).select(
+                "doc_id",
+                F.md5("chunk_text").alias("chunk_fp"),
+            ),
+            docs,
+            edited,
+        )
+        t_fix = time.time() - t0
+        print(
+            f"| {k} | {cdc_s:.3f} | {fix_s:.3f} "
+            f"| {t_cdc:.1f} | {t_fix:.1f} |"
+        )
+    print()
+    print(
+        "Reading: CDC survival is INDEPENDENT of K — the insertion "
+        "perturbs only the chunk containing it (plus at most one "
+        "neighbor when an inserted token creates a boundary). "
+        "Fixed-size survival depends on ALIGNMENT LUCK: when K is an "
+        "exact multiple of chunk_size (K=8 here) the downstream "
+        "chunks shift by whole chunks and re-match content-"
+        "identically, but ANY other K (2, 7) misaligns every chunk "
+        "after the edit and survival collapses to the pre-edit "
+        "prefix. Real edits don't come in chunk-sized units, so the "
+        "misaligned rows are the representative ones — this fragility "
+        "is the reason d23 dedups on CDC fingerprints rather than "
+        "t13's fixed windows."
+    )
 
 
 if __name__ == "__main__":
