@@ -310,7 +310,11 @@ def _cms_bucket(value, j: int, width: int):
 
 
 def cms_sketch(
-    df: DataFrame, value_col: str, width: int, depth: int = CMS_DEPTH
+    df: DataFrame,
+    value_col: str,
+    width: int,
+    depth: int = CMS_DEPTH,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(row_j, bucket, cnt): the count-min grid (Cormode & Muthukrishnan
     2005) — depth x width int64 counters, the persisted sketch state.
@@ -323,26 +327,34 @@ def cms_sketch(
     no matter the corpus; state is corpus-size-independent. Folds
     additively (histogram_fold class: NOT idempotent — streaming faces
     need replay markers)."""
+    gcols = list(group_cols)
     v = F.col(value_col)
     grid = F.array(*[_cms_bucket(v, j, width) for j in range(depth)])
     return (
         df.filter(v.isNotNull())
-        .select(F.posexplode(grid).alias("row_j", "bucket"))
-        .select(F.col("row_j").cast("long").alias("row_j"), "bucket")
-        .groupBy("row_j", "bucket")
+        .select(*gcols, F.posexplode(grid).alias("row_j", "bucket"))
+        .select(
+            *gcols, F.col("row_j").cast("long").alias("row_j"), "bucket"
+        )
+        .groupBy(*gcols, "row_j", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
 
 
-def cms_fold(base: DataFrame, delta: DataFrame) -> DataFrame:
+def cms_fold(
+    base: DataFrame,
+    delta: DataFrame,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Fold a delta grid into the stored one: full-outer sum on
-    (row_j, bucket) — O(depth x width), corpus-independent, associative
-    and commutative (counts are additive)."""
-    b = base.select("row_j", "bucket", F.col("cnt").alias("__b"))
-    d = delta.select("row_j", "bucket", F.col("cnt").alias("__d"))
-    return b.join(d, ["row_j", "bucket"], "full").select(
-        "row_j",
-        "bucket",
+    (*group_cols, row_j, bucket) — O(groups x depth x width),
+    corpus-independent, associative and commutative (counts are
+    additive). Grouped grids fold on the composite key."""
+    keys = [*group_cols, "row_j", "bucket"]
+    b = base.select(*keys, F.col("cnt").alias("__b"))
+    d = delta.select(*keys, F.col("cnt").alias("__d"))
+    return b.join(d, keys, "full").select(
+        *keys,
         (
             F.coalesce(F.col("__b"), F.lit(0))
             + F.coalesce(F.col("__d"), F.lit(0))
@@ -356,20 +368,29 @@ def cms_estimate(
     value_col: str,
     width: int,
     depth: int = CMS_DEPTH,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(value_col, n_cms) for each query value: min over the value's
     depth bucket counters (0 when a counter was never touched — only
     possible for values absent from the sketched corpus). Sketch-sized
     work: queries x depth probe rows joined against the broadcast
     depth x width grid."""
+    gcols = list(group_cols)
     v = F.col(value_col)
     grid = F.array(*[_cms_bucket(v, j, width) for j in range(depth)])
     probes = queries.select(
-        value_col, F.posexplode(grid).alias("row_j", "bucket")
-    ).select(value_col, F.col("row_j").cast("long").alias("row_j"), "bucket")
+        *gcols, value_col, F.posexplode(grid).alias("row_j", "bucket")
+    ).select(
+        *gcols,
+        value_col,
+        F.col("row_j").cast("long").alias("row_j"),
+        "bucket",
+    )
     return (
-        probes.join(F.broadcast(sketch), ["row_j", "bucket"], "left")
-        .groupBy(value_col)
+        probes.join(
+            F.broadcast(sketch), [*gcols, "row_j", "bucket"], "left"
+        )
+        .groupBy(*gcols, value_col)
         .agg(
             F.min(F.coalesce(F.col("cnt"), F.lit(0)))
             .cast("long")

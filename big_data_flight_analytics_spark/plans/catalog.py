@@ -197,6 +197,7 @@ _TIE_BREAK = [
     "a16_quantile_binning",
     "p3_k_anonymity",
     "i9_ohlc_delta",
+    "a17_grouped_cms",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

@@ -3135,6 +3135,94 @@ FROM est CROSS JOIN ex CROSS JOIN ix
 
 
 # ---------------------------------------------------------------------------
+# A17 — grouped count-min sketch: the per-key form of a14 (the
+# "per-tenant frequency sketch" production ask), mirroring what a12
+# does for the histogram family. State is O(sources x depth x width),
+# the fold key is (source, row_j, bucket), and probes join on the
+# composite key. Exact top-5 terms PER SOURCE (window partitioned by
+# source — scales with sources) probed against the grouped grid.
+# ---------------------------------------------------------------------------
+
+A17_TOPK = 5
+
+
+def a17_grouped_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+    from big_data_flight_analytics_spark.operators.text import tokens
+    from pyspark.sql import Window
+
+    terms = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("source", F.explode(tokens("text")).alias("term"))
+    )
+    counts = terms.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_exact").desc(), F.col("term").asc()
+    )
+    topk = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= A17_TOPK)
+        .drop("rn")
+    )
+    grid = cms_sketch(terms, "term", A14_CMS_WIDTH, group_cols=("source",))
+    est = cms_estimate(
+        grid, topk, "term", A14_CMS_WIDTH, group_cols=("source",)
+    )
+    return est.join(F.broadcast(topk), ["source", "term"]).select(
+        "source", "term", "n_exact", "n_cms"
+    )
+
+
+_A17_POSTING = r"""
+    SELECT source,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+    FROM documents WHERE text IS NOT NULL
+"""
+
+A17_SQL = rf"""
+WITH posting AS ({_A17_POSTING}),
+counts AS (
+    SELECT source, term, CAST(COUNT(*) AS BIGINT) AS n_exact
+    FROM posting GROUP BY 1, 2
+), topk AS (
+    SELECT source, term, n_exact
+    FROM (
+        SELECT source, term, n_exact,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_exact DESC, term ASC) AS rn
+        FROM counts
+    ) WHERE rn <= {A17_TOPK}
+), cms AS (
+    SELECT p.source, CAST(j.j AS BIGINT) AS row_j,
+           CAST(('0x' || substring(md5(CAST(j.j AS VARCHAR) || ':' || p.term),
+                                   1, 15)) AS BIGINT) % {A14_CMS_WIDTH}
+               AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM posting p CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS j) j
+    GROUP BY 1, 2, 3
+), probes AS (
+    SELECT t.source, t.term, t.n_exact, CAST(j.j AS BIGINT) AS row_j,
+           CAST(('0x' || substring(md5(CAST(j.j AS VARCHAR) || ':' || t.term),
+                                   1, 15)) AS BIGINT) % {A14_CMS_WIDTH}
+               AS bucket
+    FROM topk t CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS j) j
+)
+SELECT p.source, p.term, p.n_exact,
+       CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS n_cms
+FROM probes p
+LEFT JOIN cms c
+  ON c.source = p.source AND c.row_j = p.row_j AND c.bucket = p.bucket
+GROUP BY p.source, p.term, p.n_exact
+"""
+
+
+# ---------------------------------------------------------------------------
 # J11 — Bloom-filter semi join (operators/joins.py bloom_semi_join):
 # the pre-shuffle fact filter for key sets too big to broadcast raw.
 # Urgent orders' keys become a fixed m-bit bitset (packed 32 bits per
@@ -5331,6 +5419,7 @@ EXTENSION_QUERIES = {
     "d23_cdc_dedup": d23_cdc_dedup,
     "j12_fuzzy_match": j12_fuzzy_match,
     "a16_quantile_binning": a16_quantile_binning,
+    "a17_grouped_cms": a17_grouped_cms,
     "d8_curated_corpus": d8_curated_corpus,
     "m1_multimodal_features": m1_multimodal_features,
     "m2_frame_sample": m2_frame_sample,
@@ -5405,6 +5494,7 @@ EXTENSION_ORACLES = {
     "d23_cdc_dedup": D23_SQL,
     "j12_fuzzy_match": J12_SQL,
     "a16_quantile_binning": A16_SQL,
+    "a17_grouped_cms": A17_SQL,
     "d8_curated_corpus": D8_SQL,
     "m1_multimodal_features": M1_SQL,
     "m2_frame_sample": M2_SQL,

@@ -415,3 +415,65 @@ class TestKMVSetOverlap:
         got = self._ov(spark, range(0, 600), range(400, 1000), k=256)
         assert abs(got["n_union_est"] - 1000) / 1000 < 0.25
         assert abs(got["n_intersect_est"] - 200) / 200 < 0.45
+
+
+class TestGroupedCountMin:
+    """a17: the per-key CMS — grouped grids are independent and match
+    the ungrouped operator on each group's slice."""
+
+    def test_grouped_matches_ungrouped_per_group(self, spark):
+        from big_data_flight_analytics_spark.operators.sketches import (
+            cms_estimate,
+            cms_sketch,
+        )
+
+        rows = [("s1", f"w{i % 11}") for i in range(400)] + [
+            ("s2", f"w{i % 5}") for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, "src string, term string")
+        grid = cms_sketch(df, "term", 64, group_cols=("src",))
+        q = df.select("src", "term").distinct()
+        grouped = {
+            (r["src"], r["term"]): r["n_cms"]
+            for r in cms_estimate(
+                grid, q, "term", 64, group_cols=("src",)
+            ).collect()
+        }
+        for src in ("s1", "s2"):
+            solo_df = df.filter(F.col("src") == src)
+            solo = {
+                r["term"]: r["n_cms"]
+                for r in cms_estimate(
+                    cms_sketch(solo_df, "term", 64),
+                    solo_df.select("term").distinct(),
+                    "term",
+                    64,
+                ).collect()
+            }
+            for term, n in solo.items():
+                assert grouped[(src, term)] == n
+
+    def test_grouped_fold_equals_full(self, spark):
+        from big_data_flight_analytics_spark.operators.sketches import (
+            cms_fold,
+            cms_sketch,
+        )
+
+        rows = [
+            ("s1" if i % 3 else "s2", f"w{i % 17}") for i in range(600)
+        ]
+        df = spark.createDataFrame(rows, "src string, term string")
+        full = cms_sketch(df, "term", 32, group_cols=("src",))
+        half = lambda k: spark.createDataFrame(  # noqa: E731
+            rows[k::2], "src string, term string"
+        )
+        folded = cms_fold(
+            cms_sketch(half(0), "term", 32, group_cols=("src",)),
+            cms_sketch(half(1), "term", 32, group_cols=("src",)),
+            group_cols=("src",),
+        )
+        key = lambda d: {  # noqa: E731
+            (r["src"], r["row_j"], r["bucket"]): r["cnt"]
+            for r in d.collect()
+        }
+        assert key(folded) == key(full)
