@@ -893,3 +893,96 @@ class TestKAnonymityReport:
         got = k_anonymity_report(df, ["nat", "seg"], "s", k=2).collect()
         by_nat = {r["nat"]: r["group_n"] for r in got}
         assert by_nat[None] == 2 and by_nat["us"] == 1
+
+
+def _py_kmv(values, k):
+    """Pure-Python reference model of kmv_sketch (hashlib md5 == Spark
+    md5, 60-bit prefix) — an oracle independent of both engines."""
+    import hashlib
+
+    hs = sorted(
+        {
+            int(hashlib.md5(str(int(v)).encode()).hexdigest()[:15], 16)
+            for v in values
+            if v is not None
+        }
+    )[:k]
+    return {(i + 1, h) for i, h in enumerate(hs)}
+
+
+class TestKMVModelProperties:
+    @settings(max_examples=8, deadline=None)
+    @given(
+        vals=st.lists(
+            st.integers(min_value=-10_000, max_value=10_000),
+            min_size=0, max_size=120,
+        ),
+        k=st.sampled_from([1, 4, 16]),
+    )
+    def test_sketch_matches_pure_python_model(self, vals, k):
+        from big_data_flight_analytics_spark.operators.sketches import (
+            kmv_sketch,
+        )
+
+        spark = _get_spark()
+        df = spark.createDataFrame(
+            [(int(v),) for v in vals] or [(None,)], "v long"
+        )
+        got = {
+            (r["rank"], r["h"]) for r in kmv_sketch(df, "v", k).collect()
+        }
+        assert got == _py_kmv(vals, k)
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        vals=st.lists(
+            st.integers(min_value=0, max_value=5_000),
+            min_size=2, max_size=100,
+        ),
+        cut=st.integers(min_value=1, max_value=99),
+        k=st.sampled_from([4, 16]),
+    )
+    def test_fold_of_any_cut_matches_model_of_union(self, vals, cut, k):
+        from big_data_flight_analytics_spark.operators.sketches import (
+            kmv_fold,
+            kmv_sketch,
+        )
+
+        spark = _get_spark()
+        cut = min(cut, len(vals) - 1)
+        a, b = vals[:cut], vals[cut:]
+        fa = kmv_sketch(
+            spark.createDataFrame([(v,) for v in a], "v long"), "v", k
+        )
+        fb = kmv_sketch(
+            spark.createDataFrame([(v,) for v in b], "v long"), "v", k
+        )
+        got = {(r["rank"], r["h"]) for r in kmv_fold(fa, fb, k).collect()}
+        assert got == _py_kmv(vals, k)
+
+
+class TestHistogramModelProperties:
+    @settings(max_examples=8, deadline=None)
+    @given(
+        vals=st.lists(
+            st.integers(min_value=-100_000, max_value=100_000),
+            min_size=1, max_size=150,
+        ),
+        grain=st.sampled_from([1, 7, 100]),
+    )
+    def test_histogram_matches_floor_division_model(self, vals, grain):
+        from big_data_flight_analytics_spark.operators.sketches import (
+            fixed_grain_histogram,
+        )
+
+        spark = _get_spark()
+        df = spark.createDataFrame([(int(v),) for v in vals], "v long")
+        got = {
+            r["bucket"]: r["cnt"]
+            for r in fixed_grain_histogram(df, "v", grain).collect()
+        }
+        want = {}
+        for v in vals:
+            b = v // grain  # python floor division == FLOOR(v/grain)
+            want[b] = want.get(b, 0) + 1
+        assert got == want
