@@ -440,6 +440,7 @@ def _index_sink_pipelines(spark, sf_dir: str, workdir: str) -> dict[str, float]:
         os.path.join(workdir, "ckpt_s13_histogram"),
     )
     out["s13_histogram_sink"] = round(ord_rows / secs, 1)
+    stage_secs["s13"] = secs
 
     # s14: continuously folded KMV distinct sketch (streaming i7) —
     # same orders delta; each batch's custkey hashes set-union into the
@@ -457,6 +458,7 @@ def _index_sink_pipelines(spark, sf_dir: str, workdir: str) -> dict[str, float]:
         os.path.join(workdir, "ckpt_s14_kmv"),
     )
     out["s14_kmv_sink"] = round(ord_rows / secs, 1)
+    stage_secs["s14"] = secs
 
     # s15: continuously folded count-min grid (streaming i8) — same
     # orders delta; per-customer order frequencies fold additively
@@ -474,6 +476,7 @@ def _index_sink_pipelines(spark, sf_dir: str, workdir: str) -> dict[str, float]:
         os.path.join(workdir, "ckpt_s15_cms"),
     )
     out["s15_cms_sink"] = round(ord_rows / secs, 1)
+    stage_secs["s15"] = secs
 
     # s16: continuously folded OHLC bars (streaming i9) — the events
     # delta streams through and each batch's mergeable bar state folds
@@ -499,6 +502,31 @@ def _index_sink_pipelines(spark, sf_dir: str, workdir: str) -> dict[str, float]:
         os.path.join(workdir, "ckpt_s16_ohlc"),
     )
     out["s16_ohlc_sink"] = round(ev_rows / secs, 1)
+
+    # s17: composed single-pass metrics ingest — all three sketches
+    # fold off ONE shared scan of the same orders delta; the speedup
+    # row is the composition's case vs running s13+s14+s15 separately
+    from big_data_flight_analytics_spark.streaming.sinks import (
+        SketchPipelineSink,
+    )
+
+    sp_path = os.path.join(workdir, "sketch_pipeline")
+    shutil.rmtree(sp_path, ignore_errors=True)
+    sp_sink = SketchPipelineSink(
+        sp_path, "o_totalprice", "o_custkey", grain=1000, k=128, width=1024
+    )
+    secs = _run_index_sink(
+        spark,
+        ord_feed,
+        "o_orderkey long, o_totalprice double, o_custkey long",
+        sp_sink,
+        os.path.join(workdir, "ckpt_s17_sketch_pipeline"),
+    )
+    out["s17_sketch_pipeline"] = round(ord_rows / secs, 1)
+    out["s17_speedup_vs_separate"] = round(
+        (stage_secs["s13"] + stage_secs["s14"] + stage_secs["s15"]) / secs,
+        2,
+    )
     return out
 
 

@@ -176,3 +176,72 @@ def k_anonymity_report(
             (F.col("l_distinct") >= l_div).alias("meets_l"),
         )
     )
+
+
+def k_anonymity_state(
+    df: DataFrame, quasi_cols: Sequence[str], sensitive_col: str
+) -> DataFrame:
+    """Mergeable state for the k-anonymity audit: counts at the
+    (quasi-identifiers, sensitive-value) grain — O(groups x values)
+    rows, corpus-independent, and ADDITIVE, so arriving batches fold
+    with one full-outer sum (the i1 contract for governance metrics:
+    the released-data audit stays current without rescanning the
+    corpus). The report derives from state alone
+    (k_anonymity_from_state)."""
+    gcols = list(quasi_cols)
+    return df.groupBy(*gcols, sensitive_col).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def k_anonymity_fold(
+    base: DataFrame,
+    delta: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+) -> DataFrame:
+    """Fold a delta state into the stored one: full-outer sum on the
+    composite (QI, sensitive) key — O(state), associative and
+    commutative."""
+    keys = [*quasi_cols, sensitive_col]
+    b = base.select(*keys, F.col("cnt").alias("__b"))
+    d = delta.select(*keys, F.col("cnt").alias("__d"))
+    return b.join(d, keys, "full").select(
+        *keys,
+        (
+            F.coalesce(F.col("__b"), F.lit(0))
+            + F.coalesce(F.col("__d"), F.lit(0))
+        ).cast("long").alias("cnt"),
+    )
+
+
+def k_anonymity_from_state(
+    state: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    k: int = 5,
+    l_div: int = 3,
+) -> DataFrame:
+    """The p3 report derived from the mergeable state: group_n sums
+    every row (NULL sensitive values count toward group size),
+    l_distinct counts non-NULL sensitive grains (mirroring
+    COUNT(DISTINCT) semantics). Sketch-sized work only."""
+    gcols = list(quasi_cols)
+    return (
+        state.groupBy(*gcols)
+        .agg(
+            F.sum("cnt").cast("long").alias("group_n"),
+            F.sum(
+                F.when(F.col(sensitive_col).isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("l_distinct"),
+        )
+        .select(
+            *gcols,
+            "group_n",
+            "l_distinct",
+            (F.col("group_n") >= k).alias("meets_k"),
+            (F.col("l_distinct") >= l_div).alias("meets_l"),
+        )
+    )

@@ -198,6 +198,7 @@ _TIE_BREAK = [
     "p3_k_anonymity",
     "i9_ohlc_delta",
     "a17_grouped_cms",
+    "i10_kanon_delta",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

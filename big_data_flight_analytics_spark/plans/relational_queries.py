@@ -1653,3 +1653,44 @@ RELATIONAL_ORACLES = {
     "p3_k_anonymity": P3_SQL,
     "q14_dormant_high_balance": Q14_SQL,
 }
+
+
+# I10 — mergeable k-anonymity: the governance audit under the ingest
+# contract. State = counts at (QI, sensitive-bucket) grain — additive,
+# so an arriving batch folds with one full-outer sum and the report
+# re-derives in O(state); the released-data audit stays current
+# without rescanning the corpus. 80/20 customer split folded must
+# reproduce the from-scratch p3 report bit-for-bit (same oracle).
+
+
+def i10_kanon_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.quality import (
+        k_anonymity_fold,
+        k_anonymity_from_state,
+        k_anonymity_state,
+    )
+
+    customers = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+    )
+    qi = ["c_nationkey", "c_mktsegment"]
+    base = k_anonymity_state(
+        customers.filter(F.col("c_custkey") % 5 != 0), qi, "bal_bucket"
+    )
+    delta = k_anonymity_state(
+        customers.filter(F.col("c_custkey") % 5 == 0), qi, "bal_bucket"
+    )
+    return k_anonymity_from_state(
+        k_anonymity_fold(base, delta, qi, "bal_bucket"),
+        qi,
+        "bal_bucket",
+        k=P3_K,
+        l_div=P3_L,
+    )
+
+
+RELATIONAL_QUERIES["i10_kanon_delta"] = i10_kanon_delta
+RELATIONAL_ORACLES["i10_kanon_delta"] = P3_SQL

@@ -1358,3 +1358,60 @@ class OHLCSink(ParquetUpsertSink):
         )
 
         return ohlc_finalize(self.read(spark), self.key_col, self.step_s)
+
+
+class SketchPipelineSink:
+    """Composed single-pass metrics ingest (s17): ONE ``foreachBatch``
+    target folding every arriving micro-batch into all three mergeable
+    sketches over ONE shared batch scan — the s12 composition lesson
+    applied to the metrics plane:
+
+    1. value distribution — ``HistogramSink`` (i6 fold);
+    2. key cardinality — ``KMVSink`` (i7 fold);
+    3. key frequencies — ``CMSSink`` (i8 fold).
+
+    Running these as three separate streams parses and scans the
+    arriving data three times; the composition persists one projected
+    frame per micro-batch and every sketch folds off the cached scan.
+    Exactly-once composes per stage IN ITS OWN PROTOCOL: the additive
+    histogram/CMS folds short-circuit replayed batch ids via their
+    ``_last_batch`` markers, while the KMV fold is idempotent and
+    needs none — a crash mid-composition replays the whole batch and
+    each stage settles correctly by its own mechanism (pinned by
+    test).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        value_col: str,
+        key_col: str,
+        grain: int,
+        k: int = 128,
+        width: int = 1024,
+    ) -> None:
+        self.value_col = value_col
+        self.key_col = key_col
+        self.hist = HistogramSink(
+            os.path.join(path, "histogram"), value_col, grain
+        )
+        self.kmv = KMVSink(os.path.join(path, "kmv"), key_col, k)
+        self.cms = CMSSink(os.path.join(path, "cms"), key_col, width)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        shared = batch_df.select(self.value_col, self.key_col).persist()
+        try:
+            self.hist(shared, batch_id)
+            self.kmv(shared, batch_id)
+            self.cms(shared, batch_id)
+        finally:
+            shared.unpersist()
+
+    def quantiles(self, spark, qs=None) -> DataFrame:
+        return self.hist.quantiles(spark, qs)
+
+    def distinct_estimate(self, spark) -> DataFrame:
+        return self.kmv.estimate(spark)
+
+    def frequency_estimate(self, spark, queries: DataFrame) -> DataFrame:
+        return self.cms.estimate(spark, queries)

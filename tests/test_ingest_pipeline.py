@@ -737,3 +737,79 @@ class TestOHLCSink:
         assert (r["open"], r["high"], r["low"], r["close"], r["n_obs"]) == (
             9.0, 9.0, 2.0, 2.0, 3,
         )
+
+
+class TestSketchPipelineSink:
+    """s17: composed metrics ingest — every sketch equals its
+    standalone batch build; a whole-composition replay settles each
+    stage by its OWN exactly-once mechanism (markers vs idempotence)."""
+
+    def _delta(self, spark):
+        import random
+
+        rng = random.Random(67)
+        return spark.createDataFrame(
+            [
+                (i, rng.randint(0, 40), float(rng.randint(0, 5000)))
+                for i in range(400)
+            ],
+            "row_id long, k long, v double",
+        )
+
+    def _states(self, spark, sink):
+        return (
+            {
+                (r["bucket"], r["cnt"])
+                for r in sink.hist.read(spark).collect()
+            },
+            {(r["rank"], r["h"]) for r in sink.kmv.read(spark).collect()},
+            {
+                (r["row_j"], r["bucket"], r["cnt"])
+                for r in sink.cms.read(spark).collect()
+            },
+        )
+
+    def test_stream_equals_standalone_batch_builds(self, spark, tmp_path):
+        from big_data_flight_analytics_spark.operators.sketches import (
+            cms_sketch,
+            fixed_grain_histogram,
+            kmv_sketch,
+        )
+        from big_data_flight_analytics_spark.streaming.sinks import (
+            SketchPipelineSink,
+        )
+
+        delta = self._delta(spark)
+        sink = SketchPipelineSink(
+            str(tmp_path / "sketches"), "v", "k", grain=100, k=16, width=64
+        )
+        _run_stream(spark, tmp_path, sink, delta)
+        hist, kmv, cms = self._states(spark, sink)
+        assert hist == {
+            (r["bucket"], r["cnt"])
+            for r in fixed_grain_histogram(delta, "v", 100).collect()
+        }
+        assert kmv == {
+            (r["rank"], r["h"])
+            for r in kmv_sketch(delta, "k", 16).collect()
+        }
+        assert cms == {
+            (r["row_j"], r["bucket"], r["cnt"])
+            for r in cms_sketch(delta, "k", 64).collect()
+        }
+
+    def test_whole_composition_replay_is_settled_per_stage(
+        self, spark, tmp_path
+    ):
+        from big_data_flight_analytics_spark.streaming.sinks import (
+            SketchPipelineSink,
+        )
+
+        delta = self._delta(spark)
+        sink = SketchPipelineSink(
+            str(tmp_path / "sketches"), "v", "k", grain=100, k=16, width=64
+        )
+        sink(delta, 0)
+        first = self._states(spark, sink)
+        sink(delta, 0)  # at-least-once replay of the WHOLE composition
+        assert self._states(spark, sink) == first

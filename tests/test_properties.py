@@ -894,6 +894,46 @@ class TestKAnonymityReport:
         by_nat = {r["nat"]: r["group_n"] for r in got}
         assert by_nat[None] == 2 and by_nat["us"] == 1
 
+    def test_state_fold_equals_full_and_report_matches_direct(self, spark):
+        from big_data_flight_analytics_spark.operators.quality import (
+            k_anonymity_fold,
+            k_anonymity_from_state,
+            k_anonymity_report,
+            k_anonymity_state,
+        )
+
+        rows = [
+            ("us", "a", i % 4) for i in range(20)
+        ] + [("de", "b", None), ("de", "b", 1)]
+        df = spark.createDataFrame(rows, "nat string, seg string, s long")
+        full_state = k_anonymity_state(df, ["nat", "seg"], "s")
+        halves = [rows[0::2], rows[1::2]]
+        folded = k_anonymity_fold(
+            k_anonymity_state(
+                spark.createDataFrame(halves[0], df.schema), ["nat", "seg"], "s"
+            ),
+            k_anonymity_state(
+                spark.createDataFrame(halves[1], df.schema), ["nat", "seg"], "s"
+            ),
+            ["nat", "seg"],
+            "s",
+        )
+        key = lambda d: {  # noqa: E731
+            (r["nat"], r["seg"], r["s"]): r["cnt"] for r in d.collect()
+        }
+        assert key(folded) == key(full_state)
+        # the derived report equals the direct one (NULL sensitive
+        # counts toward group_n but not l_distinct, both paths)
+        rep = lambda d: {  # noqa: E731
+            (r["nat"], r["seg"]): (
+                r["group_n"], r["l_distinct"], r["meets_k"], r["meets_l"]
+            )
+            for r in d.collect()
+        }
+        assert rep(
+            k_anonymity_from_state(folded, ["nat", "seg"], "s", k=5, l_div=3)
+        ) == rep(k_anonymity_report(df, ["nat", "seg"], "s", k=5, l_div=3))
+
 
 def _py_kmv(values, k):
     """Pure-Python reference model of kmv_sketch (hashlib md5 == Spark
