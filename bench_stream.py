@@ -527,6 +527,23 @@ def _index_sink_pipelines(spark, sf_dir: str, workdir: str) -> dict[str, float]:
         (stage_secs["s13"] + stage_secs["s14"] + stage_secs["s15"]) / secs,
         2,
     )
+
+    # s18: continuously maintained Bloom membership filter — custkeys
+    # OR into the fixed bitset (idempotent fold: exactly-once without
+    # markers, the KMV class)
+    from big_data_flight_analytics_spark.streaming.sinks import BloomSink
+
+    bloom_path = os.path.join(workdir, "bloom_filter")
+    shutil.rmtree(bloom_path, ignore_errors=True)
+    bloom_sink = BloomSink(bloom_path, "o_custkey", 1 << 17)
+    secs = _run_index_sink(
+        spark,
+        ord_feed,
+        "o_orderkey long, o_totalprice double, o_custkey long",
+        bloom_sink,
+        os.path.join(workdir, "ckpt_s18_bloom"),
+    )
+    out["s18_bloom_sink"] = round(ord_rows / secs, 1)
     return out
 
 

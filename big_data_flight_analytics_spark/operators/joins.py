@@ -158,11 +158,31 @@ def bloom_semi_join(
     makes the pre-filter deterministic, engine-replayable, and
     available to foreachBatch/streaming code paths the optimizer can't
     see.)"""
+    return bloom_probe(
+        fact,
+        fact_key,
+        bloom_filter_words(keys, key_col, m_bits, depth),
+        m_bits,
+        depth,
+    )
+
+
+def bloom_probe(
+    fact: DataFrame,
+    fact_key: str,
+    words: DataFrame,
+    m_bits: int,
+    depth: int = BLOOM_DEPTH,
+) -> DataFrame:
+    """Probe a PRE-BUILT Bloom word table (bloom_filter_words layout):
+    fact rows whose key might be in the filtered set. The streaming
+    face (BloomSink) maintains the word table incrementally and probes
+    arriving batches through this same path, so stream and batch
+    answers coincide by construction."""
     from big_data_flight_analytics_spark.operators.sketches import (
         _cms_bucket,
     )
 
-    words = bloom_filter_words(keys, key_col, m_bits, depth)
     out = fact
     for j in range(depth):
         w = F.broadcast(

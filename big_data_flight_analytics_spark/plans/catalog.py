@@ -199,6 +199,7 @@ _TIE_BREAK = [
     "i9_ohlc_delta",
     "a17_grouped_cms",
     "i10_kanon_delta",
+    "a18_join_size_estimate",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

@@ -1415,3 +1415,74 @@ class SketchPipelineSink:
 
     def frequency_estimate(self, spark, queries: DataFrame) -> DataFrame:
         return self.cms.estimate(spark, queries)
+
+
+class BloomSink(ParquetUpsertSink):
+    """Continuously maintained Bloom membership filter: the streaming
+    face of j11's word table (``operators.joins``). Each micro-batch's
+    keys hash into a delta word table (bounded: <= m/32 rows) that
+    ORs into the persisted bitset — O(delta + m/32) per trigger, state
+    <= m/32 rows forever. Arriving data can then be pre-filtered
+    against everything ever seen ("have we ingested this key?")
+    without rescanning history — the streaming form of pre-shuffle
+    semi-join filtering.
+
+    Exactly-once WITHOUT markers: bitwise OR is IDEMPOTENT (set
+    semantics, the KMVSink class) — a replayed batch re-ORs the same
+    bits. Crash atomicity from the staging/rename swap. The filter
+    only grows (no deletes — standard Bloom); saturation is the m_bits
+    sizing decision, monitored via ``fill_ratio``.
+    """
+
+    def __init__(self, path: str, key_col: str, m_bits: int) -> None:
+        super().__init__(path, key_col="word_idx", version_col="__none")
+        self.key_col = key_col
+        self.m_bits = m_bits
+
+    def merge(self, batch_df: DataFrame, batch_id: int) -> None:
+        from big_data_flight_analytics_spark.operators.joins import (
+            bloom_filter_words,
+        )
+
+        self._recover()
+        spark = batch_df.sparkSession
+        delta = bloom_filter_words(batch_df, self.key_col, self.m_bits)
+        if os.path.exists(self.path):
+            base = spark.read.parquet(self.path)
+            b = base.select("word_idx", F.col("word").alias("__b"))
+            d = delta.select("word_idx", F.col("word").alias("__d"))
+            updated = b.join(d, "word_idx", "full").select(
+                "word_idx",
+                F.expr(
+                    "COALESCE(__b, CAST(0 AS BIGINT))"
+                    " | COALESCE(__d, CAST(0 AS BIGINT))"
+                ).alias("word"),
+            )
+        else:
+            updated = delta
+        self._write_and_swap(updated)
+
+    def read(self, spark) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+    def probe(self, fact: DataFrame, fact_key: str) -> DataFrame:
+        """Fact rows whose key MIGHT have been ingested (superset;
+        no false negatives) — the j11 probe against the live state."""
+        from big_data_flight_analytics_spark.operators.joins import (
+            bloom_probe,
+        )
+
+        return bloom_probe(
+            fact, fact_key, self.read(fact.sparkSession), self.m_bits
+        )
+
+    def fill_ratio(self, spark) -> float:
+        """Fraction of the m bits set — the saturation monitor (fp
+        rate ~ fill^depth)."""
+        row = (
+            self.read(spark)
+            .select(F.bit_count("word").alias("bits"))
+            .agg(F.sum("bits").alias("set_bits"))
+            .collect()[0]
+        )
+        return (row["set_bits"] or 0) / self.m_bits

@@ -813,3 +813,51 @@ class TestSketchPipelineSink:
         first = self._states(spark, sink)
         sink(delta, 0)  # at-least-once replay of the WHOLE composition
         assert self._states(spark, sink) == first
+
+
+class TestBloomSink:
+    """s18: streaming Bloom membership — stream ORs == one batch
+    build; replay safe by bit algebra (no markers); probe has no
+    false negatives against everything ever streamed."""
+
+    def _keys(self, spark, keys):
+        return spark.createDataFrame(
+            [(i, int(k)) for i, k in enumerate(keys)],
+            "row_id long, k long",
+        )
+
+    def test_stream_equals_batch_words(self, spark, tmp_path):
+        from big_data_flight_analytics_spark.operators.joins import (
+            bloom_filter_words,
+        )
+        from big_data_flight_analytics_spark.streaming.sinks import BloomSink
+
+        delta = self._keys(spark, range(500))
+        sink = BloomSink(str(tmp_path / "bloom"), "k", 1 << 12)
+        _run_stream(spark, tmp_path, sink, delta)
+        got = {
+            (r["word_idx"], r["word"]) for r in sink.read(spark).collect()
+        }
+        want = {
+            (r["word_idx"], r["word"])
+            for r in bloom_filter_words(delta, "k", 1 << 12).collect()
+        }
+        assert got == want
+
+    def test_replay_is_a_noop_and_probe_never_misses(self, spark, tmp_path):
+        from big_data_flight_analytics_spark.streaming.sinks import BloomSink
+
+        sink = BloomSink(str(tmp_path / "bloom"), "k", 1 << 12)
+        first = self._keys(spark, range(0, 100))
+        later = self._keys(spark, range(100, 150))
+        sink.merge(first, 0)
+        state0 = {(r["word_idx"], r["word"]) for r in sink.read(spark).collect()}
+        sink.merge(first, 0)  # replay: bitwise OR no-op
+        assert {
+            (r["word_idx"], r["word"]) for r in sink.read(spark).collect()
+        } == state0
+        sink.merge(later, 1)
+        probe = self._keys(spark, range(0, 200))
+        passed = {r["k"] for r in sink.probe(probe, "k").collect()}
+        assert set(range(150)) <= passed  # every ingested key passes
+        assert 0 < sink.fill_ratio(spark) < 1
