@@ -462,3 +462,90 @@ def ohlc_bars(
         key_col,
         step_s,
     )
+
+
+def session_fold(
+    base: DataFrame,
+    delta: DataFrame,
+    key_col: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Fold two sessionized states split at a TIME boundary: every
+    base session ends at or before the boundary, every delta session
+    starts after it — the shape incremental ingest actually has
+    (arriving data is later than ingested data; the watermark IS the
+    boundary). Inputs are session_stats-shaped states
+    (key, start_us, end_us, n_events); session_idx is recomputed.
+
+    The only possible merge is the boundary pair per key: the
+    latest-ending base session absorbs the earliest delta session when
+    the cross-boundary gap <= timeout. No cascade can follow — the
+    merged session keeps the delta session's end, and gaps WITHIN each
+    part already exceed the timeout by construction — so the fold is
+    one per-key join over <= 2 state rows per key plus a re-rank:
+    O(sessions), never O(events). Proven equal to from-scratch
+    sessionization of the union (i11, same oracle as s4)."""
+    g = gap_seconds * 1_000_000
+    cols = [key_col, "start_us", "end_us", "n_events"]
+    b = base.select(*cols)
+    d = delta.select(*cols)
+    w_last = Window.partitionBy(key_col).orderBy(
+        F.col("end_us").desc(), F.col("start_us").desc()
+    )
+    w_first = Window.partitionBy(key_col).orderBy(
+        F.col("start_us").asc(), F.col("end_us").asc()
+    )
+    last_b = (
+        b.withColumn("__r", F.row_number().over(w_last))
+        .filter(F.col("__r") == 1)
+        .drop("__r")
+    )
+    first_d = (
+        d.withColumn("__r", F.row_number().over(w_first))
+        .filter(F.col("__r") == 1)
+        .drop("__r")
+    )
+    bridge = (
+        last_b.select(
+            key_col,
+            F.col("start_us").alias("__a_start"),
+            F.col("end_us").alias("__a_end"),
+            F.col("n_events").alias("__a_n"),
+        )
+        .join(
+            first_d.select(
+                key_col,
+                F.col("start_us").alias("__b_start"),
+                F.col("end_us").alias("__b_end"),
+                F.col("n_events").alias("__b_n"),
+            ),
+            key_col,
+        )
+        .filter((F.col("__b_start") - F.col("__a_end")) <= g)
+    )
+    merged = bridge.select(
+        key_col,
+        F.col("__a_start").alias("start_us"),
+        F.col("__b_end").alias("end_us"),
+        (F.col("__a_n") + F.col("__b_n")).cast("long").alias("n_events"),
+    )
+    drop_a = bridge.select(
+        key_col, F.col("__a_start").alias("start_us")
+    )
+    drop_b = bridge.select(
+        key_col, F.col("__b_start").alias("start_us")
+    )
+    kept = (
+        b.join(drop_a, [key_col, "start_us"], "left_anti")
+        .unionByName(d.join(drop_b, [key_col, "start_us"], "left_anti"))
+        .unionByName(merged)
+    )
+    w_rank = Window.partitionBy(key_col).orderBy("start_us")
+    return kept.select(
+        key_col,
+        F.row_number().over(w_rank).cast("long").alias("session_idx"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "start_us",
+        "end_us",
+        (F.col("end_us") - F.col("start_us")).alias("duration_us"),
+    )

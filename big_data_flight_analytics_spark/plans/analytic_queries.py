@@ -1901,3 +1901,62 @@ def i9_ohlc_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ANALYTIC_QUERIES["i9_ohlc_delta"] = i9_ohlc_delta
 ANALYTIC_ORACLES["i9_ohlc_delta"] = TS4_SQL
+
+
+# I11 — incremental sessionization: the HARD mergeable case (state is
+# not a simple additive/set fold — sessions can span the split). The
+# fold contract requires a TIME boundary, which is exactly what
+# incremental ingest provides (arriving data is later than ingested
+# data): the only possible merge is the boundary pair per key, no
+# cascade can follow, so folding is O(sessions). The entry splits
+# events at the integer midpoint of the observed time range,
+# sessionizes each half independently, folds, and must reproduce
+# from-scratch s4 bit-for-bit (same oracle).
+
+
+def i11_session_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.cache import tracked_persist
+    from big_data_flight_analytics_spark.operators.temporal import (
+        _micros,
+        session_fold,
+        session_stats,
+    )
+
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts"
+    )
+    us = _micros("ts")
+    cut = events.agg(
+        F.floor(
+            (F.min(us) + F.max(us)).cast("double") / 2
+        ).cast("long").alias("__cut")
+    )
+    with_cut = events.crossJoin(F.broadcast(cut))
+
+    def side(pred) -> DataFrame:
+        return session_stats(
+            with_cut.filter(pred).select("user_id", "event_id", "ts"),
+            key_col="user_id",
+            ts_col="ts",
+            gap_seconds=SESSION_GAP_S,
+            tie_col="event_id",
+        ).select("user_id", "start_us", "end_us", "n_events")
+
+    # the fold references each state 3x (kept rows, boundary-session
+    # extraction, bridge); persisting the SESSION-grain states — tiny
+    # next to events — keeps this ONE sessionization pass per side
+    # instead of three re-computations (tracked_persist discipline)
+    base = tracked_persist(side(us <= F.col("__cut")))
+    delta = tracked_persist(side(us > F.col("__cut")))
+    return session_fold(base, delta, "user_id", SESSION_GAP_S).select(
+        "user_id",
+        "session_idx",
+        "n_events",
+        "start_us",
+        "end_us",
+        "duration_us",
+    )
+
+
+ANALYTIC_QUERIES["i11_session_delta"] = i11_session_delta
+ANALYTIC_ORACLES["i11_session_delta"] = S4_SQL

@@ -200,6 +200,7 @@ _TIE_BREAK = [
     "a17_grouped_cms",
     "i10_kanon_delta",
     "a18_join_size_estimate",
+    "i11_session_delta",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

@@ -645,3 +645,109 @@ class TestOhlcBars:
         ]
         r = ohlc_bars(self._ev(spark, rows), step_s=60).collect()[0]
         assert r["open"] == 1.0 and r["n_obs"] == 1
+
+
+class TestSessionFold:
+    """i11: incremental sessionization — time-split fold == from
+    scratch, boundary-merge semantics, no-cascade guarantee."""
+
+    def _events(self, spark, rows):
+        from datetime import datetime, timedelta
+
+        base = datetime(2024, 5, 1)
+        return spark.createDataFrame(
+            [
+                (eid, key, base + timedelta(seconds=sec))
+                for eid, key, sec in rows
+            ],
+            "event_id long, user_id long, ts timestamp",
+        )
+
+    def _sessions(self, df, gap=60):
+        from big_data_flight_analytics_spark.operators.temporal import (
+            session_stats,
+        )
+
+        return session_stats(
+            df, key_col="user_id", ts_col="ts", gap_seconds=gap,
+            tie_col="event_id",
+        ).select("user_id", "start_us", "end_us", "n_events")
+
+    def _key(self, df):
+        return {
+            (r["user_id"], r["session_idx"]): (
+                r["n_events"], r["start_us"], r["end_us"], r["duration_us"]
+            )
+            for r in df.collect()
+        }
+
+    def _scratch_key(self, spark, df, gap=60):
+        from big_data_flight_analytics_spark.operators.temporal import (
+            session_stats,
+        )
+
+        full = session_stats(
+            df, key_col="user_id", ts_col="ts", gap_seconds=gap,
+            tie_col="event_id",
+        ).select(
+            "user_id", "session_idx", "n_events", "start_us", "end_us",
+            "duration_us",
+        )
+        return self._key(full)
+
+    def test_any_time_cut_folds_to_from_scratch(self, spark):
+        import random
+
+        from big_data_flight_analytics_spark.operators.temporal import (
+            session_fold,
+        )
+        from pyspark.sql import functions as FF
+
+        rng = random.Random(71)
+        rows = [
+            (i, rng.randint(1, 6), rng.randint(0, 3000))
+            for i in range(300)
+        ]
+        df = self._events(spark, rows)
+        want = self._scratch_key(spark, df)
+        for cut_s in (500, 1500, 2900):
+            cut_us = None
+            a = df.filter(
+                FF.unix_micros(FF.col("ts").cast("timestamp"))
+                <= 1_000_000 * (1714521600 + cut_s)  # 2024-05-01 UTC
+            )
+            b = df.exceptAll(a)
+            folded = session_fold(
+                self._sessions(a), self._sessions(b), "user_id", 60
+            )
+            assert self._key(folded) == want, f"cut at {cut_s}s"
+
+    def test_boundary_sessions_merge_and_distant_ones_do_not(self, spark):
+        from big_data_flight_analytics_spark.operators.temporal import (
+            session_fold,
+        )
+
+        # key 1: parts 30s apart across the cut -> ONE session
+        # key 2: parts 300s apart -> stay separate
+        a = self._events(spark, [(1, 1, 0), (2, 1, 50), (3, 2, 0)])
+        b = self._events(spark, [(4, 1, 80), (5, 2, 350)])
+        folded = session_fold(
+            self._sessions(a), self._sessions(b), "user_id", 60
+        )
+        got = self._key(folded)
+        assert len([k for k in got if k[0] == 1]) == 1
+        assert got[(1, 1)][0] == 3  # all three events in one session
+        assert len([k for k in got if k[0] == 2]) == 2
+
+    def test_keys_in_only_one_part_pass_through(self, spark):
+        from big_data_flight_analytics_spark.operators.temporal import (
+            session_fold,
+        )
+
+        a = self._events(spark, [(1, 7, 0)])
+        b = self._events(spark, [(2, 9, 1000)])
+        folded = session_fold(
+            self._sessions(a), self._sessions(b), "user_id", 60
+        )
+        got = self._key(folded)
+        assert (7, 1) in got and (9, 1) in got and len(got) == 2
