@@ -201,6 +201,7 @@ _TIE_BREAK = [
     "i10_kanon_delta",
     "a18_join_size_estimate",
     "i11_session_delta",
+    "t23_leakage_safe_split",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

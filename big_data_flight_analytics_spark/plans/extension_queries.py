@@ -3435,6 +3435,78 @@ FROM reach GROUP BY id
 
 
 # ---------------------------------------------------------------------------
+# T23 — leakage-safe train/val split: the t2 hash split keyed by the
+# d6 near-dup CLUSTER instead of the document, so every member of a
+# near-dup cluster lands on the same side — the split-leakage guard
+# (a val doc whose near-duplicate sits in train silently inflates
+# eval scores; doc-keyed splits cannot prevent it). ``naive_split``
+# (the doc-keyed rule) rides along with ``naive_crosses`` flagging
+# exactly the docs the naive rule would have separated from their
+# cluster's side — the measured leak surface. Scale shape: the d6
+# cluster stage dominates (shared via stage()); the split itself is
+# map-only column math.
+# ---------------------------------------------------------------------------
+
+T23_TRAIN_PCT = 90
+
+
+def t23_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = _jaccard_clusters(spark, sf_dir)
+
+    def bucket(col):
+        return (
+            F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10)
+            .cast("long")
+            % 100
+        )
+
+    def side(col):
+        return F.when(
+            bucket(col) < T23_TRAIN_PCT, F.lit("train")
+        ).otherwise(F.lit("val"))
+
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        side(F.col("cluster_id")).alias("split"),
+        side(F.col("doc_id")).alias("naive_split"),
+    ).withColumn(
+        "naive_crosses", F.col("naive_split") != F.col("split")
+    )
+
+
+T23_SQL = rf"""
+WITH RECURSIVE pairs AS (
+    {D2_SQL}
+), edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM pairs
+    UNION ALL
+    SELECT doc_b AS s, doc_a AS d FROM pairs
+), reach(id, lbl) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+), clusters AS (
+    SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+), sides AS (
+    SELECT doc_id, cluster_id,
+           CASE WHEN CAST(('0x' || substring(
+                    md5(CAST(cluster_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                    % 100 < {T23_TRAIN_PCT}
+                THEN 'train' ELSE 'val' END AS split,
+           CASE WHEN CAST(('0x' || substring(
+                    md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                    % 100 < {T23_TRAIN_PCT}
+                THEN 'train' ELSE 'val' END AS naive_split
+    FROM clusters
+)
+SELECT doc_id, cluster_id, split, naive_split,
+       naive_split <> split AS naive_crosses
+FROM sides
+"""
+
+
+# ---------------------------------------------------------------------------
 # D8 — end-to-end corpus curation: the composition a training-data
 # pipeline actually materializes. Near-dup clusters (D6) pick one
 # canonical doc per cluster; quality gates (T1 heuristics) drop short /
@@ -5510,6 +5582,7 @@ EXTENSION_QUERIES = {
     "a16_quantile_binning": a16_quantile_binning,
     "a17_grouped_cms": a17_grouped_cms,
     "a18_join_size_estimate": a18_join_size_estimate,
+    "t23_leakage_safe_split": t23_leakage_safe_split,
     "d8_curated_corpus": d8_curated_corpus,
     "m1_multimodal_features": m1_multimodal_features,
     "m2_frame_sample": m2_frame_sample,
@@ -5586,6 +5659,7 @@ EXTENSION_ORACLES = {
     "a16_quantile_binning": A16_SQL,
     "a17_grouped_cms": A17_SQL,
     "a18_join_size_estimate": A18_SQL,
+    "t23_leakage_safe_split": T23_SQL,
     "d8_curated_corpus": D8_SQL,
     "m1_multimodal_features": M1_SQL,
     "m2_frame_sample": M2_SQL,

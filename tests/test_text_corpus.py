@@ -965,3 +965,30 @@ class TestCdcChunks:
                 (r["chunk_id"], r["chunk_fp"])
             )
         assert per_doc[1] == per_doc[2]
+
+
+class TestLeakageSafeSplit:
+    """t23: near-dup cluster members must land on one side."""
+
+    def test_clusters_never_straddle_and_naive_leak_is_flagged(self, spark):
+        from big_data_flight_analytics_spark.plans.catalog import QUERIES
+
+        df = QUERIES["t23_leakage_safe_split"](
+            spark, "/root/testdata/sf0.001"
+        ).cache()
+        try:
+            straddling = (
+                df.groupBy("cluster_id")
+                .agg(F.countDistinct("split").alias("n"))
+                .filter(F.col("n") > 1)
+                .count()
+            )
+            assert straddling == 0
+            # the flag marks exactly the docs whose naive side differs
+            rows = df.filter("naive_crosses").collect()
+            assert all(r["naive_split"] != r["split"] for r in rows)
+            # and flagged docs are never their own cluster canonical
+            # (a singleton's split IS its naive split)
+            assert all(r["doc_id"] != r["cluster_id"] for r in rows)
+        finally:
+            df.unpersist()
