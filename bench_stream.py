@@ -483,12 +483,14 @@ def _index_sink_pipelines(spark, sf_dir: str, workdir: str) -> dict[str, float]:
     # into the per-(key, bucket) store (marker-guarded exactly-once)
     from big_data_flight_analytics_spark.streaming.sinks import OHLCSink
 
+    # one shared events feed serves s16 (event_type/value) and s19
+    # (user_id): from_json with a subset schema ignores extra fields
     ev_feed, ev_rows = build_delta_feed(
         spark,
         sf_dir,
         workdir,
         "events",
-        ["event_id", "event_type", "ts", "value"],
+        ["event_id", "event_type", "user_id", "ts", "value"],
         "event_id",
     )
     ohlc_path = os.path.join(workdir, "ohlc_bars")
@@ -544,6 +546,28 @@ def _index_sink_pipelines(spark, sf_dir: str, workdir: str) -> dict[str, float]:
         os.path.join(workdir, "ckpt_s18_bloom"),
     )
     out["s18_bloom_sink"] = round(ord_rows / secs, 1)
+
+    # s19: continuously folded session store (streaming i11) — the
+    # boundary-conditional fold class's sink face: each events batch
+    # sessionizes and folds into the persisted per-user session stats
+    # via the time-split contract (per-key watermark = store max
+    # end_us; marker-guarded exactly-once)
+    from big_data_flight_analytics_spark.plans.analytic_queries import (
+        SESSION_GAP_S,
+    )
+    from big_data_flight_analytics_spark.streaming.sinks import SessionSink
+
+    sess_path = os.path.join(workdir, "session_store")
+    shutil.rmtree(sess_path, ignore_errors=True)
+    sess_sink = SessionSink(sess_path, gap_seconds=SESSION_GAP_S)
+    secs = _run_index_sink(
+        spark,
+        ev_feed,
+        "event_id long, user_id long, ts timestamp",
+        sess_sink,
+        os.path.join(workdir, "ckpt_s19_session"),
+    )
+    out["s19_session_sink"] = round(ev_rows / secs, 1)
     return out
 
 

@@ -1,4 +1,4 @@
-"""Hashed char-n-gram language / domain identification (t20).
+r"""Hashed char-n-gram language / domain identification (t20).
 
 The one LLM-pipeline stage the catalog lacked: score every document
 against K reference class profiles (languages, domains, sources) and

@@ -368,7 +368,9 @@ def ohlc_state(
     endpoint structs (ohlc_fold), the i1-contract for resampling."""
     us = _micros(ts_col)
     bucket = F.floor(us / F.lit(step_s * 1_000_000.0)).cast("long")
-    base = events.filter(F.col(value_col).isNotNull()).select(
+    base = events.filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
         F.col(key_col).alias("key"),
         bucket.alias("bucket"),
         us.alias("__us"),

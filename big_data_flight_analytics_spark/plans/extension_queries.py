@@ -2884,11 +2884,15 @@ def a16_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         histogram_quantiles,
     )
 
-    cents = load(spark, sf_dir, "orders").select(
-        F.col("o_orderpriority").alias("priority"),
-        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("cents"),
+    cents = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
     )
     hist = fixed_grain_histogram(cents, "cents", A11_GRAIN_CENTS)
     bounds = (

@@ -109,6 +109,23 @@ class ParquetUpsertSink:
         if os.path.exists(self._old):
             shutil.rmtree(self._old)
 
+    def _write_and_swap_with_marker(self, df: DataFrame, batch_id: int) -> None:
+        """Marker-guarded staging+swap — the ONE copy of the
+        crash-sensitive protocol every marker-guarded sink (index,
+        dedup, histogram, CMS, OHLC, session) shares: materialize
+        ``df`` to staging, stamp the replay marker INSIDE the staging
+        dir (so data + marker swap into place together), then rotate
+        live -> old -> gone. Crash-window analysis in `_recover`'s
+        docstring applies unchanged."""
+        df.write.mode("overwrite").parquet(self._staging)
+        with open(self._marker(self._staging), "w") as fh:
+            fh.write(str(batch_id))
+        if os.path.exists(self.path):
+            os.rename(self.path, self._old)
+        os.rename(self._staging, self.path)
+        if os.path.exists(self._old):
+            shutil.rmtree(self._old)
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         self.merge(batch_df, batch_id)
 
@@ -361,16 +378,10 @@ class IndexDeltaSink(ParquetUpsertSink):
         for stale in (self._side_marker, self._side_marker + ".tmp"):
             if os.path.exists(stale):
                 os.remove(stale)
-        self._prepare(
-            base_df.select(self.id_col, self.payload_col)
-        ).write.mode("overwrite").parquet(self._staging)
-        with open(self._marker(self._staging), "w") as fh:
-            fh.write("-1")
-        if os.path.exists(self.path):
-            os.rename(self.path, self._old)
-        os.rename(self._staging, self.path)
-        if os.path.exists(self._old):
-            shutil.rmtree(self._old)
+        self._write_and_swap_with_marker(
+            self._prepare(base_df.select(self.id_col, self.payload_col)),
+            -1,
+        )
 
     def merge(self, batch_df: DataFrame, batch_id: int) -> None:
         self._recover()
@@ -441,15 +452,9 @@ class IndexDeltaSink(ParquetUpsertSink):
         a maintenance cadence). Crash-safe via the inherited
         staging+swap; the in-dir marker carries the highest folded
         batch id since the delta names it replaces disappear."""
-        folded = self._last_batch()
-        self._read_store(spark).write.mode("overwrite").parquet(
-            self._staging
+        self._write_and_swap_with_marker(
+            self._read_store(spark), self._last_batch()
         )
-        with open(self._marker(self._staging), "w") as fh:
-            fh.write(str(folded))
-        os.rename(self.path, self._old)
-        os.rename(self._staging, self.path)
-        shutil.rmtree(self._old)
 
     def read(self, spark) -> DataFrame:
         return self._read_store(spark)
@@ -862,14 +867,7 @@ class DedupIndexSink(ParquetUpsertSink):
             )
         else:
             updated = dedup_index(batch_df, self.id_col, self.text_col)
-        updated.write.mode("overwrite").parquet(self._staging)
-        with open(self._marker(self._staging), "w") as fh:
-            fh.write(str(batch_id))
-        if os.path.exists(self.path):
-            os.rename(self.path, self._old)
-        os.rename(self._staging, self.path)
-        if os.path.exists(self._old):
-            shutil.rmtree(self._old)
+        self._write_and_swap_with_marker(updated, batch_id)
 
     def read(self, spark) -> DataFrame:
         return spark.read.parquet(self.path)
@@ -1139,14 +1137,7 @@ class HistogramSink(ParquetUpsertSink):
             )
         else:
             updated = delta
-        updated.write.mode("overwrite").parquet(self._staging)
-        with open(self._marker(self._staging), "w") as fh:
-            fh.write(str(batch_id))
-        if os.path.exists(self.path):
-            os.rename(self.path, self._old)
-        os.rename(self._staging, self.path)
-        if os.path.exists(self._old):
-            shutil.rmtree(self._old)
+        self._write_and_swap_with_marker(updated, batch_id)
 
     def read(self, spark) -> DataFrame:
         return spark.read.parquet(self.path)
@@ -1265,14 +1256,7 @@ class CMSSink(ParquetUpsertSink):
             updated = cms_fold(spark.read.parquet(self.path), delta)
         else:
             updated = delta
-        updated.write.mode("overwrite").parquet(self._staging)
-        with open(self._marker(self._staging), "w") as fh:
-            fh.write(str(batch_id))
-        if os.path.exists(self.path):
-            os.rename(self.path, self._old)
-        os.rename(self._staging, self.path)
-        if os.path.exists(self._old):
-            shutil.rmtree(self._old)
+        self._write_and_swap_with_marker(updated, batch_id)
 
     def read(self, spark) -> DataFrame:
         return spark.read.parquet(self.path)
@@ -1339,14 +1323,7 @@ class OHLCSink(ParquetUpsertSink):
             updated = ohlc_fold(spark.read.parquet(self.path), delta)
         else:
             updated = delta
-        updated.write.mode("overwrite").parquet(self._staging)
-        with open(self._marker(self._staging), "w") as fh:
-            fh.write(str(batch_id))
-        if os.path.exists(self.path):
-            os.rename(self.path, self._old)
-        os.rename(self._staging, self.path)
-        if os.path.exists(self._old):
-            shutil.rmtree(self._old)
+        self._write_and_swap_with_marker(updated, batch_id)
 
     def read(self, spark) -> DataFrame:
         return spark.read.parquet(self.path)
@@ -1358,6 +1335,104 @@ class OHLCSink(ParquetUpsertSink):
         )
 
         return ohlc_finalize(self.read(spark), self.key_col, self.step_s)
+
+
+class SessionSink(ParquetUpsertSink):
+    """Streaming face of the BOUNDARY-CONDITIONAL fold class (s19):
+    maintain a persisted per-key session store by folding each
+    micro-batch's sessionized state into it with
+    ``temporal.session_fold`` — the foreachBatch sibling the third
+    fold class lacked (DESIGN.md round-13: additive folds got
+    marker-guarded sinks s13/s15/s16, idempotent folds marker-free
+    ones s14/s18; sessionization's only streaming face was Spark's
+    native ``session_window`` path, which cannot serve the persisted
+    session-stats store this sink maintains).
+
+    The fold's time-split contract — base sessions all end at or
+    before a boundary, delta sessions all start after it — is enforced
+    by the sink itself as its WATERMARK: each key's boundary is that
+    key's max ``end_us`` in the store, and batch events at or before
+    it are dropped before sessionizing (the no-grace late-record
+    policy of the S2 tumbling sink, applied per key — the tightest
+    watermark that still satisfies the per-key fold contract, since
+    ``session_fold`` never compares sessions across keys). The
+    boundary frame is O(keys) and broadcast; under the split the only
+    possible merge is the per-key boundary pair (no cascade), so each
+    trigger costs O(delta events + session state), never O(history).
+
+    Exactly-once, twice over: the bridge merge is not idempotent in
+    the additive sense (n_events sums across the boundary pair), so
+    the sink carries the ``_last_batch`` marker like the other
+    non-idempotent folds — AND the boundary watermark independently
+    makes a full batch replay a no-op (every replayed event is <= the
+    boundary it itself advanced, so the delta state is empty and the
+    fold degenerates to a re-rank of the existing store). The replay
+    test pins both lines of defense separately.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        key_col: str = "user_id",
+        ts_col: str = "ts",
+        gap_seconds: int = 1800,
+        tie_col: str = "event_id",
+    ) -> None:
+        super().__init__(path, key_col=key_col, version_col="__none")
+        self.ts_col = ts_col
+        self.gap_seconds = gap_seconds
+        self.tie_col = tie_col
+
+    def merge(self, batch_df: DataFrame, batch_id: int) -> None:
+        from big_data_flight_analytics_spark.operators.temporal import (
+            _micros,
+            session_fold,
+            session_stats,
+        )
+
+        self._recover()
+        if os.path.exists(self.path) and batch_id <= self._last_batch():
+            return  # replay of an already-folded batch
+        spark = batch_df.sparkSession
+        us = _micros(self.ts_col)
+        store = None
+        if os.path.exists(self.path):
+            store = spark.read.parquet(self.path)
+            bounds = store.groupBy(self.key_col).agg(
+                F.max("end_us").alias("__bnd")
+            )
+            batch_df = (
+                batch_df.join(F.broadcast(bounds), self.key_col, "left")
+                .filter(F.col("__bnd").isNull() | (us > F.col("__bnd")))
+                .drop("__bnd")
+            )
+        delta = session_stats(
+            batch_df.select(self.key_col, self.tie_col, self.ts_col),
+            key_col=self.key_col,
+            ts_col=self.ts_col,
+            gap_seconds=self.gap_seconds,
+            tie_col=self.tie_col,
+        ).select(self.key_col, "start_us", "end_us", "n_events")
+        if store is not None:
+            updated = session_fold(
+                store, delta, self.key_col, self.gap_seconds
+            )
+        else:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(self.key_col).orderBy("start_us")
+            updated = delta.select(
+                self.key_col,
+                F.row_number().over(w).cast("long").alias("session_idx"),
+                F.col("n_events").cast("long").alias("n_events"),
+                "start_us",
+                "end_us",
+                (F.col("end_us") - F.col("start_us")).alias("duration_us"),
+            )
+        self._write_and_swap_with_marker(updated, batch_id)
+
+    def read(self, spark) -> DataFrame:
+        return spark.read.parquet(self.path)
 
 
 class SketchPipelineSink:

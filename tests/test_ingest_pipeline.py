@@ -861,3 +861,152 @@ class TestBloomSink:
         passed = {r["k"] for r in sink.probe(probe, "k").collect()}
         assert set(range(150)) <= passed  # every ingested key passes
         assert 0 < sink.fill_ratio(spark) < 1
+
+
+class TestSessionSink:
+    """Streaming face of the boundary-conditional fold class (s19):
+    per-batch session_fold over a time-split == one batch
+    session_stats over all arrivals; exactly-once holds by marker AND
+    independently by the boundary watermark (both pinned)."""
+
+    GAP_S = 120
+
+    def _delta(self, spark, n=240, users=6, seed=53):
+        import random
+        from datetime import datetime, timedelta
+
+        rng = random.Random(seed)
+        t = {u: datetime(2024, 5, 1) for u in range(users)}
+        rows = []
+        for i in range(n):
+            u = rng.randrange(users)
+            # mostly intra-session steps, occasional > GAP_S break
+            step = rng.choice([5, 17, 40, 70, 500])
+            t[u] = t[u] + timedelta(seconds=step)
+            rows.append((i, f"u{u}", t[u]))
+        rows.sort(key=lambda r: (r[2], r[0]))
+        return spark.createDataFrame(
+            rows, "event_id long, user_id string, ts timestamp"
+        )
+
+    def _state(self, df):
+        return {
+            (r["user_id"], r["session_idx"]): (
+                r["n_events"], r["start_us"], r["end_us"], r["duration_us"]
+            )
+            for r in df.collect()
+        }
+
+    def _batch_truth(self, delta):
+        from big_data_flight_analytics_spark.operators.temporal import (
+            session_stats,
+        )
+
+        return self._state(
+            session_stats(
+                delta, "user_id", "ts", self.GAP_S, "event_id"
+            ).select(
+                "user_id", "session_idx", "n_events",
+                "start_us", "end_us", "duration_us",
+            )
+        )
+
+    def test_stream_folds_equal_batch_sessionization(self, spark, tmp_path):
+        from big_data_flight_analytics_spark.streaming.sinks import (
+            SessionSink,
+        )
+
+        delta = self._delta(spark)
+        sink = SessionSink(
+            str(tmp_path / "sess"), gap_seconds=self.GAP_S
+        )
+        _run_stream(spark, tmp_path, sink, delta)
+        assert self._state(sink.read(spark)) == self._batch_truth(delta)
+
+    def test_boundary_pair_merges_across_batches(self, spark, tmp_path):
+        from datetime import datetime
+
+        from big_data_flight_analytics_spark.streaming.sinks import (
+            SessionSink,
+        )
+
+        def df(rows):
+            return spark.createDataFrame(
+                rows, "event_id long, user_id string, ts timestamp"
+            )
+
+        d = datetime
+        b0 = df([
+            (1, "a", d(2024, 5, 1, 0, 0, 0)),
+            (2, "a", d(2024, 5, 1, 0, 1, 0)),
+            (3, "b", d(2024, 5, 1, 0, 0, 30)),
+        ])
+        # a's next event is 60s after its batch-0 end (< GAP_S): the
+        # boundary pair must merge; b goes quiet > GAP_S: new session
+        b1 = df([
+            (4, "a", d(2024, 5, 1, 0, 2, 0)),
+            (5, "b", d(2024, 5, 1, 0, 10, 0)),
+        ])
+        sink = SessionSink(
+            str(tmp_path / "sess"), gap_seconds=self.GAP_S
+        )
+        sink.merge(b0, 0)
+        sink.merge(b1, 1)
+        got = self._state(sink.read(spark))
+        truth = self._batch_truth(b0.unionByName(b1))
+        assert got == truth
+        assert got[("a", 1)][0] == 3  # bridged session absorbed batch 1
+        assert ("b", 2) in got  # past-gap arrival opened session 2
+
+    def test_late_records_dropped_at_per_key_watermark(self, spark, tmp_path):
+        from datetime import datetime
+
+        from big_data_flight_analytics_spark.streaming.sinks import (
+            SessionSink,
+        )
+
+        def df(rows):
+            return spark.createDataFrame(
+                rows, "event_id long, user_id string, ts timestamp"
+            )
+
+        d = datetime
+        sink = SessionSink(
+            str(tmp_path / "sess"), gap_seconds=self.GAP_S
+        )
+        sink.merge(df([(1, "a", d(2024, 5, 1, 1, 0, 0))]), 0)
+        state0 = self._state(sink.read(spark))
+        # <= a's boundary: dropped (no-grace, like the S2 sink) even
+        # though the batch id is new; a fresh key is untouched by a's
+        # boundary (per-key watermark, not global)
+        sink.merge(
+            df([
+                (2, "a", d(2024, 5, 1, 0, 59, 0)),
+                (3, "a", d(2024, 5, 1, 1, 0, 0)),
+                (4, "c", d(2024, 5, 1, 0, 30, 0)),
+            ]),
+            1,
+        )
+        got = self._state(sink.read(spark))
+        assert {k: v for k, v in got.items() if k[0] == "a"} == state0
+        assert ("c", 1) in got
+
+    def test_replay_noop_by_marker_and_by_watermark(self, spark, tmp_path):
+        from big_data_flight_analytics_spark.streaming.sinks import (
+            SessionSink,
+        )
+
+        delta = self._delta(spark, n=80, seed=59)
+        sink = SessionSink(
+            str(tmp_path / "sess"), gap_seconds=self.GAP_S
+        )
+        sink.merge(delta, 0)
+        state0 = self._state(sink.read(spark))
+        sink.merge(delta, 0)  # line 1: marker short-circuits the id
+        assert self._state(sink.read(spark)) == state0
+        # line 2: a replay that SLIPS PAST the marker (new batch id,
+        # same rows) is still a no-op — every event is <= the boundary
+        # it advanced, so the filtered delta is empty and the fold
+        # degenerates to a re-rank of the unchanged store
+        sink.merge(delta, 1)
+        assert self._state(sink.read(spark)) == state0

@@ -866,11 +866,17 @@ def cdc_edit_robustness_section(spark, sf_dir: str) -> None:
     print("|---|---|---|---|---|")
 
     def survival(chunks_fn, df_orig, df_edit):
-        a = chunks_fn(df_orig).select(
-            "doc_id", F.col("chunk_fp").alias("fp")
+        # dedup both sides on (doc_id, fp): repeated identical chunks
+        # in one doc would fan the left join out and overcount hits
+        a = (
+            chunks_fn(df_orig)
+            .select("doc_id", F.col("chunk_fp").alias("fp"))
+            .dropDuplicates(["doc_id", "fp"])
         )
-        b = chunks_fn(df_edit).select(
-            "doc_id", F.col("chunk_fp").alias("fp")
+        b = (
+            chunks_fn(df_edit)
+            .select("doc_id", F.col("chunk_fp").alias("fp"))
+            .dropDuplicates(["doc_id", "fp"])
         )
         per = (
             a.join(b.withColumn("__hit", F.lit(1)), ["doc_id", "fp"], "left")
