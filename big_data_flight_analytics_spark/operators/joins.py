@@ -208,6 +208,129 @@ def bloom_probe(
     return out
 
 
+# --- join-strategy advisor (a18 made actionable) -------------------------
+#
+# The CMS inner product (a18_join_size_estimate) answers "how big is
+# this join" from two fixed-size sketches without running it; the
+# advisor turns that into the physical decision a planner actually
+# makes. Documented thresholds:
+#
+#   keys side fits a broadcast hash relation  -> broadcast
+#   else join sheds > half the fact pre-shuffle -> bloom_semi_join
+#   else                                        -> shuffle
+#
+# BROADCAST_MAX_ROWS defaults to ~1M key rows (a few tens of MB of
+# hashed longs — Spark's autoBroadcastJoinThreshold territory); it is
+# a parameter because the real bound is executor memory, not a
+# constant. BLOOM_MAX_SURVIVAL = 0.5: a bloom pre-filter pays for its
+# two map-side probes only if it sheds a material fraction of the
+# fact side before the shuffle; past half survival, the plain
+# shuffled join is the honest plan. The CMS estimate is an
+# OVERESTIMATE of matching fact rows (collisions only add), so the
+# regime check errs toward shuffle — never toward a uselessly dense
+# bloom.
+
+BROADCAST_MAX_ROWS = 1_000_000
+BLOOM_MAX_SURVIVAL = 0.5
+ADVISOR_CMS_WIDTH = 8192
+
+
+def advise_join_strategy(
+    n_key_rows: int,
+    est_matching_rows: int,
+    n_fact_rows: int,
+    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
+    bloom_max_survival: float = BLOOM_MAX_SURVIVAL,
+) -> str:
+    """Pure decision rule: pick the physical semi-join strategy from
+    three planner scalars (see module comment for the thresholds).
+    Returns ``"broadcast"``, ``"bloom_semi_join"``, or ``"shuffle"``."""
+    if n_key_rows <= broadcast_max_rows:
+        return "broadcast"
+    if n_fact_rows > 0 and est_matching_rows <= bloom_max_survival * n_fact_rows:
+        return "bloom_semi_join"
+    return "shuffle"
+
+
+def estimate_semi_join(
+    fact: DataFrame,
+    fact_key: str,
+    keys: DataFrame,
+    key_col: str,
+    width: int = ADVISOR_CMS_WIDTH,
+) -> tuple[int, int, int]:
+    """Gather the advisor's three scalars: (n_distinct_keys,
+    est_matching_fact_rows, n_fact_rows).
+
+    The estimate is the a18 CMS inner product of the fact-key sketch
+    against the DISTINCT-key sketch — with the key side deduplicated,
+    the inner join size IS the count of matching fact rows, so the
+    estimate bounds semi-join survival from above. Cost: one
+    fixed-size sketch aggregate per side plus two counts — O(scan)
+    with O(width) outputs, never materializing the join. The collects
+    are planner state (three integers), the same class as AQE's
+    runtime statistics — not a data funnel."""
+    from big_data_flight_analytics_spark.operators.sketches import (
+        cms_sketch,
+    )
+
+    distinct_keys = keys.select(F.col(key_col).alias("__k")).distinct()
+    ga = cms_sketch(
+        fact.select(F.col(fact_key).alias("__k")), "__k", width
+    ).select("row_j", "bucket", F.col("cnt").alias("__ca"))
+    gb = cms_sketch(distinct_keys, "__k", width).select(
+        "row_j", "bucket", F.col("cnt").alias("__cb")
+    )
+    est_rows = (
+        ga.join(gb, ["row_j", "bucket"])
+        .groupBy("row_j")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__e"))
+        .agg(F.min("__e").cast("long").alias("__est"))
+        .collect()
+    )
+    est = int(est_rows[0]["__est"] or 0)
+    return distinct_keys.count(), est, fact.count()
+
+
+def planned_semi_join(
+    fact: DataFrame,
+    fact_key: str,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    m_bits: int = 1 << 17,
+    depth: int = BLOOM_DEPTH,
+    width: int = ADVISOR_CMS_WIDTH,
+    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
+    bloom_max_survival: float = BLOOM_MAX_SURVIVAL,
+) -> tuple[DataFrame, str]:
+    """Exact left-semi join of ``fact`` against ``keys``, executed by
+    whichever strategy :func:`advise_join_strategy` picks from the
+    sketch estimate — returns ``(result, strategy)``. The result is
+    strategy-INVARIANT (the bloom path's false positives are removed
+    by the exact join over the survivors), so callers can let the
+    advisor adapt to scale without their answers changing."""
+    n_keys, est, n_fact = estimate_semi_join(
+        fact, fact_key, keys, key_col, width
+    )
+    strategy = advise_join_strategy(
+        n_keys, est, n_fact, broadcast_max_rows, bloom_max_survival
+    )
+    distinct_keys = keys.select(
+        F.col(key_col).alias(fact_key)
+    ).distinct()
+    if strategy == "broadcast":
+        out = fact.join(F.broadcast(distinct_keys), fact_key, "left_semi")
+    elif strategy == "bloom_semi_join":
+        survivors = bloom_semi_join(
+            fact, fact_key, keys, key_col, m_bits, depth
+        )
+        out = survivors.join(distinct_keys, fact_key, "left_semi")
+    else:
+        out = fact.join(distinct_keys, fact_key, "left_semi")
+    return out, strategy
+
+
 def fuzzy_blocked_join(
     left: DataFrame,
     right: DataFrame,

@@ -202,6 +202,8 @@ _TIE_BREAK = [
     "a18_join_size_estimate",
     "i11_session_delta",
     "t23_leakage_safe_split",
+    "t24_corpus_assembly",
+    "j13_advised_semi_join",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

@@ -3408,6 +3408,82 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# J13 — ADVISED semi join: a18's CMS join-size estimate made
+# actionable (operators/joins.py planned_semi_join). The advisor
+# gathers (n_keys, CMS-estimated matching fact rows, n_fact) and picks
+# broadcast / bloom_semi_join / shuffle against the documented
+# thresholds; the k2-style skewed fixture (~80% of lineitem collapses
+# onto ONE hot part key that is NOT in the key set) is exactly the
+# shape where the bloom pre-filter wins — the hot rows are shed
+# map-side before any shuffle. BROADCAST_MAX here is scaled down so
+# the key side (400 keys at sf0.01) exceeds it — the real bound is
+# executor memory; what the entry demonstrates is the decision rule
+# and the chosen plan (PLANS.md shows the word-table probes). The
+# RESULT is strategy-invariant (bloom false positives die in the
+# exact join), so the oracle is the plain semi join + GROUP BY and
+# holds at every scale even where the advisor picks a different
+# regime (sf0.001's 40 keys broadcast; sf0.01/sf0.1 go bloom).
+# ---------------------------------------------------------------------------
+
+J13_BROADCAST_MAX = 100
+J13_CMS_WIDTH = 1 << 16  # a18 error ~ |A|*|B|/width: sized so the
+# sf0.1 estimate (600k x 4k keys -> ~+36k overcount) stays decisive
+J13_MOD = 5  # same hot-key fixture as k2 (relational_queries.K2_MOD)
+J13_HOT_KEY = 1
+
+
+def j13_advised_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.joins import (
+        planned_semi_join,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_partkey") % J13_MOD != 0, F.lit(J13_HOT_KEY))
+        .otherwise(F.col("l_partkey"))
+        .cast("long")
+        .alias("p_key"),
+        "l_quantity",
+    )
+    keys = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % J13_MOD == 0)
+        .select(F.col("p_partkey").cast("long").alias("p_key"))
+    )
+    survivors, _strategy = planned_semi_join(
+        li,
+        "p_key",
+        keys,
+        "p_key",
+        width=J13_CMS_WIDTH,
+        broadcast_max_rows=J13_BROADCAST_MAX,
+    )
+    return survivors.groupBy(
+        (F.col("p_key") % 100).alias("key_mod")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+
+
+J13_SQL = f"""
+WITH li AS (
+    SELECT CASE WHEN l_partkey % {J13_MOD} <> 0 THEN {J13_HOT_KEY}
+                ELSE l_partkey END AS p_key,
+           l_quantity
+    FROM lineitem
+), keys AS (
+    SELECT DISTINCT p_partkey AS p_key FROM part
+    WHERE p_partkey % {J13_MOD} = 0
+)
+SELECT p_key % 100 AS key_mod,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(SUM(l_quantity), 2) AS total_qty
+FROM li JOIN keys USING (p_key)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # D6 — dedup clustering: connected components over the D2 near-dup pair
 # graph. Pairs -> transitive clusters -> canonical doc per cluster; the
 # last stage of a dedup pipeline. Oracle: recursive CTE reachability
@@ -3596,6 +3672,263 @@ FROM stats s
 JOIN clusters c ON s.doc_id = c.doc_id AND c.is_canonical
 JOIN sizes z ON c.cluster_id = z.cluster_id
 WHERE s.n_tokens >= {D8_MIN_TOKENS} AND s.quality >= {D8_MIN_QUALITY}
+"""
+
+
+# ---------------------------------------------------------------------------
+# T24 — END-TO-END corpus assembly: the full chain a training run
+# actually consumes, as ONE hash-gated entry — the composition proof
+# that the pipeline stages (d8 curation, d20 decontamination, t23
+# leakage-safe split, t10 mixture, t11 packing) agree on a single
+# corpus. Reads documents, emits packed training sequences:
+#
+#   near-dup cluster (d6 stage, shared) -> canonical + quality gates
+#   (d8) -> drop d20-contaminated docs -> cluster-keyed train/val
+#   split (t23) -> source-mixture thin the TRAIN side (t10; val is
+#   kept whole for stable eval) -> pack each split into ~512-token
+#   sequences (t11, per-(split, bucket) windows).
+#
+# Scale shape: the shared d6 pair stage dominates (inverted-index
+# candidates, never all-pairs); decon is a broadcast-small benchmark
+# join; split/mixture are map-only column math off broadcast
+# threshold frames; packing windows are (split, bucket)-partitioned —
+# parallelism == shard count, never a global window. Nothing here
+# adds a shuffle the standalone stages don't already pay.
+# ---------------------------------------------------------------------------
+
+
+def t24_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.dedup import (
+        containment_decon_pairs,
+    )
+    from big_data_flight_analytics_spark.operators.sampling import (
+        mixture_sample,
+        pack_sequences,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    clusters = _jaccard_clusters(spark, sf_dir)
+
+    # d8 curation: canonical member per near-dup cluster + quality gates
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("int").alias("cluster_size")
+    )
+    canon = (
+        clusters.filter(F.col("is_canonical"))
+        .join(sizes, "cluster_id")
+        .select("doc_id", "cluster_id", "cluster_size")
+    )
+    stats = text_stats(docs).select(
+        "doc_id", "lang_pred", "n_tokens", "quality"
+    )
+    curated = (
+        stats.join(canon, "doc_id")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .filter(
+            (F.col("n_tokens") >= D8_MIN_TOKENS)
+            & (F.col("quality") >= D8_MIN_QUALITY)
+        )
+    )
+
+    # d20 decontamination: drop docs containing a benchmark slice
+    contaminated = (
+        containment_decon_pairs(
+            docs, d20_bench_slices(docs), n=D20_NGRAM, threshold_pct=D20_PCT
+        )
+        .filter(F.col("corpus_doc") != F.col("bench_doc"))
+        .select(F.col("corpus_doc").alias("doc_id"))
+        .distinct()
+    )
+    clean = curated.join(F.broadcast(contaminated), "doc_id", "left_anti")
+
+    # t23 leakage-safe split: hash the CLUSTER id, so every member of a
+    # near-dup cluster lands on one side; restrict to mixture sources
+    split_bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    sided = clean.filter(
+        F.col("source").isin(sorted(T10_TARGETS))
+    ).withColumn(
+        "split",
+        F.when(split_bucket < T23_TRAIN_PCT, F.lit("train")).otherwise(
+            F.lit("val")
+        ),
+    )
+
+    # t10 mixture on the train side only (eval stays whole), then t11
+    # packing per split — disjoint frames, so the two bucket-partitioned
+    # windows are exactly one (split, bucket)-partitioned window
+    train = mixture_sample(
+        sided.filter(F.col("split") == "train"),
+        T10_TARGETS,
+        resolution=T10_RESOLUTION,
+    )
+    val = sided.filter(F.col("split") == "val")
+    packed = pack_sequences(
+        train, T11_TARGET_TOKENS, buckets=T11_BUCKETS
+    ).unionByName(
+        pack_sequences(val, T11_TARGET_TOKENS, buckets=T11_BUCKETS)
+    )
+    return packed.select(
+        "doc_id",
+        "source",
+        "lang_pred",
+        "n_tokens",
+        "quality",
+        "cluster_id",
+        "cluster_size",
+        "split",
+        "bucket",
+        "seq_id",
+    )
+
+
+_T24_BUCKET32 = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) "
+    f"AS BIGINT) % {T11_BUCKETS}"
+)
+T24_SQL = rf"""
+WITH RECURSIVE pairs AS (
+    {D2_SQL}
+), edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM pairs
+    UNION ALL
+    SELECT doc_b AS s, doc_a AS d FROM pairs
+), reach(id, lbl) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+), clusters AS (
+    SELECT id AS doc_id,
+           MIN(lbl) AS cluster_id,
+           (id = MIN(lbl)) AS is_canonical
+    FROM reach GROUP BY id
+), sizes AS (
+    SELECT cluster_id, CAST(COUNT(*) AS INTEGER) AS cluster_size
+    FROM clusters GROUP BY cluster_id
+), base AS (
+    SELECT doc_id, text,
+           length(text) AS n_chars_calc,
+           CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+           len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+           len(regexp_extract_all(lower(text),
+               '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS n_stop
+    FROM documents
+), ratios AS (
+    SELECT *,
+           CASE WHEN n_chars_calc IS NULL OR n_chars_calc = 0 THEN 0.0
+                ELSE ROUND(n_punct * 1.0 / n_chars_calc, 6) END AS punct_ratio,
+           CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE ROUND(n_stop * 1.0 / n_tokens, 6) END AS stopword_ratio
+    FROM base
+), stats AS (
+    SELECT doc_id,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           ROUND(0.4 * LEAST(length(COALESCE(text, '')) / 500.0, 1.0)
+                 + 0.3 * (1.0 - punct_ratio)
+                 + 0.3 * LEAST(stopword_ratio / 0.1, 1.0), 6) AS quality,
+           {_LANG_CASE} AS lang_pred
+    FROM ratios
+), curated AS (
+    SELECT s.doc_id, d.source, s.lang_pred, s.n_tokens, s.quality,
+           c.cluster_id, z.cluster_size
+    FROM stats s
+    JOIN clusters c ON s.doc_id = c.doc_id AND c.is_canonical
+    JOIN sizes z ON c.cluster_id = z.cluster_id
+    JOIN documents d ON d.doc_id = s.doc_id
+    WHERE s.n_tokens >= {D8_MIN_TOKENS} AND s.quality >= {D8_MIN_QUALITY}
+), dtoks AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+    FROM documents
+), dbench AS (
+    SELECT doc_id AS bench_doc,
+           tk[{D20_SLICE_START}:{D20_SLICE_START + D20_SLICE_LEN - 1}] AS btk
+    FROM dtoks
+    WHERE doc_id % {D20_BENCH_EVERY} = 0
+      AND len(tk) >= {D20_SLICE_START + D20_SLICE_LEN - 1}
+), dbsh AS (
+    SELECT bench_doc,
+           list_distinct(CASE WHEN len(btk) >= {D20_NGRAM} THEN
+               list_transform(range(1, len(btk) - {D20_NGRAM - 2}),
+                   i -> {_D20_BGRAM_EXPR})
+           ELSE [] END) AS s
+    FROM dbench
+), dbsz AS (
+    SELECT bench_doc, len(s) AS bsz FROM dbsh
+), dbp AS (
+    SELECT bench_doc, unnest(s) AS g FROM dbsh
+), dcsh AS (
+    SELECT doc_id AS corpus_doc,
+           list_distinct(CASE WHEN len(tk) >= {D20_NGRAM} THEN
+               list_transform(range(1, len(tk) - {D20_NGRAM - 2}),
+                   i -> {_D20_GRAM_EXPR})
+           ELSE [] END) AS s
+    FROM dtoks
+), dcp AS (
+    SELECT corpus_doc, unnest(s) AS g FROM dcsh
+), contaminated AS (
+    SELECT DISTINCT corpus_doc AS doc_id FROM (
+        SELECT corpus_doc
+        FROM dbp JOIN dcp USING (g) JOIN dbsz USING (bench_doc)
+        WHERE corpus_doc != bench_doc
+        GROUP BY bench_doc, corpus_doc
+        HAVING COUNT(*) * 100 >= {D20_PCT} * ANY_VALUE(bsz)
+    )
+), sided AS (
+    SELECT cu.*,
+           CASE WHEN CAST(('0x' || substring(
+                    md5(CAST(cluster_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                    % 100 < {T23_TRAIN_PCT}
+                THEN 'train' ELSE 'val' END AS split
+    FROM curated cu
+    WHERE cu.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      AND cu.source IN ({", ".join(f"'{k}'" for k in sorted(T10_TARGETS))})
+), tgt AS (
+    SELECT source,
+           CASE source {" ".join(
+               f"WHEN '{k}' THEN {v!r}" for k, v in sorted(T10_TARGETS.items())
+           )} END AS w
+    FROM (SELECT DISTINCT source FROM sided WHERE split = 'train')
+), tcounts AS (
+    SELECT s.source, t.w, COUNT(*) AS n
+    FROM sided s JOIN tgt t USING (source)
+    WHERE s.split = 'train'
+    GROUP BY s.source, t.w
+), scaled AS (
+    SELECT source,
+           FLOOR({float(T10_RESOLUTION)} * w
+                 * (SELECT MIN(n / w) FROM tcounts) / n) AS thresh
+    FROM tcounts
+), sampled AS (
+    SELECT s.* FROM sided s JOIN scaled USING (source)
+    WHERE s.split = 'train'
+      AND CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+               AS BIGINT) % {T10_RESOLUTION} < thresh
+    UNION ALL
+    SELECT s.* FROM sided s WHERE s.split = 'val'
+), packed AS (
+    SELECT *,
+           {_T24_BUCKET32} AS bucket,
+           SUM(n_tokens) OVER (
+               PARTITION BY split, {_T24_BUCKET32}
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tokens AS cum_before
+    FROM sampled
+)
+SELECT doc_id, source, lang_pred, n_tokens, quality, cluster_id,
+       cluster_size, split, bucket,
+       bucket * 4294967296
+           + CAST(FLOOR(cum_before * 1.0 / {T11_TARGET_TOKENS}) AS BIGINT)
+           AS seq_id
+FROM packed
 """
 
 
@@ -5587,6 +5920,8 @@ EXTENSION_QUERIES = {
     "a17_grouped_cms": a17_grouped_cms,
     "a18_join_size_estimate": a18_join_size_estimate,
     "t23_leakage_safe_split": t23_leakage_safe_split,
+    "t24_corpus_assembly": t24_corpus_assembly,
+    "j13_advised_semi_join": j13_advised_semi_join,
     "d8_curated_corpus": d8_curated_corpus,
     "m1_multimodal_features": m1_multimodal_features,
     "m2_frame_sample": m2_frame_sample,
@@ -5664,6 +5999,8 @@ EXTENSION_ORACLES = {
     "a17_grouped_cms": A17_SQL,
     "a18_join_size_estimate": A18_SQL,
     "t23_leakage_safe_split": T23_SQL,
+    "t24_corpus_assembly": T24_SQL,
+    "j13_advised_semi_join": J13_SQL,
     "d8_curated_corpus": D8_SQL,
     "m1_multimodal_features": M1_SQL,
     "m2_frame_sample": M2_SQL,

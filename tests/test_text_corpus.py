@@ -992,3 +992,81 @@ class TestLeakageSafeSplit:
             assert all(r["doc_id"] != r["cluster_id"] for r in rows)
         finally:
             df.unpersist()
+
+
+class TestCorpusAssembly:
+    """t24's structural guarantees, definitional (the hash gate proves
+    cross-engine equality; these pin properties equality can't)."""
+
+    def _result(self, spark):
+        from big_data_flight_analytics_spark.plans.extension_queries import (
+            t24_corpus_assembly,
+        )
+
+        return t24_corpus_assembly(spark, "/root/testdata/sf0.001").cache()
+
+    def test_no_cluster_spans_splits_and_packing_is_contiguous(self, spark):
+        from big_data_flight_analytics_spark.plans.extension_queries import (
+            T10_TARGETS,
+            T11_TARGET_TOKENS,
+        )
+
+        rows = self._result(spark).collect()
+        assert rows, "assembly emitted an empty corpus"
+        # leakage-safe: a cluster id maps to exactly one split
+        sides = {}
+        for r in rows:
+            assert sides.setdefault(r["cluster_id"], r["split"]) == r["split"]
+        # only targeted sources survive the mixture
+        assert {r["source"] for r in rows} <= set(T10_TARGETS)
+        # canonical-only: one row per doc
+        ids = [r["doc_id"] for r in rows]
+        assert len(ids) == len(set(ids))
+        # packing: within each (split, bucket), seq assignment is the
+        # greedy running-total rule over doc_id order
+        from collections import defaultdict
+
+        groups = defaultdict(list)
+        for r in rows:
+            groups[(r["split"], r["bucket"])].append(r)
+        for members in groups.values():
+            members.sort(key=lambda r: r["doc_id"])
+            cum = 0
+            for r in members:
+                assert (
+                    r["seq_id"] % (1 << 32) == cum // T11_TARGET_TOKENS
+                )
+                cum += r["n_tokens"]
+
+    def test_assembly_is_a_subset_of_curation_minus_contamination(self, spark):
+        from big_data_flight_analytics_spark.plans.extension_queries import (
+            D20_NGRAM,
+            D20_PCT,
+            d8_curated_corpus,
+            d20_bench_slices,
+        )
+        from big_data_flight_analytics_spark.operators.dedup import (
+            containment_decon_pairs,
+        )
+        from big_data_flight_analytics_spark.plans.tables import load
+        from pyspark.sql import functions as F
+
+        sf = "/root/testdata/sf0.001"
+        got = {r["doc_id"] for r in self._result(spark).collect()}
+        curated = {
+            r["doc_id"] for r in d8_curated_corpus(spark, sf).collect()
+        }
+        docs = load(spark, sf, "documents")
+        dirty = {
+            r["corpus_doc"]
+            for r in containment_decon_pairs(
+                docs,
+                d20_bench_slices(docs),
+                n=D20_NGRAM,
+                threshold_pct=D20_PCT,
+            )
+            .filter(F.col("corpus_doc") != F.col("bench_doc"))
+            .collect()
+        }
+        assert got <= curated - dirty
+        assert not (got & dirty)
