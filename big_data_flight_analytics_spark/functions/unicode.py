@@ -1,0 +1,101 @@
+"""NFC-lite canonical composition as a NATIVE expression.
+
+Spark 4.1 has no unicode-normalize builtin (probed: ``normalize`` /
+``unistr`` unresolved; ``COLLATE UNICODE`` compares NFC-equivalently
+but cannot PRODUCE a normalized string for md5/gram hashing). The
+text-family operators hash canonical strings, so a corpus mixing
+precomposed accents ("café") with combining-mark encodings
+("cafe" + U+0301) splits one logical term across two hash buckets —
+the multilingual failure the round-13 parity study pinned but did not
+fix.
+
+``nfc_lite`` closes the gap that actually occurs in European-language
+corpora: every (lowercase ASCII base + single combining mark) pair
+that NFC composes to one code point — the table is generated from
+``unicodedata`` at import, so it IS the Unicode composition data for
+that subset, not a hand list. The expression is a chain of literal
+``replace`` calls: pure JVM string ops, whole-stage-codegen friendly,
+no UDF, no Python in the hot path, O(pairs) per row with tiny
+constant factors.
+
+Deliberately NOT full NFC (and pinned as such in
+tests/test_unicode_parity.py): multi-mark stacks, non-ASCII bases
+(e.g. ǟ = ä + macron), and Hangul jamo composition stay untouched.
+Full NFC needs the full composition tables + canonical reordering —
+that is a UDF or an engine builtin, and the honest contract here is
+"the subset real European text contains, natively". DuckDB mirrors
+the exact same chain via :func:`nfc_lite_sql` (bit-exact by
+construction on ALL inputs), and agrees with its own full
+``nfc_normalize`` on the covered subset.
+
+Usage: a pre-projection stage — ``docs.select(nfc_lite(F.lower(...)))``
+ahead of langid / text-stats / dedup grams. Apply AFTER lowercasing:
+the table is lowercase-base only (the canonical chains here lower
+first anyway).
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# combining marks that occur in European-language text: grave, acute,
+# circumflex, tilde, macron, breve, dot-above, diaeresis, ring,
+# double-acute, caron, cedilla, ogonek
+NFC_LITE_MARKS = (
+    "\u0300\u0301\u0302\u0303\u0304\u0306\u0307\u0308\u030a"
+    "\u030b\u030c\u0327\u0328"
+)
+_ASCII_BASES = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _build_pairs() -> tuple[tuple[str, str], ...]:
+    pairs = []
+    for mark in NFC_LITE_MARKS:
+        for base in _ASCII_BASES:
+            composed = unicodedata.normalize("NFC", base + mark)
+            if len(composed) == 1:
+                pairs.append((base + mark, composed))
+    return tuple(pairs)
+
+
+#: (decomposed two-code-point sequence, precomposed char) — generated
+#: from the Unicode tables, deterministic across runs/hosts.
+NFC_LITE_PAIRS = _build_pairs()
+
+
+def nfc_lite(col: Column) -> Column:
+    """Compose every covered (base + combining mark) sequence to its
+    precomposed form. Literal replaces only — order is irrelevant
+    because each pattern consumes its combining mark and no
+    replacement output contains a bare ASCII base followed by a
+    covered mark."""
+    out = col
+    for seq, composed in NFC_LITE_PAIRS:
+        out = F.replace(out, F.lit(seq), F.lit(composed))
+    return out
+
+
+def nfc_lite_sql_layers(expr: str, chunk: int = 50) -> list[str]:
+    """The DuckDB mirror of :func:`nfc_lite` — the same literal-replace
+    chain, so cross-engine agreement holds by construction on every
+    input (unlike ``nfc_normalize``, which is full NFC and diverges
+    outside the covered subset).
+
+    Returned as LAYERS of at most ``chunk`` nested replaces: DuckDB's
+    binder caps expression recursion at 128, so the 127-pair chain
+    cannot bind as one expression. Layer 0 wraps ``expr``; every later
+    layer wraps the literal token ``{col}`` — ``.format(col=...)`` it
+    with the previous layer's alias and apply each layer in its own
+    SELECT/CTE. Replace order across layers is immaterial (each
+    pattern consumes its combining mark and no replacement output
+    re-creates a covered pattern)."""
+    layers = []
+    for i in range(0, len(NFC_LITE_PAIRS), chunk):
+        out = expr if i == 0 else "{col}"
+        for seq, composed in NFC_LITE_PAIRS[i : i + chunk]:
+            out = f"replace({out}, '{seq}', '{composed}')"
+        layers.append(out)
+    return layers

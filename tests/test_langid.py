@@ -202,3 +202,75 @@ class TestCharNgramExpr:
         ])
         got = langid_hashed_ngrams(docs, langid_profiles(ref)).collect()
         assert [r["doc_id"] for r in got] == [1]
+
+
+class TestMultilingualProfiles:
+    """Round 14: non-ASCII from pinned boundary to capability — real
+    accented-language profiles, with NFC-lite canonicalization
+    (functions/unicode.py) unifying combining-mark and precomposed
+    encodings before gram hashing."""
+
+    VOCAB = {
+        "fra": ["café", "déjà", "élève", "garçon", "être", "voilà", "où"],
+        "deu": ["über", "schön", "grüße", "mädchen", "läuft", "küche"],
+        "ces": ["čaj", "děkuji", "žlutý", "přítel", "škola", "řeka"],
+    }
+
+    def _docs(self, spark, form, per_lang=20, words=10, seed=17):
+        import random
+        import unicodedata
+
+        rng = random.Random(seed)
+        rows, i = [], 0
+        for lang, vocab in sorted(self.VOCAB.items()):
+            for _ in range(per_lang):
+                text = " ".join(rng.choice(vocab) for _ in range(words))
+                rows.append(
+                    Row(
+                        doc_id=i,
+                        lang=lang,
+                        text=unicodedata.normalize(form, text),
+                    )
+                )
+                i += 1
+        return spark.createDataFrame(rows)
+
+    def _normalized(self, df):
+        from big_data_flight_analytics_spark.functions.unicode import (
+            nfc_lite,
+        )
+
+        return df.withColumn("text", nfc_lite(F.col("text")))
+
+    def test_accented_profiles_classify_perfectly(self, spark):
+        docs = self._normalized(self._docs(spark, "NFC"))
+        ref = docs.filter(F.col("doc_id") % 2 == 0).select(
+            F.col("lang").alias("label"), "text"
+        )
+        held = docs.filter(F.col("doc_id") % 2 != 0)
+        pred = langid_hashed_ngrams(held, langid_profiles(ref))
+        scored = pred.join(held.select("doc_id", "lang"), "doc_id")
+        n = scored.count()
+        assert n == 30
+        assert scored.filter(F.col("pred_label") == F.col("lang")).count() == n
+
+    def test_nfd_docs_classify_identically_after_nfc_lite(self, spark):
+        # profiles from NFC text; the SAME held-out docs arrive NFD-
+        # encoded — after nfc_lite both encodings predict identically
+        ref = self._normalized(
+            self._docs(spark, "NFC").filter(F.col("doc_id") % 2 == 0)
+        ).select(F.col("lang").alias("label"), "text")
+        profiles = langid_profiles(ref)
+
+        def predict(form):
+            held = self._normalized(
+                self._docs(spark, form).filter(F.col("doc_id") % 2 != 0)
+            )
+            return {
+                r["doc_id"]: r["pred_label"]
+                for r in langid_hashed_ngrams(held, profiles).collect()
+            }
+
+        got_nfc, got_nfd = predict("NFC"), predict("NFD")
+        assert got_nfc == got_nfd
+        assert len(got_nfd) == 30

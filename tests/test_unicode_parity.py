@@ -179,3 +179,151 @@ class TestUnicodeParity:
             """).fetchall()
         }
         assert got_s == got_d
+
+
+# ---------------------------------------------------------------------------
+# NFC-lite (round 14): from pinned boundary to capability. The native
+# literal-replace composition chain (functions/unicode.py) and its
+# layered DuckDB mirror, pinned three ways: against unicodedata's NFC
+# (ground truth on the covered subset), cross-engine by construction,
+# and where it deliberately STOPS being NFC (non-ASCII bases, jamo).
+# ---------------------------------------------------------------------------
+
+import unicodedata
+
+from big_data_flight_analytics_spark.functions.unicode import (
+    NFC_LITE_PAIRS,
+    nfc_lite,
+    nfc_lite_sql_layers,
+)
+
+MULTILINGUAL_NFC = {
+    "fra": "café déjà élève garçon être voilà",
+    "deu": "über schön grüße mädchen läuft",
+    "ces": "čaj děkuji žlutý přítel škola",
+    "por": "ação õnibus irmã coração",
+    "pol": "żółć gęślą jaźń łódź",  # ż/ó/ę/ą/ź via combining forms
+}
+
+
+def _duck_nfc_lite(rows):
+    """Run the layered DuckDB mirror over (id, text) rows."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    layers = nfc_lite_sql_layers("text")
+    sql = f"WITH l0 AS (SELECT id, {layers[0]} AS s, nfc_normalize(text) AS fn FROM t)"
+    for j, lay in enumerate(layers[1:], 1):
+        sql += f", l{j} AS (SELECT id, {lay.format(col='s')} AS s, fn FROM l{j-1})"
+    sql += f" SELECT id, s, fn FROM l{len(layers) - 1}"
+    return {i: (s, fn) for i, s, fn in con.sql(sql).fetchall()}
+
+
+class TestNfcLite:
+    def test_pair_table_is_the_unicode_composition_data(self):
+        # every pair round-trips through unicodedata; nothing invented
+        for seq, composed in NFC_LITE_PAIRS:
+            assert unicodedata.normalize("NFC", seq) == composed
+            assert unicodedata.normalize("NFD", composed) == seq
+        assert len(NFC_LITE_PAIRS) > 100  # the table stays generated
+
+    def test_composes_nfd_text_to_nfc(self, spark):
+        rows = [
+            (i, unicodedata.normalize("NFD", t))
+            for i, t in enumerate(sorted(MULTILINGUAL_NFC.values()))
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        got = {
+            r["id"]: r["s"]
+            for r in df.select(
+                "id", nfc_lite(F.col("text")).alias("s")
+            ).collect()
+        }
+        for i, nfd_text in rows:
+            assert got[i] == unicodedata.normalize("NFC", nfd_text)
+
+    def test_duckdb_mirror_is_bit_exact_and_full_nfc_on_the_subset(
+        self, spark
+    ):
+        rows = [
+            (i, unicodedata.normalize("NFD", t))
+            for i, t in enumerate(sorted(MULTILINGUAL_NFC.values()))
+        ] + [(99, "plain ascii stays put")]
+        df = spark.createDataFrame(rows, "id long, text string")
+        got_s = {
+            r["id"]: r["s"]
+            for r in df.select(
+                "id", nfc_lite(F.col("text")).alias("s")
+            ).collect()
+        }
+        for i, (mirror, full_nfc) in _duck_nfc_lite(rows).items():
+            assert mirror == got_s[i]  # by-construction equality
+            assert mirror == full_nfc  # == real NFC on the subset
+
+    def test_outside_the_subset_diverges_from_full_nfc_as_documented(
+        self, spark
+    ):
+        """Pinned NON-goals: composition onto non-ASCII bases (ä+macron
+        -> ǟ) and Hangul jamo syllables are full-NFC territory; the
+        lite chain must leave them alone (an engine/library change
+        that starts composing them surfaces here)."""
+        cases = [
+            (0, "ǟ"),   # a+diaeresis+macron: NFC -> ǟ (1 cp)
+            (1, "가"),    # jamo G+A: NFC -> 가 (1 cp)
+        ]
+        df = spark.createDataFrame(cases, "id long, text string")
+        got = {
+            r["id"]: r["s"]
+            for r in df.select(
+                "id", nfc_lite(F.col("text")).alias("s")
+            ).collect()
+        }
+        # lite composes the FIRST mark (ä) but cannot reach ǟ
+        assert got[0] == "ǟ"
+        assert unicodedata.normalize("NFC", cases[0][1]) == "ǟ"
+        # jamo untouched; full NFC composes the syllable
+        assert got[1] == cases[1][1]
+        assert unicodedata.normalize("NFC", cases[1][1]) == "가"
+        # and the DuckDB mirror diverges from nfc_normalize the same way
+        for i, (mirror, full_nfc) in _duck_nfc_lite(cases).items():
+            assert mirror == got[i]
+            assert mirror != full_nfc
+
+    def test_langid_gram_chain_unifies_encodings(self, spark):
+        """The payoff: after nfc_lite, NFD- and NFC-encoded text hash
+        to identical gram buckets — one logical term, one bucket."""
+        from big_data_flight_analytics_spark.operators.sampling import (
+            md5_bucket,
+        )
+
+        nfc_text = MULTILINGUAL_NFC["fra"]
+        rows = [(0, nfc_text), (1, unicodedata.normalize("NFD", nfc_text))]
+        df = spark.createDataFrame(rows, "id long, text string")
+        canon = df.select(
+            "id", nfc_lite(_canonical("text")).alias("s")
+        )
+        buckets = (
+            canon.select(
+                "id", F.explode(_grams_of(F.col("s"), 3)).alias("g")
+            )
+            .groupBy("id", md5_bucket(F.col("g"), LANGID_BUCKETS).alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_id = {}
+        for r in buckets:
+            by_id.setdefault(r["id"], {})[r["b"]] = r["n"]
+        assert by_id[0] == by_id[1]
+        # without nfc_lite the same two encodings split apart (the
+        # motivating failure, pinned so it stays demonstrated)
+        raw = (
+            df.select("id", _canonical("text").alias("s"))
+            .select("id", F.explode(_grams_of(F.col("s"), 3)).alias("g"))
+            .groupBy("id", md5_bucket(F.col("g"), LANGID_BUCKETS).alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        raw_by_id = {}
+        for r in raw:
+            raw_by_id.setdefault(r["id"], {})[r["b"]] = r["n"]
+        assert raw_by_id[0] != raw_by_id[1]
