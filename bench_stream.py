@@ -42,7 +42,11 @@ from big_data_flight_analytics_spark.streaming.windowed_counts import (  # noqa:
 )
 
 N_INPUT_FILES = 16
-FILES_PER_TRIGGER = 4  # >1 batch so the watermark advances mid-run
+# >1 batch so the watermark advances mid-run; env-overridable so the
+# composed-sink contention study (s12/s17 speedup_vs_separate) can run
+# at a larger batch count: FILES_PER_TRIGGER=1 -> 16 micro-batches,
+# 4x the per-batch index-maintenance rounds on the same arrivals
+FILES_PER_TRIGGER = int(os.environ.get("SPARK_GRAFT_FILES_PER_TRIGGER", "4"))
 
 
 def _opensky_frame(spark, sf_dir: str):

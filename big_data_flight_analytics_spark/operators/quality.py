@@ -245,3 +245,134 @@ def k_anonymity_from_state(
             (F.col("l_distinct") >= l_div).alias("meets_l"),
         )
     )
+
+
+# --- dataset card (t25/i12) -----------------------------------------------
+#
+# The summary artifact a corpus release ships with: per-source volume,
+# token/char totals, quality distribution endpoints, and language mix.
+# The STATE lives one grain finer than the report — (source,
+# lang_pred) — because that is the coarsest grain from which every
+# report column still derives: the per-source language count and top
+# language are NOT mergeable from per-source rows (two folded cards
+# cannot recover how their language sets overlap), but they fall out
+# of the (source, lang) state for free. Same doctrine as
+# k_anonymity_state: keep mergeable state at the finest grain any
+# derived answer needs, report off the state in O(state).
+
+def dataset_card_state(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mergeable (source, lang_pred)-grain card state. Sums are exact
+    integers (token/char counts; quality at a fixed 1e-6 grain via
+    half-up micro-rounding of the already-6dp score), min/max are
+    selections — so the fold below is additive + idempotent with no
+    float-order dependence anywhere."""
+    from big_data_flight_analytics_spark.operators.text import text_stats
+
+    stats = text_stats(docs).select(
+        "doc_id", "lang_pred", "n_tokens", "n_chars_calc", "quality"
+    )
+    src = docs.select("doc_id", F.col(source_col).alias("source"))
+    return (
+        stats.join(src, "doc_id")
+        .groupBy("source", "lang_pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens_total"),
+            F.sum("n_chars_calc").cast("long").alias("n_chars_total"),
+            F.sum(
+                F.floor(F.col("quality") * 1_000_000 + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("q_micro_total"),
+            F.min("quality").alias("min_quality"),
+            F.max("quality").alias("max_quality"),
+        )
+    )
+
+
+def dataset_card_fold(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold two disjoint-subset card states: full-outer on the
+    (source, lang_pred) key; counts/sums add, endpoints re-select."""
+    keys = ["source", "lang_pred"]
+    sums = ["n_docs", "n_tokens_total", "n_chars_total", "q_micro_total"]
+    b = base.select(
+        *keys,
+        *[F.col(c).alias(f"__b_{c}") for c in sums],
+        F.col("min_quality").alias("__b_min"),
+        F.col("max_quality").alias("__b_max"),
+    )
+    d = delta.select(
+        *keys,
+        *[F.col(c).alias(f"__d_{c}") for c in sums],
+        F.col("min_quality").alias("__d_min"),
+        F.col("max_quality").alias("__d_max"),
+    )
+    return b.join(d, keys, "full").select(
+        *keys,
+        *[
+            (
+                F.coalesce(F.col(f"__b_{c}"), F.lit(0))
+                + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
+            )
+            .cast("long")
+            .alias(c)
+            for c in sums
+        ],
+        F.least(
+            F.coalesce(F.col("__b_min"), F.col("__d_min")),
+            F.coalesce(F.col("__d_min"), F.col("__b_min")),
+        ).alias("min_quality"),
+        F.greatest(
+            F.coalesce(F.col("__b_max"), F.col("__d_max")),
+            F.coalesce(F.col("__d_max"), F.col("__b_max")),
+        ).alias("max_quality"),
+    )
+
+
+def dataset_card_report(state: DataFrame) -> DataFrame:
+    """Per-source card off the state: totals, mean/min/max quality,
+    language count and deterministic top language (most docs, ties to
+    the smallest label). O(state) work — one grouped aggregate and one
+    state-sized window."""
+    from pyspark.sql import Window
+
+    per_src = state.groupBy("source").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_tokens_total").cast("long").alias("n_tokens_total"),
+        F.sum("n_chars_total").cast("long").alias("n_chars_total"),
+        F.sum("q_micro_total").cast("long").alias("q_micro_total"),
+        F.min("min_quality").alias("min_quality"),
+        F.max("max_quality").alias("max_quality"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_docs").desc(), F.col("lang_pred").asc()
+    )
+    top = (
+        state.select("source", "lang_pred", "n_docs")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("source", F.col("lang_pred").alias("top_lang"))
+    )
+    return per_src.join(top, "source").select(
+        "source",
+        "n_docs",
+        "n_tokens_total",
+        "n_chars_total",
+        F.round(
+            F.col("q_micro_total").cast("double")
+            / F.col("n_docs")
+            / F.lit(1_000_000.0),
+            6,
+        ).alias("mean_quality"),
+        "min_quality",
+        "max_quality",
+        "n_langs",
+        "top_lang",
+    )

@@ -204,6 +204,8 @@ _TIE_BREAK = [
     "t23_leakage_safe_split",
     "t24_corpus_assembly",
     "j13_advised_semi_join",
+    "t25_dataset_card",
+    "i12_dataset_card_delta",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

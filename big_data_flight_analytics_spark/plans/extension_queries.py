@@ -3933,6 +3933,112 @@ FROM packed
 
 
 # ---------------------------------------------------------------------------
+# T25 — dataset card: the summary artifact a corpus release ships
+# with (per-source volume, token/char totals, quality distribution
+# endpoints, language mix + deterministic top language). Derived
+# entirely from the mergeable (source, lang_pred)-grain state
+# (operators/quality.dataset_card_state) — the state grain is chosen
+# so the NON-mergeable-looking columns (n_langs, top_lang) still
+# derive after folds. I12 proves exactly that: the 80/20 doc split
+# folded via dataset_card_fold must reproduce this report bit-exactly
+# (same oracle), extending the i-series to the reporting plane.
+# ---------------------------------------------------------------------------
+
+
+def t25_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.quality import (
+        dataset_card_report,
+        dataset_card_state,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return dataset_card_report(dataset_card_state(docs))
+
+
+def i12_dataset_card_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.cache import tracked_persist
+    from big_data_flight_analytics_spark.operators.quality import (
+        dataset_card_fold,
+        dataset_card_report,
+        dataset_card_state,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    base = dataset_card_state(docs.filter(F.col("doc_id") % 5 != 0))
+    delta = dataset_card_state(docs.filter(F.col("doc_id") % 5 == 0))
+    # the fold reads each state twice (sums + endpoint selection);
+    # states are (source, lang) grain — tiny — so pin them
+    folded = dataset_card_fold(
+        tracked_persist(base), tracked_persist(delta)
+    )
+    return dataset_card_report(folded)
+
+
+T25_SQL = rf"""
+WITH base AS (
+    SELECT doc_id, text,
+           length(text) AS n_chars_calc,
+           CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+           len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+           len(regexp_extract_all(lower(text),
+               '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS n_stop
+    FROM documents
+), ratios AS (
+    SELECT *,
+           CASE WHEN n_chars_calc IS NULL OR n_chars_calc = 0 THEN 0.0
+                ELSE ROUND(n_punct * 1.0 / n_chars_calc, 6) END AS punct_ratio,
+           CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE ROUND(n_stop * 1.0 / n_tokens, 6) END AS stopword_ratio
+    FROM base
+), stats AS (
+    SELECT doc_id,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           n_chars_calc,
+           ROUND(0.4 * LEAST(length(COALESCE(text, '')) / 500.0, 1.0)
+                 + 0.3 * (1.0 - punct_ratio)
+                 + 0.3 * LEAST(stopword_ratio / 0.1, 1.0), 6) AS quality,
+           {_LANG_CASE} AS lang_pred
+    FROM ratios
+), st AS (
+    SELECT d.source, s.lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(s.n_tokens) AS BIGINT) AS n_tokens_total,
+           CAST(SUM(s.n_chars_calc) AS BIGINT) AS n_chars_total,
+           CAST(SUM(CAST(FLOOR(s.quality * 1000000 + 0.5) AS BIGINT))
+                AS BIGINT) AS q_micro_total,
+           MIN(s.quality) AS min_quality,
+           MAX(s.quality) AS max_quality
+    FROM stats s JOIN documents d USING (doc_id)
+    GROUP BY 1, 2
+), per_src AS (
+    SELECT source,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens_total) AS BIGINT) AS n_tokens_total,
+           CAST(SUM(n_chars_total) AS BIGINT) AS n_chars_total,
+           CAST(SUM(q_micro_total) AS BIGINT) AS q_micro_total,
+           MIN(min_quality) AS min_quality,
+           MAX(max_quality) AS max_quality,
+           CAST(COUNT(*) AS BIGINT) AS n_langs
+    FROM st GROUP BY 1
+), top AS (
+    SELECT source, lang_pred AS top_lang FROM (
+        SELECT source, lang_pred,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_docs DESC, lang_pred ASC)
+                   AS rn
+        FROM st
+    ) WHERE rn = 1
+)
+SELECT p.source, p.n_docs, p.n_tokens_total, p.n_chars_total,
+       ROUND(CAST(p.q_micro_total AS DOUBLE) / p.n_docs / 1000000.0, 6)
+           AS mean_quality,
+       p.min_quality, p.max_quality, p.n_langs, t.top_lang
+FROM per_src p JOIN top t USING (source)
+"""
+
+
+# ---------------------------------------------------------------------------
 # T13 — fixed-token chunking with overlap: the context-window prep step
 # between a curated corpus and an embedding / training / retrieval
 # pipeline. Map-only (sequence + explode over the scan — no shuffle);
@@ -5922,6 +6028,8 @@ EXTENSION_QUERIES = {
     "t23_leakage_safe_split": t23_leakage_safe_split,
     "t24_corpus_assembly": t24_corpus_assembly,
     "j13_advised_semi_join": j13_advised_semi_join,
+    "t25_dataset_card": t25_dataset_card,
+    "i12_dataset_card_delta": i12_dataset_card_delta,
     "d8_curated_corpus": d8_curated_corpus,
     "m1_multimodal_features": m1_multimodal_features,
     "m2_frame_sample": m2_frame_sample,
@@ -6001,6 +6109,8 @@ EXTENSION_ORACLES = {
     "t23_leakage_safe_split": T23_SQL,
     "t24_corpus_assembly": T24_SQL,
     "j13_advised_semi_join": J13_SQL,
+    "t25_dataset_card": T25_SQL,
+    "i12_dataset_card_delta": T25_SQL,
     "d8_curated_corpus": D8_SQL,
     "m1_multimodal_features": M1_SQL,
     "m2_frame_sample": M2_SQL,

@@ -229,3 +229,95 @@ class TestTopPaths:
         # one Exchange on user hash (window + groupBy(user)) + one for
         # the final path tally — never three
         assert plan.count("Exchange") == 2
+
+
+class TestDatasetCard:
+    """t25/i12: the reporting-plane mergeable state — fold == scratch,
+    and the deliberately non-mergeable-LOOKING columns (n_langs,
+    top_lang) derive correctly because the state grain is (source,
+    lang), not source."""
+
+    def _docs(self, spark):
+        rows = [
+            # src "a": 3 docs, two langs (trigram tables in
+            # functions/text.LANG_TRIGRAMS: en needs the/and/ing...,
+            # es needs los/las/del/con...)
+            (0, "a", "the cat and the dog went running for the door"),
+            (1, "a", "the dog and the cat for the morning thing"),
+            (2, "a", "los perros y las gatas del campo con una flor"),
+            # src "b": 2 docs, one lang; tie-break never needed
+            (3, "b", "the bird and the fish for the evening thing"),
+            (4, "b", "the fish and the bird for the winter thing"),
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+
+    def test_fold_equals_scratch(self, spark):
+        from big_data_flight_analytics_spark.operators.quality import (
+            dataset_card_fold,
+            dataset_card_report,
+            dataset_card_state,
+        )
+
+        docs = self._docs(spark)
+        scratch = {
+            r["source"]: r.asDict()
+            for r in dataset_card_report(dataset_card_state(docs)).collect()
+        }
+        base = dataset_card_state(docs.filter("doc_id % 2 = 0"))
+        delta = dataset_card_state(docs.filter("doc_id % 2 = 1"))
+        folded = {
+            r["source"]: r.asDict()
+            for r in dataset_card_report(
+                dataset_card_fold(base, delta)
+            ).collect()
+        }
+        assert folded == scratch
+        assert set(scratch) == {"a", "b"}
+
+    def test_language_columns_derive_from_state_grain(self, spark):
+        from big_data_flight_analytics_spark.operators.quality import (
+            dataset_card_report,
+            dataset_card_state,
+        )
+
+        docs = self._docs(spark)
+        got = {
+            r["source"]: (r["n_langs"], r["top_lang"], r["n_docs"])
+            for r in dataset_card_report(dataset_card_state(docs)).collect()
+        }
+        assert got["a"][0] == 2  # two predicted langs in source a
+        assert got["a"][2] == 3
+        assert got["b"][0] == 1
+        # top_lang = most docs; source a has 2 of one lang, 1 of other
+        from big_data_flight_analytics_spark.operators.text import (
+            text_stats,
+        )
+        from collections import Counter
+
+        langs = Counter(
+            r["lang_pred"]
+            for r in text_stats(docs.filter("source = 'a'")).collect()
+        )
+        assert got["a"][1] == langs.most_common(1)[0][0]
+
+    def test_fold_with_disjoint_languages_unions_the_mix(self, spark):
+        from big_data_flight_analytics_spark.operators.quality import (
+            dataset_card_fold,
+            dataset_card_report,
+            dataset_card_state,
+        )
+
+        docs = self._docs(spark)
+        # split source a BY LANGUAGE: each side sees one lang only;
+        # the folded card must still report n_langs = 2
+        base = dataset_card_state(docs.filter("doc_id IN (0, 1)"))
+        delta = dataset_card_state(docs.filter("doc_id = 2"))
+        got = {
+            r["source"]: r["n_langs"]
+            for r in dataset_card_report(
+                dataset_card_fold(base, delta)
+            ).collect()
+        }
+        assert got["a"] == 2

@@ -549,6 +549,7 @@ def semantic_section(spark, sf_dir: str) -> None:
     delta_section(spark, sf_dir)
     minhash_delta_section(spark, sf_dir)
     cdc_edit_robustness_section(spark, sf_dir)
+    v8_recall_section(spark, sf_dir)
 
 
 def delta_section(spark, sf_dir: str) -> None:
@@ -945,3 +946,95 @@ def cdc_edit_robustness_section(spark, sf_dir: str) -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def v8_recall_section(spark, sf_dir: str) -> None:
+    """IVF-PQ recall vs (nprobe, codebook granularity) — judge stretch
+    r13 #8. v8's BASELINE rows report cost; this table reports what
+    the two quantization knobs BUY against exact cosine top-k truth.
+    Run it on the 30x fresh corpus (/tmp/sf30f13) for the production
+    regime; any embeddings dir works. Measurement uses its own wider
+    query set (40 queries, k=5) so recall has finer granularity than
+    the 5x3 catalog config."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from big_data_flight_analytics_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+    from big_data_flight_analytics_spark.plans.extension_queries import (
+        V8_CITER,
+        V8_COARSE_K,
+        V8_EXPAND,
+        V8_FP,
+        V8_M,
+        V8_PITER,
+        V8_SCALE,
+    )
+    from big_data_flight_analytics_spark.plans.tables import load
+
+    N_Q, K = 40, 5
+    emb = load(spark, sf_dir, "embeddings").cache()
+    n_corpus = emb.count()
+    queries = emb.filter(F.col("vec_id") < N_Q).cache()
+
+    t0 = time.time()
+    truth = {}
+    for r in brute_force_topk(emb, queries, k=K).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    t_truth = time.time() - t0
+
+    print()
+    print("# v8 IVF-PQ recall vs (nprobe, kcent)")
+    print()
+    print(
+        f"Corpus {n_corpus} vectors ({sf_dir}); truth = exact cosine "
+        f"top-{K} for {N_Q} queries ({t_truth:.1f}s brute scan, "
+        f"measurement-only). Catalog config marked *. Training "
+        f"iterations fixed at the catalog's ({V8_CITER}/{V8_PITER}); "
+        f"coarse_k {V8_COARSE_K}."
+    )
+    print()
+    print("| kcent | nprobe | probed frac | recall@5 | sec |")
+    print("|---|---|---|---|---|")
+    for kcent in (16, 32):
+        for nprobe in (1, 2, 4, 8):
+            t0 = time.time()
+            got = {}
+            res = ivfpq_topk(
+                emb,
+                queries,
+                k=K,
+                coarse_k=V8_COARSE_K,
+                nprobe=nprobe,
+                m=V8_M,
+                kcent=kcent,
+                expand=V8_EXPAND,
+                coarse_iter=V8_CITER,
+                pq_iter=V8_PITER,
+                scale=V8_SCALE,
+                fp_scale=V8_FP,
+            )
+            for r in res.collect():
+                got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            dt = time.time() - t0
+            rec = sum(
+                len(got.get(q, set()) & t) / len(t)
+                for q, t in truth.items()
+            ) / len(truth)
+            star = " *" if (kcent, nprobe) == (16, 4) else ""
+            print(
+                f"| {kcent}{star} | {nprobe} | "
+                f"{nprobe / V8_COARSE_K:.2f} | {rec:.3f} | {dt:.1f} |"
+            )
+    print()
+    print(
+        "Reading: recall climbs with nprobe (more cells scanned) and "
+        "with kcent (finer residual codebooks rank candidates closer "
+        "to true cosine order before the exact rerank). The probed "
+        "fraction column is the scan-cost lever: recall at nprobe=4 "
+        "touching 1/4 of the corpus is the production trade the "
+        "catalog pins."
+    )
