@@ -191,8 +191,15 @@ def _index_sink_pipelines(spark, sf_dir: str, workdir: str) -> dict[str, float]:
     out: dict[str, float] = {}
     stage_secs: dict[str, float] = {}
 
+    # one shared documents feed serves the text sinks (doc_id/text)
+    # and s20 (source): from_json subset schemas ignore extra fields
     doc_feed, doc_rows = build_delta_feed(
-        spark, sf_dir, workdir, "documents", ["doc_id", "text"], "doc_id"
+        spark,
+        sf_dir,
+        workdir,
+        "documents",
+        ["doc_id", "source", "text"],
+        "doc_id",
     )
     mh_path = os.path.join(workdir, "minhash_index")
     for leftover in (mh_path, mh_path + ".decisions"):
@@ -550,6 +557,26 @@ def _index_sink_pipelines(spark, sf_dir: str, workdir: str) -> dict[str, float]:
         os.path.join(workdir, "ckpt_s18_bloom"),
     )
     out["s18_bloom_sink"] = round(ord_rows / secs, 1)
+
+    # s20: live dataset card (streaming i12) — each documents batch's
+    # (source, lang)-grain card state folds into the persisted store
+    # (additive sums, marker-guarded); the t25 release card is
+    # answerable mid-ingest off O(sources x langs) state
+    from big_data_flight_analytics_spark.streaming.sinks import (
+        DatasetCardSink,
+    )
+
+    card_path = os.path.join(workdir, "dataset_card")
+    shutil.rmtree(card_path, ignore_errors=True)
+    card_sink = DatasetCardSink(card_path)
+    secs = _run_index_sink(
+        spark,
+        doc_feed,
+        "doc_id long, source string, text string",
+        card_sink,
+        os.path.join(workdir, "ckpt_s20_dataset_card"),
+    )
+    out["s20_dataset_card_sink"] = round(doc_rows / secs, 1)
 
     # s19: continuously folded session store (streaming i11) — the
     # boundary-conditional fold class's sink face: each events batch

@@ -113,6 +113,60 @@ def paragraph_dedup(
     )
 
 
+def boilerplate_excision(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    max_df: int = 3,
+) -> DataFrame:
+    """C4's OTHER line rule: a paragraph occurring in >= ``max_df``
+    distinct documents corpus-wide is boilerplate (nav bars, cookie
+    banners, license headers) — remove EVERY copy, including the
+    first. Contrast :func:`paragraph_dedup`, which keeps one copy:
+    dedup treats repetition as redundancy, excision treats it as
+    template noise that was never content. Frequency counts DOCUMENTS
+    (not occurrences), so a paragraph repeated inside one quirky doc
+    is not boilerplate.
+
+    Output: ``id_col, clean_text, n_paras`` (original), ``n_kept``.
+    Documents whose every paragraph is boilerplate vanish (same
+    contract as paragraph_dedup).
+
+    Scale: one explode, one paragraph-keyed distinct-count aggregate
+    whose >= max_df survivors form a SMALL broadcast anti-join side
+    (boilerplate vocabularies are tiny by definition), one hash agg
+    per doc. The hot paragraphs that would skew a window here never
+    reach one — they are exactly the rows the anti join removes.
+    """
+    toked = df.select(
+        F.col(id_col), F.split(F.col(text_col), sep).alias("__paras")
+    )
+    paras = toked.select(
+        F.col(id_col),
+        F.size("__paras").cast("bigint").alias("n_paras"),
+        F.posexplode("__paras").alias("idx", "para"),
+    )
+    boiler = (
+        paras.groupBy("para")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .filter(F.col("__df") >= max_df)
+        .select("para")
+    )
+    kept = paras.join(F.broadcast(boiler), "para", "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                lambda x: x["para"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.first("n_paras").alias("n_paras"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+
+
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     # two-step: materialize the token array, THEN build shingles from the
     # column reference (inline split would re-tokenize per element_at)

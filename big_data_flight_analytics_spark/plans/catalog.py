@@ -206,6 +206,7 @@ _TIE_BREAK = [
     "j13_advised_semi_join",
     "t25_dataset_card",
     "i12_dataset_card_delta",
+    "t26_boilerplate_excision",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

@@ -276,6 +276,52 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# T26 — boilerplate excision (C4's other line rule, complementing
+# d11): a paragraph in >= T26_MAX_DF distinct documents is template
+# noise — remove EVERY copy, where d11 keeps one. Same " the "
+# separator convention as d11 (corpus has no newline structure); the
+# boilerplate set is 8-72 paragraphs across test scales, i.e. the
+# anti-join side is broadcast-tiny by the rule's own definition.
+# ---------------------------------------------------------------------------
+
+T26_MAX_DF = 3
+
+
+def t26_boilerplate_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.dedup import (
+        boilerplate_excision,
+    )
+
+    return boilerplate_excision(
+        load(spark, sf_dir, "documents"),
+        sep=D11_PARA_SEP,
+        max_df=T26_MAX_DF,
+    )
+
+
+T26_SQL = f"""
+WITH paras AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' the ')) AS para,
+           generate_subscripts(string_split(text, ' the '), 1) AS idx,
+           len(string_split(text, ' the ')) AS n_paras
+    FROM documents
+), bp AS (
+    SELECT para FROM (
+        SELECT para, COUNT(DISTINCT doc_id) AS df FROM paras GROUP BY para
+    ) WHERE df >= {T26_MAX_DF}
+)
+SELECT doc_id,
+       string_agg(para, ' the ' ORDER BY idx) AS clean_text,
+       first(n_paras) AS n_paras,
+       COUNT(*) AS n_kept
+FROM paras
+WHERE para NOT IN (SELECT para FROM bp)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # T3 — Gopher-style quality metrics: mean token length, alphabetic
 # fraction, and the duplicated-bigram fraction (max bigram frequency /
 # total bigrams — repetition is a top spam/boilerplate signal). Scalars
@@ -6030,6 +6076,7 @@ EXTENSION_QUERIES = {
     "j13_advised_semi_join": j13_advised_semi_join,
     "t25_dataset_card": t25_dataset_card,
     "i12_dataset_card_delta": i12_dataset_card_delta,
+    "t26_boilerplate_excision": t26_boilerplate_excision,
     "d8_curated_corpus": d8_curated_corpus,
     "m1_multimodal_features": m1_multimodal_features,
     "m2_frame_sample": m2_frame_sample,
@@ -6111,6 +6158,7 @@ EXTENSION_ORACLES = {
     "j13_advised_semi_join": J13_SQL,
     "t25_dataset_card": T25_SQL,
     "i12_dataset_card_delta": T25_SQL,
+    "t26_boilerplate_excision": T26_SQL,
     "d8_curated_corpus": D8_SQL,
     "m1_multimodal_features": M1_SQL,
     "m2_frame_sample": M2_SQL,

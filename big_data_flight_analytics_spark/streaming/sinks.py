@@ -1435,6 +1435,62 @@ class SessionSink(ParquetUpsertSink):
         return spark.read.parquet(self.path)
 
 
+class DatasetCardSink(ParquetUpsertSink):
+    """Live dataset card during ingest (s20): each arriving batch's
+    (source, lang_pred)-grain card state (i12's mergeable state,
+    ``operators/quality.dataset_card_state``) folds into the persisted
+    store — counts/token/char/quality-micro sums are ADDITIVE, the
+    quality endpoints re-select idempotently, so the sink is
+    marker-guarded like every additive fold (the HistogramSink class).
+    ``report(spark)`` derives the full per-source release card (t25)
+    from the state at any moment, mid-ingest — volume, token totals,
+    quality endpoints, language mix — without rescanning history; the
+    state stays O(sources x languages) however much has streamed
+    through."""
+
+    def __init__(
+        self,
+        path: str,
+        source_col: str = "source",
+        text_col: str = "text",
+    ) -> None:
+        super().__init__(path, key_col="source", version_col="__none")
+        self.source_col = source_col
+        self.text_col = text_col
+
+    def merge(self, batch_df: DataFrame, batch_id: int) -> None:
+        from big_data_flight_analytics_spark.operators.quality import (
+            dataset_card_fold,
+            dataset_card_state,
+        )
+
+        self._recover()
+        if os.path.exists(self.path) and batch_id <= self._last_batch():
+            return  # replay of an already-folded batch
+        spark = batch_df.sparkSession
+        delta = dataset_card_state(
+            batch_df, self.source_col, self.text_col
+        )
+        if os.path.exists(self.path):
+            updated = dataset_card_fold(
+                spark.read.parquet(self.path), delta
+            )
+        else:
+            updated = delta
+        self._write_and_swap_with_marker(updated, batch_id)
+
+    def read(self, spark) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+    def report(self, spark) -> DataFrame:
+        """The t25 per-source card off the current state."""
+        from big_data_flight_analytics_spark.operators.quality import (
+            dataset_card_report,
+        )
+
+        return dataset_card_report(self.read(spark))
+
+
 class SketchPipelineSink:
     """Composed single-pass metrics ingest (s17): ONE ``foreachBatch``
     target folding every arriving micro-batch into all three mergeable

@@ -1010,3 +1010,59 @@ class TestSessionSink:
         # degenerates to a re-rank of the unchanged store
         sink.merge(delta, 1)
         assert self._state(sink.read(spark)) == state0
+
+
+class TestDatasetCardSink:
+    """Streaming i12 (s20): per-batch card-state folds == one batch
+    card over all arrivals; replay marker-guarded (additive sums)."""
+
+    def _delta(self, spark):
+        rows = [
+            (0, "a", "the cat and the dog went running for the door"),
+            (1, "a", "the dog and the cat for the morning thing"),
+            (2, "a", "los perros y las gatas del campo con una flor"),
+            (3, "b", "the bird and the fish for the evening thing"),
+            (4, "b", "the fish and the bird for the winter thing"),
+            (5, "b", "los gatos y los perros del lago con una luz"),
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+
+    def _card(self, df):
+        return {r["source"]: tuple(r) for r in df.collect()}
+
+    def test_stream_folds_equal_batch_card(self, spark, tmp_path):
+        from big_data_flight_analytics_spark.operators.quality import (
+            dataset_card_report,
+            dataset_card_state,
+        )
+        from big_data_flight_analytics_spark.streaming.sinks import (
+            DatasetCardSink,
+        )
+
+        delta = self._delta(spark)
+        sink = DatasetCardSink(str(tmp_path / "card"))
+        _run_stream(spark, tmp_path, sink, delta)
+        got = self._card(sink.report(spark))
+        want = self._card(dataset_card_report(dataset_card_state(delta)))
+        assert got == want
+        assert set(got) == {"a", "b"}
+
+    def test_replayed_batch_short_circuits(self, spark, tmp_path):
+        from big_data_flight_analytics_spark.streaming.sinks import (
+            DatasetCardSink,
+        )
+
+        delta = self._delta(spark)
+        sink = DatasetCardSink(str(tmp_path / "card"))
+        sink.merge(delta, 0)
+        first = self._card(sink.report(spark))
+        sink.merge(delta, 0)  # replay: additive sums would double
+        assert self._card(sink.report(spark)) == first
+        sink.merge(delta, 1)  # genuinely new batch folds
+        second = self._card(sink.report(spark))
+        for src in first:
+            assert second[src][1] == 2 * first[src][1]  # n_docs doubles
+            assert second[src][5] == first[src][5]  # min_quality stable
+            assert second[src][6] == first[src][6]  # max_quality stable
