@@ -119,6 +119,7 @@ def boilerplate_excision(
     text_col: str = "text",
     sep: str = "\n\n",
     max_df: int = 3,
+    df_state: DataFrame | None = None,
 ) -> DataFrame:
     """C4's OTHER line rule: a paragraph occurring in >= ``max_df``
     distinct documents corpus-wide is boilerplate (nav bars, cookie
@@ -138,6 +139,11 @@ def boilerplate_excision(
     (boilerplate vocabularies are tiny by definition), one hash agg
     per doc. The hot paragraphs that would skew a window here never
     reach one — they are exactly the rows the anti join removes.
+
+    ``df_state``: pass a (para, df) frame (``paragraph_df_state`` /
+    ``paragraph_df_fold``) to excise against an incrementally
+    maintained corpus-wide frequency instead of recounting — the i13
+    ingest path.
     """
     toked = df.select(
         F.col(id_col), F.split(F.col(text_col), sep).alias("__paras")
@@ -147,12 +153,9 @@ def boilerplate_excision(
         F.size("__paras").cast("bigint").alias("n_paras"),
         F.posexplode("__paras").alias("idx", "para"),
     )
-    boiler = (
-        paras.groupBy("para")
-        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
-        .filter(F.col("__df") >= max_df)
-        .select("para")
-    )
+    if df_state is None:
+        df_state = paragraph_df_state(df, id_col, text_col, sep)
+    boiler = df_state.filter(F.col("df") >= max_df).select("para")
     kept = paras.join(F.broadcast(boiler), "para", "left_anti")
     return kept.groupBy(id_col).agg(
         F.array_join(
@@ -164,6 +167,42 @@ def boilerplate_excision(
         ).alias("clean_text"),
         F.first("n_paras").alias("n_paras"),
         F.count(F.lit(1)).alias("n_kept"),
+    )
+
+
+def paragraph_df_state(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Mergeable state for the boilerplate rule: per-paragraph DOCUMENT
+    frequency — ``(para, df)``. Because a paragraph is counted once per
+    document and arriving batches carry DISJOINT document sets, df is
+    ADDITIVE across batches (the i1 contract): the corpus-wide
+    boilerplate set stays current under ingest without rescanning
+    history. State is O(distinct paragraphs)."""
+    toked = df.select(
+        F.col(id_col), F.split(F.col(text_col), sep).alias("__paras")
+    )
+    return (
+        toked.select(F.col(id_col), F.explode("__paras").alias("para"))
+        .groupBy("para")
+        .agg(F.count_distinct(F.col(id_col)).cast("long").alias("df"))
+    )
+
+
+def paragraph_df_fold(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold two disjoint-document-subset df states: full-outer sum on
+    the paragraph key — O(state), associative and commutative."""
+    b = base.select("para", F.col("df").alias("__b"))
+    d = delta.select("para", F.col("df").alias("__d"))
+    return b.join(d, "para", "full").select(
+        "para",
+        (
+            F.coalesce(F.col("__b"), F.lit(0))
+            + F.coalesce(F.col("__d"), F.lit(0))
+        ).cast("long").alias("df"),
     )
 
 

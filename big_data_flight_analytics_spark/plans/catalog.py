@@ -207,6 +207,7 @@ _TIE_BREAK = [
     "t25_dataset_card",
     "i12_dataset_card_delta",
     "t26_boilerplate_excision",
+    "i13_boilerplate_delta",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

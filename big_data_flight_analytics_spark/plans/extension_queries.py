@@ -299,6 +299,37 @@ def t26_boilerplate_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# I13 — incremental boilerplate maintenance: paragraph DOCUMENT
+# frequency is additive over disjoint document batches (each doc
+# counts a paragraph once), so the corpus-wide boilerplate set stays
+# current under ingest with one full-outer sum — the i1 contract on
+# the t26 rule. The entry splits documents 80/20 (the i-series
+# convention), folds the two df states, excises the WHOLE corpus
+# against the folded state, and must reproduce from-scratch t26
+# bit-for-bit (same oracle).
+
+
+def i13_boilerplate_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.cache import tracked_persist
+    from big_data_flight_analytics_spark.operators.dedup import (
+        boilerplate_excision,
+        paragraph_df_fold,
+        paragraph_df_state,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    base = paragraph_df_state(
+        docs.filter(F.col("doc_id") % 5 != 0), sep=D11_PARA_SEP
+    )
+    delta = paragraph_df_state(
+        docs.filter(F.col("doc_id") % 5 == 0), sep=D11_PARA_SEP
+    )
+    folded = paragraph_df_fold(tracked_persist(base), tracked_persist(delta))
+    return boilerplate_excision(
+        docs, sep=D11_PARA_SEP, max_df=T26_MAX_DF, df_state=folded
+    )
+
+
 T26_SQL = f"""
 WITH paras AS (
     SELECT doc_id,
@@ -6077,6 +6108,7 @@ EXTENSION_QUERIES = {
     "t25_dataset_card": t25_dataset_card,
     "i12_dataset_card_delta": i12_dataset_card_delta,
     "t26_boilerplate_excision": t26_boilerplate_excision,
+    "i13_boilerplate_delta": i13_boilerplate_delta,
     "d8_curated_corpus": d8_curated_corpus,
     "m1_multimodal_features": m1_multimodal_features,
     "m2_frame_sample": m2_frame_sample,
@@ -6159,6 +6191,7 @@ EXTENSION_ORACLES = {
     "t25_dataset_card": T25_SQL,
     "i12_dataset_card_delta": T25_SQL,
     "t26_boilerplate_excision": T26_SQL,
+    "i13_boilerplate_delta": T26_SQL,
     "d8_curated_corpus": D8_SQL,
     "m1_multimodal_features": M1_SQL,
     "m2_frame_sample": M2_SQL,

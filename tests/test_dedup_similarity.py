@@ -1582,3 +1582,79 @@ class TestContaminationExcision:
         }
         # doc 10: quote starts at token 3; bench has 3 windows -> starts 3,4,5
         assert got == {(10, 3), (10, 4), (10, 5)}
+
+
+class TestBoilerplateExcision:
+    """t26/i13: the C4 line-rule pair's excision half + the additive
+    document-frequency fold."""
+
+    def _docs(self, spark):
+        # NB: sep is a Java regex in Spark's split (operator docstring)
+        # -- keep it metacharacter-free
+        rows = [
+            (0, "intro A @@ COOKIE BANNER @@ body zero"),
+            (1, "intro B @@ COOKIE BANNER @@ body one"),
+            (2, "intro C @@ COOKIE BANNER @@ body two"),
+            (3, "solo text @@ body three @@ unique bit"),
+            (4, "COOKIE BANNER @@ COOKIE BANNER @@ body four"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_removes_every_copy_by_document_frequency(self, spark):
+        from big_data_flight_analytics_spark.operators.dedup import (
+            boilerplate_excision,
+        )
+
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_paras"], r["n_kept"])
+            for r in boilerplate_excision(
+                self._docs(spark), sep=" @@ ", max_df=3
+            ).collect()
+        }
+        # "COOKIE BANNER" appears in 4 distinct docs -> excised from ALL
+        for d in got.values():
+            assert "COOKIE BANNER" not in d[0]
+        # doc 4 repeated the banner twice: both copies gone
+        assert got[4] == ("body four", 3, 1)
+        # paragraphs under the df threshold stay intact and ordered
+        assert got[0] == ("intro A @@ body zero", 3, 2)
+        assert got[3] == ("solo text @@ body three @@ unique bit", 3, 3)
+
+    def test_intra_doc_repetition_is_not_boilerplate(self, spark):
+        from big_data_flight_analytics_spark.operators.dedup import (
+            boilerplate_excision,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "x @@ x @@ x @@ y"), (1, "a @@ b")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["clean_text"]
+            for r in boilerplate_excision(
+                docs, sep=" @@ ", max_df=3
+            ).collect()
+        }
+        # "x" occurs 3 times but in ONE document: df = 1, kept
+        assert got[0] == "x @@ x @@ x @@ y"
+
+    def test_df_fold_equals_scratch(self, spark):
+        from big_data_flight_analytics_spark.operators.dedup import (
+            paragraph_df_fold,
+            paragraph_df_state,
+        )
+
+        docs = self._docs(spark)
+        scratch = {
+            r["para"]: r["df"]
+            for r in paragraph_df_state(docs, sep=" @@ ").collect()
+        }
+        folded = {
+            r["para"]: r["df"]
+            for r in paragraph_df_fold(
+                paragraph_df_state(docs.filter("doc_id < 2"), sep=" @@ "),
+                paragraph_df_state(docs.filter("doc_id >= 2"), sep=" @@ "),
+            ).collect()
+        }
+        assert folded == scratch
+        assert scratch["COOKIE BANNER"] == 4
