@@ -86,6 +86,91 @@ FROM filled WHERE side = 1
 
 
 # ---------------------------------------------------------------------------
+# J14 — as-of join with TOLERANCE (kdb wj / QuestDB "ASOF ...
+# TOLERANCE" semantics): the most recent match counts only if it is
+# RECENT ENOUGH — a purchase is attributed to the user's last click
+# only within the attribution window; anything staler is no match at
+# all (NULL payloads), which plain as-of cannot express. Composition:
+# the same one-shuffle union-window as-of (j9) carrying the matched
+# timestamp as payload, then a map-only staleness gate. Attribution
+# rate here: 683 of 1981 purchases have a click within 1 day at
+# sf0.01 — both branches well-populated at every scale.
+# ---------------------------------------------------------------------------
+
+J14_TOL_US = 86_400 * 1_000_000  # 1-day attribution window
+
+
+def j14_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("cts"),
+        F.col("event_id").alias("click_id"),
+        "value",
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="cts",
+        payload={
+            "click_id": "asof_click_id",
+            "cts": "asof_click_ts",
+            "value": "asof_click_value",
+        },
+        right_tie="click_id",
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    aus = F.unix_micros(F.col("asof_click_ts").cast("timestamp"))
+    within = F.col("asof_click_ts").isNotNull() & (
+        (us - aus) <= J14_TOL_US
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        us.alias("event_us"),
+        F.when(within, F.col("asof_click_id")).alias("asof_click_id"),
+        F.when(within, F.col("asof_click_value")).alias("asof_click_value"),
+        F.when(within, us - aus).alias("asof_gap_us"),
+    )
+
+
+J14_SQL = f"""
+WITH l AS (
+    SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+    WHERE event_type = 'purchase'
+), r AS (
+    SELECT user_id, epoch_us(ts) AS t, event_id AS click_id, value
+    FROM events WHERE event_type = 'click'
+), u AS (
+    SELECT event_id, user_id, t, 1 AS side, CAST(NULL AS BIGINT) AS tie,
+           CAST(NULL AS BIGINT) AS p_id, CAST(NULL AS BIGINT) AS p_t,
+           CAST(NULL AS DOUBLE) AS p_v
+    FROM l
+    UNION ALL
+    SELECT NULL, user_id, t, 0, click_id, click_id, t, value FROM r
+), filled AS (
+    SELECT event_id, user_id, t, side,
+           LAST_VALUE(p_id IGNORE NULLS) OVER w AS a_id,
+           LAST_VALUE(p_t IGNORE NULLS) OVER w AS a_t,
+           LAST_VALUE(p_v IGNORE NULLS) OVER w AS a_v
+    FROM u
+    WINDOW w AS (PARTITION BY user_id ORDER BY t ASC, side ASC, tie ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, t AS event_us,
+       CASE WHEN t - a_t <= {J14_TOL_US} THEN a_id END AS asof_click_id,
+       CASE WHEN t - a_t <= {J14_TOL_US} THEN a_v END AS asof_click_value,
+       CASE WHEN t - a_t <= {J14_TOL_US} THEN t - a_t END AS asof_gap_us
+FROM filled WHERE side = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # S4 — gap sessionization (30-min inactivity) -> per-session stats.
 # lag + running sum over one per-user window; micros-exact arithmetic.
 # ---------------------------------------------------------------------------
@@ -1756,6 +1841,7 @@ SELECT path, COUNT(*) AS n_users FROM paths GROUP BY 1
 
 ANALYTIC_QUERIES = {
     "j9_asof_events_orders": j9_asof_events_orders,
+    "j14_asof_tolerance": j14_asof_tolerance,
     "ts3_rolling_zscore": ts3_rolling_zscore,
     "b4_top_paths": b4_top_paths,
     "h2_cdc_snapshot": h2_cdc_snapshot,
@@ -1792,6 +1878,7 @@ ANALYTIC_QUERIES = {
 
 ANALYTIC_ORACLES = {
     "j9_asof_events_orders": J9_SQL,
+    "j14_asof_tolerance": J14_SQL,
     "s4_user_sessions": S4_SQL,
     "s5_session_windows": S5_SQL,
     "a8_rollup_revenue": A8_SQL,

@@ -208,6 +208,7 @@ _TIE_BREAK = [
     "i12_dataset_card_delta",
     "t26_boilerplate_excision",
     "i13_boilerplate_delta",
+    "j14_asof_tolerance",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

@@ -751,3 +751,58 @@ class TestSessionFold:
         )
         got = self._key(folded)
         assert (7, 1) in got and (9, 1) in got and len(got) == 2
+
+
+class TestAsofTolerance:
+    """j14: the tolerance gate on as-of — stale matches become NULL
+    (no match at all), boundary is inclusive, gap is exact micros."""
+
+    def test_tolerance_gate(self, spark):
+        from big_data_flight_analytics_spark.plans.analytic_queries import (
+            J14_TOL_US,
+        )
+        from big_data_flight_analytics_spark.operators.temporal import (
+            asof_join,
+        )
+        from pyspark.sql import functions as F
+
+        base = ts("2024-05-01T00:00:00")
+        left = spark.createDataFrame(
+            [
+                (1, "u", ts("2024-05-02T00:00:00")),  # exactly 1 day
+                (2, "u", ts("2024-05-02T00:00:01")),  # 1 day + 1 s
+                (3, "v", ts("2024-05-01T00:00:05")),  # fresh
+                (4, "w", ts("2024-05-01T12:00:00")),  # no click at all
+            ],
+            "event_id long, user_id string, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [("u", base, 100, 1.5), ("v", base, 200, 2.5)],
+            "user_id string, cts timestamp, click_id long, value double",
+        )
+        joined = asof_join(
+            left, right, on="user_id", left_time="ts", right_time="cts",
+            payload={
+                "click_id": "asof_click_id",
+                "cts": "asof_click_ts",
+                "value": "asof_click_value",
+            },
+            right_tie="click_id",
+        )
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        aus = F.unix_micros(F.col("asof_click_ts").cast("timestamp"))
+        within = F.col("asof_click_ts").isNotNull() & (
+            (us - aus) <= J14_TOL_US
+        )
+        got = {
+            r["event_id"]: (r["id2"], r["gap"])
+            for r in joined.select(
+                "event_id",
+                F.when(within, F.col("asof_click_id")).alias("id2"),
+                F.when(within, us - aus).alias("gap"),
+            ).collect()
+        }
+        assert got[1] == (100, J14_TOL_US)  # inclusive boundary
+        assert got[2] == (None, None)  # one second too stale
+        assert got[3] == (200, 5_000_000)
+        assert got[4] == (None, None)  # never matched at all
