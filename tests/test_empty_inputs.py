@@ -129,3 +129,107 @@ class TestEmptyInputs:
 
         df = _empty(spark, src="long", dst="long")
         assert pagerank(df, num_iter=3).count() == 0
+
+
+class TestEmptyInputsRound14:
+    """sf0 behavior of the round-14 operators: folds over empty
+    sides, excision of an empty corpus, the advisor on zero-row
+    frames, and card reports with nothing ingested."""
+
+    def test_boilerplate_excision_empty(self, spark):
+        from big_data_flight_analytics_spark.operators.dedup import (
+            boilerplate_excision,
+            paragraph_df_fold,
+            paragraph_df_state,
+        )
+
+        docs = _empty(spark, doc_id="long", text="string")
+        assert boilerplate_excision(docs, sep=" @@ ").count() == 0
+        empty_state = paragraph_df_state(docs, sep=" @@ ")
+        assert empty_state.count() == 0
+        # fold with one empty side is identity
+        real = paragraph_df_state(
+            spark.createDataFrame(
+                [(1, "a @@ b")], "doc_id long, text string"
+            ),
+            sep=" @@ ",
+        )
+        got = {
+            r["para"]: r["df"]
+            for r in paragraph_df_fold(real, empty_state).collect()
+        }
+        assert got == {"a": 1, "b": 1}
+
+    def test_dataset_card_empty(self, spark):
+        from big_data_flight_analytics_spark.operators.quality import (
+            dataset_card_fold,
+            dataset_card_report,
+            dataset_card_state,
+        )
+
+        docs = _empty(spark, doc_id="long", source="string", text="string")
+        state = dataset_card_state(docs)
+        assert state.count() == 0
+        assert dataset_card_report(state).count() == 0
+        real = dataset_card_state(
+            spark.createDataFrame(
+                [(1, "s", "the and of it all")],
+                "doc_id long, source string, text string",
+            )
+        )
+        folded = dataset_card_fold(real, state)
+        assert dataset_card_report(folded).count() == 1
+
+    def test_session_fold_empty_delta(self, spark):
+        from big_data_flight_analytics_spark.operators.temporal import (
+            session_fold,
+            session_stats,
+        )
+
+        import datetime as dt
+
+        events = spark.createDataFrame(
+            [
+                (1, "u", dt.datetime(2024, 1, 1, 0, 0)),
+                (2, "u", dt.datetime(2024, 1, 1, 2, 0)),
+            ],
+            "event_id long, user_id string, ts timestamp",
+        )
+        base = session_stats(events, "user_id", "ts", 1800, "event_id").select(
+            "user_id", "start_us", "end_us", "n_events"
+        )
+        empty = base.filter("1 = 0")
+        folded = session_fold(base, empty, "user_id", 1800)
+        assert folded.count() == 2  # re-rank of base, nothing merged
+        assert session_fold(empty, empty, "user_id", 1800).count() == 0
+
+    def test_advisor_empty_frames(self, spark):
+        from big_data_flight_analytics_spark.operators.joins import (
+            advise_join_strategy,
+            planned_semi_join,
+        )
+
+        fact = _empty(spark, k="long", v="long")
+        keys = _empty(spark, kk="long")
+        out, strat = planned_semi_join(fact, "k", keys, "kk")
+        # 0 keys <= any broadcast bound -> broadcast; result empty
+        assert strat == "broadcast"
+        assert out.count() == 0
+        # the pure rule: empty fact never picks bloom (est 0 of 0)
+        assert advise_join_strategy(10**9, 0, 0) == "shuffle"
+
+    def test_nfc_lite_null_and_empty(self, spark):
+        from big_data_flight_analytics_spark.functions.unicode import (
+            nfc_lite,
+        )
+
+        df = spark.createDataFrame(
+            [(0, ""), (1, None)], "id long, text string"
+        )
+        got = {
+            r["id"]: r["s"]
+            for r in df.select(
+                "id", nfc_lite(F.col("text")).alias("s")
+            ).collect()
+        }
+        assert got == {0: "", 1: None}
