@@ -112,15 +112,30 @@ def _lookups(spark, sf_dir: str):
 
 
 def build_delta_feed(
-    spark, sf_dir: str, workdir: str, table: str, cols: list[str], key: str
+    spark,
+    sf_dir: str,
+    workdir: str,
+    table: str,
+    cols: list[str],
+    key: str,
+    order_col: str | None = None,
 ) -> tuple[str, int]:
     """JSON-lines replay of a table's delta side (key % 5 == 0) —
     the ingest-sink benches stream the same 20% the i3/i4 batch
-    operators mark. Cached across runs like the OpenSky feed."""
+    operators mark. Cached across runs like the OpenSky feed.
+
+    ``order_col``: produce a TIME-ORDERED feed — range-partitioned on
+    the column with file mtimes increasing in range order, so the
+    file source's mtime-sorted replay delivers micro-batches in event
+    order. Required by watermarking sinks (s19): the default
+    round-robin split spreads the full time range across every file,
+    and a no-grace watermark would drop most of batches 2..N as late.
+    Feeds with and without ordering cache under different dirs."""
     from big_data_flight_analytics_spark.plans.tables import load
 
-    src_dir = os.path.join(workdir, f"feed_{table}")
-    meta = os.path.join(workdir, f"feed_{table}_meta.json")
+    suffix = f"_{order_col}_ordered" if order_col else ""
+    src_dir = os.path.join(workdir, f"feed_{table}{suffix}")
+    meta = os.path.join(workdir, f"feed_{table}{suffix}_meta.json")
     if os.path.exists(meta):
         with open(meta) as fh:
             cached = json.load(fh)
@@ -129,9 +144,32 @@ def build_delta_feed(
     shutil.rmtree(src_dir, ignore_errors=True)
     frame = load(spark, sf_dir, table).filter(F.col(key) % 5 == 0).select(cols)
     rows = frame.count()
-    frame.select(F.to_json(F.struct(*frame.columns)).alias("value")).repartition(
-        N_INPUT_FILES
-    ).write.mode("overwrite").text(src_dir)
+    lines = frame.select(
+        F.to_json(F.struct(*frame.columns)).alias("value"),
+        *([F.col(order_col).alias("__ord")] if order_col else []),
+    )
+    if order_col:
+        (
+            lines.repartitionByRange(N_INPUT_FILES, "__ord")
+            .sortWithinPartitions("__ord")
+            .select("value")
+            .write.mode("overwrite")
+            .text(src_dir)
+        )
+        # range partition i holds the i-th time slice and lands in
+        # part-0000i; stamp increasing mtimes so the file source's
+        # (mtime-sorted) replay order == event-time order
+        parts = sorted(
+            f for f in os.listdir(src_dir)
+            if f.startswith("part-") and not f.endswith(".crc")
+        )
+        for i, name in enumerate(parts):
+            t = 1_000_000_000 + i
+            os.utime(os.path.join(src_dir, name), (t, t))
+    else:
+        lines.repartition(N_INPUT_FILES).write.mode("overwrite").text(
+            src_dir
+        )
     with open(meta, "w") as fh:
         json.dump({"sf_dir": sf_dir, "cols": cols, "rows": rows}, fh)
     return src_dir, rows
@@ -588,17 +626,35 @@ def _index_sink_pipelines(spark, sf_dir: str, workdir: str) -> dict[str, float]:
     )
     from big_data_flight_analytics_spark.streaming.sinks import SessionSink
 
+    # s19 streams a TIME-ORDERED events feed: its per-key no-grace
+    # watermark would (correctly) drop most of a round-robin feed's
+    # later batches as late — the ordered feed measures sessionization
+    # ingest, not late-record shedding
+    sess_feed, sess_rows = build_delta_feed(
+        spark,
+        sf_dir,
+        workdir,
+        "events",
+        ["event_id", "user_id", "ts"],
+        "event_id",
+        order_col="ts",
+    )
     sess_path = os.path.join(workdir, "session_store")
     shutil.rmtree(sess_path, ignore_errors=True)
     sess_sink = SessionSink(sess_path, gap_seconds=SESSION_GAP_S)
     secs = _run_index_sink(
         spark,
-        ev_feed,
+        sess_feed,
         "event_id long, user_id long, ts timestamp",
         sess_sink,
         os.path.join(workdir, "ckpt_s19_session"),
     )
-    out["s19_session_sink"] = round(ev_rows / secs, 1)
+    out["s19_session_sink"] = round(sess_rows / secs, 1)
+    # honesty check on the rate's denominator: fraction of streamed
+    # events the store actually folded (boundary ties excepted, this
+    # should sit at ~100 on the ordered feed)
+    folded = sess_sink.read(spark).agg(F.sum("n_events")).collect()[0][0]
+    out["s19_rows_folded_pct"] = round(100.0 * (folded or 0) / sess_rows, 1)
     return out
 
 

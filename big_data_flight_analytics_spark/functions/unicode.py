@@ -24,7 +24,7 @@ tests/test_unicode_parity.py): multi-mark stacks, non-ASCII bases
 Full NFC needs the full composition tables + canonical reordering —
 that is a UDF or an engine builtin, and the honest contract here is
 "the subset real European text contains, natively". DuckDB mirrors
-the exact same chain via :func:`nfc_lite_sql` (bit-exact by
+the exact same chain via :func:`nfc_lite_sql_layers` (bit-exact by
 construction on ALL inputs), and agrees with its own full
 ``nfc_normalize`` on the covered subset.
 

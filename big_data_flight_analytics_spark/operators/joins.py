@@ -258,6 +258,7 @@ def estimate_semi_join(
     keys: DataFrame,
     key_col: str,
     width: int = ADVISOR_CMS_WIDTH,
+    keys_distinct: bool = False,
 ) -> tuple[int, int, int]:
     """Gather the advisor's three scalars: (n_distinct_keys,
     est_matching_fact_rows, n_fact_rows).
@@ -265,16 +266,24 @@ def estimate_semi_join(
     The estimate is the a18 CMS inner product of the fact-key sketch
     against the DISTINCT-key sketch — with the key side deduplicated,
     the inner join size IS the count of matching fact rows, so the
-    estimate bounds semi-join survival from above. Cost: one
+    estimate bounds semi-join survival from above. The per-depth-row
+    product joins the grids LEFT from the fact side: a fact bucket
+    with no key-side collision contributes 0 (inner-joining would
+    silently DROP a zero-overlap depth row from the min — exactly the
+    row carrying the tightest estimate on disjoint domains). Cost: one
     fixed-size sketch aggregate per side plus two counts — O(scan)
-    with O(width) outputs, never materializing the join. The collects
-    are planner state (three integers), the same class as AQE's
-    runtime statistics — not a data funnel."""
+    with O(width) outputs, never materializing the join; the fact
+    scans are column-pruned to the key. The collects are planner state
+    (three integers), the same class as AQE's runtime statistics — not
+    a data funnel. Pass ``keys_distinct=True`` when ``keys`` is
+    already deduplicated (skips a shuffle)."""
     from big_data_flight_analytics_spark.operators.sketches import (
         cms_sketch,
     )
 
-    distinct_keys = keys.select(F.col(key_col).alias("__k")).distinct()
+    distinct_keys = keys.select(F.col(key_col).alias("__k"))
+    if not keys_distinct:
+        distinct_keys = distinct_keys.distinct()
     ga = cms_sketch(
         fact.select(F.col(fact_key).alias("__k")), "__k", width
     ).select("row_j", "bucket", F.col("cnt").alias("__ca"))
@@ -282,10 +291,14 @@ def estimate_semi_join(
         "row_j", "bucket", F.col("cnt").alias("__cb")
     )
     est_rows = (
-        ga.join(gb, ["row_j", "bucket"])
+        ga.join(gb, ["row_j", "bucket"], "left")
         .groupBy("row_j")
         .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__e"))
-        .agg(F.min("__e").cast("long").alias("__est"))
+        .agg(
+            F.min(F.coalesce(F.col("__e"), F.lit(0)))
+            .cast("long")
+            .alias("__est")
+        )
         .collect()
     )
     est = int(est_rows[0]["__est"] or 0)
@@ -309,21 +322,27 @@ def planned_semi_join(
     sketch estimate — returns ``(result, strategy)``. The result is
     strategy-INVARIANT (the bloom path's false positives are removed
     by the exact join over the survivors), so callers can let the
-    advisor adapt to scale without their answers changing."""
+    advisor adapt to scale without their answers changing.
+
+    The distinct-key frame is built once, pinned, and shared by the
+    estimator and whichever execution path runs (the key-side dedup
+    shuffle is paid exactly once)."""
+    from big_data_flight_analytics_spark.cache import tracked_persist
+
+    distinct_keys = tracked_persist(
+        keys.select(F.col(key_col).alias(fact_key)).distinct()
+    )
     n_keys, est, n_fact = estimate_semi_join(
-        fact, fact_key, keys, key_col, width
+        fact, fact_key, distinct_keys, fact_key, width, keys_distinct=True
     )
     strategy = advise_join_strategy(
         n_keys, est, n_fact, broadcast_max_rows, bloom_max_survival
     )
-    distinct_keys = keys.select(
-        F.col(key_col).alias(fact_key)
-    ).distinct()
     if strategy == "broadcast":
         out = fact.join(F.broadcast(distinct_keys), fact_key, "left_semi")
     elif strategy == "bloom_semi_join":
         survivors = bloom_semi_join(
-            fact, fact_key, keys, key_col, m_bits, depth
+            fact, fact_key, distinct_keys, fact_key, m_bits, depth
         )
         out = survivors.join(distinct_keys, fact_key, "left_semi")
     else:

@@ -272,7 +272,7 @@ def dataset_card_state(
     float-order dependence anywhere."""
     from big_data_flight_analytics_spark.operators.text import text_stats
 
-    stats = text_stats(docs).select(
+    stats = text_stats(docs, text_col=text_col).select(
         "doc_id", "lang_pred", "n_tokens", "n_chars_calc", "quality"
     )
     src = docs.select("doc_id", F.col(source_col).alias("source"))

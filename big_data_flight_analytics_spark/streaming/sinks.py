@@ -408,13 +408,9 @@ class IndexDeltaSink(ParquetUpsertSink):
         dec = spark.read.parquet(dec_dir)
         if founding:
             # the first batch founds the store's flat root files via
-            # the inherited crash-safe staging+swap
-            self._prepare(batch).write.mode("overwrite").parquet(
-                self._staging
-            )
-            with open(self._marker(self._staging), "w") as fh:
-                fh.write(str(batch_id))
-            os.rename(self._staging, self.path)
+            # the shared marker-guarded staging+swap (the live->old
+            # rotation inside is a no-op: self.path does not exist)
+            self._write_and_swap_with_marker(self._prepare(batch), batch_id)
             return
         absorbing = self.absorb_novel and not dec.filter(
             ~F.col("dup_of_index")
@@ -1395,6 +1391,10 @@ class SessionSink(ParquetUpsertSink):
             return  # replay of an already-folded batch
         spark = batch_df.sparkSession
         us = _micros(self.ts_col)
+        # NULL-ts events carry no session information and would pass
+        # the per-key watermark for unseen keys (the isNull branch),
+        # persisting NULL-bound sessions — same guard as ohlc_state
+        batch_df = batch_df.filter(F.col(self.ts_col).isNotNull())
         store = None
         if os.path.exists(self.path):
             store = spark.read.parquet(self.path)

@@ -944,8 +944,6 @@ def cdc_edit_robustness_section(spark, sf_dir: str) -> None:
     )
 
 
-if __name__ == "__main__":
-    main()
 
 
 def v8_recall_section(spark, sf_dir: str) -> None:
@@ -1038,3 +1036,7 @@ def v8_recall_section(spark, sf_dir: str) -> None:
         "touching 1/4 of the corpus is the production trade the "
         "catalog pins."
     )
+
+
+if __name__ == "__main__":
+    main()
