@@ -911,6 +911,92 @@ GROUP BY CUBE(l_returnflag, l_linestatus)
 
 
 # ---------------------------------------------------------------------------
+# C2 — ROLLUP revenue (c1's hierarchical sibling): subtotals along ONE
+# drill path (returnflag -> linestatus -> shipmode) instead of the
+# cube's full lattice — the report shape financial/hierarchy rollups
+# actually use (4 levels, not 2^3 groupings); the third level is the
+# DERIVED ship year (the synthetic lineitem carries no shipmode),
+# rendered as a string identically by both engines. Same single-scan plan
+# doctrine as c1: one fine-grain partial aggregate, each coarser level
+# re-aggregated from it (DECIMAL sums, order-independent), never a
+# second pass over the fact table.
+# ---------------------------------------------------------------------------
+
+
+def c2_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.cache import tracked_persist
+
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate").cast("string")
+    )
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    hierarchy = ["l_returnflag", "l_linestatus", "ship_year"]
+    # four levels re-read the fine frame: pin it (it is O(groups))
+    fine = tracked_persist(
+        li.groupBy(*hierarchy).agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(revenue).alias("__rev"),
+        )
+    )
+
+    def level(depth: int) -> DataFrame:
+        keys = hierarchy[:depth]
+        agged = (
+            fine.groupBy(*keys).agg(
+                F.sum("__n").alias("__n"), F.sum("__rev").alias("__rev")
+            )
+            if keys
+            else fine.groupBy().agg(
+                F.sum("__n").alias("__n"), F.sum("__rev").alias("__rev")
+            )
+        )
+        # GROUPING bitmask: grouped-away columns (the hierarchy tail)
+        # set their bit, leftmost column = MSB — ROLLUP emits gids
+        # 0, 1, 3, 7 for depths 3, 2, 1, 0
+        gid = (1 << (len(hierarchy) - depth)) - 1
+        cols = [
+            F.col(c) if c in keys else F.lit(None).cast("string").alias(c)
+            for c in hierarchy
+        ]
+        return agged.select(
+            *cols, F.lit(gid).cast("long").alias("gid"), "__n", "__rev"
+        )
+
+    rolled = (
+        level(3)
+        .unionByName(level(2))
+        .unionByName(level(1))
+        .unionByName(level(0))
+    )
+    return rolled.select(
+        *hierarchy,
+        "gid",
+        F.col("__n").alias("n_items"),
+        F.col("__rev").cast("double").alias("revenue"),
+    )
+
+
+C2_SQL = """
+WITH li AS (
+    SELECT l_returnflag, l_linestatus,
+           CAST(YEAR(l_shipdate) AS VARCHAR) AS ship_year,
+           l_extendedprice, l_discount
+    FROM lineitem
+)
+SELECT l_returnflag, l_linestatus, ship_year,
+       CAST(GROUPING(l_returnflag, l_linestatus, ship_year) AS BIGINT)
+           AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM li
+GROUP BY ROLLUP(l_returnflag, l_linestatus, ship_year)
+"""
+
+
+# ---------------------------------------------------------------------------
 # P1 — table profiling: per-column null/distinct/min/max stats in one
 # scan + one shuffle (unpivot + hash agg), not a job per column.
 # ---------------------------------------------------------------------------
@@ -1862,6 +1948,7 @@ ANALYTIC_QUERIES = {
     "t2_train_val_split": t2_train_val_split,
     "w5_balance_quartiles": w5_balance_quartiles,
     "c1_cube_revenue": c1_cube_revenue,
+    "c2_rollup_revenue": c2_rollup_revenue,
     "p1_profile_orders": p1_profile_orders,
     "q10_region_revenue": q10_region_revenue,
     "h1_scd2_customer_segment": h1_scd2_customer_segment,
@@ -1893,6 +1980,7 @@ ANALYTIC_ORACLES = {
     "t2_train_val_split": T2_SQL,
     "w5_balance_quartiles": W5_SQL,
     "c1_cube_revenue": C1_SQL,
+    "c2_rollup_revenue": C2_SQL,
     "p1_profile_orders": P1_SQL,
     "q10_region_revenue": Q10_SQL,
     "h1_scd2_customer_segment": H1_SQL,

@@ -209,6 +209,7 @@ _TIE_BREAK = [
     "t26_boilerplate_excision",
     "i13_boilerplate_delta",
     "j14_asof_tolerance",
+    "c2_rollup_revenue",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)
