@@ -76,6 +76,15 @@ def perceptron_features(
     repetition axis. Callers with real labels join them in instead and
     everything downstream is unchanged. Docs with no bigram (empty /
     single-token / NULL text) produce no rows.
+
+    The label is projected BEFORE the explode. A non-generator column
+    sharing a select with ``explode`` lands in the Generate node's
+    OUTPUT projection, re-evaluating it once per exploded row — for
+    this label that is array_distinct over the full token array per
+    BIGRAM, measured 2x on the whole entry (the post-Generate sibling
+    of the projection-collapse hazard ``shingle_expr`` documents).
+    Staging (y, grams) in their own per-doc projection keeps the
+    Generate child evaluating y once per document.
     """
     from big_data_flight_analytics_spark.operators.text import (
         ngram_multiset_expr,
@@ -84,7 +93,7 @@ def perceptron_features(
 
     t = F.col(text_col)
     toks = F.filter(tokens(text_col), lambda x: x != "")
-    base = docs.filter(t.isNotNull() & (F.trim(t) != "")).select(
+    lab = docs.filter(t.isNotNull() & (F.trim(t) != "")).select(
         F.col(id_col),
         # 2*distinct >= total — integer compare, engine-identical
         F.when(
@@ -93,7 +102,10 @@ def perceptron_features(
         .otherwise(F.lit(-1))
         .cast("long")
         .alias("y"),
-        F.explode(ngram_multiset_expr(toks, 2)).alias("__g"),
+        ngram_multiset_expr(toks, 2).alias("__gs"),
+    )
+    base = lab.select(
+        id_col, "y", F.explode(F.col("__gs")).alias("__g")
     )
     return base.groupBy(
         id_col, "y", md5_bucket(F.col("__g"), n_buckets).alias("bucket")
