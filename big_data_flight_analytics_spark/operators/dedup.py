@@ -38,6 +38,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# column-metadata key carrying the sep a paragraph-df state was built
+# with (paragraph_df_state -> boilerplate_excision mismatch guard)
+_SEP_META_KEY = "graft.paragraph_sep"
+
 from big_data_flight_analytics_spark.cache import tracked_persist
 from big_data_flight_analytics_spark.functions.text import rolling_fingerprint
 from big_data_flight_analytics_spark.operators.text import (
@@ -143,7 +147,12 @@ def boilerplate_excision(
     ``df_state``: pass a (para, df) frame (``paragraph_df_state`` /
     ``paragraph_df_fold``) to excise against an incrementally
     maintained corpus-wide frequency instead of recounting — the i13
-    ingest path.
+    ingest path. The state MUST have been built with the same ``sep``
+    (and the same tokenization) as this call: paragraph keys from a
+    different split silently fail to match and the anti join excises
+    nothing. States built by ``paragraph_df_state`` carry their sep as
+    column metadata on ``para``; a carried sep that disagrees with
+    this call's raises instead of silently no-opping (ADVICE r14).
     """
     toked = df.select(
         F.col(id_col), F.split(F.col(text_col), sep).alias("__paras")
@@ -155,6 +164,15 @@ def boilerplate_excision(
     )
     if df_state is None:
         df_state = paragraph_df_state(df, id_col, text_col, sep)
+    else:
+        stored = df_state.schema["para"].metadata.get(_SEP_META_KEY)
+        if stored is not None and stored != sep:
+            raise ValueError(
+                "boilerplate_excision: df_state was built with "
+                f"sep={stored!r} but this call splits on {sep!r} — "
+                "paragraph keys would never match and nothing would "
+                "be excised; rebuild the state with the same sep"
+            )
     boiler = df_state.filter(F.col("df") >= max_df).select("para")
     kept = paras.join(F.broadcast(boiler), "para", "left_anti")
     return kept.groupBy(id_col).agg(
@@ -181,7 +199,10 @@ def paragraph_df_state(
     document and arriving batches carry DISJOINT document sets, df is
     ADDITIVE across batches (the i1 contract): the corpus-wide
     boilerplate set stays current under ingest without rescanning
-    history. State is O(distinct paragraphs)."""
+    history. State is O(distinct paragraphs). The builder's ``sep``
+    rides along as column metadata on ``para`` so a later
+    ``boilerplate_excision`` against this state can detect a sep
+    mismatch loudly (metadata survives a parquet round trip)."""
     toked = df.select(
         F.col(id_col), F.split(F.col(text_col), sep).alias("__paras")
     )
@@ -189,21 +210,42 @@ def paragraph_df_state(
         toked.select(F.col(id_col), F.explode("__paras").alias("para"))
         .groupBy("para")
         .agg(F.count_distinct(F.col(id_col)).cast("long").alias("df"))
+        .select(
+            F.col("para").alias("para", metadata={_SEP_META_KEY: sep}),
+            "df",
+        )
     )
 
 
 def paragraph_df_fold(base: DataFrame, delta: DataFrame) -> DataFrame:
     """Fold two disjoint-document-subset df states: full-outer sum on
-    the paragraph key — O(state), associative and commutative."""
+    the paragraph key — O(state), associative and commutative. Folding
+    states built with DIFFERENT seps is a key-space mixup and raises;
+    the (agreed) sep metadata is re-attached so folded state keeps the
+    mismatch guard."""
+    sep_b = base.schema["para"].metadata.get(_SEP_META_KEY)
+    sep_d = delta.schema["para"].metadata.get(_SEP_META_KEY)
+    if sep_b is not None and sep_d is not None and sep_b != sep_d:
+        raise ValueError(
+            f"paragraph_df_fold: states built with different seps "
+            f"({sep_b!r} vs {sep_d!r}) share no paragraph key space"
+        )
+    sep = sep_b if sep_b is not None else sep_d
     b = base.select("para", F.col("df").alias("__b"))
     d = delta.select("para", F.col("df").alias("__d"))
-    return b.join(d, "para", "full").select(
+    out = b.join(d, "para", "full").select(
         "para",
         (
             F.coalesce(F.col("__b"), F.lit(0))
             + F.coalesce(F.col("__d"), F.lit(0))
         ).cast("long").alias("df"),
     )
+    if sep is not None:
+        out = out.select(
+            F.col("para").alias("para", metadata={_SEP_META_KEY: sep}),
+            "df",
+        )
+    return out
 
 
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:

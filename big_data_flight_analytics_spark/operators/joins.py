@@ -326,18 +326,33 @@ def planned_semi_join(
 
     The distinct-key frame is built once, pinned, and shared by the
     estimator and whichever execution path runs (the key-side dedup
-    shuffle is paid exactly once)."""
+    shuffle is paid exactly once). The key count runs FIRST and
+    short-circuits the broadcast regime: ``advise_join_strategy``
+    ignores the CMS estimate when the key side already fits a
+    broadcast, so paying the two sketch passes there would be planner
+    work the decision never reads (ADVICE r14)."""
     from big_data_flight_analytics_spark.cache import tracked_persist
 
     distinct_keys = tracked_persist(
         keys.select(F.col(key_col).alias(fact_key)).distinct()
     )
-    n_keys, est, n_fact = estimate_semi_join(
-        fact, fact_key, distinct_keys, fact_key, width, keys_distinct=True
-    )
-    strategy = advise_join_strategy(
-        n_keys, est, n_fact, broadcast_max_rows, bloom_max_survival
-    )
+    n_keys = distinct_keys.count()
+    if n_keys <= broadcast_max_rows:
+        # same first rule advise_join_strategy applies; est/n_fact
+        # are never consulted in this regime
+        strategy = "broadcast"
+    else:
+        _, est, n_fact = estimate_semi_join(
+            fact,
+            fact_key,
+            distinct_keys,
+            fact_key,
+            width,
+            keys_distinct=True,
+        )
+        strategy = advise_join_strategy(
+            n_keys, est, n_fact, broadcast_max_rows, bloom_max_survival
+        )
     if strategy == "broadcast":
         out = fact.join(F.broadcast(distinct_keys), fact_key, "left_semi")
     elif strategy == "bloom_semi_join":

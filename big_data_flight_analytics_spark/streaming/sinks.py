@@ -1334,7 +1334,13 @@ class OHLCSink(ParquetUpsertSink):
 
 
 class SessionSink(ParquetUpsertSink):
-    """Streaming face of the BOUNDARY-CONDITIONAL fold class (s19):
+    """ORDERED-FEED SINK: events at or before a key's stored session
+    boundary are DROPPED by design (no-grace watermark) — feed
+    micro-batches in per-key event-time order or read the drop
+    counters (``last_dropped`` / ``dropped_total``) to detect the
+    truncation.
+
+    Streaming face of the BOUNDARY-CONDITIONAL fold class (s19):
     maintain a persisted per-key session store by folding each
     micro-batch's sessionized state into it with
     ``temporal.session_fold`` — the foreachBatch sibling the third
@@ -1352,9 +1358,24 @@ class SessionSink(ParquetUpsertSink):
     policy of the S2 tumbling sink, applied per key — the tightest
     watermark that still satisfies the per-key fold contract, since
     ``session_fold`` never compares sessions across keys). The
-    boundary frame is O(keys) and broadcast; under the split the only
-    possible merge is the per-key boundary pair (no cascade), so each
-    trigger costs O(delta events + session state), never O(history).
+    boundary frame is O(keys) and broadcast while the store is small;
+    past ``broadcast_bounds_max_rows`` store rows (upper-bounding the
+    key count, read from parquet metadata — no scan) the watermark
+    join runs un-broadcast instead, because at 100 TB-scale key
+    cardinality a per-trigger O(keys) broadcast IS the bottleneck.
+    Both paths compute the same filter, pinned equal by test. Under
+    the split the only possible merge is the per-key boundary pair
+    (no cascade), so each trigger costs O(delta events + session
+    state), never O(history).
+
+    Observability: the no-grace watermark makes the store correct
+    ONLY for per-key-ordered feeds, so each ``merge`` records what it
+    silently removed — ``last_dropped`` = {"null_ts": n, "late": n}
+    for that batch, ``dropped_total`` accumulated across the sink's
+    lifetime (ADVICE r14). The two counts cost two aggregates over
+    the (small) micro-batch, the same monitor class as the Bloom
+    sink's fill-ratio scalar; pass ``track_dropped=False`` to skip
+    them in a throughput-critical topology.
 
     Exactly-once, twice over: the bridge merge is not idempotent in
     the additive sense (n_events sums across the boundary pair), so
@@ -1366,6 +1387,8 @@ class SessionSink(ParquetUpsertSink):
     test pins both lines of defense separately.
     """
 
+    BROADCAST_BOUNDS_MAX_ROWS = 2_000_000
+
     def __init__(
         self,
         path: str,
@@ -1373,11 +1396,17 @@ class SessionSink(ParquetUpsertSink):
         ts_col: str = "ts",
         gap_seconds: int = 1800,
         tie_col: str = "event_id",
+        broadcast_bounds_max_rows: int = BROADCAST_BOUNDS_MAX_ROWS,
+        track_dropped: bool = True,
     ) -> None:
         super().__init__(path, key_col=key_col, version_col="__none")
         self.ts_col = ts_col
         self.gap_seconds = gap_seconds
         self.tie_col = tie_col
+        self.broadcast_bounds_max_rows = broadcast_bounds_max_rows
+        self.track_dropped = track_dropped
+        self.last_dropped = {"null_ts": 0, "late": 0}
+        self.dropped_total = {"null_ts": 0, "late": 0}
 
     def merge(self, batch_df: DataFrame, batch_id: int) -> None:
         from big_data_flight_analytics_spark.operators.temporal import (
@@ -1391,21 +1420,36 @@ class SessionSink(ParquetUpsertSink):
             return  # replay of an already-folded batch
         spark = batch_df.sparkSession
         us = _micros(self.ts_col)
+        n_in = batch_df.count() if self.track_dropped else 0
         # NULL-ts events carry no session information and would pass
         # the per-key watermark for unseen keys (the isNull branch),
         # persisting NULL-bound sessions — same guard as ohlc_state
         batch_df = batch_df.filter(F.col(self.ts_col).isNotNull())
+        n_ts = batch_df.count() if self.track_dropped else 0
         store = None
         if os.path.exists(self.path):
             store = spark.read.parquet(self.path)
             bounds = store.groupBy(self.key_col).agg(
                 F.max("end_us").alias("__bnd")
             )
+            # store row count upper-bounds the key count and comes
+            # from parquet footers (no scan): small store -> broadcast
+            # the bounds; huge key space -> shuffle join, same filter
+            if store.count() <= self.broadcast_bounds_max_rows:
+                bounds = F.broadcast(bounds)
             batch_df = (
-                batch_df.join(F.broadcast(bounds), self.key_col, "left")
+                batch_df.join(bounds, self.key_col, "left")
                 .filter(F.col("__bnd").isNull() | (us > F.col("__bnd")))
                 .drop("__bnd")
             )
+        if self.track_dropped:
+            n_live = batch_df.count()
+            self.last_dropped = {
+                "null_ts": n_in - n_ts,
+                "late": n_ts - n_live,
+            }
+            for k, v in self.last_dropped.items():
+                self.dropped_total[k] += v
         delta = session_stats(
             batch_df.select(self.key_col, self.tie_col, self.ts_col),
             key_col=self.key_col,

@@ -1658,3 +1658,65 @@ class TestBoilerplateExcision:
         }
         assert folded == scratch
         assert scratch["COOKIE BANNER"] == 4
+
+    def test_sep_mismatch_between_state_and_excision_raises(self, spark):
+        """ADVICE r14: a state built with a different sep excises
+        nothing (keys never match) — must fail loudly, not no-op."""
+        import pytest
+
+        from big_data_flight_analytics_spark.operators.dedup import (
+            boilerplate_excision,
+            paragraph_df_fold,
+            paragraph_df_state,
+        )
+
+        docs = self._docs(spark)
+        state = paragraph_df_state(docs, sep=" @@ ")
+        with pytest.raises(ValueError, match="sep"):
+            boilerplate_excision(docs, sep=" ## ", df_state=state)
+        with pytest.raises(ValueError, match="sep"):
+            paragraph_df_fold(
+                state, paragraph_df_state(docs, sep=" ## ")
+            )
+        # matching sep passes through the guard unchanged
+        ok = boilerplate_excision(
+            docs, sep=" @@ ", max_df=3, df_state=state
+        )
+        assert ok.count() == 5
+
+    def test_sep_metadata_survives_parquet_and_fold(self, spark, tmp_path):
+        from big_data_flight_analytics_spark.operators.dedup import (
+            _SEP_META_KEY,
+            boilerplate_excision,
+            paragraph_df_fold,
+            paragraph_df_state,
+        )
+
+        docs = self._docs(spark)
+        state = paragraph_df_state(docs, sep=" @@ ")
+        p = str(tmp_path / "dfstate")
+        state.write.parquet(p)
+        rt = spark.read.parquet(p)
+        assert rt.schema["para"].metadata[_SEP_META_KEY] == " @@ "
+        folded = paragraph_df_fold(
+            rt, paragraph_df_state(docs.limit(0), sep=" @@ ")
+        )
+        assert folded.schema["para"].metadata[_SEP_META_KEY] == " @@ "
+        # a persisted-then-reloaded state still trips the guard
+        import pytest
+
+        with pytest.raises(ValueError, match="sep"):
+            boilerplate_excision(docs, sep=" ## ", df_state=rt)
+        # states WITHOUT metadata (hand-built (para, df)) stay accepted
+        from pyspark.sql import functions as F
+
+        bare = rt.select(
+            F.concat(rt["para"], F.lit("")).alias("para"), "df"
+        )
+        assert bare.schema["para"].metadata == {}
+        assert (
+            boilerplate_excision(
+                docs, sep=" @@ ", max_df=3, df_state=bare
+            ).count()
+            == 5
+        )
