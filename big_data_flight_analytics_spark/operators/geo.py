@@ -105,3 +105,97 @@ def within_radius_pred(
 ) -> Column:
     """Reusable predicate form for ad-hoc theta joins."""
     return haversine_km(lat1, lon1, lat2, lon2) <= radius_km
+
+
+def radius_site_counts(
+    points: DataFrame,
+    sites: DataFrame,
+    point_id: str,
+    site_id: str,
+    radius_km: float = AIRPORT_RADIUS_KM,
+    point_lat: str = "latitude",
+    point_lon: str = "longitude",
+    site_lat: str = "site_latitude",
+    site_lon: str = "site_longitude",
+    **radius_kwargs,
+) -> DataFrame:
+    """Distinct points within ``radius_km`` of each site —
+    ``(site_id, n_points)``, the reference's ACTUAL downstream shape
+    (AirportAircraftCountStream.java:62-75 counts distinct aircraft
+    per airport; it never serves the raw pair stream).
+
+    The 100 TB point of this operator: :func:`radius_join`'s pair
+    output grows O(points x sites-in-radius) — verbatim-replicating
+    the inputs 10x grew j7's ANSWER 99.9x — which is an anti-shape
+    for a reporting surface. Aggregating to per-site counts inside
+    the same plan keeps the result O(sites) no matter the corpus,
+    and the pair stream exists only between the join and a
+    map-side-combined count_distinct: nothing O(pairs) is ever
+    persisted, collected, or returned. Sites with no point in radius
+    are absent (inner-join semantics, matching the reference's
+    state-store behavior of only materializing seen airports).
+    """
+    pairs = radius_join(
+        points,
+        sites,
+        radius_km=radius_km,
+        point_lat=point_lat,
+        point_lon=point_lon,
+        site_lat=site_lat,
+        site_lon=site_lon,
+        **radius_kwargs,
+    )
+    return pairs.groupBy(site_id).agg(
+        F.count_distinct(F.col(point_id)).cast("long").alias("n_points")
+    )
+
+
+def radius_nearest_k(
+    points: DataFrame,
+    sites: DataFrame,
+    point_id: str,
+    site_id: str,
+    k: int = 3,
+    radius_km: float = AIRPORT_RADIUS_KM,
+    point_lat: str = "latitude",
+    point_lon: str = "longitude",
+    site_lat: str = "site_latitude",
+    site_lon: str = "site_longitude",
+    distance_col: str = "distance_km",
+    **radius_kwargs,
+) -> DataFrame:
+    """The ``k`` nearest sites within ``radius_km`` of each point —
+    the bounded-output reporting form of the radius join when the
+    per-pair detail matters: output O(points x k) by construction
+    instead of O(all pairs in radius).
+
+    Ranking partitions by point (high-cardinality window — every key
+    holds at most the point's in-radius site count) and orders by
+    (distance, site_id): the id tie-break makes rank deterministic
+    when two sites share coordinates (grid-synthesized keys collide),
+    and distance comparisons replay cross-engine because both engines
+    evaluate the same double-precision haversine on the same inputs
+    (the j7-proven boundary). Points with no site in radius are
+    absent (same inner contract as :func:`radius_site_counts`).
+    """
+    from pyspark.sql import Window
+
+    pairs = radius_join(
+        points,
+        sites,
+        radius_km=radius_km,
+        point_lat=point_lat,
+        point_lon=point_lon,
+        site_lat=site_lat,
+        site_lon=site_lon,
+        distance_col=distance_col,
+        **radius_kwargs,
+    )
+    w = Window.partitionBy(point_id).orderBy(
+        F.col(distance_col).asc(), F.col(site_id).asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(point_id, site_id, distance_col, "rank")
+    )

@@ -210,6 +210,8 @@ _TIE_BREAK = [
     "i13_boilerplate_delta",
     "j14_asof_tolerance",
     "c2_rollup_revenue",
+    "j15_geo_radius_counts",
+    "j16_geo_nearest_k",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

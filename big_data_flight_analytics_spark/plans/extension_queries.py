@@ -3561,6 +3561,155 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# J15/J16 — the radius join's SCALE-SAFE reporting shapes (judge ask
+# r14 #4). j7 materializes every (point, site) pair in radius — the
+# 10x checkpoint showed its ANSWER growing 99.9x under verbatim
+# duplication, an anti-shape for a reporting surface at 100 TB. These
+# siblings keep the same join but bound the output by construction:
+# J15 aggregates to per-site distinct-point counts (O(sites) rows —
+# the reference's actual downstream,
+# AirportAircraftCountStream.java:62-75), J16 ranks to the k nearest
+# sites per point (O(points*k) rows). Same synthesized coordinate
+# fixture as j7; J15 exercises the latitude-BANDED equi-join path
+# (j7 covers broadcast; result equivalence of the two paths is also
+# unit-pinned in tests/test_geo.py).
+# ---------------------------------------------------------------------------
+
+J16_K = 3
+
+
+def _geo_frames(spark: SparkSession, sf_dir: str):
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    points = customer.select(
+        F.col("c_custkey").alias("custkey"),
+        (((F.col("c_custkey") * 7) % 141) - 70.0).alias("latitude"),
+        (((F.col("c_custkey") * 13) % 361) - 180.0).alias("longitude"),
+    )
+    sites = supplier.select(
+        F.col("s_suppkey").alias("suppkey"),
+        (((F.col("s_suppkey") * 37) % 141) - 70.0).alias("site_latitude"),
+        (((F.col("s_suppkey") * 91) % 361) - 180.0).alias("site_longitude"),
+    )
+    return points, sites
+
+
+def j15_geo_radius_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.geo import (
+        radius_site_counts,
+    )
+    from big_data_flight_analytics_spark.plans.relational_queries import (
+        GEO_RADIUS_KM,
+    )
+
+    points, sites = _geo_frames(spark, sf_dir)
+    return radius_site_counts(
+        points,
+        sites,
+        point_id="custkey",
+        site_id="suppkey",
+        radius_km=GEO_RADIUS_KM,
+        use_banding=True,
+    )
+
+
+def j16_geo_nearest_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.geo import (
+        radius_nearest_k,
+    )
+    from big_data_flight_analytics_spark.plans.relational_queries import (
+        GEO_RADIUS_KM,
+    )
+
+    points, sites = _geo_frames(spark, sf_dir)
+    out = radius_nearest_k(
+        points,
+        sites,
+        point_id="custkey",
+        site_id="suppkey",
+        k=J16_K,
+        radius_km=GEO_RADIUS_KM,
+        use_banding=False,
+    )
+    return out.select(
+        "custkey",
+        "suppkey",
+        F.round(F.col("distance_km"), 3).alias("dist_km"),
+        "rank",
+    )
+
+
+_GEO_PAIRS_SQL = """
+WITH points AS (
+    SELECT c_custkey AS custkey,
+           ((c_custkey * 7) % 141) - 70.0 AS plat,
+           ((c_custkey * 13) % 361) - 180.0 AS plon
+    FROM customer
+), sites AS (
+    SELECT s_suppkey AS suppkey,
+           ((s_suppkey * 37) % 141) - 70.0 AS slat,
+           ((s_suppkey * 91) % 361) - 180.0 AS slon
+    FROM supplier
+), pairs AS (
+    SELECT custkey, suppkey,
+           2 * 6371.0 * atan2(
+               sqrt(
+                   sin(radians(slat - plat) / 2) * sin(radians(slat - plat) / 2)
+                   + cos(radians(plat)) * cos(radians(slat))
+                     * sin(radians(slon - plon) / 2) * sin(radians(slon - plon) / 2)
+               ),
+               sqrt(greatest(1 - (
+                   sin(radians(slat - plat) / 2) * sin(radians(slat - plat) / 2)
+                   + cos(radians(plat)) * cos(radians(slat))
+                     * sin(radians(slon - plon) / 2) * sin(radians(slon - plon) / 2)
+               ), 0))
+           ) AS d
+    FROM points CROSS JOIN sites
+)
+"""
+
+def _j15_sql() -> str:
+    from big_data_flight_analytics_spark.plans.relational_queries import (
+        GEO_RADIUS_KM,
+    )
+
+    return (
+        _GEO_PAIRS_SQL
+        + f"""
+SELECT suppkey,
+       CAST(COUNT(DISTINCT custkey) AS BIGINT) AS n_points
+FROM pairs WHERE d <= {GEO_RADIUS_KM}
+GROUP BY 1
+"""
+    )
+
+
+def _j16_sql() -> str:
+    from big_data_flight_analytics_spark.plans.relational_queries import (
+        GEO_RADIUS_KM,
+    )
+
+    return (
+        _GEO_PAIRS_SQL
+        + f"""
+, ranked AS (
+    SELECT custkey, suppkey, d,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY custkey ORDER BY d, suppkey
+           ) AS BIGINT) AS rank
+    FROM pairs WHERE d <= {GEO_RADIUS_KM}
+)
+SELECT custkey, suppkey, ROUND(d, 3) AS dist_km, rank
+FROM ranked WHERE rank <= {J16_K}
+"""
+    )
+
+
+J15_SQL = _j15_sql()
+J16_SQL = _j16_sql()
+
+
+# ---------------------------------------------------------------------------
 # D6 — dedup clustering: connected components over the D2 near-dup pair
 # graph. Pairs -> transitive clusters -> canonical doc per cluster; the
 # last stage of a dedup pipeline. Oracle: recursive CTE reachability
@@ -6109,6 +6258,8 @@ EXTENSION_QUERIES = {
     "i12_dataset_card_delta": i12_dataset_card_delta,
     "t26_boilerplate_excision": t26_boilerplate_excision,
     "i13_boilerplate_delta": i13_boilerplate_delta,
+    "j15_geo_radius_counts": j15_geo_radius_counts,
+    "j16_geo_nearest_k": j16_geo_nearest_k,
     "d8_curated_corpus": d8_curated_corpus,
     "m1_multimodal_features": m1_multimodal_features,
     "m2_frame_sample": m2_frame_sample,
@@ -6188,6 +6339,8 @@ EXTENSION_ORACLES = {
     "t23_leakage_safe_split": T23_SQL,
     "t24_corpus_assembly": T24_SQL,
     "j13_advised_semi_join": J13_SQL,
+    "j15_geo_radius_counts": J15_SQL,
+    "j16_geo_nearest_k": J16_SQL,
     "t25_dataset_card": T25_SQL,
     "i12_dataset_card_delta": T25_SQL,
     "t26_boilerplate_excision": T26_SQL,
