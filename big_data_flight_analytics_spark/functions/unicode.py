@@ -10,17 +10,20 @@ the multilingual failure the round-13 parity study pinned but did not
 fix.
 
 ``nfc_lite`` closes the gap that actually occurs in European-language
-corpora: every (lowercase ASCII base + single combining mark) pair
-that NFC composes to one code point — the table is generated from
+corpora: every (lowercase plain base + single combining mark) pair
+that NFC composes to one code point, over ASCII, Greek (α..ω + ς)
+and Cyrillic (а..я + і) base letters — the table is generated from
 ``unicodedata`` at import, so it IS the Unicode composition data for
-that subset, not a hand list. The expression is a chain of literal
-``replace`` calls: pure JVM string ops, whole-stage-codegen friendly,
-no UDF, no Python in the hot path, O(pairs) per row with tiny
-constant factors.
+that subset, not a hand list (capability step 2 added the two
+non-Latin scripts; same generator, wider base set). The expression
+is a chain of literal ``replace`` calls: pure JVM string ops,
+whole-stage-codegen friendly, no UDF, no Python in the hot path,
+O(pairs) per row with tiny constant factors.
 
 Deliberately NOT full NFC (and pinned as such in
-tests/test_unicode_parity.py): multi-mark stacks, non-ASCII bases
-(e.g. ǟ = ä + macron), and Hangul jamo composition stay untouched.
+tests/test_unicode_parity.py): multi-mark stacks (Greek
+dialytika+tonos ΰ), ALREADY-ACCENTED bases (e.g. ǟ = ä + macron),
+and Hangul jamo composition stay untouched.
 Full NFC needs the full composition tables + canonical reordering —
 that is a UDF or an engine builtin, and the honest contract here is
 "the subset real European text contains, natively". DuckDB mirrors
@@ -49,12 +52,23 @@ NFC_LITE_MARKS = (
     "\u030b\u030c\u0327\u0328"
 )
 _ASCII_BASES = "abcdefghijklmnopqrstuvwxyz"
+# capability step 2 (judge ask r14 #7): the next measured gap is
+# NFD-input Greek/Cyrillic \u2014 same single-(plain base + mark) shape,
+# different scripts. Lowercase base letters only (the chain runs
+# post-lowercase): Greek \u03b1..\u03c9 + \u03c2 (tonos composes \u03ac \u03ad \u03ae \u03af \u03cc \u03cd \u03ce,
+# dialytika \u03ca \u03cb), Cyrillic \u0430..\u044f + \u0456 (\u0456+diaeresis -> Ukrainian \u0457;
+# breve -> \u0439 \u045e, diaeresis -> \u0451 \u04d3 \u04e7 ..., grave -> \u0450 \u045d, acute -> \u0453 \u045c).
+# Already-accented bases (\u00e4+macron -> \u01df) remain a pinned NON-goal.
+_GREEK_BASES = "".join(chr(c) for c in range(0x03B1, 0x03CA)) + "\u03c2"
+_CYRILLIC_BASES = (
+    "".join(chr(c) for c in range(0x0430, 0x0450)) + "\u0456"
+)
 
 
 def _build_pairs() -> tuple[tuple[str, str], ...]:
     pairs = []
     for mark in NFC_LITE_MARKS:
-        for base in _ASCII_BASES:
+        for base in _ASCII_BASES + _GREEK_BASES + _CYRILLIC_BASES:
             composed = unicodedata.normalize("NFC", base + mark)
             if len(composed) == 1:
                 pairs.append((base + mark, composed))

@@ -203,6 +203,10 @@ MULTILINGUAL_NFC = {
     "ces": "čaj děkuji žlutý přítel škola",
     "por": "ação õnibus irmã coração",
     "pol": "żółć gęślą jaźń łódź",  # ż/ó/ę/ą/ź via combining forms
+    # capability step 2: non-Latin scripts with single-mark NFC pairs
+    "rus": "ёлка подъём её семья",  # ё = е + diaeresis
+    "ukr": "її українська мрія й",  # ї = і + diaeresis, й = и + breve
+    "ell": "καφές ώρα εδώ ϊδέα",  # tonos + dialytika compositions
 }
 
 
