@@ -1938,20 +1938,29 @@ def d20_bench_slices(docs: DataFrame) -> DataFrame:
     )
 
 
-def d20_containment_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _decon_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d20's contaminated (corpus_doc, bench_doc) pairs as a shareable
+    stage — t24's decon step replays exactly this frame, so a
+    single-pass run builds the posting join once (the d2/d6 treatment
+    applied to the assembly chain's second-most-expensive parent)."""
     from big_data_flight_analytics_spark.operators.dedup import (
         containment_decon_pairs,
     )
 
     docs = load(spark, sf_dir, "documents")
-    return (
-        containment_decon_pairs(
+    return stage(
+        ("decon_pairs", sf_dir, D20_NGRAM, D20_PCT),
+        lambda: containment_decon_pairs(
             docs, d20_bench_slices(docs), n=D20_NGRAM, threshold_pct=D20_PCT
         )
         # bench items are slices OF corpus docs: the source doc trivially
         # contains its own slice — real decon flags everything else
-        .filter(F.col("corpus_doc") != F.col("bench_doc"))
+        .filter(F.col("corpus_doc") != F.col("bench_doc")),
     )
+
+
+def d20_containment_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _decon_pairs(spark, sf_dir)
 
 
 # Gram expression and range bound derived from D20_NGRAM (the d19
@@ -3924,9 +3933,6 @@ WHERE s.n_tokens >= {D8_MIN_TOKENS} AND s.quality >= {D8_MIN_QUALITY}
 
 
 def t24_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from big_data_flight_analytics_spark.operators.dedup import (
-        containment_decon_pairs,
-    )
     from big_data_flight_analytics_spark.operators.sampling import (
         mixture_sample,
         pack_sequences,
@@ -3957,11 +3963,10 @@ def t24_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # d20 decontamination: drop docs containing a benchmark slice
+    # (the pair frame is the shared _decon_pairs stage — one posting
+    # join serves d20 and this chain in a single-pass run)
     contaminated = (
-        containment_decon_pairs(
-            docs, d20_bench_slices(docs), n=D20_NGRAM, threshold_pct=D20_PCT
-        )
-        .filter(F.col("corpus_doc") != F.col("bench_doc"))
+        _decon_pairs(spark, sf_dir)
         .select(F.col("corpus_doc").alias("doc_id"))
         .distinct()
     )

@@ -198,6 +198,33 @@ class TestSharedCatalogEquivalence:
             assert _rows(d6_dedup_clusters(spark, SF_DIR)) == isolated["d6"]
             assert _rows(d8_curated_corpus(spark, SF_DIR)) == isolated["d8"]
 
+    def test_assembly_chain_shares_cluster_and_decon_stages(self, spark):
+        """t24's two expensive parents — the d6 cluster stage and the
+        d20 decon pair frame — must be memo hits in a shared pass that
+        already ran d6 and d20, and sharing must not change either
+        d20's or t24's answer (judge ask r15 #8)."""
+        from big_data_flight_analytics_spark.plans.extension_queries import (
+            d20_containment_decon,
+            t24_corpus_assembly,
+        )
+
+        iso_d20 = _rows(d20_containment_decon(spark, SF_DIR))
+        iso_t24 = _rows(t24_corpus_assembly(spark, SF_DIR))
+        times = {}
+        with shared_stages(build_times=times):
+            d6_dedup_clusters(spark, SF_DIR).count()
+            assert _rows(d20_containment_decon(spark, SF_DIR)) == iso_d20
+            built_before = set(times)
+            assert _rows(t24_corpus_assembly(spark, SF_DIR)) == iso_t24
+            # t24 built NO new cluster/decon stage — both were reuses
+            new = {
+                k for k in set(times) - built_before
+                if "dedup_clusters" in str(k) or "decon_pairs" in str(k)
+            }
+            assert new == set()
+            assert any("decon_pairs" in str(k) for k in times)
+            assert any("dedup_clusters" in str(k) for k in times)
+
     def test_d8_composition_consistency(self, spark):
         """Within one shared pass, d8's canon rows are d6 canonicals."""
         with shared_stages():
