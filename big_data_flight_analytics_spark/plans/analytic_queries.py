@@ -912,11 +912,12 @@ GROUP BY CUBE(l_returnflag, l_linestatus)
 
 # ---------------------------------------------------------------------------
 # C2 — ROLLUP revenue (c1's hierarchical sibling): subtotals along ONE
-# drill path (returnflag -> linestatus -> shipmode) instead of the
-# cube's full lattice — the report shape financial/hierarchy rollups
-# actually use (4 levels, not 2^3 groupings); the third level is the
-# DERIVED ship year (the synthetic lineitem carries no shipmode),
-# rendered as a string identically by both engines. Same single-scan plan
+# drill path (returnflag -> linestatus -> derived ship year) instead
+# of the cube's full lattice — the report shape financial/hierarchy
+# rollups actually use (4 levels, not 2^3 groupings). Ship year stands
+# in for the classic shipmode drill level (the synthetic lineitem
+# carries no shipmode), rendered as a string identically by both
+# engines. Same single-scan plan
 # doctrine as c1: one fine-grain partial aggregate, each coarser level
 # re-aggregated from it (DECIMAL sums, order-independent), never a
 # second pass over the fact table.
@@ -993,6 +994,104 @@ SELECT l_returnflag, l_linestatus, ship_year,
             AS DOUBLE) AS revenue
 FROM li
 GROUP BY ROLLUP(l_returnflag, l_linestatus, ship_year)
+"""
+
+
+# ---------------------------------------------------------------------------
+# C3 — GROUPING SETS revenue: the third and fully-general sibling of
+# c1 (CUBE = every subset) and c2 (ROLLUP = one drill path). Arbitrary
+# report sets — per-(returnflag, year), per-(linestatus, year),
+# per-year, grand total — the two cross-axis yearly breakdowns a
+# finance report actually juxtaposes, with NO interest in the lattice
+# between them. Distinct from a9_grouping_sets, which exercises
+# Spark's NATIVE groupingSets API (Expand-based physical plan: the
+# fact rows are replicated once per set) over two flat sets; c3 is
+# the Expand-FREE face: one fine-grain partial
+# aggregate over the union of all grouping columns, each requested
+# set re-aggregated from the O(groups) frame (DECIMAL sums,
+# order-independent); the fact table is scanned exactly once.
+# GROUPING bitmask per set matches the engines' GROUPING() contract
+# (bit set = column grouped away, leftmost = MSB).
+# ---------------------------------------------------------------------------
+
+
+def c3_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.cache import tracked_persist
+
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate").cast("string")
+    )
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    all_cols = ["l_returnflag", "l_linestatus", "ship_year"]
+    fine = tracked_persist(
+        li.groupBy(*all_cols).agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(revenue).alias("__rev"),
+        )
+    )
+    sets = [
+        ["l_returnflag", "ship_year"],
+        ["l_linestatus", "ship_year"],
+        ["ship_year"],
+        [],
+    ]
+
+    def one_set(keys: list[str]) -> DataFrame:
+        agged = (
+            fine.groupBy(*keys).agg(
+                F.sum("__n").alias("__n"), F.sum("__rev").alias("__rev")
+            )
+            if keys
+            else fine.groupBy().agg(
+                F.sum("__n").alias("__n"), F.sum("__rev").alias("__rev")
+            )
+        )
+        gid = sum(
+            1 << (len(all_cols) - 1 - i)
+            for i, c in enumerate(all_cols)
+            if c not in keys
+        )
+        cols = [
+            F.col(c) if c in keys else F.lit(None).cast("string").alias(c)
+            for c in all_cols
+        ]
+        return agged.select(
+            *cols, F.lit(gid).cast("long").alias("gid"), "__n", "__rev"
+        )
+
+    out = one_set(sets[0])
+    for s in sets[1:]:
+        out = out.unionByName(one_set(s))
+    return out.select(
+        *all_cols,
+        "gid",
+        F.col("__n").alias("n_items"),
+        F.col("__rev").cast("double").alias("revenue"),
+    )
+
+
+C3_SQL = """
+WITH li AS (
+    SELECT l_returnflag, l_linestatus,
+           CAST(YEAR(l_shipdate) AS VARCHAR) AS ship_year,
+           l_extendedprice, l_discount
+    FROM lineitem
+)
+SELECT l_returnflag, l_linestatus, ship_year,
+       CAST(GROUPING(l_returnflag, l_linestatus, ship_year) AS BIGINT)
+           AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM li
+GROUP BY GROUPING SETS (
+    (l_returnflag, ship_year),
+    (l_linestatus, ship_year),
+    (ship_year),
+    ()
+)
 """
 
 
@@ -1949,6 +2048,7 @@ ANALYTIC_QUERIES = {
     "w5_balance_quartiles": w5_balance_quartiles,
     "c1_cube_revenue": c1_cube_revenue,
     "c2_rollup_revenue": c2_rollup_revenue,
+    "c3_grouping_sets_revenue": c3_grouping_sets_revenue,
     "p1_profile_orders": p1_profile_orders,
     "q10_region_revenue": q10_region_revenue,
     "h1_scd2_customer_segment": h1_scd2_customer_segment,
@@ -1981,6 +2081,7 @@ ANALYTIC_ORACLES = {
     "w5_balance_quartiles": W5_SQL,
     "c1_cube_revenue": C1_SQL,
     "c2_rollup_revenue": C2_SQL,
+    "c3_grouping_sets_revenue": C3_SQL,
     "p1_profile_orders": P1_SQL,
     "q10_region_revenue": Q10_SQL,
     "h1_scd2_customer_segment": H1_SQL,

@@ -212,6 +212,7 @@ _TIE_BREAK = [
     "c2_rollup_revenue",
     "j15_geo_radius_counts",
     "j16_geo_nearest_k",
+    "c3_grouping_sets_revenue",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)
