@@ -1911,3 +1911,63 @@ def pq_codebooks_kmeans(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    k: int = 5,
+    k_rrf: int = 60,
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of
+    top-k candidate lists: rrf(q, d) = sum over lists of
+    1 / (k_rrf + rank_list(q, d)), items absent from a list
+    contribute nothing — the standard score-free hybrid-retrieval
+    combiner (lexical BM25/Jaccard lists fused with semantic ANN
+    lists without calibrating their incomparable scores).
+
+    Each input frame carries (query_col, item_col, rank_col) with
+    1-based integer ranks. Output: (query_col, item_col, rrf, n_lists,
+    rank) — the fused top ``k`` per query, ranked by rrf descending
+    with item-id tie-break.
+
+    Cross-engine determinism: every rrf value is an exact function of
+    small-integer ranks (IEEE double division + a per-item sum over at
+    most len(rankings) terms — both engines evaluate bit-identically),
+    so the fused order replays; ``rrf`` is additionally rounded for
+    display only AFTER ranking. Scale: each list is O(queries x k)
+    rows; the fuse is one union + one (query, item) hash aggregate +
+    one per-query window — nothing touches the corpora that produced
+    the lists.
+    """
+    tagged = [
+        r.select(
+            F.col(query_col),
+            F.col(item_col),
+            (F.lit(1.0) / (F.lit(k_rrf) + F.col(rank_col))).alias("__c"),
+        )
+        for r in rankings
+    ]
+    allc = tagged[0]
+    for t in tagged[1:]:
+        allc = allc.unionByName(t)
+    fused = allc.groupBy(query_col, item_col).agg(
+        F.sum("__c").alias("__rrf"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("__rrf").desc(), F.col(item_col).asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_col,
+            item_col,
+            F.round(F.col("__rrf"), 6).alias("rrf"),
+            "n_lists",
+            "rank",
+        )
+    )

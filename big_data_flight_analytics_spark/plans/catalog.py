@@ -213,6 +213,7 @@ _TIE_BREAK = [
     "j15_geo_radius_counts",
     "j16_geo_nearest_k",
     "c3_grouping_sets_revenue",
+    "v9_rrf_fusion",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

@@ -10,7 +10,7 @@ rows/schema/value-hash gate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_flight_analytics_spark.operators.dedup import (
@@ -5319,6 +5319,169 @@ V8_SQL = _ivfpq_sql()
 
 
 # ---------------------------------------------------------------------------
+# V9 — HYBRID retrieval via reciprocal-rank fusion: the lexical and
+# semantic top-k lists for the same query documents, fused score-free
+# with RRF (operators/similarity.rrf_fuse) — the standard production
+# retrieval combiner (BM25-family lists + ANN lists have incomparable
+# score scales; ranks are the only safe common currency). Semantic
+# list: v1's brute-force cosine over the aligned embeddings table.
+# Lexical list: exact distinct-token Jaccard against the query docs
+# via an inverted-index join — the QUERY token side is tiny (the
+# retrieval batch) and broadcasts, so candidates are
+# O(docs sharing a token with some query), never all pairs, and the
+# fact side shuffles once for the (query, doc) intersection count.
+# Both lists rank on ROUNDED similarity with id tie-break (the v1
+# doctrine), so every fused rrf value is an exact function of integer
+# ranks and replays bit-identically cross-engine.
+# ---------------------------------------------------------------------------
+
+V9_LIST_K = 10
+V9_TOPK = 5
+V9_K_RRF = 60
+
+
+def _lexical_jaccard_topk(
+    spark: SparkSession, sf_dir: str, n_queries: int, k: int
+) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.text import tokens
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.filter(tokens("text"), lambda x: x != ""))
+        ).alias("__t"),
+    )
+    sizes = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__sz")
+    )
+    q_tok = tok.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("query_id"), "__t"
+    )
+    inter = (
+        tok.join(F.broadcast(q_tok), "__t")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("__i"))
+    )
+    q_sz = sizes.select(
+        F.col("doc_id").alias("query_id"), F.col("__sz").alias("__qsz")
+    )
+    scored = (
+        inter.join(F.broadcast(q_sz), "query_id")
+        .join(sizes, "doc_id")
+        .select(
+            "query_id",
+            F.col("doc_id").alias("neighbor_id"),
+            F.round(
+                F.col("__i")
+                / (F.col("__qsz") + F.col("__sz") - F.col("__i")),
+                4,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def v9_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.similarity import (
+        rrf_fuse,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    sem = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < N_QUERY_VECS), k=V9_LIST_K
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    sem_ranked = sem.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    )
+    lex_ranked = _lexical_jaccard_topk(
+        spark, sf_dir, N_QUERY_VECS, V9_LIST_K
+    )
+    return rrf_fuse(
+        [sem_ranked, lex_ranked], k=V9_TOPK, k_rrf=V9_K_RRF
+    )
+
+
+V9_SQL = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+    WHERE vec_id < {N_QUERY_VECS}
+), sem_scored AS (
+    SELECT q.query_id,
+           e.vec_id AS neighbor_id,
+           CASE WHEN sqrt(list_dot_product(q.qv, q.qv))
+                       * sqrt(list_dot_product(e.embedding, e.embedding)) = 0
+                  THEN 0.0 ELSE ROUND(
+             list_dot_product(q.qv, e.embedding) /
+             (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(e.embedding, e.embedding))), 4) END
+               AS sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id
+), sem_ranked AS (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id ASC) AS rank
+    FROM sem_scored
+), tok AS (
+    SELECT doc_id, UNNEST(list_distinct(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\\s+'),
+               x -> x <> ''))) AS t
+    FROM documents WHERE text IS NOT NULL
+), sizes AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM tok GROUP BY 1
+), inter AS (
+    SELECT qt.doc_id AS query_id, dt.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS i
+    FROM tok dt JOIN (SELECT * FROM tok WHERE doc_id < {N_QUERY_VECS}) qt
+      ON dt.t = qt.t AND dt.doc_id <> qt.doc_id
+    GROUP BY 1, 2
+), lex_scored AS (
+    SELECT i.query_id, i.doc_id AS neighbor_id,
+           ROUND(CAST(i.i AS DOUBLE) / (qs.sz + ds.sz - i.i), 4) AS sim
+    FROM inter i
+    JOIN sizes qs ON qs.doc_id = i.query_id
+    JOIN sizes ds ON ds.doc_id = i.doc_id
+), lex_ranked AS (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id ASC) AS rank
+    FROM lex_scored
+), lists AS (
+    SELECT query_id, neighbor_id, 1.0 / ({V9_K_RRF} + rank) AS c
+    FROM sem_ranked WHERE rank <= {V9_LIST_K}
+    UNION ALL
+    SELECT query_id, neighbor_id, 1.0 / ({V9_K_RRF} + rank) AS c
+    FROM lex_ranked WHERE rank <= {V9_LIST_K}
+), fused AS (
+    SELECT query_id, neighbor_id, SUM(c) AS rrf,
+           CAST(COUNT(*) AS BIGINT) AS n_lists
+    FROM lists GROUP BY 1, 2
+), final AS (
+    SELECT query_id, neighbor_id, rrf, n_lists,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, neighbor_id ASC)
+                AS BIGINT) AS rank
+    FROM fused
+)
+SELECT query_id, neighbor_id, ROUND(rrf, 6) AS rrf, n_lists, rank
+FROM final WHERE rank <= {V9_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # I2 — incremental dedup maintenance: the persisted fingerprint index
 # absorbs one new ingest batch with O(delta) work (delta-only shuffle +
 # one join against the index; the index never re-shuffles when stored
@@ -6226,6 +6389,7 @@ EXTENSION_QUERIES = {
     "v6_pq_topk": v6_pq_topk,
     "v7_pq_trained_topk": v7_pq_trained_topk,
     "v8_ivfpq_topk": v8_ivfpq_topk,
+    "v9_rrf_fusion": v9_rrf_fusion,
     "g1_knn_pagerank": g1_knn_pagerank,
     "g2_knn_triangles": g2_knn_triangles,
     "d13_semantic_prune": d13_semantic_prune,
@@ -6344,6 +6508,7 @@ EXTENSION_ORACLES = {
     "t23_leakage_safe_split": T23_SQL,
     "t24_corpus_assembly": T24_SQL,
     "j13_advised_semi_join": J13_SQL,
+    "v9_rrf_fusion": V9_SQL,
     "j15_geo_radius_counts": J15_SQL,
     "j16_geo_nearest_k": J16_SQL,
     "t25_dataset_card": T25_SQL,

@@ -1720,3 +1720,62 @@ class TestBoilerplateExcision:
             ).count()
             == 5
         )
+
+
+class TestRrfFuse:
+    """v9: reciprocal-rank fusion — definitional truth (Cormack et al.
+    2009: rrf = sum 1/(k+rank) over the lists that contain the item)."""
+
+    def _lists(self, spark):
+        sem = spark.createDataFrame(
+            [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+            "query_id long, neighbor_id long, rank long",
+        )
+        lex = spark.createDataFrame(
+            [(0, 11, 1), (0, 13, 2), (0, 10, 3)],
+            "query_id long, neighbor_id long, rank long",
+        )
+        return sem, lex
+
+    def test_hand_computed_fusion(self, spark):
+        from big_data_flight_analytics_spark.operators.similarity import (
+            rrf_fuse,
+        )
+
+        sem, lex = self._lists(spark)
+        got = {
+            r["neighbor_id"]: (r["rrf"], r["n_lists"], r["rank"])
+            for r in rrf_fuse([sem, lex], k=4, k_rrf=60).collect()
+        }
+        # hand truth: 10 -> 1/61 + 1/63; 11 -> 1/62 + 1/61;
+        # 12 -> 1/63; 13 -> 1/62
+        exp = {
+            10: 1 / 61 + 1 / 63,
+            11: 1 / 62 + 1 / 61,
+            12: 1 / 63,
+            13: 1 / 62,
+        }
+        # 11 > 10 > 13 > 12 (both-list items beat single-list ones)
+        assert [n for n, v in sorted(got.items(), key=lambda kv: kv[1][2])] \
+            == [11, 10, 13, 12]
+        for n, (rrf, n_lists, _) in got.items():
+            assert rrf == round(exp[n], 6)
+            assert n_lists == (2 if n in (10, 11) else 1)
+
+    def test_k_caps_and_tie_breaks_by_item(self, spark):
+        from big_data_flight_analytics_spark.operators.similarity import (
+            rrf_fuse,
+        )
+
+        # two items with the IDENTICAL rank vector: exact double tie,
+        # lower item id must rank first; k=1 keeps only it
+        a = spark.createDataFrame(
+            [(0, 7, 1), (0, 5, 2)],
+            "query_id long, neighbor_id long, rank long",
+        )
+        b = spark.createDataFrame(
+            [(0, 5, 1), (0, 7, 2)],
+            "query_id long, neighbor_id long, rank long",
+        )
+        rows = rrf_fuse([a, b], k=1, k_rrf=60).collect()
+        assert len(rows) == 1 and rows[0]["neighbor_id"] == 5
