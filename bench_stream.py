@@ -715,6 +715,52 @@ def _index_sink_pipelines(spark, sf_dir: str, workdir: str) -> dict[str, float]:
     # should sit at ~100 on the ordered feed)
     folded = sess_sink.read(spark).agg(F.sum("n_events")).collect()[0][0]
     out["s19_rows_folded_pct"] = round(100.0 * (folded or 0) / sess_rows, 1)
+
+    # s21: continuously maintained per-site distinct-point counts
+    # (streaming i14) — the reference speed layer's per-airport
+    # seen-aircraft store as an idempotent pair-set fold (marker-free
+    # exactly-once, the KMV/Bloom class). Points stream as the
+    # customer delta with the j7/j15 synthesized coordinates; sites
+    # are the supplier dimension.
+    from big_data_flight_analytics_spark.plans.extension_queries import (
+        _geo_frames,
+    )
+    from big_data_flight_analytics_spark.plans.relational_queries import (
+        GEO_RADIUS_KM,
+    )
+    from big_data_flight_analytics_spark.streaming.sinks import GeoCountSink
+
+    cust_feed, cust_rows = build_delta_feed(
+        spark, sf_dir, workdir, "customer", ["c_custkey"], "c_custkey"
+    )
+    _, geo_sites = _geo_frames(spark, sf_dir)
+    geo_path = os.path.join(workdir, "geo_counts")
+    shutil.rmtree(geo_path, ignore_errors=True)
+    geo_sink = GeoCountSink(
+        geo_path,
+        geo_sites,
+        point_id="custkey",
+        site_id="suppkey",
+        radius_km=GEO_RADIUS_KM,
+        use_banding=True,
+    )
+
+    def _geo_adapter(batch_df, batch_id):
+        pts = batch_df.select(
+            F.col("c_custkey").alias("custkey"),
+            (((F.col("c_custkey") * 7) % 141) - 70.0).alias("latitude"),
+            (((F.col("c_custkey") * 13) % 361) - 180.0).alias("longitude"),
+        )
+        geo_sink(pts, batch_id)
+
+    secs = _run_index_sink(
+        spark,
+        cust_feed,
+        "c_custkey long",
+        _geo_adapter,
+        os.path.join(workdir, "ckpt_s21_geo_counts"),
+    )
+    out["s21_geo_count_sink"] = round(cust_rows / secs, 1)
     return out
 
 

@@ -199,3 +199,45 @@ def radius_nearest_k(
         .filter(F.col("rank") <= k)
         .select(point_id, site_id, distance_col, "rank")
     )
+
+
+def radius_pairs_state(
+    points: DataFrame,
+    sites: DataFrame,
+    point_id: str,
+    site_id: str,
+    radius_km: float = AIRPORT_RADIUS_KM,
+    **radius_kwargs,
+) -> DataFrame:
+    """Mergeable state behind :func:`radius_site_counts`: the DISTINCT
+    (site_id, point_id) pairs within radius — exactly the state store
+    the reference's speed layer keeps per airport
+    (AirportAircraftCountStream.java:62-75 remembers which aircraft an
+    airport has seen; the count is derived). The set is IDEMPOTENT
+    under fold (union + distinct — the KMV/Bloom class of DESIGN.md's
+    fold-class table): re-folding a replayed batch is an algebraic
+    no-op, so the streaming face needs no batch marker. State is
+    O(pairs in radius) — that is the price of EXACT distinct counts
+    under ingest and is what the reference pays; KMV-per-site is the
+    sketch fallback when the pair set outgrows the store."""
+    pairs = radius_join(
+        points, sites, radius_km=radius_km, **radius_kwargs
+    )
+    return pairs.select(site_id, point_id).distinct()
+
+
+def radius_pairs_fold(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold two pair states: set union — idempotent, associative,
+    commutative. O(state) with one distinct shuffle keyed on the pair."""
+    return base.unionByName(delta).distinct()
+
+
+def radius_counts_from_state(
+    state: DataFrame, site_id: str, point_id: str
+) -> DataFrame:
+    """Derive the per-site distinct-point counts from a pair state —
+    bit-equal to :func:`radius_site_counts` over the union of every
+    folded point batch (pinned by test and the i14 oracle)."""
+    return state.groupBy(site_id).agg(
+        F.count(F.col(point_id)).cast("long").alias("n_points")
+    )

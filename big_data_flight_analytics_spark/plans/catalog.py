@@ -214,6 +214,7 @@ _TIE_BREAK = [
     "j16_geo_nearest_k",
     "c3_grouping_sets_revenue",
     "v9_rrf_fusion",
+    "i14_geo_count_delta",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

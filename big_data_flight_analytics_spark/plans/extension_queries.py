@@ -3719,6 +3719,49 @@ J16_SQL = _j16_sql()
 
 
 # ---------------------------------------------------------------------------
+# I14 — incremental geo counts: j15's per-site distinct-point counts
+# maintained under ingest via the IDEMPOTENT pair-set fold
+# (operators/geo.radius_pairs_state/_fold — the state store the
+# reference's speed layer keeps per airport). The entry splits points
+# into a 80% base and 20% arrival batch, folds the two pair states,
+# and derives counts; the oracle restates j15's from-scratch counts
+# over ALL points — the delta path must be invisible (the i1
+# contract). Fold class: idempotent (union+distinct), so the s21
+# streaming face needs no batch marker and replays are algebraic
+# no-ops.
+# ---------------------------------------------------------------------------
+
+
+def i14_geo_count_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.geo import (
+        radius_counts_from_state,
+        radius_pairs_fold,
+        radius_pairs_state,
+    )
+    from big_data_flight_analytics_spark.plans.relational_queries import (
+        GEO_RADIUS_KM,
+    )
+
+    points, sites = _geo_frames(spark, sf_dir)
+    base = points.filter(F.col("custkey") % 5 != 0)
+    delta = points.filter(F.col("custkey") % 5 == 0)
+    kw = dict(
+        point_id="custkey",
+        site_id="suppkey",
+        radius_km=GEO_RADIUS_KM,
+        use_banding=True,
+    )
+    folded = radius_pairs_fold(
+        radius_pairs_state(base, sites, **kw),
+        radius_pairs_state(delta, sites, **kw),
+    )
+    return radius_counts_from_state(folded, "suppkey", "custkey")
+
+
+I14_SQL = J15_SQL
+
+
+# ---------------------------------------------------------------------------
 # D6 — dedup clustering: connected components over the D2 near-dup pair
 # graph. Pairs -> transitive clusters -> canonical doc per cluster; the
 # last stage of a dedup pipeline. Oracle: recursive CTE reachability
@@ -6429,6 +6472,7 @@ EXTENSION_QUERIES = {
     "i13_boilerplate_delta": i13_boilerplate_delta,
     "j15_geo_radius_counts": j15_geo_radius_counts,
     "j16_geo_nearest_k": j16_geo_nearest_k,
+    "i14_geo_count_delta": i14_geo_count_delta,
     "d8_curated_corpus": d8_curated_corpus,
     "m1_multimodal_features": m1_multimodal_features,
     "m2_frame_sample": m2_frame_sample,
@@ -6511,6 +6555,7 @@ EXTENSION_ORACLES = {
     "v9_rrf_fusion": V9_SQL,
     "j15_geo_radius_counts": J15_SQL,
     "j16_geo_nearest_k": J16_SQL,
+    "i14_geo_count_delta": I14_SQL,
     "t25_dataset_card": T25_SQL,
     "i12_dataset_card_delta": T25_SQL,
     "t26_boilerplate_excision": T26_SQL,

@@ -1073,6 +1073,94 @@ class TestSessionSink:
         assert self._state(bc.read(spark)) == self._batch_truth(feed)
 
 
+class TestGeoCountSink:
+    """s21: streaming face of the i14 idempotent pair-set fold — the
+    reference speed layer's per-airport seen-aircraft store. Folded
+    stream == one-batch scratch counts; replay is an algebraic no-op
+    WITHOUT a batch marker (the KMV/Bloom class)."""
+
+    RADIUS = 2500.0
+
+    def _frames(self, spark, n_points=60, seed=71):
+        import random
+
+        rng = random.Random(seed)
+        pts = spark.createDataFrame(
+            [
+                (
+                    i,
+                    float(rng.randrange(-60, 61)),
+                    float(rng.randrange(-170, 171)),
+                )
+                for i in range(n_points)
+            ],
+            "pid long, latitude double, longitude double",
+        )
+        sites = spark.createDataFrame(
+            [
+                (j, float(j * 23 % 121 - 60), float(j * 47 % 341 - 170))
+                for j in range(12)
+            ],
+            "sid long, site_latitude double, site_longitude double",
+        )
+        return pts, sites
+
+    def _sink(self, spark, tmp_path, sites, name="geo"):
+        from big_data_flight_analytics_spark.streaming.sinks import (
+            GeoCountSink,
+        )
+
+        return GeoCountSink(
+            str(tmp_path / name),
+            sites,
+            point_id="pid",
+            site_id="sid",
+            radius_km=self.RADIUS,
+            use_banding=False,
+        )
+
+    def test_stream_folds_equal_batch_counts(self, spark, tmp_path):
+        from big_data_flight_analytics_spark.operators.geo import (
+            radius_site_counts,
+        )
+
+        pts, sites = self._frames(spark)
+        sink = self._sink(spark, tmp_path, sites)
+        _run_stream(spark, tmp_path, sink, pts)
+        got = {
+            r["sid"]: r["n_points"] for r in sink.counts(spark).collect()
+        }
+        truth = {
+            r["sid"]: r["n_points"]
+            for r in radius_site_counts(
+                pts, sites, "pid", "sid", radius_km=self.RADIUS,
+                use_banding=False,
+            ).collect()
+        }
+        assert got == truth and got
+
+    def test_replay_is_algebraic_noop_without_marker(
+        self, spark, tmp_path
+    ):
+        pts, sites = self._frames(spark, n_points=30, seed=73)
+        sink = self._sink(spark, tmp_path, sites)
+        sink.merge(pts, 0)
+        state0 = sorted(
+            tuple(r) for r in sink.read(spark).collect()
+        )
+        # replay the SAME rows under a NEW batch id: no marker exists
+        # to stop it — the fold itself must absorb it
+        sink.merge(pts, 1)
+        assert sorted(tuple(r) for r in sink.read(spark).collect()) \
+            == state0
+        # a point re-observed near a site it already visited adds
+        # nothing; a genuinely new point does
+        one = pts.limit(1)
+        sink.merge(one, 2)
+        assert sorted(tuple(r) for r in sink.read(spark).collect()) \
+            == state0
+
+
 class TestDatasetCardSink:
     """Streaming i12 (s20): per-batch card-state folds == one batch
     card over all arrivals; replay marker-guarded (additive sums)."""
