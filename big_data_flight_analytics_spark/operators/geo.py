@@ -18,14 +18,25 @@ radius 39). Spark-first mapping:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from big_data_flight_analytics_spark.constants import AIRPORT_RADIUS_KM
+from big_data_flight_analytics_spark.constants import (
+    AIRPORT_RADIUS_KM,
+    EARTH_RADIUS_KM,
+)
 from big_data_flight_analytics_spark.functions.scalar import haversine_km
 
-# 1 degree of latitude ~= 111.32 km everywhere on the globe.
-KM_PER_DEG_LAT = 111.32
+# km per degree of latitude ON THE ENGINE'S OWN SPHERE: every pruning
+# bound (bounding box, band width) must be consistent with the 6371 km
+# radius ``haversine_km`` measures with, or the box is ~0.11% too
+# narrow and drops true pairs at the radius margin (caught by the 2D
+# cell equality test at 8000 km: a d=7999.4 pair with dlat past the
+# old 111.32-based limit). The WGS84 "~111.32 km" figure belongs to a
+# different sphere than the one distances are computed on.
+KM_PER_DEG_LAT = math.pi / 180.0 * EARTH_RADIUS_KM  # ~111.19493
 
 
 def radius_join(
@@ -40,6 +51,7 @@ def radius_join(
     use_banding: bool | None = None,
     band_threshold: int = 1000,
     site_count: int | None = None,
+    lon_cells: bool = True,
 ) -> DataFrame:
     """All (point, site) pairs within ``radius_km`` (haversine), one row each.
 
@@ -49,9 +61,20 @@ def radius_join(
 
     ``use_banding=None`` auto-picks: broadcast cross join below
     ``band_threshold`` sites (plan: BroadcastNestedLoopJoin over a
-    ~KB-scale side), latitude-banded equi-join above it. Pass
-    ``site_count`` (from table/catalog statistics) to make that decision
-    without the extra count job, keeping the plan fully lazy.
+    ~KB-scale side), banded equi-join above it. Pass ``site_count``
+    (from table/catalog statistics) to make that decision without the
+    extra count job, keeping the plan fully lazy.
+
+    The banded path keys on 2D CELLS by default (``lon_cells=True``):
+    latitude bands of ``radius/111.32`` degrees, each subdivided into
+    longitude cells whose width is corrected by the band's worst-case
+    cos(latitude) — so a cell spans >= radius everywhere in the band
+    and own-or-adjacent-cell candidates are a strict superset of the
+    circle. Longitude wraps at the antimeridian via pmod; bands whose
+    required lon width exceeds the circle degenerate to one cell
+    (automatic near-pole fallback — cos -> 0 makes nlon = 1), which is
+    exactly the lat-only behavior. ``lon_cells=False`` restores plain
+    latitude bands (the v1 path, kept for the equality tests).
     """
     pts = points.filter(F.col(point_lat).isNotNull() & F.col(point_lon).isNotNull())
     dist = haversine_km(
@@ -92,11 +115,75 @@ def radius_join(
     sites3 = sites.withColumn(
         "__band", F.explode(F.array(s_band - 1, s_band, s_band + 1))
     )
-    joined = pts.withColumn("__band", p_band).join(sites3, "__band")
+    if not lon_cells:
+        joined = pts.withColumn("__band", p_band).join(sites3, "__band")
+        return (
+            joined.withColumn(distance_col, dist)
+            .filter(F.col(distance_col) <= radius_km)
+            .drop("__band")
+        )
+
+    # exact haversine inversion for the required cell width: for any
+    # pair within R, sin^2(dlon/2) * cos(lat_p) * cos(lat_s) <=
+    # sin^2(R / 2R_earth), so dlon <= 2 asin(sin(R/2R_e) / cos(phi_max))
+    # with phi_max the largest |lat| EITHER side of the pair can have —
+    # the band's own edge PLUS one band (the site may sit in the
+    # adjacent, more poleward band). The exact asin form matters: the
+    # linear band_deg/cos approximation undershoots by O(width^3) and
+    # could drop a boundary pair at wide radii.
+    half_sin = math.sin(radius_km / (2.0 * EARTH_RADIUS_KM))
+
+    def _nlon(band: Column) -> Column:
+        # Near the poles cos -> 0 drives the ratio past 1; the clamp
+        # turns the width into the half/full circle and nlon bottoms
+        # out at 1-2 — own+adjacent cells then cover every cell, which
+        # is the lat-only fallback, for exactly the bands where lon
+        # cells cannot be made correct.
+        edge = (
+            F.greatest(F.abs(band * band_deg), F.abs((band + 1) * band_deg))
+            + band_deg
+        )
+        ratio = F.lit(half_sin) / F.cos(
+            F.radians(F.least(edge, F.lit(90.0)))
+        )
+        width_deg = F.degrees(2.0 * F.asin(F.least(ratio, F.lit(1.0))))
+        return (
+            F.greatest(
+                F.lit(1), F.floor(360.0 / F.greatest(width_deg, F.lit(1e-9)))
+            )
+        ).cast("long")
+
+    def _cell(lon: Column, n: Column) -> Column:
+        # lon in [-180, 180] -> cell in [0, n); pmod folds lon = 180
+        # onto cell 0 (== lon = -180, the same meridian)
+        return F.pmod(F.floor((lon + 180.0) * n / 360.0), n)
+
+    p_n = _nlon(F.col("__band"))
+    pts_k = pts.withColumn("__band", p_band).withColumn(
+        "__lcell", _cell(F.col(point_lon), p_n)
+    )
+    # per replica band, this band's own discretization; replicate the
+    # site into its cell and both neighbors, WRAPPED — array_distinct
+    # collapses the wrap-around duplicates tiny nlon produces (nlon <=
+    # 3 would otherwise emit the same cell twice and duplicate every
+    # matched pair downstream)
+    s_n = _nlon(F.col("__band"))
+    s_c = _cell(F.col(site_lon), s_n)
+    sites_k = sites3.withColumn(
+        "__lcell",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.pmod(s_c - 1, s_n), s_c, F.pmod(s_c + 1, s_n)
+                )
+            )
+        ),
+    )
+    joined = pts_k.join(sites_k, ["__band", "__lcell"])
     return (
         joined.withColumn(distance_col, dist)
         .filter(F.col(distance_col) <= radius_km)
-        .drop("__band")
+        .drop("__band", "__lcell")
     )
 
 

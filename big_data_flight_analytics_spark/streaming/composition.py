@@ -69,29 +69,34 @@ def advise_sink_composition(
     ``"separate"`` (one stream per sink) for a family of sinks over
     the same feed.
 
-    Measured path (``scan_cost_s`` + every profile's
-    ``per_batch_cost_s`` given): the family is scan-bound iff the
-    shared per-batch scan cost is at least the sum of the sinks' fold
-    costs (``per_batch_cost_s - scan_cost_s``, floored at 0) — then
-    composing amortizes the dominant term and always wins. Otherwise
-    the fold-bound rule applies: separate at high batch count,
+    The two signals are ASYMMETRIC, deliberately (the 16-batch
+    validation run pinned this): measured per-batch costs can PROVE a
+    family scan-bound — shared scan cost at least the sum of the
+    sinks' residual costs (``per_batch_cost_s - scan_cost_s``, floored
+    at 0) means composing amortizes the dominant term — but they
+    cannot prove the opposite, because a sink's standalone residual
+    bundles per-trigger FIXED overhead (driver round trip, store swap)
+    that composing amortizes just like the scan (s17's sketch family:
+    residuals exceeded the scan at 16 batches, yet composing measured
+    1.44x). What actually makes separate streams win is serialized
+    BIG-state swap I/O per trigger, and that follows from the
+    state-grain class, not from the cost decomposition. So:
+    scan-bound iff every ``state_class`` is in
+    :data:`SCAN_BOUND_CLASSES` OR the measured costs prove it;
+    otherwise (index-grain family) separate at high batch count,
     compose below it.
-
-    Fallback path (costs not given): scan-bound iff every sink's
-    ``state_class`` is in :data:`SCAN_BOUND_CLASSES` — one
-    index-grain sink in the family makes its fold the plausible
-    dominant cost, so the family is treated fold-bound.
     """
     if not profiles:
         raise ValueError("advise_sink_composition: empty sink family")
     costs = [p.per_batch_cost_s for p in profiles]
-    if scan_cost_s is not None and all(c is not None for c in costs):
-        fold_total = sum(max(c - scan_cost_s, 0.0) for c in costs)
-        scan_bound = scan_cost_s >= fold_total
-    else:
-        scan_bound = all(
-            p.state_class in SCAN_BOUND_CLASSES for p in profiles
-        )
-    if scan_bound:
+    class_scan_bound = all(
+        p.state_class in SCAN_BOUND_CLASSES for p in profiles
+    )
+    measured_scan_bound = (
+        scan_cost_s is not None
+        and all(c is not None for c in costs)
+        and scan_cost_s >= sum(max(c - scan_cost_s, 0.0) for c in costs)
+    )
+    if class_scan_bound or measured_scan_bound:
         return "compose"
     return "separate" if n_batches >= high_batch_threshold else "compose"

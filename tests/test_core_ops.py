@@ -128,6 +128,70 @@ class TestRadiusJoinBanding:
         pb = {(r["pid"], r["sid"]) for r in b.collect()}
         assert pa == pb and len(pa) > 0
 
+    def test_lon_cells_equal_lat_only_and_broadcast(self, spark):
+        """The 2D-cell banded path (lon cells with per-band worst-case
+        cos correction, antimeridian wrap, near-pole one-cell
+        fallback) must return exactly the broadcast pairs — fixtures
+        deliberately stack the hazards: poles, the +-180 seam, and
+        cross-band boundary pairs at several radii."""
+        import random
+
+        rng = random.Random(97)
+        rows = [
+            # antimeridian seam pairs
+            (0, 10.0, 179.9),
+            (1, 10.0, -179.9),
+            (2, -10.0, 180.0),
+            # near-pole cluster (cos -> 0 fallback)
+            (3, 89.5, 0.0),
+            (4, 89.4, 120.0),
+            (5, -89.9, -60.0),
+            # equatorial
+            (6, 0.0, 0.0),
+            (7, 0.5, 0.5),
+        ] + [
+            (
+                10 + i,
+                rng.uniform(-89.9, 89.9),
+                rng.uniform(-180.0, 180.0),
+            )
+            for i in range(80)
+        ]
+        pts = spark.createDataFrame(
+            rows, "pid long, latitude double, longitude double"
+        )
+        sites = spark.createDataFrame(
+            [
+                (100 + j, lat, lon)
+                for j, (_, lat, lon) in enumerate(rows[:40])
+            ],
+            "sid long, site_latitude double, site_longitude double",
+        )
+        for r_km in (60.0, 500.0, 3000.0, 8000.0):
+            truth = {
+                (r["pid"], r["sid"])
+                for r in radius_join(
+                    pts, sites, radius_km=r_km, use_banding=False
+                ).collect()
+            }
+            cells = {
+                (r["pid"], r["sid"])
+                for r in radius_join(
+                    pts, sites, radius_km=r_km, use_banding=True,
+                    lon_cells=True,
+                ).collect()
+            }
+            lat_only = {
+                (r["pid"], r["sid"])
+                for r in radius_join(
+                    pts, sites, radius_km=r_km, use_banding=True,
+                    lon_cells=False,
+                ).collect()
+            }
+            assert cells == truth, f"radius {r_km}: 2D cells diverged"
+            assert lat_only == truth, f"radius {r_km}: lat bands diverged"
+            assert truth  # fixtures always produce matches
+
     def test_null_coords_dropped(self, spark):
         pts = spark.createDataFrame(
             [Row(pid=1, latitude=None, longitude=10.0),

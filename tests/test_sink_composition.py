@@ -61,11 +61,23 @@ class TestMeasuredRegimes:
 
     def test_fold_cost_floors_at_zero(self):
         # a stage measured FASTER than the scan (noise) must not
-        # produce a negative fold that masks the others
-        fam = _sketchy([0.5, 3.5])  # folds: 0 + 2.5 > scan 1.0
+        # produce a negative fold that masks the others — an INDEX
+        # family with one real heavy residual stays fold-bound
+        fam = _indexy([0.5, 3.5])  # folds: 0 + 2.5 > scan 1.0
         assert (
             advise_sink_composition(fam, scan_cost_s=1.0, n_batches=16)
             == "separate"
+        )
+
+    def test_sketch_family_never_demoted_by_noisy_residuals(self):
+        # the 16-batch validation: sketch sinks' standalone residuals
+        # bundle per-trigger fixed overhead that composing amortizes
+        # too (s17 measured 1.44x composed) — big measured residuals
+        # must NOT flip a sketch family to separate
+        fam = _sketchy([2.5, 2.6, 2.4])  # residuals >> scan 1.0
+        assert (
+            advise_sink_composition(fam, scan_cost_s=1.0, n_batches=16)
+            == "compose"
         )
 
 
