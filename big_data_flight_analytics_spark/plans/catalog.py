@@ -215,6 +215,7 @@ _TIE_BREAK = [
     "c3_grouping_sets_revenue",
     "v9_rrf_fusion",
     "i14_geo_count_delta",
+    "t27_tokenizer_fertility",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

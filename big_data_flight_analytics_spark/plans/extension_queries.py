@@ -5781,6 +5781,83 @@ T16_SQL = _bpe_apply_sql(as_string=True)
 
 
 # ---------------------------------------------------------------------------
+# T27 — tokenizer FERTILITY report: BPE tokens per whitespace word,
+# per source — the standard tokenizer-QA number (a tokenizer trained
+# on one distribution "over-fragments" another; fertility per slice
+# is how that is caught before training). Composes the t15 merge
+# table -> t16 corpus tokenization -> per-source ratio; integer token
+# sums, one map-only tokenize pass + one tiny hash agg. The oracle
+# replays the full learned-BPE chain (the t16 oracle as a nested CTE)
+# and re-derives the ratio — so the gate certifies the tokenizer, the
+# word count, AND the report arithmetic agree end-to-end.
+# ---------------------------------------------------------------------------
+
+
+def t27_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.bpe import (
+        tokenize_with_merges,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    merges = [
+        (r["sym_a"], r["sym_b"])
+        for r in _bpe_merge_table(spark, sf_dir)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    bpe = tokenize_with_merges(docs, merges).select(
+        "doc_id", "n_bpe_tokens"
+    )
+    # NULL text counts 0 words (size() of a NULL array is -1/NULL —
+    # coalesce FIRST, mirroring the oracle's COALESCE(text, ''))
+    toks = F.filter(
+        F.split(
+            F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+"
+        ),
+        lambda x: x != "",
+    )
+    words = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("n_words"),
+    )
+    agg = bpe.join(words, "doc_id").groupBy("source").agg(
+        F.sum("n_bpe_tokens").cast("long").alias("n_bpe"),
+        F.sum("n_words").cast("long").alias("n_words"),
+    )
+    return agg.select(
+        "source",
+        "n_bpe",
+        "n_words",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(F.col("n_bpe") / F.col("n_words"), 4),
+        ).alias("fertility"),
+    )
+
+
+T27_SQL = rf"""
+WITH bpe AS (
+{_bpe_apply_sql(as_string=True)}
+), words AS (
+    SELECT doc_id, source,
+           CAST(len(list_filter(
+               regexp_split_to_array(trim(lower(COALESCE(text, ''))), '\s+'),
+               x -> x <> '')) AS BIGINT) AS n_words
+    FROM documents
+)
+SELECT w.source,
+       CAST(SUM(b.n_bpe_tokens) AS BIGINT) AS n_bpe,
+       CAST(SUM(w.n_words) AS BIGINT) AS n_words,
+       CASE WHEN SUM(w.n_words) > 0
+            THEN ROUND(CAST(SUM(b.n_bpe_tokens) AS DOUBLE)
+                       / SUM(w.n_words), 4) END AS fertility
+FROM bpe b JOIN words w USING (doc_id)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # T17 — BM25 retrieval under the full oracle gate: top-k documents for
 # a fixed query term set, the search-side capability the corpus
 # catalog lacked (TF-IDF t4 profiles documents; this RANKS them for a
@@ -6473,6 +6550,7 @@ EXTENSION_QUERIES = {
     "j15_geo_radius_counts": j15_geo_radius_counts,
     "j16_geo_nearest_k": j16_geo_nearest_k,
     "i14_geo_count_delta": i14_geo_count_delta,
+    "t27_tokenizer_fertility": t27_tokenizer_fertility,
     "d8_curated_corpus": d8_curated_corpus,
     "m1_multimodal_features": m1_multimodal_features,
     "m2_frame_sample": m2_frame_sample,
@@ -6556,6 +6634,7 @@ EXTENSION_ORACLES = {
     "j15_geo_radius_counts": J15_SQL,
     "j16_geo_nearest_k": J16_SQL,
     "i14_geo_count_delta": I14_SQL,
+    "t27_tokenizer_fertility": T27_SQL,
     "t25_dataset_card": T25_SQL,
     "i12_dataset_card_delta": T25_SQL,
     "t26_boilerplate_excision": T26_SQL,
