@@ -11,7 +11,8 @@ fix.
 
 ``nfc_lite`` closes the gap that actually occurs in European-language
 corpora: every (lowercase plain base + single combining mark) pair
-that NFC composes to one code point, over ASCII, Greek (α..ω + ς)
+that NFC composes to one code point, over ASCII, Greek (α..ω,
+final sigma included)
 and Cyrillic (а..я + і) base letters — the table is generated from
 ``unicodedata`` at import, so it IS the Unicode composition data for
 that subset, not a hand list (capability step 2 added the two

@@ -7,13 +7,13 @@ radius 39). Spark-first mapping:
 
 - small right side (e.g. top-10 airports): broadcast cross join +
   haversine filter — the broadcast nested-loop join IS the right plan;
-- large right side: latitude-band pre-join. Both sides get an integer
-  band key ``floor(lat / band_deg)``; points can only match airports in
-  their own or adjacent band, so the cross join shrinks to an equi-join
-  on band (plus the exact haversine filter). Longitude is deliberately
-  not banded in v1 (cos(lat) distortion near poles makes fixed lon cells
-  incorrect without extra care); the lat band alone cuts candidates by
-  ~180/band_deg x.
+- large right side: 2D-cell pre-join. Both sides get an integer
+  latitude band key ``floor(lat / band_deg)`` subdivided into
+  longitude cells (width from the exact haversine inversion with the
+  band's worst-case cos(lat), antimeridian wrap, one-cell near-pole
+  fallback); points can only match airports in their own or adjacent
+  cell, so the cross join shrinks to an equi-join on (band, cell)
+  plus the exact haversine filter.
 """
 
 from __future__ import annotations
@@ -66,7 +66,7 @@ def radius_join(
     extra count job, keeping the plan fully lazy.
 
     The banded path keys on 2D CELLS by default (``lon_cells=True``):
-    latitude bands of ``radius/111.32`` degrees, each subdivided into
+    latitude bands of ``radius/KM_PER_DEG_LAT`` degrees, each subdivided into
     longitude cells whose width is corrected by the band's worst-case
     cos(latitude) — so a cell spans >= radius everywhere in the band
     and own-or-adjacent-cell candidates are a strict superset of the
@@ -81,7 +81,8 @@ def radius_join(
         F.col(point_lat), F.col(point_lon), F.col(site_lat), F.col(site_lon)
     )
     # cheap bounding-box prefilter before the trig: a pair can only be
-    # within R km if its latitude delta is <= R/111.32 deg. Pure
+    # within R km if its latitude delta is <= R/KM_PER_DEG_LAT deg
+    # (the engine-sphere constant above — NOT 111.32). Pure
     # comparison, cuts haversine evaluations ~(180*band)/R-fold; the box
     # is a strict superset of the circle so results are unchanged.
     # (Longitude is not boxed: degrees shrink by cos(lat) and a correct

@@ -259,6 +259,7 @@ def estimate_semi_join(
     key_col: str,
     width: int = ADVISOR_CMS_WIDTH,
     keys_distinct: bool = False,
+    n_keys: int | None = None,
 ) -> tuple[int, int, int]:
     """Gather the advisor's three scalars: (n_distinct_keys,
     est_matching_fact_rows, n_fact_rows).
@@ -276,7 +277,9 @@ def estimate_semi_join(
     scans are column-pruned to the key. The collects are planner state
     (three integers), the same class as AQE's runtime statistics — not
     a data funnel. Pass ``keys_distinct=True`` when ``keys`` is
-    already deduplicated (skips a shuffle)."""
+    already deduplicated (skips a shuffle), and ``n_keys`` when the
+    caller already counted the distinct keys (skips the count job —
+    planned_semi_join counts first for its broadcast short-circuit)."""
     from big_data_flight_analytics_spark.operators.sketches import (
         cms_sketch,
     )
@@ -302,7 +305,9 @@ def estimate_semi_join(
         .collect()
     )
     est = int(est_rows[0]["__est"] or 0)
-    return distinct_keys.count(), est, fact.count()
+    if n_keys is None:
+        n_keys = distinct_keys.count()
+    return n_keys, est, fact.count()
 
 
 def planned_semi_join(
@@ -349,6 +354,7 @@ def planned_semi_join(
             fact_key,
             width,
             keys_distinct=True,
+            n_keys=n_keys,
         )
         strategy = advise_join_strategy(
             n_keys, est, n_fact, broadcast_max_rows, bloom_max_survival

@@ -1934,19 +1934,23 @@ def rrf_fuse(
     with item-id tie-break.
 
     Cross-engine determinism: every rrf value is an exact function of
-    small-integer ranks (IEEE double division + a per-item sum over at
-    most len(rankings) terms — both engines evaluate bit-identically),
-    so the fused order replays; ``rrf`` is additionally rounded for
-    display only AFTER ranking. Scale: each list is O(queries x k)
-    rows; the fuse is one union + one (query, item) hash aggregate +
-    one per-query window — nothing touches the corpora that produced
-    the lists.
+    small-integer ranks (IEEE double division, both engines evaluate
+    bit-identically) — and because FP addition is NOT associative, the
+    per-item sum is folded over the item's SORTED rank array rather
+    than aggregated in shuffle-arrival order: with 3+ lists, two items
+    holding the same rank multiset are exact ties that an
+    order-nondeterministic sum could split by a ulp and break ahead of
+    the item-id tie-break. ``rrf`` is additionally rounded for display
+    only AFTER ranking. Scale: each list is O(queries x k) rows; the
+    fuse is one union + one (query, item) hash aggregate + one
+    per-query window — nothing touches the corpora that produced the
+    lists.
     """
     tagged = [
         r.select(
             F.col(query_col),
             F.col(item_col),
-            (F.lit(1.0) / (F.lit(k_rrf) + F.col(rank_col))).alias("__c"),
+            F.col(rank_col).cast("long").alias("__r"),
         )
         for r in rankings
     ]
@@ -1954,7 +1958,11 @@ def rrf_fuse(
     for t in tagged[1:]:
         allc = allc.unionByName(t)
     fused = allc.groupBy(query_col, item_col).agg(
-        F.sum("__c").alias("__rrf"),
+        F.aggregate(
+            F.array_sort(F.collect_list("__r")),
+            F.lit(0.0),
+            lambda acc, r: acc + F.lit(1.0) / (F.lit(k_rrf) + r),
+        ).alias("__rrf"),
         F.count(F.lit(1)).cast("long").alias("n_lists"),
     )
     w = Window.partitionBy(query_col).orderBy(

@@ -871,8 +871,13 @@ def c1_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("__n").alias("__n"), F.sum("__rev").alias("__rev")
             )
             if keys
+            # grand total on an EMPTY fact: SUM of no rows is NULL but
+            # the engines' CUBE/ROLLUP/GROUPING SETS () set emits
+            # COUNT(*)=0 — coalesce the count (revenue stays NULL, the
+            # SUM-over-empty contract both engines share)
             else fine.groupBy().agg(
-                F.sum("__n").alias("__n"), F.sum("__rev").alias("__rev")
+                F.coalesce(F.sum("__n"), F.lit(0)).alias("__n"),
+                F.sum("__rev").alias("__rev"),
             )
         )
         cols = []
@@ -949,8 +954,13 @@ def c2_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("__n").alias("__n"), F.sum("__rev").alias("__rev")
             )
             if keys
+            # grand total on an EMPTY fact: SUM of no rows is NULL but
+            # the engines' CUBE/ROLLUP/GROUPING SETS () set emits
+            # COUNT(*)=0 — coalesce the count (revenue stays NULL, the
+            # SUM-over-empty contract both engines share)
             else fine.groupBy().agg(
-                F.sum("__n").alias("__n"), F.sum("__rev").alias("__rev")
+                F.coalesce(F.sum("__n"), F.lit(0)).alias("__n"),
+                F.sum("__rev").alias("__rev"),
             )
         )
         # GROUPING bitmask: grouped-away columns (the hierarchy tail)
@@ -1044,8 +1054,13 @@ def c3_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("__n").alias("__n"), F.sum("__rev").alias("__rev")
             )
             if keys
+            # grand total on an EMPTY fact: SUM of no rows is NULL but
+            # the engines' CUBE/ROLLUP/GROUPING SETS () set emits
+            # COUNT(*)=0 — coalesce the count (revenue stays NULL, the
+            # SUM-over-empty contract both engines share)
             else fine.groupBy().agg(
-                F.sum("__n").alias("__n"), F.sum("__rev").alias("__rev")
+                F.coalesce(F.sum("__n"), F.lit(0)).alias("__n"),
+                F.sum("__rev").alias("__rev"),
             )
         )
         gid = sum(

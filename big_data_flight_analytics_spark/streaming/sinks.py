@@ -1360,7 +1360,7 @@ class SessionSink(ParquetUpsertSink):
     ``session_fold`` never compares sessions across keys). The
     boundary frame is O(keys) and broadcast while the store is small;
     past ``broadcast_bounds_max_rows`` store rows (upper-bounding the
-    key count, read from parquet metadata — no scan) the watermark
+    key count via a cheap zero-column count of the store) the watermark
     join runs un-broadcast instead, because at 100 TB-scale key
     cardinality a per-trigger O(keys) broadcast IS the bottleneck.
     Both paths compute the same filter, pinned equal by test. Under
@@ -1372,10 +1372,11 @@ class SessionSink(ParquetUpsertSink):
     ONLY for per-key-ordered feeds, so each ``merge`` records what it
     silently removed — ``last_dropped`` = {"null_ts": n, "late": n}
     for that batch, ``dropped_total`` accumulated across the sink's
-    lifetime (ADVICE r14). The two counts cost two aggregates over
-    the (small) micro-batch, the same monitor class as the Bloom
-    sink's fill-ratio scalar; pass ``track_dropped=False`` to skip
-    them in a throughput-critical topology.
+    lifetime (ADVICE r14). The accounting costs one combined aggregate
+    over the micro-batch (raw + non-NULL-ts counts) plus one count of
+    the post-watermark survivors — the same monitor class as the
+    Bloom sink's fill-ratio scalar; pass ``track_dropped=False`` to
+    skip both in a throughput-critical topology.
 
     Exactly-once, twice over: the bridge merge is not idempotent in
     the additive sense (n_events sums across the boundary pair), so
@@ -1420,21 +1421,31 @@ class SessionSink(ParquetUpsertSink):
             return  # replay of an already-folded batch
         spark = batch_df.sparkSession
         us = _micros(self.ts_col)
-        n_in = batch_df.count() if self.track_dropped else 0
+        if self.track_dropped:
+            # one aggregate for both the raw and non-NULL-ts counts
+            # (count(col) skips NULLs) — not two batch re-executions
+            row = batch_df.agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.count(F.col(self.ts_col)).alias("__t"),
+            ).collect()[0]
+            n_in, n_ts = row["__n"], row["__t"]
+        else:
+            n_in = n_ts = 0
         # NULL-ts events carry no session information and would pass
         # the per-key watermark for unseen keys (the isNull branch),
         # persisting NULL-bound sessions — same guard as ohlc_state
         batch_df = batch_df.filter(F.col(self.ts_col).isNotNull())
-        n_ts = batch_df.count() if self.track_dropped else 0
         store = None
         if os.path.exists(self.path):
             store = spark.read.parquet(self.path)
             bounds = store.groupBy(self.key_col).agg(
                 F.max("end_us").alias("__bnd")
             )
-            # store row count upper-bounds the key count and comes
-            # from parquet footers (no scan): small store -> broadcast
-            # the bounds; huge key space -> shuffle join, same filter
+            # store row count upper-bounds the key count; count()
+            # over the unfiltered parquet store is a cheap zero-column
+            # job (row-group metadata, no column decode): small store
+            # -> broadcast the bounds; huge key space -> shuffle join,
+            # same filter
             if store.count() <= self.broadcast_bounds_max_rows:
                 bounds = F.broadcast(bounds)
             batch_df = (

@@ -1779,3 +1779,30 @@ class TestRrfFuse:
         )
         rows = rrf_fuse([a, b], k=1, k_rrf=60).collect()
         assert len(rows) == 1 and rows[0]["neighbor_id"] == 5
+
+    def test_three_list_rank_multiset_tie_is_exact(self, spark):
+        """With 3+ lists, two items holding the same rank MULTISET in
+        different list orders are mathematically tied; the fold over
+        the sorted rank array makes the tie bit-exact (an arrival-order
+        sum could split it by a ulp) so the item-id break decides."""
+        from big_data_flight_analytics_spark.operators.similarity import (
+            rrf_fuse,
+        )
+
+        def df(rows):
+            return spark.createDataFrame(
+                rows, "query_id long, neighbor_id long, rank long"
+            )
+
+        # item 8 ranks (1, 2, 3) across lists; item 3 ranks (3, 1, 2)
+        lists = [
+            df([(0, 8, 1), (0, 3, 3)]),
+            df([(0, 8, 2), (0, 3, 1)]),
+            df([(0, 8, 3), (0, 3, 2)]),
+        ]
+        got = [
+            (r["rank"], r["neighbor_id"], r["rrf"])
+            for r in rrf_fuse(lists, k=2, k_rrf=60).orderBy("rank").collect()
+        ]
+        assert [(r, n) for r, n, _ in got] == [(1, 3), (2, 8)]
+        assert got[0][2] == got[1][2]  # identical rrf, id broke the tie

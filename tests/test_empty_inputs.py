@@ -233,3 +233,56 @@ class TestEmptyInputsRound14:
             ).collect()
         }
         assert got == {0: "", 1: None}
+
+
+class TestCubeFamilyEmptyFact:
+    """c1/c2/c3: the grand-total grouping set over an EMPTY fact must
+    match the engines' CUBE/ROLLUP/GROUPING SETS contract — one () row
+    with COUNT(*) = 0 and SUM = NULL — not a NULL count (review r15)."""
+
+    _SCHEMA = (
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp"
+    )
+
+    def test_grand_total_row_is_zero_not_null(self, spark, tmp_path):
+        import duckdb
+
+        from big_data_flight_analytics_spark.plans.analytic_queries import (
+            C1_SQL,
+            C2_SQL,
+            C3_SQL,
+            c1_cube_revenue,
+            c2_rollup_revenue,
+            c3_grouping_sets_revenue,
+        )
+
+        sf_dir = str(tmp_path)
+        spark.createDataFrame([], self._SCHEMA).write.parquet(
+            f"{sf_dir}/lineitem.parquet"
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW lineitem AS SELECT * FROM "
+            f"'{sf_dir}/lineitem.parquet/*.parquet'"
+        )
+        for fn, sql, n_grand_gid in (
+            (c1_cube_revenue, C1_SQL, 3),
+            (c2_rollup_revenue, C2_SQL, 7),
+            (c3_grouping_sets_revenue, C3_SQL, 7),
+        ):
+            got = {r["gid"]: r.asDict() for r in fn(spark, sf_dir).collect()}
+            want_rows = con.sql(sql).fetchall()
+            # both engines: exactly one row (the grand total), count 0
+            assert set(got) == {n_grand_gid}, fn.__name__
+            grand = got[n_grand_gid]
+            assert grand["n_items"] == 0, fn.__name__
+            assert grand["revenue"] is None, fn.__name__
+            assert len(want_rows) == 1, fn.__name__
+            # the oracle's grand row: count column is 0, revenue NULL
+            oracle_counts = [
+                v for v in want_rows[0] if isinstance(v, int)
+            ]
+            assert 0 in oracle_counts, fn.__name__
