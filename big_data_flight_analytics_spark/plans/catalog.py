@@ -216,6 +216,8 @@ _TIE_BREAK = [
     "v9_rrf_fusion",
     "i14_geo_count_delta",
     "t27_tokenizer_fertility",
+    "i15_fertility_delta",
+    "q15_blame_suppliers",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

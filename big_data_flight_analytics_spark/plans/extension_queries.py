@@ -5858,6 +5858,98 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# I15 — incremental tokenizer fertility: t27 maintained under ingest.
+# The per-source (n_bpe, n_words) sums are ADDITIVE over disjoint doc
+# batches GIVEN A FROZEN MERGE TABLE — the t20/s10 model-state
+# contract: the tokenizer is model state trained once; what folds is
+# the corpus accounting. The entry freezes t27's own merge table,
+# computes the state on an 80% base and a 20% arrival batch
+# separately, full-outer-sums them, and re-derives the report; the
+# oracle is t27's from-scratch SQL, so the delta path must be
+# invisible (the i1 contract). No dedicated streaming sink: the fold
+# class (additive sums, marker-guarded) is exactly s20's
+# DatasetCardSink — a fertility sink would be a mechanical clone, so
+# the streaming face is deliberately not duplicated.
+# ---------------------------------------------------------------------------
+
+
+def _fertility_state(docs: DataFrame, merges) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.bpe import (
+        tokenize_with_merges,
+    )
+
+    bpe = tokenize_with_merges(docs, merges).select(
+        "doc_id", "n_bpe_tokens"
+    )
+    toks = F.filter(
+        F.split(
+            F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+"
+        ),
+        lambda x: x != "",
+    )
+    words = docs.select(
+        "doc_id", "source", F.size(toks).cast("long").alias("n_words")
+    )
+    return (
+        bpe.join(words, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe"),
+            F.sum("n_words").cast("long").alias("n_words"),
+        )
+    )
+
+
+def _fertility_fold(base: DataFrame, delta: DataFrame) -> DataFrame:
+    b = base.select(
+        "source",
+        F.col("n_bpe").alias("__b1"),
+        F.col("n_words").alias("__b2"),
+    )
+    d = delta.select(
+        "source",
+        F.col("n_bpe").alias("__d1"),
+        F.col("n_words").alias("__d2"),
+    )
+    z = F.lit(0).cast("long")
+    return b.join(d, "source", "full").select(
+        "source",
+        (F.coalesce("__b1", z) + F.coalesce("__d1", z)).alias("n_bpe"),
+        (F.coalesce("__b2", z) + F.coalesce("__d2", z)).alias("n_words"),
+    )
+
+
+def i15_fertility_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.cache import tracked_persist
+
+    docs = load(spark, sf_dir, "documents")
+    # frozen model state: the SAME merge table t27 uses (trained once)
+    merges = [
+        (r["sym_a"], r["sym_b"])
+        for r in _bpe_merge_table(spark, sf_dir)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    base = _fertility_state(docs.filter(F.col("doc_id") % 5 != 0), merges)
+    delta = _fertility_state(docs.filter(F.col("doc_id") % 5 == 0), merges)
+    folded = _fertility_fold(
+        tracked_persist(base), tracked_persist(delta)
+    )
+    return folded.select(
+        "source",
+        "n_bpe",
+        "n_words",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(F.col("n_bpe") / F.col("n_words"), 4),
+        ).alias("fertility"),
+    )
+
+
+I15_SQL = T27_SQL
+
+
+# ---------------------------------------------------------------------------
 # T17 — BM25 retrieval under the full oracle gate: top-k documents for
 # a fixed query term set, the search-side capability the corpus
 # catalog lacked (TF-IDF t4 profiles documents; this RANKS them for a
@@ -6551,6 +6643,7 @@ EXTENSION_QUERIES = {
     "j16_geo_nearest_k": j16_geo_nearest_k,
     "i14_geo_count_delta": i14_geo_count_delta,
     "t27_tokenizer_fertility": t27_tokenizer_fertility,
+    "i15_fertility_delta": i15_fertility_delta,
     "d8_curated_corpus": d8_curated_corpus,
     "m1_multimodal_features": m1_multimodal_features,
     "m2_frame_sample": m2_frame_sample,
@@ -6635,6 +6728,7 @@ EXTENSION_ORACLES = {
     "j16_geo_nearest_k": J16_SQL,
     "i14_geo_count_delta": I14_SQL,
     "t27_tokenizer_fertility": T27_SQL,
+    "i15_fertility_delta": I15_SQL,
     "t25_dataset_card": T25_SQL,
     "i12_dataset_card_delta": T25_SQL,
     "t26_boilerplate_excision": T26_SQL,

@@ -1535,6 +1535,91 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Q15 — TPC-H Q21-shaped "blame the sole late supplier": per supplier,
+# how many multi-supplier orders were late ONLY because of them. The
+# classic shape is a double correlated EXISTS/NOT EXISTS self-join on
+# lineitem; the engine form (and the form-robust oracle, r8 doctrine)
+# is two stacked aggregations over ONE fact pass — per (order,
+# supplier) lateness, then per-order supplier/late counts — and a
+# semi-join back, so the fact is scanned once and every shuffle keys
+# on the order key it already carries. "Late" = shipped more than
+# Q15_LATE_DAYS after the order date (the synthetic dates are
+# independent, so the threshold sits at the distribution's right
+# tail for Q21-like selectivity). Output is every blamed supplier
+# (no LIMIT: a cutoff would tie-break on counts and hash-compare
+# unstably; the report is small — O(suppliers)).
+# ---------------------------------------------------------------------------
+
+Q15_LATE_DAYS = 1800
+_Q15_LATE_US = Q15_LATE_DAYS * 86_400 * 1_000_000
+
+
+def q15_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias(
+            "__ship_us"
+        ),
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+            "__ord_us"
+        ),
+    )
+    per_os = (
+        li.join(orders, "l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("__ship_us") > F.col("__ord_us") + _Q15_LATE_US,
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("__was_late")
+        )
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__n_s"),
+        F.sum("__was_late").alias("__n_late"),
+    )
+    blamed = per_os.filter(F.col("__was_late") == 1).join(
+        per_o.filter((F.col("__n_s") >= 2) & (F.col("__n_late") == 1)),
+        "l_orderkey",
+    )
+    supplier = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    return (
+        blamed.join(F.broadcast(supplier), "l_suppkey")
+        .groupBy(F.col("s_name").alias("supplier_name"))
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+
+
+Q15_SQL = f"""
+WITH j AS (
+    SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
+           CASE WHEN epoch_us(l.l_shipdate)
+                     > epoch_us(o.o_orderdate) + {_Q15_LATE_US}
+                THEN 1 ELSE 0 END AS late
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), per_os AS (
+    SELECT ok, sk, MAX(late) AS was_late FROM j GROUP BY 1, 2
+), per_o AS (
+    SELECT ok, COUNT(*) AS n_s, SUM(was_late) AS n_late
+    FROM per_os GROUP BY 1
+)
+SELECT s.s_name AS supplier_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per_os p
+JOIN per_o q USING (ok)
+JOIN supplier s ON s.s_suppkey = p.sk
+WHERE p.was_late = 1 AND q.n_s >= 2 AND q.n_late = 1
+GROUP BY 1
+"""
+
 
 # ---------------------------------------------------------------------------
 # P3 — k-anonymity / l-diversity audit (operators/quality.py
@@ -1589,6 +1674,7 @@ RELATIONAL_QUERIES = {
     "p2_constraint_report": p2_constraint_report,
     "p3_k_anonymity": p3_k_anonymity,
     "q14_dormant_high_balance": q14_dormant_high_balance,
+    "q15_blame_suppliers": q15_blame_suppliers,
     "q1_supplier_stats": q1_supplier_stats,
     "q2_status_priority_delays": q2_status_priority_delays,
     "q3_busiest_customers": q3_busiest_customers,
@@ -1652,6 +1738,7 @@ RELATIONAL_ORACLES = {
     "p2_constraint_report": P2_SQL,
     "p3_k_anonymity": P3_SQL,
     "q14_dormant_high_balance": Q14_SQL,
+    "q15_blame_suppliers": Q15_SQL,
 }
 
 
