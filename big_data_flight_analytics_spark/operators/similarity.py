@@ -1979,3 +1979,140 @@ def rrf_fuse(
             "rank",
         )
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_candidates: int = 8,
+    k: int = 3,
+    lam_tenths: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dp: int = 4,
+) -> DataFrame:
+    """Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998):
+    greedily pick ``k`` of the ``n_candidates`` nearest neighbors per
+    query, each step maximizing
+    ``lam * sim(q, d) - (1 - lam) * max over selected s of sim(d, s)``
+    — the standard retrieval diversifier (relevance alone returns
+    near-duplicates; the penalty term spends the budget on DIFFERENT
+    relevant items).
+
+    Output: (query_id, neighbor_id, step, score) — step 1..k in
+    selection order; step 1 carries no penalty.
+
+    Engine-portable by the Lloyd/perceptron doctrine: the greedy loop
+    is a FIXED k-step unroll (the oracle replays it as k CTE layers),
+    every similarity is the v1-rounded ``dp``-decimal cosine, lam is a
+    tenths-integer so both engines compute the identical double
+    arithmetic from identical inputs, and every argmax tie-breaks on
+    the item id. Scale shape: candidates are O(queries x n) rows and
+    pair sims O(queries x n^2) — retrieval-batch-sized frames
+    (everything downstream of the one corpus-wide scoring pass), so
+    the k-step loop is scheduling-bound like BPE, never a corpus
+    rescan.
+    """
+    lam = F.lit(lam_tenths / 10.0)
+    one_m_lam = F.lit((10 - lam_tenths) / 10.0)
+    cands = brute_force_topk(
+        corpus, queries, k=n_candidates, id_col=id_col, vec_col=vec_col,
+        dp=dp,
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("__vid"),
+        F.col(vec_col).alias("__v"),
+        l2_norm(F.col(vec_col)).alias("__n"),
+    )
+    cv = cands.join(
+        vecs, cands["neighbor_id"] == vecs["__vid"]
+    ).select("query_id", "neighbor_id", "sim", "__v", "__n")
+    a = cv.select(
+        "query_id",
+        F.col("neighbor_id").alias("__a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = cv.select(
+        "query_id",
+        F.col("neighbor_id").alias("__b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    pairs = (
+        a.join(b, "query_id")
+        .filter(F.col("__a") != F.col("__b"))
+        .select(
+            "query_id",
+            "__a",
+            "__b",
+            cosine_from_norms(
+                F.col("__va"), F.col("__vb"),
+                F.col("__na"), F.col("__nb"), dp=dp,
+            ).alias("__sab"),
+        )
+    )
+    from big_data_flight_analytics_spark.cache import (
+        loop_checkpoint,
+        tracked_persist,
+    )
+
+    cands = tracked_persist(cands)
+    pairs = tracked_persist(pairs)
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__score").desc(), F.col("neighbor_id").asc()
+    )
+    # step 1: pure relevance (no selected set yet)
+    selected = (
+        cands.select(
+            "query_id",
+            "neighbor_id",
+            (lam * F.col("sim")).alias("__score"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.lit(1).cast("long").alias("step"),
+            F.round(F.col("__score"), 6).alias("score"),
+        )
+    )
+    for step in range(2, k + 1):
+        remaining = cands.join(
+            selected.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        pen = (
+            pairs.join(
+                selected.select(
+                    "query_id", F.col("neighbor_id").alias("__b")
+                ),
+                ["query_id", "__b"],
+            )
+            .groupBy("query_id", F.col("__a").alias("neighbor_id"))
+            .agg(F.max("__sab").alias("__pen"))
+        )
+        scored = remaining.join(
+            pen, ["query_id", "neighbor_id"]
+        ).select(
+            "query_id",
+            "neighbor_id",
+            (lam * F.col("sim") - one_m_lam * F.col("__pen")).alias(
+                "__score"
+            ),
+        )
+        nxt = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.lit(step).cast("long").alias("step"),
+                F.round(F.col("__score"), 6).alias("score"),
+            )
+        )
+        selected = loop_checkpoint(selected.unionByName(nxt))
+    return selected

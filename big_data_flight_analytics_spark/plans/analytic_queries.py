@@ -1286,6 +1286,70 @@ FROM j WHERE chg
 
 
 # ---------------------------------------------------------------------------
+# H3 — POINT-IN-TIME join against the SCD2 dimension: every order
+# attached to the segment version valid AT ITS ORDER DATE
+# (valid_from <= ts < valid_to, open version = NULL to), aggregated to
+# orders/revenue per as-of segment — the "what did the dimension say
+# when the fact happened" lookup that is the entire point of keeping
+# SCD2 history (h1 builds it; this consumes it). Physical shape: an
+# EQUI-join on the customer key with the interval predicate as a
+# post-join filter — versions per key are bounded (SCD2 history
+# depth), so the equi-join fans out O(versions) and the filter keeps
+# exactly one row per fact; no range-join blowup, and the fact side
+# shuffles once on the key it already carries. (For deep-history
+# dimensions the union-window as-of of j9 is the alternative shape —
+# same machinery, one window instead of the fan-out.)
+# ---------------------------------------------------------------------------
+
+
+def h3_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.cache import tracked_persist
+
+    dim = tracked_persist(h1_scd2_customer_segment(spark, sf_dir))
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+            "__ts"
+        ),
+        F.col("o_totalprice"),
+    )
+    pit = orders.join(dim, "c_custkey").filter(
+        (F.col("valid_from_us") <= F.col("__ts"))
+        & (
+            F.col("valid_to_us").isNull()
+            | (F.col("__ts") < F.col("valid_to_us"))
+        )
+    )
+    return pit.groupBy(F.col("segment").alias("asof_segment")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+H3_SQL = f"""
+WITH scd AS (
+{H1_SQL}
+), facts AS (
+    SELECT o_custkey AS c_custkey, epoch_us(o_orderdate) AS ts,
+           o_totalprice
+    FROM orders
+)
+SELECT d.segment AS asof_segment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(f.o_totalprice AS DECIMAL(18,2))), 2)
+            AS DOUBLE) AS revenue
+FROM facts f JOIN scd d USING (c_custkey)
+WHERE d.valid_from_us <= f.ts
+  AND (d.valid_to_us IS NULL OR f.ts < d.valid_to_us)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # W6 — RANGE-framed window: 7-day trailing revenue per customer. The
 # frame is value-based (epoch seconds), not row-based — a different
 # window machinery than W3's ROWS frame.
@@ -2064,6 +2128,7 @@ ANALYTIC_QUERIES = {
     "c1_cube_revenue": c1_cube_revenue,
     "c2_rollup_revenue": c2_rollup_revenue,
     "c3_grouping_sets_revenue": c3_grouping_sets_revenue,
+    "h3_point_in_time_join": h3_point_in_time_join,
     "p1_profile_orders": p1_profile_orders,
     "q10_region_revenue": q10_region_revenue,
     "h1_scd2_customer_segment": h1_scd2_customer_segment,
@@ -2097,6 +2162,7 @@ ANALYTIC_ORACLES = {
     "c1_cube_revenue": C1_SQL,
     "c2_rollup_revenue": C2_SQL,
     "c3_grouping_sets_revenue": C3_SQL,
+    "h3_point_in_time_join": H3_SQL,
     "p1_profile_orders": P1_SQL,
     "q10_region_revenue": Q10_SQL,
     "h1_scd2_customer_segment": H1_SQL,

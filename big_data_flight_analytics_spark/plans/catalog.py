@@ -218,6 +218,8 @@ _TIE_BREAK = [
     "t27_tokenizer_fertility",
     "i15_fertility_delta",
     "q15_blame_suppliers",
+    "h3_point_in_time_join",
+    "v10_mmr_rerank",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

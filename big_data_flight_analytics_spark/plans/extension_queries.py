@@ -5858,6 +5858,124 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# V10 — MMR diversified rerank (Carbonell & Goldstein 1998): after the
+# ANN family answers "what is nearest", MMR answers "what is nearest
+# WITHOUT redundancy" — greedy k-step selection maximizing
+# lam*sim(q,d) - (1-lam)*max_selected sim(d,s). Fixed-step unroll, so
+# the oracle replays the greedy loop as CTE layers (the Lloyd /
+# perceptron doctrine applied to retrieval); all sims are v1-rounded,
+# lam is a tenths integer, ties break on item id. Frames past the one
+# corpus scoring pass are retrieval-batch-sized.
+# ---------------------------------------------------------------------------
+
+V10_N_CANDS = 8
+V10_K = 3
+V10_LAM_TENTHS = 5
+
+
+def v10_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return mmr_rerank(
+        emb,
+        emb.filter(F.col("vec_id") < N_QUERY_VECS),
+        n_candidates=V10_N_CANDS,
+        k=V10_K,
+        lam_tenths=V10_LAM_TENTHS,
+    )
+
+
+def _v10_sql() -> str:
+    lam = V10_LAM_TENTHS / 10.0
+    oml = (10 - V10_LAM_TENTHS) / 10.0
+    cos = """
+           CASE WHEN sqrt(list_dot_product({l}.embedding, {l}.embedding))
+                       * sqrt(list_dot_product({r}.embedding, {r}.embedding)) = 0
+                  THEN 0.0 ELSE ROUND(
+             list_dot_product({l}.embedding, {r}.embedding) /
+             (sqrt(list_dot_product({l}.embedding, {l}.embedding))
+              * sqrt(list_dot_product({r}.embedding, {r}.embedding))), 4) END
+"""
+    head = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding FROM embeddings
+    WHERE vec_id < {N_QUERY_VECS}
+), scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           {cos.format(l='q', r='e')} AS sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id
+), cands AS (
+    SELECT query_id, neighbor_id, sim FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id ASC)
+            AS rn
+        FROM scored
+    ) WHERE rn <= {V10_N_CANDS}
+), pairs AS (
+    SELECT c1.query_id, c1.neighbor_id AS a, c2.neighbor_id AS b,
+           {cos.format(l='e1', r='e2')} AS sab
+    FROM cands c1
+    JOIN cands c2 ON c1.query_id = c2.query_id
+                 AND c1.neighbor_id <> c2.neighbor_id
+    JOIN embeddings e1 ON e1.vec_id = c1.neighbor_id
+    JOIN embeddings e2 ON e2.vec_id = c2.neighbor_id
+), s1 AS (
+    SELECT query_id, neighbor_id, CAST(1 AS BIGINT) AS step,
+           ROUND({lam} * sim, 6) AS score
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id ASC)
+            AS rn
+        FROM cands
+    ) WHERE rn = 1
+)"""
+    steps = []
+    for i in range(2, V10_K + 1):
+        prev_sel = " UNION ALL ".join(
+            f"SELECT query_id, neighbor_id FROM s{j}" for j in range(1, i)
+        )
+        steps.append(f""", sel{i} AS (
+    {prev_sel}
+), r{i} AS (
+    SELECT c.* FROM cands c
+    LEFT JOIN sel{i} s ON s.query_id = c.query_id
+                      AND s.neighbor_id = c.neighbor_id
+    WHERE s.neighbor_id IS NULL
+), p{i} AS (
+    SELECT r.query_id, r.neighbor_id, MAX(p.sab) AS pen
+    FROM r{i} r
+    JOIN pairs p ON p.query_id = r.query_id AND p.a = r.neighbor_id
+    JOIN sel{i} s ON s.query_id = p.query_id AND s.neighbor_id = p.b
+    GROUP BY 1, 2
+), s{i} AS (
+    SELECT query_id, neighbor_id, CAST({i} AS BIGINT) AS step,
+           ROUND(score0, 6) AS score
+    FROM (
+        SELECT r.query_id, r.neighbor_id,
+               {lam} * r.sim - {oml} * p.pen AS score0,
+               ROW_NUMBER() OVER (
+                   PARTITION BY r.query_id
+                   ORDER BY {lam} * r.sim - {oml} * p.pen DESC,
+                            r.neighbor_id ASC) AS rn
+        FROM r{i} r
+        JOIN p{i} p ON p.query_id = r.query_id
+                   AND p.neighbor_id = r.neighbor_id
+    ) WHERE rn = 1
+)""")
+    tail = "\nSELECT * FROM s1" + "".join(
+        f"\nUNION ALL SELECT * FROM s{i}" for i in range(2, V10_K + 1)
+    )
+    return head + "".join(steps) + tail
+
+
+V10_SQL = _v10_sql()
+
+
+# ---------------------------------------------------------------------------
 # I15 — incremental tokenizer fertility: t27 maintained under ingest.
 # The per-source (n_bpe, n_words) sums are ADDITIVE over disjoint doc
 # batches GIVEN A FROZEN MERGE TABLE — the t20/s10 model-state
@@ -6602,6 +6720,7 @@ EXTENSION_QUERIES = {
     "v7_pq_trained_topk": v7_pq_trained_topk,
     "v8_ivfpq_topk": v8_ivfpq_topk,
     "v9_rrf_fusion": v9_rrf_fusion,
+    "v10_mmr_rerank": v10_mmr_rerank,
     "g1_knn_pagerank": g1_knn_pagerank,
     "g2_knn_triangles": g2_knn_triangles,
     "d13_semantic_prune": d13_semantic_prune,
@@ -6724,6 +6843,7 @@ EXTENSION_ORACLES = {
     "t24_corpus_assembly": T24_SQL,
     "j13_advised_semi_join": J13_SQL,
     "v9_rrf_fusion": V9_SQL,
+    "v10_mmr_rerank": V10_SQL,
     "j15_geo_radius_counts": J15_SQL,
     "j16_geo_nearest_k": J16_SQL,
     "i14_geo_count_delta": I14_SQL,

@@ -1806,3 +1806,62 @@ class TestRrfFuse:
         ]
         assert [(r, n) for r, n, _ in got] == [(1, 3), (2, 8)]
         assert got[0][2] == got[1][2]  # identical rrf, id broke the tie
+
+
+class TestMmrRerank:
+    """v10: MMR definitional truth — relevance alone returns the
+    near-duplicate pair; the penalty term swaps the redundant item
+    for the diverse one (Carbonell & Goldstein 1998)."""
+
+    def _frames(self, spark):
+        # query 0 at e1; candidates: 10/11 near-identical (high sim to
+        # q AND to each other), 12 slightly less relevant but diverse
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (10, [0.98, 0.2, 0.0, 0.0]),
+            (11, [0.98, 0.19, 0.0, 0.0]),
+            (12, [0.8, 0.0, 0.6, 0.0]),
+            (13, [0.0, 1.0, 0.0, 0.0]),
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    def test_penalty_swaps_redundant_for_diverse(self, spark):
+        from big_data_flight_analytics_spark.operators.similarity import (
+            brute_force_topk,
+            mmr_rerank,
+        )
+
+        emb = self._frames(spark)
+        q = emb.filter("vec_id = 0")
+        rel_only = [
+            r["neighbor_id"]
+            for r in brute_force_topk(emb, q, k=2).collect()
+        ]
+        assert set(rel_only) == {10, 11}  # relevance picks the twins
+        got = {
+            r["step"]: r["neighbor_id"]
+            for r in mmr_rerank(
+                emb, q, n_candidates=4, k=2, lam_tenths=5
+            ).collect()
+        }
+        assert got[1] == 11  # most relevant first, always
+        assert got[2] == 12  # twin 10 penalized away; diverse 12 in
+
+    def test_lambda_one_reduces_to_relevance_ranking(self, spark):
+        from big_data_flight_analytics_spark.operators.similarity import (
+            mmr_rerank,
+        )
+
+        emb = self._frames(spark)
+        q = emb.filter("vec_id = 0")
+        got = [
+            r["neighbor_id"]
+            for r in mmr_rerank(
+                emb, q, n_candidates=4, k=3, lam_tenths=10
+            )
+            .orderBy("step")
+            .collect()
+        ]
+        assert got == [11, 10, 12]  # pure relevance order
