@@ -2052,10 +2052,7 @@ def mmr_rerank(
             ).alias("__sab"),
         )
     )
-    from big_data_flight_analytics_spark.cache import (
-        loop_checkpoint,
-        tracked_persist,
-    )
+    from big_data_flight_analytics_spark.cache import tracked_persist
 
     cands = tracked_persist(cands)
     pairs = tracked_persist(pairs)
@@ -2063,20 +2060,20 @@ def mmr_rerank(
     w = Window.partitionBy("query_id").orderBy(
         F.col("__score").desc(), F.col("neighbor_id").asc()
     )
-    # step 1: pure relevance (no selected set yet)
+    # step 1: pure relevance (no selected set yet) — ranked by RAW sim
+    # (the oracle's s1 order; ranking by lam*sim would collapse to the
+    # id tie-break at lam = 0 and diverge from MMR's definition)
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
     selected = (
-        cands.select(
-            "query_id",
-            "neighbor_id",
-            (lam * F.col("sim")).alias("__score"),
-        )
-        .withColumn("__rn", F.row_number().over(w))
+        cands.withColumn("__rn", F.row_number().over(w1))
         .filter(F.col("__rn") == 1)
         .select(
             "query_id",
             "neighbor_id",
             F.lit(1).cast("long").alias("step"),
-            F.round(F.col("__score"), 6).alias("score"),
+            F.round(lam * F.col("sim"), 6).alias("score"),
         )
     )
     for step in range(2, k + 1):

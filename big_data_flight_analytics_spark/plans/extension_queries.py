@@ -5794,10 +5794,6 @@ T16_SQL = _bpe_apply_sql(as_string=True)
 
 
 def t27_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from big_data_flight_analytics_spark.operators.bpe import (
-        tokenize_with_merges,
-    )
-
     docs = load(spark, sf_dir, "documents")
     merges = [
         (r["sym_a"], r["sym_b"])
@@ -5805,35 +5801,10 @@ def t27_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("merge_rank")
         .collect()
     ]
-    bpe = tokenize_with_merges(docs, merges).select(
-        "doc_id", "n_bpe_tokens"
-    )
-    # NULL text counts 0 words (size() of a NULL array is -1/NULL —
-    # coalesce FIRST, mirroring the oracle's COALESCE(text, ''))
-    toks = F.filter(
-        F.split(
-            F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+"
-        ),
-        lambda x: x != "",
-    )
-    words = docs.select(
-        "doc_id",
-        "source",
-        F.size(toks).cast("long").alias("n_words"),
-    )
-    agg = bpe.join(words, "doc_id").groupBy("source").agg(
-        F.sum("n_bpe_tokens").cast("long").alias("n_bpe"),
-        F.sum("n_words").cast("long").alias("n_words"),
-    )
-    return agg.select(
-        "source",
-        "n_bpe",
-        "n_words",
-        F.when(
-            F.col("n_words") > 0,
-            F.round(F.col("n_bpe") / F.col("n_words"), 4),
-        ).alias("fertility"),
-    )
+    # ONE definition of the accounting: t27 is i15's state over the
+    # whole corpus plus the shared report projection — a drifted copy
+    # here would silently diverge the i15 differential (review r15)
+    return _fertility_report(_fertility_state(docs, merges))
 
 
 T27_SQL = rf"""
@@ -6037,6 +6008,20 @@ def _fertility_fold(base: DataFrame, delta: DataFrame) -> DataFrame:
     )
 
 
+def _fertility_report(state: DataFrame) -> DataFrame:
+    """The shared (source, n_bpe, n_words, fertility) projection both
+    t27 and i15 emit — zero-word sources report NULL fertility."""
+    return state.select(
+        "source",
+        "n_bpe",
+        "n_words",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(F.col("n_bpe") / F.col("n_words"), 4),
+        ).alias("fertility"),
+    )
+
+
 def i15_fertility_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_flight_analytics_spark.cache import tracked_persist
 
@@ -6053,15 +6038,7 @@ def i15_fertility_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     folded = _fertility_fold(
         tracked_persist(base), tracked_persist(delta)
     )
-    return folded.select(
-        "source",
-        "n_bpe",
-        "n_words",
-        F.when(
-            F.col("n_words") > 0,
-            F.round(F.col("n_bpe") / F.col("n_words"), 4),
-        ).alias("fertility"),
-    )
+    return _fertility_report(folded)
 
 
 I15_SQL = T27_SQL

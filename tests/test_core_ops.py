@@ -388,3 +388,113 @@ class TestConstraintReport:
         plan = rep._jdf.queryExecution().optimizedPlan().toString()
         # no fk -> a single aggregate, no join/union in the plan
         assert "Join" not in plan and "Union" not in plan
+
+
+class TestBlameSemantics:
+    """q15 definitional truth: blame = late supplier in a >=2-supplier
+    order where NO OTHER supplier was late (the TPC-H Q21 rule) —
+    pinned on a hand-built fixture independent of the oracle SQL."""
+
+    def test_sole_late_rule(self, spark, tmp_path):
+        from datetime import datetime
+
+        from big_data_flight_analytics_spark.plans.relational_queries import (
+            Q15_LATE_DAYS,
+            q15_blame_suppliers,
+        )
+
+        d0 = datetime(2020, 1, 1)
+        late = datetime(2026, 1, 1)  # ~2192 days >> the threshold
+        ok = datetime(2020, 1, 2)
+        assert (late - d0).days > Q15_LATE_DAYS
+        sf = str(tmp_path)
+        spark.createDataFrame(
+            [
+                # order 1: suppliers 1 (late), 2 (on time) -> blame 1
+                (1, 101, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", late),
+                (1, 102, 2, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", ok),
+                # order 2: suppliers 1 and 2 BOTH late -> nobody blamed
+                (2, 103, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", late),
+                (2, 104, 2, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", late),
+                # order 3: single-supplier late -> not blamed (needs >=2)
+                (3, 105, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", late),
+                # order 4: two lines from supplier 2, one late -> the
+                # supplier-grain MAX makes it late once; sole -> blame 2
+                (4, 106, 2, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", late),
+                (4, 107, 2, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", ok),
+                (4, 108, 3, 3, 1.0, 1.0, 0.0, 0.0, "N", "O", ok),
+            ],
+            "l_orderkey long, l_partkey long, l_suppkey long, "
+            "l_linenumber int, l_quantity double, l_extendedprice double, "
+            "l_discount double, l_tax double, l_returnflag string, "
+            "l_linestatus string, l_shipdate timestamp",
+        ).write.parquet(f"{sf}/lineitem.parquet")
+        spark.createDataFrame(
+            [(k, d0) for k in (1, 2, 3, 4)],
+            "o_orderkey long, o_orderdate timestamp",
+        ).write.parquet(f"{sf}/orders.parquet")
+        spark.createDataFrame(
+            [(1, "Supplier#1"), (2, "Supplier#2"), (3, "Supplier#3")],
+            "s_suppkey long, s_name string",
+        ).write.parquet(f"{sf}/supplier.parquet")
+        got = {
+            r["supplier_name"]: r["numwait"]
+            for r in q15_blame_suppliers(spark, sf).collect()
+        }
+        assert got == {"Supplier#1": 1, "Supplier#2": 1}
+
+
+class TestPointInTimeBoundaries:
+    """h3's interval semantics pinned directly on the join predicate:
+    valid_from inclusive, valid_to EXCLUSIVE, open version NULL."""
+
+    def test_boundaries(self, spark):
+        from pyspark.sql import functions as F
+
+        dim = spark.createDataFrame(
+            [
+                ("k", "OLD", 0, 100, False),
+                ("k", "NEW", 100, None, True),
+            ],
+            "c_custkey string, segment string, valid_from_us long, "
+            "valid_to_us long, is_current boolean",
+        )
+        facts = spark.createDataFrame(
+            [("k", 0), ("k", 99), ("k", 100), ("k", 5000)],
+            "c_custkey string, ts long",
+        )
+        pit = facts.join(dim, "c_custkey").filter(
+            (F.col("valid_from_us") <= F.col("ts"))
+            & (
+                F.col("valid_to_us").isNull()
+                | (F.col("ts") < F.col("valid_to_us"))
+            )
+        )
+        got = {r["ts"]: r["segment"] for r in pit.collect()}
+        assert pit.count() == 4  # exactly one version per fact
+        # from inclusive, to exclusive: ts=100 belongs to NEW
+        assert got == {0: "OLD", 99: "OLD", 100: "NEW", 5000: "NEW"}
+
+
+class TestFertilityFold:
+    """i15's fold: full-outer sum — a source present on only one side
+    carries through; overlapping sources add."""
+
+    def test_one_sided_and_overlap(self, spark):
+        from big_data_flight_analytics_spark.plans.extension_queries import (
+            _fertility_fold,
+        )
+
+        base = spark.createDataFrame(
+            [("a", 10, 5), ("b", 6, 3)],
+            "source string, n_bpe long, n_words long",
+        )
+        delta = spark.createDataFrame(
+            [("b", 4, 2), ("c", 9, 9)],
+            "source string, n_bpe long, n_words long",
+        )
+        got = {
+            r["source"]: (r["n_bpe"], r["n_words"])
+            for r in _fertility_fold(base, delta).collect()
+        }
+        assert got == {"a": (10, 5), "b": (10, 5), "c": (9, 9)}
