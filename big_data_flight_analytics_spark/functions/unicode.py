@@ -60,7 +60,10 @@ _ASCII_BASES = "abcdefghijklmnopqrstuvwxyz"
 # dialytika \u03ca \u03cb), Cyrillic \u0430..\u044f + \u0456 (\u0456+diaeresis -> Ukrainian \u0457;
 # breve -> \u0439 \u045e, diaeresis -> \u0451 \u04d3 \u04e7 ..., grave -> \u0450 \u045d, acute -> \u0453 \u045c).
 # Already-accented bases (\u00e4+macron -> \u01df) remain a pinned NON-goal.
-_GREEK_BASES = "".join(chr(c) for c in range(0x03B1, 0x03CA)) + "\u03c2"
+# The range runs through omega (0x03C9) and already CONTAINS final
+# sigma (0x03C2) \u2014 do not append it separately, a duplicated base
+# would silently double replace steps if it ever composed (ADVICE r15)
+_GREEK_BASES = "".join(chr(c) for c in range(0x03B1, 0x03CA))
 _CYRILLIC_BASES = (
     "".join(chr(c) for c in range(0x0430, 0x0450)) + "\u0456"
 )

@@ -38,6 +38,15 @@ from big_data_flight_analytics_spark.functions.scalar import haversine_km
 # different sphere than the one distances are computed on.
 KM_PER_DEG_LAT = math.pi / 180.0 * EARTH_RADIUS_KM  # ~111.19493
 
+# ADVICE r15: the exact engine-sphere constant removed the old 111.32
+# box's accidental slack, leaving the prefilter's strict-superset
+# property resting on ulp-level agreement between |dlat| <= R/K and
+# the sin/asin haversine round-trip at a pure-meridian pair sitting
+# exactly at the radius. One part in 1e12 of deliberate widening makes
+# the superset robust (candidate counts change negligibly; membership
+# is still decided by the exact haversine filter alone).
+_PREFILTER_SLACK = 1.0 + 1e-12
+
 
 def radius_join(
     points: DataFrame,
@@ -88,7 +97,8 @@ def radius_join(
     # (Longitude is not boxed: degrees shrink by cos(lat) and a correct
     # guard costs nearly what it saves at dimension-scale site counts.)
     lat_box = (
-        F.abs(F.col(point_lat) - F.col(site_lat)) <= radius_km / KM_PER_DEG_LAT
+        F.abs(F.col(point_lat) - F.col(site_lat))
+        <= radius_km / KM_PER_DEG_LAT * _PREFILTER_SLACK
     )
 
     if use_banding is None:
@@ -106,7 +116,7 @@ def radius_join(
             F.col(distance_col) <= radius_km
         )
 
-    band_deg = max(radius_km / KM_PER_DEG_LAT, 1e-6)
+    band_deg = max(radius_km / KM_PER_DEG_LAT * _PREFILTER_SLACK, 1e-6)
     p_band = F.floor(F.col(point_lat) / band_deg)
     s_band = F.floor(F.col(site_lat) / band_deg)
     # A point's radius can only reach sites in its own band or the two
@@ -132,7 +142,11 @@ def radius_join(
     # adjacent, more poleward band). The exact asin form matters: the
     # linear band_deg/cos approximation undershoots by O(width^3) and
     # could drop a boundary pair at wide radii.
-    half_sin = math.sin(radius_km / (2.0 * EARTH_RADIUS_KM))
+    # same 1e-12 widening as the lat bounds: the asin inversion is
+    # exact in real arithmetic, not in floats
+    half_sin = min(
+        math.sin(radius_km / (2.0 * EARTH_RADIUS_KM)) * _PREFILTER_SLACK, 1.0
+    )
 
     def _nlon(band: Column) -> Column:
         # Near the poles cos -> 0 drives the ratio past 1; the clamp
@@ -298,16 +312,18 @@ def radius_pairs_state(
     **radius_kwargs,
 ) -> DataFrame:
     """Mergeable state behind :func:`radius_site_counts`: the DISTINCT
-    (site_id, point_id) pairs within radius — exactly the state store
-    the reference's speed layer keeps per airport
-    (AirportAircraftCountStream.java:62-75 remembers which aircraft an
-    airport has seen; the count is derived). The set is IDEMPOTENT
-    under fold (union + distinct — the KMV/Bloom class of DESIGN.md's
-    fold-class table): re-folding a replayed batch is an algebraic
-    no-op, so the streaming face needs no batch marker. State is
-    O(pairs in radius) — that is the price of EXACT distinct counts
-    under ingest and is what the reference pays; KMV-per-site is the
-    sketch fallback when the pair set outgrows the store."""
+    (site_id, point_id) pairs within radius — the LIFETIME-distinct
+    variant of the reference speed layer's per-airport seen-aircraft
+    set. (The reference itself windows that set: AirportAircraftCount-
+    Stream.java:62-75 fills a HashSet per 1-minute tumbling window, so
+    its state is window-bounded and its counts per-window; windowing/
+    TTL is the state-bounding option for the lifetime variant,
+    alongside per-site KMV.) The set is IDEMPOTENT under fold (union +
+    distinct — the KMV/Bloom class of DESIGN.md's fold-class table):
+    re-folding a replayed batch is an algebraic no-op, so the
+    streaming face needs no batch marker for correctness. State is
+    O(pairs in radius) — the price of EXACT lifetime-distinct counts
+    under ingest."""
     pairs = radius_join(
         points, sites, radius_km=radius_km, **radius_kwargs
     )

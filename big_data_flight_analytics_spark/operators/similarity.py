@@ -2013,12 +2013,36 @@ def mmr_rerank(
     the k-step loop is scheduling-bound like BPE, never a corpus
     rescan.
     """
-    lam = F.lit(lam_tenths / 10.0)
-    one_m_lam = F.lit((10 - lam_tenths) / 10.0)
     cands = brute_force_topk(
         corpus, queries, k=n_candidates, id_col=id_col, vec_col=vec_col,
         dp=dp,
     )
+    return mmr_rerank_candidates(
+        cands, corpus, k=k, lam_tenths=lam_tenths, id_col=id_col,
+        vec_col=vec_col, dp=dp,
+    )
+
+
+def mmr_rerank_candidates(
+    cands: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    lam_tenths: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dp: int = 4,
+) -> DataFrame:
+    """The MMR greedy core over an ALREADY-CHOSEN candidate list —
+    ``cands`` carries (query_id, neighbor_id, sim) where ``sim`` is
+    the relevance the caller ranks by (v10 passes raw cosine; the v11
+    retrieval composition passes the per-query min-max-normalized RRF
+    score, so hybrid fusion decides relevance and embeddings decide
+    only the redundancy penalty). The penalty side always comes from
+    ``corpus`` vectors for the candidate ids. Same determinism
+    contract as :func:`mmr_rerank` (fixed k-step unroll, ``dp``-rounded
+    cosines, tenths-integer lam, id tie-breaks)."""
+    lam = F.lit(lam_tenths / 10.0)
+    one_m_lam = F.lit((10 - lam_tenths) / 10.0)
     vecs = corpus.select(
         F.col(id_col).alias("__vid"),
         F.col(vec_col).alias("__v"),

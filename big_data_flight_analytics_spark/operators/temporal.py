@@ -399,13 +399,21 @@ def ohlc_state(
 
 
 def ohlc_fold(base: DataFrame, delta: DataFrame) -> DataFrame:
-    """Fold two disjoint-subset OHLC states: re-select the earliest
-    (first_us, first_id) / latest (last_us, last_id) endpoints across
-    parts, combine extremes, sum counts — O(state), associative and
-    commutative, NOT idempotent (n_obs is additive: streaming faces
-    are marker-guarded, the HistogramSink class)."""
-    u = base.unionByName(delta)
-    return u.groupBy("key", "bucket").agg(
+    """Fold two disjoint-subset OHLC states — see :func:`ohlc_refold`
+    for the N-way form (associative and commutative, NOT idempotent:
+    n_obs is additive, so streaming faces are marker-guarded)."""
+    return ohlc_refold(base.unionByName(delta))
+
+
+def ohlc_refold(parts: DataFrame) -> DataFrame:
+    """N-way fold of stacked disjoint-subset OHLC state partials:
+    re-select the earliest (first_us, first_id) / latest (last_us,
+    last_id) endpoints across parts, combine extremes, sum counts —
+    ONE map-combined groupBy however many partials are stacked. This
+    is what lets the streaming face store per-batch partials
+    append-only (delta-dir layout) and fold lazily at read/compaction
+    instead of rewriting O(state) per trigger."""
+    return parts.groupBy("key", "bucket").agg(
         F.min(F.struct("first_us", "first_id", "open")).alias("__o"),
         F.max(F.struct("last_us", "last_id", "close")).alias("__c"),
         F.max("high").alias("high"),

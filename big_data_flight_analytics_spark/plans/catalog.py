@@ -220,6 +220,7 @@ _TIE_BREAK = [
     "q15_blame_suppliers",
     "h3_point_in_time_join",
     "v10_mmr_rerank",
+    "v11_retrieval_pipeline",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

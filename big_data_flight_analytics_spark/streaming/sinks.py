@@ -109,17 +109,25 @@ class ParquetUpsertSink:
         if os.path.exists(self._old):
             shutil.rmtree(self._old)
 
-    def _write_and_swap_with_marker(self, df: DataFrame, batch_id: int) -> None:
+    def _write_and_swap_with_marker(
+        self, df: DataFrame, batch_id: int, sidecars: dict | None = None
+    ) -> None:
         """Marker-guarded staging+swap — the ONE copy of the
         crash-sensitive protocol every marker-guarded sink (index,
         dedup, histogram, CMS, OHLC, session) shares: materialize
         ``df`` to staging, stamp the replay marker INSIDE the staging
         dir (so data + marker swap into place together), then rotate
         live -> old -> gone. Crash-window analysis in `_recover`'s
-        docstring applies unchanged."""
+        docstring applies unchanged. ``sidecars`` maps extra
+        ``_``-prefixed filenames to contents written inside staging —
+        atomic with the data they describe (SessionSink's persisted
+        drop counters ride this)."""
         df.write.mode("overwrite").parquet(self._staging)
         with open(self._marker(self._staging), "w") as fh:
             fh.write(str(batch_id))
+        for name, content in (sidecars or {}).items():
+            with open(os.path.join(self._staging, name), "w") as fh:
+                fh.write(content)
         if os.path.exists(self.path):
             os.rename(self.path, self._old)
         os.rename(self._staging, self.path)
@@ -225,7 +233,132 @@ class Scd2Sink(ParquetUpsertSink):
         return spark.read.parquet(self.path)
 
 
-class IndexDeltaSink(ParquetUpsertSink):
+class DeltaDirStateSink(ParquetUpsertSink):
+    """Append-only delta-dir state store: the shared mechanics behind
+    every sink whose per-trigger I/O must be O(batch delta), never an
+    O(state) base rewrite. Layout (proved by the index sinks in r12,
+    generalized in r16 so the geo pair-set sink could adopt it):
+
+    - ``path`` — flat root parquet files (founding state / last
+      compaction) plus one ``delta-<batchid>`` subdir per appending
+      batch. Reads use ``recursiveFileLookup`` (no partition columns
+      to infer; ``_``-prefixed markers stay invisible). An appending
+      batch writes ONLY its own rows to a sibling staging dir, then
+      ``os.rename``s it into the store — the dir name IS the replay
+      marker, so data and marker land in one atomic rename;
+    - ``path + ".batchmark"`` — sidecar replay marker advanced
+      (atomic ``os.replace``) when the store is NOT touched (empty or
+      no-op batches): per-batch I/O stays O(batch) — one tiny file;
+    - compaction: every ``compact_every_n_batches`` delta subdirs the
+      whole store is rewritten into flat root files through
+      ``_compacted`` (identity by default; set-union states override
+      it with ``distinct()``) via the inherited crash-safe
+      staging+swap. The in-dir ``_last_batch`` marker, written inside
+      staging, carries the highest folded batch id forward because the
+      delta names it replaces disappear. This is the ONLY O(state)
+      write and it is deliberate and rare.
+
+    ``_last_batch`` is the max of the root marker, the sidecar, and
+    the delta-dir names — whichever path a batch took, a replay
+    short-circuits.
+    """
+
+    DELTA_PREFIX = "delta-"
+    compact_every_n_batches: int = 16
+
+    @property
+    def _side_marker(self) -> str:
+        return self.path + ".batchmark"
+
+    @property
+    def _append_stage(self) -> str:
+        return self.path + ".appendstage"
+
+    def _delta_batch_ids(self) -> list[int]:
+        if not os.path.isdir(self.path):
+            return []
+        ids = []
+        for name in os.listdir(self.path):
+            if name.startswith(self.DELTA_PREFIX):
+                try:
+                    ids.append(int(name[len(self.DELTA_PREFIX):]))
+                except ValueError:
+                    pass
+        return ids
+
+    def _last_batch(self) -> int:
+        # max of the in-dir marker (advanced by founding/compaction
+        # swaps), the sidecar (advanced by no-rewrite batches), and
+        # the appended delta-dir names (advanced by appending batches)
+        # — whichever path a batch took, a replay must short-circuit
+        side = -1
+        try:
+            with open(self._side_marker) as fh:
+                side = int(fh.read())
+        except (OSError, ValueError):
+            pass
+        return max(super()._last_batch(), side, *self._delta_batch_ids(), -1)
+
+    def _read_store(self, spark) -> DataFrame:
+        # flat root files + delta-<batchid> subdirs; recursive lookup
+        # (no partition columns to infer, markers are ``_``-hidden)
+        return spark.read.option("recursiveFileLookup", "true").parquet(
+            self.path
+        )
+
+    def _recover(self) -> None:
+        super()._recover()
+        # a crash between the append-stage write and its rename into
+        # the store leaves the stage behind; the un-advanced marker
+        # means the batch replays in full, so just drop the leftovers
+        if os.path.exists(self._append_stage):
+            shutil.rmtree(self._append_stage)
+
+    def _advance_side_marker(self, batch_id: int) -> None:
+        tmp = self._side_marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(batch_id))
+        os.replace(tmp, self._side_marker)
+
+    def _append_delta(self, rows: DataFrame, batch_id: int) -> None:
+        """Append ``rows`` as the store's ``delta-<batchid>`` subdir —
+        stage write + one atomic rename; existing base files are never
+        rewritten — then compact if the cadence is due."""
+        rows.write.mode("overwrite").parquet(self._append_stage)
+        os.rename(
+            self._append_stage,
+            os.path.join(self.path, f"{self.DELTA_PREFIX}{batch_id}"),
+        )
+        if (
+            self.compact_every_n_batches
+            and len(self._delta_batch_ids()) >= self.compact_every_n_batches
+        ):
+            self.compact(rows.sparkSession)
+
+    def _compacted(self, store: DataFrame) -> DataFrame:
+        """The fold applied when deltas rewrite into root files.
+        Identity for stores whose rows are disjoint by construction
+        (index sinks append only novel ids); set-union states override
+        with ``distinct()`` to discharge the duplicates that lazy
+        idempotent appends tolerated."""
+        return store
+
+    def compact(self, spark) -> None:
+        """Fold the delta subdirs into flat root files — the one
+        deliberate O(state) rewrite, run every
+        ``compact_every_n_batches`` appending batches (or manually on
+        a maintenance cadence). Crash-safe via the inherited
+        staging+swap; the in-dir marker carries the highest folded
+        batch id since the delta names it replaces disappear."""
+        self._write_and_swap_with_marker(
+            self._compacted(self._read_store(spark)), self._last_batch()
+        )
+
+    def read(self, spark) -> DataFrame:
+        return self._read_store(spark)
+
+
+class IndexDeltaSink(DeltaDirStateSink):
     """Shared machinery of the streaming ingest-dedup index sinks.
 
     ``foreachBatch`` target closing the loop between a batch ingest
@@ -279,9 +412,11 @@ class IndexDeltaSink(ParquetUpsertSink):
     append-only log table, novel rows append as new partitions, and
     compaction runs on the same cadence — this sink is the same
     contract with parquet-dir state for tests/local runs.
-    """
 
-    DELTA_PREFIX = "delta-"
+    Store/marker/compaction mechanics live in ``DeltaDirStateSink``;
+    this class adds the mark-against-base contract and the decisions
+    log.
+    """
 
     def __init__(
         self,
@@ -316,60 +451,6 @@ class IndexDeltaSink(ParquetUpsertSink):
     @property
     def _decisions(self) -> str:
         return self.path + ".decisions"
-
-    @property
-    def _side_marker(self) -> str:
-        return self.path + ".batchmark"
-
-    @property
-    def _append_stage(self) -> str:
-        return self.path + ".appendstage"
-
-    def _delta_batch_ids(self) -> list[int]:
-        if not os.path.isdir(self.path):
-            return []
-        ids = []
-        for name in os.listdir(self.path):
-            if name.startswith(self.DELTA_PREFIX):
-                try:
-                    ids.append(int(name[len(self.DELTA_PREFIX):]))
-                except ValueError:
-                    pass
-        return ids
-
-    def _last_batch(self) -> int:
-        # max of the in-dir marker (advanced by founding/compaction
-        # swaps), the sidecar (advanced by no-rewrite batches), and
-        # the appended delta-dir names (advanced by absorbing batches)
-        # — whichever path a batch took, a replay must short-circuit
-        side = -1
-        try:
-            with open(self._side_marker) as fh:
-                side = int(fh.read())
-        except (OSError, ValueError):
-            pass
-        return max(super()._last_batch(), side, *self._delta_batch_ids(), -1)
-
-    def _read_store(self, spark) -> DataFrame:
-        # flat root files + delta-<batchid> subdirs; recursive lookup
-        # (no partition columns to infer, markers are ``_``-hidden)
-        return spark.read.option("recursiveFileLookup", "true").parquet(
-            self.path
-        )
-
-    def _recover(self) -> None:
-        super()._recover()
-        # a crash between the append-stage write and its rename into
-        # the store leaves the stage behind; the un-advanced marker
-        # means the batch replays in full, so just drop the leftovers
-        if os.path.exists(self._append_stage):
-            shutil.rmtree(self._append_stage)
-
-    def _advance_side_marker(self, batch_id: int) -> None:
-        tmp = self._side_marker + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(str(batch_id))
-        os.replace(tmp, self._side_marker)
 
     def initialize(self, base_df: DataFrame) -> None:
         """Build the index from an existing base corpus (marker -1:
@@ -424,36 +505,15 @@ class IndexDeltaSink(ParquetUpsertSink):
         # stage, then one atomic rename into the store — the dir name
         # carries the batch id, so data + replay marker land together
         # and existing base files are never rewritten
-        novel = self._prepare(
-            batch.join(
-                dec.filter(~F.col("dup_of_index")).select(self.id_col),
-                self.id_col,
-            )
+        self._append_delta(
+            self._prepare(
+                batch.join(
+                    dec.filter(~F.col("dup_of_index")).select(self.id_col),
+                    self.id_col,
+                )
+            ),
+            batch_id,
         )
-        novel.write.mode("overwrite").parquet(self._append_stage)
-        os.rename(
-            self._append_stage,
-            os.path.join(self.path, f"{self.DELTA_PREFIX}{batch_id}"),
-        )
-        if (
-            self.compact_every_n_batches
-            and len(self._delta_batch_ids()) >= self.compact_every_n_batches
-        ):
-            self.compact(spark)
-
-    def compact(self, spark) -> None:
-        """Fold the delta subdirs into flat root files — the one
-        deliberate O(index) rewrite, run every
-        ``compact_every_n_batches`` absorbing batches (or manually on
-        a maintenance cadence). Crash-safe via the inherited
-        staging+swap; the in-dir marker carries the highest folded
-        batch id since the delta names it replaces disappear."""
-        self._write_and_swap_with_marker(
-            self._read_store(spark), self._last_batch()
-        )
-
-    def read(self, spark) -> DataFrame:
-        return self._read_store(spark)
 
     def decisions(self, spark) -> DataFrame:
         """All per-batch match decisions, with the ``batch`` column
@@ -1269,16 +1329,22 @@ class CMSSink(ParquetUpsertSink):
         )
 
 
-class OHLCSink(ParquetUpsertSink):
+class OHLCSink(DeltaDirStateSink):
     """Continuously maintained OHLC bars: the streaming face of i9
     (``operators.temporal`` ohlc_*). Each micro-batch builds its own
     mergeable bar state (one map-combined groupBy over the batch) and
-    folds into the persisted per-(key, bucket) state — O(delta +
-    touched buckets) per trigger; live bars (including the still-open
-    current bucket) are answerable at any moment without rescanning
-    history. The fold re-selects endpoint structs and sums counts, so
-    it is NOT idempotent (n_obs is additive) — replays short-circuit
-    via the ``_last_batch`` marker, the HistogramSink protocol.
+    APPENDS it as a ``delta-<batchid>`` partial — per-trigger I/O is
+    O(batch's touched buckets), never an O(state) rewrite (r16: the
+    old read-fold-swap merge was the s21 state-rewrite regime). The
+    fold (``ohlc_refold``: endpoint re-select + extreme combine +
+    count sum) is N-way associative/commutative, so ``read()`` folds
+    root + partials lazily and compaction discharges them physically;
+    live bars (including the still-open current bucket) are answerable
+    at any moment without rescanning history. The fold is NOT
+    idempotent (n_obs is additive) — replays short-circuit via the
+    delta-dir/sidecar marker, the exactly-once line that is
+    LOAD-BEARING here (unlike the geo pair set, a re-appended partial
+    would double-count).
     """
 
     def __init__(
@@ -1289,6 +1355,7 @@ class OHLCSink(ParquetUpsertSink):
         value_col: str = "value",
         id_col: str = "event_id",
         step_s: int = 3600,
+        compact_every_n_batches: int = 16,
     ) -> None:
         super().__init__(path, key_col="bucket", version_col="__none")
         self.key_col = key_col
@@ -1296,17 +1363,23 @@ class OHLCSink(ParquetUpsertSink):
         self.value_col = value_col
         self.id_col = id_col
         self.step_s = step_s
+        self.compact_every_n_batches = compact_every_n_batches
+
+    def _compacted(self, store: DataFrame) -> DataFrame:
+        from big_data_flight_analytics_spark.operators.temporal import (
+            ohlc_refold,
+        )
+
+        return ohlc_refold(store)
 
     def merge(self, batch_df: DataFrame, batch_id: int) -> None:
         from big_data_flight_analytics_spark.operators.temporal import (
-            ohlc_fold,
             ohlc_state,
         )
 
         self._recover()
         if os.path.exists(self.path) and batch_id <= self._last_batch():
             return  # replay of an already-folded batch
-        spark = batch_df.sparkSession
         delta = ohlc_state(
             batch_df,
             self.key_col,
@@ -1315,14 +1388,17 @@ class OHLCSink(ParquetUpsertSink):
             self.id_col,
             self.step_s,
         )
-        if os.path.exists(self.path):
-            updated = ohlc_fold(spark.read.parquet(self.path), delta)
-        else:
-            updated = delta
-        self._write_and_swap_with_marker(updated, batch_id)
+        if not os.path.exists(self.path):
+            self._write_and_swap_with_marker(delta, batch_id)
+            return
+        if delta.isEmpty():
+            self._advance_side_marker(batch_id)
+            return
+        self._append_delta(delta, batch_id)
 
     def read(self, spark) -> DataFrame:
-        return spark.read.parquet(self.path)
+        # lazy N-way fold of the root state + appended batch partials
+        return self._compacted(self._read_store(spark))
 
     def bars(self, spark) -> DataFrame:
         """Public OHLC bar columns off the current state."""
@@ -1372,11 +1448,17 @@ class SessionSink(ParquetUpsertSink):
     ONLY for per-key-ordered feeds, so each ``merge`` records what it
     silently removed — ``last_dropped`` = {"null_ts": n, "late": n}
     for that batch, ``dropped_total`` accumulated across the sink's
-    lifetime (ADVICE r14). The accounting costs one combined aggregate
-    over the micro-batch (raw + non-NULL-ts counts) plus one count of
-    the post-watermark survivors — the same monitor class as the
-    Bloom sink's fill-ratio scalar; pass ``track_dropped=False`` to
-    skip both in a throughput-critical topology.
+    lifetime (ADVICE r14). ``dropped_total`` is PERSISTED as a
+    ``_dropped`` sidecar written inside the staging dir — atomic with
+    the store swap and the replay marker, so the totals survive a
+    driver restart and a replayed batch can neither double-count nor
+    lose its tally (ADVICE r15). The accounting costs one combined
+    aggregate over the micro-batch (raw + non-NULL-ts counts) plus one
+    count of the post-watermark survivors; the post-watermark frame is
+    cached for the trigger so the store-read + bounds join evaluates
+    once, not once per action (ADVICE r15). Pass
+    ``track_dropped=False`` to skip the accounting in a
+    throughput-critical topology.
 
     Exactly-once, twice over: the bridge merge is not idempotent in
     the additive sense (n_events sums across the boundary pair), so
@@ -1407,7 +1489,20 @@ class SessionSink(ParquetUpsertSink):
         self.broadcast_bounds_max_rows = broadcast_bounds_max_rows
         self.track_dropped = track_dropped
         self.last_dropped = {"null_ts": 0, "late": 0}
-        self.dropped_total = {"null_ts": 0, "late": 0}
+        self.dropped_total = self._load_dropped()
+
+    _DROPPED_SIDECAR = "_dropped"
+
+    def _load_dropped(self) -> dict:
+        """Seed the lifetime drop totals from the store's persisted
+        sidecar — restart-safe accounting (ADVICE r15)."""
+        import json
+
+        try:
+            with open(os.path.join(self.path, self._DROPPED_SIDECAR)) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return {"null_ts": 0, "late": 0}
 
     def merge(self, batch_df: DataFrame, batch_id: int) -> None:
         from big_data_flight_analytics_spark.operators.temporal import (
@@ -1453,7 +1548,13 @@ class SessionSink(ParquetUpsertSink):
                 .filter(F.col("__bnd").isNull() | (us > F.col("__bnd")))
                 .drop("__bnd")
             )
+        cached = None
         if self.track_dropped:
+            # cache the post-watermark survivors for the trigger: the
+            # n_live count and the session build below share one
+            # evaluation of the store read + bounds join (ADVICE r15)
+            cached = batch_df.persist()
+            batch_df = cached
             n_live = batch_df.count()
             self.last_dropped = {
                 "null_ts": n_in - n_ts,
@@ -1461,52 +1562,74 @@ class SessionSink(ParquetUpsertSink):
             }
             for k, v in self.last_dropped.items():
                 self.dropped_total[k] += v
-        delta = session_stats(
-            batch_df.select(self.key_col, self.tie_col, self.ts_col),
-            key_col=self.key_col,
-            ts_col=self.ts_col,
-            gap_seconds=self.gap_seconds,
-            tie_col=self.tie_col,
-        ).select(self.key_col, "start_us", "end_us", "n_events")
-        if store is not None:
-            updated = session_fold(
-                store, delta, self.key_col, self.gap_seconds
-            )
-        else:
-            from pyspark.sql import Window
+        try:
+            delta = session_stats(
+                batch_df.select(self.key_col, self.tie_col, self.ts_col),
+                key_col=self.key_col,
+                ts_col=self.ts_col,
+                gap_seconds=self.gap_seconds,
+                tie_col=self.tie_col,
+            ).select(self.key_col, "start_us", "end_us", "n_events")
+            if store is not None:
+                updated = session_fold(
+                    store, delta, self.key_col, self.gap_seconds
+                )
+            else:
+                from pyspark.sql import Window
 
-            w = Window.partitionBy(self.key_col).orderBy("start_us")
-            updated = delta.select(
-                self.key_col,
-                F.row_number().over(w).cast("long").alias("session_idx"),
-                F.col("n_events").cast("long").alias("n_events"),
-                "start_us",
-                "end_us",
-                (F.col("end_us") - F.col("start_us")).alias("duration_us"),
+                w = Window.partitionBy(self.key_col).orderBy("start_us")
+                updated = delta.select(
+                    self.key_col,
+                    F.row_number().over(w).cast("long").alias("session_idx"),
+                    F.col("n_events").cast("long").alias("n_events"),
+                    "start_us",
+                    "end_us",
+                    (F.col("end_us") - F.col("start_us")).alias("duration_us"),
+                )
+            import json
+
+            # always carried (even with track_dropped=False) — the swap
+            # replaces the dir, so omitting it would erase prior totals
+            self._write_and_swap_with_marker(
+                updated,
+                batch_id,
+                sidecars={
+                    self._DROPPED_SIDECAR: json.dumps(self.dropped_total)
+                },
             )
-        self._write_and_swap_with_marker(updated, batch_id)
+        finally:
+            if cached is not None:
+                cached.unpersist()
 
     def read(self, spark) -> DataFrame:
         return spark.read.parquet(self.path)
 
 
-class GeoCountSink(ParquetUpsertSink):
+class GeoCountSink(DeltaDirStateSink):
     """Continuously maintained per-site distinct-point counts: the
-    streaming face of i14 and the closest thing in the repo to the
-    reference's speed layer itself — AirportAircraftCountStream keeps
-    a per-airport state store of seen aircraft and serves the distinct
-    count (AirportAircraftCountStream.java:62-75); this sink keeps the
-    (site, point) pair set and derives ``counts()`` the same way.
+    streaming face of i14. This sink implements the LIFETIME-distinct
+    variant — it keeps the all-time (site, point) pair set and derives
+    ``counts()`` from it. The reference's speed layer computes
+    WINDOWED distinct counts instead: AirportAircraftCountStream
+    aggregates a per-airport HashSet inside each 1-minute tumbling
+    window (AirportAircraftCountStream.java:62-75), so its state is
+    window-bounded and its counts are per-window. Windowing/TTL is
+    therefore the real state-bounding option for this sink — alongside
+    per-site KMV sketches — when the lifetime pair set outgrows the
+    store.
 
     Each micro-batch of points radius-joins the (dimension-scale,
     broadcast) sites frame, reduces to its own distinct pair set, and
-    set-union-folds into the persisted state — O(delta pairs + state)
-    per trigger. Exactly-once WITHOUT replay markers: the pair-set
-    fold is IDEMPOTENT (union + distinct, the KMV/Bloom class), so a
-    replayed batch re-folds to the byte-identical store. State is
-    O(pairs in radius) — the exact-count price the reference also
-    pays; swap in per-site KMV sketches when the pair set outgrows
-    the store.
+    APPENDS it as a ``delta-<batchid>`` subdir — per-trigger I/O is
+    O(batch pairs), never an O(state) rewrite (the r15 finding: the
+    old read-fold-swap merge decayed 938->250 rows/s from 4->16
+    batches). The union fold is IDEMPOTENT (union + distinct, the
+    KMV/Bloom class), so appended deltas may repeat pairs already in
+    the store: ``read()`` applies the fold lazily (``distinct()``) and
+    compaction discharges the duplicates physically on the usual
+    cadence. Replay is safe two ways: the delta-dir name/sidecar
+    marker short-circuits an exact batch-id replay, and even a
+    marker-less replay under a fresh id re-folds to the same set.
     """
 
     def __init__(
@@ -1518,6 +1641,7 @@ class GeoCountSink(ParquetUpsertSink):
         radius_km: float,
         point_lat: str = "latitude",
         point_lon: str = "longitude",
+        compact_every_n_batches: int = 16,
         **radius_kwargs,
     ) -> None:
         super().__init__(path, key_col=site_id, version_col="__none")
@@ -1527,16 +1651,21 @@ class GeoCountSink(ParquetUpsertSink):
         self.radius_km = radius_km
         self.point_lat = point_lat
         self.point_lon = point_lon
+        self.compact_every_n_batches = compact_every_n_batches
         self.radius_kwargs = radius_kwargs
+
+    def _compacted(self, store: DataFrame) -> DataFrame:
+        # the set-union fold, applied physically: one distinct rewrite
+        return store.distinct()
 
     def merge(self, batch_df: DataFrame, batch_id: int) -> None:
         from big_data_flight_analytics_spark.operators.geo import (
-            radius_pairs_fold,
             radius_pairs_state,
         )
 
         self._recover()
-        spark = batch_df.sparkSession
+        if os.path.exists(self.path) and batch_id <= self._last_batch():
+            return  # exact replay; harmless to re-fold, cheaper to skip
         delta = radius_pairs_state(
             batch_df,
             self.sites,
@@ -1547,16 +1676,20 @@ class GeoCountSink(ParquetUpsertSink):
             point_lon=self.point_lon,
             **self.radius_kwargs,
         )
-        if os.path.exists(self.path):
-            updated = radius_pairs_fold(
-                spark.read.parquet(self.path), delta
-            )
-        else:
-            updated = delta
-        self._write_and_swap(updated)
+        if not os.path.exists(self.path):
+            # founding batch: flat root files via marker-guarded swap
+            self._write_and_swap_with_marker(delta, batch_id)
+            return
+        if delta.isEmpty():
+            # no pairs in radius: store untouched, sidecar only
+            self._advance_side_marker(batch_id)
+            return
+        self._append_delta(delta, batch_id)
 
     def read(self, spark) -> DataFrame:
-        return spark.read.parquet(self.path)
+        # the lazy fold: root + deltas may repeat a pair a point
+        # re-observed near a known site — distinct IS the union fold
+        return self._read_store(spark).distinct()
 
     def counts(self, spark) -> DataFrame:
         """Per-site distinct-point counts off the current state."""

@@ -1865,3 +1865,92 @@ class TestMmrRerank:
             .collect()
         ]
         assert got == [11, 10, 12]  # pure relevance order
+
+    def test_candidates_core_accepts_external_relevance(self, spark):
+        """v11's interface: mmr_rerank_candidates ranks by whatever
+        relevance the caller supplies (fusion's normalized rrf), while
+        the redundancy penalty still comes from the embeddings —
+        feeding a relevance that INVERTS the cosine order must flip
+        step 1, and the penalty must still exclude the twin."""
+        from big_data_flight_analytics_spark.operators.similarity import (
+            mmr_rerank_candidates,
+        )
+
+        emb = self._frames(spark)
+        # external relevance says 12 > 10 > 11 (opposite of cosine)
+        cands = spark.createDataFrame(
+            [(0, 12, 0.9), (0, 10, 0.8), (0, 11, 0.7), (0, 13, 0.1)],
+            "query_id long, neighbor_id long, sim double",
+        )
+        got = {
+            r["step"]: r["neighbor_id"]
+            for r in mmr_rerank_candidates(
+                cands, emb, k=2, lam_tenths=5
+            ).collect()
+        }
+        assert got[1] == 12  # external relevance decides step 1
+        # step 2: the penalty comes from embeddings, not from sim —
+        # 10/11 (cos ~0.78 to selected 12) score 0.5*0.8-0.5*0.7838 =
+        # 0.0081 and 0.35-0.3927 < 0; orthogonal 13 scores 0.5*0.1 =
+        # 0.05 and wins despite the lowest external relevance
+        assert got[2] == 13
+
+    def test_mmr_rerank_equals_candidates_core_over_bruteforce(
+        self, spark
+    ):
+        """Refactor no-op pin: v10's mmr_rerank IS the candidates core
+        fed with brute-force cosine candidates."""
+        from big_data_flight_analytics_spark.operators.similarity import (
+            brute_force_topk,
+            mmr_rerank,
+            mmr_rerank_candidates,
+        )
+
+        emb = self._frames(spark)
+        q = emb.filter("vec_id = 0")
+        a = sorted(
+            tuple(r)
+            for r in mmr_rerank(
+                emb, q, n_candidates=4, k=3, lam_tenths=5
+            ).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in mmr_rerank_candidates(
+                brute_force_topk(emb, q, k=4), emb, k=3, lam_tenths=5
+            ).collect()
+        )
+        assert a == b and len(a) == 3
+
+
+class TestRetrievalComposition:
+    """v11: the fused-relevance normalization contract — all-equal rrf
+    degenerates to rel 1.0 (pure diversity); otherwise min maps to 0,
+    max to 1, 4dp."""
+
+    def test_minmax_normalization_edges(self, spark):
+        from pyspark.sql import Window as W
+
+        from pyspark.sql import functions as F
+
+        fused = spark.createDataFrame(
+            [(0, 10, 0.03), (0, 11, 0.02), (0, 12, 0.025),
+             (1, 20, 0.016), (1, 21, 0.016)],
+            "query_id long, neighbor_id long, rrf double",
+        )
+        wq = W.partitionBy("query_id")
+        lo, hi = F.min("rrf").over(wq), F.max("rrf").over(wq)
+        rel = fused.select(
+            "query_id", "neighbor_id",
+            F.when(hi == lo, F.lit(1.0))
+            .otherwise(F.round((F.col("rrf") - lo) / (hi - lo), 4))
+            .alias("sim"),
+        )
+        got = {
+            (r["query_id"], r["neighbor_id"]): r["sim"]
+            for r in rel.collect()
+        }
+        assert got[(0, 10)] == 1.0 and got[(0, 11)] == 0.0
+        assert got[(0, 12)] == 0.5
+        # degenerate query: every candidate equally fused -> rel 1.0
+        assert got[(1, 20)] == 1.0 and got[(1, 21)] == 1.0

@@ -738,6 +738,56 @@ class TestOHLCSink:
             9.0, 9.0, 2.0, 2.0, 3,
         )
 
+    def test_per_trigger_io_is_o_delta_not_o_state(self, spark, tmp_path):
+        """r15 VERDICT ask (s16 face of the s21 finding): a micro-batch
+        appends ONLY its own bar partial — founding root files survive
+        every later batch untouched; compaction folds partials back."""
+        from big_data_flight_analytics_spark.operators.temporal import (
+            ohlc_bars,
+        )
+        from big_data_flight_analytics_spark.streaming.sinks import OHLCSink
+
+        delta = self._delta(spark)
+        b0 = delta.filter("event_id < 100")
+        b1 = delta.filter("event_id >= 100 and event_id < 200")
+        b2 = delta.filter("event_id >= 200")
+        sink = OHLCSink(str(tmp_path / "ohlc"), step_s=600)
+        sink.merge(b0, 0)
+        snap = TestGeoCountSink._base_snapshot(sink.path)
+        assert snap
+        sink.merge(b1, 1)
+        assert TestGeoCountSink._base_snapshot(sink.path) == snap
+        assert os.path.isdir(os.path.join(sink.path, "delta-1"))
+        # lazy read-side fold == one batch pass over all arrivals so far
+        two = {
+            (r["event_type"], r["bucket_start_s"]): (
+                r["open"], r["high"], r["low"], r["close"], r["n_obs"]
+            )
+            for r in sink.bars(spark).collect()
+        }
+        assert two == self._bars(
+            ohlc_bars(b0.unionByName(b1), step_s=600)
+        )
+        # empty batch: store untouched entirely, sidecar only
+        empty = spark.createDataFrame(
+            [], "event_id long, event_type string, ts timestamp, value double"
+        )
+        listing = sorted(os.listdir(sink.path))
+        sink.merge(empty, 2)
+        assert sorted(os.listdir(sink.path)) == listing
+        assert sink._last_batch() == 2
+        # compaction discharges the partials physically
+        sink.compact_every_n_batches = 1
+        sink.merge(b2, 3)
+        assert sink._delta_batch_ids() == []
+        assert self._bars(sink.bars(spark)) == self._bars(
+            ohlc_bars(delta, step_s=600)
+        )
+        # replay of a compacted batch short-circuits on the in-dir marker
+        snap2 = TestGeoCountSink._base_snapshot(sink.path)
+        sink.merge(b2, 3)
+        assert TestGeoCountSink._base_snapshot(sink.path) == snap2
+
 
 class TestSketchPipelineSink:
     """s17: composed metrics ingest — every sketch equals its
@@ -1044,6 +1094,19 @@ class TestSessionSink:
         sink.merge(df([(5, "a", d(2024, 5, 1, 0, 58, 0))]), 2)
         assert sink.last_dropped == {"null_ts": 0, "late": 1}
         assert sink.dropped_total == {"null_ts": 1, "late": 2}
+        # ADVICE r15: totals persist with the store — a restarted sink
+        # (fresh object, same path) resumes the lifetime tally, and a
+        # replayed batch can neither double-count nor lose it
+        from big_data_flight_analytics_spark.streaming.sinks import (
+            SessionSink as SS,
+        )
+
+        sink2 = SS(str(tmp_path / "sess"), gap_seconds=self.GAP_S)
+        assert sink2.dropped_total == {"null_ts": 1, "late": 2}
+        sink2.merge(df([(5, "a", d(2024, 5, 1, 0, 58, 0))]), 2)  # replay
+        assert sink2.dropped_total == {"null_ts": 1, "late": 2}
+        sink2.merge(df([(6, "a", d(2024, 5, 1, 0, 57, 0))]), 3)
+        assert sink2.dropped_total == {"null_ts": 1, "late": 3}
 
     def test_unbroadcast_bounds_path_equals_broadcast(
         self, spark, tmp_path
@@ -1159,6 +1222,74 @@ class TestGeoCountSink:
         sink.merge(one, 2)
         assert sorted(tuple(r) for r in sink.read(spark).collect()) \
             == state0
+
+    @staticmethod
+    def _base_snapshot(path):
+        return sorted(
+            (f, os.stat(os.path.join(path, f)).st_ino,
+             os.stat(os.path.join(path, f)).st_mtime_ns)
+            for f in os.listdir(path)
+            if not f.startswith("_")
+            and os.path.isfile(os.path.join(path, f))
+        )
+
+    def test_per_trigger_io_is_o_delta_not_o_state(self, spark, tmp_path):
+        """r15 VERDICT ask: a micro-batch must never rewrite the full
+        pair-set store — founding files (names+inodes+mtimes) survive
+        every later batch; an appending batch adds ONLY its delta dir;
+        a no-pair batch touches nothing but the sidecar marker."""
+        pts, sites = self._frames(spark, n_points=30, seed=73)
+        sink = self._sink(spark, tmp_path, sites)
+        sink.merge(pts, 0)  # founding: flat root files
+        before = self._base_snapshot(sink.path)
+        assert before  # the founding batch did land root files
+        # an appending batch with pairs: base untouched, one delta dir
+        more, _ = self._frames(spark, n_points=30, seed=97)
+        sink.merge(more, 1)
+        assert self._base_snapshot(sink.path) == before
+        assert os.path.isdir(os.path.join(sink.path, "delta-1"))
+        # a batch producing NO pairs (poles are >2500km from every
+        # fixture site): store untouched entirely, sidecar advanced
+        far = spark.createDataFrame(
+            [(900, 90.0, 0.0), (901, -90.0, 0.0)],
+            "pid long, latitude double, longitude double",
+        )
+        snap_all = sorted(os.listdir(sink.path))
+        sink.merge(far, 2)
+        assert sorted(os.listdir(sink.path)) == snap_all
+        assert self._base_snapshot(sink.path) == before
+        assert sink._last_batch() == 2
+
+    def test_compaction_discharges_duplicate_pairs(self, spark, tmp_path):
+        from big_data_flight_analytics_spark.operators.geo import (
+            radius_site_counts,
+        )
+
+        pts, sites = self._frames(spark, n_points=40, seed=79)
+        sink = self._sink(spark, tmp_path, sites)
+        sink.compact_every_n_batches = 2
+        sink.merge(pts, 0)
+        sink.merge(pts, 1)  # duplicate pairs appended (lazy fold)
+        sink.merge(pts, 2)  # second delta hits the cadence: compaction
+        assert sink._delta_batch_ids() == []
+        # physical store now duplicate-free: raw row count == distinct
+        raw = sink._read_store(spark)
+        assert raw.count() == raw.distinct().count()
+        truth = {
+            r["sid"]: r["n_points"]
+            for r in radius_site_counts(
+                pts, sites, "pid", "sid", radius_km=self.RADIUS,
+                use_banding=False,
+            ).collect()
+        }
+        got = {
+            r["sid"]: r["n_points"] for r in sink.counts(spark).collect()
+        }
+        assert got == truth and got
+        # replay of a compacted batch short-circuits on the in-dir marker
+        snap = self._base_snapshot(sink.path)
+        sink.merge(pts, 2)
+        assert self._base_snapshot(sink.path) == snap
 
 
 class TestDatasetCardSink:
