@@ -3,11 +3,16 @@
 Images/audio/video are carried as ``binary`` columns with typed metadata
 columns alongside. Decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` — the Spark-side plumbing (schema contract, batch
-iteration, partition parallelism) is real and tested; the actual media
-decode is STUBBED deterministically because no image/audio libraries
-exist in this environment (see ``_decode_stub``). Swap ``_decode_stub``
-for a real decoder (PIL/librosa/av) in production — the operator
-signature and plan shape do not change.
+iteration, partition parallelism) is real and tested. The decode step is
+PLUGGABLE (``extract_features(decoder=...)``): the default
+``_decode_stub`` keeps the catalog entries deterministic and
+oracle-gated with no media libraries; ``png_image_decoder`` and
+``wav_audio_decoder`` are REAL codecs on the stdlib alone (struct+zlib
+chunk walk with pixel-stream verification; ``wave`` full-frame read) and
+run in any environment; ``pil_image_decoder`` is the full-codec path,
+import-gated like the Kafka smoke (its agreement with the stdlib PNG
+decode is pinned by a test that skips where Pillow is absent). The
+operator signature and plan shape are identical on every path.
 
 At 100 TB: mapInPandas streams Arrow batches per partition — memory is
 bounded by batch size, not partition size; no shuffle is introduced.
@@ -76,6 +81,69 @@ def pil_image_decoder(payload: bytes) -> tuple[int, int, int]:
 
     img = Image.open(io.BytesIO(payload))
     return len(payload), img.width, img.height
+
+
+def png_image_decoder(payload: bytes) -> tuple[int, int, int]:
+    """Real PNG decode on the stdlib alone (struct + zlib) — the
+    codec-present path that is exercisable in ANY environment, unlike
+    ``pil_image_decoder``. Verifies the signature, walks the chunk
+    stream for IHDR dimensions, and zlib-decompresses the concatenated
+    IDAT pixel stream with a scanline-length check — actual decode
+    work, not header peeking: a truncated or corrupted payload raises
+    instead of returning plausible dimensions. Returns
+    (n_bytes, width, height), the ``extract_features`` contract."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = 8
+    width = height = None
+    bit_depth = color_type = 0
+    idat = b""
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type = struct.unpack(
+                ">IIBB", data[:10]
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc32
+    if width is None or height is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(idat)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    bytes_per_px = max(1, bit_depth // 8) * channels
+    expected = height * (1 + width * bytes_per_px)  # +1 filter byte/row
+    if len(raw) != expected:
+        raise ValueError(
+            f"PNG pixel stream decodes to {len(raw)} bytes, "
+            f"expected {expected}"
+        )
+    return len(payload), int(width), int(height)
+
+
+def wav_audio_decoder(payload: bytes) -> tuple[int, int, int]:
+    """Real audio decode via the stdlib ``wave`` module (RIFF/PCM):
+    returns (n_bytes, n_channels, n_frames) mapped onto the generic
+    ``extract_features`` int triple — the audio face of the same
+    plumbing contract. Reads ALL frames (decode work + length check),
+    not just the header."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_channels = w.getnchannels()
+        n_frames = w.getnframes()
+        frames = w.readframes(n_frames)
+        if len(frames) != n_frames * n_channels * w.getsampwidth():
+            raise ValueError("WAV frame stream shorter than declared")
+    return len(payload), n_channels, n_frames
 
 
 def extract_features(
