@@ -313,6 +313,51 @@ class TestRadiusReportingShapes:
         ]
         assert got == [(1, 4), (2, 9)]
 
+    def test_nearest_k_banded_equals_broadcast(self, spark):
+        """r15 VERDICT stretch #9: nearest-k wired through the 2D-cell
+        banded path must rank identically to the broadcast NLJ — the
+        many-sites regime uses the same radius_join superset, so rank
+        order (distance, id) is unchanged. Random scatter + several
+        radii, the j7 equality protocol."""
+        import random
+
+        from big_data_flight_analytics_spark.operators.geo import (
+            radius_nearest_k,
+        )
+
+        rng = random.Random(83)
+        pts = spark.createDataFrame(
+            [
+                (i, float(rng.randrange(-80, 81)),
+                 float(rng.randrange(-179, 180)))
+                for i in range(60)
+            ],
+            "pid long, latitude double, longitude double",
+        )
+        sites = spark.createDataFrame(
+            [
+                (j, float(j * 31 % 161 - 80), float(j * 53 % 359 - 179))
+                for j in range(40)
+            ],
+            "sid long, site_latitude double, site_longitude double",
+        )
+        for r_km in (300.0, 2500.0, 8000.0):
+            a = sorted(
+                tuple(r)
+                for r in radius_nearest_k(
+                    pts, sites, "pid", "sid", k=3, radius_km=r_km,
+                    use_banding=False,
+                ).collect()
+            )
+            b = sorted(
+                tuple(r)
+                for r in radius_nearest_k(
+                    pts, sites, "pid", "sid", k=3, radius_km=r_km,
+                    use_banding=True, lon_cells=True,
+                ).collect()
+            )
+            assert a == b and a, f"radius {r_km}: banded diverged"
+
 
 class TestConstraintReport:
     def test_all_constraint_kinds_detect_and_pass(self, spark):

@@ -331,3 +331,139 @@ class TestNfcLite:
         for r in raw:
             raw_by_id.setdefault(r["id"], {})[r["b"]] = r["n"]
         assert raw_by_id[0] != raw_by_id[1]
+
+
+class TestWidthFold:
+    """Capability step 3 (r15 VERDICT #8): fullwidth ASCII variants —
+    the next measured gap after canonical composition. NFC leaves them
+    alone (they are COMPATIBILITY variants), so nfc_lite correctly
+    ignores them; width_fold is the separate opt-in preproc."""
+
+    def test_pair_table_is_the_unicode_width_data(self):
+        from big_data_flight_analytics_spark.functions.unicode import (
+            WIDTH_FOLD_PAIRS,
+        )
+
+        # every pair IS the NFKC fold of that single code point, and
+        # NFC (canonical) leaves every wide form untouched
+        for wide, narrow in WIDTH_FOLD_PAIRS:
+            assert unicodedata.normalize("NFKC", wide) == narrow
+            assert unicodedata.normalize("NFC", wide) == wide
+        assert len(WIDTH_FOLD_PAIRS) == 95  # 94 forms + ideographic sp
+
+    def test_folds_fullwidth_to_ascii(self, spark):
+        from big_data_flight_analytics_spark.functions.unicode import (
+            width_fold,
+        )
+
+        rows = [
+            (0, "Ｓｐａｒｋ　ＦＵＬＬ！", "Spark FULL!"),
+            (1, "ｈｅｌｌｏ， ｗｏｒｌｄ", "hello, world"),
+            (2, "mixed Ｗｉｄｔｈ 123 ４５６", "mixed Width 123 456"),
+            (3, "中文ｔｅｘｔ混合", "中文text混合"),  # CJK untouched
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t, _ in rows], "id long, text string"
+        )
+        got = {
+            r["id"]: r["s"]
+            for r in df.select(
+                "id", width_fold(F.col("text")).alias("s")
+            ).collect()
+        }
+        for i, _, want in rows:
+            assert got[i] == want
+
+    def test_duckdb_mirror_is_bit_exact(self, spark):
+        from big_data_flight_analytics_spark.functions.unicode import (
+            width_fold,
+            width_fold_sql_layers,
+        )
+
+        rows = [
+            (0, "Ｓｐａｒｋ　ＦＵＬＬ！"),
+            (1, "quote ＇ and ＂ forms"),  # escaping path
+            (2, "ascii stays put"),
+            (3, "중문 ｈａｌｆ混合 ３．１４"),
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        got_s = {
+            r["id"]: r["s"]
+            for r in df.select(
+                "id", width_fold(F.col("text")).alias("s")
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        layers = width_fold_sql_layers("text")
+        sql = f"WITH l0 AS (SELECT id, {layers[0]} AS s FROM t)"
+        for j, lay in enumerate(layers[1:], 1):
+            sql += (
+                f", l{j} AS (SELECT id, {lay.format(col='s')} AS s "
+                f"FROM l{j-1})"
+            )
+        sql += f" SELECT id, s FROM l{len(layers) - 1}"
+        for i, s in con.sql(sql).fetchall():
+            assert s == got_s[i]
+
+    def test_langid_gram_chain_needs_the_fold_for_fullwidth(self, spark):
+        """The measured gap, fixture-backed: WITHOUT width_fold the
+        langid gram chain buckets fullwidth Latin disjointly from its
+        ASCII twin (zero shared buckets — unrecognizable to ASCII-gram
+        profiles); WITH the fold the bucket histograms are identical."""
+        from big_data_flight_analytics_spark.operators.sampling import (
+            md5_bucket,
+        )
+        from big_data_flight_analytics_spark.functions.unicode import (
+            width_fold,
+        )
+
+        ascii_text = "the quick brown fox jumps over the lazy dog"
+        wide_text = "".join(
+            chr(ord(c) + 0xFEE0) if "!" <= c <= "~" else c
+            for c in ascii_text
+        )
+        rows = [(0, ascii_text), (1, wide_text)]
+        df = spark.createDataFrame(rows, "id long, text string")
+
+        def buckets(frame):
+            out = (
+                frame.select(
+                    "id", F.explode(_grams_of(F.col("s"), 3)).alias("g")
+                )
+                .groupBy(
+                    "id", md5_bucket(F.col("g"), LANGID_BUCKETS).alias("b")
+                )
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            by_id = {}
+            for r in out:
+                by_id.setdefault(r["id"], {})[r["b"]] = r["n"]
+            return by_id
+
+        folded = buckets(
+            df.select("id", width_fold(_canonical("text")).alias("s"))
+        )
+        assert folded[0] == folded[1]
+        raw = buckets(df.select("id", _canonical("text").alias("s")))
+        assert raw[0] != raw[1]
+        # the gap is total at GRAM granularity (bucket ids can still
+        # collide by md5-mod): no shared gram contains any foldable
+        # ASCII character — the two encodings are disjoint everywhere
+        # the fold has work to do
+        grams = (
+            df.select(
+                "id",
+                F.explode(
+                    _grams_of(_canonical("text"), 3)
+                ).alias("g"),
+            )
+            .collect()
+        )
+        g0 = {r["g"] for r in grams if r["id"] == 0}
+        g1 = {r["g"] for r in grams if r["id"] == 1}
+        assert all(
+            not any("!" <= ch <= "~" for ch in g) for g in g0 & g1
+        )
