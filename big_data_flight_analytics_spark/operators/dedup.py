@@ -1325,10 +1325,20 @@ def sparse_cosine_pairs(
     candidates, so emitted values are exact (precision 1.0; recall
     trade only).
 
-    Plan: tf agg on (doc, term); df agg on term (shuffle-joined back —
-    the term dimension is corpus-sized, never broadcast); one-row N
-    broadcast; capped posting self-join for candidates; verify joins
-    against the persisted weight frame. Output: doc_a, doc_b, cos.
+    Plan (r16 rework — same output, ~2x less intermediate volume):
+    tf agg on (doc, term); df via a term-partitioned WINDOW on the tf
+    frame (one exchange replaces the old df-agg + shuffle-join-back,
+    and the cap becomes a plain ``df <= max_df`` filter instead of a
+    second posting pass); one-row N broadcast; then the dot is
+    computed as an EXACT algebraic split: the capped-term self-join
+    aggregates each pair's partial dot DIRECTLY (the join that used to
+    only emit candidates now also does the capped half of the math),
+    and a correction join adds the dropped-hot-term contributions for
+    exactly those pairs — expanding candidates by each doc's DROPPED
+    terms only (~half the rows of the old full-vector expansion;
+    integer addition is associative, so partial + correction is
+    bit-identical to the single-sum formulation and the oracle is
+    unchanged). Output: doc_a, doc_b, cos.
 
     Term identity is a 60-bit md5-derived int64 (feature hashing),
     not the term string: every downstream shuffle, SMJ sort buffer,
@@ -1356,22 +1366,26 @@ def sparse_cosine_pairs(
         )
     )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    idf = dfreq.crossJoin(F.broadcast(n)).select(
-        "term",
-        (
-            F.floor(
-                F.lit(grain)
-                * F.log(
-                    (F.col("n_docs") + F.lit(1)).cast("double")
-                    / (F.col("df") + F.lit(1)).cast("double")
-                )
-            ).cast("long")
-            + F.lit(grain)
-        ).alias("idf_fp"),
+    # df via window: the tf frame re-partitions on `term` ONCE and the
+    # per-term count rides along — the old shape (df agg on term, then
+    # shuffle-join back onto tf) paid that exchange twice plus an SMJ
+    tf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
     )
-    w_raw = F.col("tf") * F.col("idf_fp")
+    n = df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    # idf per (doc, term) row off the windowed df — same value per
+    # term as the old per-term frame (identical exact-int LN inputs)
+    idf_fp = (
+        F.floor(
+            F.lit(grain)
+            * F.log(
+                (F.col("n_docs") + F.lit(1)).cast("double")
+                / (F.col("df") + F.lit(1)).cast("double")
+            )
+        ).cast("long")
+        + F.lit(grain)
+    )
+    w_raw = F.col("tf") * idf_fp
     # fail loud BEFORE any product can exceed int64: w < 2^31 makes
     # every w*w and wa*wb < 2^62. assert_true returns NULL on pass, so
     # anchoring the weight on .isNull() (the bm25_topk idiom) forces
@@ -1387,10 +1401,11 @@ def sparse_cosine_pairs(
         ),
     )
     weights = tracked_persist(
-        tf.join(idf, "term").select(
+        tf.crossJoin(F.broadcast(n)).select(
             F.col(id_col),
             "term",
             F.when(guard.isNull(), w_raw).alias("w"),
+            "df",
         )
     )
     norms = weights.groupBy(id_col).agg(
@@ -1408,28 +1423,56 @@ def sparse_cosine_pairs(
         F.col(id_col),
         F.when(norm_guard.isNull(), F.col("nsq")).alias("nsq"),
     )
-    posting = weights.select(F.col(id_col), "term")
-    if max_df is not None:
-        posting = _cap_bucket_population(posting, ["term"], max_df)
-    candidates = (
-        posting.select(F.col(id_col).alias("doc_a"), "term")
-        .join(posting.select(F.col(id_col).alias("doc_b"), "term"), "term")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+    capped = weights if max_df is None else weights.filter(
+        F.col("df") <= max_df
     )
-    wa = weights.select(
+    ca = capped.select(
         F.col(id_col).alias("doc_a"), "term", F.col("w").alias("wa")
     )
-    wb = weights.select(
+    cb = capped.select(
         F.col(id_col).alias("doc_b"), "term", F.col("w").alias("wb")
     )
-    dots = (
-        candidates.join(wa, "doc_a")
-        .join(wb, ["doc_b", "term"])
+    # the capped-term self-join both GENERATES the candidate pairs and
+    # aggregates their capped-half partial dots in the same pass (the
+    # old shape emitted bare candidates here and re-joined each pair
+    # against its FULL weight vector downstream)
+    # persisted: feeds both the correction join and the final sum —
+    # without it the capped self-join would evaluate twice
+    partial = tracked_persist(
+        ca.join(cb, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot_capped"))
     )
+    if max_df is None:
+        dots = partial.select(
+            "doc_a", "doc_b", F.col("dot_capped").alias("dot")
+        )
+    else:
+        dropped_a = weights.filter(F.col("df") > max_df).select(
+            F.col(id_col).alias("doc_a"), "term", F.col("w").alias("wa")
+        )
+        dropped_b = weights.filter(F.col("df") > max_df).select(
+            F.col(id_col).alias("doc_b"), "term", F.col("w").alias("wb")
+        )
+        corr = (
+            partial.select("doc_a", "doc_b")
+            .join(dropped_a, "doc_a")
+            .join(dropped_b, ["doc_b", "term"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot_dropped"))
+        )
+        dots = (
+            partial.join(corr, ["doc_a", "doc_b"], "left")
+            .select(
+                "doc_a",
+                "doc_b",
+                (
+                    F.col("dot_capped")
+                    + F.coalesce(F.col("dot_dropped"), F.lit(0))
+                ).alias("dot"),
+            )
+        )
     na = norms.select(F.col(id_col).alias("doc_a"), F.col("nsq").alias("na"))
     nb = norms.select(F.col(id_col).alias("doc_b"), F.col("nsq").alias("nb"))
     cos = F.col("dot").cast("double") / (

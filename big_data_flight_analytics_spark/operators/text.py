@@ -430,6 +430,71 @@ def lexical_diversity(
     )
 
 
+def bm25_per_doc(
+    docs: DataFrame,
+    terms: "list[str] | tuple[str, ...]",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document BM25 inputs (id, tf0..tfN-1, dl) for a fixed term
+    set: the one-corpus-traversal stage of ``bm25_topk``, factored out
+    so the incremental face (i16) can tokenize ONCE and derive split
+    stats from this frame instead of re-reading text per split."""
+    n = len(terms)
+    t = F.col(text_col)
+    toks = F.filter(tokens(text_col), lambda x: x != "")
+    acc0 = F.array(*([F.lit(0).cast("long")] * (n + 1)))
+
+    def _step(acc, x):
+        slots = [
+            acc[i] + F.when(x == F.lit(terms[i]), 1).otherwise(0)
+            for i in range(n)
+        ]
+        slots.append(acc[n] + 1)
+        return F.array(*slots)
+
+    counts = F.aggregate(toks, acc0, _step)
+    packed = F.struct(
+        *[counts[i].alias(f"tf{i}") for i in range(n)],
+        counts[n].alias("dl"),
+    )
+    # Generate (explode) is a projection-collapse barrier: the single
+    # `counts` aggregate evaluates exactly once per row no matter how
+    # many slots downstream projections extract.
+    return (
+        docs.filter(t.isNotNull() & (F.trim(t) != ""))
+        .select(F.col(id_col), F.explode(F.array(packed)).alias("_c"))
+        .select(id_col, "_c.*")
+    )
+
+
+def bm25_stats(per_doc: DataFrame, n_terms: int) -> DataFrame:
+    """Corpus statistics (n_docs, s_tokens, df0..dfN-1) from a
+    ``bm25_per_doc`` frame — one tiny single-row aggregate. Every
+    column is an int64 SUM/COUNT, so stats over corpus SPLITS are
+    MERGEABLE: ``bm25_stats_fold`` of split stats equals the stats of
+    the union, which is the whole incremental-index claim (i16)."""
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("s_tokens"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(n_terms)
+        ],
+    )
+
+
+def bm25_stats_fold(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold two BM25 stats rows (additive class: plain int64 sums —
+    commutative and associative, so N split stats fold in any order
+    and a streaming sink can maintain them O(delta) per batch)."""
+    cols = base.columns
+    return base.unionByName(delta).agg(
+        *[F.sum(c).cast("long").alias(c) for c in cols]
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     terms: "list[str] | tuple[str, ...]",
@@ -440,6 +505,8 @@ def bm25_topk(
     k1_tenths: int = 12,
     b_hundredths: int = 75,
     grain: int = 1_000_000,
+    totals: DataFrame | None = None,
+    per_doc: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k documents for a fixed term set under BM25, exact-grain.
 
@@ -475,42 +542,20 @@ def bm25_topk(
     that drop ``grain`` or promote the quotient to DECIMAL(38,0).
 
     Output: (id_col, matched, dl, score_fp), score_fp descending.
+
+    ``totals`` overrides the corpus-stats aggregate (a one-row frame
+    shaped like ``bm25_stats``) — the incremental face scores against
+    FOLDED split stats (i16) and a serving layer scores against a
+    maintained stats store without rescanning the corpus. ``per_doc``
+    likewise overrides the tokenization stage with a pre-built (and
+    typically persisted) ``bm25_per_doc`` frame so callers deriving
+    split stats from it pay the corpus traversal once.
     """
     n = len(terms)
-    t = F.col(text_col)
-    toks = F.filter(tokens(text_col), lambda x: x != "")
-    acc0 = F.array(*([F.lit(0).cast("long")] * (n + 1)))
-
-    def _step(acc, x):
-        slots = [
-            acc[i] + F.when(x == F.lit(terms[i]), 1).otherwise(0)
-            for i in range(n)
-        ]
-        slots.append(acc[n] + 1)
-        return F.array(*slots)
-
-    counts = F.aggregate(toks, acc0, _step)
-    packed = F.struct(
-        *[counts[i].alias(f"tf{i}") for i in range(n)],
-        counts[n].alias("dl"),
-    )
-    # Generate (explode) is a projection-collapse barrier: the single
-    # `counts` aggregate evaluates exactly once per row no matter how
-    # many slots downstream projections extract.
-    per_doc = (
-        docs.filter(t.isNotNull() & (F.trim(t) != ""))
-        .select(F.col(id_col), F.explode(F.array(packed)).alias("_c"))
-        .select(id_col, "_c.*")
-    )
-
-    totals = per_doc.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("s_tokens"),
-        *[
-            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
-            for i in range(n)
-        ],
-    )
+    if per_doc is None:
+        per_doc = bm25_per_doc(docs, terms, text_col=text_col, id_col=id_col)
+    if totals is None:
+        totals = bm25_stats(per_doc, n)
     scored = per_doc.crossJoin(F.broadcast(totals))
 
     num_mult = 1000 + 100 * k1_tenths          # (k1+1) * 1000
@@ -742,5 +787,59 @@ def cdc_chunks(
                     ),
                 )
             ).alias("chunk_fp"),
+        )
+    )
+
+
+def source_ngram_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source n-gram novelty: the fraction of a source's distinct
+    n-gram vocabulary that appears in NO other source.
+
+    The gram-level complement of the pair-level ``d9`` overlap report:
+    d9 says which sources re-host each other's documents; novelty says
+    how much of a source's raw phrasing is its own — the signal a
+    mixture designer uses to decide whether adding a crawl actually
+    adds new text or just re-weights existing text. Shape: one explode
+    to DISTINCT (gram, source) pairs, a gram-keyed count of sources
+    per gram (the two shuffles, both on the gram hash — no skew
+    because the pairs are pre-deduped), a co-partitioned join back,
+    and an O(sources) final agg. Novelty is an int64/int64 ratio cast
+    to double, so it hashes bit-exactly cross-engine.
+    """
+    pairs = (
+        docs.select(
+            F.col(source_col).alias("source"), tokens(text_col).alias("t")
+        )
+        .select(
+            "source",
+            F.explode(ngram_multiset_expr(F.col("t"), n)).alias("gram"),
+        )
+        .distinct()
+    )
+    per_gram = pairs.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources")
+    )
+    return (
+        pairs.join(per_gram, "gram")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("n_sources") == 1).cast("long"))
+            .cast("long")
+            .alias("n_exclusive"),
+        )
+        .select(
+            "source",
+            "n_grams",
+            "n_exclusive",
+            (
+                F.col("n_exclusive").cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("novelty"),
         )
     )

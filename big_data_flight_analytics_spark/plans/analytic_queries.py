@@ -2317,3 +2317,199 @@ def i11_session_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ANALYTIC_QUERIES["i11_session_delta"] = i11_session_delta
 ANALYTIC_ORACLES["i11_session_delta"] = S4_SQL
+
+
+# ---------------------------------------------------------------------------
+# W7 — LAG-framed window over a PRE-AGGREGATED frame: month-over-month
+# revenue growth. The classic report shape whose scale posture is the
+# interesting part: the global (unpartitioned) window is fine HERE
+# because it runs over the monthly aggregate — O(months) rows however
+# large the fact table — so the single-partition sort the lag needs is
+# driver-trivial and the heavy lifting stays in the partial-agg
+# groupBy underneath. Growth is a ratio of two decimal-exact doubles
+# both engines divide identically (one IEEE op), so no rounding
+# choreography is needed. Reference: the reference's weekly trend
+# report (orchestration/src/batch_process.py) stops at the grouped
+# counts; the lag/growth layer is the extension.
+# ---------------------------------------------------------------------------
+
+
+def w7_revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+    w = Window.orderBy(F.col("yr").asc(), F.col("mo").asc())
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "yr",
+        "mo",
+        "n_orders",
+        "revenue",
+        ((F.col("revenue") - prev) / prev).alias("mom_growth"),
+    )
+
+
+W7_SQL = """
+WITH monthly AS (
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM orders GROUP BY 1, 2
+)
+SELECT yr, mo, n_orders, revenue,
+       (revenue - LAG(revenue) OVER (ORDER BY yr ASC, mo ASC))
+           / LAG(revenue) OVER (ORDER BY yr ASC, mo ASC) AS mom_growth
+FROM monthly
+"""
+
+ANALYTIC_QUERIES["w7_revenue_mom_growth"] = w7_revenue_mom_growth
+ANALYTIC_ORACLES["w7_revenue_mom_growth"] = W7_SQL
+
+
+# ---------------------------------------------------------------------------
+# H4 — SCD2 temporal diff: the segment MIGRATION MATRIX between a
+# historical snapshot (the version valid AT an as-of instant — same
+# interval predicate as h3's point-in-time join, aimed at the dimension
+# itself instead of facts) and the current state. Answers "which
+# segments did customers move between since T" — the audit query SCD2
+# history exists to make answerable. Output is O(segments^2) however
+# many customers there are; both snapshot reads share h1's one build
+# (tracked_persist) and the matrix groupBy is the only shuffle on top.
+# ---------------------------------------------------------------------------
+
+H4_ASOF_US = 896659200000000  # 1998-06-01 UTC in epoch micros
+
+
+def h4_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.cache import tracked_persist
+
+    dim = tracked_persist(h1_scd2_customer_segment(spark, sf_dir))
+    then = dim.filter(
+        (F.col("valid_from_us") <= H4_ASOF_US)
+        & (
+            F.col("valid_to_us").isNull()
+            | (F.lit(H4_ASOF_US) < F.col("valid_to_us"))
+        )
+    ).select("c_custkey", F.col("segment").alias("segment_then"))
+    now = dim.filter(F.col("is_current")).select(
+        "c_custkey", F.col("segment").alias("segment_now")
+    )
+    return (
+        then.join(now, "c_custkey")
+        .groupBy("segment_then", "segment_now")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .withColumn(
+            "moved", F.col("segment_then") != F.col("segment_now")
+        )
+    )
+
+
+H4_SQL = f"""
+WITH scd AS (
+{H1_SQL}
+), then_v AS (
+    SELECT c_custkey, segment AS segment_then
+    FROM scd
+    WHERE valid_from_us <= {H4_ASOF_US}
+      AND (valid_to_us IS NULL OR {H4_ASOF_US} < valid_to_us)
+), now_v AS (
+    SELECT c_custkey, segment AS segment_now FROM scd WHERE is_current
+)
+SELECT segment_then, segment_now,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       segment_then <> segment_now AS moved
+FROM then_v JOIN now_v USING (c_custkey)
+GROUP BY 1, 2
+"""
+
+ANALYTIC_QUERIES["h4_segment_migration"] = h4_segment_migration
+ANALYTIC_ORACLES["h4_segment_migration"] = H4_SQL
+
+
+# ---------------------------------------------------------------------------
+# TS5 — truncated exponentially-weighted moving average (the online
+# smoother): each user's CURRENT smoothed value over their last
+# EWMA_TAPS events with alpha = 1/2, i.e. weights 2^-i. The recursive
+# EWMA is order-dependent and so engine-hostile; the truncated form is
+# a FIXED 16-term linear combination, expressible as a lead-chain over
+# ONE descending window — the same exchange serves the ranking that
+# keeps only each user's latest event, so the whole query is one
+# shuffle on the key it already carries and the output is O(users),
+# corpus-size-independent. Weights are exact binary fractions and both
+# engines evaluate the identical left-folded expression tree, so the
+# doubles hash bit-exactly with zero rounding choreography.
+# ---------------------------------------------------------------------------
+
+EWMA_TAPS = 16
+
+
+def ts5_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    num = None
+    den = None
+    for i in range(EWMA_TAPS):
+        wt = 2.0 ** (-i)
+        v = F.col("value") if i == 0 else F.lead("value", i).over(w)
+        term = F.when(v.isNotNull(), F.lit(wt) * v).otherwise(F.lit(0.0))
+        wterm = F.when(v.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = wterm if den is None else den + wterm
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            (num / den).alias("ewma_value"),
+            F.row_number().over(w).alias("__rn"),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event_id"),
+            "ewma_value",
+        )
+    )
+
+
+def _ts5_sql() -> str:
+    over = (
+        "OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)"
+    )
+    nums, dens = [], []
+    for i in range(EWMA_TAPS):
+        wt = repr(2.0 ** (-i))
+        v = "value" if i == 0 else f"LEAD(value, {i}) {over}"
+        nums.append(
+            f"CASE WHEN {v} IS NOT NULL THEN {wt} * {v} ELSE 0.0 END"
+        )
+        dens.append(f"CASE WHEN {v} IS NOT NULL THEN {wt} ELSE 0.0 END")
+    return f"""
+SELECT user_id, event_id AS latest_event_id,
+       ({' + '.join(nums)})
+       / ({' + '.join(dens)}) AS ewma_value
+FROM events
+QUALIFY ROW_NUMBER() {over} = 1
+"""
+
+
+TS5_SQL = _ts5_sql()
+
+ANALYTIC_QUERIES["ts5_ewma"] = ts5_ewma
+ANALYTIC_ORACLES["ts5_ewma"] = TS5_SQL

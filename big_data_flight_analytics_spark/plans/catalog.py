@@ -221,6 +221,13 @@ _TIE_BREAK = [
     "h3_point_in_time_join",
     "v10_mmr_rerank",
     "v11_retrieval_pipeline",
+    "w7_revenue_mom_growth",
+    "h4_segment_migration",
+    "ts5_ewma",
+    "q16_large_volume_customers",
+    "t28_ngram_novelty",
+    "v12_filtered_ann",
+    "i16_bm25_stats_delta",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

@@ -6955,3 +6955,157 @@ EXTENSION_ORACLES = {
     "m2_frame_sample": M2_SQL,
     "m3_frame_dedup": M3_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# T28 — per-source n-gram novelty (operators/text.source_ngram_novelty):
+# what fraction of each source's distinct trigram vocabulary exists
+# nowhere else in the corpus. Gram-level counterpart of d9's pair-level
+# cross-source overlap; O(sources) output, both heavy shuffles keyed on
+# the gram hash.
+# ---------------------------------------------------------------------------
+
+
+def t28_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.text import (
+        source_ngram_novelty,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return source_ngram_novelty(docs, n=NGRAM_N)
+
+
+T28_SQL = rf"""
+WITH toks AS (
+    SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+    FROM documents
+), grams AS (
+    SELECT source,
+           CASE WHEN len(t) >= {NGRAM_N} THEN
+               list_transform(range(1, len(t) - {NGRAM_N - 2}),
+                   i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+           ELSE [] END AS g
+    FROM toks
+), pairs AS (
+    SELECT DISTINCT source, unnest(g) AS gram FROM grams
+), per_gram AS (
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_sources
+    FROM pairs GROUP BY gram
+)
+SELECT p.source,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN g.n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exclusive,
+       CAST(SUM(CASE WHEN g.n_sources = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS novelty
+FROM pairs p JOIN per_gram g USING (gram)
+GROUP BY 1
+"""
+
+EXTENSION_QUERIES["t28_ngram_novelty"] = t28_ngram_novelty
+EXTENSION_ORACLES["t28_ngram_novelty"] = T28_SQL
+
+
+# ---------------------------------------------------------------------------
+# V12 — metadata-FILTERED vector search: top-k cosine among the
+# embeddings whose paired document passes a metadata predicate
+# (lang + min length) — the "filtered ANN" query every production
+# vector store grows once documents carry attributes. Strategy here is
+# PRE-FILTER: the predicate joins/prunes the corpus BEFORE any
+# distance math, so the expensive part runs on the survivors only —
+# the right posture whenever the predicate is selective and the right
+# baseline always (exact over the filtered set is the recall oracle
+# for any post-filter ANN variant; for low-selectivity predicates the
+# scale alternative is the v3 IVF probe with over-fetch + post-filter,
+# whose recall this entry would referee). The doc join is an equi-join
+# on the id both sides carry; queries stay broadcast.
+# ---------------------------------------------------------------------------
+
+V12_LANG = "en"
+V12_MIN_CHARS = 200
+
+
+def v12_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents")
+    allowed = docs.filter(
+        (F.col("lang") == V12_LANG) & (F.col("n_chars") >= V12_MIN_CHARS)
+    ).select(F.col("doc_id").alias("vec_id"))
+    corpus = emb.join(allowed, "vec_id")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return brute_force_topk(corpus, queries, k=TOPK)
+
+
+V12_SQL = f"""
+WITH allowed AS (
+    SELECT doc_id AS vec_id FROM documents
+    WHERE lang = '{V12_LANG}' AND n_chars >= {V12_MIN_CHARS}
+), q AS (
+    SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+    WHERE vec_id < {N_QUERY_VECS}
+), scored AS (
+    SELECT q.query_id,
+           e.vec_id AS neighbor_id,
+           CASE WHEN sqrt(list_dot_product(q.qv, q.qv))
+                       * sqrt(list_dot_product(e.embedding, e.embedding)) = 0
+                  THEN 0.0 ELSE ROUND(
+             list_dot_product(q.qv, e.embedding) /
+             (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(e.embedding, e.embedding))), 4) END AS sim
+    FROM embeddings e
+    JOIN allowed USING (vec_id)
+    CROSS JOIN q
+    WHERE e.vec_id <> q.query_id
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id ASC) AS rn
+    FROM scored
+)
+SELECT query_id, neighbor_id, sim FROM ranked WHERE rn <= {TOPK}
+"""
+
+EXTENSION_QUERIES["v12_filtered_ann"] = v12_filtered_ann
+EXTENSION_ORACLES["v12_filtered_ann"] = V12_SQL
+
+
+# ---------------------------------------------------------------------------
+# I16 — incremental BM25 corpus stats (the t17 index's maintenance
+# face): corpus statistics (n_docs, s_tokens, df per term) are plain
+# int64 sums — the ADDITIVE fold class — so base + delta split stats
+# fold into exactly the full-corpus stats, and scoring against the
+# folded row must reproduce t17 bit-for-bit (same oracle). The per-doc
+# frame is built ONCE (tokenization is the expensive pass) and both
+# split stats derive from it; at 100 TB the fold is what lets an
+# ingest pipeline keep BM25 idf/avgdl current per batch — O(batch)
+# text work plus a two-row fold — instead of rescanning the corpus,
+# with the scoring pass unchanged.
+# ---------------------------------------------------------------------------
+
+
+def i16_bm25_stats_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.cache import tracked_persist
+    from big_data_flight_analytics_spark.operators.text import (
+        bm25_per_doc,
+        bm25_stats,
+        bm25_stats_fold,
+        bm25_topk,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    per_doc = tracked_persist(bm25_per_doc(docs, list(BM25_TERMS)))
+    n = len(BM25_TERMS)
+    base = bm25_stats(per_doc.filter(F.col("doc_id") % 5 != 0), n)
+    delta = bm25_stats(per_doc.filter(F.col("doc_id") % 5 == 0), n)
+    folded = bm25_stats_fold(base, delta)
+    return bm25_topk(
+        docs,
+        list(BM25_TERMS),
+        k=BM25_TOPK,
+        grain=BM25_GRAIN,
+        totals=folded,
+        per_doc=per_doc,
+    )
+
+
+EXTENSION_QUERIES["i16_bm25_stats_delta"] = i16_bm25_stats_delta
+EXTENSION_ORACLES["i16_bm25_stats_delta"] = T17_SQL

@@ -1781,3 +1781,73 @@ def i10_kanon_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RELATIONAL_QUERIES["i10_kanon_delta"] = i10_kanon_delta
 RELATIONAL_ORACLES["i10_kanon_delta"] = P3_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q16 — TPC-H Q18-shaped large-volume customers: orders whose total
+# lineitem quantity clears a threshold, attributed to their customers
+# and top-k'd by order value. The classic "HAVING over a groupBy
+# feeding a join" decorrelation: the inner agg groups the fact on the
+# key it already carries (l_orderkey — no extra exchange beyond the
+# one agg shuffle), the survivors are a tiny fraction, so the
+# orders/customer attachment broadcasts THEM, not the fact. Quantity
+# sums are integer-valued doubles (< 2^53), so SUM is
+# order-insensitive and exact in both engines; top-k is
+# TakeOrderedAndProject with full deterministic tie-breaks.
+# ---------------------------------------------------------------------------
+
+Q16_MIN_QTY = 150
+Q16_TOP_K = 100
+
+
+def q16_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.core import top_k
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q16_MIN_QTY)
+    )
+    joined = (
+        orders.join(
+            F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"]
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "orderdate_us"
+            ),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+    return top_k(
+        joined,
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        Q16_TOP_K,
+    )
+
+
+Q16_SQL = f"""
+WITH big AS (
+    SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+    FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > {Q16_MIN_QTY}
+)
+SELECT c_name, c_custkey, o_orderkey,
+       epoch_us(o_orderdate) AS orderdate_us,
+       o_totalprice, sum_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT {Q16_TOP_K}
+"""
+
+RELATIONAL_QUERIES["q16_large_volume_customers"] = q16_large_volume_customers
+RELATIONAL_ORACLES["q16_large_volume_customers"] = Q16_SQL

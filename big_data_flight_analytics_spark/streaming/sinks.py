@@ -1884,3 +1884,74 @@ class BloomSink(ParquetUpsertSink):
             .collect()[0]
         )
         return (row["set_bits"] or 0) / self.m_bits
+
+
+class BM25StatsSink(ParquetUpsertSink):
+    """Continuously maintained BM25 corpus statistics (s22): each
+    arriving documents batch's stats row (``operators/text.bm25_stats``
+    — n_docs, s_tokens, df per term) folds into the persisted one-row
+    store via ``bm25_stats_fold``. The fold class is ADDITIVE (plain
+    int64 sums), so the sink is marker-guarded like every additive
+    fold (the HistogramSink class); state is O(terms) — bounded by the
+    fixed scoring vocabulary, not the stream — so the read-fold-swap
+    rewrite is O(1) per trigger and the delta-dir layout would add
+    moving parts without changing asymptotics (DESIGN.md round-16
+    fold-class table rule). ``topk(spark, docs, k)`` scores any
+    document set against the CURRENT stats without rescanning ingest
+    history — the i16 incremental claim as a serving face: idf/avgdl
+    stay fresh per batch at O(batch) text cost."""
+
+    def __init__(
+        self,
+        path: str,
+        terms: "list[str] | tuple[str, ...]",
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> None:
+        super().__init__(path, key_col="n_docs", version_col="__none")
+        self.terms = list(terms)
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def merge(self, batch_df: DataFrame, batch_id: int) -> None:
+        from big_data_flight_analytics_spark.operators.text import (
+            bm25_per_doc,
+            bm25_stats,
+            bm25_stats_fold,
+        )
+
+        self._recover()
+        if os.path.exists(self.path) and batch_id <= self._last_batch():
+            return  # replay of an already-folded batch
+        spark = batch_df.sparkSession
+        delta = bm25_stats(
+            bm25_per_doc(
+                batch_df,
+                self.terms,
+                text_col=self.text_col,
+                id_col=self.id_col,
+            ),
+            len(self.terms),
+        )
+        if os.path.exists(self.path):
+            updated = bm25_stats_fold(spark.read.parquet(self.path), delta)
+        else:
+            updated = delta
+        self._write_and_swap_with_marker(updated, batch_id)
+
+    def read(self, spark) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+    def topk(self, spark, docs: DataFrame, k: int = 10, **kwargs) -> DataFrame:
+        """t17 ranking over ``docs`` against the maintained stats."""
+        from big_data_flight_analytics_spark.operators.text import bm25_topk
+
+        return bm25_topk(
+            docs,
+            self.terms,
+            k=k,
+            text_col=self.text_col,
+            id_col=self.id_col,
+            totals=self.read(spark),
+            **kwargs,
+        )

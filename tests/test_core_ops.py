@@ -543,3 +543,142 @@ class TestFertilityFold:
             for r in _fertility_fold(base, delta).collect()
         }
         assert got == {"a": (10, 5), "b": (10, 5), "c": (9, 9)}
+
+
+class TestEwma:
+    """ts5's truncated EWMA: the 16-tap lead chain with alpha=1/2 must
+    reproduce the hand-computed weighted mean over however many events
+    a key actually has (fewer taps -> renormalized denominator)."""
+
+    def test_hand_computed_weights(self, spark):
+        import datetime
+
+        from big_data_flight_analytics_spark.plans.analytic_queries import (
+            ts5_ewma,
+        )
+
+        # user 1: values 10 (t=1), 20 (t=2), 40 (t=3) ->
+        #   ewma = (40 + 0.5*20 + 0.25*10) / (1 + 0.5 + 0.25) = 52.5/1.75
+        # user 2: single event -> ewma = its value
+        rows = [
+            (1, 1, datetime.datetime(2024, 1, 1, 0, 0, 1), 10.0),
+            (2, 1, datetime.datetime(2024, 1, 1, 0, 0, 2), 20.0),
+            (3, 1, datetime.datetime(2024, 1, 1, 0, 0, 3), 40.0),
+            (4, 2, datetime.datetime(2024, 1, 1, 0, 0, 1), 7.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, value double"
+        )
+        import os
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            df.write.parquet(os.path.join(d, "events.parquet"))
+            got = {
+                r["user_id"]: (r["latest_event_id"], r["ewma_value"])
+                for r in ts5_ewma(spark, d).collect()
+            }
+        assert got[1][0] == 3
+        assert got[1][1] == (40.0 + 0.5 * 20.0 + 0.25 * 10.0) / 1.75
+        assert got[2] == (4, 7.0)
+
+    def test_tie_breaks_on_event_id(self, spark):
+        import datetime
+
+        from big_data_flight_analytics_spark.plans.analytic_queries import (
+            ts5_ewma,
+        )
+
+        ts = datetime.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, 1, ts, 3.0), (2, 1, ts, 9.0)],
+            "event_id long, user_id long, ts timestamp, value double",
+        )
+        import os
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            df.write.parquet(os.path.join(d, "events.parquet"))
+            row = ts5_ewma(spark, d).collect()[0]
+        # same ts: higher event_id is "latest"; order 9 then 3
+        assert row["latest_event_id"] == 2
+        assert row["ewma_value"] == (9.0 + 0.5 * 3.0) / 1.5
+
+
+class TestSegmentMigration:
+    """h4: snapshot-at-T vs current over the SCD2 dimension — a key
+    whose only version spans T lands on the diagonal; a key updated
+    after T shows the old->new movement."""
+
+    def test_moved_and_stayed(self, spark):
+        from pyspark.sql import functions as F
+
+        from big_data_flight_analytics_spark.plans.analytic_queries import (
+            H4_ASOF_US,
+        )
+
+        dim = spark.createDataFrame(
+            [
+                # custkey 1: updated AFTER T -> moved A->B
+                (1, "A", 0, H4_ASOF_US + 10, False),
+                (1, "B", H4_ASOF_US + 10, None, True),
+                # custkey 2: updated BEFORE T -> counted in its new
+                # segment on both sides (diagonal)
+                (2, "A", 0, H4_ASOF_US - 10, False),
+                (2, "C", H4_ASOF_US - 10, None, True),
+            ],
+            "c_custkey long, segment string, valid_from_us long,"
+            " valid_to_us long, is_current boolean",
+        )
+        then = dim.filter(
+            (F.col("valid_from_us") <= H4_ASOF_US)
+            & (
+                F.col("valid_to_us").isNull()
+                | (F.lit(H4_ASOF_US) < F.col("valid_to_us"))
+            )
+        ).select("c_custkey", F.col("segment").alias("segment_then"))
+        now = dim.filter(F.col("is_current")).select(
+            "c_custkey", F.col("segment").alias("segment_now")
+        )
+        got = {
+            (r["segment_then"], r["segment_now"]): r["n"]
+            for r in then.join(now, "c_custkey")
+            .groupBy("segment_then", "segment_now")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == {("A", "B"): 1, ("C", "C"): 1}
+
+
+class TestBm25StatsFold:
+    """i16's fold class: split stats are plain int64 sums, so fold of
+    any split == stats of the union, in any fold order."""
+
+    def test_fold_equals_union_and_associates(self, spark):
+        from big_data_flight_analytics_spark.operators.text import (
+            bm25_per_doc,
+            bm25_stats,
+            bm25_stats_fold,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "spark join spark"),
+                (2, "window dup window"),
+                (3, "join"),
+                (4, "dup dup dup spark"),
+            ],
+            "doc_id long, text string",
+        )
+        terms = ["spark", "join", "window", "dup"]
+        pd = bm25_per_doc(docs, terms)
+        full = bm25_stats(pd, 4).collect()[0].asDict()
+        a = bm25_stats(pd.filter("doc_id <= 1"), 4)
+        b = bm25_stats(pd.filter("doc_id = 2 or doc_id = 3"), 4)
+        c = bm25_stats(pd.filter("doc_id = 4"), 4)
+        left = bm25_stats_fold(bm25_stats_fold(a, b), c).collect()[0].asDict()
+        right = bm25_stats_fold(a, bm25_stats_fold(b, c)).collect()[0].asDict()
+        assert left == full
+        assert right == full
+        assert full["n_docs"] == 4 and full["s_tokens"] == 11
+        assert full["df0"] == 2  # spark: docs 1, 4

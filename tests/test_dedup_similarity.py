@@ -1954,3 +1954,35 @@ class TestRetrievalComposition:
         assert got[(0, 12)] == 0.5
         # degenerate query: every candidate equally fused -> rel 1.0
         assert got[(1, 20)] == 1.0 and got[(1, 21)] == 1.0
+
+
+class TestFilteredAnn:
+    """v12: the metadata predicate prunes the corpus BEFORE distance
+    math — a nearer neighbor failing the filter must not appear."""
+
+    def test_filter_excludes_nearer_neighbor(self, spark):
+        from pyspark.sql import functions as F
+
+        from big_data_flight_analytics_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        emb = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0]),       # query
+                (1, [1.0, 0.01]),      # nearest, but filtered out
+                (2, [0.7, 0.7]),       # allowed
+                (3, [0.0, 1.0]),       # allowed, orthogonal
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        allowed = spark.createDataFrame(
+            [(2,), (3,)], "vec_id long"
+        )
+        corpus = emb.join(allowed, "vec_id")
+        queries = emb.filter(F.col("vec_id") == 0)
+        got = [
+            r["neighbor_id"]
+            for r in brute_force_topk(corpus, queries, k=2).collect()
+        ]
+        assert got == [2, 3]  # 1 is closer than both but not allowed

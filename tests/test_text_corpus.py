@@ -1070,3 +1070,34 @@ class TestCorpusAssembly:
         }
         assert got <= curated - dirty
         assert not (got & dirty)
+
+
+class TestSourceNgramNovelty:
+    """t28: a source whose trigrams appear nowhere else scores 1.0; a
+    verbatim re-host scores 0.0 on the shared grams; counts are over
+    DISTINCT grams per source."""
+
+    def test_exclusive_shared_and_distinctness(self, spark):
+        from big_data_flight_analytics_spark.operators.text import (
+            source_ngram_novelty,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta", "A"),   # grams: ab g, b g d
+                (2, "alpha beta gamma delta", "B"),   # re-host of doc 1
+                (3, "unique own phrasing here", "C"),
+                # duplicate gram WITHIN source C must count once
+                (4, "unique own phrasing here", "C"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        got = {
+            r["source"]: (r["n_grams"], r["n_exclusive"], r["novelty"])
+            for r in source_ngram_novelty(docs, n=3).collect()
+        }
+        # A and B share both trigrams -> zero novelty
+        assert got["A"] == (2, 0, 0.0)
+        assert got["B"] == (2, 0, 0.0)
+        # C's two trigrams exist only in C; in-source dup not double-counted
+        assert got["C"] == (2, 2, 1.0)

@@ -51,6 +51,10 @@ GLOBAL_WINDOW_OK = {
     # O(k x n_partitions) rows regardless of corpus (kmv_sketch doc)
     "i7_kmv_delta",
     "a15_sketch_overlap",
+    # w7's lag runs over the MONTHLY aggregate — O(months) rows
+    # however large the fact table (the groupBy underneath is where
+    # the corpus-sized work happens, fully partitioned)
+    "w7_revenue_mom_growth",
 }
 
 JOIN_KINDS = (
