@@ -676,6 +676,27 @@ def _index_sink_pipelines(spark, sf_dir: str, workdir: str) -> dict[str, float]:
     )
     out["s20_dataset_card_sink"] = round(doc_rows / secs, 1)
 
+    # s22: continuously maintained BM25 corpus stats (streaming i16) —
+    # the same documents delta; each batch's (n_docs, s_tokens, df)
+    # row folds additively into the O(terms) one-row store
+    # (marker-guarded), keeping t17's idf/avgdl current per batch
+    from big_data_flight_analytics_spark.plans.extension_queries import (
+        BM25_TERMS,
+    )
+    from big_data_flight_analytics_spark.streaming.sinks import BM25StatsSink
+
+    bm25_path = os.path.join(workdir, "bm25_stats")
+    shutil.rmtree(bm25_path, ignore_errors=True)
+    bm25_sink = BM25StatsSink(bm25_path, list(BM25_TERMS))
+    secs = _run_index_sink(
+        spark,
+        doc_feed,
+        "doc_id long, source string, text string",
+        bm25_sink,
+        os.path.join(workdir, "ckpt_s22_bm25_stats"),
+    )
+    out["s22_bm25_stats_sink"] = round(doc_rows / secs, 1)
+
     # s19: continuously folded session store (streaming i11) — the
     # boundary-conditional fold class's sink face: each events batch
     # sessionizes and folds into the persisted per-user session stats

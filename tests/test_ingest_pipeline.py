@@ -1346,3 +1346,70 @@ class TestDatasetCardSink:
             assert second[src][1] == 2 * first[src][1]  # n_docs doubles
             assert second[src][5] == first[src][5]  # min_quality stable
             assert second[src][6] == first[src][6]  # max_quality stable
+
+
+class TestBM25StatsSink:
+    """Streaming i16 (s22): per-batch BM25 stats fold == one-shot
+    stats over all arrivals; replay marker-guarded (additive sums);
+    topk against the maintained stats == the batch t17 ranking."""
+
+    TERMS = ["cat", "dog", "fish", "bird"]
+
+    def _delta(self, spark):
+        rows = [
+            (0, "the cat and the dog went running for the door"),
+            (1, "the dog and the cat for the morning thing"),
+            (2, "a fish and a bird by the lake"),
+            (3, "the bird and the fish for the evening thing"),
+            (4, "cat cat cat dog"),
+            (5, "no relevant animals in this one at all"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_stream_folds_equal_batch_stats_and_topk(
+        self, spark, tmp_path
+    ):
+        from big_data_flight_analytics_spark.operators.text import (
+            bm25_per_doc,
+            bm25_stats,
+            bm25_topk,
+        )
+        from big_data_flight_analytics_spark.streaming.sinks import (
+            BM25StatsSink,
+        )
+
+        delta = self._delta(spark)
+        sink = BM25StatsSink(str(tmp_path / "bm25"), self.TERMS)
+        _run_stream(spark, tmp_path, sink, delta)
+        got = sink.read(spark).collect()[0].asDict()
+        want = (
+            bm25_stats(bm25_per_doc(delta, self.TERMS), len(self.TERMS))
+            .collect()[0]
+            .asDict()
+        )
+        assert got == want
+        served = [
+            (r["doc_id"], r["score_fp"])
+            for r in sink.topk(spark, delta, k=3).collect()
+        ]
+        batch = [
+            (r["doc_id"], r["score_fp"])
+            for r in bm25_topk(delta, self.TERMS, k=3).collect()
+        ]
+        assert served == batch
+
+    def test_replayed_batch_does_not_double_count(self, spark, tmp_path):
+        from big_data_flight_analytics_spark.streaming.sinks import (
+            BM25StatsSink,
+        )
+
+        delta = self._delta(spark)
+        sink = BM25StatsSink(str(tmp_path / "bm25"), self.TERMS)
+        sink.merge(delta, 0)
+        first = sink.read(spark).collect()[0].asDict()
+        sink.merge(delta, 0)  # replay: additive sums would double
+        assert sink.read(spark).collect()[0].asDict() == first
+        sink.merge(delta, 1)  # genuinely new batch folds
+        second = sink.read(spark).collect()[0].asDict()
+        assert second["n_docs"] == 2 * first["n_docs"]
+        assert second["s_tokens"] == 2 * first["s_tokens"]
