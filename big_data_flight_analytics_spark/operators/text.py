@@ -811,7 +811,27 @@ def source_ngram_novelty(
     and an O(sources) final agg. Novelty is an int64/int64 ratio cast
     to double, so it hashes bit-exactly cross-engine.
     """
-    pairs = (
+    return novelty_from_pairs(
+        novelty_pairs(docs, n, source_col=source_col, text_col=text_col)
+    )
+
+
+def novelty_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """The novelty report's STATE: distinct (gram, source) pairs.
+
+    The set-union fold class — pair sets from corpus splits union
+    (with a distinct) into the full corpus's pair set, so the report
+    maintains incrementally (i17): O(batch) tokenization per delta,
+    one distinct over state whose size is bounded by the corpus
+    vocabulary x sources (grams are int64-hash-free here — the string
+    gram is the key both engines share; hash if vocabulary scale ever
+    demands it, the d19 precedent)."""
+    return (
         docs.select(
             F.col(source_col).alias("source"), tokens(text_col).alias("t")
         )
@@ -821,6 +841,10 @@ def source_ngram_novelty(
         )
         .distinct()
     )
+
+
+def novelty_from_pairs(pairs: DataFrame) -> DataFrame:
+    """Per-source novelty report off a (gram, source) pair state."""
     per_gram = pairs.groupBy("gram").agg(
         F.count(F.lit(1)).cast("long").alias("n_sources")
     )

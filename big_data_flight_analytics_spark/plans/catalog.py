@@ -228,6 +228,10 @@ _TIE_BREAK = [
     "t28_ngram_novelty",
     "v12_filtered_ann",
     "i16_bm25_stats_delta",
+    "q17_trade_flows",
+    "u3_repeat_priority_slots",
+    "i17_novelty_delta",
+    "v13_lsh_recall",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

@@ -7109,3 +7109,101 @@ def i16_bm25_stats_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXTENSION_QUERIES["i16_bm25_stats_delta"] = i16_bm25_stats_delta
 EXTENSION_ORACLES["i16_bm25_stats_delta"] = T17_SQL
+
+
+# ---------------------------------------------------------------------------
+# I17 — incremental per-source novelty (t28's maintenance face): the
+# report's state is the distinct (gram, source) pair set — the
+# SET-UNION fold class (i3/i4/i13's) — so base-split state UNION
+# delta-split state, deduped, equals the full-corpus state and the
+# report off the folded state must reproduce t28 bit-for-bit (same
+# oracle). Per delta batch the work is O(batch) tokenization + one
+# distinct against state; no full-corpus rescan.
+# ---------------------------------------------------------------------------
+
+
+def i17_novelty_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.text import (
+        novelty_from_pairs,
+        novelty_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    base = novelty_pairs(docs.filter(F.col("doc_id") % 5 != 0), n=NGRAM_N)
+    delta = novelty_pairs(docs.filter(F.col("doc_id") % 5 == 0), n=NGRAM_N)
+    folded = base.unionByName(delta).distinct()
+    return novelty_from_pairs(folded)
+
+
+EXTENSION_QUERIES["i17_novelty_delta"] = i17_novelty_delta
+EXTENSION_ORACLES["i17_novelty_delta"] = T28_SQL
+
+
+# ---------------------------------------------------------------------------
+# V13 — ANN recall referee, in-catalog: recall@k of the v2 sign-LSH
+# bucketed search against the v1 exact list, per query. The
+# DEDUP_QUALITY.md recall claims as an ORACLE-GATED entry: both lists
+# are deterministic catalog queries, the overlap is an integer count
+# and recall an int/int ratio, so the quality measurement itself
+# hash-checks cross-engine. O(queries) output; cost is the two
+# searches it referees (which share the corpus scan).
+# ---------------------------------------------------------------------------
+
+
+def v13_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    exact = brute_force_topk(emb, queries, k=TOPK).select(
+        "query_id", "neighbor_id"
+    )
+    approx = lsh_bucketed_topk(
+        emb, queries, k=TOPK, bits=LSH_BITS
+    ).select("query_id", "neighbor_id")
+    n_exact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    n_overlap = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    return (
+        n_exact.join(n_overlap, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_overlap"), F.lit(0))
+            .cast("long")
+            .alias("n_overlap"),
+        )
+        .withColumn(
+            "recall",
+            F.col("n_overlap").cast("double")
+            / F.col("n_exact").cast("double"),
+        )
+    )
+
+
+V13_SQL = f"""
+WITH exact AS (
+    SELECT query_id, neighbor_id FROM ({V1_SQL})
+), approx AS (
+    SELECT query_id, neighbor_id FROM ({V2_SQL})
+), ne AS (
+    SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+    FROM exact GROUP BY 1
+), nov AS (
+    SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+    FROM exact e JOIN approx a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY 1
+)
+SELECT ne.query_id, ne.n_exact,
+       CAST(COALESCE(nov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(COALESCE(nov.n_overlap, 0) AS DOUBLE)
+           / CAST(ne.n_exact AS DOUBLE) AS recall
+FROM ne LEFT JOIN nov ON ne.query_id = nov.query_id
+"""
+
+EXTENSION_QUERIES["v13_lsh_recall"] = v13_lsh_recall
+EXTENSION_ORACLES["v13_lsh_recall"] = V13_SQL

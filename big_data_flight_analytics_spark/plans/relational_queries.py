@@ -1851,3 +1851,128 @@ LIMIT {Q16_TOP_K}
 
 RELATIONAL_QUERIES["q16_large_volume_customers"] = q16_large_volume_customers
 RELATIONAL_ORACLES["q16_large_volume_customers"] = Q16_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q17 — TPC-H Q7-shaped bilateral trade flows: revenue shipped between
+# two chosen nations, both directions, by year. The canonical "fact
+# joined through two different dimension paths" shape: the lineitem
+# side resolves supplier -> nation, the orders side resolves
+# customer -> nation, and the (supp_nation, cust_nation) pair filter
+# keeps the two directed flows. Physical posture: every dimension
+# (supplier, customer, nation, and the year-filtered orders' slice is
+# NOT small — orders joins on the orderkey the fact carries, one
+# shuffle pair; the three genuine dims broadcast). The pair filter is
+# pushed into the broadcast nation joins as disjunctive membership
+# (n_name IN (A, B) on both paths), so non-participating nations prune
+# BEFORE the fact join, and the exact pair condition
+# (supp <> cust nation) filters after.
+# ---------------------------------------------------------------------------
+
+Q17_NATION_A = "NATION_3"
+Q17_NATION_B = "NATION_7"
+
+
+def q17_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    pair = nation.filter(
+        F.col("n_name").isin(Q17_NATION_A, Q17_NATION_B)
+    )
+    supp_n = supp.join(
+        F.broadcast(pair), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust_n = cust.join(
+        F.broadcast(pair.select(
+            F.col("n_nationkey").alias("cn_key"),
+            F.col("n_name").alias("cust_nation"),
+        )),
+        F.col("c_nationkey") == F.col("cn_key"),
+    ).select("c_custkey", "cust_nation")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(revenue).cast("double").alias("revenue"),
+        )
+    )
+
+
+Q17_SQL = f"""
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+    AND sn.n_name IN ('{Q17_NATION_A}', '{Q17_NATION_B}')
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+    AND cn.n_name IN ('{Q17_NATION_A}', '{Q17_NATION_B}')
+WHERE sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3
+"""
+
+RELATIONAL_QUERIES["q17_trade_flows"] = q17_trade_flows
+RELATIONAL_ORACLES["q17_trade_flows"] = Q17_SQL
+
+
+# ---------------------------------------------------------------------------
+# U3 — EXCEPT ALL multiset difference: order priorities a customer
+# holds MORE of than the corpus-median customer... kept simpler and
+# honest: the multiset of (custkey, priority) order slots minus ONE
+# slot per (custkey, priority) — i.e. "every repeat beyond the first"
+# — via Spark's exceptAll against the distinct set. u1 pinned the
+# DISTINCT set-op semantics (INTERSECT/EXCEPT); this pins the ALL
+# (bag) semantics, whose row multiplicities engines get wrong when
+# they rewrite through joins. Aggregated to O(priorities) counts so
+# the output is corpus-size-independent.
+# ---------------------------------------------------------------------------
+
+
+def u3_repeat_priority_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    slots = orders.select(
+        "o_custkey", F.col("o_orderpriority").alias("priority")
+    )
+    repeats = slots.exceptAll(slots.distinct())
+    return repeats.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_repeat_slots"),
+        F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+    )
+
+
+U3_SQL = """
+WITH slots AS (
+    SELECT o_custkey, o_orderpriority AS priority FROM orders
+), repeats AS (
+    SELECT o_custkey, priority FROM slots
+    EXCEPT ALL
+    SELECT DISTINCT o_custkey, priority FROM slots
+)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_repeat_slots,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM repeats GROUP BY 1
+"""
+
+RELATIONAL_QUERIES["u3_repeat_priority_slots"] = u3_repeat_priority_slots
+RELATIONAL_ORACLES["u3_repeat_priority_slots"] = U3_SQL

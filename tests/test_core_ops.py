@@ -682,3 +682,26 @@ class TestBm25StatsFold:
         assert right == full
         assert full["n_docs"] == 4 and full["s_tokens"] == 11
         assert full["df0"] == 2  # spark: docs 1, 4
+
+
+class TestExceptAllSemantics:
+    """u3: EXCEPT ALL multiset difference — each (key, priority) slot
+    beyond the FIRST survives, with exact multiplicities (the bag
+    semantics a distinct-set rewrite would destroy)."""
+
+    def test_multiplicities(self, spark):
+        from pyspark.sql import functions as F
+
+        slots = spark.createDataFrame(
+            [(1, "HIGH"), (1, "HIGH"), (1, "HIGH"), (1, "LOW"), (2, "HIGH")],
+            "o_custkey long, priority string",
+        )
+        repeats = slots.exceptAll(slots.distinct())
+        got = {
+            (r["o_custkey"], r["priority"]): r["n"]
+            for r in repeats.groupBy("o_custkey", "priority")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        # 3 HIGH slots for cust 1 -> 2 repeats; single slots vanish
+        assert got == {(1, "HIGH"): 2}
