@@ -559,3 +559,66 @@ def session_fold(
         "end_us",
         (F.col("end_us") - F.col("start_us")).alias("duration_us"),
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    payload: dict[str, str],
+    right_tie: str,
+) -> DataFrame:
+    """For each left row, attach the NEXT right row per key — the
+    forward-looking mirror of ``asof_join`` (kdb ``aj`` backward vs
+    the "next event after" lookup that time-to-event analyses need).
+
+    Matching is inclusive (``right_time >= left_time``); among right
+    rows sharing the timestamp the SMALLEST ``right_tie`` wins; left
+    rows with nothing after keep NULL payloads. Same union-window
+    physical shape as the backward join — one shuffle on the key —
+    with the frame flipped: ``first(payload, ignorenulls=True)`` over
+    ``[currentRow, unboundedFollowing)``, left rows tagged to sort
+    BEFORE right rows at equal timestamps so an exactly-simultaneous
+    right row is still "next".
+    """
+    lt = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(left_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast("long").alias("__tie"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}")
+            for c in payload
+        ],
+    )
+    rt = right.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c != on
+        ],
+        F.col(on),
+        F.col(right_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.col(right_tie).cast("long").alias("__tie"),
+        *[F.col(c).alias(f"__p_{c}") for c in payload],
+    )
+    u = lt.unionByName(rt)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(
+            F.col("__t").asc(), F.col("__side").asc(), F.col("__tie").asc()
+        )
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = u.select(
+        *[F.col(c) for c in left.columns],
+        F.col("__side"),
+        *[
+            F.first(f"__p_{c}", ignorenulls=True).over(w).alias(alias)
+            for c, alias in payload.items()
+        ],
+    )
+    return filled.filter(F.col("__side") == 0).drop("__side")

@@ -2513,3 +2513,77 @@ TS5_SQL = _ts5_sql()
 
 ANALYTIC_QUERIES["ts5_ewma"] = ts5_ewma
 ANALYTIC_ORACLES["ts5_ewma"] = TS5_SQL
+
+
+# ---------------------------------------------------------------------------
+# J17 — FORWARD as-of join (operators/temporal.asof_join_forward):
+# each order attached to the customer's NEXT event at-or-after the
+# order date — the time-to-next-touch lookup (j9 answers "what
+# preceded this", j17 answers "what followed"). Same one-shuffle
+# union-window shape with the frame flipped; the gap in micros is an
+# exact int64 difference.
+# ---------------------------------------------------------------------------
+
+
+def j17_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.temporal import (
+        asof_join_forward,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.col("o_custkey").alias("user_id"),
+        "o_orderdate",
+    )
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    joined = asof_join_forward(
+        orders,
+        events,
+        on="user_id",
+        left_time="o_orderdate",
+        right_time="ts",
+        payload={
+            "event_id": "next_event_id",
+            "event_type": "next_event_type",
+        },
+        right_tie="event_id",
+    )
+    return joined.select(
+        "o_orderkey",
+        "user_id",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+            "order_us"
+        ),
+        "next_event_id",
+        "next_event_type",
+    )
+
+
+J17_SQL = """
+WITH l AS (
+    SELECT o_orderkey, o_custkey AS user_id, epoch_us(o_orderdate) AS t
+    FROM orders
+), r AS (
+    SELECT user_id, epoch_us(ts) AS t, event_id, event_type FROM events
+), u AS (
+    SELECT o_orderkey, user_id, t, 0 AS side, CAST(NULL AS BIGINT) AS tie,
+           CAST(NULL AS BIGINT) AS p_id, CAST(NULL AS VARCHAR) AS p_type
+    FROM l
+    UNION ALL
+    SELECT NULL, user_id, t, 1, event_id, event_id, event_type FROM r
+), filled AS (
+    SELECT o_orderkey, user_id, t, side,
+           FIRST_VALUE(p_id IGNORE NULLS) OVER w AS next_event_id,
+           FIRST_VALUE(p_type IGNORE NULLS) OVER w AS next_event_type
+    FROM u
+    WINDOW w AS (PARTITION BY user_id ORDER BY t ASC, side ASC, tie ASC
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT o_orderkey, user_id, t AS order_us, next_event_id, next_event_type
+FROM filled WHERE side = 0
+"""
+
+ANALYTIC_QUERIES["j17_asof_forward"] = j17_asof_forward
+ANALYTIC_ORACLES["j17_asof_forward"] = J17_SQL

@@ -232,6 +232,9 @@ _TIE_BREAK = [
     "u3_repeat_priority_slots",
     "i17_novelty_delta",
     "v13_lsh_recall",
+    "j17_asof_forward",
+    "i18_topk_delta",
+    "q18_top_suppliers_with_ties",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

@@ -1976,3 +1976,105 @@ FROM repeats GROUP BY 1
 
 RELATIONAL_QUERIES["u3_repeat_priority_slots"] = u3_repeat_priority_slots
 RELATIONAL_ORACLES["u3_repeat_priority_slots"] = U3_SQL
+
+
+# ---------------------------------------------------------------------------
+# I18 — incremental top-k (o3's maintenance face): top-k is a
+# SEMILATTICE fold — top_k(base's top-k UNION delta's top-k) equals
+# top-k of the union — so a serving layer keeps an O(k) state per
+# feed and folds candidate lists instead of rescanning history (the
+# fold class behind every "leaderboard" sink). Ties break on the key,
+# so the folded set is deterministic; oracle is o3's.
+# ---------------------------------------------------------------------------
+
+
+def i18_topk_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.operators.core import top_k
+
+    sel = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+    spec = [F.col("totalprice").desc(), F.col("orderkey").asc()]
+    base = top_k(sel.filter(F.col("orderkey") % 5 != 0), spec, 10)
+    delta = top_k(sel.filter(F.col("orderkey") % 5 == 0), spec, 10)
+    return top_k(base.unionByName(delta), spec, 10)
+
+
+RELATIONAL_QUERIES["i18_topk_delta"] = i18_topk_delta
+RELATIONAL_ORACLES["i18_topk_delta"] = O3_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q18 — TPC-H Q15-shaped top supplier per quarter WITH TIES: the
+# rank()==1 face (every supplier achieving the quarter's max revenue
+# survives) — deliberately distinct from w2/o3's row_number/limit
+# top-k, which break ties; Q15's "WHERE s_revenue = (SELECT MAX...)"
+# is exactly rank()==1, decorrelated. Revenue is per (quarter,
+# supplier) in exact int64 cents, so the max-equality decision is
+# integer — no float boundary can disagree cross-engine. One agg
+# shuffle + one window over the quarter-grain aggregate (O(quarters x
+# suppliers) rows, already tiny) + a broadcast name attach.
+# ---------------------------------------------------------------------------
+
+
+def q18_top_suppliers_with_ties(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        + F.lit(0.5)
+    ).cast("long")
+    per = li.groupBy(
+        F.year("l_shipdate").alias("yr"),
+        F.quarter("l_shipdate").alias("qtr"),
+        "l_suppkey",
+    ).agg(F.sum(cents).alias("revenue_cents"))
+    w = Window.partitionBy("yr", "qtr").orderBy(
+        F.col("revenue_cents").desc()
+    )
+    return (
+        per.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") == 1)
+        .drop("rnk")
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "yr",
+            "qtr",
+            F.col("l_suppkey").alias("suppkey"),
+            "s_name",
+            "revenue_cents",
+        )
+    )
+
+
+Q18_SQL = """
+WITH per AS (
+    SELECT CAST(year(l_shipdate) AS INTEGER) AS yr,
+           CAST(quarter(l_shipdate) AS INTEGER) AS qtr,
+           l_suppkey,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM lineitem GROUP BY 1, 2, 3
+), ranked AS (
+    SELECT *, RANK() OVER (PARTITION BY yr, qtr
+                           ORDER BY revenue_cents DESC) AS rnk
+    FROM per
+)
+SELECT yr, qtr, l_suppkey AS suppkey, s_name, revenue_cents
+FROM ranked JOIN supplier ON l_suppkey = s_suppkey
+WHERE rnk = 1
+"""
+
+RELATIONAL_QUERIES["q18_top_suppliers_with_ties"] = (
+    q18_top_suppliers_with_ties
+)
+RELATIONAL_ORACLES["q18_top_suppliers_with_ties"] = Q18_SQL

@@ -806,3 +806,45 @@ class TestAsofTolerance:
         assert got[2] == (None, None)  # one second too stale
         assert got[3] == (200, 5_000_000)
         assert got[4] == (None, None)  # never matched at all
+
+
+class TestAsofForward:
+    """asof_join_forward: inclusive next-at-or-after semantics, tie on
+    smallest right_tie, NULL payload when nothing follows."""
+
+    def test_forward_semantics(self, spark):
+        left = spark.createDataFrame(
+            [(1, 100, 10), (2, 100, 25), (3, 200, 10)],
+            "lid long, key long, lt long",
+        )
+        right = spark.createDataFrame(
+            [
+                (100, 10, 7, "same-instant"),
+                (100, 10, 9, "same-instant-later-tie"),
+                (100, 20, 5, "between"),
+                (200, 5, 1, "before-only"),
+            ],
+            "key long, rt long, rid long, label string",
+        )
+        from big_data_flight_analytics_spark.operators.temporal import (
+            asof_join_forward,
+        )
+
+        got = {
+            r["lid"]: (r["next_id"], r["next_label"])
+            for r in asof_join_forward(
+                left,
+                right,
+                on="key",
+                left_time="lt",
+                right_time="rt",
+                payload={"rid": "next_id", "label": "next_label"},
+                right_tie="rid",
+            ).collect()
+        }
+        # lid 1 at t=10: two right rows AT t=10 -> smallest tie (7) wins
+        assert got[1] == (7, "same-instant")
+        # lid 2 at t=25: nothing at-or-after -> NULLs
+        assert got[2] == (None, None)
+        # lid 3 at t=10 on key 200: only right row is BEFORE -> NULLs
+        assert got[3] == (None, None)

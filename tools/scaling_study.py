@@ -124,6 +124,18 @@ def build_replica(
         con.sql(f"COPY ({' UNION ALL '.join(parts)}) TO '{dst}' (FORMAT PARQUET)")
         n = con.sql(f"SELECT COUNT(*) FROM read_parquet('{dst}')").fetchone()[0]
         print(f"replica {table}: {n} rows ({'fresh' if fresh else 'verbatim'})")
+    # fixed-size GLOBAL dims copy through unchanged: nation/region do
+    # not scale with the corpus (the realistic growth model), and the
+    # nationkey domain is untouched by the key shifting above, so
+    # shifted customers/suppliers still resolve their nations
+    for table in ("nation", "region"):
+        src = os.path.join(base, f"{table}.parquet")
+        dst = os.path.join(out, f"{table}.parquet")
+        if os.path.exists(src) and not os.path.exists(dst):
+            con.sql(
+                f"COPY (SELECT * FROM read_parquet('{src}')) TO '{dst}'"
+                " (FORMAT PARQUET)"
+            )
 
 
 def main() -> None:
