@@ -2587,3 +2587,52 @@ FROM filled WHERE side = 0
 
 ANALYTIC_QUERIES["j17_asof_forward"] = j17_asof_forward
 ANALYTIC_ORACLES["j17_asof_forward"] = J17_SQL
+
+
+# ---------------------------------------------------------------------------
+# R5 — MULTI-AGGREGATE pivot: r4 pivoted one measure; this pivots the
+# (status x {order count, revenue}) grid in one pass — Spark names the
+# columns <status>_<alias> when pivot carries multiple aggs, the
+# oracle mirrors the grid as explicit conditional aggregates. Same
+# single-shuffle shape as r4 (the pivot IS a groupBy with a known
+# key domain).
+# ---------------------------------------------------------------------------
+
+
+def r5_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ORDER_STATUSES)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev"),
+        )
+    )
+
+
+def _r5_sql() -> str:
+    cols = []
+    for s in ORDER_STATUSES:
+        cols.append(
+            f"CAST(COUNT(CASE WHEN o_orderstatus = '{s}' THEN 1 END)"
+            f" AS BIGINT) AS {s}_n"
+        )
+        cols.append(
+            f"CAST(SUM(CASE WHEN o_orderstatus = '{s}'"
+            f" THEN CAST(o_totalprice AS DECIMAL(18,2)) END)"
+            f" AS DOUBLE) AS {s}_rev"
+        )
+    return (
+        "SELECT o_orderpriority,\n       "
+        + ",\n       ".join(cols)
+        + "\nFROM orders GROUP BY o_orderpriority"
+    )
+
+
+R5_SQL = _r5_sql()
+
+ANALYTIC_QUERIES["r5_pivot_multi_agg"] = r5_pivot_multi_agg
+ANALYTIC_ORACLES["r5_pivot_multi_agg"] = R5_SQL

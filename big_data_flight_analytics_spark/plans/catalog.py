@@ -235,6 +235,8 @@ _TIE_BREAK = [
     "j17_asof_forward",
     "i18_topk_delta",
     "q18_top_suppliers_with_ties",
+    "d24_simhash_referee",
+    "r5_pivot_multi_agg",
 ]
 
 _unknown_verified = set(LAST_DRIVER_VERIFIED) - set(_ALL_QUERIES)

@@ -7207,3 +7207,65 @@ FROM ne LEFT JOIN nov ON ne.query_id = nov.query_id
 
 EXTENSION_QUERIES["v13_lsh_recall"] = v13_lsh_recall
 EXTENSION_ORACLES["v13_lsh_recall"] = V13_SQL
+
+
+# ---------------------------------------------------------------------------
+# D24 — near-dup method referee (the v13 pattern aimed at dedup):
+# precision/recall of d4's SimHash pair set against d2's n-gram
+# Jaccard pair set as ground truth — DEDUP_QUALITY's method-agreement
+# claims as an oracle-gated entry. All counts are integers over two
+# deterministic pair sets (both already hash-verified), the ratios
+# int/int; output is ONE row. Cost is the two pipelines it referees —
+# and both are `stage()`-shared, so in a bench/pipeline pass the pair
+# frames come from the shared stages d2/d4 already built.
+# ---------------------------------------------------------------------------
+
+
+def d24_simhash_referee(spark: SparkSession, sf_dir: str) -> DataFrame:
+    jac = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sim = d4_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    both = jac.join(sim, ["doc_a", "doc_b"])
+    counts = (
+        jac.agg(F.count(F.lit(1)).cast("long").alias("n_jaccard"))
+        .crossJoin(
+            sim.agg(F.count(F.lit(1)).cast("long").alias("n_simhash"))
+        )
+        .crossJoin(
+            both.agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        )
+    )
+    return counts.select(
+        "n_jaccard",
+        "n_simhash",
+        "n_both",
+        (
+            F.col("n_both").cast("double")
+            / F.col("n_simhash").cast("double")
+        ).alias("precision"),
+        (
+            F.col("n_both").cast("double")
+            / F.col("n_jaccard").cast("double")
+        ).alias("recall"),
+    )
+
+
+D24_SQL = f"""
+WITH jac AS (
+    SELECT doc_a, doc_b FROM ({D2_SQL})
+), sim AS (
+    SELECT doc_a, doc_b FROM ({D4_SQL})
+), b AS (
+    SELECT j.doc_a, j.doc_b FROM jac j JOIN sim s
+      ON j.doc_a = s.doc_a AND j.doc_b = s.doc_b
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM jac) AS n_jaccard,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM sim) AS n_simhash,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_both,
+       CAST((SELECT COUNT(*) FROM b) AS DOUBLE)
+           / CAST((SELECT COUNT(*) FROM sim) AS DOUBLE) AS precision,
+       CAST((SELECT COUNT(*) FROM b) AS DOUBLE)
+           / CAST((SELECT COUNT(*) FROM jac) AS DOUBLE) AS recall
+"""
+
+EXTENSION_QUERIES["d24_simhash_referee"] = d24_simhash_referee
+EXTENSION_ORACLES["d24_simhash_referee"] = D24_SQL
