@@ -656,25 +656,18 @@ def semdedup_kmeans(
             grains.alias("vq"),
         )
     )
-    cents = kmeans_fixedpoint_subspaces(
+    state = kmeans_fixedpoint_state(
         corpus, m=1, kcent=k, dim=dim, n_iter=n_iter, scale=scale,
         id_col=id_col, vec_col=vec_col, grain_frame=e,
     )
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("vq"), F.col("cq"), lambda a, b: (a - b) * (a - b)
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    cells = (
-        e.join(F.broadcast(cents), "j")
-        .select(
-            "id", F.struct(dist.alias("d"), F.col("c")).alias("__dc")
-        )
-        .groupBy("id")
-        .agg(F.min("__dc").alias("__best"))
-        .select("id", F.col("__best.c").alias("cell"))
+    # map-side assignment: one broadcast row carries all k centroids
+    # packed in an array; argmin is a per-row fold — replaces the
+    # former k-way fan-out join + groupBy(id) argmin shuffle (§2.4)
+    cells = e.join(
+        F.broadcast(_cent_rows_df(corpus.sparkSession, state)), "j"
+    ).select(
+        "id",
+        _argmin_c(F.col("vq"), F.col("__cents")).alias("cell"),
     )
     mem = tracked_persist(
         cells.join(
@@ -1257,6 +1250,25 @@ def kmeans_fixedpoint_subspaces(
     vec_col: str = "embedding",
     grain_frame: DataFrame | None = None,
 ) -> DataFrame:
+    """DataFrame face of ``kmeans_fixedpoint_state`` — (j, c, cq) rows."""
+    state = kmeans_fixedpoint_state(
+        corpus, m, kcent, dim, n_iter, scale, id_col, vec_col,
+        grain_frame=grain_frame,
+    )
+    return _cents_df(corpus.sparkSession, state)
+
+
+def kmeans_fixedpoint_state(
+    corpus: DataFrame,
+    m: int = 8,
+    kcent: int = 16,
+    dim: int = 64,
+    n_iter: int = 4,
+    scale: int = 10**6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    grain_frame: DataFrame | None = None,
+) -> dict:
     """Engine-portable trained PQ codebooks: exact-grain Lloyd k-means.
 
     Per (subspace j, centroid c), runs ``n_iter`` Lloyd rounds over the
@@ -1285,12 +1297,14 @@ def kmeans_fixedpoint_subspaces(
     Output: (j, c, cq array<long>) — centroid grains; divide by
     ``scale`` for the double-space centroids.
 
-    Scale: each round is one broadcast join (corpus x kcent candidate
-    rows, map-side) + two hash aggregates over |corpus| x m rows; the
-    centroid table stays kcent x m rows, loop_checkpointed per round so
-    lineage never compounds. At 100 TB: identical shape, with the
-    corpus frame persisted once and the per-round shuffles linear in
-    corpus size (standard distributed Lloyd).
+    Scale: each round is one broadcast join (m centroid-array rows,
+    map-side — no row fan-out) + ONE hash aggregate over |corpus| x m
+    rows; the centroid state stays kcent x m rows of driver state
+    (collected per round — the BPE-merge-table collect class, bounded
+    by hyper-parameters, never by corpus size), so lineage never
+    compounds. At 100 TB: identical shape, with the corpus frame
+    persisted once and the per-round shuffle linear in corpus size
+    (standard distributed Lloyd).
     """
     sub = dim // m
     if sub * m != dim:
@@ -1354,82 +1368,200 @@ def kmeans_fixedpoint_subspaces(
             "corpus size)"
         ),
     )
-    cents = (
+    seed_frame = (
         expected.join(F.broadcast(seed_rows), ["j", "c"], "left")
         # assert_true is NULL on pass (raises otherwise): anchoring cq
         # on guard.isNull() keeps the check in codegen, cost-free on
         # passing rows (the d19 anchor pattern)
         .select("j", "c", F.when(seed_guard.isNull(), F.col("__cq")).alias("cq"))
-        .transform(loop_checkpoint)
     )
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("vq"), F.col("cq"), lambda a, b: (a - b) * (a - b)
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    # the seed frame goes straight into _lloyd_rounds' fused round 0
+    # (no separate seed-collect round-trip; the guard fires inside that
+    # round's job) — see _lloyd_rounds for the measured rationale
     # scheduling-bound tiny-frame loop: pin shuffle width to the grain
     # frame's own (data-proportional) partition count and drop AQE for
-    # the loop's duration — every join here is an explicit broadcast(),
-    # so the PageRank AQE caveat does not apply (see cache.loop_confs)
+    # the loop's duration — the loop's only join is an explicit
+    # broadcast(), so the PageRank AQE caveat does not apply
     nparts = max(1, e.rdd.getNumPartitions())
     with loop_confs(corpus.sparkSession, nparts):
-        cents = _lloyd_rounds(e, cents, dist, sub, n_iter)
+        cents = _lloyd_rounds(e, seed_frame, sub, n_iter)
     return cents
 
 
+def _int_sqdist(a, b):
+    """Exact int64 squared L2 distance between two grain arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _int_dot(a, b):
+    """Exact int64 dot product between two grain arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _collect_cents(cents_df: DataFrame) -> dict:
+    """Materialize a (j, c, cq) centroid frame as driver state.
+
+    kcent x m rows of grain arrays — the same O(model) collect class as
+    the BPE merge table (bpe.py): bounded by hyper-parameters, never by
+    corpus size. Any in-plan guard (the kmeans seed assert) fires here.
+    """
+    return {
+        (int(r["j"]), int(r["c"])): [int(x) for x in r["cq"]]
+        for r in cents_df.collect()
+    }
+
+
+def _cent_rows_df(spark, cents: dict) -> DataFrame:
+    """Driver centroid state -> one broadcast-side row per subspace:
+    ``(j, __cents array<struct<c, cq>>)``, packed c-ascending.
+
+    Centroids travel as DATA — a tiny LocalRelation broadcast-joined
+    on ``j`` — never as expression literals: baking kcent x m x sub
+    int64 literals into ``array(struct(...))``/``map_from_arrays``
+    expressions re-pays Catalyst analysis + codegen compile on every
+    Lloyd round, measured 2-4x SLOWER than even the DataFrame-state
+    loop (d18 7.4->17.3 s, v7 5.6->21.7 s, v8 8.2->30.7 s, quiet-host
+    min-of-3 at sf0.1 — the r16 literal-centroid rejection). A
+    broadcast of m rows keeps the plan tree constant-size while the
+    argmin stays a map-side fold.
+    """
+    js = sorted({j for (j, _c) in cents})
+    rows = [
+        (
+            int(j),
+            [
+                (int(c), [int(x) for x in cq])
+                for (jj, c), cq in sorted(cents.items())
+                if jj == j
+            ],
+        )
+        for j in js
+    ]
+    return spark.createDataFrame(
+        rows,
+        "j int, __cents array<struct<c: bigint, cq: array<bigint>>>",
+    )
+
+
+def _cents_df(spark, cents: dict) -> DataFrame:
+    """Driver centroid state -> (j, c, cq) DataFrame (public shape)."""
+    rows = [
+        (int(j), int(c), [int(x) for x in cq])
+        for (j, c), cq in sorted(cents.items())
+    ]
+    return spark.createDataFrame(
+        rows, "j bigint, c bigint, cq array<bigint>"
+    )
+
+
+def _argmin_c(vq, cents_arr):
+    """Nearest-centroid id via a map-side fold over the packed array.
+
+    ``array_min`` over struct(d, c) = min over (dist, centroid-id) —
+    the same exact-integer ordering the former broadcast-join +
+    groupBy(min) produced, with zero shuffle and no kcent-way row
+    fan-out.
+    """
+    return F.array_min(
+        F.transform(
+            cents_arr,
+            lambda cent: F.struct(
+                _int_sqdist(vq, cent["cq"]).alias("d"),
+                cent["c"].alias("c"),
+            ),
+        )
+    )["c"]
+
+
 def _lloyd_rounds(
-    e: DataFrame, cents: DataFrame, dist, sub: int, n_iter: int
-) -> DataFrame:
-    for _ in range(n_iter):
-        assigned = (
-            e.join(F.broadcast(cents), "j")
-            .select(
-                "id",
-                "j",
-                "vq",
-                F.struct(dist.alias("d"), F.col("c")).alias("__dc"),
-            )
-            .groupBy("id", "j")
-            .agg(
-                F.min("__dc").alias("__best"),
-                F.first("vq").alias("vq"),
-            )
-            .select("id", "j", F.col("__best.c").alias("c"), "vq")
+    e: DataFrame, seed_frame: DataFrame, sub: int, n_iter: int
+) -> dict:
+    """n_iter exact-grain Lloyd rounds over driver-held centroid state.
+
+    Round 0 is FUSED with the seed materialization: the assignment
+    joins the seed rows packed per subspace (``sort_array`` packs
+    c-ascending — the same order ``_cent_rows_df`` uses), and the
+    empty-cluster fallback left-joins the seed rows in the same job, so
+    the first collect already returns merged round-0 centroids. The
+    former separate seed collect was one extra driver round-trip
+    (~0.4 s warm) per kmeans call.
+
+    Per round, ONE Spark job: broadcast the m centroid-array rows, join
+    on ``j`` (no row fan-out — the kcent centroids arrive packed in one
+    array per row), argmin as a map-side fold, then the (j, c) means
+    aggregate collected as kcent x m rows. The former DataFrame-state
+    loop paid, per round, a kcent-way fan-out join + a corpus-sized
+    groupBy(id, j) argmin shuffle + the means shuffle + an eager
+    localCheckpoint write; measured on v7/v8/d18 that loop was ~75-85%
+    of query wall-clock (guide §1.1, §2.4). This shape keeps one
+    corpus-sized shuffle per round (the means) and nothing else. Every
+    rank-deciding value is still computed IN-ENGINE (integer argmin,
+    FLOOR(double-division) means); the driver only ferries exact int64s
+    between rounds — kcent x m rows, the BPE-merge-table collect class,
+    bounded by hyper-parameters — so results are bit-identical and the
+    oracle's unrolled-CTE replay still matches.
+
+    Empty cluster -> keep the previous centroid (dict merge == the old
+    left-join + coalesce).
+
+    Column expressions are built ONCE outside the loop: a Column is
+    plan-independent and reusable across DataFrames, and rebuilding the
+    sub-wide agg/floor lists plus the argmin lambda fold per round was
+    ~1 s/round of pure py4j expression construction (measured round
+    split: createDF 0.03, expression build 0.9-1.0, collect 0.8) —
+    more than the round's actual Spark work.
+    """
+    spark = e.sparkSession
+    if n_iter <= 0:
+        return _collect_cents(seed_frame)
+    argmin_col = _argmin_c(F.col("vq"), F.col("__cents")).alias("c")
+    agg_cols = [
+        F.sum(F.col("vq")[i]).alias(f"__s{i}") for i in range(sub)
+    ]
+    n_col = F.count(F.lit(1)).alias("__n")
+    new_col = F.array(
+        *[
+            F.floor(F.col(f"__s{i}").cast("double") / F.col("__n"))
+            for i in range(sub)
+        ]
+    ).alias("__new")
+
+    def means_of(carr: DataFrame) -> DataFrame:
+        assigned = e.join(F.broadcast(carr), "j").select(
+            "j", argmin_col, "vq"
         )
-        means = (
+        return (
             assigned.groupBy("j", "c")
-            .agg(
-                F.count(F.lit(1)).alias("__n"),
-                *[
-                    F.sum(F.col("vq")[i]).alias(f"__s{i}")
-                    for i in range(sub)
-                ],
-            )
-            .select(
-                "j",
-                "c",
-                F.array(
-                    *[
-                        F.floor(
-                            F.col(f"__s{i}").cast("double") / F.col("__n")
-                        )
-                        for i in range(sub)
-                    ]
-                ).alias("__new"),
-            )
+            .agg(n_col, *agg_cols)
+            .select("j", "c", new_col)
         )
-        # empty cluster -> keep the previous centroid (left join)
-        cents = (
-            cents.join(means, ["j", "c"], "left")
-            .select(
-                "j",
-                "c",
-                F.coalesce(F.col("__new"), F.col("cq")).alias("cq"),
-            )
-            .transform(loop_checkpoint)
-        )
+
+    # fused round 0: pack the seed rows per subspace in-engine and
+    # merge means with the seed fallback inside the one collect job
+    packed_seed = seed_frame.groupBy("j").agg(
+        F.sort_array(F.collect_list(F.struct("c", "cq"))).alias("__cents")
+    )
+    merged0 = seed_frame.join(means_of(packed_seed), ["j", "c"], "left").select(
+        "j",
+        "c",
+        F.coalesce(F.col("__new"), F.col("cq")).alias("cq"),
+    )
+    cents = _collect_cents(merged0)
+    for _ in range(n_iter - 1):
+        means = means_of(_cent_rows_df(spark, cents))
+        new = {
+            (int(r["j"]), int(r["c"])): [int(x) for x in r["__new"]]
+            for r in means.collect()
+        }
+        cents = {k: new.get(k, v) for k, v in cents.items()}
     return cents
 
 
@@ -1494,40 +1626,37 @@ def pq_topk_trained(
     # one persisted grain frame serves the n_iter Lloyd rounds AND the
     # encode stage — the corpus is scanned once for the whole query
     corpus_grains = tracked_persist(sub_grains(corpus, "id"))
-    cb = F.broadcast(
-        kmeans_fixedpoint_subspaces(
-            corpus, m, kcent, dim, n_iter, scale, id_col, vec_col,
-            grain_frame=corpus_grains,
-        )
+    cb = kmeans_fixedpoint_state(
+        corpus, m, kcent, dim, n_iter, scale, id_col, vec_col,
+        grain_frame=corpus_grains,
     )
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("vq"), F.col("cq"), lambda a, b: (a - b) * (a - b)
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    cb_rows = F.broadcast(_cent_rows_df(corpus.sparkSession, cb))
+    # encode is map-side: the broadcast join on j delivers each row its
+    # packed codebook array and the argmin is a per-row fold — the
+    # former broadcast-join fan-out x kcent + groupBy(neighbor_id, j)
+    # min cost one corpus-sized shuffle for a reduction each row
+    # decides locally (guide §2.4)
     codes = (
         corpus_grains.withColumnRenamed("id", "neighbor_id")
-        .join(cb, "j")
+        .join(cb_rows, "j")
         .select(
             "neighbor_id",
             "j",
-            F.struct(dist.alias("d"), F.col("c")).alias("__dc"),
+            _argmin_c(F.col("vq"), F.col("__cents")).alias("c"),
         )
-        .groupBy("neighbor_id", "j")
-        .agg(F.min("__dc").alias("__best"))
-        .select("neighbor_id", "j", F.col("__best.c").alias("c"))
-    )
-    grain_dot = F.aggregate(
-        F.zip_with(F.col("vq"), F.col("cq"), lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
     )
     lut = (
         sub_grains(queries, "query_id")
-        .join(cb, "j")
-        .select("query_id", "j", "c", grain_dot.alias("__lut"))
+        .join(cb_rows, "j")
+        .select(
+            "query_id", "j", "vq", F.explode(F.col("__cents")).alias("__cent")
+        )
+        .select(
+            "query_id",
+            "j",
+            F.col("__cent.c").alias("c"),
+            _int_dot(F.col("vq"), F.col("__cent.cq")).alias("__lut"),
+        )
     )
     partials = codes.join(F.broadcast(lut), ["j", "c"]).filter(
         F.col("neighbor_id") != F.col("query_id")
@@ -1669,50 +1798,42 @@ def ivfpq_topk(
     )
     spark = corpus.sparkSession
 
-    def int_dist(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    def int_dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
     # ---- coarse quantizer: Lloyd over FULL-vector grains (one
     # "subspace" of width dim)
     e1 = cg.select("id", F.lit(0).alias("j"), "vq")
-    init1 = (
-        e1.filter(F.col("id") < coarse_k)
-        .select("j", F.col("id").alias("c"), F.col("vq").alias("cq"))
-        .transform(loop_checkpoint)
+    init1 = e1.filter(F.col("id") < coarse_k).select(
+        "j", F.col("id").alias("c"), F.col("vq").alias("cq")
     )
-    dist_expr = int_dist(F.col("vq"), F.col("cq"))
+    # seeds stay a frame: _lloyd_rounds' fused round 0 packs and
+    # merges them inside its first collect job (one round-trip per
+    # Lloyd call; see _lloyd_rounds for the measured rationale)
     nparts = max(1, cg.rdd.getNumPartitions())
     with loop_confs(spark, nparts):
-        coarse = _lloyd_rounds(e1, init1, dist_expr, dim, coarse_iter)
-    coarse = F.broadcast(
-        coarse.select(F.col("c").alias("cell"), F.col("cq").alias("ccq"))
+        coarse_state = _lloyd_rounds(e1, init1, dim, coarse_iter)
+    # all coarse_k cells packed cell-ascending into ONE broadcast row:
+    # assignment and probe selection both become per-row folds over the
+    # joined array — no kcent-way fan-out, no argmin shuffle, no window
+    # (guide §2.4); data-not-literals per the _cent_rows_df rationale
+    coarse_rows = F.broadcast(
+        _cent_rows_df(spark, coarse_state).select("__cents")
     )
 
-    # ---- cell assignment + exact residual grains
-    assigned = (
-        cg.crossJoin(coarse)
-        .groupBy("id")
-        .agg(
-            F.min_by(
-                F.struct(F.col("cell"), F.col("ccq")),
-                F.struct(
-                    int_dist(F.col("vq"), F.col("ccq")).alias("d"),
-                    F.col("cell"),
-                ),
-            ).alias("__best"),
-            F.first("vq").alias("vq"),
+    # ---- cell assignment + exact residual grains, map-side: per row,
+    # argmin over the packed cell array — min over struct(d, cell)
+    # reproduces the former min_by (dist, cell) tie-break exactly
+    best_cell = F.array_min(
+        F.transform(
+            F.col("__cents"),
+            lambda ct: F.struct(
+                _int_sqdist(F.col("vq"), ct["cq"]).alias("d"),
+                ct["c"].alias("cell"),
+                ct["cq"].alias("ccq"),
+            ),
         )
+    )
+    assigned = (
+        cg.crossJoin(coarse_rows)
+        .select("id", "vq", best_cell.alias("__best"))
         .select(
             "id",
             F.col("__best.cell").alias("cell"),
@@ -1723,38 +1844,32 @@ def ivfpq_topk(
     )
     assigned = tracked_persist(assigned)
 
-    # ---- product quantizer: Lloyd over residual sub-grains
+    # ---- product quantizer: Lloyd over residual sub-grains. ``cell``
+    # rides along so the encode stage needs no join back to assigned
+    # (the former corpus x corpus SHUFFLE_HASH join).
     er = assigned.select(
         "id",
+        "cell",
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j"),
         F.slice(F.col("rq"), F.col("j") * sub + 1, F.lit(sub)).alias("vq"),
     )
     er = tracked_persist(er)
-    init2 = (
-        er.filter(F.col("id") < kcent)
-        .select("j", F.col("id").alias("c"), F.col("vq").alias("cq"))
-        .transform(loop_checkpoint)
+    init2 = er.filter(F.col("id") < kcent).select(
+        "j", F.col("id").alias("c"), F.col("vq").alias("cq")
     )
     with loop_confs(spark, nparts):
-        pqcb = _lloyd_rounds(er, init2, dist_expr, sub, pq_iter)
-    pqcb = F.broadcast(pqcb)
+        pq_state = _lloyd_rounds(er, init2, sub, pq_iter)
+    pq_rows = F.broadcast(_cent_rows_df(spark, pq_state))
 
-    # ---- encode: per (vector, subspace), nearest residual centroid
-    codes = (
-        er.join(pqcb, "j")
-        .select(
-            "id",
-            "j",
-            F.struct(dist_expr.alias("d"), F.col("c")).alias("__dc"),
-        )
-        .groupBy("id", "j")
-        .agg(F.min("__dc").alias("__best"))
-        .select("id", "j", F.col("__best.c").alias("c"))
-        # corpus-sized x corpus-sized equi-join: SHUFFLE_HASH skips the
-        # SortMergeJoin's two sorts (same pin as u2/d13); the encode
-        # agg's (id, j) hash partitioning already clusters by id
-        .join(assigned.select("id", "cell").hint("SHUFFLE_HASH"), "id")
-        .withColumnRenamed("id", "neighbor_id")
+    # ---- encode: per (vector, subspace), nearest residual centroid —
+    # map-side argmin over the broadcast-joined codebook array (was
+    # broadcast-join fan-out x kcent + groupBy(id, j) + corpus x
+    # corpus cell join)
+    codes = er.join(pq_rows, "j").select(
+        F.col("id").alias("neighbor_id"),
+        "cell",
+        "j",
+        _argmin_c(F.col("vq"), F.col("__cents")).alias("c"),
     )
 
     # ---- query side: grains, probes, LUT, coarse dot
@@ -1763,31 +1878,47 @@ def ivfpq_topk(
             F.col(id_col).alias("query_id"), full_grains.alias("vq")
         )
     )
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.col("__d").asc(), F.col("cell").asc()
+    # probe selection is map-side too: per query, sort the joined cell
+    # array by (dist asc, cell asc) — the former window's exact order —
+    # and keep the first nprobe entries; no fan-out, no window shuffle
+    probe_sorted = F.array_sort(
+        F.transform(
+            F.col("__cents"),
+            lambda ct: F.struct(
+                _int_sqdist(F.col("vq"), ct["cq"]).alias("__d"),
+                ct["c"].alias("cell"),
+                _int_dot(F.col("vq"), ct["cq"]).alias("__qc"),
+            ),
+        )
     )
     probes = (
-        qg.crossJoin(coarse)
+        qg.crossJoin(coarse_rows)
         .select(
             "query_id",
-            "cell",
-            int_dist(F.col("vq"), F.col("ccq")).alias("__d"),
-            int_dot(F.col("vq"), F.col("ccq")).alias("__qc"),
+            F.explode(F.slice(probe_sorted, 1, nprobe)).alias("__p"),
         )
-        .withColumn("__rn", F.row_number().over(probe_w))
-        .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "cell", "__qc")
+        .select(
+            "query_id",
+            F.col("__p.cell").alias("cell"),
+            F.col("__p.__qc").alias("__qc"),
+        )
     )
     q_sub = qg.select(
         "query_id",
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j"),
         F.slice(F.col("vq"), F.col("j") * sub + 1, F.lit(sub)).alias("qs"),
     )
-    lut = q_sub.join(pqcb, "j").select(
-        "query_id",
-        "j",
-        "c",
-        int_dot(F.col("qs"), F.col("cq")).alias("__lut"),
+    lut = (
+        q_sub.join(pq_rows, "j")
+        .select(
+            "query_id", "j", "qs", F.explode(F.col("__cents")).alias("__cent")
+        )
+        .select(
+            "query_id",
+            "j",
+            F.col("__cent.c").alias("c"),
+            _int_dot(F.col("qs"), F.col("__cent.cq")).alias("__lut"),
+        )
     )
 
     # ---- ADC over probed cells only
