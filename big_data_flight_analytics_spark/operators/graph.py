@@ -481,13 +481,15 @@ def triangle_clustering(
     is pinned ShuffledHashJoin (the v8/d18 discipline): both sides are
     node- or edge-scale — the corpus itself, never broadcastable at
     100 TB — and hash beats sort-merge on already-shuffled integer
-    keys; AQE may still locally convert where runtime stats allow. ``und`` and
-    ``oriented`` are persisted (released by the caller's
-    ``release_tracked``): Spark shares no subplans across DataFrame
-    references, so without the pins the 2-referenced edge frame and
-    3-referenced oriented adjacency would re-run the (possibly
-    expensive — e.g. the kNN pipeline) edge lineage per reference;
-    measured 98 s -> ~8 s on the g2 catalog entry at sf0.001.
+    keys; AQE may still locally convert where runtime stats allow.
+    ``und``, ``deg`` and ``oriented`` are persisted (released by the
+    caller's ``release_tracked``): Spark shares no subplans across
+    DataFrame references, so without the pins each multiply-referenced
+    frame would re-run its (possibly expensive — e.g. the kNN
+    pipeline) lineage per reference; measured 98 s -> ~8 s on the g2
+    catalog entry at sf0.001, and the corner/endpoint counts explode
+    one array per row instead of unioning per-column branches so each
+    input is read once.
     """
     und = tracked_persist(
         edges.filter(F.col(src) != F.col(dst))
@@ -496,9 +498,15 @@ def triangle_clustering(
         )
         .distinct()
     )
-    deg = (
-        und.select(F.col("a").alias("node"))
-        .unionAll(und.select(F.col("b").alias("node")))
+    # one pass over und (explode both endpoints), not a 2-branch
+    # unionAll (Spark shares no subplans: each branch re-scans its
+    # input); persisted because THREE consumers reference deg (two
+    # orientation joins + the final left join) and each reference
+    # would otherwise re-run the degree aggregation (guide §2.3)
+    deg = tracked_persist(
+        und.select(
+            F.explode(F.array(F.col("a"), F.col("b"))).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
@@ -545,10 +553,19 @@ def triangle_clustering(
     triangles = wedges.join(
         closing.hint("shuffle_hash"), ["x", "y"]
     ).select("u", "x", "y")
+    # each triangle contributes its three corners in ONE pass
+    # (explode), not a 3-branch unionAll: triangles is unpersisted by
+    # design (it is consumed exactly once now), and the former three
+    # branches each re-executed the whole wedge+closing join lineage —
+    # measured ~2 s per extra execution on the g2 entry at sf0.1,
+    # the query's dominant cost (guide §2.3: don't recompute what you
+    # can read once)
     per_node = (
-        triangles.select(F.col("u").alias("node"))
-        .unionAll(triangles.select(F.col("x").alias("node")))
-        .unionAll(triangles.select(F.col("y").alias("node")))
+        triangles.select(
+            F.explode(
+                F.array(F.col("u"), F.col("x"), F.col("y"))
+            ).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
     )

@@ -272,11 +272,13 @@ def estimate_semi_join(
     with no key-side collision contributes 0 (inner-joining would
     silently DROP a zero-overlap depth row from the min — exactly the
     row carrying the tightest estimate on disjoint domains). Cost: one
-    fixed-size sketch aggregate per side plus two counts — O(scan)
-    with O(width) outputs, never materializing the join; the fact
-    scans are column-pruned to the key. The collects are planner state
-    (three integers), the same class as AQE's runtime statistics — not
-    a data funnel. Pass ``keys_distinct=True`` when ``keys`` is
+    fixed-size sketch aggregate per side — O(scan) with O(width)
+    outputs, never materializing the join; the fact scan is
+    column-pruned to the key and also yields n_fact (each sketch depth
+    row counts every non-null fact key once), so the fact table is
+    read exactly once. The collects are planner state (three
+    integers), the same class as AQE's runtime statistics — not a
+    data funnel. Pass ``keys_distinct=True`` when ``keys`` is
     already deduplicated (skips a shuffle), and ``n_keys`` when the
     caller already counted the distinct keys (skips the count job —
     planned_semi_join counts first for its broadcast short-circuit)."""
@@ -293,21 +295,35 @@ def estimate_semi_join(
     gb = cms_sketch(distinct_keys, "__k", width).select(
         "row_j", "bucket", F.col("cnt").alias("__cb")
     )
+    # n_fact rides the SAME aggregation: each depth row of the fact
+    # sketch counts every non-NULL fact key exactly once, so
+    # sum(__ca) per row_j IS the fact row count — the former separate
+    # fact.count() was a second full pass over the fact table for a
+    # number the sketch pass already knows (guide §1.2: don't compute
+    # things twice). NULL-keyed fact rows are excluded now; they can
+    # never match a key, so the non-null count is the tighter advisor
+    # denominator — and planned_semi_join's output is
+    # strategy-invariant regardless.
     est_rows = (
         ga.join(gb, ["row_j", "bucket"], "left")
         .groupBy("row_j")
-        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__e"))
+        .agg(
+            F.sum(F.col("__ca") * F.col("__cb")).alias("__e"),
+            F.sum(F.col("__ca")).alias("__n"),
+        )
         .agg(
             F.min(F.coalesce(F.col("__e"), F.lit(0)))
             .cast("long")
-            .alias("__est")
+            .alias("__est"),
+            F.max(F.col("__n")).cast("long").alias("__nf"),
         )
         .collect()
     )
     est = int(est_rows[0]["__est"] or 0)
+    n_fact = int(est_rows[0]["__nf"] or 0)
     if n_keys is None:
         n_keys = distinct_keys.count()
-    return n_keys, est, fact.count()
+    return n_keys, est, n_fact
 
 
 def planned_semi_join(
