@@ -153,9 +153,25 @@ def langid_profiles_from_counts(
     """Weight grid from a (label, bucket, cnt) count frame — shared by
     the from-scratch path and the i5 incremental fold (identical
     weights by construction: the grid is a pure function of counts).
-    See ``langid_profiles`` for the output contract."""
-    counts = counts.select(
-        label_col, "bucket", F.col("cnt").alias("__c")
+    See ``langid_profiles`` for the output contract.
+
+    The count frame is eagerly checkpointed (r16): FIVE consumers
+    reference it (the grid's distinct labels, label/bucket/grand
+    totals, and the weight join) and Spark shares no subplans across
+    DataFrame references, so an unchecked frame re-runs its whole
+    lineage — for t20 that lineage is the reference corpus scan +
+    char-gram explode + one md5 per gram, executed five times
+    (measured: 5 of t20's 6 corpus-explode subtrees were this frame).
+    The frame itself is K x n_buckets rows — model-state-sized at any
+    corpus scale, so materializing it once is free; ``loop_checkpoint``
+    (not ``persist``) because a cached plan re-materializes per
+    consumer thread and measured ~20%% SLOWER than even the
+    quintuple recompute here, while the checkpointed LocalRelation-
+    style scan is read at memory speed by all five."""
+    from big_data_flight_analytics_spark.cache import loop_checkpoint
+
+    counts = loop_checkpoint(
+        counts.select(label_col, "bucket", F.col("cnt").alias("__c"))
     )
     label_totals = counts.groupBy(label_col).agg(
         F.sum("__c").cast("long").alias("__s_c")

@@ -101,7 +101,7 @@ def asof_join(
 
 def sessionize(
     events: DataFrame,
-    key_col: str,
+    key_col: str | list[str],
     ts_col: str,
     gap_seconds: int,
     tie_col: str,
@@ -113,8 +113,14 @@ def sessionize(
     Output: input columns + ``session_idx`` (1-based per key, in time
     order). Gap arithmetic runs on ``unix_micros`` BIGINTs so engines
     cannot disagree on sub-second rounding.
+
+    ``key_col`` may be a list of columns: sessions are then scoped to
+    the composite key, exactly as if each key-group were sessionized
+    alone (the window partitions on all keys). i11 uses this to build
+    both halves of a time-split state in ONE shuffle+sort pass.
     """
-    w = Window.partitionBy(key_col).orderBy(
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
+    w = Window.partitionBy(*keys).orderBy(
         F.col(ts_col).asc(), F.col(tie_col).asc()
     )
     us = _micros(ts_col)
@@ -122,7 +128,7 @@ def sessionize(
     new_flag = F.when(
         prev.isNull() | ((us - prev) > gap_seconds * 1_000_000), 1
     ).otherwise(0)
-    run = Window.partitionBy(key_col).orderBy(
+    run = Window.partitionBy(*keys).orderBy(
         F.col(ts_col).asc(), F.col(tie_col).asc()
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return events.withColumn("session_idx", F.sum(new_flag).over(run))
@@ -130,7 +136,7 @@ def sessionize(
 
 def session_stats(
     events: DataFrame,
-    key_col: str,
+    key_col: str | list[str],
     ts_col: str,
     gap_seconds: int,
     tie_col: str,
@@ -139,11 +145,14 @@ def session_stats(
 
     Same single shuffle as ``sessionize`` — the groupBy keys are a
     superset of the window partition key, so AQE reuses the exchange.
+    ``key_col`` may be a list (composite-key sessions; see
+    :func:`sessionize`).
     """
-    s = sessionize(events, key_col, ts_col, gap_seconds, tie_col)
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
+    s = sessionize(events, keys, ts_col, gap_seconds, tie_col)
     us = _micros(ts_col)
     return (
-        s.groupBy(key_col, "session_idx")
+        s.groupBy(*keys, "session_idx")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.min(us).alias("start_us"),

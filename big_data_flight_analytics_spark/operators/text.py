@@ -686,8 +686,21 @@ def bigram_lm_score(
     pair = big.groupBy(id_col, "a", "b").agg(
         F.count(F.lit(1)).cast("long").alias("m")
     )
-    c2 = pair.groupBy("a", "b").agg(F.sum("m").cast("long").alias("c2"))
-    c1 = pair.groupBy("a").agg(F.sum("m").cast("long").alias("c1"))
+    # c2/c1 via windows on the pair frame (r16, the d19 df-window
+    # pattern): the old shape built c2 and c1 as separate aggregates of
+    # `pair` and joined them back, so the tokenize + bigram-explode +
+    # hash-agg lineage executed THREE times (Spark shares no subplans
+    # across DataFrame references). The window form computes the model
+    # tables in the same lineage — one corpus pass, two count-carrying
+    # exchanges — and the summed values are the identical integers
+    # (SUM(m) over the full (a,b) / (a) partition == the joined-back
+    # aggregate). Skew note: a window partition holds DISTINCT
+    # (doc, a, b) rows for one head word, the same key profile the old
+    # c1 join-back shuffled; the d19/df rework accepted this exposure
+    # for one-pass lineage and measurement agrees here.
+    pair = pair.withColumn(
+        "c2", F.sum("m").over(Window.partitionBy("a", "b"))
+    ).withColumn("c1", F.sum("m").over(Window.partitionBy("a")))
     vocab = (
         tok.select(F.explode("__t").alias("__w"))
         .agg(F.count_distinct("__w").cast("long").alias("v"))
@@ -700,9 +713,7 @@ def bigram_lm_score(
         )
     ).cast("long")
     scored = (
-        pair.join(c2, ["a", "b"])
-        .join(c1, "a")
-        .crossJoin(F.broadcast(vocab))
+        pair.crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(
             F.sum("m").cast("long").alias("n_bigrams"),

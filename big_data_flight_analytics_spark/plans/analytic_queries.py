@@ -2272,7 +2272,7 @@ ANALYTIC_ORACLES["i9_ohlc_delta"] = TS4_SQL
 
 
 def i11_session_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from big_data_flight_analytics_spark.cache import tracked_persist
+    from big_data_flight_analytics_spark.cache import loop_checkpoint
     from big_data_flight_analytics_spark.operators.temporal import (
         _micros,
         session_fold,
@@ -2290,21 +2290,36 @@ def i11_session_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with_cut = events.crossJoin(F.broadcast(cut))
 
-    def side(pred) -> DataFrame:
-        return session_stats(
-            with_cut.filter(pred).select("user_id", "event_id", "ts"),
-            key_col="user_id",
+    # ONE sessionization pass for both halves (r16): tagging each
+    # event with its side and partitioning the session window on
+    # (user_id, side) computes exactly the per-side sessions the old
+    # two filtered passes produced — same row groups, same gap rule —
+    # while scanning events once and paying one shuffle+sort instead
+    # of two scans, two shuffles, and two broadcast builds of the cut.
+    tagged = with_cut.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (us > F.col("__cut")).alias("__late"),
+    )
+    # the fold references each state 3x (kept rows, boundary-session
+    # extraction, bridge); eagerly checkpointing the SESSION-grain
+    # state — tiny next to events — keeps this ONE sessionization pass
+    # total instead of six re-computations. loop_checkpoint, not
+    # persist: measured 2.3 s vs 4.5 s (persist) vs 3.0 s (two-pass
+    # HEAD) — a cached plan re-materializes per consumer thread while
+    # the checkpointed frame is scanned directly.
+    states = loop_checkpoint(
+        session_stats(
+            tagged,
+            key_col=["user_id", "__late"],
             ts_col="ts",
             gap_seconds=SESSION_GAP_S,
             tie_col="event_id",
-        ).select("user_id", "start_us", "end_us", "n_events")
-
-    # the fold references each state 3x (kept rows, boundary-session
-    # extraction, bridge); persisting the SESSION-grain states — tiny
-    # next to events — keeps this ONE sessionization pass per side
-    # instead of three re-computations (tracked_persist discipline)
-    base = tracked_persist(side(us <= F.col("__cut")))
-    delta = tracked_persist(side(us > F.col("__cut")))
+        ).select("user_id", "__late", "start_us", "end_us", "n_events")
+    )
+    base = states.filter(~F.col("__late")).drop("__late")
+    delta = states.filter(F.col("__late")).drop("__late")
     return session_fold(base, delta, "user_id", SESSION_GAP_S).select(
         "user_id",
         "session_idx",
