@@ -1400,7 +1400,15 @@ def sparse_cosine_pairs(
             "overflow int64; lower `grain` (or pre-trim giant docs)"
         ),
     )
-    weights = tracked_persist(
+    # eagerly checkpointed (r16, was tracked_persist): weights feeds
+    # the norms agg, the capped self-join (twice), and the dropped-term
+    # correction (twice) — a cached plan re-materializes through
+    # InMemoryRelation per consumer and measured ~1 s slower than the
+    # checkpointed scan on the full query (7.7 vs 6.6 s warm).
+    # loop_checkpoint keeps the cluster-durability swap point.
+    from big_data_flight_analytics_spark.cache import loop_checkpoint
+
+    weights = loop_checkpoint(
         tf.crossJoin(F.broadcast(n)).select(
             F.col(id_col),
             "term",
@@ -1436,9 +1444,10 @@ def sparse_cosine_pairs(
     # aggregates their capped-half partial dots in the same pass (the
     # old shape emitted bare candidates here and re-joined each pair
     # against its FULL weight vector downstream)
-    # persisted: feeds both the correction join and the final sum —
-    # without it the capped self-join would evaluate twice
-    partial = tracked_persist(
+    # checkpointed: feeds both the correction join and the final sum —
+    # without it the capped self-join would evaluate twice (same
+    # persist-vs-checkpoint measurement as `weights` above)
+    partial = loop_checkpoint(
         ca.join(cb, "term")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")

@@ -2207,10 +2207,18 @@ def mmr_rerank_candidates(
             ).alias("__sab"),
         )
     )
-    from big_data_flight_analytics_spark.cache import tracked_persist
+    from big_data_flight_analytics_spark.cache import loop_checkpoint
 
-    cands = tracked_persist(cands)
-    pairs = tracked_persist(pairs)
+    # Candidate and pair frames are retrieval-batch-sized (O(q x n) /
+    # O(q x n^2)) at ANY corpus scale — everything upstream (the
+    # corpus-wide scoring pass) collapsed into them. Eagerly
+    # checkpointing both (r16, was tracked_persist) materializes that
+    # upstream work exactly once and the k greedy steps read the
+    # materialized scans directly instead of re-materializing an
+    # InMemoryRelation per consumer (the round's persist-vs-checkpoint
+    # doctrine; v10/v11 A/B within noise, checkpoint consistent).
+    cands = loop_checkpoint(cands)
+    pairs = loop_checkpoint(pairs)
 
     w = Window.partitionBy("query_id").orderBy(
         F.col("__score").desc(), F.col("neighbor_id").asc()
@@ -2266,5 +2274,9 @@ def mmr_rerank_candidates(
                 F.round(F.col("__score"), 6).alias("score"),
             )
         )
+        # per-step truncation: each step references `selected` 3x
+        # (anti-join, penalty join, union), so a lazy unroll grows the
+        # plan ~3^k; the eager checkpoint bounds it (measured: lazy vs
+        # eager within noise at k=3, eager strictly safer for larger k)
         selected = loop_checkpoint(selected.unionByName(nxt))
     return selected

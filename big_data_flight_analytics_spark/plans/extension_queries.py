@@ -5391,39 +5391,48 @@ def _lexical_jaccard_topk(
     docs = load(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    tok = docs.select(
+    # ONE tokenize pass (r16): the old shape referenced the exploded
+    # token frame three times (sizes agg, query side, probe side), so
+    # the corpus tokenize+array_distinct+explode lineage executed
+    # multiple times and the per-doc sizes came back through two extra
+    # joins. Carrying the set size ALONGSIDE the explode (8 bytes per
+    # posting row, map-side only) lets the one (query, doc) aggregate
+    # collect intersection count and both sizes together — same
+    # integers, same Jaccard, one corpus pass, one shuffle.
+    arr = docs.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(F.filter(tokens("text"), lambda x: x != ""))
-        ).alias("__t"),
+        F.array_distinct(
+            F.filter(tokens("text"), lambda x: x != "")
+        ).alias("__arr"),
     )
-    sizes = tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("__sz")
+    tok = arr.select(
+        "doc_id",
+        F.size("__arr").cast("long").alias("__sz"),
+        F.explode("__arr").alias("__t"),
     )
     q_tok = tok.filter(F.col("doc_id") < n_queries).select(
-        F.col("doc_id").alias("query_id"), "__t"
+        F.col("doc_id").alias("query_id"),
+        F.col("__sz").alias("__qsz"),
+        "__t",
     )
     inter = (
         tok.join(F.broadcast(q_tok), "__t")
         .filter(F.col("doc_id") != F.col("query_id"))
         .groupBy("query_id", "doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("__i"))
-    )
-    q_sz = sizes.select(
-        F.col("doc_id").alias("query_id"), F.col("__sz").alias("__qsz")
-    )
-    scored = (
-        inter.join(F.broadcast(q_sz), "query_id")
-        .join(sizes, "doc_id")
-        .select(
-            "query_id",
-            F.col("doc_id").alias("neighbor_id"),
-            F.round(
-                F.col("__i")
-                / (F.col("__qsz") + F.col("__sz") - F.col("__i")),
-                4,
-            ).alias("sim"),
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__i"),
+            F.first("__qsz").alias("__qsz"),
+            F.first("__sz").alias("__sz"),
         )
+    )
+    scored = inter.select(
+        "query_id",
+        F.col("doc_id").alias("neighbor_id"),
+        F.round(
+            F.col("__i")
+            / (F.col("__qsz") + F.col("__sz") - F.col("__i")),
+            4,
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
