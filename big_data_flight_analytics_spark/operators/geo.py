@@ -127,7 +127,16 @@ def radius_join(
         "__band", F.explode(F.array(s_band - 1, s_band, s_band + 1))
     )
     if not lon_cells:
-        joined = pts.withColumn("__band", p_band).join(sites3, "__band")
+        # lat_box before the trig (r16): band candidates span up to
+        # 2 band widths of latitude delta; the exact box halves the
+        # haversine evaluations and is a strict superset of the circle
+        # (same filter the broadcast path applies), so membership is
+        # still decided by the haversine alone.
+        joined = (
+            pts.withColumn("__band", p_band)
+            .join(sites3, "__band")
+            .filter(lat_box)
+        )
         return (
             joined.withColumn(distance_col, dist)
             .filter(F.col(distance_col) <= radius_km)
@@ -194,7 +203,8 @@ def radius_join(
             )
         ),
     )
-    joined = pts_k.join(sites_k, ["__band", "__lcell"])
+    # lat_box before the trig (r16) — see the lat-only branch above.
+    joined = pts_k.join(sites_k, ["__band", "__lcell"]).filter(lat_box)
     return (
         joined.withColumn(distance_col, dist)
         .filter(F.col(distance_col) <= radius_km)
@@ -247,8 +257,16 @@ def radius_site_counts(
         site_lon=site_lon,
         **radius_kwargs,
     )
+    # COUNT, not COUNT DISTINCT (r16): radius_join emits every
+    # (point, site) pair AT MOST ONCE on both physical paths — the
+    # broadcast path is a plain cross join, and the banded path
+    # matches a point's single (band, cell) key against
+    # array_distinct'd site replicas, so no pair can meet twice
+    # (pinned by TestRadiusSiteCounts.test_count_equals_distinct).
+    # Dropping the distinct removes the per-group dedup state from
+    # the aggregate while counting the identical set.
     return pairs.groupBy(site_id).agg(
-        F.count_distinct(F.col(point_id)).cast("long").alias("n_points")
+        F.count(F.col(point_id)).cast("long").alias("n_points")
     )
 
 

@@ -158,10 +158,18 @@ def bloom_semi_join(
     makes the pre-filter deterministic, engine-replayable, and
     available to foreachBatch/streaming code paths the optimizer can't
     see.)"""
+    # the word table is referenced once per probe depth (each probe is
+    # its own broadcast join), and without materialization each
+    # reference re-runs the full key-side scan + bit aggregation.
+    # Eagerly checkpointed (r16): the table is <= m_bits/32 rows at any
+    # key-set size. The streaming face (BloomSink -> bloom_probe)
+    # passes an already-stored word table and is untouched.
+    from big_data_flight_analytics_spark.cache import loop_checkpoint
+
     return bloom_probe(
         fact,
         fact_key,
-        bloom_filter_words(keys, key_col, m_bits, depth),
+        loop_checkpoint(bloom_filter_words(keys, key_col, m_bits, depth)),
         m_bits,
         depth,
     )

@@ -246,11 +246,6 @@ def _bucket_scored_pairs(
     cand = frames[0]
     for f in frames[1:]:
         cand = cand.unionByName(f)
-    if len(frames) > 1:
-        # dedupe BEFORE scoring: a pair co-bucketed in several probe
-        # windows (likeliest for the near-identical pairs this family
-        # targets) must pay its dot product once, not once per probe
-        cand = cand.dropDuplicates(["vec_a", "vec_b"])
     sim_expr = (
         cosine_fixedpoint_from_nsq(
             F.col("__va"), F.col("__vb"),
@@ -262,7 +257,19 @@ def _bucket_scored_pairs(
             F.col("__na"), F.col("__nb"), dp=dp,
         )
     )
-    return cand.select("vec_a", "vec_b", sim_expr.alias("sim"))
+    scored = cand.select("vec_a", "vec_b", sim_expr.alias("sim"))
+    if len(frames) > 1:
+        # dedupe AFTER scoring (r16): a pair co-bucketed in several
+        # probe windows is scored once per probe (a bounded CPU
+        # duplicate — the sim from every probe is the identical
+        # value), but the dedup exchange then carries (a, b, sim) —
+        # ~24 bytes/row — instead of two full embedding vectors
+        # (~2 KB/row at dim 128). Shuffle metadata, not payloads
+        # (guide §2.3/§8); the surviving (a, b, sim) set is identical
+        # either way. Measured: wash at sf0.1 (the dot is CPU-bound
+        # locally), ~100x fewer dedup-exchange bytes at any scale.
+        scored = scored.dropDuplicates(["vec_a", "vec_b"])
+    return scored
 
 
 def kmeans_centroids(

@@ -553,7 +553,17 @@ def bm25_topk(
     """
     n = len(terms)
     if per_doc is None:
-        per_doc = bm25_per_doc(docs, terms, text_col=text_col, id_col=id_col)
+        # eagerly checkpointed (r16): the corpus-stats aggregate AND
+        # the scoring projection both reference per_doc, so the
+        # tokenize + (len(terms)+1)-slot array traversal over every
+        # document ran twice. The frame itself is narrow (id, dl, one
+        # int per term) — materializing it once costs far less than a
+        # second corpus tokenization at any scale.
+        from big_data_flight_analytics_spark.cache import loop_checkpoint
+
+        per_doc = loop_checkpoint(
+            bm25_per_doc(docs, terms, text_col=text_col, id_col=id_col)
+        )
     if totals is None:
         totals = bm25_stats(per_doc, n)
     scored = per_doc.crossJoin(F.broadcast(totals))

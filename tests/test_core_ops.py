@@ -268,6 +268,40 @@ class TestRadiusReportingShapes:
         }
         assert got == truth
 
+    def test_count_equals_distinct(self, spark):
+        """r16: radius_site_counts switched COUNT DISTINCT -> COUNT on
+        the invariant that radius_join emits each (point, site) pair
+        at most once on BOTH physical paths (single (band, cell) key
+        per point vs array_distinct'd site replicas). Pin it on the
+        banded 2D-cell path, where a wrap-around or replica bug would
+        duplicate pairs and silently inflate the plain count."""
+        from pyspark.sql import functions as F
+
+        from big_data_flight_analytics_spark.operators.geo import (
+            radius_site_counts,
+        )
+
+        pts, sites = self._frames(spark)
+        for lon_cells in (True, False):
+            truth = {
+                r["sid"]: r["n"]
+                for r in radius_join(
+                    pts, sites, radius_km=120.0, use_banding=True,
+                    lon_cells=lon_cells,
+                )
+                .groupBy("sid")
+                .agg(F.count_distinct("pid").alias("n"))
+                .collect()
+            }
+            got = {
+                r["sid"]: r["n_points"]
+                for r in radius_site_counts(
+                    pts, sites, "pid", "sid", radius_km=120.0,
+                    use_banding=True, lon_cells=lon_cells,
+                ).collect()
+            }
+            assert got == truth == {1: 2, 2: 2, 3: 1}
+
     def test_nearest_k_ranks_and_caps(self, spark):
         from big_data_flight_analytics_spark.operators.geo import (
             radius_nearest_k,
