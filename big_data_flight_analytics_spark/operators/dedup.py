@@ -581,9 +581,13 @@ def minhash_lsh_pairs(
     # split() x15 in the optimized plan with it, x1 without).
     sh = _shingled(df, id_col, text_col, n)
     # reused by the signature posting AND the Jaccard-verify broadcast —
-    # persist to run the shingle pipeline once (same rationale,
-    # measurement, and release contract as ngram_jaccard_pairs)
-    sh = tracked_persist(sh)
+    # materialize to run the shingle pipeline once. Eager checkpoint,
+    # not persist (r16): the d3 A/B showed the cached-plan path ~0.7 s
+    # slower on both interleaved rounds (the round's
+    # persist-vs-checkpoint doctrine).
+    from big_data_flight_analytics_spark.cache import loop_checkpoint
+
+    sh = loop_checkpoint(sh)
     posting = _minhash_band_posting(sh, id_col, num_perm, bands)
 
     if max_band_df is not None:

@@ -264,21 +264,36 @@ def dataset_card_state(
     docs: DataFrame,
     source_col: str = "source",
     text_col: str = "text",
+    side_col: str | None = None,
 ) -> DataFrame:
     """Mergeable (source, lang_pred)-grain card state. Sums are exact
     integers (token/char counts; quality at a fixed 1e-6 grain via
     half-up micro-rounding of the already-6dp score), min/max are
     selections — so the fold below is additive + idempotent with no
-    float-order dependence anywhere."""
+    float-order dependence anywhere.
+
+    ``source`` rides the stats projection directly (r16): the old
+    shape re-attached it with a doc_id self-join against the same
+    input — a full extra scan plus a doc-grain join for a column the
+    frame already had. ``side_col`` optionally joins the grouping key:
+    a caller splitting one corpus into disjoint batches (i12) gets
+    every batch's state from ONE text_stats pass, exactly equal to
+    per-batch computation because grouping on (source, lang, side)
+    partitions the same rows the per-side filters would."""
     from big_data_flight_analytics_spark.operators.text import text_stats
 
+    keys = ["source", "lang_pred"] + ([side_col] if side_col else [])
     stats = text_stats(docs, text_col=text_col).select(
-        "doc_id", "lang_pred", "n_tokens", "n_chars_calc", "quality"
+        F.col(source_col).alias("source"),
+        "lang_pred",
+        "n_tokens",
+        "n_chars_calc",
+        "quality",
+        *([side_col] if side_col else []),
     )
-    src = docs.select("doc_id", F.col(source_col).alias("source"))
     return (
-        stats.join(src, "doc_id")
-        .groupBy("source", "lang_pred")
+        stats
+        .groupBy(*keys)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("n_tokens_total"),

@@ -865,12 +865,22 @@ def novelty_pairs(
 
 
 def novelty_from_pairs(pairs: DataFrame) -> DataFrame:
-    """Per-source novelty report off a (gram, source) pair state."""
-    per_gram = pairs.groupBy("gram").agg(
-        F.count(F.lit(1)).cast("long").alias("n_sources")
-    )
+    """Per-source novelty report off a (gram, source) pair state.
+
+    n_sources rides a gram-partitioned window (r16, the d19 df-window
+    pattern) instead of a separate aggregate joined back: the old
+    shape referenced ``pairs`` twice, so the whole state lineage (for
+    t28/i17 the corpus explode + distinct) executed twice. A gram's
+    window partition holds at most one row per source — bounded
+    everywhere, no skew exposure — and COUNT over the full partition
+    is the identical integer the join carried."""
     return (
-        pairs.join(per_gram, "gram")
+        pairs.withColumn(
+            "n_sources",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("gram"))
+            .cast("long"),
+        )
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),

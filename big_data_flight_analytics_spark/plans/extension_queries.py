@@ -4230,7 +4230,7 @@ def t25_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def i12_dataset_card_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from big_data_flight_analytics_spark.cache import tracked_persist
+    from big_data_flight_analytics_spark.cache import loop_checkpoint
     from big_data_flight_analytics_spark.operators.quality import (
         dataset_card_fold,
         dataset_card_report,
@@ -4238,14 +4238,22 @@ def i12_dataset_card_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")
-    base = dataset_card_state(docs.filter(F.col("doc_id") % 5 != 0))
-    delta = dataset_card_state(docs.filter(F.col("doc_id") % 5 == 0))
-    # the fold reads each state twice (sums + endpoint selection);
-    # states are (source, lang) grain — tiny — so pin them
-    folded = dataset_card_fold(
-        tracked_persist(base), tracked_persist(delta)
+    # ONE text_stats pass for both sides (r16, the i11 pattern): the
+    # side flag joins the state grouping key, so each side's rows
+    # aggregate exactly as the old two filtered passes did; the tiny
+    # (source, lang, side) state is checkpointed once and the fold
+    # reads filters of it. The fold itself is unchanged — the i1
+    # contract (delta path invisible vs from-scratch oracle) still
+    # exercises a real merge of independently-aggregated states.
+    states = loop_checkpoint(
+        dataset_card_state(
+            docs.withColumn("__late", F.col("doc_id") % 5 == 0),
+            side_col="__late",
+        )
     )
-    return dataset_card_report(folded)
+    base = states.filter(~F.col("__late")).drop("__late")
+    delta = states.filter(F.col("__late")).drop("__late")
+    return dataset_card_report(dataset_card_fold(base, delta))
 
 
 T25_SQL = rf"""
