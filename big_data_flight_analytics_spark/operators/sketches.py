@@ -315,6 +315,7 @@ def cms_sketch(
     width: int,
     depth: int = CMS_DEPTH,
     group_cols: tuple[str, ...] = (),
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(row_j, bucket, cnt): the count-min grid (Cormode & Muthukrishnan
     2005) — depth x width int64 counters, the persisted sketch state.
@@ -326,18 +327,34 @@ def cms_sketch(
     (row, bucket) pairs — each task emits <= depth x width partial rows
     no matter the corpus; state is corpus-size-independent. Folds
     additively (histogram_fold class: NOT idempotent — streaming faces
-    need replay markers)."""
+    need replay markers).
+
+    ``weight_col`` sketches a PRE-AGGREGATED (value, weight) frame:
+    cnt becomes SUM(weight) per cell, which equals counting the raw
+    occurrences the weights summarize (integer addition is
+    associative). a14/a17 use it to sketch their per-term count frame
+    — the corpus posting is exploded once for the counts and never
+    again for the grid."""
     gcols = list(group_cols)
     v = F.col(value_col)
     grid = F.array(*[_cms_bucket(v, j, width) for j in range(depth)])
+    base = df.filter(v.isNotNull()).select(
+        *gcols,
+        *([weight_col] if weight_col else []),
+        F.posexplode(grid).alias("row_j", "bucket"),
+    )
+    cnt = (
+        F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
+    )
     return (
-        df.filter(v.isNotNull())
-        .select(*gcols, F.posexplode(grid).alias("row_j", "bucket"))
-        .select(
-            *gcols, F.col("row_j").cast("long").alias("row_j"), "bucket"
+        base.select(
+            *gcols,
+            *([weight_col] if weight_col else []),
+            F.col("row_j").cast("long").alias("row_j"),
+            "bucket",
         )
         .groupBy(*gcols, "row_j", "bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .agg(cnt.cast("long").alias("cnt"))
     )
 
 

@@ -2783,14 +2783,25 @@ def a14_cms_heavy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms_sketch,
     )
 
+    from big_data_flight_analytics_spark.cache import loop_checkpoint
+
+    # ONE posting pass (r16): the old shape exploded the corpus for
+    # the exact counts AND again for the CMS grid, and the tiny
+    # exact-top frame's full-count lineage re-ran per consumer. The
+    # per-term count frame (vocabulary-sized) is checkpointed once;
+    # exact-top sorts it and the grid sketches it weighted — SUM of
+    # per-term counts per cell == counting raw occurrences.
     terms = _doc_terms(spark, sf_dir)
+    counts = loop_checkpoint(
+        terms.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact")
+        )
+    )
     exact_top = (
-        terms.groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
-        .orderBy(F.col("n_exact").desc(), F.col("term").asc())
+        counts.orderBy(F.col("n_exact").desc(), F.col("term").asc())
         .limit(A14_TOPK)
     )
-    grid = cms_sketch(terms, "term", A14_CMS_WIDTH)
+    grid = cms_sketch(counts, "term", A14_CMS_WIDTH, weight_col="n_exact")
     est = cms_estimate(grid, exact_top, "term", A14_CMS_WIDTH)
     return est.join(F.broadcast(exact_top), "term").select(
         "term", "n_exact", "n_cms"
@@ -3244,13 +3255,21 @@ def a17_grouped_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_flight_analytics_spark.operators.text import tokens
     from pyspark.sql import Window
 
+    from big_data_flight_analytics_spark.cache import loop_checkpoint
+
     terms = (
         load(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
         .select("source", F.explode(tokens("text")).alias("term"))
     )
-    counts = terms.groupBy("source", "term").agg(
-        F.count(F.lit(1)).cast("long").alias("n_exact")
+    # ONE posting pass (r16, the a14 rework): per-(source, term)
+    # counts checkpointed; top-k ranks them and the grouped grid
+    # sketches them weighted (SUM of counts per cell == counting raw
+    # occurrences).
+    counts = loop_checkpoint(
+        terms.groupBy("source", "term").agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact")
+        )
     )
     w = Window.partitionBy("source").orderBy(
         F.col("n_exact").desc(), F.col("term").asc()
@@ -3260,7 +3279,10 @@ def a17_grouped_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= A17_TOPK)
         .drop("rn")
     )
-    grid = cms_sketch(terms, "term", A14_CMS_WIDTH, group_cols=("source",))
+    grid = cms_sketch(
+        counts, "term", A14_CMS_WIDTH,
+        group_cols=("source",), weight_col="n_exact",
+    )
     est = cms_estimate(
         grid, topk, "term", A14_CMS_WIDTH, group_cols=("source",)
     )
