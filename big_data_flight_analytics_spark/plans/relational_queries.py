@@ -1581,13 +1581,22 @@ def q15_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("__was_late")
         )
     )
-    per_o = per_os.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("__n_s"),
-        F.sum("__was_late").alias("__n_late"),
-    )
-    blamed = per_os.filter(F.col("__was_late") == 1).join(
-        per_o.filter((F.col("__n_s") >= 2) & (F.col("__n_late") == 1)),
-        "l_orderkey",
+    # per-order totals ride an order-partitioned window (r16, the d19
+    # df-window pattern): the old per_o aggregate + join-back
+    # referenced per_os twice, so the lineitem-orders join and the
+    # (order, supplier) aggregate each executed twice. A window
+    # partition holds one row per supplier of one order — bounded by
+    # order width, no skew — and COUNT/SUM over the full partition
+    # are the identical integers the join carried.
+    w_o = Window.partitionBy("l_orderkey")
+    blamed = (
+        per_os.withColumn("__n_s", F.count(F.lit(1)).over(w_o))
+        .withColumn("__n_late", F.sum("__was_late").over(w_o))
+        .filter(
+            (F.col("__was_late") == 1)
+            & (F.col("__n_s") >= 2)
+            & (F.col("__n_late") == 1)
+        )
     )
     supplier = load(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("l_suppkey"), "s_name"
