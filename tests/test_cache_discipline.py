@@ -60,13 +60,25 @@ class TestCacheDiscipline:
         for _ in range(2):  # repeated invocation must not accumulate
             before = _persisted_ids(spark)
             ngram_jaccard_pairs(docs, threshold=0.1, max_df=10).count()
-            minhash_lsh_pairs(docs, threshold=0.1).count()
             embedding_neardup_pairs(_vecs(spark), threshold=0.0).count()
             ours = _persisted_ids(spark) - before
-            assert len(ours) >= 3  # caches were really live
+            assert len(ours) >= 2  # caches were really live
             released = release_tracked()
-            assert released >= 3
+            assert released >= 2
             assert not (_persisted_ids(spark) & ours)  # all drained
+
+    def test_minhash_registers_no_tracked_cache(self, spark):
+        # r16: minhash_lsh_pairs' shared shingle frame moved from
+        # tracked_persist to an eager loop_checkpoint (measured faster
+        # on both interleaved A/B rounds). Its blocks are
+        # ContextCleaner-managed like every other checkpointed loop
+        # frame — nothing is left registered for the caller to release.
+        release_tracked()
+        docs = _docs(spark)
+        before = _persisted_ids(spark)
+        minhash_lsh_pairs(docs, threshold=0.1).count()
+        assert _persisted_ids(spark) - before  # the checkpoint is live
+        assert release_tracked() == 0
 
     def test_connected_components_registers_no_cache(self, spark):
         release_tracked()
