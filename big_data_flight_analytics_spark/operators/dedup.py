@@ -383,10 +383,18 @@ def winnow_jaccard_pairs(
         .distinct()
     )
     # hashed shingle ids for the exact verify (intersection counts are
-    # what matters — see ngram_jaccard_pairs)
-    hsh = _shingled(df, id_col, text_col, k).select(
-        F.col(id_col),
-        F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles"),
+    # what matters — see ngram_jaccard_pairs). Both sides of the verify
+    # join consume this frame and Spark shares no subplans, so without
+    # materialization the tokenize+shingle+hash corpus pipeline runs
+    # twice (r16); eager checkpoint per the round's
+    # persist-vs-checkpoint doctrine (the d3 A/B).
+    from big_data_flight_analytics_spark.cache import loop_checkpoint
+
+    hsh = loop_checkpoint(
+        _shingled(df, id_col, text_col, k).select(
+            F.col(id_col),
+            F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles"),
+        )
     )
     return _verify_jaccard(candidates, hsh, id_col, threshold)
 

@@ -295,21 +295,31 @@ def pagerank(
     if n_total == 0:
         # empty graph -> empty ranks (not a ZeroDivisionError)
         return nodes.select("node", F.lit(0.0).alias("rank"))
+    # out-degree is loop-INVARIANT: attach it to the node frame once
+    # (checkpointed) and let the rank frame carry it through every
+    # round. The former per-round ranks->out_deg join re-evaluated the
+    # degree aggregation TWICE per iteration (the dangling branch and
+    # the contribution branch each own a copy of the join lineage —
+    # Spark shares no subplans); now the dangling mass is a filter+agg
+    # over the checkpointed rank frame and the loop has no degree join
+    # at all (r16, guide §2.4).
     out_deg = e.groupBy(F.col("__s").alias("node")).agg(
         F.count(F.lit(1)).alias("__deg")
     )
+    nodes_deg = loop_checkpoint(
+        nodes.join(out_deg, "node", "left").coalesce(num_partitions)
+    )
     base = F.lit((1.0 - damping) / n_total)
 
-    ranks = nodes.select("node", F.lit(1.0 / n_total).alias("rank"))
+    ranks = nodes_deg.select("node", "__deg", F.lit(1.0 / n_total).alias("rank"))
     for _ in range(num_iter):
-        with_deg = ranks.join(out_deg, "node", "left")
         # dangling mass: nodes with no out-edges spread rank everywhere
-        dangling = with_deg.filter(F.col("__deg").isNull()).agg(
+        dangling = ranks.filter(F.col("__deg").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")
         )
         contribs = (
-            with_deg.filter(F.col("__deg").isNotNull())
-            .join(e, with_deg.node == e.__s)
+            ranks.filter(F.col("__deg").isNotNull())
+            .join(e, ranks.node == e.__s)
             .select(
                 F.col("__d").alias("node"),
                 (F.col("rank") / F.col("__deg")).alias("__c"),
@@ -318,10 +328,11 @@ def pagerank(
             .agg(F.sum("__c").alias("__in"))
         )
         ranks = (
-            nodes.join(contribs, "node", "left")
+            nodes_deg.join(contribs, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "__deg",
                 (
                     base
                     + F.lit(damping)
@@ -334,7 +345,7 @@ def pagerank(
             .coalesce(num_partitions)
             .transform(loop_checkpoint)
         )
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def pagerank_fixedpoint(
@@ -404,22 +415,31 @@ def pagerank_fixedpoint(
     n_total = nodes.count()
     if n_total == 0:
         return nodes.select("node", F.lit(0).cast("long").alias("rank_fp"))
+    # loop-invariant degree rides the checkpointed node/rank frames —
+    # same rationale as the float variant above (r16, guide §2.4): the
+    # per-round ranks->out_deg join evaluated the degree aggregation
+    # twice per iteration (dangling + contribution branches); now the
+    # loop body has no degree join and the dangling mass is a
+    # filter+agg over the already-materialized rank frame. Integer
+    # sums over identical groups — bit-identical ranks.
     out_deg = e.groupBy(F.col("__s").alias("node")).agg(
         F.count(F.lit(1)).alias("__deg")
     )
+    nodes_deg = loop_checkpoint(
+        nodes.join(out_deg, "node", "left").coalesce(num_partitions)
+    )
     base = ((damping_den - damping_num) * scale) // (damping_den * n_total)
 
-    ranks = nodes.select(
-        "node", F.lit(scale // n_total).cast("long").alias("__r")
+    ranks = nodes_deg.select(
+        "node", "__deg", F.lit(scale // n_total).cast("long").alias("__r")
     )
     for _ in range(num_iter):
-        with_deg = ranks.join(out_deg, "node", "left")
-        dangling = with_deg.filter(F.col("__deg").isNull()).agg(
+        dangling = ranks.filter(F.col("__deg").isNull()).agg(
             F.coalesce(F.sum("__r"), F.lit(0)).cast("long").alias("__dang")
         )
         contribs = (
-            with_deg.filter(F.col("__deg").isNotNull())
-            .join(e, with_deg.node == e.__s)
+            ranks.filter(F.col("__deg").isNotNull())
+            .join(e, ranks.node == e.__s)
             .select(
                 F.col("__d").alias("node"),
                 F.expr("__r DIV __deg").alias("__c"),
@@ -428,10 +448,11 @@ def pagerank_fixedpoint(
             .agg(F.sum("__c").cast("long").alias("__in"))
         )
         ranks = (
-            nodes.join(contribs, "node", "left")
+            nodes_deg.join(contribs, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "__deg",
                 (
                     F.lit(base)
                     + F.expr(

@@ -326,11 +326,14 @@ def ivf_topk(
     ``kmeans_centroids``) for data-adaptive cells with real ANN recall
     — every stage downstream of the centroid table is unchanged.
 
-    Scale design: the centroid table is tiny and broadcast to both
-    assignment joins, so the corpus is scored against centroids
-    map-side (no shuffle); the only shuffles are the corpus
-    re-partition on ``__cell`` for the probe join and the per-query
-    top-k window. Per-query work drops from |corpus| to
+    Scale design (r16, guide §2.4): the centroid table is packed into
+    ONE broadcast array row, so cell assignment is a per-row
+    ``array_max`` fold — the corpus never shuffles for assignment at
+    all (the former max_by hash aggregate still exchanged |corpus|
+    rows with their vectors), and the per-query probe selection is a
+    sorted ``slice`` of the same fold, not a window. The only shuffle
+    left in the whole operator is the final per-query top-k window
+    over candidate scores. Per-query work drops from |corpus| to
     ~|corpus| * nprobe / n_centroids. Recall is bounded by the probe
     count — raise ``nprobe`` toward ``n_centroids`` to trade speed
     back for exactness.
@@ -343,61 +346,67 @@ def ivf_topk(
                 F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
             )
         )
-    cents = F.broadcast(
+    # centroids travel as DATA packed c-ascending into one array row
+    # (the _cent_rows_df doctrine — never expression literals);
+    # sort_array order does not affect results (argmax/sort below are
+    # by (csim, -cid), unique), it just keeps the pack deterministic
+    cents_arr = F.broadcast(
         centroids.select(
-            "__cid", "__cvec", l2_norm(F.col("__cvec")).alias("__cn")
-        )
+            F.struct(
+                F.col("__cid").alias("c"),
+                F.col("__cvec").alias("v"),
+                l2_norm(F.col("__cvec")).alias("n"),
+            ).alias("__ce")
+        ).agg(F.sort_array(F.collect_list("__ce")).alias("__cents"))
     )
 
-    def scored_cells(df: DataFrame, out_id: str) -> DataFrame:
-        # row norm computed once, reused for every centroid AND carried
-        # to the final pair scoring
+    def scored_structs(df: DataFrame, out_id: str) -> DataFrame:
+        # per row: array<struct<s, t, c>> of (csim, -cid, cid) over the
+        # packed centroids — row norm computed once, reused for every
+        # centroid AND carried to the final pair scoring. struct
+        # ordering by (s, t) is exactly the former (csim DESC, cid ASC)
+        # under max/descending sort; c rides along as payload (t
+        # determines c, so it never decides a comparison).
         return df.select(
             F.col(id_col).alias(out_id),
             F.col(vec_col).alias("__v"),
             l2_norm(F.col(vec_col)).alias("__n"),
-        ).crossJoin(cents).select(
+        ).crossJoin(cents_arr).select(
             out_id,
             "__v",
             "__n",
-            "__cid",
-            cosine_from_norms(
-                F.col("__v"), F.col("__cvec"),
-                F.col("__n"), F.col("__cn"), dp=dp,
-            ).alias("__csim"),
+            F.transform(
+                "__cents",
+                lambda ce: F.struct(
+                    cosine_from_norms(
+                        F.col("__v"), ce["v"], F.col("__n"), ce["n"], dp=dp
+                    ).alias("s"),
+                    (-ce["c"]).alias("t"),
+                    ce["c"].alias("c"),
+                ),
+            ).alias("__scored"),
         )
 
-    # corpus assignment (1 cell per row) as a max_by hash aggregate, not
-    # a row_number window: the partial aggregate collapses the
-    # n_centroids-way fan-out map-side, so only |corpus| rows shuffle
-    # (vs n_centroids x |corpus| into a window sort). Ordering key
-    # (csim, -cid) = best similarity, smallest centroid id on ties —
-    # unique because cid is unique.
-    assigned = (
-        scored_cells(corpus, "neighbor_id")
-        .groupBy("neighbor_id")
-        .agg(
-            F.max_by(
-                F.struct(F.col("__v"), F.col("__n"), F.col("__cid")),
-                F.struct(F.col("__csim"), (-F.col("__cid")).alias("__t")),
-            ).alias("__best")
-        )
-        .select(
-            "neighbor_id",
-            F.col("__best.__v").alias("__v"),
-            F.col("__best.__n").alias("__n"),
-            F.col("__best.__cid").alias("__cell"),
-        )
+    # corpus assignment (1 cell per row): map-side argmax — identical
+    # ordering to the former max_by(struct(__v,__n,__cid),
+    # struct(csim, -cid)) aggregate, zero shuffle
+    assigned = scored_structs(corpus, "neighbor_id").select(
+        "neighbor_id",
+        "__v",
+        "__n",
+        F.array_max("__scored")["c"].alias("__cell"),
     )
-    # probes keep the top-nprobe window (per-query candidate cells)
-    pw = Window.partitionBy("query_id").orderBy(
-        F.col("__csim").desc(), F.col("__cid").asc()
-    )
-    probes = (
-        scored_cells(queries, "query_id")
-        .withColumn("__rn", F.row_number().over(pw))
-        .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "__v", "__n", F.col("__cid").alias("__cell"))
+    # probes: top-nprobe cells per query as a descending sorted slice —
+    # same (csim DESC, cid ASC) order the former row_number window used
+    probes = scored_structs(queries, "query_id").select(
+        "query_id",
+        "__v",
+        "__n",
+        F.explode(
+            F.slice(F.reverse(F.array_sort("__scored")), 1, nprobe)
+        ).alias("__probe"),
+    ).select(
+        "query_id", "__v", "__n", F.col("__probe")["c"].alias("__cell")
     )
     scored = (
         # broadcast the probe side (|queries| * nprobe rows) so the
