@@ -376,7 +376,37 @@ def t3_gopher_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     n_chars = F.length("text")
-    base = toked.select(
+    # top-bigram count computed MAP-SIDE per row (r16, guide §2.1): the
+    # max multiset count of a doc's own bigrams == the longest
+    # equal-run in its sorted bigram array, a per-row sort + fold — the
+    # former explode + groupBy(doc, bg) + groupBy(doc) + join-back
+    # re-tokenized the corpus a second time and shuffled every bigram
+    # twice to compute a quantity that never leaves the row. Measured
+    # 2.86 -> see OPTIMIZATION_r16.md; plan is one pass, zero Exchange.
+    bgs = F.array_sort(ngram_multiset_expr(F.col("__toks"), 2))
+    top_run = F.aggregate(
+        bgs,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    n_bg = F.size(bgs)
+    return toked.select(
         "doc_id",
         F.when(n_tok > 0, F.round(tok_chars / n_tok, 6))
         .otherwise(F.lit(0.0))
@@ -384,25 +414,9 @@ def t3_gopher_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n_chars > 0, F.round(F.regexp_count(F.col("text"), F.lit("[a-z]")) / n_chars, 6))
         .otherwise(F.lit(0.0))
         .alias("alpha_ratio"),
-    )
-    bg = toked.select(
-        "doc_id", F.explode(ngram_multiset_expr(F.col("__toks"), 2)).alias("bg")
-    )
-    rep = (
-        bg.groupBy("doc_id", "bg")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .groupBy("doc_id")
-        .agg(F.max("__c").alias("__top"), F.sum("__c").alias("__total"))
-        .select(
-            "doc_id",
-            F.round(F.col("__top") / F.col("__total"), 6).alias("top_bigram_ratio"),
-        )
-    )
-    return base.join(rep, "doc_id", "left").select(
-        "doc_id",
-        "mean_token_len",
-        "alpha_ratio",
-        F.coalesce(F.col("top_bigram_ratio"), F.lit(0.0)).alias("top_bigram_ratio"),
+        F.when(n_bg > 0, F.round(top_run / n_bg, 6))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_ratio"),
     )
 
 
@@ -2900,6 +2914,13 @@ def d23_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = cdc_chunks(
         load(spark, sf_dir, "documents"), divisor=T22_DIVISOR
     )
+    # Examined r16, kept as-is (measured): the chunk lineage IS
+    # referenced twice (this aggregate + the join back), but both
+    # rewrites that run it once measured SLOWER at sf0.1 min-of-3 —
+    # eager checkpoint 1.52 -> 1.88 s (materialization barrier vs
+    # overlapping branch stages), chunk_fp-window collect_set
+    # 1.52 -> 4.19 s (WindowExec sort + per-partition set buffering).
+    # The hash agg + broadcast-able join is the cheapest shape here.
     fp_docs = chunks.groupBy("chunk_fp").agg(
         F.countDistinct("doc_id").cast("long").alias("n_docs")
     )
@@ -4047,6 +4068,11 @@ def t24_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % 100
     )
+    # NOT materialized (r16, measured): the three consumers (mixture
+    # counts, mixture keep, val branch) do re-run this lineage, but its
+    # parents are persisted shared stages in a catalog pass and the
+    # re-executions overlap as concurrent stages — an eager checkpoint
+    # barrier measured slower standalone (11.9 -> 12.2 s min-of-3).
     sided = clean.filter(
         F.col("source").isin(sorted(T10_TARGETS))
     ).withColumn(
@@ -7190,10 +7216,18 @@ EXTENSION_ORACLES["i17_novelty_delta"] = T28_SQL
 
 
 def v13_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_flight_analytics_spark.cache import loop_checkpoint
+
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
-    exact = brute_force_topk(emb, queries, k=TOPK).select(
-        "query_id", "neighbor_id"
+    # the exact list is referenced twice (n_exact agg + the overlap
+    # join) and its lineage is the corpus x queries brute-force scorer
+    # — eager checkpoint of the queries x k id pairs runs that scorer
+    # once (r16); the approx list has a single consumer, left lazy
+    exact = loop_checkpoint(
+        brute_force_topk(emb, queries, k=TOPK).select(
+            "query_id", "neighbor_id"
+        )
     )
     approx = lsh_bucketed_topk(
         emb, queries, k=TOPK, bits=LSH_BITS
