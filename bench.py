@@ -132,6 +132,13 @@ def emit_artifacts(
     always fits; the per-query/stages detail goes to the sidecar file.
     Invariant: value == sum(queries) + sum(stages). Contract pinned by
     tests/test_compact.py::TestBenchEmitter.
+
+    Sidecar clobbering (VERDICT r16 #2): consecutive runs at different
+    core counts overwrote each other's BENCH_DETAIL.json, so the
+    driver lost its own 32-core per-query detail to its 8-core run.
+    The detail now ALSO lands in a core-count-stamped sidecar
+    (BENCH_DETAIL_c{cpus}.json); $SPARK_GRAFT_DETAIL_PATH overrides
+    the primary path outright.
     """
     total = round(sum(timings.values()) + sum(stage_builds.values()), 3)
     detail = {
@@ -150,12 +157,20 @@ def emit_artifacts(
         # cross-round total comparisons can't silently absorb breakage.
         detail["errors"] = errors
         detail["invalid"] = True
+    stamped_path = None
     if detail_path is None:
-        detail_path = os.path.join(
+        detail_path = os.environ.get("SPARK_GRAFT_DETAIL_PATH") or os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
         )
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        if cpus:
+            root, ext = os.path.splitext(detail_path)
+            stamped_path = f"{root}_c{cpus}{ext}"
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
+    if stamped_path:
+        with open(stamped_path, "w") as f:
+            json.dump(detail, f, indent=1)
     summary = {
         "metric": "total_catalog_seconds",
         "value": total,
@@ -163,7 +178,7 @@ def emit_artifacts(
         "sf": sf_val,
         "n_queries": len(timings),
         "runs_per_query": n_runs,
-        "detail": "BENCH_DETAIL.json",
+        "detail": os.path.basename(stamped_path or detail_path),
     }
     if errors:
         summary["n_errors"] = len(errors)

@@ -82,6 +82,28 @@ def loop_checkpoint(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def once_checkpoint(df: DataFrame) -> DataFrame:
+    """Eager materialization for SINGLE-PASS multi-consumer frames —
+    always ``localCheckpoint``, never a durable checkpoint.
+
+    The distinction from :func:`loop_checkpoint` (ADVICE r16): durable
+    ``checkpoint()`` files are not removed by the ContextCleaner unless
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (default
+    false), so one-shot operator frames — a verify frame consumed by
+    both sides of one join, a model-count table read by five consumers
+    — would leak a checkpoint dir per invocation in a long-lived
+    cluster session. Their failure story doesn't need durability
+    either: there is no loop invariant to invalidate — if an executor
+    holding localCheckpoint blocks dies, the one query fails and a
+    retry recomputes from source. Mid-LOOP state keeps using
+    ``loop_checkpoint`` (losing round-i state invalidates every later
+    round, so durability is worth a file per round on a cluster).
+    localCheckpoint blocks are dropped by Python refcounting + the
+    ContextCleaner as frames go out of scope (measured flat at 1-6
+    live blocks across full catalog passes)."""
+    return df.localCheckpoint(eager=True)
+
+
 @contextmanager
 def loop_confs(spark, nparts: int):
     """Pin AQE off + shuffle width for a tiny-frame iterative loop,

@@ -349,6 +349,11 @@ def winnow_jaccard_pairs(
     already-built ``winnow_fingerprints`` frame (same ``k``/``window``)
     — the t7/d10 stage seam.
 
+    NOTE (eager): constructing this frame runs a Spark job immediately
+    — the hashed-shingle verify frame is materialized eagerly (both
+    sides of the verify join consume it), so callers building plans
+    speculatively pay the tokenize+shingle+hash pass up front.
+
     Same verify-exact contract as ``ngram_jaccard_pairs`` (emitted
     Jaccard values are computed on the FULL shingle sets), but the
     inverted-index join runs over winnowing fingerprints
@@ -388,9 +393,9 @@ def winnow_jaccard_pairs(
     # materialization the tokenize+shingle+hash corpus pipeline runs
     # twice (r16); eager checkpoint per the round's
     # persist-vs-checkpoint doctrine (the d3 A/B).
-    from big_data_flight_analytics_spark.cache import loop_checkpoint
+    from big_data_flight_analytics_spark.cache import once_checkpoint
 
-    hsh = loop_checkpoint(
+    hsh = once_checkpoint(
         _shingled(df, id_col, text_col, k).select(
             F.col(id_col),
             F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles"),
@@ -593,9 +598,9 @@ def minhash_lsh_pairs(
     # not persist (r16): the d3 A/B showed the cached-plan path ~0.7 s
     # slower on both interleaved rounds (the round's
     # persist-vs-checkpoint doctrine).
-    from big_data_flight_analytics_spark.cache import loop_checkpoint
+    from big_data_flight_analytics_spark.cache import once_checkpoint
 
-    sh = loop_checkpoint(sh)
+    sh = once_checkpoint(sh)
     posting = _minhash_band_posting(sh, id_col, num_perm, bands)
 
     if max_band_df is not None:
@@ -1417,10 +1422,11 @@ def sparse_cosine_pairs(
     # correction (twice) — a cached plan re-materializes through
     # InMemoryRelation per consumer and measured ~1 s slower than the
     # checkpointed scan on the full query (7.7 vs 6.6 s warm).
-    # loop_checkpoint keeps the cluster-durability swap point.
-    from big_data_flight_analytics_spark.cache import loop_checkpoint
+    # once_checkpoint: single-pass frame, localCheckpoint only (no
+    # durable-file leak on clusters — ADVICE r16).
+    from big_data_flight_analytics_spark.cache import once_checkpoint
 
-    weights = loop_checkpoint(
+    weights = once_checkpoint(
         tf.crossJoin(F.broadcast(n)).select(
             F.col(id_col),
             "term",
@@ -1459,7 +1465,7 @@ def sparse_cosine_pairs(
     # checkpointed: feeds both the correction join and the final sum —
     # without it the capped self-join would evaluate twice (same
     # persist-vs-checkpoint measurement as `weights` above)
-    partial = loop_checkpoint(
+    partial = once_checkpoint(
         ca.join(cb, "term")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")

@@ -164,12 +164,12 @@ def bloom_semi_join(
     # Eagerly checkpointed (r16): the table is <= m_bits/32 rows at any
     # key-set size. The streaming face (BloomSink -> bloom_probe)
     # passes an already-stored word table and is untouched.
-    from big_data_flight_analytics_spark.cache import loop_checkpoint
+    from big_data_flight_analytics_spark.cache import once_checkpoint
 
     return bloom_probe(
         fact,
         fact_key,
-        loop_checkpoint(bloom_filter_words(keys, key_col, m_bits, depth)),
+        once_checkpoint(bloom_filter_words(keys, key_col, m_bits, depth)),
         m_bits,
         depth,
     )

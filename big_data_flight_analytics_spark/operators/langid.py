@@ -163,14 +163,14 @@ def langid_profiles_from_counts(
     char-gram explode + one md5 per gram, executed five times
     (measured: 5 of t20's 6 corpus-explode subtrees were this frame).
     The frame itself is K x n_buckets rows — model-state-sized at any
-    corpus scale, so materializing it once is free; ``loop_checkpoint``
+    corpus scale, so materializing it once is free; ``once_checkpoint``
     (not ``persist``) because a cached plan re-materializes per
     consumer thread and measured ~20%% SLOWER than even the
     quintuple recompute here, while the checkpointed LocalRelation-
     style scan is read at memory speed by all five."""
-    from big_data_flight_analytics_spark.cache import loop_checkpoint
+    from big_data_flight_analytics_spark.cache import once_checkpoint
 
-    counts = loop_checkpoint(
+    counts = once_checkpoint(
         counts.select(label_col, "bucket", F.col("cnt").alias("__c"))
     )
     label_totals = counts.groupBy(label_col).agg(

@@ -260,13 +260,13 @@ def dsir_weights(
     # eagerly checkpointed (r16): both the weight grid's main branch
     # and the totals broadcast reference this 256-row frame, and each
     # unchecked reference re-runs the full corpus bigram explode + md5
-    # — one redundant corpus pass removed. loop_checkpoint, not
+    # — one redundant corpus pass removed. once_checkpoint, not
     # persist: the tiny materialized frame is read directly; a cached
     # plan measured slower than the recompute it saved (the t20/i11
     # finding).
-    from big_data_flight_analytics_spark.cache import loop_checkpoint
+    from big_data_flight_analytics_spark.cache import once_checkpoint
 
-    bucket_counts = loop_checkpoint(
+    bucket_counts = once_checkpoint(
         grams.groupBy("bucket").agg(
             F.sum(is_target).alias("cnt_t"),
             F.count(F.lit(1)).alias("cnt_r"),

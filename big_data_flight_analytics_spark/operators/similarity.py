@@ -2187,7 +2187,32 @@ def mmr_rerank_candidates(
     only the redundancy penalty). The penalty side always comes from
     ``corpus`` vectors for the candidate ids. Same determinism
     contract as :func:`mmr_rerank` (fixed k-step unroll, ``dp``-rounded
-    cosines, tenths-integer lam, id tie-breaks)."""
+    cosines, tenths-integer lam, id tie-breaks).
+
+    Shape (r17): the whole greedy selection is ONE map-side fold. A
+    query's entire MMR state — its ≤ n_candidates (id, sim, vec, norm)
+    rows — is collected into a single row (`collect_list` after the
+    one vector-attach join), and the k greedy steps run as an unrolled
+    expression over that array: per step, the penalty is an
+    `array_max` of dp-rounded cosines against the selected-so-far
+    sub-array and the argmax is an `array_max` over (score, -id)
+    structs (score desc, id asc — the former window order). The r16
+    shape paid, per step, three joins + a window + a union + an eager
+    checkpoint job over tiny frames — ~2.4 s of driver-bound job
+    overhead in v11 (guide §2.4: the scheduling cost of k tiny jobs
+    dwarfs their work). Now the operator is lazy again (no eager
+    checkpoints), runs one aggregate + one projection past the vector
+    join, and the per-step algebra is unchanged:
+
+    - step 1 ranks by raw sim (id tie-break), no penalty;
+    - step i ≥ 2: eligible = unselected candidates having a corpus
+      vector AND at least one selected item with a vector (the former
+      pairs/pen INNER joins dropped exactly those rows);
+    - pen(c) = max over selected s of the dp-rounded cosine(c, s) —
+      `array_max` over doubles == the former MAX aggregate;
+    - score = lam*sim - (1-lam)*pen on identical doubles, ROUND(…, 6)
+      applied to the same value at output only.
+    """
     lam = F.lit(lam_tenths / 10.0)
     one_m_lam = F.lit((10 - lam_tenths) / 10.0)
     vecs = corpus.select(
@@ -2195,104 +2220,111 @@ def mmr_rerank_candidates(
         F.col(vec_col).alias("__v"),
         l2_norm(F.col(vec_col)).alias("__n"),
     )
+    # LEFT join: a candidate with no corpus vector still competes on
+    # relevance at step 1 (the r16 shape kept raw `cands` for step 1
+    # and only the pair frame was inner-joined); its NULL vec excludes
+    # it from penalties and from steps >= 2, exactly as the missing
+    # pair rows did.
     cv = cands.join(
-        vecs, cands["neighbor_id"] == vecs["__vid"]
+        vecs, cands["neighbor_id"] == vecs["__vid"], "left"
     ).select("query_id", "neighbor_id", "sim", "__v", "__n")
-    a = cv.select(
-        "query_id",
-        F.col("neighbor_id").alias("__a"),
-        F.col("__v").alias("__va"),
-        F.col("__n").alias("__na"),
+    packed = cv.groupBy("query_id").agg(
+        F.collect_list(
+            F.struct("neighbor_id", "sim", "__v", "__n")
+        ).alias("__cs")
     )
-    b = cv.select(
-        "query_id",
-        F.col("neighbor_id").alias("__b"),
-        F.col("__v").alias("__vb"),
-        F.col("__n").alias("__nb"),
-    )
-    pairs = (
-        a.join(b, "query_id")
-        .filter(F.col("__a") != F.col("__b"))
-        .select(
-            "query_id",
-            "__a",
-            "__b",
-            cosine_from_norms(
-                F.col("__va"), F.col("__vb"),
-                F.col("__na"), F.col("__nb"), dp=dp,
-            ).alias("__sab"),
-        )
-    )
-    from big_data_flight_analytics_spark.cache import loop_checkpoint
 
-    # Candidate and pair frames are retrieval-batch-sized (O(q x n) /
-    # O(q x n^2)) at ANY corpus scale — everything upstream (the
-    # corpus-wide scoring pass) collapsed into them. Eagerly
-    # checkpointing both (r16, was tracked_persist) materializes that
-    # upstream work exactly once and the k greedy steps read the
-    # materialized scans directly instead of re-materializing an
-    # InMemoryRelation per consumer (the round's persist-vs-checkpoint
-    # doctrine; v10/v11 A/B within noise, checkpoint consistent).
-    cands = loop_checkpoint(cands)
-    pairs = loop_checkpoint(pairs)
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("__score").desc(), F.col("neighbor_id").asc()
-    )
-    # step 1: pure relevance (no selected set yet) — ranked by RAW sim
-    # (the oracle's s1 order; ranking by lam*sim would collapse to the
-    # id tie-break at lam = 0 and diverge from MMR's definition)
-    w1 = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    selected = (
-        cands.withColumn("__rn", F.row_number().over(w1))
-        .filter(F.col("__rn") == 1)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.lit(1).cast("long").alias("step"),
-            F.round(lam * F.col("sim"), 6).alias("score"),
-        )
-    )
-    for step in range(2, k + 1):
-        remaining = cands.join(
-            selected.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_anti",
-        )
-        pen = (
-            pairs.join(
-                selected.select(
-                    "query_id", F.col("neighbor_id").alias("__b")
+    def pick(arr, key):
+        """argmax by (key desc, neighbor_id asc): max over (key, -id),
+        carrying id alongside — ids are unique, so the struct order
+        reproduces the former row_number window exactly."""
+        return F.array_max(
+            F.transform(
+                arr,
+                lambda c: F.struct(
+                    key(c).alias("k"),
+                    (-c["neighbor_id"]).alias("nid"),
+                    c["neighbor_id"].alias("id"),
                 ),
-                ["query_id", "__b"],
             )
-            .groupBy("query_id", F.col("__a").alias("neighbor_id"))
-            .agg(F.max("__sab").alias("__pen"))
         )
-        scored = remaining.join(
-            pen, ["query_id", "neighbor_id"]
-        ).select(
-            "query_id",
-            "neighbor_id",
-            (lam * F.col("sim") - one_m_lam * F.col("__pen")).alias(
-                "__score"
+
+    # Each step's argmax lands in its OWN projection column before the
+    # next step references it: higher-order-function lambdas block
+    # Catalyst's common-subexpression elimination, so inlining step
+    # i-1's `array_max` expression into step i re-evaluates it many
+    # times per row — measured 3-4x SLOWER than the r16 join loop.
+    # Staged columns are referenced more than once downstream, which
+    # also stops CollapseProject from re-inlining them.
+    cs = F.col("__cs")
+    stage = packed.withColumn("__sel1", pick(cs, lambda c: c["sim"]))
+    # NOTE: single-arg lambdas only — F.filter/F.transform treat a
+    # two-arg lambda as (element, index)
+    for step in range(2, k + 1):
+        prev_ids = F.array(
+            *[F.col(f"__sel{j}")["id"] for j in range(1, step)]
+        )
+        # selected-so-far items that carry a vector: the only penalty
+        # sources (empty when an earlier step selected nothing — then
+        # nothing is eligible below, matching the former inner joins)
+        stage = stage.withColumn(
+            f"__sv{step}",
+            F.filter(
+                cs,
+                lambda c: F.arrays_overlap(
+                    F.array(c["neighbor_id"]), prev_ids
+                )
+                & c["__v"].isNotNull(),
             ),
         )
-        nxt = (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(
-                "query_id",
-                "neighbor_id",
-                F.lit(step).cast("long").alias("step"),
-                F.round(F.col("__score"), 6).alias("score"),
+        sv = F.col(f"__sv{step}")
+
+        def score_of(c, _sv=sv):
+            pen = F.array_max(
+                F.transform(
+                    _sv,
+                    lambda s: cosine_from_norms(
+                        c["__v"], s["__v"], c["__n"], s["__n"], dp=dp
+                    ),
+                )
             )
+            return lam * c["sim"] - one_m_lam * pen
+
+        eligible = F.filter(
+            cs,
+            lambda c: c["__v"].isNotNull()
+            & (F.size(sv) > 0)
+            & ~F.arrays_overlap(F.array(c["neighbor_id"]), prev_ids),
         )
-        # per-step truncation: each step references `selected` 3x
-        # (anti-join, penalty join, union), so a lazy unroll grows the
-        # plan ~3^k; the eager checkpoint bounds it (measured: lazy vs
-        # eager within noise at k=3, eager strictly safer for larger k)
-        selected = loop_checkpoint(selected.unionByName(nxt))
-    return selected
+        stage = stage.withColumn(f"__sel{step}", pick(eligible, score_of))
+    out_steps = [
+        F.struct(
+            F.col("__sel1")["id"].alias("neighbor_id"),
+            F.lit(1).cast("long").alias("step"),
+            F.round(lam * F.col("__sel1")["k"], 6).alias("score"),
+        )
+    ] + [
+        F.struct(
+            F.col(f"__sel{step}")["id"].alias("neighbor_id"),
+            F.lit(step).cast("long").alias("step"),
+            F.round(F.col(f"__sel{step}")["k"], 6).alias("score"),
+        )
+        for step in range(2, k + 1)
+    ]
+    return (
+        stage.select(
+            "query_id",
+            F.explode(
+                F.filter(
+                    F.array(*out_steps),
+                    lambda s: s["neighbor_id"].isNotNull(),
+                )
+            ).alias("__s"),
+        )
+        .select(
+            "query_id",
+            F.col("__s.neighbor_id").alias("neighbor_id"),
+            F.col("__s.step").alias("step"),
+            F.col("__s.score").alias("score"),
+        )
+    )

@@ -200,19 +200,19 @@ def gap_fill(
     row per observed bucket BEFORE any join, and that collapsed frame
     is eagerly checkpointed — it feeds both the bounds/grid side and
     the final join, and without the pin the window pipeline would
-    execute twice. loop_checkpoint, not persist (r16): the cached-plan
+    execute twice. once_checkpoint, not persist (r16): the cached-plan
     path measured ~0.9 s slower on ts2 (2.6 vs 1.7 s warm) — an
     InMemoryRelation re-materializes per consumer while the
     checkpointed frame is scanned directly.
     """
-    from big_data_flight_analytics_spark.cache import loop_checkpoint
+    from big_data_flight_analytics_spark.cache import once_checkpoint
 
     us = _micros(ts_col)
     bucket = F.floor(us / (step_s * 1_000_000)).cast("bigint")
     w_pick = Window.partitionBy(key_col, "__bucket").orderBy(
         F.col(ts_col).desc(), F.col(tie_col).desc()
     )
-    observed = loop_checkpoint(
+    observed = once_checkpoint(
         df.select(
             F.col(key_col),
             bucket.alias("__bucket"),

@@ -559,9 +559,9 @@ def bm25_topk(
         # document ran twice. The frame itself is narrow (id, dl, one
         # int per term) — materializing it once costs far less than a
         # second corpus tokenization at any scale.
-        from big_data_flight_analytics_spark.cache import loop_checkpoint
+        from big_data_flight_analytics_spark.cache import once_checkpoint
 
-        per_doc = loop_checkpoint(
+        per_doc = once_checkpoint(
             bm25_per_doc(docs, terms, text_col=text_col, id_col=id_col)
         )
     if totals is None:

@@ -2272,7 +2272,7 @@ ANALYTIC_ORACLES["i9_ohlc_delta"] = TS4_SQL
 
 
 def i11_session_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from big_data_flight_analytics_spark.cache import loop_checkpoint
+    from big_data_flight_analytics_spark.cache import once_checkpoint
     from big_data_flight_analytics_spark.operators.temporal import (
         _micros,
         session_fold,
@@ -2305,11 +2305,11 @@ def i11_session_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fold references each state 3x (kept rows, boundary-session
     # extraction, bridge); eagerly checkpointing the SESSION-grain
     # state — tiny next to events — keeps this ONE sessionization pass
-    # total instead of six re-computations. loop_checkpoint, not
+    # total instead of six re-computations. once_checkpoint, not
     # persist: measured 2.3 s vs 4.5 s (persist) vs 3.0 s (two-pass
     # HEAD) — a cached plan re-materializes per consumer thread while
     # the checkpointed frame is scanned directly.
-    states = loop_checkpoint(
+    states = once_checkpoint(
         session_stats(
             tagged,
             key_col=["user_id", "__late"],

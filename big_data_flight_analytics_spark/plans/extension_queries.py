@@ -2797,7 +2797,7 @@ def a14_cms_heavy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms_sketch,
     )
 
-    from big_data_flight_analytics_spark.cache import loop_checkpoint
+    from big_data_flight_analytics_spark.cache import once_checkpoint
 
     # ONE posting pass (r16): the old shape exploded the corpus for
     # the exact counts AND again for the CMS grid, and the tiny
@@ -2806,7 +2806,7 @@ def a14_cms_heavy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact-top sorts it and the grid sketches it weighted — SUM of
     # per-term counts per cell == counting raw occurrences.
     terms = _doc_terms(spark, sf_dir)
-    counts = loop_checkpoint(
+    counts = once_checkpoint(
         terms.groupBy("term").agg(
             F.count(F.lit(1)).cast("long").alias("n_exact")
         )
@@ -3276,7 +3276,7 @@ def a17_grouped_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_flight_analytics_spark.operators.text import tokens
     from pyspark.sql import Window
 
-    from big_data_flight_analytics_spark.cache import loop_checkpoint
+    from big_data_flight_analytics_spark.cache import once_checkpoint
 
     terms = (
         load(spark, sf_dir, "documents")
@@ -3287,7 +3287,7 @@ def a17_grouped_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counts checkpointed; top-k ranks them and the grouped grid
     # sketches them weighted (SUM of counts per cell == counting raw
     # occurrences).
-    counts = loop_checkpoint(
+    counts = once_checkpoint(
         terms.groupBy("source", "term").agg(
             F.count(F.lit(1)).cast("long").alias("n_exact")
         )
@@ -4278,7 +4278,7 @@ def t25_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def i12_dataset_card_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from big_data_flight_analytics_spark.cache import loop_checkpoint
+    from big_data_flight_analytics_spark.cache import once_checkpoint
     from big_data_flight_analytics_spark.operators.quality import (
         dataset_card_fold,
         dataset_card_report,
@@ -4293,7 +4293,7 @@ def i12_dataset_card_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reads filters of it. The fold itself is unchanged — the i1
     # contract (delta path invisible vs from-scratch oracle) still
     # exercises a real merge of independently-aggregated states.
-    states = loop_checkpoint(
+    states = once_checkpoint(
         dataset_card_state(
             docs.withColumn("__late", F.col("doc_id") % 5 == 0),
             side_col="__late",
@@ -7216,7 +7216,7 @@ EXTENSION_ORACLES["i17_novelty_delta"] = T28_SQL
 
 
 def v13_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from big_data_flight_analytics_spark.cache import loop_checkpoint
+    from big_data_flight_analytics_spark.cache import once_checkpoint
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
@@ -7224,7 +7224,7 @@ def v13_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join) and its lineage is the corpus x queries brute-force scorer
     # — eager checkpoint of the queries x k id pairs runs that scorer
     # once (r16); the approx list has a single consumer, left lazy
-    exact = loop_checkpoint(
+    exact = once_checkpoint(
         brute_force_topk(emb, queries, k=TOPK).select(
             "query_id", "neighbor_id"
         )

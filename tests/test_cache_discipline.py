@@ -69,16 +69,38 @@ class TestCacheDiscipline:
 
     def test_minhash_registers_no_tracked_cache(self, spark):
         # r16: minhash_lsh_pairs' shared shingle frame moved from
-        # tracked_persist to an eager loop_checkpoint (measured faster
-        # on both interleaved A/B rounds). Its blocks are
-        # ContextCleaner-managed like every other checkpointed loop
-        # frame — nothing is left registered for the caller to release.
+        # tracked_persist to an eager localCheckpoint (once_checkpoint;
+        # measured faster on both interleaved A/B rounds). Its blocks
+        # are ContextCleaner-managed — nothing is left registered for
+        # the caller to release.
         release_tracked()
         docs = _docs(spark)
         before = _persisted_ids(spark)
         minhash_lsh_pairs(docs, threshold=0.1).count()
         assert _persisted_ids(spark) - before  # the checkpoint is live
         assert release_tracked() == 0
+
+    def test_minhash_repeated_invocations_stay_bounded(self, spark):
+        # ADVICE r16: checkpoint blocks are only freed when the Python/
+        # JVM references are GC'd — repeated one-shot invocations in a
+        # single session must not accumulate live blocks.
+        import gc
+        import time
+
+        release_tracked()
+        docs = _docs(spark)
+        minhash_lsh_pairs(docs, threshold=0.1).count()
+        gc.collect()
+        base = _n_persisted(spark)
+        for _ in range(3):
+            minhash_lsh_pairs(docs, threshold=0.1).count()
+        gc.collect()
+        # the ContextCleaner drains asynchronously — poll briefly
+        deadline = time.time() + 10
+        while _n_persisted(spark) > base + 2 and time.time() < deadline:
+            gc.collect()
+            time.sleep(0.3)
+        assert _n_persisted(spark) <= base + 2
 
     def test_connected_components_registers_no_cache(self, spark):
         release_tracked()
@@ -178,3 +200,28 @@ class TestLoopCheckpoint:
             # later tests assume the local (default) behavior; the dir
             # cannot be unset on a live context, so pin the mode
             spark.conf.set("spark.graft.loop.checkpoint", "local")
+
+    def test_once_checkpoint_stays_local_with_checkpoint_dir(
+        self, spark, tmp_path
+    ):
+        # ADVICE r16: single-pass frames must never write durable
+        # checkpoint files (not ContextCleaner-cleaned by default on
+        # clusters) — once_checkpoint localCheckpoints unconditionally,
+        # even in auto mode with a checkpoint dir set (this test runs
+        # after the durable one so the dir is already set; mode is
+        # irrelevant to once_checkpoint).
+        import os
+
+        from pyspark.sql import Row
+
+        from big_data_flight_analytics_spark.cache import once_checkpoint
+
+        ckdir = str(tmp_path / "ck_once")
+        spark.sparkContext.setCheckpointDir(ckdir)
+        out = once_checkpoint(spark.createDataFrame([Row(a=1), Row(a=2)]))
+        assert {r["a"] for r in out.collect()} == {1, 2}
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "LogicalRDD" in plan  # lineage truncated
+        assert not any(
+            files for _, _, files in os.walk(ckdir)
+        )  # nothing durable written

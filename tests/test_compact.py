@@ -152,6 +152,25 @@ class TestBenchEmitter:
             3,
         ) == detail["value"]
 
+    def test_detail_sidecar_is_core_count_stamped(self, tmp_path, monkeypatch):
+        """VERDICT r16 #2: runs at different core counts must not clobber
+        each other's per-query detail — the detail also lands in a
+        BENCH_DETAIL_c{cpus}.json sidecar, and $SPARK_GRAFT_DETAIL_PATH
+        overrides the primary path."""
+        import json
+
+        from bench import emit_artifacts
+
+        primary = tmp_path / "BENCH_DETAIL.json"
+        monkeypatch.setenv("SPARK_GRAFT_DETAIL_PATH", str(primary))
+        monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+        out = emit_artifacts({"q1": 1.0}, {}, {}, 0.1, 2)
+        summary = json.loads(out)
+        stamped = tmp_path / "BENCH_DETAIL_c8.json"
+        assert primary.exists() and stamped.exists()
+        assert summary["detail"] == "BENCH_DETAIL_c8.json"
+        assert json.loads(stamped.read_text()) == json.loads(primary.read_text())
+
     def test_errors_flag_the_artifact_invalid(self, tmp_path):
         import json
 

@@ -2,7 +2,7 @@
 
 Times named catalog queries via the noop sink (min of N reps, default
 3) on the bench session, optionally dumping ``explain('formatted')``
-to plans/r16/<name>_<tag>.txt. Isolated from bench.py so a single
+to plans/<round-dir>/<name>_<tag>.txt (--plans-dir, default plans/r17). Isolated from bench.py so a single
 query can be iterated without a full catalog pass.
 
 Usage:
@@ -32,7 +32,8 @@ def main() -> None:
     ap.add_argument("names", nargs="+")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--explain", default=None, metavar="TAG",
-                    help="dump explain('formatted') to plans/r16/<name>_<TAG>.txt")
+                    help="dump explain('formatted') to <plans-dir>/<name>_<TAG>.txt")
+    ap.add_argument("--plans-dir", default="plans/r17")
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
@@ -46,12 +47,12 @@ def main() -> None:
     for name in args.names:
         fn = QUERIES[name]
         if args.explain:
-            os.makedirs("plans/r16", exist_ok=True)
+            os.makedirs(args.plans_dir, exist_ok=True)
             buf = io.StringIO()
             with redirect_stdout(buf):
                 fn(spark, args.sf_dir).explain("formatted")
             release_tracked()
-            with open(f"plans/r16/{name}_{args.explain}.txt", "w") as f:
+            with open(f"{args.plans_dir}/{name}_{args.explain}.txt", "w") as f:
                 f.write(buf.getvalue())
         best = float("inf")
         for _ in range(args.reps):
