@@ -1467,6 +1467,29 @@ def _cent_rows_df(spark, cents: dict) -> DataFrame:
     )
 
 
+def _cent_grid_df(spark, cents: dict, m: int) -> DataFrame:
+    """Driver centroid state -> ONE broadcast row carrying every
+    subspace: ``__grid[j+1]`` is subspace j's c-ascending
+    ``array<struct<c, cq>>`` (the `_cent_rows_df` packing, all m rows
+    folded into a single nested array). Lets a consumer that needs ALL
+    subspaces per input row — the map-side PQ encode/LUT (one fold per
+    subspace over the wide vector) — take one crossJoin of one row
+    instead of an m-way join on ``j``. Data, never literals (the
+    ``_cent_rows_df`` doctrine)."""
+    grid = [
+        [
+            (int(c), [int(x) for x in cq])
+            for (jj, c), cq in sorted(cents.items())
+            if jj == j
+        ]
+        for j in range(m)
+    ]
+    return spark.createDataFrame(
+        [(grid,)],
+        "__grid array<array<struct<c: bigint, cq: array<bigint>>>>",
+    )
+
+
 def _cents_df(spark, cents: dict) -> DataFrame:
     """Driver centroid state -> (j, c, cq) DataFrame (public shape)."""
     rows = [
@@ -1646,57 +1669,73 @@ def pq_topk_trained(
         corpus, m, kcent, dim, n_iter, scale, id_col, vec_col,
         grain_frame=corpus_grains,
     )
-    cb_rows = F.broadcast(_cent_rows_df(corpus.sparkSession, cb))
-    # encode is map-side: the broadcast join on j delivers each row its
-    # packed codebook array and the argmin is a per-row fold — the
-    # former broadcast-join fan-out x kcent + groupBy(neighbor_id, j)
-    # min cost one corpus-sized shuffle for a reduction each row
-    # decides locally (guide §2.4)
-    codes = (
-        corpus_grains.withColumnRenamed("id", "neighbor_id")
-        .join(cb_rows, "j")
-        .select(
-            "neighbor_id",
-            "j",
-            _argmin_c(F.col("vq"), F.col("__cents")).alias("c"),
-        )
-    )
-    lut = (
-        sub_grains(queries, "query_id")
-        .join(cb_rows, "j")
-        .select(
-            "query_id", "j", "vq", F.explode(F.col("__cents")).alias("__cent")
-        )
-        .select(
-            "query_id",
-            "j",
-            F.col("__cent.c").alias("c"),
-            _int_dot(F.col("vq"), F.col("__cent.cq")).alias("__lut"),
-        )
-    )
-    partials = codes.join(F.broadcast(lut), ["j", "c"]).filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    per_j = [
-        F.sum(F.when(F.col("j") == j, F.col("__lut"))).alias(f"__p{j}")
-        for j in range(m)
-    ]
-    adc = partials.groupBy("query_id", "neighbor_id").agg(*per_j)
-    score_int = F.col("__p0")
-    for j in range(1, m):
-        score_int = score_int + F.col(f"__p{j}")
+    # ---- ADC, fully map-side (r17, guide §2.4): ONE broadcast row
+    # carries all m packed codebooks (`_cent_grid_df`); each corpus row
+    # computes its m codes as a per-subspace argmin fold over its own
+    # wide vector, with the fixed-point norm riding the same
+    # projection, and each query row computes its whole m x kcent LUT
+    # the same way. The candidate score is then a per-row fold —
+    # score = sum_j LUT[j][code_j], the identical integer sum the
+    # former per-(query, j, c) join + groupBy(query, neighbor)
+    # aggregate shuffled a corpus x m row set to produce. Removes, per
+    # query: the encode join, the LUT fan-out join, the corpus-scale
+    # ADC groupBy Exchange, and the norms_c corpus scan + join.
+    spark = corpus.sparkSession
     nsq_scale = scale * scale
-    norms_c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        norm_sq_fixedpoint(F.col(vec_col), nsq_scale).alias("__cn"),
+    cb_grid = F.broadcast(_cent_grid_df(spark, cb, m))
+
+    def sub_grain_of(vec, j):
+        return F.transform(
+            F.slice(vec, j * sub + 1, F.lit(sub)),
+            lambda x: F.floor(x.cast("double") * F.lit(float(scale))),
+        )
+
+    codes_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: _argmin_c(
+            sub_grain_of(F.col("__v"), j),
+            F.element_at(F.col("__grid"), (j + 1).cast("int")),
+        ),
     )
-    norms_q = queries.select(
-        F.col(id_col).alias("query_id"),
-        norm_sq_fixedpoint(F.col(vec_col), nsq_scale).alias("__qn"),
+    enc = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__v"),
+            norm_sq_fixedpoint(F.col(vec_col), nsq_scale).alias("__cn"),
+        )
+        .crossJoin(cb_grid)
+        .select("neighbor_id", codes_arr.alias("__codes"), "__cn")
+    )
+    lut_grid = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.transform(
+            F.element_at(F.col("__grid"), (j + 1).cast("int")),
+            lambda cent: _int_dot(sub_grain_of(F.col("__v"), j), cent["cq"]),
+        ),
+    )
+    q_lut = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__v"),
+            norm_sq_fixedpoint(F.col(vec_col), nsq_scale).alias("__qn"),
+        )
+        .crossJoin(cb_grid)
+        .select("query_id", lut_grid.alias("__lut"), "__qn")
+    )
+    score_int = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(F.col("__lut"), (j + 1).cast("int")),
+            (F.element_at(F.col("__codes"), (j + 1).cast("int")) + 1).cast(
+                "int"
+            ),
+        ),
     )
     scored = (
-        adc.join(norms_c, "neighbor_id")
-        .join(F.broadcast(norms_q), "query_id")
+        enc.crossJoin(F.broadcast(q_lut))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
@@ -1809,8 +1848,15 @@ def ivfpq_topk(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * F.lit(float(scale))),
     )
+    nsq_scale = scale * scale
+    # the fixed-point ADC norm rides the one persisted corpus pass so
+    # the scorer needs no norms_c scan or join (r17)
     cg = tracked_persist(
-        corpus.select(F.col(id_col).alias("id"), full_grains.alias("vq"))
+        corpus.select(
+            F.col(id_col).alias("id"),
+            full_grains.alias("vq"),
+            norm_sq_fixedpoint(F.col(vec_col), nsq_scale).alias("__cn"),
+        )
     )
     spark = corpus.sparkSession
 
@@ -1849,13 +1895,14 @@ def ivfpq_topk(
     )
     assigned = (
         cg.crossJoin(coarse_rows)
-        .select("id", "vq", best_cell.alias("__best"))
+        .select("id", "vq", "__cn", best_cell.alias("__best"))
         .select(
             "id",
             F.col("__best.cell").alias("cell"),
             F.zip_with(
                 F.col("vq"), F.col("__best.ccq"), lambda a, b: a - b
             ).alias("rq"),
+            "__cn",
         )
     )
     assigned = tracked_persist(assigned)
@@ -1875,23 +1922,40 @@ def ivfpq_topk(
     )
     with loop_confs(spark, nparts):
         pq_state = _lloyd_rounds(er, init2, sub, pq_iter)
-    pq_rows = F.broadcast(_cent_rows_df(spark, pq_state))
+    pq_grid = F.broadcast(_cent_grid_df(spark, pq_state, m))
 
-    # ---- encode: per (vector, subspace), nearest residual centroid —
-    # map-side argmin over the broadcast-joined codebook array (was
-    # broadcast-join fan-out x kcent + groupBy(id, j) + corpus x
-    # corpus cell join)
-    codes = er.join(pq_rows, "j").select(
-        F.col("id").alias("neighbor_id"),
-        "cell",
-        "j",
-        _argmin_c(F.col("vq"), F.col("__cents")).alias("c"),
+    # ---- encode, fully map-side (r17): per corpus row, all m codes
+    # come from one fold over its own residual grains against the
+    # packed pq grid (`_cent_grid_df`) — one crossJoin of one
+    # broadcast row. The former per-(id, j) encode consumed the er
+    # explode through a join and fed a per-(query, j, c) LUT join +
+    # corpus-scale groupBy(query, neighbor) Exchange; the candidate
+    # score is now a per-row fold over the code array (identical
+    # integer sum), and the ADC norm rides the persisted corpus pass,
+    # so the norms_c scan + join are gone too.
+    codes_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: _argmin_c(
+            F.slice(F.col("rq"), j * sub + 1, F.lit(sub)),
+            F.element_at(F.col("__grid"), (j + 1).cast("int")),
+        ),
+    )
+    cand_base = (
+        assigned.crossJoin(pq_grid)
+        .select(
+            F.col("id").alias("neighbor_id"),
+            "cell",
+            codes_arr.alias("__codes"),
+            "__cn",
+        )
     )
 
     # ---- query side: grains, probes, LUT, coarse dot
     qg = tracked_persist(
         queries.select(
-            F.col(id_col).alias("query_id"), full_grains.alias("vq")
+            F.col(id_col).alias("query_id"),
+            full_grains.alias("vq"),
+            norm_sq_fixedpoint(F.col(vec_col), nsq_scale).alias("__qn"),
         )
     )
     # probe selection is map-side too: per query, sort the joined cell
@@ -1907,66 +1971,53 @@ def ivfpq_topk(
             ),
         )
     )
-    probes = (
+    # probes AND the full m x kcent LUT computed in ONE map-side pass
+    # per query (the LUT is cell-independent in the IP formulation, so
+    # it rides every probe row of its query unchanged)
+    lut_grid = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.transform(
+            F.element_at(F.col("__grid"), (j + 1).cast("int")),
+            lambda cent: _int_dot(
+                F.slice(F.col("vq"), j * sub + 1, F.lit(sub)), cent["cq"]
+            ),
+        ),
+    )
+    qside = (
         qg.crossJoin(coarse_rows)
+        .crossJoin(pq_grid)
         .select(
             "query_id",
             F.explode(F.slice(probe_sorted, 1, nprobe)).alias("__p"),
+            lut_grid.alias("__lut"),
+            "__qn",
         )
         .select(
             "query_id",
             F.col("__p.cell").alias("cell"),
             F.col("__p.__qc").alias("__qc"),
-        )
-    )
-    q_sub = qg.select(
-        "query_id",
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j"),
-        F.slice(F.col("vq"), F.col("j") * sub + 1, F.lit(sub)).alias("qs"),
-    )
-    lut = (
-        q_sub.join(pq_rows, "j")
-        .select(
-            "query_id", "j", "qs", F.explode(F.col("__cents")).alias("__cent")
-        )
-        .select(
-            "query_id",
-            "j",
-            F.col("__cent.c").alias("c"),
-            _int_dot(F.col("qs"), F.col("__cent.cq")).alias("__lut"),
+            "__lut",
+            "__qn",
         )
     )
 
-    # ---- ADC over probed cells only
-    cand = (
-        codes.join(F.broadcast(probes), "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .join(F.broadcast(lut), ["query_id", "j", "c"])
-    )
-    per_j = [
-        F.sum(F.when(F.col("j") == j, F.col("__lut"))).alias(f"__p{j}")
-        for j in range(m)
-    ]
-    adc = cand.groupBy("query_id", "neighbor_id").agg(
-        F.first("__qc").alias("__qc"), *per_j
-    )
-    score_int = F.col("__qc")
-    for j in range(m):
-        score_int = score_int + F.coalesce(
-            F.col(f"__p{j}"), F.lit(0).cast("long")
-        )
-    nsq_scale = scale * scale
-    norms_c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        norm_sq_fixedpoint(F.col(vec_col), nsq_scale).alias("__cn"),
-    )
-    norms_q = queries.select(
-        F.col(id_col).alias("query_id"),
-        norm_sq_fixedpoint(F.col(vec_col), nsq_scale).alias("__qn"),
+    # ---- ADC over probed cells only — per-row fold, no groupBy:
+    # score = coarse dot + sum_j LUT[j][code_j], the identical integer
+    # sum the former per-(query, j, c) join + aggregate produced
+    score_int = F.col("__qc") + F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(F.col("__lut"), (j + 1).cast("int")),
+            (F.element_at(F.col("__codes"), (j + 1).cast("int")) + 1).cast(
+                "int"
+            ),
+        ),
     )
     scored = (
-        adc.join(norms_c, "neighbor_id")
-        .join(F.broadcast(norms_q), "query_id")
+        cand_base.join(F.broadcast(qside), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",

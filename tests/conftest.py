@@ -8,7 +8,7 @@ from big_data_flight_analytics_spark.session import session_builder
 @pytest.fixture(scope="session")
 def spark():
     s = (
-        session_builder(app_name="tests", master="local[4]", shuffle_partitions=4)
+        session_builder(app_name="tests", master="local[8]", shuffle_partitions=4)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .getOrCreate()
     )
