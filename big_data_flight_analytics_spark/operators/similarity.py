@@ -1118,19 +1118,6 @@ def pq_topk(
     if sub * m != dim:
         raise ValueError("dim must divide evenly into m subspaces")
 
-    def sub_explode(df: DataFrame, out_id: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(out_id),
-            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j"),
-            F.col(vec_col).alias("__v"),
-        ).select(
-            out_id,
-            "j",
-            F.slice(
-                F.col("__v"), F.col("j") * sub + 1, F.lit(sub)
-            ).alias("__sub"),
-        )
-
     if codebooks is None:
         # min-id stub: centroid c = the seed's own id. Assumes ids are
         # dense from 0 (true for the testdata; pass explicit codebooks
@@ -1159,52 +1146,98 @@ def pq_topk(
     # side instead of per candidate row — together these cut the encode
     # stage's dot products 3x (the dominant FLOPs: corpus x m x kcent
     # candidate rows).
-    c_sub = sub_explode(corpus, "neighbor_id")
+    #
+    # ADC is fully map-side (r17, the v7/v8 shape): the codebook frame
+    # is packed IN-ENGINE (codebooks stay pluggable DataFrames — two
+    # tiny aggregates, no driver collect) into one broadcast row whose
+    # ``__grid[j+1]`` holds subspace j's c-ascending centroid array;
+    # each corpus row folds out its m code POSITIONS, each query row
+    # folds out its full m x kcent LUT in the same grid order, and the
+    # candidate score is a per-row j-ascending fold — the identical
+    # doubles the former per-(query, j, c) join + groupBy(query,
+    # neighbor) aggregate shuffled corpus x m rows to add. Positions
+    # (not c values) index the LUT, so sparse/non-dense c stay exact.
+    # L2 norms ride the same projections: no norms scans, no joins.
     codebooks = codebooks.withColumn(
         "__cc", dot_product(F.col("centroid"), F.col("centroid"))
     )
-    ac = dot_product(F.col("__sub"), F.col("centroid"))
-    dist2 = F.col("__cc") - (F.lit(2.0) * ac)
-    codes = (
-        c_sub.join(F.broadcast(codebooks), "j")
-        .select(
-            "neighbor_id",
-            "j",
-            F.struct(dist2.alias("d"), F.col("c")).alias("__dc"),
+    grid_row = (
+        codebooks.groupBy("j")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("c", "centroid", "__cc"))
+            ).alias("__cents")
         )
-        .groupBy("neighbor_id", "j")
-        .agg(F.min("__dc").alias("__best"))
-        .select("neighbor_id", "j", F.col("__best.c").alias("c"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("j", "__cents"))).alias("__gs"))
+        # j is dense 0..m-1 by the codebook contract, so position == j
+        .select(F.transform("__gs", lambda s: s["__cents"]).alias("__grid"))
     )
-    # query LUT: dot of each query subvector against every centroid
-    q_sub = sub_explode(queries, "query_id")
-    lut = q_sub.join(F.broadcast(codebooks), "j").select(
-        "query_id",
-        "j",
-        "c",
-        dot_product(F.col("__sub"), F.col("centroid")).alias("__lut"),
+
+    def sub_of(vec, j):
+        return F.slice(vec, j * sub + 1, F.lit(sub))
+
+    codes_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                F.element_at(F.col("__grid"), (j + 1).cast("int")),
+                lambda cent, i: F.struct(
+                    (
+                        cent["__cc"]
+                        - F.lit(2.0)
+                        * dot_product(
+                            sub_of(F.col("__v"), j), cent["centroid"]
+                        )
+                    ).alias("d"),
+                    cent["c"].alias("c"),
+                    i.alias("i"),
+                ),
+            )
+        )["i"],
     )
-    partials = codes.join(F.broadcast(lut), ["j", "c"]).filter(
-        F.col("neighbor_id") != F.col("query_id")
+    enc = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__v"),
+            l2_norm(F.col(vec_col)).alias("__cn"),
+        )
+        .crossJoin(F.broadcast(grid_row))
+        .select("neighbor_id", codes_arr.alias("__codes"), "__cn")
     )
-    per_j = [
-        F.sum(F.when(F.col("j") == j, F.col("__lut"))).alias(f"__p{j}")
-        for j in range(m)
-    ]
-    adc = partials.groupBy("query_id", "neighbor_id").agg(*per_j)
-    score = F.col("__p0")
-    for j in range(1, m):
-        score = score + F.col(f"__p{j}")
-    norms_c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), l2_norm(F.col(vec_col)).alias("__cn")
+    lut_grid = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.transform(
+            F.element_at(F.col("__grid"), (j + 1).cast("int")),
+            lambda cent: dot_product(
+                sub_of(F.col("__v"), j), cent["centroid"]
+            ),
+        ),
     )
-    norms_q = queries.select(
-        F.col(id_col).alias("query_id"), l2_norm(F.col(vec_col)).alias("__qn")
+    q_lut = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__v"),
+            l2_norm(F.col(vec_col)).alias("__qn"),
+        )
+        .crossJoin(F.broadcast(grid_row))
+        .select("query_id", lut_grid.alias("__lut"), "__qn")
+    )
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(F.col("__lut"), (j + 1).cast("int")),
+            (F.element_at(F.col("__codes"), (j + 1).cast("int")) + 1).cast(
+                "int"
+            ),
+        ),
     )
     denom = F.col("__cn") * F.col("__qn")
     scored = (
-        adc.join(norms_c, "neighbor_id")
-        .join(F.broadcast(norms_q), "query_id")
+        enc.crossJoin(F.broadcast(q_lut))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
