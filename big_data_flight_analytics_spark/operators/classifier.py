@@ -131,67 +131,106 @@ def _margins(
     )
 
 
+def _packed(feat: DataFrame, id_col: str) -> DataFrame:
+    """(id_col, y, __bx array<struct<bucket, x>>): one row per labeled
+    document — the whole feature multiset packed in-row, so a training
+    round's margin is a per-row integer fold instead of a broadcast
+    join + doc-keyed aggregate (r17, guide §2.4). One exchange builds
+    it (the same hash(id)-class shuffle the former repartition paid)."""
+    return feat.groupBy(id_col, "y").agg(
+        F.collect_list(F.struct("bucket", "x")).alias("__bx")
+    )
+
+
+def _guard_wd(wd: dict, n_iter: int, bound: int) -> None:
+    """Driver-side twin of ``_weight_guard`` for driver-held weight
+    state (same failure point — before the round that would consume
+    the weights — and same message contract)."""
+    if any(abs(v) > bound for v in wd.values()):
+        raise ValueError(
+            "perceptron_quality: |w| exceeded 2^40 — margin sums could "
+            f"wrap int64 within {n_iter} rounds at this feature scale; "
+            "clip feature counts or promote margins to DECIMAL(38,0)"
+        )
+
+
+def _w_row(spark, wd: dict, n_buckets: int) -> DataFrame:
+    """Dense weight array as ONE broadcast data row (missing buckets
+    are the 0 the former LEFT join coalesced)."""
+    return spark.createDataFrame(
+        [([int(wd.get(b, 0)) for b in range(n_buckets)],)],
+        "__w array<bigint>",
+    )
+
+
+def _packed_margins(
+    packed: DataFrame, w_row: DataFrame, id_col: str
+) -> DataFrame:
+    """(id_col, y, margin, __bx) — margin as the in-row integer fold
+    ``sum(x * w[bucket])``: the identical int64 the former broadcast
+    join + SUM aggregate produced (integer addition is order-free)."""
+    margin = F.aggregate(
+        F.col("__bx"),
+        F.lit(0).cast("long"),
+        lambda acc, bx: acc
+        + bx["x"] * F.element_at(F.col("__w"), (bx["bucket"] + 1).cast("int")),
+    )
+    return packed.crossJoin(F.broadcast(w_row)).select(
+        id_col, "y", margin.alias("margin"), "__bx"
+    )
+
+
 def _train(
-    feat: DataFrame,
+    packed: DataFrame,
     id_col: str,
     n_iter: int,
     _w_bound: int,
-) -> DataFrame:
-    """The training loop over a PERSISTED, hash(id)-partitioned
-    feature frame; returns the final (bucket, w) weight table.
+    n_buckets: int,
+) -> dict:
+    """The training loop over a PERSISTED packed feature frame;
+    returns the final driver-held weight dict.
 
     Weight state lives on the DRIVER between rounds (<= n_buckets
     int64s — the Lloyd/BPE model-state collect class, bounded by a
     hyper-parameter, never by corpus size) and returns to executors as
-    a tiny LocalRelation each round. Per round that leaves ONE Spark
-    job: margins (broadcast weights join + doc-keyed agg riding
-    feat's hash(id) partitioning) -> misclassified semi-join ->
-    bucket-keyed gradient agg, collected as <= n_buckets rows. The
-    former DataFrame-state loop additionally paid a full outer join
-    plus an eager localCheckpoint per round (~0.7-1.5 s/round measured
-    at sf0.1); the driver-side dict merge is the same full-join
-    coalesce-sum algebra, so trained weights are bit-identical and the
-    oracle's unrolled-CTE replay still matches.
+    a dense broadcast array row. Per round, ONE Spark job with NO
+    joins and NO doc-grain shuffle (r17): a map pass folds each doc's
+    margin in-row, misclassified rows explode their features, and the
+    bucket-keyed gradient agg collects <= n_buckets rows. The r16
+    shape additionally paid a broadcast weights join + a doc-keyed
+    margin aggregate + a semi-join per round. The driver-side dict
+    merge is the same full-join coalesce-sum algebra, so trained
+    weights are bit-identical and the oracle's unrolled-CTE replay
+    still matches. The |w| guard moves driver-side (`_guard_wd`) —
+    same failure point, same message.
     """
     from big_data_flight_analytics_spark.cache import loop_confs
 
-    spark = feat.sparkSession
-
-    def w_frame(wd: dict) -> DataFrame:
-        return spark.createDataFrame(
-            sorted((int(b), int(v)) for b, v in wd.items()),
-            "bucket bigint, w bigint",
-        )
+    spark = packed.sparkSession
 
     # round 1: w_0 = 0 -> y*margin = 0 <= 0 -> every doc misclassified
-    w0 = feat.groupBy("bucket").agg(
-        F.sum(F.col("y") * F.col("x")).cast("long").alias("w")
+    w0 = (
+        packed.select("y", F.explode("__bx").alias("__f"))
+        .groupBy(F.col("__f.bucket").alias("bucket"))
+        .agg(F.sum(F.col("y") * F.col("__f.x")).cast("long").alias("w"))
     )
     # this collect doubles as the feature-frame materialization action
     wd = {int(r["bucket"]): int(r["w"]) for r in w0.collect()}
-    # scheduling-bound tiny-frame loop with every join an explicit
-    # broadcast() — the BPE/Lloyd loop_confs contract applies (the
-    # PageRank AQE caveat does not)
-    nparts = max(1, feat.rdd.getNumPartitions())
+    # scheduling-bound tiny-frame loop — the BPE/Lloyd loop_confs
+    # contract applies (no join relies on AQE broadcast conversion)
+    nparts = max(1, packed.rdd.getNumPartitions())
     with loop_confs(spark, nparts):
         for _ in range(n_iter - 1):
+            _guard_wd(wd, n_iter, _w_bound)
             # standard perceptron rule: doc is misclassified iff
             # y*(w.x) <= 0 (sign(margin) != y, with 0 counted wrong)
-            mis = (
-                _margins(feat, w_frame(wd), id_col, n_iter, _w_bound)
-                .filter(F.col("y") * F.col("margin") <= 0)
-                .select(id_col)
-            )
             grad = (
-                # mis can be nearly the whole corpus in early rounds —
-                # never broadcast it; both sides are hash(id)
-                # partitioned (feat by construction, mis because the
-                # margin groupBy rode feat's partitioning), so this
-                # semi-join is Exchange-free
-                feat.join(mis, id_col, "left_semi")
-                .groupBy("bucket")
+                _packed_margins(packed, _w_row(spark, wd, n_buckets), id_col)
+                .filter(F.col("y") * F.col("margin") <= 0)
+                .select("y", F.explode("__bx").alias("__f"))
+                .groupBy(F.col("__f.bucket").alias("bucket"))
                 .agg(
-                    F.sum(F.col("y") * F.col("x"))
+                    F.sum(F.col("y") * F.col("__f.x"))
                     .cast("long")
                     .alias("__g")
                 )
@@ -201,7 +240,7 @@ def _train(
             for r in grad.collect():
                 b = int(r["bucket"])
                 wd[b] = wd.get(b, 0) + int(r["__g"])
-    return w_frame(wd)
+    return wd
 
 
 def _finalize(margins: DataFrame, id_col: str) -> DataFrame:
@@ -230,15 +269,14 @@ def perceptron_weights(
     matter the corpus. ``n_buckets``/``n_iter`` are part of the model:
     stored weights only score documents featurized with the same
     ``n_buckets``."""
-    feat = tracked_persist(
-        perceptron_features(docs, id_col, text_col, n_buckets)
-        # hash(id) satisfies ClusteredDistribution(id, y), so every
-        # round's margin aggregate rides THIS partitioning instead of
-        # reshuffling the feature frame per round — one shuffle at
-        # build buys n_iter margin passes with zero Exchange
-        .repartition(id_col)
+    packed = tracked_persist(
+        _packed(perceptron_features(docs, id_col, text_col, n_buckets), id_col)
     )
-    return _train(feat, id_col, n_iter, _w_bound)
+    wd = _train(packed, id_col, n_iter, _w_bound, n_buckets)
+    return packed.sparkSession.createDataFrame(
+        sorted((int(b), int(v)) for b, v in wd.items()),
+        "bucket bigint, w bigint",
+    )
 
 
 def perceptron_apply(
@@ -283,10 +321,13 @@ def perceptron_quality(
     Output: one row per document with >= 1 bigram —
     (id_col, label, margin, pred), pred = +1 iff final margin > 0.
     """
-    feat = tracked_persist(
-        perceptron_features(docs, id_col, text_col, n_buckets).repartition(
-            id_col
-        )
+    spark = docs.sparkSession
+    packed = tracked_persist(
+        _packed(perceptron_features(docs, id_col, text_col, n_buckets), id_col)
     )
-    w = _train(feat, id_col, n_iter, _w_bound)
-    return _finalize(_margins(feat, w, id_col, n_iter, _w_bound), id_col)
+    wd = _train(packed, id_col, n_iter, _w_bound, n_buckets)
+    _guard_wd(wd, n_iter, _w_bound)
+    final = _packed_margins(
+        packed, _w_row(spark, wd, n_buckets), id_col
+    ).select(id_col, "y", "margin")
+    return _finalize(final, id_col)
