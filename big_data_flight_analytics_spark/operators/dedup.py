@@ -1230,68 +1230,117 @@ def excise_repeated_spans(
     including untouched ones (n_removed = 0) and fully-boilerplate ones
     (clean_text = '').
 
-    Shape: the gram-frequency mark is d15's; covered positions come
-    from exploding each marked window into its n offsets (bounded
-    blow-up: n rows per marked window), distinct-ed, anti-joined
-    against the token positions, and the rebuild groupBy rides the
-    doc-hash Exchange the anti join just produced.
+    Shape (r17, the covered-set rebuild): the gram-frequency mark is
+    d15's; each doc's marked window STARTS collect into one sorted
+    in-row array (a shuffle of marked positions only — ~24 B/row vs
+    the former token-grain anti-join Exchange), merge into covered
+    intervals with the sorted-runs fold (starts <= n apart chain into
+    one interval, exactly the union of their [pos, pos+n-1] windows),
+    and the clean text is the doc's own token array sliced at the
+    interval GAPS — all map-side after one doc-keyed join. Removes,
+    vs the r16 shape: the window->offset explode + distinct, the
+    token-grain anti-join, the token-collect rebuild aggregate, and
+    the third corpus pass for n_total (it rides the same row now).
     """
     toks = tokens(text_col)
-    base = docs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.when(
-                F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "", toks
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("pos", "tok"),
-    )
     marked = (
         marks
         if marks is not None
         else repeated_window_marks(docs, n, min_count, id_col, text_col)
     )
-    covered = (
-        marked.select(
+    starts_df = marked.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.col("pos").cast("long"))
+        ).alias("__ms")
+    )
+    base = (
+        docs.select(
             F.col(id_col),
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
-            ).alias("pos"),
+            F.when(
+                F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "", toks
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("__tk"),
         )
-        .distinct()
-    )
-    kept = base.join(covered, [id_col, "pos"], "left_anti")
-    n_total = docs.select(
-        F.col(id_col),
-        F.when(
-            F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "",
-            F.size(toks),
-        )
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("__n_total"),
-    )
-    rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("pos"), F.col("tok")))
-                ),
-                lambda x: x["tok"],
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_kept"),
-    )
-    return (
-        n_total.join(rebuilt, id_col, "left")
+        .join(starts_df, id_col, "left")
         .select(
             id_col,
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            (F.col("__n_total") - F.coalesce("n_kept", F.lit(0))).alias(
-                "n_removed"
+            "__tk",
+            F.coalesce(
+                F.col("__ms"), F.array().cast("array<bigint>")
+            ).alias("__ms"),
+        )
+    )
+    # merged covered intervals: a start within n of its predecessor
+    # extends the same interval (its window overlaps or abuts the
+    # previous one), so interval heads are exactly the sorted starts
+    # more than n after their predecessor
+    ms = F.col("__ms")
+    # empty-guard: F.sequence(1, 0) counts BACKWARDS (the _grams_of
+    # caveat), so the size>0 branch gate is load-bearing; the
+    # greatest-guard inside is too — OR does not short-circuit under
+    # ANSI, so the i==1 probe must still read a valid index
+    heads = F.when(
+        F.size(ms) > 0,
+        F.filter(
+            F.sequence(F.lit(1), F.size(ms)),
+            lambda i: (i == 1)
+            | (
+                F.element_at(ms, i)
+                - F.element_at(ms, F.greatest(i - 1, F.lit(1)))
+                > n
+            ),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    with_heads = base.select(
+        id_col, "__tk", "__ms", heads.alias("__hd")
+    )
+    hd = F.col("__hd")
+    next_heads = F.concat(
+        F.slice(hd, F.lit(2), F.greatest(F.size(hd) - 1, F.lit(0))),
+        F.array(F.size(ms) + 1),
+    )
+    intervals = F.when(
+        F.size(ms) > 0,
+        F.zip_with(
+            hd,
+            next_heads,
+            lambda h, nh: F.struct(
+                F.element_at(ms, h).alias("s"),
+                (F.element_at(ms, nh - 1) + (n - 1)).alias("e"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<s: bigint, e: bigint>>"))
+    with_iv = with_heads.select(
+        id_col, "__tk", intervals.alias("__iv")
+    )
+    tk, iv = F.col("__tk"), F.col("__iv")
+    # kept tokens = the gaps around the covered intervals, in order
+    gap_starts = F.concat(
+        F.array(F.lit(0)), F.transform(iv, lambda v: v["e"] + 1)
+    )
+    gap_ends = F.concat(
+        F.transform(iv, lambda v: v["s"] - 1), F.array(F.size(tk) - 1)
+    )
+    kept = F.flatten(
+        F.zip_with(
+            gap_starts,
+            gap_ends,
+            lambda gs, ge: F.slice(
+                tk, (gs + 1).cast("int"), F.greatest(ge - gs + 1, F.lit(0)).cast("int")
             ),
         )
+    )
+    # kept is projected once (three consumers below; HOF expressions
+    # see no CSE — the MMR staged-column lesson)
+    with_kept = with_iv.select(
+        id_col, F.size(tk).cast("long").alias("__nt"), kept.alias("__kept")
+    )
+    return with_kept.select(
+        id_col,
+        F.array_join(F.col("__kept"), " ").alias("clean_text"),
+        F.size("__kept").cast("long").alias("n_kept"),
+        (F.col("__nt") - F.size("__kept")).cast("long").alias("n_removed"),
     )
 
 
