@@ -29,7 +29,19 @@ def session_builder(
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus)
-    return (
+    # Scan-parallelism floor: OFF by default. Locally the sf0.1 corpus
+    # fits 1-13 natural splits and the iterative loops pin their
+    # shuffle width to the scan's partition count — forcing 32 splits
+    # measured 2-3x SLOWER across the kmeans/pagerank family (r17
+    # interleaved A/B: v8 13.0->38.2 s, d18 7.4->21.4, g1 6.9->18.4),
+    # because each loop round then shuffles KB-scale state 32-wide. At
+    # 100 TB the floor is MOOT for real tables (file bytes >> 4 MB
+    # yield thousands of natural splits); set SPARK_GRAFT_MIN_PARTS
+    # (integer, or "auto" = session cores) only for compute-dense
+    # tiny-byte inputs — the 10x-replica scaling study does.
+    mp_env = os.environ.get("SPARK_GRAFT_MIN_PARTS", "0")
+    min_parts = int(cpus) if mp_env == "auto" else int(mp_env)
+    builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
         # AQE: runtime partition coalescing, skew-join splitting, plan re-opt.
@@ -46,6 +58,21 @@ def session_builder(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if min_parts > 0:
+        builder = builder.config(
+            "spark.sql.files.minPartitionNum", str(min_parts)
+        )
+        # the floor is inert without this: maxSplitBytes =
+        # max(openCostInBytes, min(maxPartitionBytes, bytes/minParts)),
+        # and the 4 MB default means a compute-dense sub-4MB file
+        # (10x-replica documents = 911 KB of zstd'd text) NEVER splits.
+        # 64 KB keeps tiny-file packing sane locally and is inert at
+        # cluster scale (bytes/minParts >> 64 KB there).
+        builder = builder.config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST", str(64 * 1024)),
+        )
+    return builder
 
 
 def get_session(**kwargs) -> SparkSession:

@@ -121,7 +121,14 @@ def build_replica(
                         f"* EXCLUDE ({key}, embedding)"
                     )
             parts.append(f"SELECT {cols} FROM read_parquet('{src}')")
-        con.sql(f"COPY ({' UNION ALL '.join(parts)}) TO '{dst}' (FORMAT PARQUET)")
+        # small row groups keep the replica SPLITTABLE: duckdb's default
+        # ~122k-row groups left 10x documents/embeddings as ONE row
+        # group — structurally serial in Spark no matter the core count
+        # (r17 scaling study) — which a real 100 TB layout never is
+        con.sql(
+            f"COPY ({' UNION ALL '.join(parts)}) TO '{dst}' "
+            "(FORMAT PARQUET, ROW_GROUP_SIZE 4096)"
+        )
         n = con.sql(f"SELECT COUNT(*) FROM read_parquet('{dst}')").fetchone()[0]
         print(f"replica {table}: {n} rows ({'fresh' if fresh else 'verbatim'})")
     # fixed-size GLOBAL dims copy through unchanged: nation/region do
